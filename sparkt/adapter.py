@@ -1,0 +1,252 @@
+"""SparkAdapter: the single warehouse façade.
+
+Implements the ~25-method adapter contract the reference's core consumes
+(SURVEY.md §2.4; call sites ``core/dbt/task/run.py:258-296``,
+``core/dbt/task/runnable.py:345-360``) over one ``SparkSession``.
+
+Storage model (no Delta/Hive available in this build, and by design the
+layer is pluggable):
+
+- Sources and seeds/tables are **external parquet tables** in Spark's
+  session catalog; every (re)write lands in a fresh versioned directory
+  ``<warehouse>/<schema>/<identifier>/v<N>`` and the catalog entry is
+  swapped via tmp-table + DROP + RENAME. This gives atomic
+  replace-while-reading semantics without table formats — the analogue
+  of the reference's transactional CTAS (SURVEY.md §7 "Mutation without
+  transactions"). On a production cluster the same interface binds to
+  Delta/Iceberg (`CREATE OR REPLACE TABLE`, `MERGE INTO`) — the
+  materializations only talk to this façade.
+- Views are catalog views (`CREATE OR REPLACE VIEW`).
+
+Thread-safety: many scheduler threads share the session (Spark is
+thread-safe); catalog DDL is serialized with a lock, mirroring the
+reference's relation-cache locking (SURVEY.md §7 "Concurrency").
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkt.relation import Relation
+
+
+@dataclass
+class ExecuteResult:
+    """Driver-side result set (the reference's agate table analogue,
+    ``core/dbt/context/providers.py:884-899``). Small results only."""
+
+    column_names: list[str] = field(default_factory=list)
+    rows: list = field(default_factory=list)
+    rows_affected: int = -1
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self):
+        return len(self.rows)
+
+
+class SparkAdapter:
+    type_name = "spark"
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self._ddl_lock = threading.RLock()
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------ exec
+    def execute(self, sql: str, fetch: bool = False) -> tuple[str, ExecuteResult]:
+        """Run one SQL statement; optionally fetch rows to the driver."""
+        df = self.spark.sql(sql)
+        if fetch:
+            rows = df.collect()
+            return "OK", ExecuteResult(
+                column_names=list(df.columns), rows=rows, rows_affected=len(rows)
+            )
+        # Non-fetch DQL still needs an action for side-effect-free SQL;
+        # DDL/DML in Spark executes eagerly inside .sql().
+        return "OK", ExecuteResult(column_names=list(df.columns))
+
+    def sql_df(self, sql: str) -> DataFrame:
+        return self.spark.sql(sql)
+
+    def quote(self, identifier: str) -> str:
+        return "`" + identifier.replace("`", "``") + "`"
+
+    # --------------------------------------------------------------- schemas
+    def create_schema(self, schema: str) -> None:
+        with self._ddl_lock:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.quote(schema)}")
+
+    def drop_schema(self, schema: str) -> None:
+        with self._ddl_lock:
+            self.spark.sql(
+                f"DROP DATABASE IF EXISTS {self.quote(schema)} CASCADE"
+            )
+            shutil.rmtree(os.path.join(self.warehouse_dir, schema), ignore_errors=True)
+
+    def list_schemas(self) -> list[str]:
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
+    # -------------------------------------------------------------- catalog
+    def get_relation(self, schema: str, identifier: str) -> Relation | None:
+        try:
+            tbl = self.spark.catalog.getTable(f"{schema}.{identifier}")
+        except Exception:
+            return None
+        rel_type = "view" if tbl.tableType == "VIEW" else "table"
+        return Relation(schema=schema, identifier=identifier, type=rel_type)
+
+    def list_relations(self, schema: str) -> list[Relation]:
+        if not self.spark.catalog.databaseExists(schema):
+            return []
+        out = []
+        for t in self.spark.catalog.listTables(schema):
+            if t.isTemporary:
+                continue
+            out.append(
+                Relation(
+                    schema=schema,
+                    identifier=t.name,
+                    type="view" if t.tableType == "VIEW" else "table",
+                )
+            )
+        return out
+
+    def get_columns_in_relation(self, relation: Relation) -> list[tuple[str, str]]:
+        df = self.spark.table(relation.render())
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    def relation_exists(self, relation: Relation) -> bool:
+        return self.get_relation(relation.schema, relation.identifier) is not None
+
+    # ---------------------------------------------------------------- paths
+    def _new_location(self, relation: Relation) -> str:
+        base = os.path.join(self.warehouse_dir, relation.schema, relation.identifier)
+        os.makedirs(base, exist_ok=True)
+        return os.path.join(base, f"v{int(time.time() * 1000)}_{uuid.uuid4().hex[:6]}")
+
+    def _gc_old_versions(self, relation: Relation, keep: str) -> None:
+        base = os.path.join(self.warehouse_dir, relation.schema, relation.identifier)
+        if not os.path.isdir(base):
+            return
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if full != keep and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+
+    # ------------------------------------------------------------------ DDL
+    def register_external_table(self, relation: Relation, path: str) -> None:
+        """Zero-copy: point a catalog table at existing parquet (sources)."""
+        with self._ddl_lock:
+            self.create_schema(relation.schema)
+            if not self.relation_exists(relation):
+                self.spark.sql(
+                    f"CREATE TABLE {relation.render()} USING parquet "
+                    f"LOCATION '{path}'"
+                )
+
+    def create_view_as(self, relation: Relation, select_sql: str) -> None:
+        with self._ddl_lock:
+            self.create_schema(relation.schema)
+            existing = self.get_relation(relation.schema, relation.identifier)
+            if existing is not None and existing.type != "view":
+                self.drop_relation(existing)
+            self.spark.sql(
+                f"CREATE OR REPLACE VIEW {relation.render()} AS {select_sql}"
+            )
+
+    def create_table_as(
+        self,
+        relation: Relation,
+        select_sql: str | None = None,
+        df: DataFrame | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Atomic CTAS-replace: write new version dir, swap catalog entry.
+
+        Safe even when ``select_sql`` reads from ``relation`` itself (the
+        old files are only dropped after the new ones are fully written),
+        which the incremental/snapshot rewrite paths rely on.
+        """
+        assert (select_sql is None) != (df is None)
+        loc = self._new_location(relation)
+        part = (
+            f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
+        )
+        if df is not None:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(loc)
+        tmp = relation.incorporate(
+            identifier=f"{relation.identifier}__sparkt_tmp_{uuid.uuid4().hex[:6]}"
+        )
+        with self._ddl_lock:
+            self.create_schema(relation.schema)
+            if df is not None:
+                self.spark.sql(
+                    f"CREATE TABLE {tmp.render()} USING parquet LOCATION '{loc}'"
+                )
+            else:
+                self.spark.sql(
+                    f"CREATE TABLE {tmp.render()} USING parquet{part} "
+                    f"LOCATION '{loc}' AS {select_sql}"
+                )
+            existing = self.get_relation(relation.schema, relation.identifier)
+            if existing is not None:
+                self.drop_relation(existing)
+            self.rename_relation(tmp, relation)
+        self._gc_old_versions(relation, keep=loc)
+
+    def insert_into(self, relation: Relation, select_sql: str) -> None:
+        self.spark.sql(f"INSERT INTO {relation.render()} {select_sql}")
+
+    def insert_overwrite(
+        self, relation: Relation, select_sql: str
+    ) -> None:
+        """Dynamic-partition overwrite (requires partitioned target;
+        falls back to full replace otherwise)."""
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {relation.render()} {select_sql}"
+        )
+
+    def drop_relation(self, relation: Relation) -> None:
+        with self._ddl_lock:
+            kind = "VIEW" if relation.type == "view" else "TABLE"
+            self.spark.sql(f"DROP {kind} IF EXISTS {relation.render()}")
+
+    def rename_relation(self, from_rel: Relation, to_rel: Relation) -> None:
+        with self._ddl_lock:
+            self.spark.sql(
+                f"ALTER TABLE {from_rel.render()} RENAME TO {to_rel.render()}"
+            )
+
+    def alter_table_add_columns(
+        self, relation: Relation, columns: list[tuple[str, str]]
+    ) -> None:
+        cols = ", ".join(f"{self.quote(n)} {t}" for n, t in columns)
+        with self._ddl_lock:
+            self.spark.sql(f"ALTER TABLE {relation.render()} ADD COLUMNS ({cols})")
+
+    # ----------------------------------------------------------- freshness
+    def calculate_freshness(
+        self, relation: Relation, loaded_at_field: str, filter_sql: str | None
+    ) -> float | None:
+        """Seconds since max(loaded_at_field); reference
+        ``core/dbt/task/freshness.py:107-145``."""
+        where = f" WHERE {filter_sql}" if filter_sql else ""
+        row = self.spark.sql(
+            f"SELECT unix_timestamp(current_timestamp()) - "
+            f"unix_timestamp(max({loaded_at_field})) AS age "
+            f"FROM {relation.render()}{where}"
+        ).first()
+        return None if row is None or row["age"] is None else float(row["age"])

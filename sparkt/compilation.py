@@ -1,0 +1,219 @@
+"""Per-node compilation: runtime Jinja render + ephemeral CTE splice.
+
+Mirrors ``core/dbt/compilation.py``: ``compile_node`` (510-537) renders
+raw→compiled SQL with the runtime context, then
+``_recursively_prepend_ctes`` (302-392) splices every ephemeral
+ancestor in as a ``__dbt__cte__<name>`` CTE, and
+``inject_ctes_into_sql`` (540-608) handles pre-existing WITH clauses
+(regex here instead of sqlparse; Catalyst merges/prunes the CTEs at
+plan time, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+
+from sparkt.exceptions import CompilationError
+from sparkt.manifest import Manifest, ParsedNode
+from sparkt.parsing import context as ctx_mod
+from sparkt.relation import Relation
+
+_WITH_RE = re.compile(r"^(\s*)with(\s+recursive)?\b", re.IGNORECASE)
+
+
+def inject_ctes_into_sql(sql: str, ctes: list[tuple[str, str]]) -> str:
+    """Reference ``compilation.py:540-608``."""
+    if not ctes:
+        return sql
+    cte_text = ", ".join(f"{name} as ({body.strip().rstrip(';')})" for name, body in ctes)
+    m = _WITH_RE.match(sql)
+    if m:
+        idx = m.end()
+        return sql[:idx] + " " + cte_text + "," + sql[idx:]
+    return f"with {cte_text} {sql}"
+
+
+class Compiler:
+    def __init__(self, project, manifest: Manifest, env, adapter=None):
+        self.project = project
+        self.manifest = manifest
+        self.env = env
+        self.adapter = adapter
+
+    # ------------------------------------------------------------------
+    def relation_for(self, node: ParsedNode) -> Relation:
+        schema = node.config.get("schema") or self.project.schema
+        if node.resource_type == "source":
+            return Relation(
+                schema=node.config.get("schema", node.source_name),
+                identifier=node.config.get("identifier", node.name),
+            )
+        return Relation(
+            schema=schema,
+            identifier=node.alias,
+            type="view" if node.materialized == "view" else "table",
+        )
+
+    # ------------------------------------------------------------------
+    def runtime_context(
+        self,
+        node: ParsedNode,
+        extra_ctes: list[tuple[str, str]],
+        ref_overrides: dict[str, str] | None = None,
+        is_incremental: bool = False,
+    ) -> dict:
+        ctx = ctx_mod.base_context(self.project.vars)
+        this = self.relation_for(node)
+        results_store: dict[str, object] = {}
+
+        def ref(*args):
+            name = args[-1]
+            if ref_overrides and name in ref_overrides:
+                return ref_overrides[name]
+            target = self.manifest.ref_lookup(name)
+            if target is None:
+                raise CompilationError(f"unknown ref '{name}' in {node.unique_id}")
+            if target.is_ephemeral:
+                cte_name = Relation.add_ephemeral_prefix(target.name)
+                self._add_ephemeral_cte(target, cte_name, extra_ctes, ref_overrides)
+                return cte_name
+            return self.relation_for(target).render()
+
+        def source(source_name, table_name):
+            key = f"source:{source_name}.{table_name}"
+            if ref_overrides and key in ref_overrides:
+                return ref_overrides[key]
+            target = self.manifest.source_lookup(source_name, table_name)
+            if target is None:
+                raise CompilationError(
+                    f"unknown source '{source_name}.{table_name}'"
+                )
+            return self.relation_for(target).render()
+
+        def run_query(sql):
+            _, res = self.adapter.execute(sql, fetch=True)
+            return res
+
+        def store_result(name, response, agate_table=None):
+            results_store[name] = agate_table
+            return ""
+
+        def load_result(name):
+            table = results_store.get(name)
+            return type(
+                "Result", (), {"table": table, "data": table, "response": "OK"}
+            )()
+
+        def _submit_statement(name, sql, fetch_result=False):
+            if self.adapter is None:
+                return ""
+            _, res = self.adapter.execute(sql, fetch=bool(fetch_result))
+            if name:
+                results_store[name] = res
+            return ""
+
+        ctx.update(
+            {
+                "ref": ref,
+                "source": source,
+                "config": ctx_mod.RuntimeConfigGetter(node.config),
+                "execute": True,
+                "this": this,
+                "is_incremental": lambda: is_incremental,
+                "model": {
+                    "unique_id": node.unique_id,
+                    "name": node.name,
+                    "config": node.config,
+                    "columns": node.columns,
+                },
+                "run_query": run_query,
+                "store_result": store_result,
+                "load_result": load_result,
+                "_submit_statement": _submit_statement,
+                "adapter": (
+                    ctx_mod.RuntimeAdapterFacade(self.adapter, self.env)
+                    if self.adapter
+                    else ctx_mod._ParseAdapter()
+                ),
+                "target": {
+                    "name": "dev",
+                    "type": "spark",
+                    "schema": self.project.schema,
+                    "threads": self.project.threads,
+                },
+                "database": "spark_catalog",
+                "schema": this.schema,
+                "pre_hooks": node.config.get("pre_hook", []),
+                "post_hooks": node.config.get("post_hook", []),
+                "graph": {
+                    "nodes": {
+                        uid: {"name": n.name, "resource_type": n.resource_type,
+                              "tags": n.tags, "config": n.config}
+                        for uid, n in self.manifest.nodes.items()
+                    },
+                    "sources": {
+                        uid: {"name": n.name, "source_name": n.source_name}
+                        for uid, n in self.manifest.sources.items()
+                    },
+                },
+            }
+        )
+        return ctx
+
+    # ------------------------------------------------------------------
+    def _add_ephemeral_cte(
+        self,
+        node: ParsedNode,
+        cte_name: str,
+        extra_ctes: list[tuple[str, str]],
+        ref_overrides: dict[str, str] | None,
+    ) -> None:
+        """``_recursively_prepend_ctes`` — depth-first so ancestors land
+        before dependents; dedupe by name."""
+        if any(n == cte_name for n, _ in extra_ctes):
+            return
+        inner: list[tuple[str, str]] = []
+        body = self.render(node, inner, ref_overrides=ref_overrides)
+        for item in inner:
+            if item not in extra_ctes:
+                extra_ctes.append(item)
+        extra_ctes.append((cte_name, body))
+
+    # ------------------------------------------------------------------
+    def render(
+        self,
+        node: ParsedNode,
+        extra_ctes: list[tuple[str, str]],
+        ref_overrides: dict[str, str] | None = None,
+        is_incremental: bool = False,
+    ) -> str:
+        ctx = self.runtime_context(
+            node, extra_ctes, ref_overrides, is_incremental=is_incremental
+        )
+        try:
+            return self.env.from_string(node.raw_code).render(**ctx).strip()
+        except CompilationError:
+            raise
+        except Exception as e:
+            raise CompilationError(
+                f"rendering {node.unique_id}: {type(e).__name__}: {e}"
+            ) from e
+
+    def compile_node(
+        self,
+        node: ParsedNode,
+        ref_overrides: dict[str, str] | None = None,
+        is_incremental: bool = False,
+    ) -> ParsedNode:
+        if node.language == "python":
+            node.compiled_code = node.raw_code
+            node.relation = self.relation_for(node)
+            return node
+        extra_ctes: list[tuple[str, str]] = []
+        compiled = self.render(
+            node, extra_ctes, ref_overrides, is_incremental=is_incremental
+        )
+        node.extra_ctes = extra_ctes
+        node.compiled_code = inject_ctes_into_sql(compiled, extra_ctes)
+        node.relation = self.relation_for(node)
+        return node

@@ -1,0 +1,52 @@
+"""DAG construction + cycle detection + test-edge augmentation.
+
+Reference: ``core/dbt/compilation.py:116-244`` (``Linker``).
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from sparkt.exceptions import CompilationError
+from sparkt.manifest import Manifest
+
+
+def link_graph(manifest: Manifest, add_test_edges: bool = False) -> nx.DiGraph:
+    graph = nx.DiGraph()
+    for uid in manifest.all_nodes():
+        graph.add_node(uid)
+    for uid, node in manifest.all_nodes().items():
+        for dep in node.depends_on:
+            graph.add_edge(dep, uid)
+    try:
+        cycle = nx.find_cycle(graph)
+        raise CompilationError(f"dependency cycle detected: {cycle}")
+    except nx.NetworkXNoCycle:
+        pass
+    if add_test_edges:
+        _add_test_edges(manifest, graph)
+    return graph
+
+
+def _add_test_edges(manifest: Manifest, graph: nx.DiGraph) -> None:
+    """``dbt build`` semantics (``compilation.py:193-244``): a model
+    waits for the tests of its upstream models — add edge test→child
+    when the test's dependencies are a subset of the child's ancestors."""
+    tests = [
+        uid
+        for uid, n in manifest.nodes.items()
+        if n.resource_type == "test"
+    ]
+    for test_uid in tests:
+        test_deps = set(manifest.nodes[test_uid].depends_on)
+        if not test_deps:
+            continue
+        children = set()
+        for dep in test_deps:
+            children.update(graph.successors(dep))
+        for child in children:
+            if child == test_uid or child in tests:
+                continue
+            ancestors = nx.ancestors(graph, child)
+            if test_deps <= ancestors and not nx.has_path(graph, child, test_uid):
+                graph.add_edge(test_uid, child)

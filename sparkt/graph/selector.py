@@ -1,0 +1,141 @@
+"""Node selection algebra.
+
+Reference: spec regex ``core/dbt/graph/selector_spec.py:15-24``
+(``[@][N+]name[+N]``), union/intersection ``core/dbt/graph/cli.py:21-55``
+(space = union, ``,`` = intersection), graph walks
+``core/dbt/graph/graph.py:29-75``, methods
+``core/dbt/graph/selector_methods.py:45-67``.
+
+Supported methods: fqn/name (default, fnmatch glob), ``tag:``,
+``source:``, ``path:``, ``resource_type:``, ``test_type:``,
+``config.<key>:``, plus ``+``/``N+``/``+N``/``@`` graph operators and
+``--exclude``.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import networkx as nx
+
+from sparkt.manifest import Manifest
+
+_SPEC_RE = re.compile(
+    r"^(?P<childrens_parents>\@)?(?P<parents>(?P<parents_depth>\d*)\+)?"
+    r"(?P<value>[^+@]+?)(?P<children>\+(?P<children_depth>\d*))?$"
+)
+
+
+def _method_match(manifest: Manifest, raw: str) -> set[str]:
+    if ":" in raw:
+        method, _, value = raw.partition(":")
+    else:
+        method, value = "fqn", raw
+    out: set[str] = set()
+    for uid, node in manifest.all_nodes().items():
+        if method == "fqn":
+            ok = fnmatch.fnmatch(node.name, value)
+        elif method == "tag":
+            ok = any(fnmatch.fnmatch(t, value) for t in node.tags)
+        elif method == "source":
+            ok = node.resource_type == "source" and (
+                fnmatch.fnmatch(node.source_name or "", value)
+                or fnmatch.fnmatch(f"{node.source_name}.{node.name}", value)
+            )
+        elif method == "path":
+            ok = fnmatch.fnmatch(node.path, value) or fnmatch.fnmatch(
+                node.path, value + "/*"
+            )
+        elif method == "resource_type":
+            ok = node.resource_type == value
+        elif method == "test_type":
+            kind = "generic" if node.test_metadata else "singular"
+            ok = node.resource_type == "test" and kind == value
+        elif method.startswith("config."):
+            key = method[len("config."):]
+            ok = str(node.config.get(key)) == value
+        else:
+            ok = False
+        if ok:
+            out.add(uid)
+    return out
+
+
+def _expand_spec(graph: nx.DiGraph, manifest: Manifest, spec: str) -> set[str]:
+    m = _SPEC_RE.match(spec.strip())
+    if not m:
+        return set()
+    base = _method_match(manifest, m.group("value"))
+    out = set(base)
+    if m.group("parents"):
+        depth = m.group("parents_depth")
+        depth = int(depth) if depth else None
+        for uid in base:
+            if uid in graph:
+                anc = (
+                    nx.ancestors(graph, uid)
+                    if depth is None
+                    else {
+                        n
+                        for n, d in nx.single_source_shortest_path_length(
+                            graph.reverse(copy=False), uid, cutoff=depth
+                        ).items()
+                        if n != uid
+                    }
+                )
+                out |= anc
+    if m.group("children"):
+        depth = m.group("children_depth")
+        depth = int(depth) if depth else None
+        for uid in base:
+            if uid in graph:
+                desc = (
+                    nx.descendants(graph, uid)
+                    if depth is None
+                    else {
+                        n
+                        for n, d in nx.single_source_shortest_path_length(
+                            graph, uid, cutoff=depth
+                        ).items()
+                        if n != uid
+                    }
+                )
+                out |= desc
+    if m.group("childrens_parents"):
+        # @x = x, descendants of x, and all ancestors of those
+        fam = set(out)
+        for uid in set(out):
+            if uid in graph:
+                fam |= nx.descendants(graph, uid)
+        for uid in set(fam):
+            if uid in graph:
+                fam |= nx.ancestors(graph, uid)
+        out = fam
+    return out
+
+
+def select_nodes(
+    graph: nx.DiGraph,
+    manifest: Manifest,
+    select: str | list[str] | None = None,
+    exclude: str | list[str] | None = None,
+) -> set[str]:
+    all_ids = set(manifest.all_nodes())
+    if select is None or select == []:
+        selected = set(all_ids)
+    else:
+        specs = select.split() if isinstance(select, str) else list(select)
+        selected: set[str] = set()
+        for union_part in specs:  # space = union
+            inter_parts = union_part.split(",")  # comma = intersection
+            acc: set[str] | None = None
+            for part in inter_parts:
+                s = _expand_spec(graph, manifest, part)
+                acc = s if acc is None else (acc & s)
+            selected |= acc or set()
+    if exclude:
+        specs = exclude.split() if isinstance(exclude, str) else list(exclude)
+        for spec in specs:
+            selected -= _expand_spec(graph, manifest, spec)
+    return selected & all_ids

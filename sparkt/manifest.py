@@ -1,0 +1,148 @@
+"""Manifest: the parsed universe of project resources.
+
+Mirrors the reference's node taxonomy and manifest
+(``core/dbt/artifacts/resources/types.py:18-37``,
+``core/dbt/contracts/graph/nodes.py:113-1586``,
+``core/dbt/contracts/graph/manifest.py``) reduced to the fields this
+engine executes. unique_id format is identical:
+``"{type}.{package}.{name}"``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from sparkt.relation import Relation
+
+EXECUTABLE_TYPES = {"model", "seed", "snapshot", "test", "unit_test", "operation"}
+REFABLE_TYPES = {"model", "seed", "snapshot"}
+
+
+@dataclass
+class ParsedNode:
+    """One resource (reference ``ParsedNode``/``CompiledNode``,
+    ``core/dbt/contracts/graph/nodes.py:239-424``)."""
+
+    unique_id: str
+    name: str
+    package_name: str
+    resource_type: str  # model | seed | snapshot | test | unit_test | source | operation | analysis
+    path: str = ""
+    raw_code: str = ""
+    language: str = "sql"  # sql | python
+    config: dict[str, Any] = field(default_factory=dict)
+    tags: list[str] = field(default_factory=list)
+    # name-level deps recorded at parse; resolved to unique_ids at link
+    refs: list[str] = field(default_factory=list)
+    sources: list[tuple[str, str]] = field(default_factory=list)
+    depends_on: list[str] = field(default_factory=list)
+    # filled at compile/run time
+    compiled_code: str | None = None
+    extra_ctes: list[tuple[str, str]] = field(default_factory=list)
+    relation: Relation | None = None
+    columns: dict[str, dict] = field(default_factory=dict)
+    description: str = ""
+    # tests
+    test_metadata: dict[str, Any] = field(default_factory=dict)
+    attached_node: str | None = None
+    # unit tests
+    given: list[dict] = field(default_factory=list)
+    expect: dict = field(default_factory=dict)
+    model: str | None = None
+    # sources
+    source_name: str | None = None
+    loaded_at_field: str | None = None
+    freshness: dict[str, Any] = field(default_factory=dict)
+    external_location: str | None = None
+
+    @property
+    def materialized(self) -> str:
+        default = {
+            "model": "view",  # reference default: artifacts/resources/v1/config.py:81
+            "seed": "seed",
+            "snapshot": "snapshot",
+            "test": "test",
+            "unit_test": "unit",
+        }.get(self.resource_type, "view")
+        return self.config.get("materialized", default)
+
+    @property
+    def alias(self) -> str:
+        return self.config.get("alias", self.name)
+
+    @property
+    def is_ephemeral(self) -> bool:
+        return self.materialized == "ephemeral"
+
+    def checksum(self) -> str:
+        return hashlib.md5(self.raw_code.encode()).hexdigest()
+
+
+@dataclass
+class Manifest:
+    """Reference ``Manifest`` (``core/dbt/contracts/graph/manifest.py``)."""
+
+    nodes: dict[str, ParsedNode] = field(default_factory=dict)
+    sources: dict[str, ParsedNode] = field(default_factory=dict)
+    macros: dict[str, str] = field(default_factory=dict)  # name -> raw jinja
+    parent_map: dict[str, list[str]] = field(default_factory=dict)
+    child_map: dict[str, list[str]] = field(default_factory=dict)
+
+    def ref_lookup(self, name: str) -> ParsedNode | None:
+        for node in self.nodes.values():
+            if node.resource_type in REFABLE_TYPES and node.name == name:
+                return node
+        return None
+
+    def source_lookup(self, source_name: str, table_name: str) -> ParsedNode | None:
+        uid = f"source.{source_name}.{table_name}"
+        return self.sources.get(uid)
+
+    def all_nodes(self) -> dict[str, ParsedNode]:
+        out = dict(self.nodes)
+        out.update(self.sources)
+        return out
+
+    def build_parent_child_maps(self) -> None:
+        self.parent_map = {uid: list(n.depends_on) for uid, n in self.all_nodes().items()}
+        self.child_map = {uid: [] for uid in self.all_nodes()}
+        for uid, parents in self.parent_map.items():
+            for p in parents:
+                self.child_map.setdefault(p, []).append(uid)
+
+    def to_dict(self) -> dict:
+        """Serializable form for target/manifest.json (reference schema
+        v12 reduced; ``core/dbt/artifacts/schemas/manifest/v12``)."""
+
+        def node_dict(n: ParsedNode) -> dict:
+            return {
+                "unique_id": n.unique_id,
+                "name": n.name,
+                "package_name": n.package_name,
+                "resource_type": n.resource_type,
+                "path": n.path,
+                "raw_code": n.raw_code,
+                "language": n.language,
+                "config": n.config,
+                "tags": n.tags,
+                "depends_on": {"nodes": n.depends_on},
+                "compiled_code": n.compiled_code,
+                "relation_name": n.relation.render() if n.relation else None,
+                "checksum": n.checksum(),
+                "description": n.description,
+            }
+
+        return {
+            "metadata": {"sparkt_version": "0.1.0", "manifest_schema": "v12-reduced"},
+            "nodes": {uid: node_dict(n) for uid, n in self.nodes.items()},
+            "sources": {uid: node_dict(n) for uid, n in self.sources.items()},
+            "parent_map": self.parent_map,
+            "child_map": self.child_map,
+        }
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=1, default=str)

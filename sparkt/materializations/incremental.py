@@ -1,0 +1,167 @@
+"""incremental materialization.
+
+Reference semantics (``artifacts/resources/v1/config.py:82,102-106``;
+pinned by ``tests/functional/basic/test_simple_reference.py:27-39`` and
+``tests/functional/incremental_schema_tests/fixtures.py``): first run =
+CTAS; later runs apply only new rows, with the model gating its delta
+logic on ``{% if is_incremental() %}``.
+
+Strategies (SURVEY.md §2.1):
+- ``append``            → ``INSERT INTO`` (fast path, no rewrite)
+- ``merge``             → upsert on ``unique_key``
+- ``delete+insert``     → delete matching keys, insert all new rows
+                          (same final state as merge here)
+- ``insert_overwrite``  → dynamic partition overwrite
+                          (``partitionOverwriteMode=dynamic``)
+
+Without a transactional table format the merge paths compile to a
+single set-oriented SQL statement — new rows UNION ALL the surviving
+target rows via LEFT ANTI JOIN — materialized through the adapter's
+atomic CTAS swap. On Delta/Iceberg the same strategy dispatch emits
+``MERGE INTO``; at 100 TB the anti-join shuffles on the unique key and
+AQE handles skew, while ``insert_overwrite`` + ``partition_by`` is the
+recommended no-rewrite path.
+
+``on_schema_change`` ∈ {ignore, fail, append_new_columns,
+sync_all_columns} (``artifacts/resources/v1/config.py:136-145``).
+"""
+
+from __future__ import annotations
+
+from sparkt.exceptions import ExecutionError, SchemaChangeError
+from sparkt.materializations import MatContext, register, unique_key_list
+from sparkt.materializations.python_model import run_python_model
+from sparkt.materializations.table import _partition_by
+
+
+def _source_df(ctx, node):
+    if node.language == "python":
+        ctx.extras["is_incremental"] = True
+        return run_python_model(ctx, node)
+    return ctx.spark.sql(node.compiled_code)
+
+
+def _uk_eq(uk: list[str], left: str, right: str) -> str:
+    # null-safe equality: dbt merges treat NULL keys as matching values
+    return " AND ".join(f"{left}.{k} <=> {right}.{k}" for k in uk)
+
+
+def _apply_schema_change(ctx, node, src_cols, tgt_cols):
+    """Returns (final_cols, needs_rewrite). final_cols is the output
+    column list; each entry is (name, present_in_src, present_in_tgt)."""
+    policy = node.config.get("on_schema_change", "ignore")
+    src_names = [c[0] for c in src_cols]
+    tgt_names = [c[0] for c in tgt_cols]
+    new_in_src = [c for c in src_cols if c[0] not in tgt_names]
+    missing_in_src = [c for c in tgt_cols if c[0] not in src_names]
+    if not new_in_src and not missing_in_src:
+        return [(n, True, True) for n in tgt_names], False
+    if policy == "fail":
+        raise SchemaChangeError(
+            f"{node.unique_id}: schema changed (new: {[c[0] for c in new_in_src]}, "
+            f"removed: {[c[0] for c in missing_in_src]}) and on_schema_change='fail'"
+        )
+    if policy == "ignore":
+        # keep target schema; source must supply every target column
+        if missing_in_src:
+            raise ExecutionError(
+                f"{node.unique_id}: source is missing target columns "
+                f"{[c[0] for c in missing_in_src]} (on_schema_change='ignore')"
+            )
+        return [(n, True, True) for n in tgt_names], False
+    if policy == "append_new_columns":
+        cols = [(n, n in src_names, True) for n in tgt_names]
+        cols += [(c[0], True, False) for c in new_in_src]
+        return cols, True
+    if policy == "sync_all_columns":
+        # adopt the source schema: add new, drop removed, keep src order
+        return [(n, True, n in tgt_names) for n in src_names], True
+    raise ExecutionError(f"bad on_schema_change: {policy}")
+
+
+def _col_select(cols, alias: str, side: str, types: dict[str, str]) -> str:
+    """Project ``cols`` from one side, NULL-filling columns it lacks."""
+    out = []
+    for name, in_src, in_tgt in cols:
+        present = in_src if side == "src" else in_tgt
+        if present:
+            out.append(f"{alias}.{name}")
+        else:
+            out.append(f"CAST(NULL AS {types.get(name, 'string')}) AS {name}")
+    return ", ".join(out)
+
+
+@register("incremental")
+def materialize_incremental(ctx: MatContext, node):
+    rel = ctx.compiler.relation_for(node)
+    exists = ctx.adapter.relation_exists(rel)
+    full_refresh = ctx.full_refresh or node.config.get("full_refresh", False)
+    partition_by = _partition_by(node)
+
+    if not exists or full_refresh:
+        ctx.compiler.compile_node(node, is_incremental=False)
+        if node.language == "python":
+            df = run_python_model(ctx, node)
+            ctx.adapter.create_table_as(rel, df=df, partition_by=partition_by)
+        else:
+            ctx.adapter.create_table_as(
+                rel, select_sql=node.compiled_code, partition_by=partition_by
+            )
+        node.relation = rel
+        return "CREATE TABLE AS (first run)"
+
+    ctx.compiler.compile_node(node, is_incremental=True)
+    node.relation = rel
+    uk = unique_key_list(node)
+    strategy = node.config.get(
+        "incremental_strategy", "merge" if uk else "append"
+    )
+
+    src_df = _source_df(ctx, node)
+    src_cols = [(f.name, f.dataType.simpleString()) for f in src_df.schema.fields]
+    tgt_cols = ctx.adapter.get_columns_in_relation(rel)
+    types = dict(tgt_cols)
+    for n, t in src_cols:
+        types.setdefault(n, t)
+    final_cols, schema_rewrite = _apply_schema_change(ctx, node, src_cols, tgt_cols)
+
+    if node.language == "python":
+        src_df.createOrReplaceTempView(f"__sparkt_src_{node.name}")
+        src_sql = f"SELECT * FROM __sparkt_src_{node.name}"
+    else:
+        src_sql = node.compiled_code
+
+    if strategy == "append" and not schema_rewrite:
+        cols = ", ".join(name for name, _, _ in final_cols)
+        ctx.adapter.insert_into(
+            rel, f"({cols}) SELECT {cols} FROM ({src_sql}) __sparkt_src"
+        )
+        return "INSERT INTO (append)"
+
+    if strategy == "insert_overwrite" and not schema_rewrite:
+        cols = ", ".join(name for name, _, _ in final_cols)
+        ctx.adapter.insert_overwrite(
+            rel, f"SELECT {cols} FROM ({src_sql}) __sparkt_src"
+        )
+        return "INSERT OVERWRITE (dynamic partitions)"
+
+    if strategy in ("merge", "delete+insert") and not uk:
+        raise ExecutionError(f"{node.unique_id}: {strategy} requires unique_key")
+
+    # rewrite path: one set-oriented statement through the atomic swap
+    if strategy in ("merge", "delete+insert"):
+        keep_tgt = (
+            f"SELECT {_col_select(final_cols, 't', 'tgt', types)} "
+            f"FROM {rel.render()} t LEFT ANTI JOIN __sparkt_src s ON {_uk_eq(uk, 't', 's')}"
+        )
+    else:  # append/insert_overwrite that needs a schema rewrite
+        keep_tgt = (
+            f"SELECT {_col_select(final_cols, 't', 'tgt', types)} FROM {rel.render()} t"
+        )
+    merged = (
+        f"WITH __sparkt_src AS ({src_sql}) "
+        f"SELECT {_col_select(final_cols, 's', 'src', types)} FROM __sparkt_src s "
+        f"UNION ALL {keep_tgt}"
+    )
+    ctx.adapter.create_table_as(rel, select_sql=merged, partition_by=partition_by)
+    return f"MERGE ({strategy}, rewrite)"

@@ -1,0 +1,120 @@
+"""snapshot materialization: SCD-2 history tables.
+
+Reference semantics (``core/dbt/artifacts/resources/v1/snapshot.py:10-61``,
+``core/dbt/task/snapshot.py``; pinned by
+``tests/functional/simple_snapshot/fixtures.py:1-160`` including the
+``lead(dbt_valid_from) over (partition by id order by dbt_valid_from)``
+validity-interval checks):
+
+- strategies: ``timestamp`` (compare ``updated_at``) and ``check``
+  (compare ``check_cols`` or ``"all"``).
+- metadata columns: ``dbt_scd_id`` (md5 of unique_key ∥ updated_at),
+  ``dbt_updated_at``, ``dbt_valid_from``, ``dbt_valid_to`` (NULL =
+  current row).
+- one batch timestamp per run, captured at runner start, not per-row
+  (SURVEY.md §7 "Snapshot timestamp semantics").
+
+The Delta form of this is a MERGE (SURVEY.md §2.1); without a
+transactional format it compiles to one set-oriented statement —
+close out changed current rows + append new versions — through the
+adapter's atomic CTAS swap. At scale the joins shuffle on the unique
+key; snapshot tables should be partitioned on a stable key prefix.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from sparkt.exceptions import ExecutionError
+from sparkt.materializations import MatContext, register, unique_key_list
+
+META_COLS = ["dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to"]
+
+
+def _scd_id_expr(uk: list[str], updated_expr: str, alias: str) -> str:
+    parts = ", ".join(
+        [f"cast({alias}.{k} as string)" for k in uk]
+        + [f"cast({updated_expr} as string)"]
+    )
+    return f"md5(concat_ws('|', {parts}))"
+
+
+@register("snapshot")
+def materialize_snapshot(ctx: MatContext, node):
+    ctx.compiler.compile_node(node)
+    cfg = node.config
+    strategy = cfg.get("strategy", "timestamp")
+    uk = unique_key_list(node)
+    if not uk:
+        raise ExecutionError(f"{node.unique_id}: snapshot requires unique_key")
+    target_schema = cfg.get("target_schema") or ctx.project.schema
+    rel = ctx.compiler.relation_for(node).incorporate(schema=target_schema)
+    node.relation = rel
+
+    batch_ts = ctx.extras.get("batch_ts") or datetime.now(timezone.utc)
+    ts_literal = f"timestamp'{batch_ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+
+    src_sql = node.compiled_code
+    src_cols = [f.name for f in ctx.spark.sql(src_sql).schema.fields]
+    data_cols = [c for c in src_cols if c not in META_COLS]
+
+    if strategy == "timestamp":
+        updated_at = cfg.get("updated_at")
+        if not updated_at:
+            raise ExecutionError(f"{node.unique_id}: timestamp strategy needs updated_at")
+        upd = lambda a: f"{a}.{updated_at}"  # noqa: E731
+        changed = f"s.{updated_at} > c.dbt_updated_at"
+    elif strategy == "check":
+        check_cols = cfg.get("check_cols", "all")
+        if check_cols == "all":
+            check_cols = [c for c in data_cols if c not in uk]
+        upd = lambda a: ts_literal  # noqa: E731
+        changed = "(" + " OR ".join(
+            f"NOT (s.{c} <=> c.{c})" for c in check_cols
+        ) + ")"
+    else:
+        raise ExecutionError(f"unknown snapshot strategy '{strategy}'")
+
+    uk_eq_sc = " AND ".join(f"s.{k} <=> c.{k}" for k in uk)
+    s_cols = ", ".join(f"s.{c}" for c in data_cols)
+
+    if not ctx.adapter.relation_exists(rel):
+        first = (
+            f"SELECT {s_cols}, "
+            f"{_scd_id_expr(uk, upd('s'), 's')} AS dbt_scd_id, "
+            f"{upd('s')} AS dbt_updated_at, "
+            f"{upd('s')} AS dbt_valid_from, "
+            f"CAST(NULL AS timestamp) AS dbt_valid_to "
+            f"FROM ({src_sql}) s"
+        )
+        ctx.adapter.create_table_as(rel, select_sql=first)
+        return "SNAPSHOT (first run)"
+
+    t_cols = ", ".join(f"t.{c}" for c in data_cols)
+    uk_eq_tch = " AND ".join(f"t.{k} <=> ch.{k}" for k in uk)
+    merged = f"""
+WITH __src AS ({src_sql}),
+__cur AS (SELECT * FROM {rel.render()} WHERE dbt_valid_to IS NULL),
+__changed AS (
+    SELECT {s_cols}, {upd('s')} AS __new_ts
+    FROM __src s JOIN __cur c ON {uk_eq_sc}
+    WHERE {changed}
+),
+__new_keys AS (
+    SELECT {s_cols}, {upd('s')} AS __new_ts
+    FROM __src s LEFT ANTI JOIN __cur c ON {uk_eq_sc}
+)
+SELECT {t_cols}, t.dbt_scd_id, t.dbt_updated_at, t.dbt_valid_from,
+    CASE WHEN t.dbt_valid_to IS NULL AND ch.__new_ts IS NOT NULL
+         THEN ch.__new_ts ELSE t.dbt_valid_to END AS dbt_valid_to
+FROM {rel.render()} t LEFT JOIN __changed ch ON {uk_eq_tch}
+UNION ALL
+SELECT {s_cols},
+    {_scd_id_expr(uk, 's.__new_ts', 's')} AS dbt_scd_id,
+    s.__new_ts AS dbt_updated_at,
+    s.__new_ts AS dbt_valid_from,
+    CAST(NULL AS timestamp) AS dbt_valid_to
+FROM (SELECT * FROM __changed UNION ALL SELECT * FROM __new_keys) s
+"""
+    ctx.adapter.create_table_as(rel, select_sql=merged)
+    return "SNAPSHOT (merged)"

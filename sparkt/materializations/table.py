@@ -1,0 +1,37 @@
+"""table materialization: atomic CTAS replace.
+
+Reference: CTAS, atomically replace
+(``tests/functional/basic/test_simple_reference.py:15-24``). The
+adapter's versioned-path swap supplies the atomicity (see
+``sparkt/adapter.py``); ``partition_by``/``partitioned CTAS`` is the
+scale path for 100 TB targets.
+"""
+
+from __future__ import annotations
+
+from sparkt.materializations import MatContext, register
+from sparkt.materializations.python_model import run_python_model
+
+
+def _partition_by(node) -> list[str] | None:
+    pb = node.config.get("partition_by")
+    if pb is None:
+        return None
+    return [pb] if isinstance(pb, str) else list(pb)
+
+
+@register("table")
+def materialize_table(ctx: MatContext, node):
+    ctx.compiler.compile_node(node)
+    if node.language == "python":
+        df = run_python_model(ctx, node)
+        ctx.adapter.create_table_as(
+            node.relation, df=df, partition_by=_partition_by(node)
+        )
+    else:
+        ctx.adapter.create_table_as(
+            node.relation,
+            select_sql=node.compiled_code,
+            partition_by=_partition_by(node),
+        )
+    return "CREATE TABLE AS"

@@ -1,0 +1,64 @@
+"""data test materialization.
+
+Reference: ``core/dbt/task/test.py:126-174`` — wrap the compiled SELECT
+(which returns the FAILING rows) in
+``select {fail_calc} as failures, {fail_calc} {warn_if} as should_warn,
+{fail_calc} {error_if} as should_error`` and assert exactly
+1 row × 3 cols. Config surface
+``artifacts/resources/v1/config.py:160-225``: severity, warn_if,
+error_if, fail_calc, limit, store_failures[_as] (audit schema default
+``dbt_test__audit``, ``config.py:164-166``).
+"""
+
+from __future__ import annotations
+
+from sparkt.exceptions import ExecutionError
+from sparkt.materializations import MatContext, register
+from sparkt.relation import Relation
+
+
+@register("test")
+def materialize_test(ctx: MatContext, node):
+    ctx.compiler.compile_node(node)
+    cfg = node.config
+    fail_calc = cfg.get("fail_calc", "count(*)")
+    warn_if = cfg.get("warn_if", "!= 0")
+    error_if = cfg.get("error_if", "!= 0")
+    limit = cfg.get("limit")
+    limit_sql = f" limit {int(limit)}" if limit is not None else ""
+
+    if cfg.get("store_failures") or cfg.get("store_failures_as") in ("table", "view"):
+        audit_schema = f"{ctx.project.schema}_dbt_test__audit"
+        audit_rel = Relation(schema=audit_schema, identifier=node.name)
+        as_view = cfg.get("store_failures_as") == "view"
+        if as_view:
+            ctx.adapter.create_view_as(
+                audit_rel.incorporate(type="view"), node.compiled_code
+            )
+        else:
+            ctx.adapter.create_table_as(audit_rel, select_sql=node.compiled_code)
+        node.relation = audit_rel
+
+    main_sql = (
+        f"select {fail_calc} as failures, "
+        f"{fail_calc} {warn_if} as should_warn, "
+        f"{fail_calc} {error_if} as should_error "
+        f"from (select * from ({node.compiled_code}) dbt_internal_test{limit_sql}"
+        f") dbt_internal_test"
+    )
+    _, result = ctx.adapter.execute(main_sql, fetch=True)
+    if len(result.rows) != 1 or len(result.column_names) != 3:
+        raise ExecutionError(
+            f"{node.unique_id}: test must return 1 row x 3 cols, got "
+            f"{len(result.rows)} x {len(result.column_names)}"
+        )
+    row = result.rows[0]
+    failures, should_warn, should_error = row[0], row[1], row[2]
+    severity = str(cfg.get("severity", "error")).lower()
+    if should_error and severity == "error":
+        status = "fail"
+    elif should_warn or (should_error and severity == "warn"):
+        status = "warn"
+    else:
+        status = "pass"
+    return {"status": status, "failures": failures}

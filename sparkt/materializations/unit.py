@@ -1,0 +1,137 @@
+"""unit test materialization.
+
+Reference: ``core/dbt/task/test.py:176-255`` + fixture→SQL
+``core/dbt/parser/unit_tests.py:185-193``; pinned by
+``tests/functional/unit_testing/fixtures.py:53-118``. Each ``given``
+fixture becomes a temp view shaped like the real upstream relation
+(sparse rows: unspecified columns are NULL — FIXTURES.md F3); the model
+SQL is re-rendered with refs redirected to the fixtures; actual vs
+expected diff is ``exceptAll`` both ways (the daff analogue).
+
+Fixture formats: ``dict`` (rows inline) and ``csv`` (rows as CSV text).
+"""
+
+from __future__ import annotations
+
+import csv as csv_mod
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from sparkt.exceptions import ExecutionError
+from sparkt.materializations import MatContext, register
+
+_REF_RE = re.compile(r"ref\(\s*['\"](\w+)['\"]\s*\)")
+_SRC_RE = re.compile(r"source\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*\)")
+
+
+def _parse_rows(fixture: dict) -> list[dict]:
+    fmt = fixture.get("format", "dict")
+    rows = fixture.get("rows", [])
+    if fmt == "dict":
+        return list(rows or [])
+    if fmt == "csv":
+        text = rows if isinstance(rows, str) else ""
+        reader = csv_mod.DictReader(io.StringIO(text.strip()))
+        return [dict(r) for r in reader]
+    raise ExecutionError(f"unsupported unit-test fixture format '{fmt}'")
+
+
+def _fixture_df(ctx: MatContext, base_relation: str | None, rows: list[dict]):
+    """Build a DataFrame with the upstream relation's schema, sparse
+    rows NULL-filled and strings cast to the column type."""
+    if base_relation is not None:
+        schema = ctx.spark.table(base_relation).schema
+        base = ctx.spark.createDataFrame([], schema)
+        if not rows:
+            return base
+        cols = {f.name: f for f in schema.fields}
+        literal_rows = []
+        for r in rows:
+            literal_rows.append({k: v for k, v in r.items() if k in cols})
+        raw = ctx.spark.createDataFrame(
+            [tuple(str(r.get(c)) if r.get(c) is not None else None for c in cols)
+             for r in literal_rows],
+            schema=", ".join(f"{c} string" for c in cols),
+        )
+        casted = raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        return casted
+    # no upstream relation: infer from the rows themselves
+    return ctx.spark.createDataFrame([tuple(r.values()) for r in rows],
+                                     schema=list(rows[0].keys()))
+
+
+@register("unit")
+def materialize_unit(ctx: MatContext, node):
+    model_node = ctx.manifest.ref_lookup(node.model)
+    if model_node is None:
+        raise ExecutionError(f"{node.unique_id}: unknown model '{node.model}'")
+
+    ref_overrides: dict[str, str] = {}
+    for i, fixture in enumerate(node.given):
+        input_expr = fixture.get("input", "")
+        rows = _parse_rows(fixture)
+        view_name = f"__sparkt_ut_{node.name}_{i}"
+        m = _REF_RE.search(input_expr)
+        base_rel = None
+        key = None
+        if m:
+            key = m.group(1)
+            upstream = ctx.manifest.ref_lookup(key)
+            if upstream is not None and ctx.adapter.relation_exists(
+                ctx.compiler.relation_for(upstream)
+            ):
+                base_rel = ctx.compiler.relation_for(upstream).render()
+        else:
+            sm = _SRC_RE.search(input_expr)
+            if sm:
+                key = f"source:{sm.group(1)}.{sm.group(2)}"
+                src = ctx.manifest.source_lookup(sm.group(1), sm.group(2))
+                if src is not None:
+                    base_rel = ctx.compiler.relation_for(src).render()
+        if key is None:
+            raise ExecutionError(
+                f"{node.unique_id}: cannot parse fixture input '{input_expr}'"
+            )
+        df = _fixture_df(ctx, base_rel, rows)
+        df.createOrReplaceTempView(view_name)
+        ref_overrides[key] = view_name
+
+    compiled = ctx.compiler.compile_node(
+        model_node.__class__(**{**model_node.__dict__}), ref_overrides=ref_overrides
+    )
+    actual = ctx.spark.sql(compiled.compiled_code)
+
+    expect_rows = _parse_rows(node.expect)
+    if expect_rows:
+        expect_cols = list(expect_rows[0].keys())
+    else:
+        expect_cols = actual.columns
+    actual_proj = actual.select(*expect_cols)
+    expected_raw = ctx.spark.createDataFrame(
+        [tuple(str(r.get(c)) if r.get(c) is not None else None for c in expect_cols)
+         for r in expect_rows],
+        schema=", ".join(f"{c} string" for c in expect_cols),
+    ) if expect_rows else actual_proj.limit(0)
+    expected = expected_raw.select(
+        *[
+            F.col(c).cast(dict(actual_proj.dtypes)[c]).alias(c)
+            for c in expect_cols
+        ]
+    ) if expect_rows else expected_raw
+
+    missing = expected.exceptAll(actual_proj)
+    extra = actual_proj.exceptAll(expected)
+    n_missing, n_extra = missing.count(), extra.count()
+    if n_missing or n_extra:
+        detail = []
+        if n_missing:
+            detail.append(f"missing rows: {[r.asDict() for r in missing.collect()[:5]]}")
+        if n_extra:
+            detail.append(f"unexpected rows: {[r.asDict() for r in extra.collect()[:5]]}")
+        return {"status": "fail", "failures": n_missing + n_extra,
+                "message": "; ".join(detail)}
+    return {"status": "pass", "failures": 0}

@@ -1,0 +1,354 @@
+"""Jinja environment + rendering contexts.
+
+Re-implements the reference's two-phase Jinja design
+(``core/dbt/context/base.py`` + ``core/dbt/context/providers.py``):
+
+- **parse phase**: ``execute = False``; ``ref``/``source``/``config``
+  record dependencies and config without touching the warehouse
+  (``providers.py:1090``).
+- **runtime phase**: ``execute = True``; ``ref``/``source`` resolve to
+  relation names, ``config`` is a getter, ``run_query`` hits Spark.
+
+Additionally, refs/sources/configs are extracted statically from the
+Jinja AST so dependencies hiding in untaken branches (e.g. inside
+``{% if is_incremental() %}``) are still discovered — the reference
+uses a Rust static extractor for the same purpose
+(``core/dbt/parser/models.py:255-299``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import json
+import re as _re_mod
+import threading
+import uuid
+from datetime import date, datetime, timedelta, timezone
+from typing import Any
+
+import jinja2
+import yaml
+from jinja2 import nodes as j2nodes
+
+from sparkt.exceptions import CompilationError, MacroReturn, ParsingError
+
+RUN_STARTED_AT = datetime.now(timezone.utc)
+INVOCATION_ID = str(uuid.uuid4())
+
+
+class _Modules:
+    """``modules`` namespace (``core/dbt/context/base.py:46-95``);
+    pytz is replaced by stdlib zoneinfo (public API difference only)."""
+
+    import itertools as itertools  # noqa: PLC0414
+    import re as re  # noqa: PLC0414
+
+    class datetime:  # namespace, not the class
+        date = date
+        datetime = datetime
+        time = __import__("datetime").time
+        timedelta = timedelta
+        timezone = timezone
+
+
+class _Exceptions:
+    @staticmethod
+    def raise_compiler_error(msg: str, node=None):
+        raise CompilationError(msg)
+
+    @staticmethod
+    def warn(msg: str):
+        print(f"WARNING: {msg}")
+        return ""
+
+
+def _wrap_macro(fn):
+    """Allow dbt-style ``{{ return(x) }}`` inside macros
+    (``core/dbt/context/base.py:344``)."""
+
+    def inner(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MacroReturn as e:
+            return e.value
+
+    return inner
+
+
+def build_environment() -> jinja2.Environment:
+    env = jinja2.Environment(
+        extensions=["jinja2.ext.do", "jinja2.ext.loopcontrols"],
+        undefined=jinja2.Undefined,
+        keep_trailing_newline=True,
+    )
+    return env
+
+
+def load_macros_into_env(env: jinja2.Environment, sources: list[str]) -> dict:
+    """Compile macro source files and expose every macro as a global.
+
+    Jinja macros resolve free names dynamically against the shared
+    globals dict, so cross-macro calls work regardless of load order —
+    same effect as the reference's per-package macro namespaces
+    (``core/dbt/context/providers.py:114-213``) flattened to one
+    namespace with ``spark__``/``default__`` dispatch prefixes.
+    """
+    found: dict[str, Any] = {}
+    for src in sources:
+        try:
+            tmpl = env.from_string(src)
+        except jinja2.TemplateSyntaxError as e:
+            raise ParsingError(f"macro syntax error: {e}") from e
+        module = tmpl.make_module(vars={}, shared=True)
+        for name in dir(module):
+            if name.startswith("_"):
+                continue
+            obj = getattr(module, name)
+            if isinstance(obj, jinja2.runtime.Macro):
+                wrapped = _wrap_macro(obj)
+                env.globals[name] = wrapped
+                found[name] = wrapped
+    return found
+
+
+# --------------------------------------------------------------------------
+# static AST extraction (parse phase)
+# --------------------------------------------------------------------------
+
+def extract_statically(env: jinja2.Environment, source: str):
+    """Walk the Jinja AST for ref()/source()/config() calls."""
+    refs: list[str] = []
+    sources: list[tuple[str, str]] = []
+    config: dict[str, Any] = {}
+    try:
+        ast = env.parse(source)
+    except jinja2.TemplateSyntaxError as e:
+        raise ParsingError(f"jinja syntax error: {e}") from e
+
+    def const(n):
+        return n.value if isinstance(n, j2nodes.Const) else None
+
+    for call in ast.find_all(j2nodes.Call):
+        name = getattr(call.node, "name", None)
+        if name == "ref":
+            args = [const(a) for a in call.args]
+            if args and args[-1] is not None:
+                refs.append(args[-1])  # ref('pkg','name') → name
+        elif name == "source":
+            args = [const(a) for a in call.args]
+            if len(args) == 2 and all(a is not None for a in args):
+                sources.append((args[0], args[1]))
+        elif name == "config":
+            for kw in call.kwargs:
+                v = const(kw.value)
+                if v is None and isinstance(kw.value, j2nodes.List):
+                    v = [const(i) for i in kw.value.items]
+                if v is None and isinstance(kw.value, j2nodes.Dict):
+                    v = {
+                        const(p.key): const(p.value) for p in kw.value.items
+                    }
+                if v is not None:
+                    config[kw.key] = v
+    return refs, sources, config
+
+
+# --------------------------------------------------------------------------
+# contexts
+# --------------------------------------------------------------------------
+
+def base_context(project_vars: dict, cli_vars: dict | None = None) -> dict:
+    """``core/dbt/context/base.py`` surface."""
+    merged_vars = dict(project_vars or {})
+    merged_vars.update(cli_vars or {})
+
+    def var(name, default=None):
+        return merged_vars.get(name, default)
+
+    def env_var(name, default=None):
+        import os
+
+        v = os.environ.get(name, default)
+        if v is None:
+            raise ParsingError(f"env_var '{name}' is not set")
+        return v
+
+    def _return(value):
+        raise MacroReturn(value)
+
+    def set_fn(value, default=None):
+        try:
+            return set(value)
+        except TypeError:
+            return default
+
+    def zip_fn(*args, **kwargs):
+        default = kwargs.get("default")
+        try:
+            return list(zip(*args))
+        except TypeError:
+            return default
+
+    def diff_of_two_dicts(d1, d2):
+        return {
+            k: [v for v in vs if v not in d2.get(k, [])]
+            for k, vs in d1.items()
+            if [v for v in vs if v not in d2.get(k, [])]
+        }
+
+    return {
+        "var": var,
+        "env_var": env_var,
+        "return": _return,
+        "fromjson": json.loads,
+        "tojson": json.dumps,
+        "fromyaml": yaml.safe_load,
+        "toyaml": yaml.safe_dump,
+        "set": set_fn,
+        "set_strict": set,
+        "zip": zip_fn,
+        "zip_strict": lambda *a: list(zip(*a)),
+        "log": lambda msg, info=False: print(msg) if info else None,
+        "print": print,
+        "run_started_at": RUN_STARTED_AT,
+        "invocation_id": INVOCATION_ID,
+        "thread_id": lambda: threading.current_thread().name,
+        "modules": _Modules,
+        "exceptions": _Exceptions,
+        "flags": type("Flags", (), {"FULL_REFRESH": False, "WHICH": "run"})(),
+        "diff_of_two_dicts": diff_of_two_dicts,
+        "local_md5": lambda s: hashlib.md5(s.encode()).hexdigest(),
+        "dbt_version": "1.9.0a1-sparkt",
+        "builtins": {},
+        "itertools": itertools,
+        "re": _re_mod,
+    }
+
+
+class ParseConfigCollector:
+    """Parse-phase ``config(...)`` (``providers.py:1033``)."""
+
+    def __init__(self):
+        self.collected: dict[str, Any] = {}
+
+    def __call__(self, *args, **kwargs):
+        if args and isinstance(args[0], dict):
+            self.collected.update(args[0])
+        self.collected.update(kwargs)
+        return ""
+
+    def get(self, name, default=None):
+        return self.collected.get(name, default)
+
+    def require(self, name):
+        return self.collected.get(name)
+
+
+def parse_context(project_vars: dict, cli_vars: dict | None = None):
+    """Context for the parse-phase render (execute=False)."""
+    ctx = base_context(project_vars, cli_vars)
+    collector = ParseConfigCollector()
+    refs: list[str] = []
+    srcs: list[tuple[str, str]] = []
+
+    def ref(*args, **kwargs):
+        refs.append(args[-1])
+        return f"__parse_ref__{args[-1]}"
+
+    def source(source_name, table_name):
+        srcs.append((source_name, table_name))
+        return f"__parse_source__{source_name}__{table_name}"
+
+    ctx.update(
+        {
+            "ref": ref,
+            "source": source,
+            "config": collector,
+            "execute": False,
+            "is_incremental": lambda: False,
+            "this": "__parse_this__",
+            "adapter": _ParseAdapter(),
+            "target": {"name": "dev", "type": "spark", "schema": "", "threads": 1},
+            "run_query": lambda sql: [],
+            "store_result": lambda *a, **k: "",
+            "load_result": lambda name: None,
+            "_submit_statement": lambda *a, **k: "",
+            "pre_hooks": [],
+            "post_hooks": [],
+            "graph": {"nodes": {}, "sources": {}},
+            "model": {},
+            "database": "spark_catalog",
+            "schema": "",
+        }
+    )
+    return ctx, collector, refs, srcs
+
+
+class _ParseAdapter:
+    """Inert adapter for parse phase (execute=False: warehouse calls
+    must not run; ``providers.py:1090``)."""
+
+    def dispatch(self, name, macro_namespace=None):
+        def noop(*a, **k):
+            return ""
+
+        return noop
+
+    def __getattr__(self, item):
+        def noop(*a, **k):
+            return ""
+
+        return noop
+
+
+class RuntimeConfigGetter:
+    def __init__(self, config: dict):
+        self._config = config
+
+    def __call__(self, *args, **kwargs):
+        return ""
+
+    def get(self, name, default=None):
+        return self._config.get(name, default)
+
+    def require(self, name):
+        if name not in self._config:
+            raise CompilationError(f"config '{name}' required but not set")
+        return self._config[name]
+
+
+class RuntimeAdapterFacade:
+    """The ``adapter.*`` Jinja object (``providers.py:114-213``):
+    dispatch + the SQL-helper methods macros commonly call."""
+
+    def __init__(self, adapter, env: jinja2.Environment):
+        self._adapter = adapter
+        self._env = env
+
+    def dispatch(self, macro_name, macro_namespace=None):
+        for candidate in (f"spark__{macro_name}", f"default__{macro_name}", macro_name):
+            fn = self._env.globals.get(candidate)
+            if fn is not None:
+                return fn
+        raise CompilationError(f"dispatch: no macro named {macro_name}")
+
+    def quote(self, identifier):
+        return self._adapter.quote(identifier)
+
+    def get_columns_in_relation(self, relation):
+        return [
+            type("Column", (), {"name": n, "dtype": t, "data_type": t})()
+            for n, t in self._adapter.get_columns_in_relation(relation)
+        ]
+
+    def get_relation(self, database=None, schema=None, identifier=None):
+        return self._adapter.get_relation(schema, identifier)
+
+    def execute(self, sql, auto_begin=False, fetch=False):
+        return self._adapter.execute(sql, fetch=fetch)
+
+    def type(self):
+        return "spark"
+
+    def __getattr__(self, item):
+        raise CompilationError(f"adapter.{item} is not implemented")

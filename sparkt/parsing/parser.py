@@ -1,0 +1,371 @@
+"""Project file parser → Manifest.
+
+Mirrors the reference's load pipeline
+(``core/dbt/parser/manifest.py:263-512``): discover files by
+path/extension (``parser/read_files.py:386-430``), parse macros first,
+then models/seeds/snapshots/singular tests, then schema YAML (sources,
+model patches, generic data tests, unit tests), then resolve refs.
+Partial parsing (msgpack cache) is handled in ``sparkt/partial.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+from sparkt.exceptions import ParsingError
+from sparkt.manifest import Manifest, ParsedNode
+from sparkt.parsing import context as ctx_mod
+from sparkt.parsing.macros import BUILTIN_MACRO_SOURCES
+from sparkt.project import Project
+
+SNAPSHOT_BLOCK_RE = re.compile(
+    r"{%-?\s*snapshot\s+(\w+)\s*-?%}(.*?){%-?\s*endsnapshot\s*-?%}", re.S
+)
+
+
+def _walk(root: str, paths: list[str], exts: tuple[str, ...]):
+    for p in paths:
+        base = os.path.join(root, p)
+        if not os.path.isdir(base):
+            continue
+        for dirpath, _, files in os.walk(base):
+            for fn in sorted(files):
+                if fn.endswith(exts):
+                    full = os.path.join(dirpath, fn)
+                    yield full, os.path.relpath(full, base)
+
+
+class ManifestLoader:
+    def __init__(self, project: Project, cli_vars: dict | None = None):
+        self.project = project
+        self.cli_vars = cli_vars or {}
+        self.env = ctx_mod.build_environment()
+        self.manifest = Manifest()
+
+    # ------------------------------------------------------------------
+    def load(self) -> Manifest:
+        self._load_macros()
+        self._parse_models()
+        self._parse_seeds()
+        self._parse_snapshots()
+        self._parse_singular_tests()
+        self._parse_schema_yaml()
+        self._parse_analyses()
+        self._resolve_refs()
+        self.manifest.build_parent_child_maps()
+        return self.manifest
+
+    # ------------------------------------------------------------- macros
+    def _load_macros(self) -> None:
+        sources = list(BUILTIN_MACRO_SOURCES)
+        for full, rel in _walk(
+            self.project.project_root, self.project.macro_paths, (".sql",)
+        ):
+            with open(full) as f:
+                src = f.read()
+            self.manifest.macros[rel] = src
+            sources.append(src)
+        ctx_mod.load_macros_into_env(self.env, sources)
+
+    # ------------------------------------------------------------- models
+    def _parse_sql_node(
+        self, resource_type: str, name: str, rel_path: str, raw: str
+    ) -> ParsedNode:
+        refs, sources, static_config = ctx_mod.extract_statically(self.env, raw)
+        # parse-phase render for dynamic config()/ref() the AST missed
+        pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
+            self.project.vars, self.cli_vars
+        )
+        try:
+            self.env.from_string(raw).render(**pctx)
+        except Exception:
+            pass  # runtime-only constructs may fail at parse; AST capture stands
+        config = dict(static_config)
+        config.update(collector.collected)
+        all_refs = list(dict.fromkeys(refs + r_refs))
+        all_sources = list(dict.fromkeys(sources + r_srcs))
+        node = ParsedNode(
+            unique_id=f"{resource_type}.{self.project.name}.{name}",
+            name=name,
+            package_name=self.project.name,
+            resource_type=resource_type,
+            path=rel_path,
+            raw_code=raw,
+            refs=all_refs,
+            sources=all_sources,
+        )
+        proj_cfg = self.project.config_for_path(resource_type, rel_path)
+        merged = dict(proj_cfg)
+        merged.update(config)  # in-file config() wins over project tree
+        node.config = merged
+        node.tags = list(merged.get("tags", []) or [])
+        return node
+
+    def _parse_models(self) -> None:
+        for full, rel in _walk(
+            self.project.project_root, self.project.model_paths, (".sql", ".py")
+        ):
+            name = os.path.splitext(os.path.basename(rel))[0]
+            with open(full) as f:
+                raw = f.read()
+            if full.endswith(".py"):
+                node = self._parse_python_model(name, rel, raw)
+            else:
+                node = self._parse_sql_node("model", name, rel, raw)
+            self.manifest.nodes[node.unique_id] = node
+
+    def _parse_python_model(self, name: str, rel: str, raw: str) -> ParsedNode:
+        """Python models (``core/dbt/parser/models.py:32-104``): extract
+        dbt.ref/dbt.source/dbt.config calls textually; the model function
+        runs natively against the engine's SparkSession at execute time
+        (the reference's ADR-004 design with zero submit indirection)."""
+        refs = re.findall(r"""dbt\.ref\(\s*['"]([\w.]+)['"]\s*\)""", raw)
+        sources = re.findall(
+            r"""dbt\.source\(\s*['"]([\w.]+)['"]\s*,\s*['"]([\w.]+)['"]\s*\)""", raw
+        )
+        config: dict[str, Any] = {}
+        for m in re.finditer(r"dbt\.config\(([^)]*)\)", raw):
+            for kv in re.finditer(
+                r"""(\w+)\s*=\s*(?:['"]([^'"]*)['"]|(\w+))""", m.group(1)
+            ):
+                config[kv.group(1)] = (
+                    kv.group(2) if kv.group(2) is not None else kv.group(3)
+                )
+        node = ParsedNode(
+            unique_id=f"model.{self.project.name}.{name}",
+            name=name,
+            package_name=self.project.name,
+            resource_type="model",
+            path=rel,
+            raw_code=raw,
+            language="python",
+            refs=list(dict.fromkeys(refs)),
+            sources=list(dict.fromkeys(sources)),
+        )
+        merged = self.project.config_for_path("model", rel)
+        merged.update(config)
+        merged.setdefault("materialized", "table")  # python models can't be views
+        node.config = merged
+        node.tags = list(merged.get("tags", []) or [])
+        return node
+
+    # -------------------------------------------------------------- seeds
+    def _parse_seeds(self) -> None:
+        for full, rel in _walk(
+            self.project.project_root, self.project.seed_paths, (".csv",)
+        ):
+            name = os.path.splitext(os.path.basename(rel))[0]
+            node = ParsedNode(
+                unique_id=f"seed.{self.project.name}.{name}",
+                name=name,
+                package_name=self.project.name,
+                resource_type="seed",
+                path=rel,
+                raw_code="",  # "No SQLDefaults!" — nodes.py:774
+                config=self.project.config_for_path("seed", rel),
+            )
+            node.config["seed_path"] = full
+            self.manifest.nodes[node.unique_id] = node
+
+    # ---------------------------------------------------------- snapshots
+    def _parse_snapshots(self) -> None:
+        for full, rel in _walk(
+            self.project.project_root, self.project.snapshot_paths, (".sql",)
+        ):
+            with open(full) as f:
+                raw = f.read()
+            blocks = SNAPSHOT_BLOCK_RE.findall(raw)
+            if not blocks:
+                raise ParsingError(f"no {{% snapshot %}} block in {rel}")
+            for name, body in blocks:
+                node = self._parse_sql_node("snapshot", name, rel, body)
+                self.manifest.nodes[node.unique_id] = node
+
+    # ------------------------------------------------------ singular tests
+    def _parse_singular_tests(self) -> None:
+        for full, rel in _walk(
+            self.project.project_root, self.project.test_paths, (".sql",)
+        ):
+            name = os.path.splitext(os.path.basename(rel))[0]
+            with open(full) as f:
+                raw = f.read()
+            node = self._parse_sql_node("test", name, rel, raw)
+            self.manifest.nodes[node.unique_id] = node
+
+    # ------------------------------------------------------------ analyses
+    def _parse_analyses(self) -> None:
+        for full, rel in _walk(
+            self.project.project_root, self.project.analysis_paths, (".sql",)
+        ):
+            name = os.path.splitext(os.path.basename(rel))[0]
+            with open(full) as f:
+                raw = f.read()
+            node = self._parse_sql_node("analysis", name, rel, raw)
+            self.manifest.nodes[node.unique_id] = node
+
+    # --------------------------------------------------------- schema yaml
+    def _parse_schema_yaml(self) -> None:
+        import yaml
+
+        for full, rel in _walk(
+            self.project.project_root,
+            self.project.model_paths
+            + self.project.seed_paths
+            + self.project.snapshot_paths,
+            (".yml", ".yaml"),
+        ):
+            with open(full) as f:
+                doc = yaml.safe_load(f) or {}
+            for src in doc.get("sources", []) or []:
+                self._add_source(src)
+            for patch in doc.get("models", []) or []:
+                self._patch_node("model", patch)
+            for patch in doc.get("seeds", []) or []:
+                self._patch_node("seed", patch)
+            for patch in doc.get("snapshots", []) or []:
+                self._patch_node("snapshot", patch)
+            for ut in doc.get("unit_tests", []) or []:
+                self._add_unit_test(ut)
+
+    def _add_source(self, src: dict) -> None:
+        source_name = src["name"]
+        schema = src.get("schema", source_name)
+        for tbl in src.get("tables", []) or []:
+            uid = f"source.{source_name}.{tbl['name']}"
+            node = ParsedNode(
+                unique_id=uid,
+                name=tbl["name"],
+                package_name=self.project.name,
+                resource_type="source",
+                source_name=source_name,
+                config={
+                    "schema": schema,
+                    "identifier": tbl.get("identifier", tbl["name"]),
+                },
+                loaded_at_field=tbl.get(
+                    "loaded_at_field", src.get("loaded_at_field")
+                ),
+                freshness=tbl.get("freshness", src.get("freshness")) or {},
+                external_location=(tbl.get("external") or {}).get("location")
+                or (tbl.get("meta") or {}).get("external_location"),
+                description=tbl.get("description", ""),
+            )
+            self.manifest.sources[uid] = node
+
+    def _patch_node(self, resource_type: str, patch: dict) -> None:
+        name = patch["name"]
+        uid = f"{resource_type}.{self.project.name}.{name}"
+        node = self.manifest.nodes.get(uid)
+        if node is None:
+            return
+        node.description = patch.get("description", node.description)
+        yml_cfg = patch.get("config", {}) or {}
+        merged = dict(yml_cfg)
+        merged.update(node.config)  # in-file config still wins
+        node.config = merged
+        for col in patch.get("columns", []) or []:
+            node.columns[col["name"]] = col
+            for t in col.get("data_tests", col.get("tests", [])) or []:
+                self._add_generic_test(node, t, column_name=col["name"])
+        for t in patch.get("data_tests", patch.get("tests", [])) or []:
+            self._add_generic_test(node, t, column_name=None)
+
+    def _add_generic_test(
+        self, attached: ParsedNode, spec, column_name: str | None
+    ) -> None:
+        """Generic tests become macro-call nodes
+        (``core/dbt/parser/generic_test_builders.py`` analogue)."""
+        if isinstance(spec, str):
+            test_name, kwargs = spec, {}
+        elif isinstance(spec, dict):
+            test_name, kwargs = next(iter(spec.items()))
+            kwargs = dict(kwargs or {})
+        else:
+            raise ParsingError(f"bad test spec {spec!r}")
+        config_keys = {
+            "severity", "error_if", "warn_if", "fail_calc", "limit",
+            "where", "store_failures", "store_failures_as", "enabled", "tags",
+        }
+        config = {k: kwargs.pop(k) for k in list(kwargs) if k in config_keys}
+        if isinstance(spec, dict) and isinstance(next(iter(spec.values())), dict):
+            nested_cfg = (next(iter(spec.values())) or {}).get("config") or {}
+            kwargs.pop("config", None)
+            config.update(nested_cfg)
+        parts = [test_name, attached.name] + ([column_name] if column_name else [])
+        for v in kwargs.values():
+            parts.append(re.sub(r"\W+", "_", str(v))[:30])
+        name = "_".join(parts)
+        kw_render = ", ".join(
+            f"{k}={v!r}" for k, v in kwargs.items()
+        )
+        where = config.get("where")
+        model_expr = (
+            f"get_where_subquery(ref('{attached.name}'), where={where!r})"
+            if where
+            else f"ref('{attached.name}')"
+        )
+        call_args = [f"model={model_expr}"]
+        if column_name:
+            call_args.append(f"column_name={column_name!r}")
+        if kw_render:
+            call_args.append(kw_render)
+        raw = "{{ test_%s(%s) }}" % (test_name, ", ".join(call_args))
+        node = ParsedNode(
+            unique_id=f"test.{self.project.name}.{name}",
+            name=name,
+            package_name=self.project.name,
+            resource_type="test",
+            raw_code=raw,
+            refs=[attached.name],
+            config=config,
+            test_metadata={"name": test_name, "kwargs": kwargs},
+            attached_node=attached.unique_id,
+        )
+        if isinstance(kwargs.get("to"), str):
+            m = re.match(r"ref\(['\"](\w+)['\"]\)", kwargs["to"])
+            if m:
+                node.refs.append(m.group(1))
+        node.tags = list(config.get("tags", []) or [])
+        self.manifest.nodes[node.unique_id] = node
+
+    def _add_unit_test(self, ut: dict) -> None:
+        """Unit-test definitions (``core/dbt/parser/unit_tests.py``)."""
+        name = ut["name"]
+        model = ut["model"]
+        node = ParsedNode(
+            unique_id=f"unit_test.{self.project.name}.{name}",
+            name=name,
+            package_name=self.project.name,
+            resource_type="unit_test",
+            refs=[model],
+            model=model,
+            given=ut.get("given", []) or [],
+            expect=ut.get("expect", {}) or {},
+            config=ut.get("config", {}) or {},
+        )
+        self.manifest.nodes[node.unique_id] = node
+
+    # ------------------------------------------------------------- linking
+    def _resolve_refs(self) -> None:
+        """``process_refs``/``process_sources``
+        (``core/dbt/contracts/graph/manifest.py:1103,1248``)."""
+        for node in self.manifest.nodes.values():
+            deps: list[str] = []
+            for ref_name in node.refs:
+                target = self.manifest.ref_lookup(ref_name)
+                if target is None:
+                    raise ParsingError(
+                        f"{node.unique_id} depends on missing ref '{ref_name}'"
+                    )
+                deps.append(target.unique_id)
+            for source_name, table_name in node.sources:
+                target = self.manifest.source_lookup(source_name, table_name)
+                if target is None:
+                    raise ParsingError(
+                        f"{node.unique_id} depends on missing source "
+                        f"'{source_name}.{table_name}'"
+                    )
+                deps.append(target.unique_id)
+            node.depends_on = list(dict.fromkeys(deps))

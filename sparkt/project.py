@@ -1,0 +1,124 @@
+"""Project + profile loading.
+
+Mirrors the reference's RuntimeConfig assembly
+(``core/dbt/config/runtime.py:96-299``): ``dbt_project.yml`` declares
+resource paths and config trees; ``profiles.yml`` declares the target
+(here: warehouse dir, schema, threads, Spark master). Profile defaults
+are inlined so a project file alone is enough.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class Project:
+    project_root: str
+    name: str = "sparkt_project"
+    version: str = "1.0"
+    model_paths: list[str] = field(default_factory=lambda: ["models"])
+    seed_paths: list[str] = field(default_factory=lambda: ["seeds"])
+    snapshot_paths: list[str] = field(default_factory=lambda: ["snapshots"])
+    test_paths: list[str] = field(default_factory=lambda: ["tests"])
+    macro_paths: list[str] = field(default_factory=lambda: ["macros"])
+    analysis_paths: list[str] = field(default_factory=lambda: ["analyses"])
+    target_path: str = "target"
+    # config trees: models: {+materialized: view, subdir: {...}}
+    models_config: dict[str, Any] = field(default_factory=dict)
+    seeds_config: dict[str, Any] = field(default_factory=dict)
+    snapshots_config: dict[str, Any] = field(default_factory=dict)
+    tests_config: dict[str, Any] = field(default_factory=dict)
+    vars: dict[str, Any] = field(default_factory=dict)
+    on_run_start: list[str] = field(default_factory=list)
+    on_run_end: list[str] = field(default_factory=list)
+    # profile
+    schema: str = "analytics"
+    threads: int = 4
+
+    @property
+    def target_dir(self) -> str:
+        return os.path.join(self.project_root, self.target_path)
+
+    @property
+    def warehouse_dir(self) -> str:
+        return os.path.join(self.target_dir, "warehouse")
+
+    def config_for_path(self, kind: str, rel_path: str) -> dict[str, Any]:
+        """Resolve the project-file config tree for a resource path —
+        the ``models: {subdir: {+materialized: table}}`` cascade
+        (reference: project-level configs merged in
+        ``core/dbt/config/project.py``). ``+``-prefixed keys apply at
+        that level; nesting follows directories."""
+        tree = {
+            "model": self.models_config,
+            "seed": self.seeds_config,
+            "snapshot": self.snapshots_config,
+            "test": self.tests_config,
+        }.get(kind, {})
+        out: dict[str, Any] = {}
+
+        def take(level: dict) -> None:
+            for k, v in level.items():
+                if k.startswith("+"):
+                    out[k[1:]] = v
+
+        take(tree)
+        level = tree
+        for part in rel_path.split(os.sep)[:-1]:
+            nxt = level.get(part)
+            if not isinstance(nxt, dict):
+                break
+            take(nxt)
+            level = nxt
+        return out
+
+
+def _listify(v) -> list[str]:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def load_project(project_root: str, overrides: dict | None = None) -> Project:
+    path = os.path.join(project_root, "dbt_project.yml")
+    raw: dict[str, Any] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    proj = Project(
+        project_root=project_root,
+        name=raw.get("name", "sparkt_project"),
+        version=str(raw.get("version", "1.0")),
+        model_paths=raw.get("model-paths", raw.get("model_paths", ["models"])),
+        seed_paths=raw.get("seed-paths", raw.get("seed_paths", ["seeds"])),
+        snapshot_paths=raw.get("snapshot-paths", raw.get("snapshot_paths", ["snapshots"])),
+        test_paths=raw.get("test-paths", raw.get("test_paths", ["tests"])),
+        macro_paths=raw.get("macro-paths", raw.get("macro_paths", ["macros"])),
+        analysis_paths=raw.get("analysis-paths", raw.get("analysis_paths", ["analyses"])),
+        target_path=raw.get("target-path", "target"),
+        models_config=raw.get("models", {}) or {},
+        seeds_config=raw.get("seeds", {}) or {},
+        snapshots_config=raw.get("snapshots", {}) or {},
+        tests_config=raw.get("data_tests", raw.get("tests", {})) or {},
+        vars=raw.get("vars", {}) or {},
+        on_run_start=_listify(raw.get("on-run-start")),
+        on_run_end=_listify(raw.get("on-run-end")),
+    )
+    # profiles.yml (optional): schema/threads
+    ppath = os.path.join(project_root, "profiles.yml")
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            prof = yaml.safe_load(f) or {}
+        target = prof.get("target", {})
+        if isinstance(target, dict):
+            proj.schema = target.get("schema", proj.schema)
+            proj.threads = int(target.get("threads", proj.threads))
+    if overrides:
+        for k, v in overrides.items():
+            setattr(proj, k, v)
+    return proj

@@ -1,0 +1,404 @@
+"""Runner: the threaded DAG scheduler + task entry points.
+
+Reference: ``core/dbt/task/runnable.py:364-402`` (ThreadPool over a
+GraphQueue), ``core/dbt/task/runnable.py:272-340`` (callbacks + skip
+propagation), ``core/dbt/task/run.py:258-339`` (per-node
+materialization dispatch + on-run-start/end hooks),
+``core/dbt/task/freshness.py:107-145`` (source freshness). Each worker
+thread issues independent Spark jobs — Spark is thread-safe and
+schedules them concurrently (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import traceback
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from queue import Empty
+
+import networkx as nx
+
+from sparkt.adapter import SparkAdapter
+from sparkt.compilation import Compiler
+from sparkt.graph.linker import link_graph
+from sparkt.graph.queue import GraphQueue
+from sparkt.graph.selector import select_nodes
+from sparkt.manifest import Manifest, ParsedNode
+from sparkt.materializations import MatContext, get_materialization
+from sparkt.parsing.parser import ManifestLoader
+from sparkt.project import Project, load_project
+
+
+@dataclass
+class RunResult:
+    unique_id: str
+    status: str  # success | error | skipped | pass | warn | fail
+    message: str = ""
+    execution_time: float = 0.0
+    failures: int | None = None
+    thread: str = ""
+
+    def to_dict(self) -> dict:
+        return {
+            "unique_id": self.unique_id,
+            "status": self.status,
+            "message": self.message,
+            "execution_time": self.execution_time,
+            "failures": self.failures,
+            "thread_id": self.thread,
+        }
+
+
+@dataclass
+class RunResults:
+    results: list[RunResult] = field(default_factory=list)
+    elapsed: float = 0.0
+    generated_at: str = ""
+
+    @property
+    def ok(self) -> bool:
+        return all(r.status in ("success", "pass", "warn", "skipped") for r in self.results)
+
+    def write(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "metadata": {"generated_at": self.generated_at,
+                                 "schema": "run-results-v5-reduced"},
+                    "elapsed_time": self.elapsed,
+                    "results": [r.to_dict() for r in self.results],
+                },
+                f,
+                indent=1,
+                default=str,
+            )
+
+
+class Runner:
+    def __init__(
+        self,
+        project_root: str,
+        spark=None,
+        cli_vars: dict | None = None,
+        project_overrides: dict | None = None,
+    ):
+        self.project: Project = load_project(project_root, project_overrides)
+        if spark is None:
+            from sparkt.session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.adapter = SparkAdapter(spark, self.project.warehouse_dir)
+        self.cli_vars = cli_vars or {}
+        self.loader = ManifestLoader(self.project, self.cli_vars)
+        self.manifest: Manifest = self.loader.load()
+        self.compiler = Compiler(
+            self.project, self.manifest, self.loader.env, self.adapter
+        )
+        os.makedirs(self.project.target_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.project.target_dir, "compiled"), exist_ok=True)
+
+    # ------------------------------------------------------------ sources
+    def register_sources(self) -> None:
+        """External-location sources become zero-copy external tables
+        (reference: external tables on sources,
+        ``artifacts/resources/v1/source_definition.py:62``)."""
+        for node in self.manifest.sources.values():
+            if node.external_location:
+                rel = self.compiler.relation_for(node)
+                loc = node.external_location.format(name=node.name)
+                self.adapter.register_external_table(rel, loc)
+
+    # ------------------------------------------------------------ helpers
+    def _executable(self, uid: str, which: str) -> bool:
+        node = self.manifest.all_nodes().get(uid)
+        if node is None or node.resource_type == "source":
+            return False
+        if not node.config.get("enabled", True):
+            return False
+        by_task = {
+            "run": {"model"},
+            "seed": {"seed"},
+            "snapshot": {"snapshot"},
+            "test": {"test", "unit_test"},
+            "build": {"model", "seed", "snapshot", "test", "unit_test"},
+            "compile": {"model", "test", "analysis", "snapshot"},
+        }
+        return node.resource_type in by_task.get(which, set())
+
+    def _run_hooks(self, hooks, node: ParsedNode | None = None) -> None:
+        if not hooks:
+            return
+        if isinstance(hooks, str):
+            hooks = [hooks]
+        for hook_sql in hooks:
+            if not hook_sql:
+                continue
+            if node is not None:
+                rendered = self.compiler.render(
+                    ParsedNode(
+                        unique_id=f"operation.{self.project.name}.hook",
+                        name="hook",
+                        package_name=self.project.name,
+                        resource_type="operation",
+                        raw_code=hook_sql,
+                        config=node.config,
+                    ),
+                    extra_ctes=[],
+                )
+            else:
+                rendered = self.compiler.render(
+                    ParsedNode(
+                        unique_id=f"operation.{self.project.name}.hook",
+                        name="hook",
+                        package_name=self.project.name,
+                        resource_type="operation",
+                        raw_code=hook_sql,
+                    ),
+                    extra_ctes=[],
+                )
+            if rendered.strip():
+                self.adapter.execute(rendered)
+
+    def _write_compiled(self, node: ParsedNode) -> None:
+        if node.compiled_code is None:
+            return
+        path = os.path.join(
+            self.project.target_dir, "compiled", f"{node.name}.sql"
+        )
+        with open(path, "w") as f:
+            f.write(node.compiled_code)
+
+    # ---------------------------------------------------------- execution
+    def _execute_node(self, ctx: MatContext, node: ParsedNode) -> RunResult:
+        start = time.time()
+        try:
+            self._run_hooks(node.config.get("pre_hook"), node)
+            mat_fn = get_materialization(node.materialized)
+            out = mat_fn(ctx, node)
+            self._run_hooks(node.config.get("post_hook"), node)
+            self._write_compiled(node)
+            if isinstance(out, dict):  # tests return status dicts
+                return RunResult(
+                    unique_id=node.unique_id,
+                    status=out.get("status", "success"),
+                    message=out.get("message", ""),
+                    failures=out.get("failures"),
+                    execution_time=time.time() - start,
+                    thread=threading.current_thread().name,
+                )
+            return RunResult(
+                unique_id=node.unique_id,
+                status="success",
+                message=str(out),
+                execution_time=time.time() - start,
+                thread=threading.current_thread().name,
+            )
+        except Exception as e:  # noqa: BLE001
+            return RunResult(
+                unique_id=node.unique_id,
+                status="error",
+                message=f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=3)}",
+                execution_time=time.time() - start,
+                thread=threading.current_thread().name,
+            )
+
+    def execute_nodes(
+        self,
+        which: str = "run",
+        select: str | None = None,
+        exclude: str | None = None,
+        full_refresh: bool = False,
+        threads: int | None = None,
+    ) -> RunResults:
+        t0 = time.time()
+        self.register_sources()
+        graph = link_graph(self.manifest, add_test_edges=(which == "build"))
+        selected = select_nodes(graph, self.manifest, select, exclude)
+        to_run = {uid for uid in selected if self._executable(uid, which)}
+        # upstream non-selected nodes are not executed but must not gate
+        # the queue: restrict the queue graph to selected executables,
+        # preserving transitive order between them.
+        order_graph = nx.DiGraph()
+        order_graph.add_nodes_from(to_run)
+        for uid in to_run:
+            for anc in nx.ancestors(graph, uid):
+                if anc in to_run:
+                    order_graph.add_edge(anc, uid)
+        queue = GraphQueue(nx.transitive_reduction(order_graph), to_run)
+
+        ctx = MatContext(
+            spark=self.spark,
+            adapter=self.adapter,
+            compiler=self.compiler,
+            manifest=self.manifest,
+            project=self.project,
+            full_refresh=full_refresh,
+            extras={"batch_ts": datetime.now(timezone.utc)},
+        )
+        self.adapter.create_schema(self.project.schema)
+        self._run_hooks(self.project.on_run_start)
+
+        results: dict[str, RunResult] = {}
+        skipped: set[str] = set()
+        lock = threading.Lock()
+        n_threads = threads or self.project.threads
+
+        def worker():
+            while True:
+                try:
+                    uid = queue.get(block=True, timeout=0.05)
+                except Empty:
+                    if queue.empty():
+                        return
+                    continue
+                node = self.manifest.nodes[uid]
+                with lock:
+                    is_skipped = uid in skipped
+                if is_skipped:
+                    res = RunResult(unique_id=uid, status="skipped",
+                                    message="upstream failure")
+                else:
+                    res = self._execute_node(ctx, node)
+                with lock:
+                    results[uid] = res
+                    if res.status in ("error", "fail"):
+                        # skip descendants (runnable.py:319-340)
+                        if uid in queue.graph:
+                            for desc in nx.descendants(queue.graph, uid):
+                                skipped.add(desc)
+                queue.mark_done(uid)
+
+        workers = [
+            threading.Thread(target=worker, name=f"Thread-{i+1}", daemon=True)
+            for i in range(max(1, n_threads))
+        ]
+        for w in workers:
+            w.start()
+        for w in workers:
+            w.join()
+
+        self._run_hooks(self.project.on_run_end)
+
+        rr = RunResults(
+            results=[results[uid] for uid in sorted(results)],
+            elapsed=time.time() - t0,
+            generated_at=datetime.now(timezone.utc).isoformat(),
+        )
+        rr.write(os.path.join(self.project.target_dir, "run_results.json"))
+        self.manifest.write(os.path.join(self.project.target_dir, "manifest.json"))
+        return rr
+
+    # ------------------------------------------------------- task aliases
+    def run(self, **kw) -> RunResults:
+        return self.execute_nodes(which="run", **kw)
+
+    def seed(self, **kw) -> RunResults:
+        return self.execute_nodes(which="seed", **kw)
+
+    def snapshot(self, **kw) -> RunResults:
+        return self.execute_nodes(which="snapshot", **kw)
+
+    def test(self, **kw) -> RunResults:
+        return self.execute_nodes(which="test", **kw)
+
+    def build(self, **kw) -> RunResults:
+        return self.execute_nodes(which="build", **kw)
+
+    def compile(self, select: str | None = None) -> Manifest:
+        self.register_sources()
+        graph = link_graph(self.manifest)
+        selected = select_nodes(graph, self.manifest, select)
+        for uid in nx.topological_sort(graph):
+            if uid in selected and self._executable(uid, "compile"):
+                node = self.manifest.nodes[uid]
+                if node.language == "sql":
+                    try:
+                        self.compiler.compile_node(node)
+                        self._write_compiled(node)
+                    except Exception:  # noqa: BLE001
+                        pass
+        self.manifest.write(os.path.join(self.project.target_dir, "manifest.json"))
+        return self.manifest
+
+    def show(self, inline: str | None = None, select: str | None = None,
+             limit: int = 5):
+        """``dbt show`` (``core/dbt/task/show.py:22-109``)."""
+        self.register_sources()
+        if inline is not None:
+            node = ParsedNode(
+                unique_id=f"sql_operation.{self.project.name}.inline_query",
+                name="inline_query",
+                package_name=self.project.name,
+                resource_type="model",
+                raw_code=inline,
+            )
+            self.manifest.nodes[node.unique_id] = node
+            try:
+                self.compiler.compile_node(node)
+                sql = node.compiled_code
+            finally:
+                del self.manifest.nodes[node.unique_id]
+        else:
+            target = self.manifest.ref_lookup(select)
+            if target is None:
+                raise ValueError(f"show: unknown model '{select}'")
+            self.compiler.compile_node(target)
+            sql = target.compiled_code
+        df = self.spark.sql(f"select * from ({sql}) sparkt_show")
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def run_operation(self, macro_name: str, args: dict | None = None):
+        """``dbt run-operation`` (``core/dbt/task/run_operation.py``)."""
+        fn = self.loader.env.globals.get(macro_name)
+        if fn is None:
+            raise ValueError(f"no macro named '{macro_name}'")
+        dummy = ParsedNode(
+            unique_id=f"operation.{self.project.name}.{macro_name}",
+            name=macro_name,
+            package_name=self.project.name,
+            resource_type="operation",
+            raw_code="",
+        )
+        ctx = self.compiler.runtime_context(dummy, extra_ctes=[])
+        # macros resolve context names dynamically via env.globals; bind
+        # the runtime context for the duration of the call
+        saved = dict(self.loader.env.globals)
+        try:
+            self.loader.env.globals.update(ctx)
+            return fn(**(args or {}))
+        finally:
+            self.loader.env.globals.clear()
+            self.loader.env.globals.update(saved)
+
+    def source_freshness(self) -> list[dict]:
+        """``dbt source freshness`` (``core/dbt/task/freshness.py``)."""
+        self.register_sources()
+        out = []
+        for node in self.manifest.sources.values():
+            if not node.loaded_at_field or not node.freshness:
+                continue
+            rel = self.compiler.relation_for(node)
+            age = self.adapter.calculate_freshness(
+                rel, node.loaded_at_field, node.freshness.get("filter")
+            )
+            status = "pass"
+            for level in ("warn_after", "error_after"):
+                th = node.freshness.get(level)
+                if th and age is not None:
+                    seconds = th["count"] * {
+                        "minute": 60, "hour": 3600, "day": 86400
+                    }[th["period"]]
+                    if age > seconds:
+                        status = level.split("_")[0]
+            out.append(
+                {"unique_id": node.unique_id, "max_loaded_at_age_s": age,
+                 "status": status}
+            )
+        return out
