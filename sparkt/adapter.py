@@ -61,6 +61,67 @@ class SparkAdapter:
         self.warehouse_dir = warehouse_dir
         self._ddl_lock = threading.RLock()
         os.makedirs(warehouse_dir, exist_ok=True)
+        self._catalog_path = os.path.join(warehouse_dir, "catalog.json")
+        self._catalog: dict[str, dict] = {}
+        self._restoring = False
+        self._restore_catalog()
+
+    # ----------------------------------------------- persistent catalog
+    # Spark's in-memory session catalog dies with the process; the engine
+    # keeps its own durable record (the reference leans on a persistent
+    # warehouse for the same continuity). On a Hive/Delta deployment this
+    # replay is unnecessary and disabled by the catalog itself surviving.
+    def _save_catalog(self) -> None:
+        import json
+
+        if self._restoring:
+            return
+        with open(self._catalog_path, "w") as f:
+            json.dump(self._catalog, f, indent=1)
+
+    def _record(self, relation: Relation, **entry) -> None:
+        key = f"{relation.schema}.{relation.identifier}"
+        self._catalog.pop(key, None)  # re-insert to keep dependency order
+        self._catalog[key] = entry
+        self._save_catalog()
+
+    def _unrecord(self, relation: Relation) -> None:
+        self._catalog.pop(f"{relation.schema}.{relation.identifier}", None)
+        self._save_catalog()
+
+    def _restore_catalog(self) -> None:
+        import json
+
+        if not os.path.exists(self._catalog_path):
+            return
+        with open(self._catalog_path) as f:
+            self._catalog = json.load(f)
+        self._restoring = True
+        try:
+            for key, entry in list(self._catalog.items()):
+                schema, _, identifier = key.partition(".")
+                rel = Relation(
+                    schema=schema,
+                    identifier=identifier,
+                    type="view" if entry["kind"] == "view" else "table",
+                )
+                try:
+                    if self.relation_exists(rel):
+                        continue
+                    if entry["kind"] == "external":
+                        self.register_external_table(rel, entry["path"])
+                    elif entry["kind"] == "table":
+                        self.create_schema(schema)
+                        self.spark.sql(
+                            f"CREATE TABLE {rel.render()} USING parquet "
+                            f"LOCATION '{entry['location']}'"
+                        )
+                    elif entry["kind"] == "view":
+                        self.create_view_as(rel, entry["sql"])
+                except Exception:  # noqa: BLE001 — stale entry
+                    self._catalog.pop(key, None)
+        finally:
+            self._restoring = False
 
     # ------------------------------------------------------------------ exec
     def execute(self, sql: str, fetch: bool = False) -> tuple[str, ExecuteResult]:
@@ -92,6 +153,9 @@ class SparkAdapter:
                 f"DROP DATABASE IF EXISTS {self.quote(schema)} CASCADE"
             )
             shutil.rmtree(os.path.join(self.warehouse_dir, schema), ignore_errors=True)
+            for key in [k for k in self._catalog if k.startswith(schema + ".")]:
+                self._catalog.pop(key, None)
+            self._save_catalog()
 
     def list_schemas(self) -> list[str]:
         return [d.name for d in self.spark.catalog.listDatabases()]
@@ -145,14 +209,38 @@ class SparkAdapter:
 
     # ------------------------------------------------------------------ DDL
     def register_external_table(self, relation: Relation, path: str) -> None:
-        """Zero-copy: point a catalog table at existing parquet (sources)."""
+        """Zero-copy: point a catalog table at existing parquet (sources).
+
+        Nanosecond-timestamp columns (unreadable by Spark natively) are
+        repaired through a ``<name>__raw`` table + casting view — see
+        ``sparkt/sources.py``.
+        """
+        from sparkt.sources import ns_fix_exprs, ns_timestamp_columns
+
         with self._ddl_lock:
             self.create_schema(relation.schema)
-            if not self.relation_exists(relation):
+            if self.relation_exists(relation):
+                return
+            ns_cols = ns_timestamp_columns(path)
+            if not ns_cols:
                 self.spark.sql(
                     f"CREATE TABLE {relation.render()} USING parquet "
                     f"LOCATION '{path}'"
                 )
+                self._record(relation, kind="external", path=path)
+                return
+            raw = relation.with_suffix("__raw")
+            if not self.relation_exists(raw):
+                self.spark.sql(
+                    f"CREATE TABLE {raw.render()} USING parquet LOCATION '{path}'"
+                )
+            cols = [f.name for f in self.spark.table(raw.render()).schema.fields]
+            exprs = ", ".join(ns_fix_exprs(cols, ns_cols))
+            self.spark.sql(
+                f"CREATE OR REPLACE VIEW {relation.render()} AS "
+                f"SELECT {exprs} FROM {raw.render()}"
+            )
+            self._record(relation, kind="external", path=path)
 
     def create_view_as(self, relation: Relation, select_sql: str) -> None:
         with self._ddl_lock:
@@ -163,6 +251,7 @@ class SparkAdapter:
             self.spark.sql(
                 f"CREATE OR REPLACE VIEW {relation.render()} AS {select_sql}"
             )
+            self._record(relation, kind="view", sql=select_sql)
 
     def create_table_as(
         self,
@@ -205,6 +294,7 @@ class SparkAdapter:
             if existing is not None:
                 self.drop_relation(existing)
             self.rename_relation(tmp, relation)
+            self._record(relation, kind="table", location=loc)
         self._gc_old_versions(relation, keep=loc)
 
     def insert_into(self, relation: Relation, select_sql: str) -> None:
@@ -223,6 +313,7 @@ class SparkAdapter:
         with self._ddl_lock:
             kind = "VIEW" if relation.type == "view" else "TABLE"
             self.spark.sql(f"DROP {kind} IF EXISTS {relation.render()}")
+            self._unrecord(relation)
 
     def rename_relation(self, from_rel: Relation, to_rel: Relation) -> None:
         with self._ddl_lock:

@@ -85,6 +85,9 @@ def _listify(v) -> list[str]:
 
 
 def load_project(project_root: str, overrides: dict | None = None) -> Project:
+    # absolute: a relative LOCATION in Spark DDL resolves against the
+    # Spark warehouse dir, not the cwd that df.write resolves against
+    project_root = os.path.abspath(project_root)
     path = os.path.join(project_root, "dbt_project.yml")
     raw: dict[str, Any] = {}
     if os.path.exists(path):
