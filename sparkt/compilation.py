@@ -34,11 +34,13 @@ def inject_ctes_into_sql(sql: str, ctes: list[tuple[str, str]]) -> str:
 
 
 class Compiler:
-    def __init__(self, project, manifest: Manifest, env, adapter=None):
+    def __init__(self, project, manifest: Manifest, env, adapter=None,
+                 cli_vars: dict | None = None):
         self.project = project
         self.manifest = manifest
         self.env = env
         self.adapter = adapter
+        self.cli_vars = cli_vars or {}
 
     # ------------------------------------------------------------------
     def relation_for(self, node: ParsedNode) -> Relation:
@@ -62,7 +64,7 @@ class Compiler:
         ref_overrides: dict[str, str] | None = None,
         is_incremental: bool = False,
     ) -> dict:
-        ctx = ctx_mod.base_context(self.project.vars)
+        ctx = ctx_mod.base_context(self.project.vars, self.cli_vars)
         this = self.relation_for(node)
         results_store: dict[str, object] = {}
 

@@ -1,0 +1,374 @@
+"""LLM-pipeline operator gate queries over documents/embeddings, with
+DuckDB oracles that reproduce the exact values (md5-hex hashing, same
+regex/token semantics, same rounding).
+
+The Spark side uses the library operators (sparkt.functions.*); the
+oracle side re-expresses them in DuckDB list-lambda SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkt.functions import dedup as D
+from sparkt.functions import similarity as S
+from sparkt.functions import text as TX
+from sparkt.sources import load_parquet
+
+
+def T(spark, sf_dir, name):
+    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sql_list(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# DuckDB fragments mirroring sparkt.functions.text
+_DK_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DK_SHINGLES_K3 = (
+    "list_distinct(list_transform("
+    "generate_series(0, greatest(len({toks}) - 3, 0)), "
+    "i -> array_to_string({toks}[i+1:i+3], ' ')))"
+).format(toks=_DK_TOKENS)
+
+
+# ------------------------------------------------------------------ t1
+def t1_token_stats(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+T1_SQL = f"""
+SELECT doc_id,
+       len({_DK_TOKENS}) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t != ''))
+            + (length(lower(text))
+               - length(regexp_replace(lower(text), '[a-z][0-9]', '', 'g'))) / 2
+            AS INT) AS n_subword_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ t2
+def t2_quality_scores(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_EN = _sql_list(TX.EN_STOPWORDS)
+T2_SQL = f"""
+SELECT doc_id,
+       len({_DK_TOKENS}) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
+             / greatest(len({_DK_TOKENS}), 1), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+             / greatest(len({_DK_TOKENS}), 1), 6) AS avg_token_len,
+       round(0.4 * least(len({_DK_TOKENS}) / 100.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / greatest(length(text), 1))
+             + 0.3 * (len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
+                      / greatest(len({_DK_TOKENS}), 1)), 6) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ t3
+def t3_lang_id(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.lang_id(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("detected_lang")
+    )
+
+
+_DE, _FR, _ES = (
+    _sql_list(TX.DE_STOPWORDS),
+    _sql_list(TX.FR_STOPWORDS),
+    _sql_list(TX.ES_STOPWORDS),
+)
+_CJK = TX.CJK_RANGE
+T3_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
+  FROM documents)
+SELECT detected_lang, count(*) AS n_docs FROM (
+  SELECT CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS detected_lang
+  FROM scored)
+GROUP BY detected_lang
+ORDER BY detected_lang
+"""
+
+
+# ------------------------------------------------------------------ d1
+def d1_exact_dedup(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs, "text", "doc_id")
+    return kept.select("doc_id", "fp").orderBy("doc_id")
+
+
+D1_SQL = """
+SELECT doc_id, fp FROM (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id ASC) AS rk
+  FROM documents)
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ d2
+def d2_minhash_signatures(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        D.minhash_table(docs, "text", "doc_id", n_hashes=4)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _dk_minhash(i: int) -> str:
+    return (
+        f"list_min(list_transform({_DK_SHINGLES_K3}, s -> md5('{i}|' || s)))"
+    )
+
+
+D2_SQL = f"""
+SELECT doc_id,
+       {_dk_minhash(0)} AS mh0,
+       {_dk_minhash(1)} AS mh1,
+       {_dk_minhash(2)} AS mh2,
+       {_dk_minhash(3)} AS mh3
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ d3
+def d3_minhash_pairs(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        D.minhash_candidate_pairs(docs, "text", "doc_id", n_hashes=8, n_bands=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+D3_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         [{", ".join(_dk_minhash(i) for i in range(8))}] AS sig
+  FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM sigs, unnest(generate_series(0, 3)) AS t(b))
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared_bands
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+ AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ d4
+def d4_simhash(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+_DK_SIMBIT = (
+    "CASE WHEN list_sum(list_transform({toks}, "
+    "t -> CASE WHEN substring(md5(t), {j}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 "
+    "THEN '1' ELSE '0' END"
+)
+D4_SQL = (
+    "SELECT doc_id, "
+    + " || ".join(_DK_SIMBIT.format(toks=_DK_TOKENS, j=j + 1) for j in range(16))
+    + " AS simhash FROM documents ORDER BY doc_id"
+)
+
+
+# ------------------------------------------------------------------ d5
+def d5_ngram_jaccard(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+D5_SQL = f"""
+WITH ex AS (
+  SELECT DISTINCT doc_id AS doc, s.sh
+  FROM documents, unnest({_DK_SHINGLES_K3}) AS s(sh)),
+sizes AS (SELECT doc, count(*) AS sz FROM ex GROUP BY doc),
+inter AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, count(*) AS inter
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc < r.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ s1
+def s1_cosine_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return S.cosine_topk(queries, corpus, k=5).orderBy("query_id", "rank")
+
+
+S1_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               4) AS cos
+  FROM q, c WHERE query_id != corpus_id)
+SELECT query_id, corpus_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, corpus_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------------ s2
+def s2_lsh_ann(spark, sf_dir):
+    """Approximate NN via sign-bit LSH buckets (scale path). Not
+    SQL-oracled: the driver records a rows-only check; accuracy is
+    asserted against brute force in tests/test_pipeline_ops.py."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return S.lsh_bucketed_topk(queries, corpus, dim=64, k=5, n_planes=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ------------------------------------------------------------------ s3
+def s3_label_centroids(spark, sf_dir):
+    """Vector aggregation: per-label centroid norms (embedding math as
+    grouped array aggregation)."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = 64
+    agg = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.sum(F.element_at("embedding", d + 1)).alias(f"__s{d}")
+            for d in range(dim)
+        ],
+    )
+    sq = None
+    for d in range(dim):
+        term = (F.col(f"__s{d}") / F.col("n_vecs")) ** 2
+        sq = term if sq is None else sq + term
+    return (
+        agg.withColumn("centroid_norm", F.round(F.sqrt(sq), 4))
+        .select("label", "n_vecs", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+_DK_DIM_SUMS = ", ".join(
+    f"sum(embedding[{d + 1}]::DOUBLE) AS s{d}" for d in range(64)
+)
+_DK_SQ_SUM = " + ".join(f"(s{d} / n_vecs) * (s{d} / n_vecs)" for d in range(64))
+S3_SQL = f"""
+SELECT label, n_vecs, round(sqrt({_DK_SQ_SUM}), 4) AS centroid_norm
+FROM (
+  SELECT label, count(*) AS n_vecs, {_DK_DIM_SUMS}
+  FROM embeddings GROUP BY label)
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "t1_token_stats": t1_token_stats,
+    "t2_quality_scores": t2_quality_scores,
+    "t3_lang_id": t3_lang_id,
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_minhash_signatures": d2_minhash_signatures,
+    "d3_minhash_pairs": d3_minhash_pairs,
+    "d4_simhash": d4_simhash,
+    "d5_ngram_jaccard": d5_ngram_jaccard,
+    "s1_cosine_topk": s1_cosine_topk,
+    "s2_lsh_ann": s2_lsh_ann,
+    "s3_label_centroids": s3_label_centroids,
+}
+
+ORACLES = {
+    "t1_token_stats": T1_SQL,
+    "t2_quality_scores": T2_SQL,
+    "t3_lang_id": T3_SQL,
+    "d1_exact_dedup": D1_SQL,
+    "d2_minhash_signatures": D2_SQL,
+    "d3_minhash_pairs": D3_SQL,
+    "d4_simhash": D4_SQL,
+    "d5_ngram_jaccard": D5_SQL,
+    "s1_cosine_topk": S1_SQL,
+    # s2_lsh_ann: intentionally no oracle (approximate operator)
+    "s3_label_centroids": S3_SQL,
+}

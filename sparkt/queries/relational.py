@@ -1,0 +1,702 @@
+"""Relational operator surface (SURVEY.md §2.5) over the TPC-H-ish
+testdata, expressed Spark-first with the DataFrame API.
+
+Each query is written so Catalyst gets a fully declarative plan:
+filters before joins (pushdown), explicit column pruning, broadcast
+hints on dimension tables, aggregates expressed with built-in
+functions only (whole-stage codegen; zero Python UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sparkt.sources import load_parquet
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ----------------------------------------------------------------- q1
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + wide grouped aggregation.
+    Map-side partial agg + 2-key shuffle; no joins."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1999-12-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------------------- q3
+def q3_top_orders(spark, sf_dir):
+    """Join + group + order/limit. Dimension filter pushed below the
+    fact join; customer side broadcast."""
+    cust = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- q4
+def q4_order_priority(spark, sf_dir):
+    """EXISTS correlated subquery → left-semi join."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.filter(F.col("l_shipdate") > "1998-06-01").select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------------------- q5
+def q5_region_revenue(spark, sf_dir):
+    """Multi-way star join: fact joined to 4 broadcast dims."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ----------------------------------------------------------------- q6
+def q6_revenue_forecast(spark, sf_dir):
+    """Pure scan + selective filter + single agg (pushdown showcase:
+    only 4 columns reach the scan)."""
+    li = T(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return out
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ----------------------------------------------------------------- q7
+def q7_customer_order_ranks(spark, sf_dir):
+    """Window: row_number per customer, top-3 orders by value."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rk",
+        )
+        .orderBy("o_custkey", "rk")
+    )
+
+
+Q7_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# ----------------------------------------------------------------- q8
+def q8_order_gaps(spark, sf_dir):
+    """lead/lag + datediff: days between consecutive orders per
+    customer (the snapshot-validity window shape,
+    simple_snapshot/fixtures.py:138-148)."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn("seq", F.row_number().over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "seq",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).alias("gap_days"),
+        )
+        .orderBy("o_custkey", "seq")
+    )
+
+
+Q8_SQL = """
+SELECT o_custkey, o_orderkey, seq,
+       datediff('day', prev_date, o_orderdate) AS gap_days
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev_date,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS seq
+  FROM orders)
+WHERE prev_date IS NOT NULL
+ORDER BY o_custkey, seq
+"""
+
+
+# ----------------------------------------------------------------- q9
+def q9_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics."""
+    orders = T(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).withColumn("category", F.lit("both"))
+    only95 = y95.exceptAll(y96).distinct().subtract(both.select("o_custkey")) \
+        .withColumn("category", F.lit("only_1995"))
+    return both.unionByName(only95).select("category", "o_custkey") \
+        .orderBy("category", "o_custkey")
+
+
+Q9_SQL = """
+WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     both_y AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+SELECT 'both' AS category, o_custkey FROM both_y
+UNION ALL
+SELECT 'only_1995' AS category, o_custkey FROM
+  (SELECT DISTINCT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+ORDER BY category, o_custkey
+"""
+
+
+# ---------------------------------------------------------------- q10
+def q10_status_pivot(spark, sf_dir):
+    """Manual pivot via sum(case ...) — the jaffle-shop orders pattern
+    (tests/fixtures/jaffle_shop.py:orders_sql)."""
+    orders = T(spark, sf_dir, "orders")
+    aggs = [
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            2,
+        ).alias(f"total_{s.lower()}")
+        for s in ("O", "F", "P")
+    ]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(*aggs, F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q10_SQL = """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS total_o,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS total_f,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 2) AS total_p,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- q11
+def q11_distinct_counts(spark, sf_dir):
+    """count(distinct) + dropDuplicates shapes."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q11_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- q12
+def q12_parts_having(spark, sf_dir):
+    """HAVING clause (the `unique` generic-test shape: group + having
+    count > 1, SURVEY.md §2.5)."""
+    part = T(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .filter(F.col("n_parts") > 5)
+        .orderBy("p_brand")
+    )
+
+
+Q12_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+GROUP BY p_brand
+HAVING count(*) > 5
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------- q13
+def q13_customers_no_orders(spark, sf_dir):
+    """NOT IN → null-aware anti join (the incremental-predicate shape,
+    incremental_schema_tests/fixtures.py:74-80)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    ).select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q13_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------- q14
+def q14_scalar_functions(spark, sf_dir):
+    """Scalar-function surface: string/date/hash/conditional
+    (SURVEY.md §2.5 scalar fns; md5 is the dbt_scd_id hash)."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return orders.select(
+        "o_orderkey",
+        F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("?")).alias("status"),
+        F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                          F.col("o_orderstatus"))).alias("row_hash"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("bucket"),
+    ).orderBy("o_orderkey")
+
+
+Q14_SQL = """
+SELECT o_orderkey,
+       concat('order-', CAST(o_orderkey AS VARCHAR)) AS tag,
+       upper(o_orderpriority) AS prio_upper,
+       substring(o_orderpriority, 1, 1) AS prio_code,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       coalesce(o_orderstatus, '?') AS status,
+       md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS row_hash,
+       round(o_totalprice * 1.1, 2) AS price_with_tax,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------- q15
+def q15_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP (free via Spark SQL, SURVEY.md §2.5)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+Q15_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- q16
+def q16_events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation over the event stream table (batch
+    form of the streaming windowed agg; ns timestamps repaired by the
+    source layer)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+Q16_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------- q17
+def q17_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session assignment via lag + running
+    sum (batch analogue of streaming session windows)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.unix_micros("ts") - F.col("prev_us")) > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("sess_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q17_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         lag(epoch_us(ts)) OVER w AS prev_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------- q18
+def q18_above_brand_avg(spark, sf_dir):
+    """Correlated-subquery shape via window average."""
+    part = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg") * 1.05)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q18_SQL = """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part)
+WHERE p_retailprice > brand_avg * 1.05
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------- q19
+def q19_topk_suppliers(spark, sf_dir):
+    """dense_rank top-2 per nation + join to names."""
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supp.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", "s_suppkey", "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"), "rk",
+        )
+        .orderBy("n_name", "rk", "s_suppkey")
+    )
+
+
+Q19_SQL = """
+SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal, rk
+FROM (
+  SELECT *, dense_rank() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+  FROM supplier)
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk <= 2
+ORDER BY n_name, rk, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------- q20
+def q20_priority_share(spark, sf_dir):
+    """Ratio-to-total via window sum over an aggregate."""
+    orders = T(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("prio_total")
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("prio_total", 2).alias("total"),
+        F.round(
+            F.col("prio_total") / F.sum("prio_total").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    ).orderBy("o_orderpriority")
+
+
+Q20_SQL = """
+SELECT o_orderpriority, round(prio_total, 2) AS total,
+       round(prio_total / sum(prio_total) OVER (), 6) AS share
+FROM (
+  SELECT o_orderpriority, sum(o_totalprice) AS prio_total
+  FROM orders GROUP BY o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- q21
+def q21_json_extract(spark, sf_dir):
+    """Semi-structured: JSON extraction from the events props column."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q21_SQL = """
+SELECT event_type, count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q4_order_priority": q4_order_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q7_customer_order_ranks": q7_customer_order_ranks,
+    "q8_order_gaps": q8_order_gaps,
+    "q9_set_ops": q9_set_ops,
+    "q10_status_pivot": q10_status_pivot,
+    "q11_distinct_counts": q11_distinct_counts,
+    "q12_parts_having": q12_parts_having,
+    "q13_customers_no_orders": q13_customers_no_orders,
+    "q14_scalar_functions": q14_scalar_functions,
+    "q15_rollup": q15_rollup,
+    "q16_events_hourly": q16_events_hourly,
+    "q17_sessionize": q17_sessionize,
+    "q18_above_brand_avg": q18_above_brand_avg,
+    "q19_topk_suppliers": q19_topk_suppliers,
+    "q20_priority_share": q20_priority_share,
+    "q21_json_extract": q21_json_extract,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "q6_revenue_forecast": Q6_SQL,
+    "q7_customer_order_ranks": Q7_SQL,
+    "q8_order_gaps": Q8_SQL,
+    "q9_set_ops": Q9_SQL,
+    "q10_status_pivot": Q10_SQL,
+    "q11_distinct_counts": Q11_SQL,
+    "q12_parts_having": Q12_SQL,
+    "q13_customers_no_orders": Q13_SQL,
+    "q14_scalar_functions": Q14_SQL,
+    "q15_rollup": Q15_SQL,
+    "q16_events_hourly": Q16_SQL,
+    "q17_sessionize": Q17_SQL,
+    "q18_above_brand_avg": Q18_SQL,
+    "q19_topk_suppliers": Q19_SQL,
+    "q20_priority_share": Q20_SQL,
+    "q21_json_extract": Q21_SQL,
+}

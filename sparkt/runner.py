@@ -97,7 +97,8 @@ class Runner:
         self.loader = ManifestLoader(self.project, self.cli_vars)
         self.manifest: Manifest = self.loader.load()
         self.compiler = Compiler(
-            self.project, self.manifest, self.loader.env, self.adapter
+            self.project, self.manifest, self.loader.env, self.adapter,
+            cli_vars=self.cli_vars,
         )
         os.makedirs(self.project.target_dir, exist_ok=True)
         os.makedirs(os.path.join(self.project.target_dir, "compiled"), exist_ok=True)

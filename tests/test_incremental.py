@@ -1,0 +1,169 @@
+"""Incremental materialization semantics (reference:
+tests/functional/basic/test_simple_reference.py:27-39 and
+tests/functional/incremental_schema_tests/)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _users_csv(n, start=1):
+    rows = ["id,name,batch\n"]
+    for i in range(start, start + n):
+        rows.append(f"{i},user{i},{1 if i <= 100 else 2}\n")
+    return "".join(rows)
+
+
+BASE = {
+    "dbt_project.yml": "name: incr\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/users.csv": _users_csv(100),
+}
+
+
+def test_incremental_append(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_append.sql"] = (
+        "{{ config(materialized='incremental') }}\n"
+        "select id, name from {{ ref('users') }}\n"
+        "{% if is_incremental() %}"
+        "where id > (select max(id) from {{ this }})"
+        "{% endif %}"
+    )
+    runner = make_project(files, schema="t_incr_a")
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_incr_a.incr_append").count() == 100
+    # append 100 more rows to the seed, rerun
+    import os
+
+    with open(os.path.join(runner.project.project_root, "seeds/users.csv"), "w") as f:
+        f.write(_users_csv(200))
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_incr_a.incr_append").count() == 200
+    # no duplicates
+    assert (
+        spark.table("t_incr_a.incr_append").select("id").distinct().count() == 200
+    )
+
+
+def test_incremental_merge_updates(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_merge.sql"] = (
+        "{{ config(materialized='incremental', unique_key='id', "
+        "incremental_strategy='merge') }}\n"
+        "select id, name, '{{ var('tag', 'v1') }}' as version "
+        "from {{ ref('users') }}"
+    )
+    runner = make_project(files, schema="t_incr_m")
+    assert runner.seed().ok
+    assert runner.run().ok
+    t = spark.table("t_incr_m.incr_merge")
+    assert t.count() == 100
+    assert t.filter("version = 'v1'").count() == 100
+    # second run with changed var: all rows replaced (merge on key)
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root,
+        spark=spark,
+        cli_vars={"tag": "v2"},
+        project_overrides={"schema": "t_incr_m"},
+    )
+    assert runner2.run().ok
+    t = spark.table("t_incr_m.incr_merge")
+    assert t.count() == 100
+    assert t.filter("version = 'v2'").count() == 100
+
+
+def test_incremental_full_refresh(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_fr.sql"] = (
+        "{{ config(materialized='incremental') }}\n"
+        "select id from {{ ref('users') }}\n"
+        "{% if is_incremental() %}where 1 = 0{% endif %}"
+    )
+    runner = make_project(files, schema="t_incr_fr")
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert runner.run().ok  # incremental: adds nothing
+    assert spark.table("t_incr_fr.incr_fr").count() == 100
+    assert runner.run(full_refresh=True).ok
+    assert spark.table("t_incr_fr.incr_fr").count() == 100
+
+
+def test_on_schema_change_fail(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_sc.sql"] = (
+        "{{ config(materialized='incremental', unique_key='id', "
+        "on_schema_change='fail') }}\n"
+        "select id, name{{ ', batch as extra' if var('wide', false) else '' }} "
+        "from {{ ref('users') }}"
+    )
+    runner = make_project(files, schema="t_incr_sc")
+    assert runner.seed().ok
+    assert runner.run().ok
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root,
+        spark=spark,
+        cli_vars={"wide": True},
+        project_overrides={"schema": "t_incr_sc"},
+    )
+    res = runner2.run()
+    assert not res.ok
+    assert "on_schema_change" in res.results[0].message
+
+
+def test_on_schema_change_append_new_columns(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_anc.sql"] = (
+        "{{ config(materialized='incremental', unique_key='id', "
+        "on_schema_change='append_new_columns') }}\n"
+        "select id, name{{ ', batch as extra' if var('wide', false) else '' }} "
+        "from {{ ref('users') }}"
+    )
+    runner = make_project(files, schema="t_incr_anc")
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert "extra" not in spark.table("t_incr_anc.incr_anc").columns
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root,
+        spark=spark,
+        cli_vars={"wide": True},
+        project_overrides={"schema": "t_incr_anc"},
+    )
+    assert runner2.run().ok
+    t = spark.table("t_incr_anc.incr_anc")
+    assert "extra" in t.columns
+    assert t.count() == 100
+    assert t.filter("extra is not null").count() == 100
+
+
+def test_insert_overwrite_partitions(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_io.sql"] = (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='batch') }}\n"
+        "select id, name, batch from {{ ref('users') }}\n"
+        "{% if is_incremental() %}where batch = 2{% endif %}"
+    )
+    runner = make_project(files, schema="t_incr_io")
+    import os
+
+    with open(os.path.join(runner.project.project_root, "seeds/users.csv"), "w") as f:
+        f.write(_users_csv(150))
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_incr_io.incr_io").count() == 150
+    # grow batch 2; rerun only overwrites partition 2
+    with open(os.path.join(runner.project.project_root, "seeds/users.csv"), "w") as f:
+        f.write(_users_csv(200))
+    assert runner.seed().ok
+    assert runner.run().ok
+    t = spark.table("t_incr_io.incr_io")
+    assert t.filter("batch = 1").count() == 100
+    assert t.filter("batch = 2").count() == 100
