@@ -35,12 +35,13 @@ def inject_ctes_into_sql(sql: str, ctes: list[tuple[str, str]]) -> str:
 
 class Compiler:
     def __init__(self, project, manifest: Manifest, env, adapter=None,
-                 cli_vars: dict | None = None):
+                 cli_vars: dict | None = None, macro_templates=None):
         self.project = project
         self.manifest = manifest
         self.env = env
         self.adapter = adapter
         self.cli_vars = cli_vars or {}
+        self.macro_templates = macro_templates or []
 
     # ------------------------------------------------------------------
     def relation_for(self, node: ParsedNode) -> Relation:
@@ -132,8 +133,10 @@ class Compiler:
                 "store_result": store_result,
                 "load_result": load_result,
                 "_submit_statement": _submit_statement,
+                # facade resolves dispatch against the live ctx dict
+                # (macros bound below)
                 "adapter": (
-                    ctx_mod.RuntimeAdapterFacade(self.adapter, self.env)
+                    ctx_mod.RuntimeAdapterFacade(self.adapter, ctx)
                     if self.adapter
                     else ctx_mod._ParseAdapter()
                 ),
@@ -160,6 +163,7 @@ class Compiler:
                 },
             }
         )
+        ctx_mod.bind_macros(self.macro_templates, ctx)
         return ctx
 
     # ------------------------------------------------------------------

@@ -85,31 +85,44 @@ def build_environment() -> jinja2.Environment:
     return env
 
 
-def load_macros_into_env(env: jinja2.Environment, sources: list[str]) -> dict:
-    """Compile macro source files and expose every macro as a global.
-
-    Jinja macros resolve free names dynamically against the shared
-    globals dict, so cross-macro calls work regardless of load order —
-    same effect as the reference's per-package macro namespaces
-    (``core/dbt/context/providers.py:114-213``) flattened to one
-    namespace with ``spark__``/``default__`` dispatch prefixes.
-    """
-    found: dict[str, Any] = {}
+def load_macro_templates(
+    env: jinja2.Environment, sources: list[str]
+) -> list[jinja2.Template]:
+    """Compile macro source files once; binding to a context happens
+    per render via :func:`bind_macros`."""
+    templates = []
     for src in sources:
         try:
-            tmpl = env.from_string(src)
+            templates.append(env.from_string(src))
         except jinja2.TemplateSyntaxError as e:
             raise ParsingError(f"macro syntax error: {e}") from e
-        module = tmpl.make_module(vars={}, shared=True)
+    return templates
+
+
+def bind_macros(
+    templates: list[jinja2.Template], ctx: dict[str, Any]
+) -> dict[str, Any]:
+    """Instantiate every macro against ``ctx`` and add it to ``ctx``.
+
+    Jinja macro modules capture their name-resolution dict at module
+    creation, so macros must be re-instantiated per render context for
+    ``ref``/``run_query``/``this`` inside macro bodies to see the
+    node's runtime state — the reference's MacroGenerator does exactly
+    this per call (``core/dbt/clients/jinja.py``). ``shared=True``
+    makes the module resolve names against the *live* ctx dict, so
+    cross-macro calls work regardless of load order (flattened
+    namespace with ``spark__``/``default__`` dispatch prefixes,
+    ``core/dbt/context/providers.py:114-213``).
+    """
+    for tmpl in templates:
+        module = tmpl.make_module(vars=ctx, shared=True)
         for name in dir(module):
             if name.startswith("_"):
                 continue
             obj = getattr(module, name)
             if isinstance(obj, jinja2.runtime.Macro):
-                wrapped = _wrap_macro(obj)
-                env.globals[name] = wrapped
-                found[name] = wrapped
-    return found
+                ctx[name] = _wrap_macro(obj)
+    return ctx
 
 
 # --------------------------------------------------------------------------
@@ -319,15 +332,18 @@ class RuntimeConfigGetter:
 
 class RuntimeAdapterFacade:
     """The ``adapter.*`` Jinja object (``providers.py:114-213``):
-    dispatch + the SQL-helper methods macros commonly call."""
+    dispatch + the SQL-helper methods macros commonly call.
 
-    def __init__(self, adapter, env: jinja2.Environment):
+    ``macros`` is the live render context dict (macros are bound into
+    it by :func:`bind_macros`)."""
+
+    def __init__(self, adapter, macros: dict):
         self._adapter = adapter
-        self._env = env
+        self._macros = macros
 
     def dispatch(self, macro_name, macro_namespace=None):
         for candidate in (f"spark__{macro_name}", f"default__{macro_name}", macro_name):
-            fn = self._env.globals.get(candidate)
+            fn = self._macros.get(candidate)
             if fn is not None:
                 return fn
         raise CompilationError(f"dispatch: no macro named {macro_name}")

@@ -42,6 +42,7 @@ class ManifestLoader:
         self.project = project
         self.cli_vars = cli_vars or {}
         self.env = ctx_mod.build_environment()
+        self.macro_templates = []
         self.manifest = Manifest()
 
     # ------------------------------------------------------------------
@@ -67,7 +68,7 @@ class ManifestLoader:
                 src = f.read()
             self.manifest.macros[rel] = src
             sources.append(src)
-        ctx_mod.load_macros_into_env(self.env, sources)
+        self.macro_templates = ctx_mod.load_macro_templates(self.env, sources)
 
     # ------------------------------------------------------------- models
     def _parse_sql_node(
@@ -78,6 +79,7 @@ class ManifestLoader:
         pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
             self.project.vars, self.cli_vars
         )
+        ctx_mod.bind_macros(self.macro_templates, pctx)
         try:
             self.env.from_string(raw).render(**pctx)
         except Exception:
@@ -297,8 +299,17 @@ class ManifestLoader:
         for v in kwargs.values():
             parts.append(re.sub(r"\W+", "_", str(v))[:30])
         name = "_".join(parts)
+        def render_kwarg(v):
+            # dbt evaluates ref()/source() kwarg values as Jinja
+            # expressions (relationships' `to:`), not string literals
+            if isinstance(v, str) and re.match(
+                r"^\s*(ref|source)\(.*\)\s*$", v
+            ):
+                return v
+            return repr(v)
+
         kw_render = ", ".join(
-            f"{k}={v!r}" for k, v in kwargs.items()
+            f"{k}={render_kwarg(v)}" for k, v in kwargs.items()
         )
         where = config.get("where")
         model_expr = (

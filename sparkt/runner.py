@@ -99,6 +99,7 @@ class Runner:
         self.compiler = Compiler(
             self.project, self.manifest, self.loader.env, self.adapter,
             cli_vars=self.cli_vars,
+            macro_templates=self.loader.macro_templates,
         )
         os.makedirs(self.project.target_dir, exist_ok=True)
         os.makedirs(os.path.join(self.project.target_dir, "compiled"), exist_ok=True)
@@ -357,9 +358,6 @@ class Runner:
 
     def run_operation(self, macro_name: str, args: dict | None = None):
         """``dbt run-operation`` (``core/dbt/task/run_operation.py``)."""
-        fn = self.loader.env.globals.get(macro_name)
-        if fn is None:
-            raise ValueError(f"no macro named '{macro_name}'")
         dummy = ParsedNode(
             unique_id=f"operation.{self.project.name}.{macro_name}",
             name=macro_name,
@@ -368,15 +366,10 @@ class Runner:
             raw_code="",
         )
         ctx = self.compiler.runtime_context(dummy, extra_ctes=[])
-        # macros resolve context names dynamically via env.globals; bind
-        # the runtime context for the duration of the call
-        saved = dict(self.loader.env.globals)
-        try:
-            self.loader.env.globals.update(ctx)
-            return fn(**(args or {}))
-        finally:
-            self.loader.env.globals.clear()
-            self.loader.env.globals.update(saved)
+        fn = ctx.get(macro_name)
+        if fn is None:
+            raise ValueError(f"no macro named '{macro_name}'")
+        return fn(**(args or {}))
 
     def source_freshness(self) -> list[dict]:
         """``dbt source freshness`` (``core/dbt/task/freshness.py``)."""

@@ -1,0 +1,146 @@
+"""Data-test + unit-test materializations (reference:
+core/dbt/task/test.py:126-255; tests/functional/schema_tests/,
+tests/functional/unit_testing/fixtures.py)."""
+
+from __future__ import annotations
+
+FILES = {
+    "dbt_project.yml": "name: tst\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/users.csv": (
+        "id,email,status\n1,a@x.com,active\n2,b@x.com,active\n"
+        "3,,inactive\n4,d@x.com,unknown\n4,dd@x.com,active\n"
+    ),
+    "models/clean_users.sql": "select * from {{ ref('users') }}",
+    "models/schema.yml": """
+version: 2
+models:
+  - name: clean_users
+    columns:
+      - name: id
+        data_tests:
+          - unique
+          - not_null
+      - name: email
+        data_tests:
+          - not_null:
+              severity: warn
+      - name: status
+        data_tests:
+          - accepted_values:
+              values: [active, inactive]
+              config: {severity: warn}
+""",
+}
+
+
+def test_generic_tests_statuses(make_project, spark):
+    runner = make_project(FILES, schema="t_tests")
+    assert runner.seed().ok
+    assert runner.run().ok
+    res = runner.test()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    uniq = next(v for k, v in by_name.items() if k.startswith("unique"))
+    assert uniq.status == "fail" and uniq.failures == 1  # id=4 duplicated
+    nn_id = by_name["not_null_clean_users_id"]
+    assert nn_id.status == "pass"
+    nn_email = by_name["not_null_clean_users_email"]
+    assert nn_email.status == "warn" and nn_email.failures == 1
+    acc = next(v for k, v in by_name.items() if k.startswith("accepted_values"))
+    assert acc.status == "warn" and acc.failures == 1  # 'unknown'
+
+
+def test_singular_test_and_store_failures(make_project, spark):
+    files = dict(FILES)
+    files["tests/dup_emails.sql"] = (
+        "{{ config(store_failures=true) }}\n"
+        "select email, count(*) as n from {{ ref('clean_users') }} "
+        "where email is not null group by email having count(*) > 1"
+    )
+    runner = make_project(files, schema="t_tests_sf")
+    assert runner.seed().ok
+    assert runner.run().ok
+    res = runner.test(select="dup_emails")
+    assert res.results[0].status == "pass"
+    # audit table exists even when passing (reference stores the query)
+    assert spark.catalog.tableExists("t_tests_sf_dbt_test__audit.dup_emails")
+
+
+def test_relationships(make_project, spark):
+    files = {
+        "dbt_project.yml": "name: rel\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/parents.csv": "id\n1\n2\n",
+        "seeds/children.csv": "id,parent_id\n10,1\n11,2\n12,3\n",
+        "models/kids.sql": "select * from {{ ref('children') }}",
+        "models/schema.yml": """
+version: 2
+models:
+  - name: kids
+    columns:
+      - name: parent_id
+        data_tests:
+          - relationships:
+              to: ref('parents')
+              field: id
+""",
+    }
+    runner = make_project(files, schema="t_rel")
+    assert runner.seed().ok
+    assert runner.run().ok
+    res = runner.test()
+    assert res.results[0].status == "fail"  # parent_id=3 missing
+    assert res.results[0].failures == 1
+
+
+def test_unit_test(make_project, spark):
+    files = {
+        "dbt_project.yml": "name: ut\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/model_a.csv": "id,a\n1,10\n2,20\n",
+        "seeds/model_b.csv": "id,b\n1,100\n2,200\n",
+        "models/joined.sql": (
+            "select a.id, a.a + b.b as c from {{ ref('model_a') }} a "
+            "join {{ ref('model_b') }} b on a.id = b.id"
+        ),
+        "models/schema.yml": """
+version: 2
+unit_tests:
+  - name: ut_joined_sums
+    model: joined
+    given:
+      - input: ref('model_a')
+        rows:
+          - {id: 1, a: 1}
+          - {id: 2, a: 2}
+      - input: ref('model_b')
+        rows:
+          - {id: 1, b: 2}
+    expect:
+      rows:
+        - {id: 1, c: 3}
+  - name: ut_joined_empty
+    model: joined
+    given:
+      - input: ref('model_a')
+        rows: []
+      - input: ref('model_b')
+        rows: []
+    expect:
+      rows: []
+  - name: ut_joined_wrong
+    model: joined
+    given:
+      - input: ref('model_a')
+        rows: [{id: 1, a: 1}]
+      - input: ref('model_b')
+        rows: [{id: 1, b: 1}]
+    expect:
+      rows: [{id: 1, c: 999}]
+""",
+    }
+    runner = make_project(files, schema="t_ut")
+    assert runner.seed().ok
+    assert runner.run().ok
+    res = runner.test()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    assert by_name["ut_joined_sums"].status == "pass"
+    assert by_name["ut_joined_empty"].status == "pass"
+    assert by_name["ut_joined_wrong"].status == "fail"
