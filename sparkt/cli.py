@@ -55,11 +55,15 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
     def cmd(project_dir, select, exclude, threads, vars_, **kw):
         runner = _mk_runner(project_dir, vars_)
         fn = getattr(runner, name)
-        kwargs = dict(select=select, exclude=exclude, threads=threads)
+        kwargs = dict(select=select, exclude=exclude, threads=threads,
+                      state=kw.get("state"), defer=kw.get("defer", False))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
         _report(fn(**kwargs))
 
+    cmd = click.option("--state", default=None,
+                       help="path to a previous target/ for state: selectors")(cmd)
+    cmd = click.option("--defer", "defer", is_flag=True, default=False)(cmd)
     if full_refresh_opt:
         cmd = click.option("--full-refresh", is_flag=True, default=False)(cmd)
     return cli.command(name)(cmd)
@@ -110,6 +114,33 @@ def source_freshness(project_dir):
     runner = Runner(project_dir)
     for row in runner.source_freshness():
         click.echo(json.dumps(row))
+
+
+@cli.command()
+@click.option("--project-dir", default=".")
+@click.option("--select", "-s", default=None)
+@click.option("--state", default=None)
+def retry(project_dir, select, state):
+    runner = Runner(project_dir)
+    _report(runner.retry())
+
+
+@cli.command()
+@click.option("--project-dir", default=".")
+@click.option("--select", "-s", default=None)
+@click.option("--state", required=True)
+def clone(project_dir, select, state):
+    runner = Runner(project_dir)
+    for rel in runner.clone(state=state, select=select):
+        click.echo(f"cloned {rel}")
+
+
+@cli.command("docs-generate")
+@click.option("--project-dir", default=".")
+def docs_generate(project_dir):
+    runner = Runner(project_dir)
+    cat = runner.docs_generate()
+    click.echo(f"catalog: {len(cat['nodes'])} relations -> target/catalog.json")
 
 
 @cli.command("ls")

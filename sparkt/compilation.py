@@ -42,6 +42,10 @@ class Compiler:
         self.adapter = adapter
         self.cli_vars = cli_vars or {}
         self.macro_templates = macro_templates or []
+        # defer/state: unbuilt refs resolve to the state manifest's
+        # relations (providers.py:548-573, favor-state semantics with
+        # cache-miss fallback)
+        self.defer_state = None
 
     # ------------------------------------------------------------------
     def relation_for(self, node: ParsedNode) -> Relation:
@@ -80,7 +84,16 @@ class Compiler:
                 cte_name = Relation.add_ephemeral_prefix(target.name)
                 self._add_ephemeral_cte(target, cte_name, extra_ctes, ref_overrides)
                 return cte_name
-            return self.relation_for(target).render()
+            rel = self.relation_for(target)
+            if (
+                self.defer_state is not None
+                and self.adapter is not None
+                and not self.adapter.relation_exists(rel)
+            ):
+                deferred = self.defer_state.relation_name(target.unique_id)
+                if deferred:
+                    return deferred
+            return rel.render()
 
         def source(source_name, table_name):
             key = f"source:{source_name}.{table_name}"

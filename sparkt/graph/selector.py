@@ -27,11 +27,27 @@ _SPEC_RE = re.compile(
 )
 
 
-def _method_match(manifest: Manifest, raw: str) -> set[str]:
+def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
     if ":" in raw:
         method, _, value = raw.partition(":")
     else:
         method, value = "fqn", raw
+    if method == "state":
+        from sparkt import state as state_mod
+
+        if state is None:
+            return set()
+        base = value.split(".")[0]  # modified[.body/.configs] collapse
+        if base == "modified":
+            return state_mod.modified_nodes(manifest, state)
+        if base == "new":
+            return state_mod.new_nodes(manifest, state)
+        if base == "unmodified":
+            return set(manifest.nodes) - state_mod.modified_nodes(manifest, state)
+        return set()
+    if method == "result":
+        results = state if isinstance(state, dict) else {}
+        return {uid for uid, st in results.items() if st == value}
     out: set[str] = set()
     for uid, node in manifest.all_nodes().items():
         if method == "fqn":
@@ -62,11 +78,12 @@ def _method_match(manifest: Manifest, raw: str) -> set[str]:
     return out
 
 
-def _expand_spec(graph: nx.DiGraph, manifest: Manifest, spec: str) -> set[str]:
+def _expand_spec(graph: nx.DiGraph, manifest: Manifest, spec: str,
+                 state=None) -> set[str]:
     m = _SPEC_RE.match(spec.strip())
     if not m:
         return set()
-    base = _method_match(manifest, m.group("value"))
+    base = _method_match(manifest, m.group("value"), state=state)
     out = set(base)
     if m.group("parents"):
         depth = m.group("parents_depth")
@@ -120,6 +137,7 @@ def select_nodes(
     manifest: Manifest,
     select: str | list[str] | None = None,
     exclude: str | list[str] | None = None,
+    state=None,
 ) -> set[str]:
     all_ids = set(manifest.all_nodes())
     if select is None or select == []:
@@ -131,11 +149,11 @@ def select_nodes(
             inter_parts = union_part.split(",")  # comma = intersection
             acc: set[str] | None = None
             for part in inter_parts:
-                s = _expand_spec(graph, manifest, part)
+                s = _expand_spec(graph, manifest, part, state=state)
                 acc = s if acc is None else (acc & s)
             selected |= acc or set()
     if exclude:
         specs = exclude.split() if isinstance(exclude, str) else list(exclude)
         for spec in specs:
-            selected -= _expand_spec(graph, manifest, spec)
+            selected -= _expand_spec(graph, manifest, spec, state=state)
     return selected & all_ids

@@ -58,6 +58,7 @@ def unique_key_list(node: ParsedNode) -> list[str]:
 # import for side-effect registration
 from sparkt.materializations import (  # noqa: E402,F401
     incremental,
+    materialized_view,
     seed,
     snapshot,
     table,

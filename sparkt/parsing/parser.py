@@ -46,8 +46,31 @@ class ManifestLoader:
         self.manifest = Manifest()
 
     # ------------------------------------------------------------------
-    def load(self) -> Manifest:
+    def load(self, partial: bool = True) -> Manifest:
+        """Full parse, or reuse of the cached parse when no project file
+        changed (coarse-grained analogue of the reference's partial
+        parsing, ``core/dbt/parser/partial.py`` + the
+        ``partial_parse.msgpack`` gate ``parser/manifest.py:330-362``;
+        pickle instead of msgpack, whole-manifest granularity)."""
         self._load_macros()
+        hashes = self._file_hashes()
+        cache_path = os.path.join(
+            self.project.target_dir, "partial_parse.pickle"
+        )
+        if partial and os.path.exists(cache_path):
+            import pickle
+
+            try:
+                with open(cache_path, "rb") as f:
+                    stored = pickle.load(f)
+                if stored.get("hashes") == hashes and stored.get("vars") == (
+                    self.project.vars,
+                    self.cli_vars,
+                ):
+                    self.manifest = stored["manifest"]
+                    return self.manifest
+            except Exception:  # noqa: BLE001 — stale/corrupt cache
+                pass
         self._parse_models()
         self._parse_seeds()
         self._parse_snapshots()
@@ -56,7 +79,47 @@ class ManifestLoader:
         self._parse_analyses()
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
+        try:
+            import pickle
+
+            os.makedirs(self.project.target_dir, exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(
+                    {
+                        "hashes": hashes,
+                        "vars": (self.project.vars, self.cli_vars),
+                        "manifest": self.manifest,
+                    },
+                    f,
+                )
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
         return self.manifest
+
+    def _file_hashes(self) -> dict[str, str]:
+        import hashlib
+
+        hashes: dict[str, str] = {}
+        all_paths = (
+            self.project.model_paths
+            + self.project.seed_paths
+            + self.project.snapshot_paths
+            + self.project.test_paths
+            + self.project.macro_paths
+            + self.project.analysis_paths
+        )
+        for full, rel in _walk(
+            self.project.project_root, all_paths,
+            (".sql", ".py", ".csv", ".yml", ".yaml"),
+        ):
+            with open(full, "rb") as f:
+                hashes[full] = hashlib.md5(f.read()).hexdigest()
+        for name in ("dbt_project.yml", "profiles.yml"):
+            p = os.path.join(self.project.project_root, name)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    hashes[p] = hashlib.md5(f.read()).hexdigest()
+        return hashes
 
     # ------------------------------------------------------------- macros
     def _load_macros(self) -> None:

@@ -216,11 +216,25 @@ class Runner:
         exclude: str | None = None,
         full_refresh: bool = False,
         threads: int | None = None,
+        state: str | None = None,
+        defer: bool = False,
+        only_uids: set | None = None,
     ) -> RunResults:
         t0 = time.time()
+        state_manifest = None
+        if state is not None:
+            from sparkt.state import StateManifest
+
+            state_manifest = StateManifest(state)
+            if defer:
+                self.compiler.defer_state = state_manifest
         self.register_sources()
         graph = link_graph(self.manifest, add_test_edges=(which == "build"))
-        selected = select_nodes(graph, self.manifest, select, exclude)
+        selected = select_nodes(
+            graph, self.manifest, select, exclude, state=state_manifest
+        )
+        if only_uids is not None:
+            selected &= only_uids
         to_run = {uid for uid in selected if self._executable(uid, which)}
         # upstream non-selected nodes are not executed but must not gate
         # the queue: restrict the queue graph to selected executables,
@@ -310,6 +324,79 @@ class Runner:
 
     def build(self, **kw) -> RunResults:
         return self.execute_nodes(which="build", **kw)
+
+    def retry(self, **kw) -> RunResults:
+        """Re-run only non-successful nodes from the previous invocation
+        (``core/dbt/task/retry.py``)."""
+        from sparkt.state import retry_candidates
+
+        path = os.path.join(self.project.target_dir, "run_results.json")
+        if not os.path.exists(path):
+            return self.build(**kw)
+        bad = retry_candidates(path)
+        if not bad:
+            return RunResults(results=[], elapsed=0.0,
+                              generated_at=datetime.now(timezone.utc).isoformat())
+        return self.execute_nodes(which="build", only_uids=bad, **kw)
+
+    def clone(self, state: str, select: str | None = None) -> list[str]:
+        """Copy relations recorded in a --state manifest into this
+        target schema (``core/dbt/task/clone.py:18-126``; CTAS instead
+        of Delta SHALLOW CLONE on plain parquet)."""
+        from sparkt.state import StateManifest
+
+        sm = StateManifest(state)
+        graph = link_graph(self.manifest)
+        selected = select_nodes(graph, self.manifest, select, state=sm)
+        cloned = []
+        for uid in sorted(selected):
+            node = self.manifest.nodes.get(uid)
+            if node is None or node.resource_type not in ("model", "seed", "snapshot"):
+                continue
+            src_name = sm.relation_name(uid)
+            if not src_name:
+                continue
+            target_rel = self.compiler.relation_for(node)
+            if src_name == target_rel.render():
+                continue
+            self.adapter.create_table_as(
+                target_rel, select_sql=f"SELECT * FROM {src_name}"
+            )
+            cloned.append(target_rel.render())
+        return cloned
+
+    def docs_generate(self) -> dict:
+        """Catalog artifact from the live catalog (``core/dbt/task/docs/
+        generate.py:215-366``) → target/catalog.json."""
+        self.register_sources()
+        catalog: dict[str, dict] = {}
+        for uid, node in self.manifest.all_nodes().items():
+            if node.resource_type in ("test", "unit_test", "operation", "analysis"):
+                continue
+            rel = self.compiler.relation_for(node)
+            if not self.adapter.relation_exists(rel):
+                continue
+            cols = self.adapter.get_columns_in_relation(rel)
+            catalog[uid] = {
+                "metadata": {
+                    "schema": rel.schema,
+                    "name": rel.identifier,
+                    "type": rel.type,
+                },
+                "columns": {
+                    name: {"type": dtype, "index": i,
+                           "comment": (node.columns.get(name) or {}).get(
+                               "description", "")}
+                    for i, (name, dtype) in enumerate(cols)
+                },
+            }
+        out = {
+            "metadata": {"sparkt_version": "0.1.0", "schema": "catalog-v1-reduced"},
+            "nodes": catalog,
+        }
+        with open(os.path.join(self.project.target_dir, "catalog.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        return out
 
     def compile(self, select: str | None = None) -> Manifest:
         self.register_sources()

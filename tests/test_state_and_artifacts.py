@@ -1,0 +1,167 @@
+"""state:modified / defer / clone / retry / docs / partial parsing /
+materialized_view (reference: graph/selector_methods.py:609-787,
+task/clone.py, task/retry.py, task/docs/generate.py,
+parser/partial.py)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+FILES = {
+    "dbt_project.yml": "name: st\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+    "models/a.sql": "select * from {{ ref('raw') }}",
+    "models/b.sql": "{{ config(materialized='table') }}\nselect sum(v) as s from {{ ref('a') }}",
+}
+
+
+def test_state_modified_and_defer(make_project, spark, tmp_path):
+    runner = make_project(FILES, schema="t_state")
+    assert runner.seed().ok
+    assert runner.run().ok
+    state_dir = str(tmp_path / "prod_state")
+    os.makedirs(state_dir)
+    import shutil
+
+    shutil.copy(
+        os.path.join(runner.project.target_dir, "manifest.json"),
+        os.path.join(state_dir, "manifest.json"),
+    )
+
+    # modify model b only
+    with open(os.path.join(runner.project.project_root, "models/b.sql"), "w") as f:
+        f.write(
+            "{{ config(materialized='table') }}\n"
+            "select sum(v) + 1 as s from {{ ref('a') }}"
+        )
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_state"},
+    )
+    from sparkt.graph.linker import link_graph
+    from sparkt.graph.selector import select_nodes
+    from sparkt.state import StateManifest
+
+    sm = StateManifest(state_dir)
+    g = link_graph(runner2.manifest)
+    modified = select_nodes(g, runner2.manifest, "state:modified", state=sm)
+    assert {u.split(".")[-1] for u in modified} == {"b"}
+
+    res = runner2.execute_nodes(
+        which="run", select="state:modified", state=state_dir
+    )
+    assert res.ok
+    assert [r.unique_id for r in res.results] == ["model.st.b"]
+    assert spark.table("t_state.b").first()["s"] == 31
+
+    # defer: run modified model in a NEW schema; ref('a') must resolve
+    # to the state manifest's relation since dev schema lacks it
+    runner3 = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_state_dev"},
+    )
+    res = runner3.execute_nodes(
+        which="run", select="b", state=state_dir, defer=True
+    )
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_state_dev.b").first()["s"] == 31
+    assert not spark.catalog.tableExists("t_state_dev.a")
+
+
+def test_clone(make_project, spark, tmp_path):
+    runner = make_project(FILES, schema="t_clone_src")
+    assert runner.seed().ok
+    assert runner.run().ok
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    import shutil
+
+    shutil.copy(
+        os.path.join(runner.project.target_dir, "manifest.json"),
+        os.path.join(state_dir, "manifest.json"),
+    )
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_clone_dst"},
+    )
+    cloned = runner2.clone(state=state_dir, select="b")
+    assert cloned == ["t_clone_dst.b"]
+    assert spark.table("t_clone_dst.b").first()["s"] == 30
+
+
+def test_retry(make_project, spark):
+    files = dict(FILES)
+    files["models/c.sql"] = (
+        "select {{ 'broken_col' if var('break_it', true) else '1' }} as x "
+        "from {{ ref('b') }}"
+    )
+    runner = make_project(files, schema="t_retry")
+    assert runner.seed().ok
+    res = runner.build()
+    assert not res.ok
+    from sparkt.runner import Runner
+
+    fixed = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_it": False},
+        project_overrides={"schema": "t_retry"},
+    )
+    res2 = fixed.retry()
+    # only the previously failed node reruns
+    assert [r.unique_id for r in res2.results] == ["model.st.c"]
+    assert res2.ok, [r.message for r in res2.results]
+    # nothing left to retry
+    res3 = fixed.retry()
+    assert res3.results == []
+
+
+def test_docs_generate(make_project, spark):
+    runner = make_project(FILES, schema="t_docs")
+    assert runner.seed().ok
+    assert runner.run().ok
+    cat = runner.docs_generate()
+    assert "model.st.b" in cat["nodes"]
+    cols = cat["nodes"]["model.st.b"]["columns"]
+    assert "s" in cols
+    assert os.path.exists(
+        os.path.join(runner.project.target_dir, "catalog.json")
+    )
+
+
+def test_partial_parsing_cache(make_project, spark):
+    runner = make_project(FILES, schema="t_pp")
+    cache = os.path.join(runner.project.target_dir, "partial_parse.pickle")
+    assert os.path.exists(cache)
+    from sparkt.parsing.parser import ManifestLoader
+
+    t0 = time.time()
+    loader = ManifestLoader(runner.project)
+    m = loader.load(partial=True)
+    warm = time.time() - t0
+    assert set(m.nodes) == set(runner.manifest.nodes)
+    assert warm < 1.0
+    # invalidation on file change
+    with open(os.path.join(runner.project.project_root, "models/a.sql"), "a") as f:
+        f.write("\n-- touched")
+    loader2 = ManifestLoader(runner.project)
+    m2 = loader2.load(partial=True)
+    assert m2.nodes["model.st.a"].raw_code.endswith("-- touched")
+
+
+def test_materialized_view(make_project, spark):
+    files = dict(FILES)
+    files["models/mv.sql"] = (
+        "{{ config(materialized='materialized_view', "
+        "on_configuration_change='apply') }}\n"
+        "select count(*) as n from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_mv")
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_mv.mv").first()["n"] == 2
+    assert runner.run().ok  # re-apply (refresh) works
