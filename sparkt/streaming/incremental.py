@@ -1,0 +1,123 @@
+"""Structured Streaming extension: streaming incremental models.
+
+The reference is batch-only (SURVEY.md §2.5: streaming is absent from
+dbt's surface; its closest analogue is the incremental
+materialization). This extension expresses the incremental contract as
+a Structured Streaming pipeline:
+
+- ``stream_append``: file-source ingestion with ``availableNow`` —
+  each invocation processes exactly the files not yet seen (checkpoint
+  = the engine-managed high-water mark the batch incremental emulates
+  with ``where id > (select max(id) from this)``), then stops. This is
+  the exactly-once version of dbt's append strategy.
+- ``windowed_aggregate``: watermarked tumbling-window aggregation for
+  late-arriving events.
+
+At scale these run identically on a real cluster: the checkpoint dir
+moves to object storage and the trigger can become ``processingTime``
+for continuous ingestion without changing the model contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_append(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    schema=None,
+    transform=None,
+    fmt: str = "parquet",
+) -> None:
+    """Ingest new files from ``source_dir`` into ``target_path``
+    exactly once (availableNow trigger: drain everything new, stop)."""
+    reader = spark.readStream.format(fmt).option("recursiveFileLookup", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "parquet":
+        reader = reader.schema(
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(source_dir)
+            .schema
+        )
+    stream = reader.load(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums (late rows beyond the
+    watermark are dropped deterministically)."""
+    groups = [F.window(F.col(ts_col), window_duration).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*groups)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n_events",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    group_cols: list[str] | None = None,
+) -> None:
+    """End-to-end: file stream → watermarked window agg → parquet sink
+    (update-complete semantics via availableNow + append mode)."""
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
+    agg = windowed_aggregate(stream, ts_col, window_duration,
+                             watermark="0 seconds", group_cols=group_cols)
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def ensure_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
