@@ -88,6 +88,8 @@ class Manifest:
     nodes: dict[str, ParsedNode] = field(default_factory=dict)
     sources: dict[str, ParsedNode] = field(default_factory=dict)
     macros: dict[str, str] = field(default_factory=dict)  # name -> raw jinja
+    semantic_models: list = field(default_factory=list)  # raw yaml specs
+    metrics: list = field(default_factory=list)  # raw yaml specs
     parent_map: dict[str, list[str]] = field(default_factory=dict)
     child_map: dict[str, list[str]] = field(default_factory=dict)
 

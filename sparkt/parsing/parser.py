@@ -293,6 +293,12 @@ class ManifestLoader:
                 self._patch_node("snapshot", patch)
             for ut in doc.get("unit_tests", []) or []:
                 self._add_unit_test(ut)
+            # semantic layer specs (SURVEY.md §2.6) — validated lazily
+            # by sparkt.semantic at query-compile time
+            self.manifest.semantic_models.extend(
+                doc.get("semantic_models", []) or []
+            )
+            self.manifest.metrics.extend(doc.get("metrics", []) or [])
 
     def _add_source(self, src: dict) -> None:
         source_name = src["name"]

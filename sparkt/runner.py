@@ -365,6 +365,30 @@ class Runner:
             cloned.append(target_rel.render())
         return cloned
 
+    def query_metrics(self, metric_names, dimensions=None):
+        """Compile + run a semantic-layer metrics query
+        (SURVEY.md §2.6: simple/ratio/derived → Spark SQL)."""
+        from sparkt.semantic import SemanticLayer
+
+        layer = SemanticLayer()
+        for spec in self.manifest.semantic_models:
+            layer.add_semantic_model(spec)
+        for spec in self.manifest.metrics:
+            layer.add_metric(spec)
+
+        def rel_for(model_expr):
+            import re as _re
+
+            m = _re.match(r"""ref\(['"](\w+)['"]\)""", str(model_expr))
+            if m:
+                target = self.manifest.ref_lookup(m.group(1))
+                if target is not None:
+                    return self.compiler.relation_for(target).render()
+            return str(model_expr)
+
+        sql = layer.compile_query(metric_names, dimensions, rel_for)
+        return self.spark.sql(sql)
+
     def docs_generate(self) -> dict:
         """Catalog artifact from the live catalog (``core/dbt/task/docs/
         generate.py:215-366``) → target/catalog.json."""
