@@ -80,6 +80,7 @@ class Compiler:
             target = self.manifest.ref_lookup(name)
             if target is None:
                 raise CompilationError(f"unknown ref '{name}' in {node.unique_id}")
+            self._check_access(node, target)
             if target.is_ephemeral:
                 cte_name = Relation.add_ephemeral_prefix(target.name)
                 self._add_ephemeral_cte(target, cte_name, extra_ctes, ref_overrides)
@@ -178,6 +179,22 @@ class Compiler:
         )
         ctx_mod.bind_macros(self.macro_templates, ctx)
         return ctx
+
+    # ------------------------------------------------------------------
+    def _check_access(self, consumer, target) -> None:
+        """Group/access enforcement on ref
+        (``providers.py:516-543``): a ``private`` model may only be
+        referenced from its own group."""
+        access = target.config.get("access")
+        if access != "private":
+            return
+        tgroup = target.config.get("group")
+        cgroup = consumer.config.get("group")
+        if tgroup and cgroup != tgroup:
+            raise CompilationError(
+                f"{consumer.unique_id} cannot ref private model "
+                f"'{target.name}' (group '{tgroup}')"
+            )
 
     # ------------------------------------------------------------------
     def _add_ephemeral_cte(

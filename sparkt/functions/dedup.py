@@ -212,6 +212,10 @@ def ngram_jaccard_pairs(
         ex = ex.join(
             freq.filter(F.col("df_") <= max_shingle_freq).select("sh"), "sh"
         )
+    # referenced three times (self-join both sides + sizes): persist so
+    # the shingle explode+distinct computes once (at scale: write the
+    # posting-list table out before the pair join)
+    ex = ex.persist()
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ex.alias("l")

@@ -90,6 +90,8 @@ class Manifest:
     macros: dict[str, str] = field(default_factory=dict)  # name -> raw jinja
     semantic_models: list = field(default_factory=list)  # raw yaml specs
     metrics: list = field(default_factory=list)  # raw yaml specs
+    groups: dict[str, dict] = field(default_factory=dict)
+    saved_queries: list = field(default_factory=list)
     parent_map: dict[str, list[str]] = field(default_factory=dict)
     child_map: dict[str, list[str]] = field(default_factory=dict)
 

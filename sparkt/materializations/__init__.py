@@ -48,6 +48,16 @@ def get_materialization(name: str) -> Callable:
     return MATERIALIZATIONS[name]
 
 
+def check_contract(ctx: "MatContext", node: ParsedNode) -> None:
+    """Contract enforcement hook (sparkt/contracts.py): analysis-only
+    schema check, no data read."""
+    if (node.config.get("contract") or {}).get("enforced"):
+        from sparkt.contracts import enforce_contract
+
+        schema = ctx.spark.sql(node.compiled_code).schema
+        enforce_contract(node, schema)
+
+
 def unique_key_list(node: ParsedNode) -> list[str]:
     uk = node.config.get("unique_key")
     if uk is None:

@@ -29,7 +29,12 @@ sync_all_columns} (``artifacts/resources/v1/config.py:136-145``).
 from __future__ import annotations
 
 from sparkt.exceptions import ExecutionError, SchemaChangeError
-from sparkt.materializations import MatContext, register, unique_key_list
+from sparkt.materializations import (
+    MatContext,
+    check_contract,
+    register,
+    unique_key_list,
+)
 from sparkt.materializations.python_model import run_python_model
 from sparkt.materializations.table import _partition_by
 
@@ -100,6 +105,8 @@ def materialize_incremental(ctx: MatContext, node):
 
     if not exists or full_refresh:
         ctx.compiler.compile_node(node, is_incremental=False)
+        if node.language != "python":
+            check_contract(ctx, node)
         if node.language == "python":
             df = run_python_model(ctx, node)
             ctx.adapter.create_table_as(rel, df=df, partition_by=partition_by)

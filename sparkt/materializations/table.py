@@ -9,7 +9,7 @@ scale path for 100 TB targets.
 
 from __future__ import annotations
 
-from sparkt.materializations import MatContext, register
+from sparkt.materializations import MatContext, check_contract, register
 from sparkt.materializations.python_model import run_python_model
 
 
@@ -23,6 +23,8 @@ def _partition_by(node) -> list[str] | None:
 @register("table")
 def materialize_table(ctx: MatContext, node):
     ctx.compiler.compile_node(node)
+    if node.language != "python":
+        check_contract(ctx, node)
     if node.language == "python":
         df = run_python_model(ctx, node)
         ctx.adapter.create_table_as(

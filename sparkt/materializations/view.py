@@ -7,12 +7,13 @@ pinned by ``tests/functional/basic/test_simple_reference.py``.
 
 from __future__ import annotations
 
-from sparkt.materializations import MatContext, register
+from sparkt.materializations import MatContext, check_contract, register
 
 
 @register("view")
 def materialize_view(ctx: MatContext, node):
     ctx.compiler.compile_node(node)
+    check_contract(ctx, node)
     ctx.adapter.create_view_as(node.relation, node.compiled_code)
     return "CREATE VIEW"
 

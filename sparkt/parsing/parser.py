@@ -299,6 +299,15 @@ class ManifestLoader:
                 doc.get("semantic_models", []) or []
             )
             self.manifest.metrics.extend(doc.get("metrics", []) or [])
+            # remaining NodeType taxonomy (types.py:18-37): exposures,
+            # groups, saved queries — graph participants, never executed
+            for exp in doc.get("exposures", []) or []:
+                self._add_exposure(exp)
+            for grp in doc.get("groups", []) or []:
+                self.manifest.groups[grp["name"]] = grp
+            self.manifest.saved_queries.extend(
+                doc.get("saved_queries", []) or []
+            )
 
     def _add_source(self, src: dict) -> None:
         source_name = src["name"]
@@ -408,6 +417,28 @@ class ManifestLoader:
             if m:
                 node.refs.append(m.group(1))
         node.tags = list(config.get("tags", []) or [])
+        self.manifest.nodes[node.unique_id] = node
+
+    def _add_exposure(self, exp: dict) -> None:
+        """Exposures (``contracts/graph/nodes.py:1282``): downstream
+        consumers; they join the DAG as leaf nodes so ``+exposure`` and
+        impact analysis work, but never execute."""
+        name = exp["name"]
+        refs = []
+        for dep in exp.get("depends_on", []) or []:
+            m = re.match(r"""ref\(['"](\w+)['"]\)""", str(dep))
+            if m:
+                refs.append(m.group(1))
+        node = ParsedNode(
+            unique_id=f"exposure.{self.project.name}.{name}",
+            name=name,
+            package_name=self.project.name,
+            resource_type="exposure",
+            refs=refs,
+            config={"type": exp.get("type", "dashboard"),
+                    "owner": exp.get("owner")},
+            description=exp.get("description", ""),
+        )
         self.manifest.nodes[node.unique_id] = node
 
     def _add_unit_test(self, ut: dict) -> None:

@@ -165,3 +165,40 @@ def test_materialized_view(make_project, spark):
     assert runner.run().ok
     assert spark.table("t_mv.mv").first()["n"] == 2
     assert runner.run().ok  # re-apply (refresh) works
+
+
+def test_contract_enforcement(make_project, spark):
+    files = dict(FILES)
+    files["models/contracted.sql"] = (
+        "{{ config(materialized='table', contract={'enforced': True}) }}\n"
+        "select id, cast(v as bigint) as v from {{ ref('raw') }}"
+    )
+    files["models/contract.yml"] = """
+version: 2
+models:
+  - name: contracted
+    columns:
+      - {name: id, data_type: int}
+      - {name: v, data_type: bigint}
+"""
+    runner = make_project(files, schema="t_contract")
+    assert runner.seed().ok
+    res = runner.run(select="contracted")
+    assert res.ok, [r.message for r in res.results]
+
+    # violate: declared bigint, actual string
+    import os
+
+    with open(os.path.join(runner.project.project_root,
+                           "models/contracted.sql"), "w") as f:
+        f.write(
+            "{{ config(materialized='table', contract={'enforced': True}) }}\n"
+            "select id, cast(v as string) as v from {{ ref('raw') }}"
+        )
+    from sparkt.runner import Runner
+
+    runner2 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_contract"})
+    res2 = runner2.run(select="contracted")
+    assert not res2.ok
+    assert "contract violation" in res2.results[0].message
