@@ -75,9 +75,10 @@ class Compiler:
 
         def ref(*args):
             name = args[-1]
+            package = args[0] if len(args) == 2 else None
             if ref_overrides and name in ref_overrides:
                 return ref_overrides[name]
-            target = self.manifest.ref_lookup(name)
+            target = self.manifest.ref_lookup(name, package)
             if target is None:
                 raise CompilationError(f"unknown ref '{name}' in {node.unique_id}")
             self._check_access(node, target)

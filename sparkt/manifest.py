@@ -95,9 +95,15 @@ class Manifest:
     parent_map: dict[str, list[str]] = field(default_factory=dict)
     child_map: dict[str, list[str]] = field(default_factory=dict)
 
-    def ref_lookup(self, name: str) -> ParsedNode | None:
+    def ref_lookup(
+        self, name: str, package: str | None = None
+    ) -> ParsedNode | None:
         for node in self.nodes.values():
-            if node.resource_type in REFABLE_TYPES and node.name == name:
+            if (
+                node.resource_type in REFABLE_TYPES
+                and node.name == name
+                and (package is None or node.package_name == package)
+            ):
                 return node
         return None
 

@@ -44,6 +44,36 @@ class ManifestLoader:
         self.env = ctx_mod.build_environment()
         self.macro_templates = []
         self.manifest = Manifest()
+        self.packages = self._load_packages()
+
+    def _load_packages(self) -> list[Project]:
+        """Local package deps from packages.yml (reference:
+        ``core/dbt/deps``; local packages only — git packages need
+        network and are out of scope here). Each package is a full
+        project whose macros/models/seeds join the manifest under its
+        own package name."""
+        import yaml
+
+        from sparkt.project import load_project
+
+        pkg_file = os.path.join(self.project.project_root, "packages.yml")
+        if not os.path.exists(pkg_file):
+            return []
+        with open(pkg_file) as f:
+            spec = yaml.safe_load(f) or {}
+        out = []
+        for entry in spec.get("packages", []) or []:
+            local = (entry or {}).get("local")
+            if not local:
+                continue
+            path = os.path.join(self.project.project_root, local)
+            if os.path.isdir(path):
+                out.append(load_project(path))
+        return out
+
+    @property
+    def all_projects(self) -> list[Project]:
+        return [self.project] + self.packages
 
     # ------------------------------------------------------------------
     def load(self, partial: bool = True) -> Manifest:
@@ -108,12 +138,13 @@ class ManifestLoader:
             + self.project.macro_paths
             + self.project.analysis_paths
         )
-        for full, rel in _walk(
-            self.project.project_root, all_paths,
-            (".sql", ".py", ".csv", ".yml", ".yaml"),
-        ):
-            with open(full, "rb") as f:
-                hashes[full] = hashlib.md5(f.read()).hexdigest()
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, all_paths,
+                (".sql", ".py", ".csv", ".yml", ".yaml"),
+            ):
+                with open(full, "rb") as f:
+                    hashes[full] = hashlib.md5(f.read()).hexdigest()
         for name in ("dbt_project.yml", "profiles.yml"):
             p = os.path.join(self.project.project_root, name)
             if os.path.exists(p):
@@ -124,19 +155,22 @@ class ManifestLoader:
     # ------------------------------------------------------------- macros
     def _load_macros(self) -> None:
         sources = list(BUILTIN_MACRO_SOURCES)
-        for full, rel in _walk(
-            self.project.project_root, self.project.macro_paths, (".sql",)
-        ):
-            with open(full) as f:
-                src = f.read()
-            self.manifest.macros[rel] = src
-            sources.append(src)
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, proj.macro_paths, (".sql",)
+            ):
+                with open(full) as f:
+                    src = f.read()
+                self.manifest.macros[f"{proj.name}/{rel}"] = src
+                sources.append(src)
         self.macro_templates = ctx_mod.load_macro_templates(self.env, sources)
 
     # ------------------------------------------------------------- models
     def _parse_sql_node(
-        self, resource_type: str, name: str, rel_path: str, raw: str
+        self, resource_type: str, name: str, rel_path: str, raw: str,
+        project: Project | None = None,
     ) -> ParsedNode:
+        project = project or self.project
         refs, sources, static_config = ctx_mod.extract_statically(self.env, raw)
         # parse-phase render for dynamic config()/ref() the AST missed
         pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
@@ -152,16 +186,16 @@ class ManifestLoader:
         all_refs = list(dict.fromkeys(refs + r_refs))
         all_sources = list(dict.fromkeys(sources + r_srcs))
         node = ParsedNode(
-            unique_id=f"{resource_type}.{self.project.name}.{name}",
+            unique_id=f"{resource_type}.{project.name}.{name}",
             name=name,
-            package_name=self.project.name,
+            package_name=project.name,
             resource_type=resource_type,
             path=rel_path,
             raw_code=raw,
             refs=all_refs,
             sources=all_sources,
         )
-        proj_cfg = self.project.config_for_path(resource_type, rel_path)
+        proj_cfg = project.config_for_path(resource_type, rel_path)
         merged = dict(proj_cfg)
         merged.update(config)  # in-file config() wins over project tree
         node.config = merged
@@ -169,17 +203,19 @@ class ManifestLoader:
         return node
 
     def _parse_models(self) -> None:
-        for full, rel in _walk(
-            self.project.project_root, self.project.model_paths, (".sql", ".py")
-        ):
-            name = os.path.splitext(os.path.basename(rel))[0]
-            with open(full) as f:
-                raw = f.read()
-            if full.endswith(".py"):
-                node = self._parse_python_model(name, rel, raw)
-            else:
-                node = self._parse_sql_node("model", name, rel, raw)
-            self.manifest.nodes[node.unique_id] = node
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, proj.model_paths, (".sql", ".py")
+            ):
+                name = os.path.splitext(os.path.basename(rel))[0]
+                with open(full) as f:
+                    raw = f.read()
+                if full.endswith(".py"):
+                    node = self._parse_python_model(name, rel, raw)
+                else:
+                    node = self._parse_sql_node("model", name, rel, raw,
+                                                project=proj)
+                self.manifest.nodes[node.unique_id] = node
 
     def _parse_python_model(self, name: str, rel: str, raw: str) -> ParsedNode:
         """Python models (``core/dbt/parser/models.py:32-104``): extract
@@ -218,21 +254,22 @@ class ManifestLoader:
 
     # -------------------------------------------------------------- seeds
     def _parse_seeds(self) -> None:
-        for full, rel in _walk(
-            self.project.project_root, self.project.seed_paths, (".csv",)
-        ):
-            name = os.path.splitext(os.path.basename(rel))[0]
-            node = ParsedNode(
-                unique_id=f"seed.{self.project.name}.{name}",
-                name=name,
-                package_name=self.project.name,
-                resource_type="seed",
-                path=rel,
-                raw_code="",  # "No SQLDefaults!" — nodes.py:774
-                config=self.project.config_for_path("seed", rel),
-            )
-            node.config["seed_path"] = full
-            self.manifest.nodes[node.unique_id] = node
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, proj.seed_paths, (".csv",)
+            ):
+                name = os.path.splitext(os.path.basename(rel))[0]
+                node = ParsedNode(
+                    unique_id=f"seed.{proj.name}.{name}",
+                    name=name,
+                    package_name=proj.name,
+                    resource_type="seed",
+                    path=rel,
+                    raw_code="",  # "No SQLDefaults!" — nodes.py:774
+                    config=proj.config_for_path("seed", rel),
+                )
+                node.config["seed_path"] = full
+                self.manifest.nodes[node.unique_id] = node
 
     # ---------------------------------------------------------- snapshots
     def _parse_snapshots(self) -> None:
