@@ -27,8 +27,16 @@ def _common(fn):
 def _mk_runner(project_dir, vars_):
     import yaml
 
+    from sparkt.exceptions import SparktError
+
     cli_vars = yaml.safe_load(vars_) if vars_ else {}
-    return Runner(project_dir, cli_vars=cli_vars)
+    try:
+        return Runner(project_dir, cli_vars=cli_vars)
+    except SparktError as e:
+        # parse/compile-time project errors get a one-line report, not a
+        # Python traceback
+        click.echo(f"ERROR: {e}", err=True)
+        raise SystemExit(2) from None
 
 
 def _report(results) -> None:

@@ -216,14 +216,114 @@ ORDER BY id
 """
 
 
+# ------------------------------------------------------------------ m4
+def m4_insert_overwrite(spark, sf_dir):
+    """Partitioned insert_overwrite: batch 1 loads all orders
+    partitioned by year; batch 2 recomputes ONLY year-2000 rows with
+    doubled price — dynamic partition overwrite must replace exactly
+    that partition (the no-rewrite scale path from PLANS.md)."""
+    from sparkt.runner import Runner
+
+    proj = tempfile.mkdtemp(prefix="sparkt_m4_")
+    schema = _schema_for("m4", sf_dir)
+    _write(
+        proj,
+        {
+            "dbt_project.yml": "name: flows\nmodel-paths: [models]\n",
+            "models/sources.yml": _sources_yml(sf_dir),
+            "models/orders_part.sql": """
+{{ config(materialized='incremental', incremental_strategy='insert_overwrite',
+          partition_by='order_year') }}
+select o_orderkey,
+       round(o_totalprice{% if var('batch') == 2 %} * 2{% endif %}, 2) as totalprice,
+       year(o_orderdate) as order_year
+from {{ source('tpch', 'orders') }}
+{% if is_incremental() %}
+where year(o_orderdate) = 2000
+{% endif %}
+""",
+        },
+    )
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    r1 = Runner(proj, spark=spark, cli_vars={"batch": 1},
+                project_overrides={"schema": schema})
+    res1 = r1.run()
+    assert res1.ok, [x.message for x in res1.results]
+    r2 = Runner(proj, spark=spark, cli_vars={"batch": 2},
+                project_overrides={"schema": schema})
+    res2 = r2.run()
+    assert res2.ok, [x.message for x in res2.results]
+    return spark.table(f"{schema}.orders_part").orderBy("o_orderkey")
+
+
+M4_SQL = """
+SELECT o_orderkey,
+       CASE WHEN year(o_orderdate) = 2000
+            THEN round(o_totalprice * 2, 2)
+            ELSE round(o_totalprice, 2) END AS totalprice,
+       year(o_orderdate) AS order_year
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# ------------------------------------------------------------------ m5
+def m5_python_model(spark, sf_dir):
+    """Python model (model(dbt, session) -> DataFrame, ADR-004 native
+    design) materialized as a table and oracle-checked."""
+    from sparkt.runner import Runner
+
+    proj = tempfile.mkdtemp(prefix="sparkt_m5_")
+    schema = _schema_for("m5", sf_dir)
+    _write(
+        proj,
+        {
+            "dbt_project.yml": "name: flows\nmodel-paths: [models]\n",
+            "models/sources.yml": _sources_yml(sf_dir),
+            "models/orders_py.py": '''
+import pyspark.sql.functions as F
+
+
+def model(dbt, session):
+    dbt.config(materialized="table")
+    orders = dbt.source("tpch", "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+''',
+        },
+    )
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    r = Runner(proj, spark=spark, project_overrides={"schema": schema})
+    res = r.run()
+    assert res.ok, [x.message for x in res.results]
+    return spark.table(f"{schema}.orders_py").orderBy("o_orderpriority")
+
+
+M5_SQL = """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
     "m3_seed_types": m3_seed_types,
+    "m4_insert_overwrite": m4_insert_overwrite,
+    "m5_python_model": m5_python_model,
 }
 
 ORACLES = {
     "m1_incremental_merge": M1_SQL,
     "m2_snapshot_scd2": M2_SQL,
     "m3_seed_types": M3_SQL,
+    "m4_insert_overwrite": M4_SQL,
+    "m5_python_model": M5_SQL,
 }
