@@ -164,6 +164,35 @@ def minhash_candidate_pairs(
 
 
 # ------------------------------------------------------------ simhash
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc 16-bit SimHash via explode → groupBy bit votes — the
+    scale formulation (one md5 per token, one shuffle on doc id),
+    mirroring minhash_table's rationale. Returns (doc, simhash)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    votes = ex.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j + 1, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    return votes.select(
+        "doc",
+        F.concat(
+            *[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(16)]
+        ).alias("simhash"),
+    )
+
+
 def simhash16(text: Column) -> Column:
     """16-bit SimHash as a bit-string: per token, md5's 16 hex nibbles
     vote (high-bit of each nibble = +1/-1); majority per position.

@@ -212,7 +212,8 @@ ORDER BY id_a, id_b
 def d4_simhash(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+        D.simhash_table(docs, "text", "doc_id")
+        .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id")
     )
 

@@ -655,6 +655,121 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------- q22
+def q22_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via Spark SQL (free surface, SURVEY.md §2.5)."""
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__q22_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls
+        FROM __q22_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+        """
+    )
+
+
+Q22_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS qty,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- q23
+def q23_explode_words(spark, sf_dir):
+    """Array explode (LATERAL VIEW shape): token frequencies over
+    documents."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+Q23_SQL = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------- q24
+def q24_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg / collect_list)."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    return (
+        nation.join(broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q24_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------- q25
+def q25_percentiles(spark, sf_dir):
+    """median / percentile_cont aggregates."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("median(o_totalprice)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.1)"), 2).alias("p10"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q25_SQL = """
+SELECT o_orderstatus,
+       round(median(o_totalprice), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.1), 2) AS p10,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -676,6 +791,10 @@ QUERIES = {
     "q19_topk_suppliers": q19_topk_suppliers,
     "q20_priority_share": q20_priority_share,
     "q21_json_extract": q21_json_extract,
+    "q22_grouping_sets": q22_grouping_sets,
+    "q23_explode_words": q23_explode_words,
+    "q24_string_agg": q24_string_agg,
+    "q25_percentiles": q25_percentiles,
 }
 
 ORACLES = {
@@ -699,4 +818,8 @@ ORACLES = {
     "q19_topk_suppliers": Q19_SQL,
     "q20_priority_share": Q20_SQL,
     "q21_json_extract": Q21_SQL,
+    "q22_grouping_sets": Q22_SQL,
+    "q23_explode_words": Q23_SQL,
+    "q24_string_agg": Q24_SQL,
+    "q25_percentiles": Q25_SQL,
 }

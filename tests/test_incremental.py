@@ -167,3 +167,32 @@ def test_insert_overwrite_partitions(make_project, spark):
     t = spark.table("t_incr_io.incr_io")
     assert t.filter("batch = 1").count() == 100
     assert t.filter("batch = 2").count() == 100
+
+
+def test_on_schema_change_sync_all_columns(make_project, spark):
+    files = dict(BASE)
+    files["models/incr_sync.sql"] = (
+        "{{ config(materialized='incremental', unique_key='id', "
+        "on_schema_change='sync_all_columns') }}\n"
+        "{% if var('wide', false) %}"
+        "select id, batch as extra from {{ ref('users') }}"
+        "{% else %}"
+        "select id, name from {{ ref('users') }}"
+        "{% endif %}"
+    )
+    runner = make_project(files, schema="t_incr_sync")
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert set(spark.table("t_incr_sync.incr_sync").columns) == {"id", "name"}
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"wide": True},
+        project_overrides={"schema": "t_incr_sync"},
+    )
+    assert runner2.run().ok
+    t = spark.table("t_incr_sync.incr_sync")
+    # source schema adopted: name dropped, extra added
+    assert set(t.columns) == {"id", "extra"}
+    assert t.count() == 100
