@@ -57,7 +57,10 @@ class SparkAdapter:
     type_name = "spark"
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
+        from sparkt.sources import ensure_nanos_conf
+
         self.spark = spark
+        ensure_nanos_conf(spark)  # driver-provided sessions lack our defaults
         self.warehouse_dir = warehouse_dir
         self._ddl_lock = threading.RLock()
         os.makedirs(warehouse_dir, exist_ok=True)

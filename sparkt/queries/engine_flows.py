@@ -312,12 +312,53 @@ ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------------------------ m6
+def m6_streaming_ingest(spark, sf_dir):
+    """Structured Streaming ingestion (availableNow, exactly-once) of
+    the events table with a projection/filter transform; the drained
+    output equals the batch oracle. ns timestamps repaired in the
+    transform (sparkt/sources.py)."""
+    from pyspark.sql import functions as F
+
+    from sparkt.sources import ns_timestamp_columns
+    from sparkt.streaming.incremental import stream_append
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m6_")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    ns_cols = ns_timestamp_columns(src)
+
+    def transform(stream):
+        out = stream
+        for c in ns_cols:
+            out = out.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+            )
+        return out.filter(F.col("event_type") != "error").select(
+            "event_id", "ts", "user_id", "event_type",
+            F.round("value", 2).alias("value"),
+        )
+
+    stream_append(spark, src, tgt, cp, transform=transform)
+    return spark.read.parquet(tgt).orderBy("event_id")
+
+
+M6_SQL = """
+SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+FROM events
+WHERE event_type != 'error'
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
     "m3_seed_types": m3_seed_types,
     "m4_insert_overwrite": m4_insert_overwrite,
     "m5_python_model": m5_python_model,
+    "m6_streaming_ingest": m6_streaming_ingest,
 }
 
 ORACLES = {
@@ -326,4 +367,5 @@ ORACLES = {
     "m3_seed_types": M3_SQL,
     "m4_insert_overwrite": M4_SQL,
     "m5_python_model": M5_SQL,
+    "m6_streaming_ingest": M6_SQL,
 }

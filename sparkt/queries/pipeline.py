@@ -63,15 +63,40 @@ ORDER BY doc_id
 
 # ------------------------------------------------------------------ t2
 def t2_quality_scores(spark, sf_dir):
+    """Explode→groupBy formulation: one tokenize pass per doc (the
+    column-expression form re-evaluates the split per feature because
+    stopword filtering is a higher-order function — see PLANS.md)."""
     docs = T(spark, sf_dir, "documents")
-    feats = TX.quality_features(F.col("text"))
-    return docs.select(
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isin(TX.EN_STOPWORDS), 1).otherwise(0)
+        ).alias("stop_hits"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+    )
+    char_stats = docs.select(
         "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        feats["alpha_ratio"].alias("alpha_ratio"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["avg_token_len"].alias("avg_token_len"),
-        TX.quality_score(F.col("text")).alias("quality"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
+    )
+    j = char_stats.join(tok_stats, "doc_id")
+    alpha = F.col("alpha_chars") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
+    length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(
+            F.col("tok_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.round(0.4 * length_term + 0.3 * alpha + 0.3 * stop, 6).alias(
+            "quality"
+        ),
     ).orderBy("doc_id")
 
 

@@ -48,8 +48,19 @@ def ns_fix_exprs(columns: list[str], ns_cols: tuple[str, ...]) -> list[str]:
     ]
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """The driver may hand us a session built without our defaults;
+    nanosAsLong is runtime-settable, so set it defensively before any
+    parquet read that may contain TIMESTAMP(NANOS)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be pinned; reads will tell
+        pass
+
+
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet; ns-timestamp columns come back as real timestamps."""
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
     ns_cols = ns_timestamp_columns(path)
     if not ns_cols:

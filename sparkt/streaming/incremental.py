@@ -37,6 +37,9 @@ def stream_append(
 ) -> None:
     """Ingest new files from ``source_dir`` into ``target_path``
     exactly once (availableNow trigger: drain everything new, stop)."""
+    from sparkt.sources import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     reader = spark.readStream.format(fmt).option("recursiveFileLookup", "true")
     if schema is not None:
         reader = reader.schema(schema)
