@@ -371,7 +371,82 @@ ORDER BY label
 """
 
 
+# ------------------------------------------------------------------ a1
+def a1_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: each purchase matched to the user's
+    latest prior click (sparkt.functions.asof — union + carry-forward
+    window, one shuffle, no pair blowup)."""
+    from sparkt.functions.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+A1_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+
+# ------------------------------------------------------------------ a2
+def a2_range_join(spark, sf_dir):
+    """Range (interval band) join: clicks within 30 minutes before each
+    purchase, time-bucketed into an equijoin + residual filter."""
+    from sparkt.functions.asof import range_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = range_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        lower_seconds=-1800, upper_seconds=0, bucket_seconds=600,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.countDistinct("click_id").alias("n_recent_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+A2_SQL = """
+SELECT p.event_id AS purchase_id, count(DISTINCT c.event_id) AS n_recent_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""
+
+
 QUERIES = {
+    "a1_asof_join": a1_asof_join,
+    "a2_range_join": a2_range_join,
     "t1_token_stats": t1_token_stats,
     "t2_quality_scores": t2_quality_scores,
     "t3_lang_id": t3_lang_id,
@@ -386,6 +461,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "a1_asof_join": A1_SQL,
+    "a2_range_join": A2_SQL,
     "t1_token_stats": T1_SQL,
     "t2_quality_scores": T2_SQL,
     "t3_lang_id": T3_SQL,
