@@ -95,6 +95,107 @@ def hyperplane_bits(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def _pseudo_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic pseudo-random centroids from md5 (no RNG state to
+    ship; a production IVF would k-means these)."""
+    import hashlib
+
+    out = []
+    for j in range(n_cells):
+        c = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"c{j}|{d}".encode()).hexdigest()[:8], 16)
+            c.append(((h % 2001) - 1000) / 1000.0)
+        out.append(c)
+    return out
+
+
+def _cell_assignment(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax-dot cell id via struct-max (ties broken by cell id —
+    struct comparison is lexicographic, deterministic)."""
+    scored = []
+    for j, c in enumerate(centroids):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+        scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
+    return F.array_max(F.array(*scored))["c"]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus rows are assigned to their nearest pseudo-
+    centroid cell; each query probes its ``n_probe`` nearest cells and
+    runs exact cosine only there. At 100 TB: cells are the partition
+    key (cluster-pruned scan), centroids come from sampled k-means, and
+    the probe join is an equijoin on cell id."""
+    cents = _pseudo_centroids(dim, n_cells)
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec).alias("cv"),
+        _cell_assignment(F.col(vec), cents).alias("cell"),
+    )
+    # query cells: top n_probe centroid dots
+    scored = []
+    for j, cent in enumerate(cents):
+        d = dot(F.col(vec), F.array(*[F.lit(float(x)) for x in cent]))
+        scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
+    probe_cells = F.slice(
+        F.reverse(F.array_sort(F.array(*scored))), 1, n_probe
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec).alias("qv"),
+        F.explode(probe_cells).alias("__pc"),
+    ).select(F.col(query_id), "qv", F.col("__pc.c").alias("cell"))
+    cand = (
+        broadcast(q)
+        .join(c, "cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("cv"))
+                    / (norm(F.col("qv")) * norm(F.col("cv"))), 4),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
+    threshold). Brute-force all-pairs here; the LSH/IVF bucketing above
+    is the candidate-pruning path at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("va"), F.col("vb"))
+                    / (norm(F.col("va")) * norm(F.col("vb"))), 4),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

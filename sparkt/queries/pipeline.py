@@ -332,6 +332,46 @@ def s2_lsh_ann(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ s4
+def s4_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (cell-pruned exact search). Approximate → rows-only
+    check; recall asserted vs brute force in tests."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return S.ivf_topk(queries, corpus, dim=64, k=5, n_cells=8, n_probe=2) \
+        .orderBy("query_id", "rank")
+
+
+# ------------------------------------------------------------------ d6
+def d6_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.35 — random
+    vectors top out ≈0.5 cosine)."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.35) \
+        .orderBy("id_a", "id_b")
+
+
+D6_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ s3
 def s3_label_centroids(spark, sf_dir):
     """Vector aggregation: per-label centroid norms (embedding math as
@@ -458,6 +498,8 @@ QUERIES = {
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_label_centroids": s3_label_centroids,
+    "s4_ivf_ann": s4_ivf_ann,
+    "d6_embedding_neardup": d6_embedding_neardup,
 }
 
 ORACLES = {
@@ -472,6 +514,7 @@ ORACLES = {
     "d4_simhash": D4_SQL,
     "d5_ngram_jaccard": D5_SQL,
     "s1_cosine_topk": S1_SQL,
-    # s2_lsh_ann: intentionally no oracle (approximate operator)
+    # s2_lsh_ann / s4_ivf_ann: intentionally no oracle (approximate)
     "s3_label_centroids": S3_SQL,
+    "d6_embedding_neardup": D6_SQL,
 }

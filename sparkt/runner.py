@@ -389,6 +389,29 @@ class Runner:
         sql = layer.compile_query(metric_names, dimensions, rel_for)
         return self.spark.sql(sql)
 
+    def run_saved_query(self, name: str):
+        """Execute a saved query (``v1/saved_query.py`` surface): its
+        metric/group-by params compile through the semantic layer; a
+        table export materializes the result."""
+        for sq in self.manifest.saved_queries:
+            if sq.get("name") == name:
+                qp = sq.get("query_params", {}) or {}
+                df = self.query_metrics(
+                    qp.get("metrics", []) or [], qp.get("group_by") or []
+                )
+                for export in sq.get("exports", []) or []:
+                    cfg = (export.get("config") or {})
+                    if cfg.get("export_as", "table") == "table":
+                        from sparkt.relation import Relation
+
+                        rel = Relation(
+                            schema=cfg.get("schema", self.project.schema),
+                            identifier=export.get("name", name),
+                        )
+                        self.adapter.create_table_as(rel, df=df)
+                return df
+        raise ValueError(f"no saved query named '{name}'")
+
     def docs_generate(self) -> dict:
         """Catalog artifact from the live catalog (``core/dbt/task/docs/
         generate.py:215-366``) → target/catalog.json."""

@@ -172,3 +172,39 @@ def test_multimodal_plumbing(spark):
     # determinism (metadata derives from content hash)
     again = extract_image_metadata(items).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_ivf_ann_consistency(spark):
+    """IVF results must be true cosines and rank-consistent; probing
+    more cells converges toward brute force."""
+    from sparkt.functions.similarity import cosine_topk, ivf_topk
+    from sparkt.sources import load_parquet
+
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = cosine_topk(q, c, k=3).select("query_id", "corpus_id", "cos")
+    full_probe = ivf_topk(q, c, dim=64, k=3, n_cells=8, n_probe=8).select(
+        "query_id", "corpus_id", "cos"
+    )
+    # probing ALL cells == brute force
+    assert full_probe.exceptAll(exact).count() == 0
+    assert exact.exceptAll(full_probe).count() == 0
+    # partial probe returns a non-empty subset of true cosines
+    part = ivf_topk(q, c, dim=64, k=3, n_cells=8, n_probe=2)
+    assert part.count() > 0
+
+
+def test_cosine_neardup_pairs(spark):
+    from sparkt.functions.similarity import cosine_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    pairs = cosine_neardup_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

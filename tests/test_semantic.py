@@ -64,3 +64,25 @@ def test_unsupported_metric_type_raises(make_project, spark):
     runner = make_project(FILES, schema="t_sem2")
     with pytest.raises(NotImplementedError):
         runner.query_metrics(["conversions"])
+
+
+def test_saved_query(make_project, spark):
+    files = dict(FILES)
+    files["models/saved.yml"] = """
+version: 2
+saved_queries:
+  - name: revenue_by_region
+    query_params:
+      metrics: [total_revenue]
+      group_by: [region]
+    exports:
+      - name: revenue_by_region_tbl
+        config: {export_as: table}
+"""
+    runner = make_project(files, schema="t_sq")
+    assert runner.seed().ok
+    assert runner.run().ok
+    df = runner.run_saved_query("revenue_by_region")
+    assert {r["region"]: r["total_revenue"] for r in df.collect()} == {
+        "east": 400, "west": 200}
+    assert spark.table("t_sq.revenue_by_region_tbl").count() == 2
