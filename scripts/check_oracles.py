@@ -3,7 +3,12 @@
 the same parquet, compare row-count + column names + order-insensitive
 values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--driver-conf] [sf_dir] [query ...]
+
+``--driver-conf`` runs on a DEFAULT-configuration SparkSession (no
+sparkt defaults — STATIC partitionOverwriteMode, no AQE tuning, local
+timezone) exactly like the driver builds, so driver-only divergences
+(e.g. the round-1 m4 data loss) can't hide behind our own session.
 """
 
 from __future__ import annotations
@@ -39,16 +44,30 @@ def normalize(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    driver_conf = "--driver-conf" in argv
+    if driver_conf:
+        argv.remove("--driver-conf")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
-    from sparkt.session import get_spark
-
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="oracle-check")
+    if driver_conf:
+        # bare session, as the driver builds it — no sparkt defaults
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-driverconf")
+            .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+            .getOrCreate()
+        )
+    else:
+        from sparkt.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

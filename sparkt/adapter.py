@@ -57,10 +57,13 @@ class SparkAdapter:
     type_name = "spark"
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
-        from sparkt.sources import ensure_nanos_conf
+        from sparkt.sources import ensure_runtime_conf
 
         self.spark = spark
-        ensure_nanos_conf(spark)  # driver-provided sessions lack our defaults
+        # Driver-provided sessions lack our defaults; without
+        # partitionOverwriteMode=dynamic, INSERT OVERWRITE on a
+        # partitioned table replaces the whole table (data loss).
+        ensure_runtime_conf(spark)
         self.warehouse_dir = warehouse_dir
         self._ddl_lock = threading.RLock()
         os.makedirs(warehouse_dir, exist_ok=True)
@@ -119,6 +122,13 @@ class SparkAdapter:
                             f"CREATE TABLE {rel.render()} USING parquet "
                             f"LOCATION '{entry['location']}'"
                         )
+                        # A partitioned location needs explicit partition
+                        # recovery in the in-memory catalog, else the
+                        # restored table scans 0 rows.
+                        if entry.get("partitioned"):
+                            self.spark.sql(
+                                f"ALTER TABLE {rel.render()} RECOVER PARTITIONS"
+                            )
                     elif entry["kind"] == "view":
                         self.create_view_as(rel, entry["sql"])
                 except Exception:  # noqa: BLE001 — stale entry
@@ -194,6 +204,16 @@ class SparkAdapter:
 
     def relation_exists(self, relation: Relation) -> bool:
         return self.get_relation(relation.schema, relation.identifier) is not None
+
+    def partition_columns(self, relation: Relation) -> list[str]:
+        """Partition column names of a catalog table ([] if unpartitioned)."""
+        try:
+            cols = self.spark.catalog.listColumns(
+                f"{relation.schema}.{relation.identifier}"
+            )
+        except Exception:
+            return []
+        return [c.name for c in cols if c.isPartition]
 
     # ---------------------------------------------------------------- paths
     def _new_location(self, relation: Relation) -> str:
@@ -288,6 +308,12 @@ class SparkAdapter:
                 self.spark.sql(
                     f"CREATE TABLE {tmp.render()} USING parquet LOCATION '{loc}'"
                 )
+                if partition_by:
+                    # in-memory catalog doesn't auto-track partitions of a
+                    # location-registered table (scan would see 0 rows)
+                    self.spark.sql(
+                        f"ALTER TABLE {tmp.render()} RECOVER PARTITIONS"
+                    )
             else:
                 self.spark.sql(
                     f"CREATE TABLE {tmp.render()} USING parquet{part} "
@@ -297,7 +323,12 @@ class SparkAdapter:
             if existing is not None:
                 self.drop_relation(existing)
             self.rename_relation(tmp, relation)
-            self._record(relation, kind="table", location=loc)
+            self._record(
+                relation,
+                kind="table",
+                location=loc,
+                partitioned=bool(partition_by),
+            )
         self._gc_old_versions(relation, keep=loc)
 
     def insert_into(self, relation: Relation, select_sql: str) -> None:
@@ -306,8 +337,22 @@ class SparkAdapter:
     def insert_overwrite(
         self, relation: Relation, select_sql: str
     ) -> None:
-        """Dynamic-partition overwrite (requires partitioned target;
-        falls back to full replace otherwise)."""
+        """Dynamic-partition overwrite. REQUIRES a partitioned target:
+        on an unpartitioned table ``INSERT OVERWRITE`` replaces every
+        row, so we refuse rather than silently lose data (the caller
+        should use a table rewrite / full refresh for that intent)."""
+        from sparkt.exceptions import ExecutionError
+
+        if not self.partition_columns(relation):
+            raise ExecutionError(
+                f"insert_overwrite on {relation.render()}: target is not "
+                "partitioned — a full-table overwrite would silently drop "
+                "all existing rows. Set partition_by on the model, or use "
+                "the 'merge'/'delete+insert' strategy or --full-refresh."
+            )
+        # partitionOverwriteMode=dynamic is pinned in __init__
+        # (ensure_runtime_conf); under STATIC this statement would
+        # replace the whole table.
         self.spark.sql(
             f"INSERT OVERWRITE TABLE {relation.render()} {select_sql}"
         )

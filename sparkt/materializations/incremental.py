@@ -161,7 +161,23 @@ def materialize_incremental(ctx: MatContext, node):
             f"SELECT {_col_select(final_cols, 't', 'tgt', types)} "
             f"FROM {rel.render()} t LEFT ANTI JOIN __sparkt_src s ON {_uk_eq(uk, 't', 's')}"
         )
-    else:  # append/insert_overwrite that needs a schema rewrite
+    elif strategy == "insert_overwrite":
+        # overwrite semantics survive the rewrite: keep only target rows
+        # in partitions the source does NOT touch
+        if not partition_by:
+            raise ExecutionError(
+                f"{node.unique_id}: insert_overwrite requires partition_by "
+                "(unpartitioned overwrite would drop all existing rows)"
+            )
+        part_eq = _uk_eq(partition_by, "t", "s")
+        part_cols = ", ".join(partition_by)
+        keep_tgt = (
+            f"SELECT {_col_select(final_cols, 't', 'tgt', types)} "
+            f"FROM {rel.render()} t LEFT ANTI JOIN "
+            f"(SELECT DISTINCT {part_cols} FROM __sparkt_src) s "
+            f"ON {part_eq}"
+        )
+    else:  # append that needs a schema rewrite keeps every target row
         keep_tgt = (
             f"SELECT {_col_select(final_cols, 't', 'tgt', types)} FROM {rel.render()} t"
         )

@@ -533,11 +533,15 @@ sess AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM marked)
-SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+SELECT user_id,
+       CAST(max(sess_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
 FROM sess
 GROUP BY user_id
 ORDER BY user_id
 """
+# ^ CASTs pin the oracle's types: DuckDB sum() OVER yields HUGEINT
+# (INT128) where Spark emits BIGINT, and the driver hashes typed values.
 
 
 # ---------------------------------------------------------------- q18

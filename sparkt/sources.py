@@ -48,9 +48,33 @@ def ns_fix_exprs(columns: list[str], ns_cols: tuple[str, ...]) -> list[str]:
     ]
 
 
+# Runtime-settable confs the engine depends on for *correctness* (not
+# just speed). A driver-provided session built without our defaults
+# (plain ``SparkSession.builder.getOrCreate()``) would otherwise run
+# with partitionOverwriteMode=STATIC, where ``INSERT OVERWRITE`` on a
+# partitioned table silently replaces the WHOLE table instead of only
+# the partitions present in the source — a data-loss mode.
+_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Apply the engine's correctness-critical runtime-settable confs to
+    a possibly-foreign session (driver-provided sessions lack them)."""
+    for key, val in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 — conf may be pinned
+            pass
+
+
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """The driver may hand us a session built without our defaults;
-    nanosAsLong is runtime-settable, so set it defensively before any
+    """nanosAsLong is runtime-settable, so set it defensively before any
     parquet read that may contain TIMESTAMP(NANOS)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -196,3 +196,118 @@ def test_on_schema_change_sync_all_columns(make_project, spark):
     # source schema adopted: name dropped, extra added
     assert set(t.columns) == {"id", "extra"}
     assert t.count() == 100
+
+
+def test_insert_overwrite_survives_static_session_conf(make_project, spark):
+    """The driver may hand us a session configured with
+    partitionOverwriteMode=STATIC (the Spark default): under STATIC an
+    INSERT OVERWRITE replaces the WHOLE table. SparkAdapter.__init__
+    must pin dynamic mode so only source-touched partitions change."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        files = dict(BASE)
+        files["models/incr_io_static.sql"] = (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='insert_overwrite', partition_by='batch') }}\n"
+            "select id, name, batch from {{ ref('users') }}\n"
+            "{% if is_incremental() %}where batch = 2{% endif %}"
+        )
+        runner = make_project(files, schema="t_incr_io_st")
+        # adapter construction must have flipped the session back
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+            == "dynamic"
+        )
+        import os
+
+        with open(
+            os.path.join(runner.project.project_root, "seeds/users.csv"), "w"
+        ) as f:
+            f.write(_users_csv(150))
+        assert runner.seed().ok
+        assert runner.run().ok
+        assert spark.table("t_incr_io_st.incr_io_static").count() == 150
+        assert runner.run().ok  # incremental: only batch-2 partition rewritten
+        t = spark.table("t_incr_io_st.incr_io_static")
+        assert t.filter("batch = 1").count() == 100  # NOT dropped
+        assert t.filter("batch = 2").count() == 50
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def test_insert_overwrite_unpartitioned_refuses(make_project, spark):
+    """insert_overwrite on an unpartitioned target would silently drop
+    every existing row — the engine must refuse (data-loss guard)."""
+    files = dict(BASE)
+    files["models/incr_io_nopart.sql"] = (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite') }}\n"
+        "select id, name, batch from {{ ref('users') }}\n"
+        "{% if is_incremental() %}where batch = 2{% endif %}"
+    )
+    runner = make_project(files, schema="t_incr_io_np")
+    assert runner.seed().ok
+    assert runner.run().ok  # first run is a plain CTAS — fine
+    res = runner.run()  # incremental run must refuse
+    assert not res.ok
+    msgs = " ".join(str(r.message) for r in res.results)
+    assert "not" in msgs and "partition" in msgs
+    # target untouched
+    assert spark.table("t_incr_io_np.incr_io_nopart").count() == 100
+
+
+def test_insert_overwrite_schema_change_replaces_partitions(make_project, spark):
+    """insert_overwrite + on_schema_change rewrite: partitions present in
+    the source must be REPLACED (not unioned with stale target rows)."""
+    files = dict(BASE)
+    files["models/incr_io_sc.sql"] = (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='insert_overwrite', partition_by='batch', "
+        "on_schema_change='append_new_columns') }}\n"
+        "{% if var('wide', false) %}"
+        "select id, name, batch, 'x' as extra from {{ ref('users') }}"
+        "{% if is_incremental() %} where batch = 2{% endif %}"
+        "{% else %}"
+        "select id, name, batch from {{ ref('users') }}"
+        "{% endif %}"
+    )
+    runner = make_project(files, schema="t_incr_io_sc")
+    import os
+
+    with open(
+        os.path.join(runner.project.project_root, "seeds/users.csv"), "w"
+    ) as f:
+        f.write(_users_csv(150))
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_incr_io_sc.incr_io_sc").count() == 150
+    from sparkt.runner import Runner
+
+    runner2 = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"wide": True},
+        project_overrides={"schema": "t_incr_io_sc"},
+    )
+    assert runner2.run().ok
+    t = spark.table("t_incr_io_sc.incr_io_sc")
+    assert "extra" in t.columns
+    # batch 2 replaced (50 rows, extra set), batch 1 kept (100 rows, extra null)
+    assert t.filter("batch = 1").count() == 100
+    assert t.filter("batch = 2").count() == 50
+    assert t.filter("batch = 2 and extra = 'x'").count() == 50
+    assert t.filter("batch = 1 and extra is null").count() == 100
+
+
+def test_partitioned_python_model_table_scan(make_project, spark):
+    """DataFrame-path create_table_as with partition_by must RECOVER
+    PARTITIONS (in-memory catalog would otherwise scan 0 rows)."""
+    files = dict(BASE)
+    files["models/py_part.py"] = (
+        "def model(dbt, session):\n"
+        "    dbt.config(materialized='table', partition_by='batch')\n"
+        "    return dbt.ref('users')\n"
+    )
+    runner = make_project(files, schema="t_py_part")
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_py_part.py_part").count() == 100
