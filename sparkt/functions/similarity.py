@@ -190,16 +190,49 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec: str = "embedding",
     threshold: float = 0.35,
+    dim: int = 64,
+    n_cells: int = 8,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
-    threshold). Brute-force all-pairs here; the LSH/IVF bucketing above
-    is the candidate-pruning path at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"),
-                  norm(F.col(vec)).alias("na"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"),
-                  norm(F.col(vec)).alias("nb"))
+    threshold) via an IVF-cell bucketed EQUIJOIN — never an all-pairs
+    nested-loop join.
+
+    Every row is assigned its argmax-dot pseudo-centroid cell (the
+    join's right side); the left side emits one row per probed cell.
+    ``n_probe=None`` probes ALL cells: every pair then co-occurs in the
+    right row's home cell exactly once, so the result is provably
+    identical to brute force (same trick as ``ivf_topk`` full-probe) —
+    that's the oracle-parity mode the gate runs. At 100 TB you set
+    ``n_probe`` small: cells become the partition key, the shuffle is an
+    equijoin on cell id, and only nearby cells are compared."""
+    cents = _pseudo_centroids(dim, n_cells)
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("vb"),
+        norm(F.col(vec)).alias("nb"),
+        _cell_assignment(F.col(vec), cents).alias("cell"),
+    )
+    if n_probe is None or n_probe >= n_cells:
+        probes = F.array(*[F.lit(j) for j in range(n_cells)])
+    else:
+        scored = []
+        for j, cent in enumerate(cents):
+            d = dot(F.col(vec), F.array(*[F.lit(float(x)) for x in cent]))
+            scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
+        probes = F.transform(
+            F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, n_probe),
+            lambda s: s["c"],
+        )
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("va"),
+        norm(F.col(vec)).alias("na"),
+        F.explode(probes).alias("cell"),
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
             F.round(dot(F.col("va"), F.col("vb"))

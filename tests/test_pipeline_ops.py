@@ -206,5 +206,38 @@ def test_cosine_neardup_pairs(spark):
         [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
         ["vec_id", "embedding"],
     )
-    pairs = cosine_neardup_pairs(df, threshold=0.9).collect()
+    pairs = cosine_neardup_pairs(df, threshold=0.9, dim=3, n_cells=4).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_cosine_neardup_bucketed_not_all_pairs(spark):
+    """d6 scale contract: candidate generation is a cell EQUIJOIN (no
+    nested-loop/cartesian), and full probe is exhaustive (== brute
+    force); partial probe returns a subset."""
+    from sparkt.functions.similarity import cosine_neardup_pairs, cosine, dot, norm
+    from sparkt.sources import load_parquet
+
+    emb = load_parquet(spark, f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    full = cosine_neardup_pairs(emb, "vec_id", "embedding", 0.35, dim=64)
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # brute-force reference computed inline
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   norm(F.col("embedding")).alias("nb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb"))
+                                   / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+    assert full.exceptAll(brute).count() == 0
+    assert brute.exceptAll(full).count() == 0
+    part = cosine_neardup_pairs(
+        emb, "vec_id", "embedding", 0.35, dim=64, n_cells=8, n_probe=2
+    )
+    assert part.exceptAll(full).count() == 0
