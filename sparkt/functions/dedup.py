@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkt.functions.text import fingerprint, tokens
+from sparkt.sources import spread
 
 
 # ------------------------------------------------------------- exact
@@ -38,7 +39,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # ----------------------------------------------------------- shingles
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles."""
+    """Distinct k-word shingles.
+
+    NB: referencing the ``tokens(text)`` EXPRESSION inside the lambda
+    re-runs the regex split per element (Spark skips CSE inside
+    higher-order functions — measured 3× on the d5 explode). Hot paths
+    should use ``shingle_table`` below, which materializes the token
+    array as a column first."""
     toks = tokens(text)
     return F.array_distinct(
         F.transform(
@@ -48,8 +55,52 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def shingle_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Exploded distinct (doc, sh) shingle relation — the scale
+    formulation: tokens materialize as a real column BEFORE the shingle
+    lambda so the split runs once per doc, not once per shingle."""
+    pre = spread(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("__toks") - k, F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+        )
+    )
+    return pre.select("doc", F.explode(sh).alias("sh"))
+
+
 # ------------------------------------------------------------ minhash
+def _rot_offset(i: int, n_hashes: int) -> int:
+    """Hex-char rotation offset for family member i (≤ 8 members get
+    4-char steps; more members pack tighter)."""
+    step = max(1, 32 // max(n_hashes, 8) * 2) if n_hashes > 8 else 4
+    return (step * i) % 32
+
+
+def hash_family_member(digest: Column, i: int, n_hashes: int = 8) -> Column:
+    """Member i of the min-hash family from ONE md5 digest: rotate the
+    32-char hex string left by 4·i chars. Ordering by the rotated string
+    == ordering by the digest bytes starting at that offset, and md5
+    bytes are independent — so each member induces an (approximately)
+    independent uniform order at 1/n_hashes the md5 cost of a seeded
+    family. Portable: same substr/|| expression in the DuckDB oracle."""
+    off = _rot_offset(i, n_hashes)
+    if off == 0:
+        return digest
+    return F.concat(
+        F.substring(digest, off + 1, 32 - off), F.substring(digest, 1, off)
+    )
+
+
 def _seeded_md5(seed: int):
+    # retained for callers wanting an explicit seeded family (n_hashes
+    # md5s per element — the rotation family above is the cheap path).
     # NB: must be a 1-arg lambda — pyspark treats a 2-parameter lambda
     # as (element, index), so a `lambda s, i=i:` closure silently
     # hashes with the POSITION as part of the captured variable
@@ -59,13 +110,20 @@ def _seeded_md5(seed: int):
     return fn
 
 
+def _rot_md5(i: int, n_hashes: int):
+    # 1-arg factory (a 2-param lambda would be treated as (element, index))
+    def fn(s: Column) -> Column:
+        return hash_family_member(F.md5(s), i, n_hashes)
+
+    return fn
+
+
 def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
-    """Array of n_hashes min-hash values (md5-hex strings), one per
-    seeded hash family member."""
+    """Array of n_hashes min-hash values (rotated md5-hex strings)."""
     sh = shingles(text, k)
     return F.array(
         *[
-            F.array_min(F.transform(sh, _seeded_md5(i)))
+            F.array_min(F.transform(sh, _rot_md5(i, n_hashes)))
             for i in range(n_hashes)
         ]
     )
@@ -98,16 +156,17 @@ def minhash_table(
     Spark skips common-subexpression elimination inside higher-order
     functions, so nesting ``minhash_signature`` under further array ops
     re-evaluates the whole shingle pipeline per reference (measured
-    ~100× blowup at sf0.1). Exploding shingles once and taking 8
-    ``min(md5(seed||shingle))`` aggregates computes each hash exactly
-    once and shuffles only on doc id."""
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    ~100× blowup at sf0.1). Exploding shingles once, md5-ing each
+    shingle ONCE, and taking n_hashes mins over hex rotations of that
+    single digest computes one md5 per shingle occurrence total
+    (previously n_hashes md5s — the dominant bench cost) and shuffles
+    only on doc id."""
+    ex = shingle_table(df, text_col, id_col, k).select(
+        "doc", F.md5("sh").alias("h")
     )
     return ex.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+            F.min(hash_family_member(F.col("h"), i, n_hashes)).alias(f"mh{i}")
             for i in range(n_hashes)
         ]
     )
@@ -168,7 +227,7 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc 16-bit SimHash via explode → groupBy bit votes — the
     scale formulation (one md5 per token, one shuffle on doc id),
     mirroring minhash_table's rationale. Returns (doc, simhash)."""
-    ex = df.select(
+    ex = spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5("tok"))
@@ -232,10 +291,7 @@ def ngram_jaccard_pairs(
     at least one (non-stop) shingle. ``max_shingle_freq`` drops
     shingles appearing in more than that many docs (stop-shingle cap —
     essential at scale)."""
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), k)).alias("sh"),
-    ).distinct()
+    ex = shingle_table(df, text_col, id_col, k).distinct()
     if max_shingle_freq is not None:
         freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         ex = ex.join(

@@ -16,11 +16,13 @@ from pyspark.sql import functions as F
 from sparkt.functions import dedup as D
 from sparkt.functions import similarity as S
 from sparkt.functions import text as TX
-from sparkt.sources import load_parquet
+from sparkt.sources import load_parquet, spread
 
 
 def T(spark, sf_dir, name):
-    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    # spread: small single-file tables scan as ONE partition, which
+    # would serialize all tokenize/shingle/vector work onto one core
+    return spread(load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def _sql_list(words):
@@ -190,9 +192,16 @@ def d2_minhash_signatures(spark, sf_dir):
 
 
 def _dk_minhash(i: int) -> str:
-    return (
-        f"list_min(list_transform({_DK_SHINGLES_K3}, s -> md5('{i}|' || s)))"
-    )
+    # mirrors hash_family_member: ONE md5 per shingle, member i = hex
+    # string rotated left by 4*i chars
+    off = (4 * i) % 32
+    if off == 0:
+        member = "md5(s)"
+    else:
+        member = (
+            f"substr(md5(s), {off + 1}, {32 - off}) || substr(md5(s), 1, {off})"
+        )
+    return f"list_min(list_transform({_DK_SHINGLES_K3}, s -> {member}))"
 
 
 D2_SQL = f"""

@@ -92,6 +92,21 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df.selectExpr(*ns_fix_exprs(df.columns, ns_cols))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-narrow input across all cores before CPU-bound
+    per-row work (tokenize/shingle/hash/vector HOFs).
+
+    A small parquet file scans as 1-2 partitions, serializing expensive
+    expression work onto one core; at 100 TB the scan already has
+    thousands of splits and this is a no-op (the repartition only fires
+    when the input has fewer partitions than the cluster has slots, so
+    it never adds a shuffle at scale)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [
         load_parquet(spark, os.path.join(sf_dir, f"{n}.parquet")) for n in names
