@@ -40,10 +40,13 @@ def asof_join(
     ]
     l_tag = left.withColumn("__evt_ts", F.col(left_ts).cast("timestamp")) \
         .withColumn("__is_left", F.lit(1))
+    # the right row is carried as ONE struct: carrying columns
+    # independently would let a NULL field fall back to an OLDER right
+    # row, mixing columns from different rows and hiding real NULLs
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).cast("timestamp").alias("__evt_ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r_row"),
     ).withColumn("__is_left", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -66,14 +69,11 @@ def asof_join(
 
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__match_{c}")
-            for c in right_cols
-        ],
+        F.last("__r_row", ignorenulls=True).over(w).alias("__match"),
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[c for c in left.columns],
-        *[F.col(f"__match_{c}").alias(c) for c in right_cols],
+        *[F.col("__match")[c].alias(c) for c in right_cols],
     )
     return out
 

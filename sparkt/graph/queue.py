@@ -62,6 +62,16 @@ class GraphQueue:
             self.inner.task_done()
         return unblocked
 
+    def descendants_of(self, node: str) -> set[str]:
+        """Remaining (not-yet-done) descendants of ``node``, computed
+        under the queue's own lock — callers must NOT traverse
+        ``self.graph`` themselves while workers mutate it in
+        ``mark_done`` (a concurrent traversal raises RuntimeError)."""
+        with self.lock:
+            if node in self.graph:
+                return set(nx.descendants(self.graph, node))
+            return set()
+
     def empty(self) -> bool:
         with self.lock:
             return len(self.graph.nodes()) == 0

@@ -68,6 +68,15 @@ def materialize_snapshot(ctx: MatContext, node):
         check_cols = cfg.get("check_cols", "all")
         if check_cols == "all":
             check_cols = [c for c in data_cols if c not in uk]
+        if not check_cols:
+            # '()' would be a SQL parse error at runtime; surface the
+            # config problem (every data column is in unique_key, or an
+            # explicit empty list) up front instead
+            raise ExecutionError(
+                f"{node.unique_id}: check strategy resolved to an empty "
+                "check_cols list (no data columns outside unique_key) — "
+                "nothing could ever register as changed"
+            )
         upd = lambda a: ts_literal  # noqa: E731
         changed = "(" + " OR ".join(
             f"NOT (s.{c} <=> c.{c})" for c in check_cols

@@ -273,80 +273,86 @@ class ManifestLoader:
 
     # ---------------------------------------------------------- snapshots
     def _parse_snapshots(self) -> None:
-        for full, rel in _walk(
-            self.project.project_root, self.project.snapshot_paths, (".sql",)
-        ):
-            with open(full) as f:
-                raw = f.read()
-            blocks = SNAPSHOT_BLOCK_RE.findall(raw)
-            if not blocks:
-                raise ParsingError(f"no {{% snapshot %}} block in {rel}")
-            for name, body in blocks:
-                node = self._parse_sql_node("snapshot", name, rel, body)
-                self.manifest.nodes[node.unique_id] = node
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, proj.snapshot_paths, (".sql",)
+            ):
+                with open(full) as f:
+                    raw = f.read()
+                blocks = SNAPSHOT_BLOCK_RE.findall(raw)
+                if not blocks:
+                    raise ParsingError(f"no {{% snapshot %}} block in {rel}")
+                for name, body in blocks:
+                    node = self._parse_sql_node("snapshot", name, rel, body,
+                                                project=proj)
+                    self.manifest.nodes[node.unique_id] = node
 
     # ------------------------------------------------------ singular tests
     def _parse_singular_tests(self) -> None:
-        for full, rel in _walk(
-            self.project.project_root, self.project.test_paths, (".sql",)
-        ):
-            name = os.path.splitext(os.path.basename(rel))[0]
-            with open(full) as f:
-                raw = f.read()
-            node = self._parse_sql_node("test", name, rel, raw)
-            self.manifest.nodes[node.unique_id] = node
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, proj.test_paths, (".sql",)
+            ):
+                name = os.path.splitext(os.path.basename(rel))[0]
+                with open(full) as f:
+                    raw = f.read()
+                node = self._parse_sql_node("test", name, rel, raw,
+                                            project=proj)
+                self.manifest.nodes[node.unique_id] = node
 
     # ------------------------------------------------------------ analyses
     def _parse_analyses(self) -> None:
-        for full, rel in _walk(
-            self.project.project_root, self.project.analysis_paths, (".sql",)
-        ):
-            name = os.path.splitext(os.path.basename(rel))[0]
-            with open(full) as f:
-                raw = f.read()
-            node = self._parse_sql_node("analysis", name, rel, raw)
-            self.manifest.nodes[node.unique_id] = node
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root, proj.analysis_paths, (".sql",)
+            ):
+                name = os.path.splitext(os.path.basename(rel))[0]
+                with open(full) as f:
+                    raw = f.read()
+                node = self._parse_sql_node("analysis", name, rel, raw,
+                                            project=proj)
+                self.manifest.nodes[node.unique_id] = node
 
     # --------------------------------------------------------- schema yaml
     def _parse_schema_yaml(self) -> None:
         import yaml
 
-        for full, rel in _walk(
-            self.project.project_root,
-            self.project.model_paths
-            + self.project.seed_paths
-            + self.project.snapshot_paths,
-            (".yml", ".yaml"),
-        ):
-            with open(full) as f:
-                doc = yaml.safe_load(f) or {}
-            for src in doc.get("sources", []) or []:
-                self._add_source(src)
-            for patch in doc.get("models", []) or []:
-                self._patch_node("model", patch)
-            for patch in doc.get("seeds", []) or []:
-                self._patch_node("seed", patch)
-            for patch in doc.get("snapshots", []) or []:
-                self._patch_node("snapshot", patch)
-            for ut in doc.get("unit_tests", []) or []:
-                self._add_unit_test(ut)
-            # semantic layer specs (SURVEY.md §2.6) — validated lazily
-            # by sparkt.semantic at query-compile time
-            self.manifest.semantic_models.extend(
-                doc.get("semantic_models", []) or []
-            )
-            self.manifest.metrics.extend(doc.get("metrics", []) or [])
-            # remaining NodeType taxonomy (types.py:18-37): exposures,
-            # groups, saved queries — graph participants, never executed
-            for exp in doc.get("exposures", []) or []:
-                self._add_exposure(exp)
-            for grp in doc.get("groups", []) or []:
-                self.manifest.groups[grp["name"]] = grp
-            self.manifest.saved_queries.extend(
-                doc.get("saved_queries", []) or []
-            )
+        for proj in self.all_projects:
+            for full, rel in _walk(
+                proj.project_root,
+                proj.model_paths + proj.seed_paths + proj.snapshot_paths,
+                (".yml", ".yaml"),
+            ):
+                with open(full) as f:
+                    doc = yaml.safe_load(f) or {}
+                for src in doc.get("sources", []) or []:
+                    self._add_source(src, project=proj)
+                for patch in doc.get("models", []) or []:
+                    self._patch_node("model", patch, project=proj)
+                for patch in doc.get("seeds", []) or []:
+                    self._patch_node("seed", patch, project=proj)
+                for patch in doc.get("snapshots", []) or []:
+                    self._patch_node("snapshot", patch, project=proj)
+                for ut in doc.get("unit_tests", []) or []:
+                    self._add_unit_test(ut, project=proj)
+                # semantic layer specs (SURVEY.md §2.6) — validated lazily
+                # by sparkt.semantic at query-compile time
+                self.manifest.semantic_models.extend(
+                    doc.get("semantic_models", []) or []
+                )
+                self.manifest.metrics.extend(doc.get("metrics", []) or [])
+                # remaining NodeType taxonomy (types.py:18-37): exposures,
+                # groups, saved queries — graph participants, never executed
+                for exp in doc.get("exposures", []) or []:
+                    self._add_exposure(exp, project=proj)
+                for grp in doc.get("groups", []) or []:
+                    self.manifest.groups[grp["name"]] = grp
+                self.manifest.saved_queries.extend(
+                    doc.get("saved_queries", []) or []
+                )
 
-    def _add_source(self, src: dict) -> None:
+    def _add_source(self, src: dict, project: Project | None = None) -> None:
+        project = project or self.project
         source_name = src["name"]
         schema = src.get("schema", source_name)
         for tbl in src.get("tables", []) or []:
@@ -354,7 +360,7 @@ class ManifestLoader:
             node = ParsedNode(
                 unique_id=uid,
                 name=tbl["name"],
-                package_name=self.project.name,
+                package_name=project.name,
                 resource_type="source",
                 source_name=source_name,
                 config={
@@ -371,9 +377,12 @@ class ManifestLoader:
             )
             self.manifest.sources[uid] = node
 
-    def _patch_node(self, resource_type: str, patch: dict) -> None:
+    def _patch_node(
+        self, resource_type: str, patch: dict, project: Project | None = None
+    ) -> None:
+        project = project or self.project
         name = patch["name"]
-        uid = f"{resource_type}.{self.project.name}.{name}"
+        uid = f"{resource_type}.{project.name}.{name}"
         node = self.manifest.nodes.get(uid)
         if node is None:
             return
@@ -438,10 +447,11 @@ class ManifestLoader:
         if kw_render:
             call_args.append(kw_render)
         raw = "{{ test_%s(%s) }}" % (test_name, ", ".join(call_args))
+        # tests live in the package of the node they attach to
         node = ParsedNode(
-            unique_id=f"test.{self.project.name}.{name}",
+            unique_id=f"test.{attached.package_name}.{name}",
             name=name,
-            package_name=self.project.name,
+            package_name=attached.package_name,
             resource_type="test",
             raw_code=raw,
             refs=[attached.name],
@@ -456,10 +466,11 @@ class ManifestLoader:
         node.tags = list(config.get("tags", []) or [])
         self.manifest.nodes[node.unique_id] = node
 
-    def _add_exposure(self, exp: dict) -> None:
+    def _add_exposure(self, exp: dict, project: Project | None = None) -> None:
         """Exposures (``contracts/graph/nodes.py:1282``): downstream
         consumers; they join the DAG as leaf nodes so ``+exposure`` and
         impact analysis work, but never execute."""
+        project = project or self.project
         name = exp["name"]
         refs = []
         for dep in exp.get("depends_on", []) or []:
@@ -467,9 +478,9 @@ class ManifestLoader:
             if m:
                 refs.append(m.group(1))
         node = ParsedNode(
-            unique_id=f"exposure.{self.project.name}.{name}",
+            unique_id=f"exposure.{project.name}.{name}",
             name=name,
-            package_name=self.project.name,
+            package_name=project.name,
             resource_type="exposure",
             refs=refs,
             config={"type": exp.get("type", "dashboard"),
@@ -478,14 +489,15 @@ class ManifestLoader:
         )
         self.manifest.nodes[node.unique_id] = node
 
-    def _add_unit_test(self, ut: dict) -> None:
+    def _add_unit_test(self, ut: dict, project: Project | None = None) -> None:
         """Unit-test definitions (``core/dbt/parser/unit_tests.py``)."""
+        project = project or self.project
         name = ut["name"]
         model = ut["model"]
         node = ParsedNode(
-            unique_id=f"unit_test.{self.project.name}.{name}",
+            unique_id=f"unit_test.{project.name}.{name}",
             name=name,
-            package_name=self.project.name,
+            package_name=project.name,
             resource_type="unit_test",
             refs=[model],
             model=model,

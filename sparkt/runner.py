@@ -272,22 +272,36 @@ class Runner:
                     if queue.empty():
                         return
                     continue
-                node = self.manifest.nodes[uid]
-                with lock:
-                    is_skipped = uid in skipped
-                if is_skipped:
-                    res = RunResult(unique_id=uid, status="skipped",
-                                    message="upstream failure")
-                else:
-                    res = self._execute_node(ctx, node)
-                with lock:
-                    results[uid] = res
+                # any failure between get() and mark_done() would
+                # otherwise kill the worker pre-mark_done and leave the
+                # remaining workers spinning on a never-draining queue
+                try:
+                    node = self.manifest.nodes[uid]
+                    with lock:
+                        is_skipped = uid in skipped
+                    if is_skipped:
+                        res = RunResult(unique_id=uid, status="skipped",
+                                        message="upstream failure")
+                    else:
+                        res = self._execute_node(ctx, node)
                     if res.status in ("error", "fail"):
-                        # skip descendants (runnable.py:319-340)
-                        if uid in queue.graph:
-                            for desc in nx.descendants(queue.graph, uid):
-                                skipped.add(desc)
-                queue.mark_done(uid)
+                        # skip descendants (runnable.py:319-340);
+                        # computed under the QUEUE's lock — traversing
+                        # queue.graph here would race mark_done
+                        descs = queue.descendants_of(uid)
+                    else:
+                        descs = set()
+                    with lock:
+                        results[uid] = res
+                        skipped.update(descs)
+                except Exception as e:  # noqa: BLE001 — scheduler bug guard
+                    with lock:
+                        results[uid] = RunResult(
+                            unique_id=uid, status="error",
+                            message=f"scheduler error: {type(e).__name__}: {e}",
+                        )
+                finally:
+                    queue.mark_done(uid)
 
         workers = [
             threading.Thread(target=worker, name=f"Thread-{i+1}", daemon=True)

@@ -64,3 +64,26 @@ def test_range_join_bucketed_equals_plain(spark):
     )
     assert key(plain) == key(bucketed)
     assert (1, 100.0) in key(plain) and (1, 101.0) in key(plain)
+
+
+def test_asof_carries_whole_right_row(spark):
+    """A NULL in one right column must surface as NULL — not fall back
+    to an OLDER right row's value for just that column (the right row is
+    carried as one struct)."""
+    from sparkt.functions.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00")], ["key", "lts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 08:00:00", 1.0, "old"),
+            ("k", "2024-01-01 09:00:00", None, "new"),
+        ],
+        ["key", "rts", "price", "tag"],
+    )
+    out = asof_join(left, right, on="key", left_ts="lts", right_ts="rts").collect()
+    assert len(out) == 1
+    # latest right row has price=NULL: must NOT mix in the older 1.0
+    assert out[0]["price"] is None
+    assert out[0]["tag"] == "new"

@@ -37,3 +37,52 @@ def test_local_package(make_project, spark, tmp_path):
     assert runner.manifest.nodes["model.app.uses_pkg"].depends_on == [
         "model.shared_pkg.pkg_base"
     ]
+
+
+def test_package_yaml_sources_tests_snapshots(make_project, spark, tmp_path):
+    """Package schema YAML (sources, generic tests) and snapshot blocks
+    must load — not just package models/seeds/macros."""
+    pkg_root = str(tmp_path / "yaml_pkg")
+    write_files(pkg_root, {
+        "dbt_project.yml": (
+            "name: yaml_pkg\nmodel-paths: [models]\nsnapshot-paths: [snapshots]\n"
+        ),
+        "models/sources.yml": (
+            "version: 2\n"
+            "sources:\n"
+            "  - name: pkg_src\n"
+            "    schema: pkg_src\n"
+            "    tables:\n"
+            "      - name: orders\n"
+            "        external: {location: /root/testdata/sf0.001/orders.parquet}\n"
+            "models:\n"
+            "  - name: pkg_model\n"
+            "    columns:\n"
+            "      - name: okey\n"
+            "        data_tests: [not_null]\n"
+        ),
+        "models/pkg_model.sql": (
+            "select o_orderkey as okey from {{ source('pkg_src', 'orders') }}"
+        ),
+        "snapshots/pkg_snap.sql": (
+            "{% snapshot pkg_snap %}\n"
+            "{{ config(target_schema='t_pkgy_snap', unique_key='okey', "
+            "strategy='check', check_cols=['okey']) }}\n"
+            "select okey from {{ ref('yaml_pkg', 'pkg_model') }}\n"
+            "{% endsnapshot %}"
+        ),
+    })
+    files = {
+        "dbt_project.yml": "name: app2\nmodel-paths: [models]\n",
+        "packages.yml": f"packages:\n  - local: {pkg_root}\n",
+        "models/app_top.sql": "select okey from {{ ref('yaml_pkg', 'pkg_model') }}",
+    }
+    runner = make_project(files, schema="t_pkgy")
+    m = runner.manifest
+    assert "source.pkg_src.orders" in m.sources
+    assert "snapshot.yaml_pkg.pkg_snap" in m.nodes
+    test_uids = [u for u in m.nodes if u.startswith("test.yaml_pkg.not_null_pkg_model")]
+    assert test_uids, sorted(u for u in m.nodes if u.startswith("test."))
+    assert runner.run().ok
+    assert runner.test().ok
+    assert runner.snapshot().ok

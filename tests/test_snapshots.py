@@ -88,3 +88,25 @@ select * from {{ ref('items') }}
     assert runner.snapshot().ok
     t = spark.table("t_snap_all.items_snap")
     assert t.count() == 4  # name change on id=1 detected via check 'all'
+
+
+def test_snapshot_check_empty_cols_raises(make_project, spark):
+    """check strategy where every data column is in unique_key must be
+    rejected up front (would compile to invalid SQL 'changed = ()')."""
+    files = {
+        "dbt_project.yml": "name: snapx\nmodel-paths: [models]\nsnapshot-paths: [snapshots]\n",
+        "models/src_only_keys.sql": "select 1 as id",
+        "snapshots/empty_check.sql": (
+            "{% snapshot empty_check %}\n"
+            "{{ config(target_schema='t_snap_ec', unique_key='id', "
+            "strategy='check', check_cols='all') }}\n"
+            "select id from {{ ref('src_only_keys') }}\n"
+            "{% endsnapshot %}"
+        ),
+    }
+    runner = make_project(files, schema="t_snap_ec")
+    assert runner.run().ok
+    res = runner.snapshot()
+    assert not res.ok
+    msg = " ".join(str(r.message) for r in res.results)
+    assert "check_cols" in msg
