@@ -8,7 +8,9 @@ fixture becomes a temp view shaped like the real upstream relation
 SQL is re-rendered with refs redirected to the fixtures; actual vs
 expected diff is ``exceptAll`` both ways (the daff analogue).
 
-Fixture formats: ``dict`` (rows inline) and ``csv`` (rows as CSV text).
+Fixture formats: ``dict`` (rows inline), ``csv`` (rows as CSV text) and
+``sql`` (rows is a SQL SELECT evaluated as the fixture relation —
+``core/dbt/artifacts/resources/v1/unit_test_definition.py:25-35``).
 """
 
 from __future__ import annotations
@@ -24,6 +26,16 @@ from sparkt.materializations import MatContext, register
 
 _REF_RE = re.compile(r"ref\(\s*['\"](\w+)['\"]\s*\)")
 _SRC_RE = re.compile(r"source\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*\)")
+
+
+def _fixture_sql(fixture: dict) -> str | None:
+    """SQL text for ``format: sql`` fixtures, else None."""
+    if fixture.get("format") == "sql":
+        sql = fixture.get("rows") or fixture.get("sql") or ""
+        if not isinstance(sql, str) or not sql.strip():
+            raise ExecutionError("sql fixture needs a SQL string in 'rows'")
+        return sql
+    return None
 
 
 def _parse_rows(fixture: dict) -> list[dict]:
@@ -73,7 +85,8 @@ def materialize_unit(ctx: MatContext, node):
     ref_overrides: dict[str, str] = {}
     for i, fixture in enumerate(node.given):
         input_expr = fixture.get("input", "")
-        rows = _parse_rows(fixture)
+        sql_fixture = _fixture_sql(fixture)
+        rows = [] if sql_fixture is not None else _parse_rows(fixture)
         view_name = f"__sparkt_ut_{node.name}_{i}"
         m = _REF_RE.search(input_expr)
         base_rel = None
@@ -96,7 +109,10 @@ def materialize_unit(ctx: MatContext, node):
             raise ExecutionError(
                 f"{node.unique_id}: cannot parse fixture input '{input_expr}'"
             )
-        df = _fixture_df(ctx, base_rel, rows)
+        if sql_fixture is not None:
+            df = ctx.spark.sql(sql_fixture)
+        else:
+            df = _fixture_df(ctx, base_rel, rows)
         df.createOrReplaceTempView(view_name)
         ref_overrides[key] = view_name
 
@@ -104,6 +120,20 @@ def materialize_unit(ctx: MatContext, node):
         model_node.__class__(**{**model_node.__dict__}), ref_overrides=ref_overrides
     )
     actual = ctx.spark.sql(compiled.compiled_code)
+
+    expect_sql = _fixture_sql(node.expect)
+    if expect_sql is not None:
+        expected_df = ctx.spark.sql(expect_sql)
+        expect_cols = expected_df.columns
+        actual_proj = actual.select(*expect_cols)
+        # align types to the model's output so 1 == 1L etc.
+        expected = expected_df.select(
+            *[
+                F.col(c).cast(dict(actual_proj.dtypes)[c]).alias(c)
+                for c in expect_cols
+            ]
+        )
+        return _diff_result(actual_proj, expected)
 
     expect_rows = _parse_rows(node.expect)
     if expect_rows:
@@ -123,6 +153,11 @@ def materialize_unit(ctx: MatContext, node):
         ]
     ) if expect_rows else expected_raw
 
+    return _diff_result(actual_proj, expected)
+
+
+def _diff_result(actual_proj, expected) -> dict:
+    """exceptAll both ways (the daff analogue); first 5 rows each way."""
     missing = expected.exceptAll(actual_proj)
     extra = actual_proj.exceptAll(expected)
     n_missing, n_extra = missing.count(), extra.count()

@@ -144,3 +144,68 @@ unit_tests:
     assert by_name["ut_joined_sums"].status == "pass"
     assert by_name["ut_joined_empty"].status == "pass"
     assert by_name["ut_joined_wrong"].status == "fail"
+
+
+def test_unit_test_sql_fixtures(make_project, spark):
+    """format: sql fixtures (reference core/dbt/parser/unit_tests.py:185-193):
+    given inputs and expect evaluated as SQL SELECTs."""
+    files = {
+        "dbt_project.yml": "name: uts\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/model_a.csv": "id,a\n1,10\n2,20\n",
+        "seeds/model_b.csv": "id,b\n1,100\n2,200\n",
+        "models/joined2.sql": (
+            "select a.id, a.a + b.b as c from {{ ref('model_a') }} a "
+            "join {{ ref('model_b') }} b on a.id = b.id"
+        ),
+        "models/schema.yml": """
+version: 2
+unit_tests:
+  - name: ut_sql_given_expect
+    model: joined2
+    given:
+      - input: ref('model_a')
+        format: sql
+        rows: |
+          select 1 as id, 5 as a union all select 2 as id, 7 as a
+      - input: ref('model_b')
+        format: sql
+        rows: |
+          select 1 as id, 10 as b
+    expect:
+      format: sql
+      rows: |
+        select 1 as id, 15 as c
+  - name: ut_sql_given_dict_expect
+    model: joined2
+    given:
+      - input: ref('model_a')
+        format: sql
+        rows: select 3 as id, 1 as a
+      - input: ref('model_b')
+        format: sql
+        rows: select 3 as id, 2 as b
+    expect:
+      rows:
+        - {id: 3, c: 3}
+  - name: ut_sql_wrong
+    model: joined2
+    given:
+      - input: ref('model_a')
+        format: sql
+        rows: select 1 as id, 1 as a
+      - input: ref('model_b')
+        format: sql
+        rows: select 1 as id, 1 as b
+    expect:
+      format: sql
+      rows: select 1 as id, 999 as c
+""",
+    }
+    runner = make_project(files, schema="t_uts")
+    assert runner.seed().ok
+    assert runner.run().ok
+    res = runner.test()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    assert by_name["ut_sql_given_expect"].status == "pass", by_name["ut_sql_given_expect"].message
+    assert by_name["ut_sql_given_dict_expect"].status == "pass", by_name["ut_sql_given_dict_expect"].message
+    assert by_name["ut_sql_wrong"].status == "fail"
