@@ -7,9 +7,13 @@ Reference: spec regex ``core/dbt/graph/selector_spec.py:15-24``
 ``core/dbt/graph/selector_methods.py:45-67``.
 
 Supported methods: fqn/name (default, fnmatch glob), ``tag:``,
-``source:``, ``path:``, ``resource_type:``, ``test_type:``,
-``config.<key>:``, plus ``+``/``N+``/``+N``/``@`` graph operators and
-``--exclude``.
+``source:``, ``path:``, ``file:``, ``package:``, ``resource_type:``,
+``test_type:``, ``test_name:``, ``config.<key>:``, ``group:``,
+``access:``, ``version:``, ``exposure:``, ``metric:``,
+``semantic_model:``, ``saved_query:``, ``unit_test:``,
+``source_status:``, ``state:`` (incl. ``modified.body/.configs/
+.relation/.macros/.contract``), ``result:``, plus
+``+``/``N+``/``+N``/``@`` graph operators and ``--exclude``.
 """
 
 from __future__ import annotations
@@ -37,9 +41,9 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
 
         if state is None:
             return set()
-        base = value.split(".")[0]  # modified[.body/.configs] collapse
+        base, _, sub = value.partition(".")
         if base == "modified":
-            return state_mod.modified_nodes(manifest, state)
+            return state_mod.modified_nodes(manifest, state, sub=sub or None)
         if base == "new":
             return state_mod.new_nodes(manifest, state)
         if base == "unmodified":
@@ -48,6 +52,17 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
     if method == "result":
         results = state if isinstance(state, dict) else {}
         return {uid for uid, st in results.items() if st == value}
+    if method == "source_status":
+        # freshness statuses recorded in --state's sources.json
+        # (reference: selector_methods.py SourceStatusSelectorMethod;
+        # 'fresher' needs a current-vs-previous loaded_at comparison the
+        # freshness task performs — statuses pass/warn/error here)
+        fresh = getattr(state, "freshness", None) or []
+        return {
+            r["unique_id"]
+            for r in fresh
+            if r.get("status") == value
+        }
     out: set[str] = set()
     for uid, node in manifest.all_nodes().items():
         if method == "fqn":
@@ -63,11 +78,54 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
             ok = fnmatch.fnmatch(node.path, value) or fnmatch.fnmatch(
                 node.path, value + "/*"
             )
+        elif method == "file":
+            fname = node.path.rsplit("/", 1)[-1]
+            ok = fnmatch.fnmatch(fname, value) or fnmatch.fnmatch(
+                fname, value + ".sql"
+            )
+        elif method == "package":
+            ok = fnmatch.fnmatch(node.package_name, value)
         elif method == "resource_type":
             ok = node.resource_type == value
         elif method == "test_type":
             kind = "generic" if node.test_metadata else "singular"
             ok = node.resource_type == "test" and kind == value
+        elif method == "test_name":
+            ok = node.resource_type == "test" and fnmatch.fnmatch(
+                (node.test_metadata or {}).get("name", ""), value
+            )
+        elif method == "group":
+            ok = str(node.config.get("group")) == value
+        elif method == "access":
+            ok = node.resource_type == "model" and (
+                node.config.get("access", "protected") == value
+            )
+        elif method == "version":
+            ver = node.config.get("version")
+            latest = node.config.get("latest_version", ver)
+            if value == "latest":
+                ok = ver is not None and ver == latest
+            elif value == "prerelease":
+                ok = (
+                    ver is not None
+                    and latest is not None
+                    and str(ver) > str(latest)
+                )
+            elif value == "old":
+                ok = (
+                    ver is not None
+                    and latest is not None
+                    and str(ver) < str(latest)
+                )
+            elif value == "none":
+                ok = node.resource_type == "model" and ver is None
+            else:
+                ok = ver is not None and str(ver) == value
+        elif method in ("exposure", "metric", "semantic_model",
+                        "saved_query", "unit_test"):
+            ok = node.resource_type == method and fnmatch.fnmatch(
+                node.name, value
+            )
         elif method.startswith("config."):
             key = method[len("config."):]
             ok = str(node.config.get(key)) == value

@@ -143,12 +143,19 @@ class Manifest:
                 "relation_name": n.relation.render() if n.relation else None,
                 "checksum": n.checksum(),
                 "description": n.description,
+                # contract surface for state:modified.contract
+                "columns": n.columns,
             }
 
         return {
             "metadata": {"sparkt_version": "0.1.0", "manifest_schema": "v12-reduced"},
             "nodes": {uid: node_dict(n) for uid, n in self.nodes.items()},
             "sources": {uid: node_dict(n) for uid, n in self.sources.items()},
+            # macro checksums for state:modified.macros
+            "macros": {
+                name: hashlib.md5(src.encode()).hexdigest()
+                for name, src in self.macros.items()
+            },
             "parent_map": self.parent_map,
             "child_map": self.child_map,
         }

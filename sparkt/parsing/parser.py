@@ -107,6 +107,7 @@ class ManifestLoader:
         self._parse_singular_tests()
         self._parse_schema_yaml()
         self._parse_analyses()
+        self._add_semantic_nodes()
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
         try:
@@ -507,6 +508,88 @@ class ManifestLoader:
         )
         self.manifest.nodes[node.unique_id] = node
 
+    def _add_semantic_nodes(self) -> None:
+        """Semantic models, metrics and saved queries join the manifest
+        as graph nodes (reference: they are first-class NodeTypes,
+        ``core/dbt/artifacts/resources/types.py:18-37``) so selection
+        (``metric:``, ``semantic_model:``, ``saved_query:``, ``+``
+        walks) sees them; they never execute."""
+        pname = self.project.name
+        measure_owner: dict[str, str] = {}
+        for sm in self.manifest.semantic_models:
+            name = sm.get("name")
+            if not name:
+                continue
+            uid = f"semantic_model.{pname}.{name}"
+            m = re.match(r"""\s*ref\(['"](\w+)['"]\)\s*$""",
+                         str(sm.get("model", "")))
+            node = ParsedNode(
+                unique_id=uid, name=name, package_name=pname,
+                resource_type="semantic_model",
+                refs=[m.group(1)] if m else [],
+                description=sm.get("description", ""),
+            )
+            self.manifest.nodes[uid] = node
+            for meas in sm.get("measures", []) or []:
+                if meas.get("name"):
+                    measure_owner[meas["name"]] = uid
+        metric_uid = {}
+        for met in self.manifest.metrics:
+            name = met.get("name")
+            if not name:
+                continue
+            uid = f"metric.{pname}.{name}"
+            metric_uid[name] = uid
+            tp = met.get("type_params", {}) or {}
+            deps = []
+            for meas in (
+                tp.get("measure"), met.get("measure"),
+                tp.get("numerator"), tp.get("denominator"),
+                tp.get("base_measure"), tp.get("conversion_measure"),
+            ):
+                meas_name = (
+                    meas.get("name") if isinstance(meas, dict) else meas
+                )
+                if meas_name and meas_name in measure_owner:
+                    deps.append(measure_owner[meas_name])
+            node = ParsedNode(
+                unique_id=uid, name=name, package_name=pname,
+                resource_type="metric",
+                config={"type": met.get("type", "simple")},
+                description=met.get("description", ""),
+            )
+            node.depends_on = list(dict.fromkeys(deps))
+            self.manifest.nodes[uid] = node
+        # derived metrics depend on input metrics
+        for met in self.manifest.metrics:
+            tp = met.get("type_params", {}) or {}
+            uid = metric_uid.get(met.get("name"))
+            if uid is None:
+                continue
+            for inp in tp.get("metrics", []) or []:
+                inp_name = inp.get("name") if isinstance(inp, dict) else inp
+                if inp_name in metric_uid:
+                    self.manifest.nodes[uid].depends_on.append(
+                        metric_uid[inp_name]
+                    )
+        for sq in self.manifest.saved_queries:
+            name = sq.get("name")
+            if not name:
+                continue
+            uid = f"saved_query.{pname}.{name}"
+            qp = sq.get("query_params", {}) or {}
+            deps = [
+                metric_uid[mn] for mn in qp.get("metrics", []) or []
+                if mn in metric_uid
+            ]
+            node = ParsedNode(
+                unique_id=uid, name=name, package_name=pname,
+                resource_type="saved_query",
+                description=sq.get("description", ""),
+            )
+            node.depends_on = deps
+            self.manifest.nodes[uid] = node
+
     # ------------------------------------------------------------- linking
     def _resolve_refs(self) -> None:
         """``process_refs``/``process_sources``
@@ -528,4 +611,6 @@ class ManifestLoader:
                         f"'{source_name}.{table_name}'"
                     )
                 deps.append(target.unique_id)
-            node.depends_on = list(dict.fromkeys(deps))
+            # keep deps preset by parsers (semantic nodes) and add
+            # ref/source resolutions
+            node.depends_on = list(dict.fromkeys(list(node.depends_on) + deps))

@@ -69,12 +69,19 @@ class Project:
 
         take(tree)
         level = tree
-        for part in rel_path.split(os.sep)[:-1]:
+        parts = rel_path.split(os.sep)
+        for part in parts[:-1]:
             nxt = level.get(part)
             if not isinstance(nxt, dict):
                 break
             take(nxt)
             level = nxt
+        else:
+            # resource-name leaf level: models: {my_model: {+alias: x}}
+            stem = os.path.splitext(parts[-1])[0]
+            leaf = level.get(stem)
+            if isinstance(leaf, dict):
+                take(leaf)
         return out
 
 

@@ -543,4 +543,14 @@ class Runner:
                 {"unique_id": node.unique_id, "max_loaded_at_age_s": age,
                  "status": status}
             )
+        # sources.json artifact (reference writes the same next to
+        # run_results; consumed by the source_status: selector method)
+        try:
+            os.makedirs(self.project.target_dir, exist_ok=True)
+            with open(
+                os.path.join(self.project.target_dir, "sources.json"), "w"
+            ) as f:
+                json.dump({"results": out}, f, indent=1)
+        except Exception:  # noqa: BLE001 — artifact is best-effort
+            pass
         return out

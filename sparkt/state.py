@@ -14,15 +14,22 @@ import os
 
 
 class StateManifest:
-    """A previously written target/manifest.json."""
+    """A previously written target/manifest.json (+ optional
+    sources.json freshness artifact in the same directory)."""
 
     def __init__(self, path: str):
+        self.freshness: list[dict] = []
         if os.path.isdir(path):
+            fresh_path = os.path.join(path, "sources.json")
+            if os.path.exists(fresh_path):
+                with open(fresh_path) as f:
+                    self.freshness = json.load(f).get("results", [])
             path = os.path.join(path, "manifest.json")
         with open(path) as f:
             raw = json.load(f)
         self.nodes: dict[str, dict] = raw.get("nodes", {})
         self.sources: dict[str, dict] = raw.get("sources", {})
+        self.macros: dict[str, str] = raw.get("macros", {})
 
     def checksum(self, unique_id: str) -> str | None:
         node = self.nodes.get(unique_id)
@@ -37,20 +44,78 @@ class StateManifest:
         return node.get("relation_name")
 
 
-def modified_nodes(manifest, state: StateManifest) -> set[str]:
-    """state:modified = new nodes + body/config-changed nodes
-    (``selector_methods.py:609-787``; the `.body`/`.configs`
-    submethods collapsed into one predicate)."""
+_MACRO_CALL_RE = None  # compiled lazily
+
+
+def _macros_used(raw_code: str) -> set[str]:
+    """Names invoked as ``{{ name(...`` / ``{% ... name(`` — a textual
+    approximation of the reference's depends_on.macros tracking."""
+    import re
+
+    global _MACRO_CALL_RE
+    if _MACRO_CALL_RE is None:
+        _MACRO_CALL_RE = re.compile(r"(\w+)\s*\(")
+    return set(_MACRO_CALL_RE.findall(raw_code))
+
+
+def modified_nodes(
+    manifest, state: StateManifest, sub: str | None = None
+) -> set[str]:
+    """state:modified[.sub] (``selector_methods.py:609-787``).
+
+    sub ∈ {None, body, configs, relation, macros, contract}: None is the
+    union of every discriminator plus new nodes (reference semantics)."""
+    import hashlib
+
+    changed_macros = {
+        name
+        for name, src in manifest.macros.items()
+        if state.macros.get(name) != hashlib.md5(src.encode()).hexdigest()
+    }
+    # macro files are keyed "package/rel/path.sql"; a node textually
+    # calls macro NAMES, so index changed macro definition names
+    changed_macro_names: set[str] = set()
+    import re as _re
+
+    for name in changed_macros:
+        src = manifest.macros.get(name, "")
+        changed_macro_names |= set(
+            _re.findall(r"{%-?\s*macro\s+(\w+)", src)
+        )
+    # macros removed since the state manifest also count as changed
+    for name in state.macros:
+        if name not in manifest.macros:
+            changed_macro_names.add(name.rsplit("/", 1)[-1].split(".")[0])
+
     out = set()
     for uid, node in manifest.nodes.items():
         old = state.nodes.get(uid)
         if old is None:
-            out.add(uid)
+            if sub is None:
+                out.add(uid)
             continue
-        if node.checksum() != old.get("checksum"):
-            out.add(uid)
-            continue
-        if (old.get("config") or {}) != node.config:
+        body = node.checksum() != old.get("checksum")
+        configs = (old.get("config") or {}) != node.config
+        # relation identity = (schema override, alias); node.relation
+        # itself is only populated at run time, so compare the configs
+        old_cfg = old.get("config") or {}
+        relation = (
+            node.config.get("schema"),
+            node.config.get("alias", node.name),
+        ) != (old_cfg.get("schema"), old_cfg.get("alias", old.get("name")))
+        macros = bool(_macros_used(node.raw_code) & changed_macro_names)
+        contract = (old.get("columns") or {}) != node.columns
+        by_sub = {
+            "body": body,
+            "configs": configs,
+            "relation": relation,
+            "macros": macros,
+            "contract": contract,
+        }
+        if sub is not None:
+            if by_sub.get(sub, False):
+                out.add(uid)
+        elif any(by_sub.values()):
             out.add(uid)
     return out
 

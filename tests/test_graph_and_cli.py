@@ -186,3 +186,158 @@ def test_custom_materialization(make_project, spark):
     assert runner.seed().ok
     assert runner.run().ok
     assert spark.table("t_custom.limited").count() == 2
+
+
+def test_selector_method_parity(make_project):
+    """Reference selector methods (core/dbt/graph/selector_methods.py:
+    45-67): group, access, package, file, test_name, exposure, metric,
+    semantic_model, saved_query, unit_test, version."""
+    files = {
+        "dbt_project.yml": "name: selp\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/base.csv": "id,amount\n1,5\n2,7\n",
+        "models/orders_sel.sql": (
+            "{{ config(group='finance', access='public') }}\n"
+            "select id, amount from {{ ref('base') }}"
+        ),
+        "models/private_sel.sql": (
+            "{{ config(access='private') }}\nselect 1 as id"
+        ),
+        "models/schema.yml": """
+version: 2
+models:
+  - name: orders_sel
+    columns:
+      - name: id
+        data_tests: [unique, not_null]
+unit_tests:
+  - name: ut_orders_sel
+    model: orders_sel
+    given:
+      - input: ref('base')
+        rows: [{id: 1, amount: 2}]
+    expect:
+      rows: [{id: 1, amount: 2}]
+exposures:
+  - name: finance_dash
+    type: dashboard
+    depends_on: ["ref('orders_sel')"]
+semantic_models:
+  - name: sm_orders
+    model: ref('orders_sel')
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+metrics:
+  - name: m_total
+    type: simple
+    type_params: {measure: total_amount}
+saved_queries:
+  - name: sq_total
+    query_params: {metrics: [m_total]}
+""",
+    }
+    runner = make_project(files, schema="t_selp")
+    from sparkt.graph.linker import link_graph
+    from sparkt.graph.selector import select_nodes
+
+    m = runner.manifest
+    g = link_graph(m)
+    names = lambda s: {uid.split(".", 2)[-1] for uid in s}  # noqa: E731
+
+    assert names(select_nodes(g, m, "group:finance")) == {"orders_sel"}
+    assert names(select_nodes(g, m, "access:public")) == {"orders_sel"}
+    assert names(select_nodes(g, m, "access:private")) == {"private_sel"}
+    assert "orders_sel" in names(select_nodes(g, m, "package:selp"))
+    assert names(select_nodes(g, m, "file:orders_sel.sql")) == {"orders_sel"}
+    assert names(select_nodes(g, m, "file:orders_sel")) == {"orders_sel"}
+    got = names(select_nodes(g, m, "test_name:unique"))
+    assert got and all("unique" in n for n in got)
+    assert names(select_nodes(g, m, "exposure:finance_dash")) == {"finance_dash"}
+    assert names(select_nodes(g, m, "metric:m_total")) == {"m_total"}
+    assert names(select_nodes(g, m, "semantic_model:sm_orders")) == {"sm_orders"}
+    assert names(select_nodes(g, m, "saved_query:sq_total")) == {"sq_total"}
+    assert names(select_nodes(g, m, "unit_test:ut_orders_sel")) == {"ut_orders_sel"}
+    # graph edges: +metric pulls the semantic model and its model
+    up = names(select_nodes(g, m, "+metric:m_total"))
+    assert {"m_total", "sm_orders", "orders_sel"} <= up
+    # +saved_query reaches through metric to the model
+    up = names(select_nodes(g, m, "+saved_query:sq_total"))
+    assert {"sq_total", "m_total", "sm_orders", "orders_sel"} <= up
+
+
+def test_state_modified_subselectors(make_project, tmp_path):
+    """state:modified.body vs .configs vs .macros vs .relation vs
+    .contract discrimination (selector_methods.py:609-787)."""
+    import os
+    import shutil
+
+    files = {
+        "dbt_project.yml": "name: ms\nmodel-paths: [models]\nmacro-paths: [macros]\n",
+        "macros/helper.sql": "{% macro double_it(c) %}({{ c }} * 2){% endmacro %}",
+        "models/uses_macro.sql": "select {{ double_it('1') }} as v",
+        "models/plain_body.sql": "select 1 as a",
+        "models/plain_config.sql": "select 2 as b",
+        "models/plain_alias.sql": "select 3 as c",
+        "models/contracted.sql": "select 4 as d",
+        "models/schema.yml": """
+version: 2
+models:
+  - name: contracted
+    columns:
+      - {name: d, data_type: int}
+""",
+    }
+    runner = make_project(files, schema="t_ms")
+    runner.compile()  # writes target/manifest.json
+    state_dir = str(tmp_path / "state")
+    shutil.copytree(runner.project.target_dir, state_dir)
+
+    # mutate: body (in-file), config + alias (via dbt_project.yml so the
+    # BODY stays identical — the discriminator must tell them apart),
+    # macro, contract
+    root = runner.project.project_root
+    with open(os.path.join(root, "models/plain_body.sql"), "w") as f:
+        f.write("select 10 as a")
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write(
+            "name: ms\nmodel-paths: [models]\nmacro-paths: [macros]\n"
+            "models:\n"
+            "  plain_config: {+materialized: table}\n"
+            "  plain_alias: {+alias: aliased_c}\n"
+        )
+    with open(os.path.join(root, "macros/helper.sql"), "w") as f:
+        f.write("{% macro double_it(c) %}({{ c }} * 2 + 0){% endmacro %}")
+    with open(os.path.join(root, "models/schema.yml"), "w") as f:
+        f.write("""
+version: 2
+models:
+  - name: contracted
+    columns:
+      - {name: d, data_type: bigint}
+""")
+
+    from sparkt.runner import Runner
+    from sparkt.graph.linker import link_graph
+    from sparkt.graph.selector import select_nodes
+    from sparkt.state import StateManifest
+
+    r2 = Runner(root, spark=runner.spark,
+                project_overrides={"schema": "t_ms"})
+    st = StateManifest(state_dir)
+    m = r2.manifest
+    g = link_graph(m)
+    names = lambda s: {uid.split(".", 2)[-1] for uid in s}  # noqa: E731
+
+    assert names(select_nodes(g, m, "state:modified.body", state=st)) == {
+        "plain_body"}
+    got_cfg = names(select_nodes(g, m, "state:modified.configs", state=st))
+    assert "plain_config" in got_cfg and "plain_body" not in got_cfg
+    assert names(select_nodes(g, m, "state:modified.macros", state=st)) == {
+        "uses_macro"}
+    got_rel = names(select_nodes(g, m, "state:modified.relation", state=st))
+    assert "plain_alias" in got_rel and "plain_body" not in got_rel
+    assert names(select_nodes(g, m, "state:modified.contract", state=st)) == {
+        "contracted"}
+    # umbrella = union of all
+    got_all = names(select_nodes(g, m, "state:modified", state=st))
+    assert {"plain_body", "plain_config", "plain_alias",
+            "uses_macro", "contracted"} <= got_all
