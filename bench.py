@@ -58,6 +58,32 @@ def main():
         times[name] = round(run(name), 3)
 
     total = round(sum(times.values()), 3)
+
+    # parse+DAG benchmark (BASELINE.md: 2,000 models <= 45 s cold /
+    # <= 5 s warm) — pure driver work, no Spark
+    parse_stats = {}
+    try:
+        import shutil
+        import tempfile
+
+        import bench_parse
+
+        root = tempfile.mkdtemp(prefix="sparkt_parse_bench_")
+        try:
+            bench_parse.generate(root)
+            cold_s, n_nodes = bench_parse.parse_once(root, partial=False)
+            bench_parse.parse_once(root, partial=True)
+            warm_s, _ = bench_parse.parse_once(root, partial=True)
+            parse_stats = {
+                "parse_2000_models_cold_s": round(cold_s, 3),
+                "parse_2000_models_warm_s": round(warm_s, 3),
+                "parse_graph_nodes": n_nodes,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — parse bench is supplementary
+        pass
+
     print(
         json.dumps(
             {
@@ -66,6 +92,7 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                **parse_stats,
             }
         )
     )
