@@ -12,10 +12,10 @@ order-insensitive value-hash):
 
 from __future__ import annotations
 
-from sparkt.queries import engine_flows, pipeline, relational
+from sparkt.queries import engine_flows, pipeline, relational, semantic_queries
 
 QUERIES = {}
 ORACLES = {}
-for mod in (relational, pipeline, engine_flows):
+for mod in (relational, pipeline, engine_flows, semantic_queries):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -60,10 +60,140 @@ def test_metrics_compile_and_run(make_project, spark):
     assert by_region["west"]["sale_count"] == 2
 
 
-def test_unsupported_metric_type_raises(make_project, spark):
+def test_malformed_conversion_raises(make_project, spark):
+    # 'conversions' has no conversion_type_params -> clear error
+    from sparkt.exceptions import CompilationError
+
     runner = make_project(FILES, schema="t_sem2")
+    with pytest.raises(CompilationError):
+        runner.query_metrics(["conversions"])
+
+
+def test_unknown_metric_type_raises(make_project, spark):
+    files = dict(FILES)
+    files["models/semantic.yml"] = FILES["models/semantic.yml"].replace(
+        "type: conversion", "type: exotic"
+    )
+    runner = make_project(files, schema="t_sem2b")
     with pytest.raises(NotImplementedError):
         runner.query_metrics(["conversions"])
+
+
+CUMUL_FILES = {
+    "dbt_project.yml": "name: semc\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/daily.csv": (
+        "ds,region,amount\n"
+        "2024-01-01,east,10\n2024-01-02,east,20\n2024-01-03,east,30\n"
+        "2024-01-05,east,40\n2024-01-01,west,5\n2024-01-04,west,15\n"
+    ),
+    "models/fct_daily.sql": (
+        "{{ config(materialized='table') }}\n"
+        "select cast(ds as timestamp) as ds, region, amount "
+        "from {{ ref('daily') }}"
+    ),
+    "models/semantic.yml": """
+version: 2
+semantic_models:
+  - name: daily_sm
+    model: ref('fct_daily')
+    defaults: {agg_time_dimension: ds}
+    dimensions:
+      - {name: ds, type: time, expr: ds}
+      - {name: region, expr: region}
+    measures:
+      - {name: amount_sum, agg: sum, expr: amount}
+metrics:
+  - {name: daily_amount, type: simple, type_params: {measure: amount_sum}}
+  - {name: running_amount, type: cumulative, type_params: {measure: amount_sum}}
+  - name: amount_2d
+    type: cumulative
+    type_params:
+      measure: amount_sum
+      cumulative_type_params: {window: "2 days"}
+""",
+}
+
+
+def test_cumulative_metrics(make_project, spark):
+    runner = make_project(CUMUL_FILES, schema="t_semc")
+    assert runner.seed().ok
+    assert runner.run().ok
+    rows = runner.query_metrics(
+        ["daily_amount", "running_amount", "amount_2d"],
+        dimensions=["metric_time__day", "region"],
+    ).collect()
+    east = {str(r["metric_time_day"])[:10]: r for r in rows
+            if r["region"] == "east"}
+    # running total accumulates across all days
+    assert east["2024-01-03"]["running_amount"] == 60
+    assert east["2024-01-05"]["running_amount"] == 100
+    # trailing 2-day window: Jan 5 sees only Jan 3 (>= Jan 3) and Jan 5
+    assert east["2024-01-05"]["amount_2d"] == 70
+    assert east["2024-01-02"]["daily_amount"] == 20
+    west = {str(r["metric_time_day"])[:10]: r for r in rows
+            if r["region"] == "west"}
+    assert west["2024-01-04"]["running_amount"] == 20
+
+
+CONV_FILES = {
+    "dbt_project.yml": "name: semv\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/evs.csv": (
+        "user_id,ts,kind\n"
+        "1,2024-01-01 10:00:00,visit\n"
+        "1,2024-01-02 09:00:00,buy\n"      # converts (within 7d)
+        "2,2024-01-01 10:00:00,visit\n"    # no buy
+        "3,2024-01-01 10:00:00,visit\n"
+        "3,2024-01-20 10:00:00,buy\n"      # buy outside window
+        "4,2024-01-05 08:00:00,visit\n"
+        "4,2024-01-05 08:00:00,buy\n"      # same-instant conversion counts
+    ),
+    "models/fct_evs.sql": (
+        "{{ config(materialized='table') }}\n"
+        "select user_id, cast(ts as timestamp) as ts, kind "
+        "from {{ ref('evs') }}"
+    ),
+    "models/semantic.yml": """
+version: 2
+semantic_models:
+  - name: evs_sm
+    model: ref('fct_evs')
+    defaults: {agg_time_dimension: ts}
+    dimensions:
+      - {name: ts, type: time, expr: ts}
+    measures:
+      - {name: visits, agg: count, expr: "case when kind = 'visit' then 1 end"}
+      - {name: buys, agg: count, expr: "case when kind = 'buy' then 1 end"}
+metrics:
+  - name: visit_to_buy
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: visits
+        conversion_measure: buys
+        entity: user_id
+        window: "7 days"
+  - name: n_conversions
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: visits
+        conversion_measure: buys
+        entity: user_id
+        window: "7 days"
+        calculation: conversions
+""",
+}
+
+
+def test_conversion_metrics(make_project, spark):
+    runner = make_project(CONV_FILES, schema="t_semv")
+    assert runner.seed().ok
+    assert runner.run().ok
+    # 4 visits; users 1 and 4 convert within 7 days
+    rate = runner.query_metrics(["visit_to_buy"]).first()["visit_to_buy"]
+    assert rate == 0.5
+    n = runner.query_metrics(["n_conversions"]).first()["n_conversions"]
+    assert n == 2
 
 
 def test_saved_query(make_project, spark):
