@@ -389,3 +389,33 @@ class SparkAdapter:
             f"FROM {relation.render()}{where}"
         ).first()
         return None if row is None or row["age"] is None else float(row["age"])
+
+    def calculate_freshness_from_metadata(
+        self, relation: Relation
+    ) -> float | None:
+        """Seconds since the newest data file backing the relation was
+        written — the zero-scan path
+        (``core/dbt/task/freshness.py:107-145``,
+        ``calculate_freshness_from_metadata``; warehouse table metadata
+        there, file mtimes for external parquet here — the exact
+        analogue of a Delta/Iceberg last-commit timestamp)."""
+        entry = self._catalog.get(f"{relation.schema}.{relation.identifier}")
+        path = None
+        if entry is not None:
+            path = entry.get("path") or entry.get("location")
+        if path is None or not os.path.exists(path):
+            return None
+        newest = 0.0
+        if os.path.isdir(path):
+            for dirpath, _, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(dirpath, fn)),
+                        )
+        else:
+            newest = os.path.getmtime(path)
+        if newest == 0.0:
+            return None
+        return max(0.0, time.time() - newest)

@@ -524,12 +524,19 @@ class Runner:
         self.register_sources()
         out = []
         for node in self.manifest.sources.values():
-            if not node.loaded_at_field or not node.freshness:
+            if not node.freshness:
                 continue
             rel = self.compiler.relation_for(node)
-            age = self.adapter.calculate_freshness(
-                rel, node.loaded_at_field, node.freshness.get("filter")
-            )
+            if node.loaded_at_field:
+                age = self.adapter.calculate_freshness(
+                    rel, node.loaded_at_field, node.freshness.get("filter")
+                )
+            else:
+                # metadata path: no loaded_at_field -> file mtimes
+                # (freshness.py:107-145)
+                age = self.adapter.calculate_freshness_from_metadata(rel)
+                if age is None:
+                    continue
             status = "pass"
             for level in ("warn_after", "error_after"):
                 th = node.freshness.get(level)

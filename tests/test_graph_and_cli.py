@@ -162,6 +162,44 @@ sources:
     assert rows[0]["status"] == "warn"  # 2024 data: stale > 1h, < 100000d
 
 
+def test_source_freshness_from_metadata(make_project, tmp_path):
+    """No loaded_at_field -> file-mtime metadata path (reference
+    calculate_freshness_from_metadata, task/freshness.py:107-145)."""
+    import os
+    import shutil
+
+    # a parquet file we control the mtime of
+    loc = str(tmp_path / "meta_src.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/region.parquet", loc)
+    old = __import__("time").time() - 7200  # 2h ago
+    os.utime(loc, (old, old))
+    files = {
+        "dbt_project.yml": "name: freshm\nmodel-paths: [models]\n",
+        "models/sources.yml": f"""
+version: 2
+sources:
+  - name: meta
+    schema: meta_fresh
+    tables:
+      - name: recent
+        external: {{location: {loc}}}
+        freshness:
+          warn_after: {{count: 1, period: hour}}
+          error_after: {{count: 1, period: day}}
+      - name: fresh_enough
+        external: {{location: {loc}}}
+        freshness:
+          warn_after: {{count: 1, period: day}}
+""",
+    }
+    runner = make_project(files, schema="t_freshm")
+    rows = {r["unique_id"]: r for r in runner.source_freshness()}
+    r1 = rows["source.meta.recent"]
+    assert 7000 < r1["max_loaded_at_age_s"] < 8000
+    assert r1["status"] == "warn"  # 2h old: > 1h warn, < 1d error
+    assert rows["source.meta.fresh_enough"]["status"] == "pass"
+
+
 def test_custom_materialization(make_project, spark):
     from sparkt.materializations import register
 
