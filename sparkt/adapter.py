@@ -222,13 +222,26 @@ class SparkAdapter:
         return os.path.join(base, f"v{int(time.time() * 1000)}_{uuid.uuid4().hex[:6]}")
 
     def _gc_old_versions(self, relation: Relation, keep: str) -> None:
+        """Deferred GC: retain the current version AND the newest
+        previous one; older versions are removed on the NEXT write.
+
+        A reader that resolved the old location just before the catalog
+        swap can still finish its scan — files only disappear one full
+        write cycle later (the same grace Delta/Iceberg gets from
+        retention-windowed VACUUM)."""
         base = os.path.join(self.warehouse_dir, relation.schema, relation.identifier)
         if not os.path.isdir(base):
             return
-        for d in os.listdir(base):
-            full = os.path.join(base, d)
-            if full != keep and os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
+        others = sorted(
+            d
+            for d in os.listdir(base)
+            if os.path.join(base, d) != keep
+            and os.path.isdir(os.path.join(base, d))
+        )
+        # version dirs are v<epoch_millis>_<hex>: lexicographic ==
+        # chronological; drop all but the newest previous version
+        for d in others[:-1]:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # ------------------------------------------------------------------ DDL
     def register_external_table(self, relation: Relation, path: str) -> None:

@@ -64,3 +64,34 @@ select {{ max_id }} as observed_max
     res = runner.run()
     assert res.ok, [r.message for r in res.results]
     assert spark.table("t_stmt.uses_statement").first()["observed_max"] == 3
+
+
+def test_deferred_version_gc_protects_inflight_readers(spark, tmp_path):
+    """Rewrites keep N-1: a reader holding the previous version's files
+    can finish its scan; the old version disappears only after the NEXT
+    write (the VACUUM-retention analogue for the versioned-dir store)."""
+    import os
+
+    from sparkt.adapter import SparkAdapter
+    from sparkt.relation import Relation
+
+    adapter = SparkAdapter(spark, str(tmp_path / "wh"))
+    rel = Relation(schema="t_gc", identifier="tbl")
+    adapter.create_table_as(rel, select_sql="select id from range(100)")
+    base = os.path.join(adapter.warehouse_dir, "t_gc", "tbl")
+    v1 = sorted(os.listdir(base))
+    assert len(v1) == 1
+    # a reader resolves v1's files directly (simulates an in-flight scan)
+    reader = spark.read.parquet(os.path.join(base, v1[0]))
+
+    adapter.create_table_as(rel, select_sql="select id from range(200)")
+    v2 = sorted(os.listdir(base))
+    assert len(v2) == 2 and v1[0] in v2  # previous version retained
+    assert reader.count() == 100  # in-flight reader completes
+
+    adapter.create_table_as(rel, select_sql="select id from range(300)")
+    v3 = sorted(os.listdir(base))
+    assert len(v3) == 2  # v1 collected on the NEXT write
+    assert v1[0] not in v3
+    assert spark.table("t_gc.tbl").count() == 300
+    adapter.drop_schema("t_gc")
