@@ -389,6 +389,40 @@ class SparkAdapter:
         with self._ddl_lock:
             self.spark.sql(f"ALTER TABLE {relation.render()} ADD COLUMNS ({cols})")
 
+    # -------------------------------------------------------------- grants
+    @staticmethod
+    def standardize_grants_dict(grants: dict) -> dict[str, list[str]]:
+        """``{privilege: grantee | [grantees]}`` → lists, lower-cased
+        privileges (reference ``standardize_grants_dict``,
+        ``core/dbt/adapters`` surface consumed by ``task/run.py``)."""
+        out: dict[str, list[str]] = {}
+        for priv, grantees in (grants or {}).items():
+            if isinstance(grantees, str):
+                grantees = [grantees]
+            out[str(priv).lower()] = [str(g) for g in grantees or []]
+        return out
+
+    def apply_grants(self, relation: Relation, grants: dict) -> dict:
+        """Record grants on the relation. DOCUMENTED DIVERGENCE: Spark's
+        in-memory catalog has no ACLs, so no GRANT DDL exists to run —
+        the standardized grants are persisted in the engine catalog (and
+        would compile to ``GRANT <priv> ON TABLE ... TO <grantee>`` on a
+        Hive/Unity deployment) instead of being silently dropped."""
+        std = self.standardize_grants_dict(grants)
+        with self._ddl_lock:
+            key = f"{relation.schema}.{relation.identifier}"
+            entry = self._catalog.get(key)
+            if entry is not None:
+                entry["grants"] = std
+                self._save_catalog()
+        return std
+
+    def get_grants(self, relation: Relation) -> dict[str, list[str]]:
+        entry = self._catalog.get(
+            f"{relation.schema}.{relation.identifier}"
+        )
+        return dict((entry or {}).get("grants") or {})
+
     # ----------------------------------------------------------- freshness
     def calculate_freshness(
         self, relation: Relation, loaded_at_field: str, filter_sql: str | None

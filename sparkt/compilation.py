@@ -73,14 +73,18 @@ class Compiler:
         this = self.relation_for(node)
         results_store: dict[str, object] = {}
 
-        def ref(*args):
+        def ref(*args, **kwargs):
             name = args[-1]
             package = args[0] if len(args) == 2 else None
+            version = kwargs.get("v", kwargs.get("version"))
             if ref_overrides and name in ref_overrides:
                 return ref_overrides[name]
-            target = self.manifest.ref_lookup(name, package)
+            target = self.manifest.ref_lookup(name, package, version=version)
             if target is None:
-                raise CompilationError(f"unknown ref '{name}' in {node.unique_id}")
+                vtxt = f" v{version}" if version is not None else ""
+                raise CompilationError(
+                    f"unknown ref '{name}'{vtxt} in {node.unique_id}"
+                )
             self._check_access(node, target)
             if target.is_ephemeral:
                 cte_name = Relation.add_ephemeral_prefix(target.name)

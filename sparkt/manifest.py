@@ -52,6 +52,9 @@ class ParsedNode:
     given: list[dict] = field(default_factory=list)
     expect: dict = field(default_factory=dict)
     model: str | None = None
+    # model versions (nodes.py:426): versioned nodes share a base_name;
+    # config carries version / latest_version
+    base_name: str | None = None
     # sources
     source_name: str | None = None
     loaded_at_field: str | None = None
@@ -96,15 +99,42 @@ class Manifest:
     child_map: dict[str, list[str]] = field(default_factory=dict)
 
     def ref_lookup(
-        self, name: str, package: str | None = None
+        self,
+        name: str,
+        package: str | None = None,
+        version: str | int | None = None,
     ) -> ParsedNode | None:
-        for node in self.nodes.values():
-            if (
-                node.resource_type in REFABLE_TYPES
-                and node.name == name
-                and (package is None or node.package_name == package)
-            ):
-                return node
+        """Name (optionally package/version) → node. A versioned ref
+        matches on base_name + version; an unversioned ref to a
+        versioned model resolves to its latest_version
+        (``core/dbt/contracts/graph/manifest.py`` ref resolution +
+        ``nodes.py:426``)."""
+        candidates = [
+            n
+            for n in self.nodes.values()
+            if n.resource_type in REFABLE_TYPES
+            and (package is None or n.package_name == package)
+        ]
+        if version is not None:
+            for n in candidates:
+                if (n.base_name or n.name) == name and str(
+                    n.config.get("version")
+                ) == str(version):
+                    return n
+            return None
+        versioned = [n for n in candidates if n.base_name == name]
+        if versioned:
+            for n in versioned:
+                if str(n.config.get("version")) == str(
+                    n.config.get("latest_version")
+                ):
+                    return n
+            return max(
+                versioned, key=lambda n: str(n.config.get("version"))
+            )
+        for n in candidates:
+            if n.name == name:
+                return n
         return None
 
     def source_lookup(self, source_name: str, table_name: str) -> ParsedNode | None:

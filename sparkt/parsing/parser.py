@@ -47,11 +47,22 @@ class ManifestLoader:
         self.packages = self._load_packages()
 
     def _load_packages(self) -> list[Project]:
-        """Local package deps from packages.yml (reference:
-        ``core/dbt/deps``; local packages only — git packages need
-        network and are out of scope here). Each package is a full
-        project whose macros/models/seeds join the manifest under its
-        own package name."""
+        """Package deps from packages.yml (reference: ``core/dbt/deps``,
+        ``core/dbt/task/deps.py``). Supported pinning methods:
+
+        - ``local:`` path (``deps/local.py``)
+        - ``tarball:`` path/file-URL to a ``.tar.gz`` whose root (or
+          single top-level dir) is a dbt project (``deps/tarball.py``);
+          extracted once into ``target/packages/<stem>``
+        - ``git:`` URL + ``revision:`` pin (``deps/git.py``); cloned
+          shallow at the revision into ``target/packages/``; local
+          ``file://``/path remotes work offline, network remotes need
+          egress
+        - ``package:`` hub entries raise a clear error (no registry
+          access in this environment)
+
+        Each package is a full project whose resources join the
+        manifest under its own package name."""
         import yaml
 
         from sparkt.project import load_project
@@ -63,13 +74,85 @@ class ManifestLoader:
             spec = yaml.safe_load(f) or {}
         out = []
         for entry in spec.get("packages", []) or []:
-            local = (entry or {}).get("local")
-            if not local:
-                continue
-            path = os.path.join(self.project.project_root, local)
-            if os.path.isdir(path):
-                out.append(load_project(path))
+            entry = entry or {}
+            if entry.get("local"):
+                path = os.path.join(self.project.project_root, entry["local"])
+                if os.path.isdir(path):
+                    out.append(load_project(path))
+            elif entry.get("tarball"):
+                out.append(load_project(self._fetch_tarball(entry["tarball"])))
+            elif entry.get("git"):
+                out.append(
+                    load_project(
+                        self._fetch_git(entry["git"], entry.get("revision"))
+                    )
+                )
+            elif entry.get("package"):
+                raise ParsingError(
+                    f"hub package '{entry['package']}' needs registry "
+                    "access; use a local:/tarball:/git: pin instead"
+                )
         return out
+
+    def _packages_dir(self) -> str:
+        d = os.path.join(self.project.target_dir, "packages")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _fetch_tarball(self, source: str) -> str:
+        import tarfile
+
+        if source.startswith("file://"):
+            source = source[len("file://"):]
+        if not os.path.isabs(source):
+            source = os.path.join(self.project.project_root, source)
+        if not os.path.exists(source):
+            raise ParsingError(f"tarball package not found: {source}")
+        stem = os.path.basename(source)
+        for ext in (".tar.gz", ".tgz", ".tar"):
+            if stem.endswith(ext):
+                stem = stem[: -len(ext)]
+                break
+        dest = os.path.join(self._packages_dir(), stem)
+        if not os.path.isdir(dest):
+            with tarfile.open(source) as tf:
+                tf.extractall(dest, filter="data")
+        return self._project_root_within(dest, f"tarball '{source}'")
+
+    def _fetch_git(self, url: str, revision: str | None) -> str:
+        import subprocess
+
+        safe = re.sub(r"\W+", "_", url.rstrip("/").rsplit("/", 1)[-1]) or "pkg"
+        rev_safe = re.sub(r"\W+", "_", revision or "HEAD")
+        dest = os.path.join(self._packages_dir(), f"{safe}_{rev_safe}")
+        if not os.path.isdir(dest):
+            cmd = ["git", "clone", "--depth", "1"]
+            if revision:
+                cmd += ["--branch", revision]
+            cmd += [url, dest]
+            res = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=120
+            )
+            if res.returncode != 0:
+                raise ParsingError(
+                    f"git package clone failed for {url}"
+                    f"{' @' + revision if revision else ''}: "
+                    f"{res.stderr.strip()[:500]}"
+                )
+        return self._project_root_within(dest, f"git '{url}'")
+
+    @staticmethod
+    def _project_root_within(dest: str, what: str) -> str:
+        if os.path.exists(os.path.join(dest, "dbt_project.yml")):
+            return dest
+        entries = [
+            e for e in sorted(os.listdir(dest))
+            if os.path.isdir(os.path.join(dest, e))
+        ]
+        for e in entries:
+            if os.path.exists(os.path.join(dest, e, "dbt_project.yml")):
+                return os.path.join(dest, e)
+        raise ParsingError(f"{what}: no dbt_project.yml found in package")
 
     @property
     def all_projects(self) -> list[Project]:
@@ -383,6 +466,9 @@ class ManifestLoader:
     ) -> None:
         project = project or self.project
         name = patch["name"]
+        if resource_type == "model" and patch.get("versions"):
+            self._patch_versioned_model(patch, project)
+            return
         uid = f"{resource_type}.{project.name}.{name}"
         node = self.manifest.nodes.get(uid)
         if node is None:
@@ -398,6 +484,42 @@ class ManifestLoader:
                 self._add_generic_test(node, t, column_name=col["name"])
         for t in patch.get("data_tests", patch.get("tests", [])) or []:
             self._add_generic_test(node, t, column_name=None)
+
+    def _patch_versioned_model(self, patch: dict, project: Project) -> None:
+        """Model versions (``core/dbt/contracts/graph/nodes.py:426``,
+        ``node_types.py:23-31``): each ``versions: [{v: N}]`` entry binds
+        to the file ``<name>_v<N>.sql`` (or ``defined_in``, or the bare
+        ``<name>.sql`` as a fallback); ``ref('<name>')`` resolves the
+        latest_version, ``ref('<name>', v=N)`` pins."""
+        name = patch["name"]
+        versions = patch.get("versions") or []
+        latest = patch.get(
+            "latest_version", max((v.get("v") for v in versions), default=None)
+        )
+        for vspec in versions:
+            v = vspec.get("v")
+            defined_in = vspec.get("defined_in", f"{name}_v{v}")
+            node = self.manifest.nodes.get(
+                f"model.{project.name}.{defined_in}"
+            ) or self.manifest.nodes.get(f"model.{project.name}.{name}")
+            if node is None:
+                raise ParsingError(
+                    f"versioned model '{name}' v{v}: no file "
+                    f"'{defined_in}.sql' (or '{name}.sql')"
+                )
+            node.base_name = name
+            node.config["version"] = v
+            node.config["latest_version"] = latest
+            node.description = patch.get("description", node.description)
+            cols = {c["name"]: c for c in patch.get("columns", []) or []}
+            # version-level column overrides (include/exclude ignored;
+            # explicit column entries win)
+            for col in vspec.get("columns", []) or []:
+                cols[col["name"]] = col
+            for col in cols.values():
+                node.columns[col["name"]] = col
+                for t in col.get("data_tests", col.get("tests", [])) or []:
+                    self._add_generic_test(node, t, column_name=col["name"])
 
     def _add_generic_test(
         self, attached: ParsedNode, spec, column_name: str | None

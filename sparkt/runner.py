@@ -183,6 +183,10 @@ class Runner:
             mat_fn = get_materialization(node.materialized)
             out = mat_fn(ctx, node)
             self._run_hooks(node.config.get("post_hook"), node)
+            if node.config.get("grants") and node.relation is not None:
+                ctx.adapter.apply_grants(
+                    node.relation, node.config["grants"]
+                )
             self._write_compiled(node)
             if isinstance(out, dict):  # tests return status dicts
                 return RunResult(

@@ -86,3 +86,71 @@ def test_package_yaml_sources_tests_snapshots(make_project, spark, tmp_path):
     assert runner.run().ok
     assert runner.test().ok
     assert runner.snapshot().ok
+
+
+def _mini_pkg_files(name):
+    return {
+        "dbt_project.yml": f"name: {name}\nmodel-paths: [models]\n",
+        "models/tar_model.sql": "select 42 as answer",
+    }
+
+
+def test_tarball_package(make_project, spark, tmp_path):
+    import tarfile
+
+    pkg_root = str(tmp_path / "tar_pkg")
+    write_files(pkg_root, _mini_pkg_files("tar_pkg"))
+    tb = str(tmp_path / "tar_pkg.tar.gz")
+    with tarfile.open(tb, "w:gz") as tf:
+        tf.add(pkg_root, arcname="tar_pkg")
+    files = {
+        "dbt_project.yml": "name: tapp\nmodel-paths: [models]\n",
+        "packages.yml": f"packages:\n  - tarball: {tb}\n",
+        "models/top.sql": "select answer from {{ ref('tar_pkg', 'tar_model') }}",
+    }
+    runner = make_project(files, schema="t_tar")
+    assert "model.tar_pkg.tar_model" in runner.manifest.nodes
+    assert runner.run().ok
+    assert spark.table("t_tar.top").first()["answer"] == 42
+
+
+def test_git_package_local_repo(make_project, spark, tmp_path):
+    import subprocess
+
+    pkg_root = str(tmp_path / "git_pkg")
+    write_files(pkg_root, _mini_pkg_files("git_pkg"))
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "PATH": os.environ["PATH"], "HOME": os.environ.get("HOME", "/root")}
+    for cmd in (["git", "init", "-q", "-b", "main"],
+                ["git", "add", "-A"],
+                ["git", "commit", "-q", "-m", "pkg"],
+                ["git", "tag", "v1.0"]):
+        subprocess.run(cmd, cwd=pkg_root, check=True, env=env)
+    files = {
+        "dbt_project.yml": "name: gapp\nmodel-paths: [models]\n",
+        "packages.yml": (
+            f"packages:\n  - git: file://{pkg_root}\n    revision: v1.0\n"
+        ),
+        "models/gtop.sql": "select answer from {{ ref('git_pkg', 'tar_model') }}",
+    }
+    runner = make_project(files, schema="t_git")
+    assert "model.git_pkg.tar_model" in runner.manifest.nodes
+    assert runner.run().ok
+    assert spark.table("t_git.gtop").first()["answer"] == 42
+
+
+def test_hub_package_raises(make_project, tmp_path):
+    import pytest
+
+    from sparkt.exceptions import ParsingError
+
+    files = {
+        "dbt_project.yml": "name: happ\nmodel-paths: [models]\n",
+        "packages.yml": (
+            "packages:\n  - package: dbt-labs/dbt_utils\n    version: 1.0.0\n"
+        ),
+        "models/x.sql": "select 1 as a",
+    }
+    with pytest.raises(ParsingError):
+        make_project(files, schema="t_hub")
