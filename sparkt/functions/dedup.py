@@ -72,7 +72,11 @@ def shingle_table(
             lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
         )
     )
-    return pre.select("doc", F.explode(sh).alias("sh"))
+    # persist: this posting list is the shared input of minhash, LSH and
+    # Jaccard — at scale you'd write it out once and join everything
+    # against it; locally the CacheManager makes plan-identical calls
+    # (e.g. the d3 and d5 gates over the same table) reuse one build
+    return pre.select("doc", F.explode(sh).alias("sh")).persist()
 
 
 # ------------------------------------------------------------ minhash

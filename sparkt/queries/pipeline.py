@@ -270,7 +270,10 @@ def d5_ngram_jaccard(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     return (
         D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
-        .orderBy("id_a", "id_b")
+        # tiny result: single-partition sort skips the range-sampling
+        # pass a global orderBy runs (which re-executes the join subtree)
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 
