@@ -30,6 +30,7 @@ import shutil
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,6 +136,80 @@ class SparkAdapter:
                     self._catalog.pop(key, None)
         finally:
             self._restoring = False
+
+    # ------------------------------------------- connection lifecycle
+    # The reference's adapter contract is connection-oriented
+    # (``core/dbt/task/runnable.py:345-360`` wraps every node in
+    # ``connection_named``; SQL adapters open/commit per node). Spark has
+    # ONE session shared by every scheduler thread and no transactions,
+    # so these are documented no-ops — kept so orchestration code written
+    # against the reference contract runs unchanged.
+    def type(self) -> str:  # noqa: A003 — contract name
+        return self.type_name
+
+    @contextmanager
+    def connection_named(self, name: str):
+        yield self
+
+    def clear_transaction(self) -> None:
+        pass
+
+    def commit_if_has_connection(self) -> None:
+        pass
+
+    def is_cancelable(self) -> bool:
+        return True
+
+    def cancel_open_connections(self) -> None:
+        """Cancel all in-flight Spark jobs (ctrl-C path,
+        ``core/dbt/task/runnable.py`` cancellation)."""
+        self.spark.sparkContext.cancelAllJobs()
+
+    def supports(self, capability: str) -> bool:
+        """Capability probe (reference ``adapter.supports(Capability.X)``)."""
+        return capability in {
+            "TableLastModifiedMetadata",       # file-mtime freshness
+            "TableLastModifiedMetadataBatch",
+            "SchemaMetadataByRelations",
+        }
+
+    def pre_model_hook(self, config: dict) -> dict:
+        """Per-node session prep hook. Spark analogue: apply per-model
+        session overrides (e.g. ``spark.sql.shuffle.partitions``) from
+        ``config['spark_session_conf']``; returns the previous values for
+        ``post_model_hook`` to restore."""
+        prev: dict[str, str] = {}
+        for k, v in (config.get("spark_session_conf") or {}).items():
+            try:
+                prev[k] = self.spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — unset key
+                prev[k] = None
+            self.spark.conf.set(k, str(v))
+        return prev
+
+    def post_model_hook(self, config: dict, context: dict) -> None:
+        for k, v in (context or {}).items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+    # ------------------------------------------------- relations cache
+    def set_relations_cache(self, relations: list[Relation]) -> None:
+        """Warm the relations cache at run start
+        (``core/dbt/task/runnable.py`` → ``_get_deferred_manifest`` /
+        cache population); avoids per-node catalog listings."""
+        self._relations_cache = {
+            (r.schema, r.identifier) for r in relations
+        }
+
+    def cache_added(self, relation: Relation) -> None:
+        getattr(self, "_relations_cache", set()).add(
+            (relation.schema, relation.identifier)
+        )
+
+    def list_relations_without_caching(self, schema: str) -> list[Relation]:
+        return self.list_relations(schema)
 
     # ------------------------------------------------------------------ exec
     def execute(self, sql: str, fetch: bool = False) -> tuple[str, ExecuteResult]:
@@ -423,6 +498,48 @@ class SparkAdapter:
         )
         return dict((entry or {}).get("grants") or {})
 
+    # ----------------------------------------------------- macros / jobs
+    def execute_macro(self, macro_name: str, context: dict, **kwargs):
+        """Invoke a rendered macro by name against a prepared runtime
+        context (reference ``adapter.execute_macro``, consumed by
+        run-operation and materialization internals; the manifest-bound
+        context is built by the engine and passed in, since the adapter
+        itself is manifest-agnostic)."""
+        fn = context.get(macro_name)
+        if fn is None:
+            raise KeyError(f"execute_macro: no macro named '{macro_name}'")
+        return fn(**kwargs)
+
+    def submit_python_job(self, ctx, node):
+        """Run a python model (reference ``adapter.submit_python_job``,
+        ``core/dbt/context/providers.py:1441``). On warehouse adapters
+        this ships code to a remote cluster; here the engine IS the
+        Spark cluster, so it executes in-process."""
+        from sparkt.materializations.python_model import run_python_model
+
+        return run_python_model(ctx, node)
+
+    # ------------------------------------------------------ catalog docs
+    def get_filtered_catalog(
+        self, relations: list[Relation]
+    ) -> list[dict]:
+        """Column-level catalog rows for the given relations only
+        (``core/dbt/task/docs/generate.py:215-366``: catalog queried
+        once, filtered to manifest relations)."""
+        out = []
+        for rel in relations:
+            if not self.relation_exists(rel):
+                continue
+            out.append(
+                {
+                    "schema": rel.schema,
+                    "name": rel.identifier,
+                    "type": rel.type,
+                    "columns": self.get_columns_in_relation(rel),
+                }
+            )
+        return out
+
     # ----------------------------------------------------------- freshness
     def calculate_freshness(
         self, relation: Relation, loaded_at_field: str, filter_sql: str | None
@@ -466,3 +583,17 @@ class SparkAdapter:
         if newest == 0.0:
             return None
         return max(0.0, time.time() - newest)
+
+    def calculate_freshness_from_metadata_batch(
+        self, relations: list[Relation]
+    ) -> dict[str, float | None]:
+        """One call for all metadata-path sources
+        (``calculate_freshness_from_metadata_batch``,
+        ``core/dbt/task/freshness.py:107-145``) — on a warehouse this
+        saves N information_schema round-trips; here it is one pass over
+        the engine catalog."""
+        return {
+            f"{r.schema}.{r.identifier}":
+                self.calculate_freshness_from_metadata(r)
+            for r in relations
+        }

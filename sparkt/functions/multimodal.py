@@ -90,21 +90,21 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
         import hashlib
 
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                data = bytes(row["content"])
-                w, h = _decode_image_bytes(data)
-                out.append(
-                    {
-                        "item_id": row["item_id"],
-                        "format": row["format"],
-                        "width": w,
-                        "height": h,
-                        "n_bytes": len(data),
-                        "content_hash": hashlib.md5(data).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA])
+            # column-at-a-time over the Arrow batch: one md5 per item
+            # (decode-fake dims and content_hash both derive from it),
+            # no per-row DataFrame materialization
+            content = pdf["content"].map(bytes)
+            digests = content.map(lambda b: hashlib.md5(b).digest())
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "format": pdf["format"],
+                    "width": digests.map(lambda d: 64 + d[0] % 64),
+                    "height": digests.map(lambda d: 64 + d[1] % 64),
+                    "n_bytes": content.map(len),
+                    "content_hash": digests.map(bytes.hex),
+                }
+            )
 
     return df.mapInPandas(batches, IMAGE_META_SCHEMA)
 
@@ -116,21 +116,27 @@ def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                data = bytes(row["content"])
-                w, h = _decode_image_bytes(data)
-                digest = hashlib.md5(data).digest()
-                feats = [
-                    float(digest[j % len(digest)]) / 255.0
-                    for j in range(n_features)
-                ]
-                out.append(
-                    {"item_id": row["item_id"], "width": w, "height": h,
-                     "features": feats}
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA])
+            digests = pdf["content"].map(
+                lambda b: hashlib.md5(bytes(b)).digest()
+            )
+            # vectorized feature block: (n_rows, 16) uint8 -> float32
+            mat = (
+                np.frombuffer(b"".join(digests), dtype=np.uint8)
+                .reshape(len(digests), 16)[:, [j % 16 for j in range(n_features)]]
+                .astype(np.float32)
+                / 255.0
+            ) if len(digests) else np.empty((0, n_features), dtype=np.float32)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "width": digests.map(lambda d: 64 + d[0] % 64),
+                    "height": digests.map(lambda d: 64 + d[1] % 64),
+                    "features": list(mat),
+                }
+            )
 
     return df.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 

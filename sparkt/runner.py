@@ -179,10 +179,19 @@ class Runner:
     def _execute_node(self, ctx: MatContext, node: ParsedNode) -> RunResult:
         start = time.time()
         try:
-            self._run_hooks(node.config.get("pre_hook"), node)
-            mat_fn = get_materialization(node.materialized)
-            out = mat_fn(ctx, node)
-            self._run_hooks(node.config.get("post_hook"), node)
+            # adapter model hooks (reference pre_model_hook/post_model_hook):
+            # per-model session conf, e.g. spark_session_conf={'spark.sql.
+            # shuffle.partitions': 8}. NB the session is shared across
+            # worker threads — concurrently running models see the
+            # override too; isolate via threads=1 or per-worker sessions.
+            hook_state = ctx.adapter.pre_model_hook(node.config)
+            try:
+                self._run_hooks(node.config.get("pre_hook"), node)
+                mat_fn = get_materialization(node.materialized)
+                out = mat_fn(ctx, node)
+                self._run_hooks(node.config.get("post_hook"), node)
+            finally:
+                ctx.adapter.post_model_hook(node.config, hook_state)
             if node.config.get("grants") and node.relation is not None:
                 ctx.adapter.apply_grants(
                     node.relation, node.config["grants"]
@@ -526,19 +535,26 @@ class Runner:
     def source_freshness(self) -> list[dict]:
         """``dbt source freshness`` (``core/dbt/task/freshness.py``)."""
         self.register_sources()
+        checked = [n for n in self.manifest.sources.values() if n.freshness]
+        # metadata-path sources go through ONE batch call
+        # (calculate_freshness_from_metadata_batch, freshness.py:107-145)
+        meta_rels = {
+            n.unique_id: self.compiler.relation_for(n)
+            for n in checked
+            if not n.loaded_at_field
+        }
+        meta_ages = self.adapter.calculate_freshness_from_metadata_batch(
+            list(meta_rels.values())
+        )
         out = []
-        for node in self.manifest.sources.values():
-            if not node.freshness:
-                continue
+        for node in checked:
             rel = self.compiler.relation_for(node)
             if node.loaded_at_field:
                 age = self.adapter.calculate_freshness(
                     rel, node.loaded_at_field, node.freshness.get("filter")
                 )
             else:
-                # metadata path: no loaded_at_field -> file mtimes
-                # (freshness.py:107-145)
-                age = self.adapter.calculate_freshness_from_metadata(rel)
+                age = meta_ages.get(f"{rel.schema}.{rel.identifier}")
                 if age is None:
                     continue
             status = "pass"

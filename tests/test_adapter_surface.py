@@ -1,0 +1,110 @@
+"""Adapter contract surface (SURVEY.md §2.4): the connection-lifecycle
+no-ops, capability probes, model hooks, batch freshness and filtered
+catalog the reference's core calls (``core/dbt/task/runnable.py:345-360``,
+``core/dbt/task/run.py:258-296``, ``core/dbt/task/freshness.py:107-145``,
+``core/dbt/task/docs/generate.py:215-366``)."""
+
+from __future__ import annotations
+
+from sparkt.relation import Relation
+
+
+def _runner(make_project, schema):
+    files = {
+        "dbt_project.yml": "name: surf\nmodel-paths: [models]\n",
+        "models/base.sql": (
+            "{{ config(materialized='table') }}\nselect 1 as id, 'x' as tag"
+        ),
+        "models/conf_model.sql": (
+            "{{ config(materialized='table', "
+            "spark_session_conf={'spark.sql.shuffle.partitions': '4'}) }}\n"
+            "select id from {{ ref('base') }} group by id"
+        ),
+    }
+    return make_project(files, schema=schema)
+
+
+def test_connection_lifecycle_noops(make_project, spark):
+    runner = _runner(make_project, "t_surf1")
+    a = runner.adapter
+    assert a.type() == "spark"
+    with a.connection_named("model.surf.base") as conn:
+        assert conn is a
+    a.clear_transaction()
+    a.commit_if_has_connection()
+    assert a.is_cancelable() is True
+    assert a.supports("TableLastModifiedMetadata")
+    assert not a.supports("NopeCapability")
+
+
+def test_model_hook_session_conf(make_project, spark):
+    """pre_model_hook applies spark_session_conf for the node and
+    post_model_hook restores the previous value."""
+    runner = _runner(make_project, "t_surf2")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert runner.run().ok
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    a = runner.adapter
+    state = a.pre_model_hook(
+        {"spark_session_conf": {"spark.sql.shuffle.partitions": "3"}}
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    a.post_model_hook({}, state)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_relations_cache_and_listing(make_project, spark):
+    runner = _runner(make_project, "t_surf3")
+    assert runner.run().ok
+    a = runner.adapter
+    rels = a.list_relations_without_caching("t_surf3")
+    names = {r.identifier for r in rels}
+    assert {"base", "conf_model"} <= names
+    a.set_relations_cache(rels)
+    extra = Relation(schema="t_surf3", identifier="later")
+    a.cache_added(extra)
+    assert ("t_surf3", "later") in a._relations_cache
+
+
+def test_execute_macro_and_python_job(make_project, spark):
+    files = {
+        "dbt_project.yml": "name: surf\nmodel-paths: [models]\nmacro-paths: [macros]\n",
+        "macros/answer.sql": (
+            "{% macro answer(n) %}{{ return(n * 2) }}{% endmacro %}"
+        ),
+        "models/base.sql": "select 1 as id",
+        "models/py_model.py": (
+            "def model(dbt, session):\n"
+            "    return dbt.ref('base').selectExpr('id * 10 as id')\n"
+        ),
+    }
+    runner = make_project(files, schema="t_surf4")
+    assert runner.run().ok
+    # execute_macro via a prepared runtime context
+    from sparkt.manifest import ParsedNode
+
+    dummy = ParsedNode(
+        unique_id="operation.surf.answer", name="answer",
+        package_name="surf", resource_type="operation", raw_code="",
+    )
+    ctx = runner.compiler.runtime_context(dummy, extra_ctes=[])
+    assert runner.adapter.execute_macro("answer", ctx, n=21) == 42
+    assert spark.table("t_surf4.py_model").first()["id"] == 10
+
+
+def test_batch_metadata_freshness_and_catalog(make_project, spark):
+    runner = _runner(make_project, "t_surf5")
+    assert runner.run().ok
+    a = runner.adapter
+    rels = [
+        Relation(schema="t_surf5", identifier="base"),
+        Relation(schema="t_surf5", identifier="conf_model"),
+        Relation(schema="t_surf5", identifier="ghost"),
+    ]
+    ages = a.calculate_freshness_from_metadata_batch(rels)
+    assert ages["t_surf5.base"] is not None and ages["t_surf5.base"] < 3600
+    assert ages["t_surf5.ghost"] is None
+    cat = a.get_filtered_catalog(rels)
+    assert {c["name"] for c in cat} == {"base", "conf_model"}
+    base = next(c for c in cat if c["name"] == "base")
+    assert ("id", "int") in base["columns"]
