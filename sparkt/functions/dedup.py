@@ -282,6 +282,74 @@ def simhash16(text: Column) -> Column:
     return F.concat(*bits)
 
 
+# ---------------------------------------------------------- winnowing
+def winnow_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every character k-gram of the normalized text,
+    slide a window of w consecutive hashes, keep each window's minimum.
+    Guarantees any shared substring of length >= k + w - 1 yields a
+    shared fingerprint, while storing only ~2/(w+1) of the k-gram
+    hashes. Returns distinct (doc, fp).
+
+    Scale shape: pure per-row projection + explode (no shuffle until
+    the consumer joins on fp), same posting-list pattern as
+    ``shingle_table``."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    pre = spread(df).select(
+        F.col(id_col).alias("doc"), norm.alias("__norm")
+    ).filter(F.length("__norm") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("__norm") - (k - 1)),
+        lambda i: F.md5(F.col("__norm").substr(i, F.lit(k))),
+    )
+    pre = pre.select("doc", grams.alias("__grams"))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__grams") - (w - 1), F.lit(1))
+            ),
+            lambda j: F.array_min(F.slice("__grams", j, w)),
+        )
+    )
+    return pre.select("doc", F.explode(mins).alias("fp")).distinct()
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= min_shared winnowed
+    fingerprints — fp-posting equijoin, never all-pairs.
+    ``max_fp_freq`` drops fingerprints present in more than that many
+    docs (boilerplate headers/footers would otherwise create quadratic
+    pair blowup at scale — same cap as ``ngram_jaccard_pairs``)."""
+    fps = winnow_table(df, text_col, id_col, k, w)
+    if max_fp_freq is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+        fps = fps.join(
+            freq.filter(F.col("df_") <= max_fp_freq).select("fp"), "fp"
+        )
+    fps = fps.persist()
+    return (
+        fps.alias("l")
+        .join(
+            fps.alias("r"),
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ------------------------------------------------- n-gram Jaccard join
 def ngram_jaccard_pairs(
     df: DataFrame,

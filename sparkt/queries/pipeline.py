@@ -296,6 +296,40 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------------------ d7
+def d7_winnow_pairs(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return (
+        D.winnow_pairs(docs, "text", "doc_id", k=20, w=10, min_shared=8)
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
+D7_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         [md5(substr(n, i, 20)) for i in range(1, length(n) - 19 + 1)] AS g
+  FROM norm WHERE length(n) >= 20),
+fps AS (
+  SELECT DISTINCT doc_id AS doc, fp
+  FROM (SELECT doc_id,
+               unnest(list_distinct(
+                 [list_min(g[j : j + 9])
+                  for j in range(1, greatest(len(g) - 9, 1) + 1)])) AS fp
+        FROM grams)),
+pairs AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, count(*) AS n_shared
+  FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc < r.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 8
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ s1
 def s1_cosine_topk(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings").withColumn(
@@ -507,6 +541,7 @@ QUERIES = {
     "d3_minhash_pairs": d3_minhash_pairs,
     "d4_simhash": d4_simhash,
     "d5_ngram_jaccard": d5_ngram_jaccard,
+    "d7_winnow_pairs": d7_winnow_pairs,
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_label_centroids": s3_label_centroids,
@@ -525,6 +560,7 @@ ORACLES = {
     "d3_minhash_pairs": D3_SQL,
     "d4_simhash": D4_SQL,
     "d5_ngram_jaccard": D5_SQL,
+    "d7_winnow_pairs": D7_SQL,
     "s1_cosine_topk": S1_SQL,
     # s2_lsh_ann / s4_ivf_ann: intentionally no oracle (approximate)
     "s3_label_centroids": S3_SQL,

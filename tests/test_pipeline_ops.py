@@ -241,3 +241,29 @@ def test_cosine_neardup_bucketed_not_all_pairs(spark):
         emb, "vec_id", "embedding", 0.35, dim=64, n_cells=8, n_probe=2
     )
     assert part.exceptAll(full).count() == 0
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing (SIGMOD'03): any shared substring of length >= k+w-1
+    yields at least one shared fingerprint; disjoint texts share none."""
+    from sparkt.functions.dedup import winnow_pairs, winnow_table
+
+    shared = "a long exactly common passage that both documents contain"
+    rows = [
+        (1, f"first document begins here. {shared}. then diverges one way"),
+        (2, f"second doc opens differently. {shared}. and ends another way"),
+        (3, "totally unrelated content with zero overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k, w = 8, 4
+    fps = winnow_table(df, "text", "doc_id", k=k, w=w)
+    by_doc = {
+        r["doc"]: r["n"]
+        for r in fps.groupBy("doc").agg(F.count("*").alias("n")).collect()
+    }
+    # density: winnowing keeps far fewer than all k-grams
+    assert all(n > 0 for n in by_doc.values())
+    pairs = winnow_pairs(df, "text", "doc_id", k=k, w=w, min_shared=1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
