@@ -352,6 +352,126 @@ ORDER BY event_id
 """
 
 
+# ------------------------------------------------------------------ m7
+def m7_streaming_window(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a stream (availableNow
+    drain): hourly event counts per event_type. Append-mode watermark
+    semantics: with a 0-second watermark the final watermark equals
+    max(ts), so only windows that END at or before it are finalized and
+    emitted — the oracle applies the same cutoff (this is the
+    deterministic late-data contract, not an approximation)."""
+    from pyspark.sql import functions as F
+
+    from sparkt.sources import ns_timestamp_columns
+    from sparkt.streaming.incremental import run_windowed_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m7_")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    assert ns_timestamp_columns(src) == ("ts",)
+
+    def transform(stream):
+        return stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+
+    run_windowed_stream(
+        spark, src, tgt, cp, ts_col="ts", window_duration="1 hour",
+        group_cols=["event_type"], transform=transform,
+    )
+    return (
+        spark.read.parquet(tgt)
+        .select("window_start", "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+M7_SQL = """
+WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max_ts FROM mx)
+ORDER BY window_start, event_type
+"""
+
+
+# ------------------------------------------------------------------ m8
+def m8_stateful_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization of the events stream via availableNow.
+    Emitted = inline closures (a >gap silence inside the batch) plus
+    timeout closures from the final no-data microbatch, where the
+    watermark (= global max ts) has advanced beyond last_event + gap.
+    Deterministic: a trailing session stays open only for users active
+    within the last gap of the stream. The oracle reproduces exactly
+    that with the q17 window-sum formulation."""
+    from pyspark.sql import functions as F
+
+    from sparkt.streaming.stateful import stateful_sessionize
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m8_")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    from sparkt.sources import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    )
+    q = (
+        stateful_sessionize(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", tgt)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(tgt)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .repartition(1)
+        .sortWithinPartitions("user_id", "session_start")
+    )
+
+
+M8_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged),
+sess AS (
+  SELECT user_id, sess_id,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, sess_id)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE sess_id < (SELECT max(s2.sess_id) FROM sess s2
+                 WHERE s2.user_id = sess.user_id)
+   OR session_end + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events)
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
@@ -359,6 +479,8 @@ QUERIES = {
     "m4_insert_overwrite": m4_insert_overwrite,
     "m5_python_model": m5_python_model,
     "m6_streaming_ingest": m6_streaming_ingest,
+    "m7_streaming_window": m7_streaming_window,
+    "m8_stateful_sessions": m8_stateful_sessions,
 }
 
 ORACLES = {
@@ -368,4 +490,6 @@ ORACLES = {
     "m4_insert_overwrite": M4_SQL,
     "m5_python_model": M5_SQL,
     "m6_streaming_ingest": M6_SQL,
+    "m7_streaming_window": M7_SQL,
+    "m8_stateful_sessions": M8_SQL,
 }

@@ -95,9 +95,16 @@ def run_windowed_stream(
     ts_col: str,
     window_duration: str = "1 hour",
     group_cols: list[str] | None = None,
+    transform=None,
+    watermark: str = "0 seconds",
 ) -> None:
     """End-to-end: file stream → watermarked window agg → parquet sink
-    (update-complete semantics via availableNow + append mode)."""
+    (update-complete semantics via availableNow + append mode).
+    ``transform`` runs before the aggregation (e.g. ns-timestamp
+    repair)."""
+    from sparkt.sources import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     schema = (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(source_dir)
@@ -108,8 +115,10 @@ def run_windowed_stream(
         .option("recursiveFileLookup", "true")
         .parquet(source_dir)
     )
+    if transform is not None:
+        stream = transform(stream)
     agg = windowed_aggregate(stream, ts_col, window_duration,
-                             watermark="0 seconds", group_cols=group_cols)
+                             watermark=watermark, group_cols=group_cols)
     query = (
         agg.writeStream.format("parquet")
         .outputMode("append")

@@ -76,3 +76,67 @@ def test_windowed_stream(spark, tmp_path):
             for r in out.collect()}
     assert sum(rows.values()) == 60  # hours 0-2 all closed now
     assert len({k[0] for k in rows}) == 3
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState gap sessions: a quiet period (enforced by
+    the event-time watermark) closes and emits the session; the open
+    trailing session stays in state across availableNow drains."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkt.streaming.stateful import stateful_sessionize
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(os.path.join(src, name))
+
+    def drain():
+        schema = "user_id long, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stateful_sessionize(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", tgt)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(tgt).collect()
+        except Exception:  # noqa: BLE001 — sink empty on first drain
+            return []
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # user 1: two sessions separated by >30min INSIDE one batch; the
+    # second session is still open at drain end
+    write_batch("b1", [
+        (1, t0), (1, t0 + 5 * m), (1, t0 + 10 * m),
+        (1, t0 + 60 * m), (1, t0 + 62 * m),
+        (2, t0 + 61 * m),
+    ])
+    rows1 = drain()
+    # inline closure: user 1's first session closes within the batch
+    assert [(r.user_id, r.n_events) for r in rows1] == [(1, 3)]
+    # a much later event advances the watermark past both open sessions
+    write_batch("b2", [(3, t0 + 300 * m)])
+    rows2 = drain()
+    got = {(r.user_id, r.n_events, str(r.session_start)) for r in rows2}
+    assert (1, 2, str(t0 + 60 * m)) in got
+    assert (2, 1, str(t0 + 61 * m)) in got
