@@ -119,9 +119,17 @@ class SparkAdapter:
                         self.register_external_table(rel, entry["path"])
                     elif entry["kind"] == "table":
                         self.create_schema(schema)
+                        buck = self._bucket_clause(
+                            entry.get("bucket_by"), entry.get("buckets"),
+                            entry.get("sort_by"),
+                        )
+                        cols = (
+                            f" ({entry['schema_ddl']})"
+                            if buck and entry.get("schema_ddl") else ""
+                        )
                         self.spark.sql(
-                            f"CREATE TABLE {rel.render()} USING parquet "
-                            f"LOCATION '{entry['location']}'"
+                            f"CREATE TABLE {rel.render()}{cols} USING "
+                            f"parquet{buck} LOCATION '{entry['location']}'"
                         )
                         # A partitioned location needs explicit partition
                         # recovery in the in-memory catalog, else the
@@ -364,35 +372,70 @@ class SparkAdapter:
             )
             self._record(relation, kind="view", sql=select_sql)
 
+    @staticmethod
+    def _bucket_clause(
+        bucket_by: list[str] | None, buckets: int | None,
+        sort_by: list[str] | None,
+    ) -> str:
+        if not bucket_by:
+            return ""
+        sort = f" SORTED BY ({', '.join(sort_by)})" if sort_by else ""
+        return (
+            f" CLUSTERED BY ({', '.join(bucket_by)}){sort} "
+            f"INTO {int(buckets or 8)} BUCKETS"
+        )
+
     def create_table_as(
         self,
         relation: Relation,
         select_sql: str | None = None,
         df: DataFrame | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        buckets: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> None:
         """Atomic CTAS-replace: write new version dir, swap catalog entry.
 
         Safe even when ``select_sql`` reads from ``relation`` itself (the
         old files are only dropped after the new ones are fully written),
         which the incremental/snapshot rewrite paths rely on.
+
+        ``bucket_by``/``buckets``/``sort_by`` hash-bucket the table on
+        write (Spark ``CLUSTERED BY ... INTO n BUCKETS``): two tables
+        bucketed the same way join WITHOUT a shuffle — the co-located
+        join path for repeated large joins at 100 TB.
         """
         assert (select_sql is None) != (df is None)
         loc = self._new_location(relation)
         part = (
             f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
         )
-        if df is not None:
+        buck = self._bucket_clause(bucket_by, buckets, sort_by)
+        tmp = relation.incorporate(
+            identifier=f"{relation.identifier}__sparkt_tmp_{uuid.uuid4().hex[:6]}"
+        )
+        if df is not None and not bucket_by:
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(loc)
-        tmp = relation.incorporate(
-            identifier=f"{relation.identifier}__sparkt_tmp_{uuid.uuid4().hex[:6]}"
-        )
         with self._ddl_lock:
             self.create_schema(relation.schema)
-            if df is not None:
+            if df is not None and bucket_by:
+                # bucketed writes go through saveAsTable (bucket spec
+                # lives in the catalog, bucket-id file naming on disk)
+                writer = (
+                    df.write.mode("overwrite").format("parquet")
+                    .option("path", loc)
+                    .bucketBy(int(buckets or 8), *bucket_by)
+                )
+                if sort_by:
+                    writer = writer.sortBy(*sort_by)
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.saveAsTable(tmp.render())
+            elif df is not None:
                 self.spark.sql(
                     f"CREATE TABLE {tmp.render()} USING parquet LOCATION '{loc}'"
                 )
@@ -404,9 +447,15 @@ class SparkAdapter:
                     )
             else:
                 self.spark.sql(
-                    f"CREATE TABLE {tmp.render()} USING parquet{part} "
+                    f"CREATE TABLE {tmp.render()} USING parquet{part}{buck} "
                     f"LOCATION '{loc}' AS {select_sql}"
                 )
+            # replaying a bucketed table needs an explicit column list
+            # (Spark refuses CLUSTERED BY on schema-inferred CREATE)
+            schema_ddl = (
+                self.spark.table(tmp.render()).schema.toDDL()
+                if bucket_by else None
+            )
             existing = self.get_relation(relation.schema, relation.identifier)
             if existing is not None:
                 self.drop_relation(existing)
@@ -416,6 +465,10 @@ class SparkAdapter:
                 kind="table",
                 location=loc,
                 partitioned=bool(partition_by),
+                bucket_by=bucket_by or None,
+                buckets=int(buckets or 8) if bucket_by else None,
+                sort_by=sort_by or None,
+                schema_ddl=schema_ddl,
             )
         self._gc_old_versions(relation, keep=loc)
 

@@ -20,6 +20,22 @@ def _partition_by(node) -> list[str] | None:
     return [pb] if isinstance(pb, str) else list(pb)
 
 
+def _listify(v) -> list[str] | None:
+    if v is None:
+        return None
+    return [v] if isinstance(v, str) else list(v)
+
+
+def _bucket_kwargs(node) -> dict:
+    """bucket_by/buckets/sort_by configs → co-located join layout
+    (Spark CLUSTERED BY; the analogue of warehouse cluster keys)."""
+    return {
+        "bucket_by": _listify(node.config.get("bucket_by")),
+        "buckets": node.config.get("buckets"),
+        "sort_by": _listify(node.config.get("sort_by")),
+    }
+
+
 @register("table")
 def materialize_table(ctx: MatContext, node):
     ctx.compiler.compile_node(node)
@@ -28,12 +44,14 @@ def materialize_table(ctx: MatContext, node):
     if node.language == "python":
         df = run_python_model(ctx, node)
         ctx.adapter.create_table_as(
-            node.relation, df=df, partition_by=_partition_by(node)
+            node.relation, df=df, partition_by=_partition_by(node),
+            **_bucket_kwargs(node),
         )
     else:
         ctx.adapter.create_table_as(
             node.relation,
             select_sql=node.compiled_code,
             partition_by=_partition_by(node),
+            **_bucket_kwargs(node),
         )
     return "CREATE TABLE AS"
