@@ -157,9 +157,48 @@ def materialize_incremental(ctx: MatContext, node):
 
     # rewrite path: one set-oriented statement through the atomic swap
     if strategy in ("merge", "delete+insert"):
+        # incremental_predicates (reference tests/functional/adapter/
+        # incremental/test_incremental_predicates.py): target rows are
+        # delete/update-eligible only if ALL predicates hold — a
+        # non-matching target row SURVIVES and the source row inserts
+        # alongside it. Predicates bind to the target row; the aliases
+        # DBT_INTERNAL_DEST (target) and DBT_INTERNAL_SOURCE (source)
+        # are honored for cross-adapter compatibility. At scale this is
+        # the merge-scope limiter (e.g. "DBT_INTERNAL_DEST.ds >
+        # current_date - 7" keeps the anti-join off cold partitions).
+        preds = node.config.get("incremental_predicates") or []
+        if isinstance(preds, str):
+            preds = [preds]
+        tgt_from = f"{rel.render()} t"
+        join_on = _uk_eq(uk, "t", "s")
+        if preds:
+            # target-bound predicates (bare columns or DBT_INTERNAL_DEST)
+            # evaluate in a target-only scope so unqualified names can't
+            # collide with source columns; source-referencing predicates
+            # (must qualify both sides) go into the join condition
+            tgt_preds = [
+                p.replace("DBT_INTERNAL_DEST.", "")
+                for p in preds
+                if "DBT_INTERNAL_SOURCE" not in p
+            ]
+            join_preds = [
+                p.replace("DBT_INTERNAL_DEST", "t")
+                 .replace("DBT_INTERNAL_SOURCE", "s")
+                for p in preds
+                if "DBT_INTERNAL_SOURCE" in p
+            ]
+            if tgt_preds:
+                flags = " AND ".join(f"({p})" for p in tgt_preds)
+                tgt_from = (
+                    f"(SELECT *, ({flags}) AS __sparkt_pred "
+                    f"FROM {rel.render()}) t"
+                )
+                join_on = f"({join_on}) AND t.__sparkt_pred"
+            for p in join_preds:
+                join_on = f"({join_on}) AND ({p})"
         keep_tgt = (
             f"SELECT {_col_select(final_cols, 't', 'tgt', types)} "
-            f"FROM {rel.render()} t LEFT ANTI JOIN __sparkt_src s ON {_uk_eq(uk, 't', 's')}"
+            f"FROM {tgt_from} LEFT ANTI JOIN __sparkt_src s ON {join_on}"
         )
     elif strategy == "insert_overwrite":
         # overwrite semantics survive the rewrite: keep only target rows
