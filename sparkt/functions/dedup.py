@@ -350,6 +350,49 @@ def winnow_pairs(
     )
 
 
+# ------------------------------------------------- decontamination
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose k-word
+    shingles overlap a benchmark/eval set above ``threshold`` (the
+    standard n-gram-overlap decontamination used for pretraining
+    corpora; cf. GPT-3 appendix C / PaLM §6). Returns
+    (doc, n_sh, overlap, contamination) for flagged docs.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are ~1e5 docs vs 1e10), so it BROADCASTS —
+    the corpus side is one shingle projection + broadcast hash join +
+    one groupBy-doc shuffle. No shuffle of the corpus by shingle, no
+    pair explosion."""
+    corpus_sh = shingle_table(df, text_col, id_col, k)
+    bench_sh = (
+        shingle_table(bench_df, text_col, id_col, k)
+        .select("sh")
+        .distinct()
+    )
+    sizes = corpus_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        sizes.join(hits, "doc")
+        .withColumn(
+            "contamination",
+            F.round(F.col("overlap") / F.col("n_sh"), 6),
+        )
+        .filter(F.col("contamination") >= threshold)
+        .select("doc", "n_sh", "overlap", "contamination")
+    )
+
+
 # ------------------------------------------------- n-gram Jaccard join
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -115,3 +115,120 @@ def fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 document fingerprint (rolling-hash
     class of dedup keys)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# ----------------------------------------------------------------- PII
+# Patterns restricted to syntax valid in BOTH java.util.regex and RE2
+# (no lookaround), so the DuckDB oracle matches byte-for-byte.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII match counts (emails / IPv4 / phone-shaped).
+    Pure codegen projection — zero Python, no shuffle at any scale."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        "n_ips": F.regexp_count(text, F.lit(PII_IPV4_RE)),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholder tokens. Email first
+    (it may contain digit runs), then phone, then IP — the order is
+    part of the operator contract and mirrored in the oracle."""
+    red = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+
+
+# ---------------------------------------------------------- repetition
+def repetition_table(df, text_col: str, id_col: str):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of token occurrences belonging to tokens that repeat
+    within the document, and the fraction of bigram occurrences taken
+    by the document's single most frequent bigram.
+
+    Scale shape: explode → two groupBy-on-doc-prefixed-key shuffles
+    (token and bigram counts both hash-partition on (doc, gram), then
+    reduce to one row per doc) — identical cost profile to
+    ``minhash_table``; no pairwise work, no Python."""
+    from sparkt.sources import spread
+
+    pre = spread(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    # all occurrences (NOT distinct — repetition measures multiplicity)
+    tok = pre.select("doc", F.explode("__toks").alias("tok"))
+    tok_counts = tok.groupBy("doc", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tok_stats = tok_counts.groupBy("doc").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_tok"
+        ),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks") - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+        ),
+    )
+    bg = pre.filter(F.size("__toks") >= 2).select(
+        "doc", F.explode(bigrams).alias("bg")
+    )
+    bg_counts = bg.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    bg_stats = bg_counts.groupBy("doc").agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram")
+    )
+    return (
+        tok_stats.join(bg_stats, "doc", "left")
+        .select(
+            "doc",
+            "n_tokens",
+            F.round(
+                F.col("dup_tok") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("dup_token_ratio"),
+            F.round(
+                F.coalesce(F.col("top_bigram"), F.lit(0))
+                / F.greatest(F.col("n_bigrams"), F.lit(1)),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+# -------------------------------------------------------------- tf-idf
+def tfidf_top_terms(df, text_col: str, id_col: str, top_k: int = 3):
+    """Top-k characteristic terms per document, ranked by tf·(1/df)
+    (inverse-document-frequency weighting; the rational tf/df score is
+    an exact IEEE double in every engine, unlike ln-based idf whose
+    last-ulp can differ — output columns are all integers so the
+    oracle hash is exact).
+
+    Scale shape: token explode → (doc,term) count shuffle → term df
+    shuffle (both map-side combined) → per-doc window top-k. df is a
+    per-term aggregate over the whole corpus; N broadcasts as a
+    1-row literal join."""
+    from pyspark.sql import Window
+
+    from sparkt.sources import spread
+
+    tok = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_t, "term")
+    w = Window.partitionBy("doc").orderBy(
+        (F.col("tf") / F.col("df")).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc", "term", "tf", "df", "rnk")
+    )

@@ -530,6 +530,228 @@ ORDER BY purchase_id
 """
 
 
+# ------------------------------------------------------------------ t4
+def t4_pii_redact(spark, sf_dir):
+    """PII scan + redaction (sparkt.functions.text.pii_counts /
+    redact_pii). The corpus has no organic PII, so a deterministic
+    synthetic suffix (email always; phones on doc_id parity) is
+    appended identically on both engines; counts come from the
+    ORIGINAL string, redaction output is md5'd to keep rows narrow.
+    Pure codegen projection — no shuffle at any scale."""
+    docs = T(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("_"),
+        d.cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (d % 250).cast("string"),
+        F.lit("."),
+        (d % 200).cast("string"),
+        F.when(d % 2 == 0, F.lit(" tel 555-123-4567")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" alt 202 555-0199")).otherwise(F.lit("")),
+    )
+    pii = TX.pii_counts(s)
+    return docs.select(
+        "doc_id",
+        pii["n_emails"].alias("n_emails"),
+        pii["n_ips"].alias("n_ips"),
+        pii["n_phones"].alias("n_phones"),
+        F.md5(TX.redact_pii(s)).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_E, _I, _P = TX.PII_EMAIL_RE, TX.PII_IPV4_RE, TX.PII_PHONE_RE
+T4_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact ' || source || '_' || doc_id::VARCHAR
+              || '@example.com ip 10.0.' || (doc_id % 250)::VARCHAR
+              || '.' || (doc_id % 200)::VARCHAR
+              || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-123-4567' ELSE '' END
+              || CASE WHEN doc_id % 3 = 0 THEN ' alt 202 555-0199' ELSE '' END
+           AS s
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{_E}')) AS n_emails,
+       len(regexp_extract_all(s, '{_I}')) AS n_ips,
+       len(regexp_extract_all(s, '{_P}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+               '{_E}', '<EMAIL>', 'g'),
+               '{_P}', '<PHONE>', 'g'),
+               '{_I}', '<IP>', 'g')) AS redacted_md5
+FROM p
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ t5
+def t5_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-token fraction,
+    top-bigram occupancy) via sparkt.functions.text.repetition_table."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.repetition_table(docs, "text", "doc_id").orderBy("doc")
+
+
+T5_SQL = f"""
+WITH t AS (SELECT doc_id, {_DK_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
+       FROM tc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+              CAST(max(cnt) AS BIGINT) AS top_bigram
+       FROM bc GROUP BY 1)
+SELECT ts.doc_id AS doc, n_tokens,
+       round(dup_tok * 1.0 / greatest(n_tokens, 1), 6) AS dup_token_ratio,
+       round(coalesce(top_bigram, 0) * 1.0 / greatest(n_bigrams, 1), 6)
+         AS top_bigram_ratio
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+ORDER BY doc
+"""
+
+
+# ------------------------------------------------------------------ t6
+def t6_tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·(1/df)
+    (sparkt.functions.text.tfidf_top_terms)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, "text", "doc_id", top_k=3).orderBy(
+        "doc", "rnk"
+    )
+
+
+T6_SQL = f"""
+WITH tok AS (SELECT doc_id AS doc, unnest({_DK_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+r AS (SELECT doc, term, tf, df,
+             row_number() OVER (PARTITION BY doc
+                                ORDER BY tf * 1.0 / df DESC, term ASC) AS rnk
+      FROM tf JOIN dft USING (term))
+SELECT doc, term, tf, df, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3
+ORDER BY doc, rnk
+"""
+
+
+# ------------------------------------------------------------------ d8
+def d8_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs whose 3-word-shingle
+    overlap with the benchmark slice (doc_id % 97 == 0) is >= 5%
+    (sparkt.functions.dedup.decontaminate — broadcast bench-shingle
+    semi-join, no corpus shuffle by shingle)."""
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(
+        corpus, bench, "text", "doc_id", k=3, threshold=0.05
+    ).orderBy("doc")
+
+
+D8_SQL = f"""
+WITH sh AS (SELECT doc_id, unnest({_DK_SHINGLES_K3}) AS sh FROM documents),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM corpus GROUP BY 1),
+hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS overlap
+         FROM corpus c JOIN bench b USING (sh) GROUP BY 1)
+SELECT s.doc_id AS doc, n_sh, overlap,
+       round(overlap * 1.0 / n_sh, 6) AS contamination
+FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+WHERE overlap * 1.0 / n_sh >= 0.05
+ORDER BY doc
+"""
+
+
+# ------------------------------------------------------------------ p1
+def p1_hash_split(spark, sf_dir):
+    """Deterministic hash sampling + train/val/test split
+    (sparkt.functions.sampling): per (lang, split) doc counts plus how
+    many fall in a 4/16 hash sample — stable across reruns, partition
+    layouts, and engines."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    split = SP.train_val_test_split(docs, "doc_id")
+    sampled = split.withColumn(
+        "kept",
+        F.when(
+            SP.hash_bucket(F.col("doc_id")).isin(list("0123")), 1
+        ).otherwise(0),
+    )
+    return (
+        sampled.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+P1_SQL = """
+WITH b AS (
+  SELECT lang,
+         substr(md5('split:' || doc_id::VARCHAR), 1, 1) AS sb,
+         substr(md5('sample:' || doc_id::VARCHAR), 1, 1) AS kb
+  FROM documents)
+SELECT lang,
+       CASE WHEN sb IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+              THEN 'train'
+            WHEN sb IN ('c','d') THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kb IN ('0','1','2','3') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM b
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+# ----------------------------------------------------------------- mm1
+def mm1_image_meta(spark, sf_dir):
+    """Multimodal metadata extraction over a binary column through the
+    REAL Arrow mapInPandas plumbing (sparkt.functions.multimodal) —
+    payload is the utf-8 text bytes so the DuckDB oracle can reproduce
+    the stub decode (dims from md5 digest bytes) exactly."""
+    from sparkt.functions import multimodal as MM
+
+    docs = T(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias(
+            "format"
+        ),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.extract_image_metadata(items).orderBy("item_id")
+
+
+_DK_HEXNIB = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+_DK_BYTE0 = f"({_DK_HEXNIB.format(p=1)} * 16 + {_DK_HEXNIB.format(p=2)})"
+_DK_BYTE1 = f"({_DK_HEXNIB.format(p=3)} * 16 + {_DK_HEXNIB.format(p=4)})"
+MM1_SQL = f"""
+SELECT doc_id AS item_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(64 + {_DK_BYTE0} % 64 AS INT) AS width,
+       CAST(64 + {_DK_BYTE1} % 64 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+ORDER BY item_id
+"""
+
+
 QUERIES = {
     "a1_asof_join": a1_asof_join,
     "a2_range_join": a2_range_join,
@@ -547,6 +769,12 @@ QUERIES = {
     "s3_label_centroids": s3_label_centroids,
     "s4_ivf_ann": s4_ivf_ann,
     "d6_embedding_neardup": d6_embedding_neardup,
+    "t4_pii_redact": t4_pii_redact,
+    "t5_repetition": t5_repetition,
+    "t6_tfidf_terms": t6_tfidf_terms,
+    "d8_decontaminate": d8_decontaminate,
+    "p1_hash_split": p1_hash_split,
+    "mm1_image_meta": mm1_image_meta,
 }
 
 ORACLES = {
@@ -565,4 +793,10 @@ ORACLES = {
     # s2_lsh_ann / s4_ivf_ann: intentionally no oracle (approximate)
     "s3_label_centroids": S3_SQL,
     "d6_embedding_neardup": D6_SQL,
+    "t4_pii_redact": T4_SQL,
+    "t5_repetition": T5_SQL,
+    "t6_tfidf_terms": T6_SQL,
+    "d8_decontaminate": D8_SQL,
+    "p1_hash_split": P1_SQL,
+    "mm1_image_meta": MM1_SQL,
 }

@@ -774,6 +774,30 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------- q26
+def q26_correlated_sub(spark, sf_dir):
+    """Correlated scalar subquery + uncorrelated scalar subquery,
+    expressed as SQL so Catalyst's decorrelation rewrites them
+    (RewriteCorrelatedScalarSubquery → aggregate + left outer join;
+    the uncorrelated count becomes a broadcast scalar). Same SQL text
+    runs on the DuckDB oracle."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__q26_orders")
+    return spark.sql(Q26_SQL.replace("FROM orders", "FROM __q26_orders"))
+
+
+Q26_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_big,
+       round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS share
+FROM orders o
+WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -799,6 +823,7 @@ QUERIES = {
     "q23_explode_words": q23_explode_words,
     "q24_string_agg": q24_string_agg,
     "q25_percentiles": q25_percentiles,
+    "q26_correlated_sub": q26_correlated_sub,
 }
 
 ORACLES = {
@@ -826,4 +851,5 @@ ORACLES = {
     "q23_explode_words": Q23_SQL,
     "q24_string_agg": Q24_SQL,
     "q25_percentiles": Q25_SQL,
+    "q26_correlated_sub": Q26_SQL,
 }

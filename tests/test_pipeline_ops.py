@@ -267,3 +267,111 @@ def test_winnowing_guarantee(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII scan/redact: counts match the planted spans; redaction
+    replaces them with typed placeholders and leaves clean text
+    untouched."""
+    from sparkt.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe@corp.io or 555-123-4567 thanks"),
+            (2, "server 192.168.1.10 and backup 10.0.0.1 are up"),
+            (3, "no sensitive content in this row at all"),
+        ],
+        ["id", "text"],
+    )
+    c = pii_counts(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 1)
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 2, 0)
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
+    assert "<EMAIL>" in out[1]["red"] and "<PHONE>" in out[1]["red"]
+    assert out[2]["red"].count("<IP>") == 2
+    assert out[3]["red"] == "no sensitive content in this row at all"
+
+
+def test_repetition_features(spark):
+    """Gopher repetition: an all-repeats doc scores ~1.0 on both
+    signals; an all-unique doc scores 0 dup ratio."""
+    from sparkt.functions.text import repetition_table
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all words here differ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in repetition_table(df, "text", "doc_id").collect()}
+    assert out[1]["dup_token_ratio"] == 1.0
+    assert out[1]["top_bigram_ratio"] == 1.0
+    assert out[2]["dup_token_ratio"] == 0.0
+    assert out[2]["n_tokens"] == 4
+
+
+def test_tfidf_top_terms(spark):
+    """tf·idf ranks a doc-specific repeated term above corpus-wide
+    stop terms."""
+    from sparkt.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat cat cat sat the mat"),
+            (2, "the dog sat the rug"),
+            (3, "the bird sat the tree"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = tfidf_top_terms(df, "text", "doc_id", top_k=1)
+    best = {r["doc"]: r["term"] for r in top.collect()}
+    assert best[1] == "cat"  # tf=3, df=1 beats 'the' (tf=2, df=3)
+    assert best[2] == "dog" and best[3] == "bird"
+
+
+def test_decontaminate_flags_overlap(spark):
+    """Docs sharing most shingles with the benchmark get flagged;
+    disjoint docs do not; plan stays a broadcast equijoin."""
+    from sparkt.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon eta"),   # heavy overlap
+            (2, "one two three four five six seven"),    # none
+        ],
+        ["doc_id", "text"],
+    )
+    out = decontaminate(corpus, bench, "text", "doc_id", k=3, threshold=0.5)
+    flagged = {r["doc"]: r["contamination"] for r in out.collect()}
+    assert 1 in flagged and flagged[1] >= 0.5
+    assert 2 not in flagged
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    """Split assignment is stable across calls, covers every row, and
+    the sampler keeps a plausible fraction."""
+    from sparkt.functions.sampling import hash_sample, train_val_test_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = train_val_test_split(df, "doc_id").groupBy("split").count().collect()
+    b = train_val_test_split(df, "doc_id").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = dict(map(tuple, a))
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    kept = hash_sample(df, "doc_id", keep_nibbles=4).count()
+    assert 150 < kept < 350  # ~25% of 1000
