@@ -472,6 +472,93 @@ ORDER BY user_id, session_start
 """
 
 
+# ------------------------------------------------------------------ m9
+def m9_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (the canonical
+    Structured Streaming two-input stateful operator): purchases
+    stream ⋈ clicks stream on user_id with the click inside the 30
+    minutes before the purchase. Both sides drain via availableNow;
+    the INNER interval join emits exactly the matching pairs (the
+    watermark + time-range constraint bound join STATE — at scale
+    clicks older than purchase_watermark - 30min are evicted — they
+    never change inner-join results). Output aggregated batch-side to
+    match a2_range_join's oracle shape."""
+    from pyspark.sql import functions as F
+
+    from sparkt.sources import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m9_")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", tgt)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(tgt)
+        .groupBy("purchase_id")
+        .agg(F.countDistinct("click_id").alias("n_recent_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+M9_SQL = """
+SELECT p.event_id AS purchase_id, count(DISTINCT c.event_id) AS n_recent_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""
+
+
 QUERIES = {
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
@@ -481,6 +568,7 @@ QUERIES = {
     "m6_streaming_ingest": m6_streaming_ingest,
     "m7_streaming_window": m7_streaming_window,
     "m8_stateful_sessions": m8_stateful_sessions,
+    "m9_stream_stream_join": m9_stream_stream_join,
 }
 
 ORACLES = {
@@ -492,4 +580,5 @@ ORACLES = {
     "m6_streaming_ingest": M6_SQL,
     "m7_streaming_window": M7_SQL,
     "m8_stateful_sessions": M8_SQL,
+    "m9_stream_stream_join": M9_SQL,
 }
