@@ -116,7 +116,11 @@ class SparkAdapter:
                     if self.relation_exists(rel):
                         continue
                     if entry["kind"] == "external":
-                        self.register_external_table(rel, entry["path"])
+                        self.register_external_table(
+                            rel, entry["path"],
+                            fmt=entry.get("fmt", "parquet"),
+                            options=entry.get("options") or None,
+                        )
                     elif entry["kind"] == "table":
                         self.create_schema(schema)
                         buck = self._bucket_clause(
@@ -327,26 +331,50 @@ class SparkAdapter:
             shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # ------------------------------------------------------------------ DDL
-    def register_external_table(self, relation: Relation, path: str) -> None:
-        """Zero-copy: point a catalog table at existing parquet (sources).
+    def register_external_table(
+        self,
+        relation: Relation,
+        path: str,
+        fmt: str = "parquet",
+        options: dict | None = None,
+    ) -> None:
+        """Zero-copy: point a catalog table at existing files (sources).
+        ``fmt`` is any Spark DataSource (parquet/csv/json/orc/text);
+        ``options`` pass through as table OPTIONS (csv header,
+        delimiter, json multiLine, ...). Reference surface:
+        ExternalTable.file_format,
+        ``core/dbt/artifacts/resources/v1/source_definition.py:25-60``.
 
-        Nanosecond-timestamp columns (unreadable by Spark natively) are
-        repaired through a ``<name>__raw`` table + casting view — see
-        ``sparkt/sources.py``.
+        Nanosecond-timestamp parquet columns (unreadable by Spark
+        natively) are repaired through a ``<name>__raw`` table +
+        casting view — see ``sparkt/sources.py``.
         """
         from sparkt.sources import ns_fix_exprs, ns_timestamp_columns
 
+        fmt = (fmt or "parquet").lower()
+        if fmt == "csv":
+            # header+inferSchema default on: seeds-parity ergonomics
+            options = {"header": "true", "inferSchema": "true",
+                       **(options or {})}
+        opt_clause = (
+            " OPTIONS (" + ", ".join(
+                f"{k} '{v}'" for k, v in options.items()
+            ) + ")"
+            if options
+            else ""
+        )
         with self._ddl_lock:
             self.create_schema(relation.schema)
             if self.relation_exists(relation):
                 return
-            ns_cols = ns_timestamp_columns(path)
+            ns_cols = ns_timestamp_columns(path) if fmt == "parquet" else ()
             if not ns_cols:
                 self.spark.sql(
-                    f"CREATE TABLE {relation.render()} USING parquet "
-                    f"LOCATION '{path}'"
+                    f"CREATE TABLE {relation.render()} USING {fmt}"
+                    f"{opt_clause} LOCATION '{path}'"
                 )
-                self._record(relation, kind="external", path=path)
+                self._record(relation, kind="external", path=path, fmt=fmt,
+                             options=options or {})
                 return
             raw = relation.with_suffix("__raw")
             if not self.relation_exists(raw):
@@ -359,7 +387,7 @@ class SparkAdapter:
                 f"CREATE OR REPLACE VIEW {relation.render()} AS "
                 f"SELECT {exprs} FROM {raw.render()}"
             )
-            self._record(relation, kind="external", path=path)
+            self._record(relation, kind="external", path=path, fmt="parquet")
 
     def create_view_as(self, relation: Relation, select_sql: str) -> None:
         with self._ddl_lock:

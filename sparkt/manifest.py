@@ -60,6 +60,12 @@ class ParsedNode:
     loaded_at_field: str | None = None
     freshness: dict[str, Any] = field(default_factory=dict)
     external_location: str | None = None
+    # external source file format (parquet | csv | json) + reader
+    # options (e.g. csv header/delimiter), reference
+    # artifacts/resources/v1/source_definition.py:25-60 (ExternalTable
+    # carries file_format/row_format/tbl_properties)
+    external_format: str = "parquet"
+    external_options: dict[str, Any] = field(default_factory=dict)
 
     @property
     def materialized(self) -> str:

@@ -457,6 +457,12 @@ class ManifestLoader:
                 freshness=tbl.get("freshness", src.get("freshness")) or {},
                 external_location=(tbl.get("external") or {}).get("location")
                 or (tbl.get("meta") or {}).get("external_location"),
+                external_format=(tbl.get("external") or {}).get(
+                    "file_format",
+                    (tbl.get("external") or {}).get("format", "parquet"),
+                ),
+                external_options=(tbl.get("external") or {}).get("options")
+                or {},
                 description=tbl.get("description", ""),
             )
             self.manifest.sources[uid] = node

@@ -113,7 +113,11 @@ class Runner:
             if node.external_location:
                 rel = self.compiler.relation_for(node)
                 loc = node.external_location.format(name=node.name)
-                self.adapter.register_external_table(rel, loc)
+                self.adapter.register_external_table(
+                    rel, loc,
+                    fmt=node.external_format,
+                    options=node.external_options or None,
+                )
 
     # ------------------------------------------------------------ helpers
     def _executable(self, uid: str, which: str) -> bool:

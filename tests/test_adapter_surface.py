@@ -108,3 +108,44 @@ def test_batch_metadata_freshness_and_catalog(make_project, spark):
     assert {c["name"] for c in cat} == {"base", "conf_model"}
     base = next(c for c in cat if c["name"] == "base")
     assert ("id", "int") in base["columns"]
+
+
+def test_csv_json_external_sources(make_project, spark, tmp_path):
+    """External sources in csv and json formats register as zero-copy
+    tables with reader options (reference ExternalTable.file_format,
+    source_definition.py:25-60)."""
+    csv_path = tmp_path / "people.csv"
+    csv_path.write_text("id;name\n1;ada\n2;grace\n")
+    json_path = tmp_path / "orders.json"
+    json_path.write_text('{"oid": 10, "amt": 1.5}\n{"oid": 11, "amt": 2.5}\n')
+    runner = make_project(
+        {
+            "dbt_project.yml": "name: extsrc\nmodel-paths: [models]\n",
+            "models/sources.yml": f"""
+version: 2
+sources:
+  - name: raw
+    tables:
+      - name: people
+        external:
+          location: {csv_path}
+          file_format: csv
+          options: {{delimiter: ";"}}
+      - name: orders
+        external:
+          location: {json_path}
+          format: json
+""",
+            "models/joined.sql": (
+                "{{ config(materialized='table') }}\n"
+                "select p.name, o.amt from {{ source('raw', 'people') }} p\n"
+                "join {{ source('raw', 'orders') }} o on p.id + 9 = o.oid\n"
+                "order by p.name"
+            ),
+        },
+        schema="t_extsrc",
+    )
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    rows = [tuple(r) for r in spark.table("t_extsrc.joined").collect()]
+    assert rows == [("ada", 1.5), ("grace", 2.5)]
