@@ -1,0 +1,86 @@
+"""Skew mitigation for shuffles: salted joins and two-phase
+aggregation.
+
+AQE's skew-join handling (``spark.sql.adaptive.skewJoin``) splits
+oversized partitions at runtime and is the first line of defense —
+sparkt enables AQE everywhere. These operators are the *explicit*
+fallback for pathological producer-side skew AQE can't fix: one key
+holding >⅓ of a 100 TB fact table (the classic "null key" / "default
+tenant" shape), where even a split partition re-skews on re-shuffle.
+
+- ``salted_join``: append a deterministic salt (pmod of xxhash64 over
+  the whole left row) to the big side's key, replicate the small side
+  ``n_salts``× via an explode (NOT a broadcast — this is for when the
+  small side is too big to broadcast but small enough to replicate),
+  and equijoin on (key, salt). One hot key fans out across n_salts
+  reducers.
+- ``two_phase_count``/``two_phase_sum``: pre-aggregate on (key, salt)
+  so the hot key's map outputs combine in parallel before the final
+  per-key reduce — the manual form of the partial-aggregation Spark
+  already applies to algebraic aggregates; useful when the aggregate
+  is wrapped in something Catalyst won't partial-push (e.g.
+  count-distinct rewrites).
+
+Salting is deterministic (hash-based, no rand()) so retried tasks
+produce identical output — the same property sampling.py relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equijoin robust to extreme key skew on ``big``: the big side is
+    salted deterministically; the small side is replicated once per
+    salt value. Output equals ``big.join(small, on, how)`` exactly."""
+    keys = [on] if isinstance(on, str) else list(on)
+    non_key = [c for c in big.columns if c not in keys]
+    # salt from the full row hash: rows of the same hot key spread
+    # uniformly; deterministic under retries (no rand())
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn(SALT, salt)
+    s = small.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, keys + [SALT], how)
+    return out.drop(SALT)
+
+
+def two_phase_count(
+    df: DataFrame, keys: list[str] | str, n_salts: int = 32
+) -> DataFrame:
+    """count(*) per key via (key, salt) partial → key final — two
+    small shuffles instead of one skewed one. Returns (keys..., n)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn(SALT, salt)
+        .groupBy(*keys, SALT)
+        .agg(F.count(F.lit(1)).alias("__pn"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__pn").alias("n"))
+
+
+def two_phase_sum(
+    df: DataFrame, keys: list[str] | str, value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """sum(value) per key with the same two-phase shape. Returns
+    (keys..., total)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn(SALT, salt)
+        .groupBy(*keys, SALT)
+        .agg(F.sum(value_col).alias("__ps"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__ps").alias("total"))

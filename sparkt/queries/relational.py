@@ -707,7 +707,7 @@ def q23_explode_words(spark, sf_dir):
     )
 
 
-Q23_SQL = """
+Q23_SQL = r"""
 SELECT word, count(*) AS n
 FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
       FROM documents)

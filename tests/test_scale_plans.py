@@ -1,0 +1,98 @@
+"""Scale-shape regression tests: skew mitigation operators, partition
+pruning through the materialization path, and the plan-lint rule on
+representative gate queries (scripts/plan_lint.py runs the full set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _skewed(spark, n=2000):
+    # one hot key holds ~90% of rows — the shape AQE splits and
+    # explicit salting must also handle
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sparkt.functions.skew import salted_join
+
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("hot", 1), ("k13", 2), ("missing", 3)], ["k", "tag"]
+    )
+    for how in ("inner", "left"):
+        expected = big.join(small, "k", how)
+        got = salted_join(big, small, "k", n_salts=4, how=how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        ), how
+
+
+def test_two_phase_agg_matches_direct(spark):
+    from sparkt.functions.skew import two_phase_count, two_phase_sum
+
+    df = _skewed(spark)
+    direct = {
+        tuple(r)[0]: tuple(r)[1:]
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    n2 = {tuple(r)[0]: r["n"] for r in two_phase_count(df, "k").collect()}
+    s2 = {tuple(r)[0]: r["total"] for r in two_phase_sum(df, "k", "v").collect()}
+    assert n2 == {k: v[0] for k, v in direct.items()}
+    assert s2 == {k: v[1] for k, v in direct.items()}
+
+
+def test_partition_pruning_through_materialization(make_project, spark):
+    """A partition_by table materialization must produce a layout where
+    a filter on the partition column prunes at planning time
+    (PartitionFilters in the scan, not a post-scan Filter over all
+    files)."""
+    runner = make_project(
+        {
+            "dbt_project.yml": "name: prune\nmodel-paths: [models]\n",
+            "models/sources.yml": """
+version: 2
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        external: {location: /root/testdata/sf0.001/orders.parquet}
+""",
+            "models/orders_part.sql": (
+                "{{ config(materialized='table', "
+                "partition_by=['o_orderstatus']) }}\n"
+                "select o_orderkey, o_totalprice, o_orderstatus "
+                "from {{ source('tpch', 'orders') }}"
+            ),
+        },
+        schema="t_prune",
+    )
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    q = spark.table("t_prune.orders_part").filter(F.col("o_orderstatus") == "O")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan[:2000]
+
+
+def test_fact_scan_prunes_columns_and_pushes_filters(spark):
+    """q6-shape: the parquet scan must read ONLY referenced columns
+    (ReadSchema) and push the date filter to the reader."""
+    from sparkt.queries.relational import q6_revenue_forecast
+
+    df = q6_revenue_forecast(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema  # untouched wide column pruned
+    assert "PushedFilters: [" in scan and "IsNotNull" in scan
