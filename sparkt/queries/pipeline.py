@@ -718,6 +718,43 @@ ORDER BY lang, split
 """
 
 
+# ------------------------------------------------------------------ p2
+def p2_salted_join(spark, sf_dir):
+    """Skew-robust salted equijoin (sparkt.functions.skew.salted_join)
+    on the naturally skewed event_type key: the events fact is salted
+    deterministically, the per-type dim is replicated per salt. The
+    oracle is the PLAIN join — salting must be invisible in results."""
+    from sparkt.functions.skew import salted_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("type_total").alias("type_total"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+P2_SQL = """
+SELECT e.event_type AS event_type, count(*) AS n,
+       max(d.type_total) AS type_total,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN (SELECT event_type, count(*) AS type_total
+      FROM events GROUP BY event_type) d
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY 1
+"""
+
+
 # ----------------------------------------------------------------- mm1
 def mm1_image_meta(spark, sf_dir):
     """Multimodal metadata extraction over a binary column through the
@@ -774,6 +811,7 @@ QUERIES = {
     "t6_tfidf_terms": t6_tfidf_terms,
     "d8_decontaminate": d8_decontaminate,
     "p1_hash_split": p1_hash_split,
+    "p2_salted_join": p2_salted_join,
     "mm1_image_meta": mm1_image_meta,
 }
 
@@ -798,5 +836,6 @@ ORACLES = {
     "t6_tfidf_terms": T6_SQL,
     "d8_decontaminate": D8_SQL,
     "p1_hash_split": P1_SQL,
+    "p2_salted_join": P2_SQL,
     "mm1_image_meta": MM1_SQL,
 }
