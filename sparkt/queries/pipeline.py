@@ -755,6 +755,49 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------------------------------ t7
+def t7_approx_sketch(spark, sf_dir):
+    """Sketch aggregates (sparkt.functions.sketches): HLL distinct
+    users and GK approximate p50 per event_type. Sketches are
+    deterministic (hash-based, no sampling), so the gate pins
+    'estimate within ε of exact' as stable booleans the exact-SQL
+    oracle asserts true — approximate VALUES never enter the hash."""
+    from sparkt.functions.sketches import approx_quantile, hll_distinct
+
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            hll_distinct("user_id").alias("__hll"),
+            F.expr("median(value)").alias("__p50"),
+            approx_quantile("value", 0.5).alias("__ap50"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__hll") / F.col("exact_users") - 1) <= 0.05
+            ).alias("hll_within_5pct"),
+            (F.abs(F.col("__ap50") / F.col("__p50") - 1) <= 0.01).alias(
+                "p50_within_1pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+T7_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS hll_within_5pct,
+       true AS p50_within_1pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ----------------------------------------------------------------- mm1
 def mm1_image_meta(spark, sf_dir):
     """Multimodal metadata extraction over a binary column through the
@@ -812,6 +855,7 @@ QUERIES = {
     "d8_decontaminate": d8_decontaminate,
     "p1_hash_split": p1_hash_split,
     "p2_salted_join": p2_salted_join,
+    "t7_approx_sketch": t7_approx_sketch,
     "mm1_image_meta": mm1_image_meta,
 }
 
@@ -837,5 +881,6 @@ ORACLES = {
     "d8_decontaminate": D8_SQL,
     "p1_hash_split": P1_SQL,
     "p2_salted_join": P2_SQL,
+    "t7_approx_sketch": T7_SQL,
     "mm1_image_meta": MM1_SQL,
 }

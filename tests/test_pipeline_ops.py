@@ -375,3 +375,27 @@ def test_hash_split_deterministic_and_complete(spark):
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
     kept = hash_sample(df, "doc_id", keep_nibbles=4).count()
     assert 150 < kept < 350  # ~25% of 1000
+
+
+def test_sketch_rollup_merges(spark):
+    """HLL sketches merge across fine groups: daily sketches rolled up
+    to per-type distinct counts match exact within HLL error, without
+    re-scanning raw data."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.sketches import approx_distinct_rollup
+    from sparkt.sources import load_parquet
+
+    ev = load_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("day", F.to_date("ts"))
+    rolled = approx_distinct_rollup(
+        ev, ["event_type", "day"], "user_id", rollup_keys="event_type"
+    )
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for r in rolled.collect():
+        assert abs(r["approx_distinct"] / exact[r["event_type"]] - 1) <= 0.05
