@@ -93,6 +93,16 @@ def main():
     except Exception:  # noqa: BLE001 — parse bench is supplementary
         pass
 
+    # per-node orchestration overhead (BASELINE.md: <= 50 ms/node of
+    # non-Spark time): run a 200-view DAG through the full engine
+    # (parse -> compile -> schedule -> DDL), subtract the raw DDL time
+    # for the same 200 CREATE VIEW statements issued directly
+    orch_stats = {}
+    try:
+        orch_stats = orchestration_overhead(spark)
+    except Exception:  # noqa: BLE001 — supplementary metric
+        pass
+
     print(
         json.dumps(
             {
@@ -102,10 +112,67 @@ def main():
                 "queries": times,
                 "sf": sf,
                 **parse_stats,
+                **orch_stats,
             }
         )
     )
     spark.stop()
+
+
+def orchestration_overhead(spark, n_chains: int = 20, chain_len: int = 10):
+    """Wall time for a 200-model view DAG through the full Runner minus
+    wall time for the same 200 CREATE VIEW statements issued raw."""
+    import shutil
+    import tempfile
+
+    from sparkt.runner import Runner
+
+    root = tempfile.mkdtemp(prefix="sparkt_orch_")
+    n = n_chains * chain_len
+    try:
+        os.makedirs(os.path.join(root, "models"), exist_ok=True)
+        with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+            f.write("name: orch_bench\nmodel-paths: [models]\n")
+        for c in range(n_chains):
+            for i in range(chain_len):
+                sql = (
+                    "select 1 as id"
+                    if i == 0
+                    else f"select id from {{{{ ref('m_{c}_{i-1}') }}}}"
+                )
+                with open(
+                    os.path.join(root, "models", f"m_{c}_{i}.sql"), "w"
+                ) as f:
+                    f.write(sql)
+        spark.sql("DROP DATABASE IF EXISTS bench_orch CASCADE")
+        t0 = time.time()
+        res = Runner(
+            root, spark=spark, project_overrides={"schema": "bench_orch"}
+        ).run(threads=8)
+        engine_wall = time.time() - t0
+        assert res.ok
+        spark.sql("CREATE DATABASE IF NOT EXISTS bench_orch_raw")
+        t1 = time.time()
+        for i in range(n):
+            spark.sql(
+                f"CREATE OR REPLACE VIEW bench_orch_raw.v{i} AS SELECT 1 AS id"
+            )
+        ddl_wall = time.time() - t1
+        return {
+            "orchestration_nodes": n,
+            "orchestration_engine_wall_s": round(engine_wall, 3),
+            "orchestration_raw_ddl_wall_s": round(ddl_wall, 3),
+            "orchestration_overhead_ms_per_node": round(
+                max(engine_wall - ddl_wall, 0.0) / n * 1000, 2
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            spark.sql("DROP DATABASE IF EXISTS bench_orch CASCADE")
+            spark.sql("DROP DATABASE IF EXISTS bench_orch_raw CASCADE")
+        except Exception:  # noqa: BLE001
+            pass
 
 
 if __name__ == "__main__":
