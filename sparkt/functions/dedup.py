@@ -406,7 +406,10 @@ def ngram_jaccard_pairs(
     at least one (non-stop) shingle. ``max_shingle_freq`` drops
     shingles appearing in more than that many docs (stop-shingle cap —
     essential at scale)."""
-    ex = shingle_table(df, text_col, id_col, k).distinct()
+    # shingle_table emits array_distinct'd shingles per doc, so
+    # (doc, sh) is already unique — a .distinct() here would add a
+    # full extra shuffle of the posting list for nothing
+    ex = shingle_table(df, text_col, id_col, k)
     if max_shingle_freq is not None:
         freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         ex = ex.join(
