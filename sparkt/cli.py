@@ -67,6 +67,7 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                       state=kw.get("state"), defer=kw.get("defer", False))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
+            kwargs["empty"] = kw.get("empty", False)
         _report(fn(**kwargs))
 
     cmd = click.option("--state", default=None,
@@ -74,6 +75,8 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
     cmd = click.option("--defer", "defer", is_flag=True, default=False)(cmd)
     if full_refresh_opt:
         cmd = click.option("--full-refresh", is_flag=True, default=False)(cmd)
+        cmd = click.option("--empty/--no-empty", "empty", default=False,
+                           help="build with zero-row ref/source inputs")(cmd)
     return cli.command(name)(cmd)
 
 

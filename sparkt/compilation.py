@@ -46,6 +46,15 @@ class Compiler:
         # relations (providers.py:548-573, favor-state semantics with
         # cache-miss fallback)
         self.defer_state = None
+        # --empty: refs/sources render as zero-row subqueries so models
+        # build schema-only (reference resolve_limit,
+        # context/providers.py:229-231 → Relation render_limited)
+        self.empty = False
+
+    def _maybe_limited(self, rendered: str) -> str:
+        if self.empty:
+            return f"(select * from {rendered} limit 0)"
+        return rendered
 
     # ------------------------------------------------------------------
     def relation_for(self, node: ParsedNode) -> Relation:
@@ -98,8 +107,8 @@ class Compiler:
             ):
                 deferred = self.defer_state.relation_name(target.unique_id)
                 if deferred:
-                    return deferred
-            return rel.render()
+                    return self._maybe_limited(deferred)
+            return self._maybe_limited(rel.render())
 
         def source(source_name, table_name):
             key = f"source:{source_name}.{table_name}"
@@ -110,7 +119,7 @@ class Compiler:
                 raise CompilationError(
                     f"unknown source '{source_name}.{table_name}'"
                 )
-            return self.relation_for(target).render()
+            return self._maybe_limited(self.relation_for(target).render())
 
         def run_query(sql):
             _, res = self.adapter.execute(sql, fetch=True)

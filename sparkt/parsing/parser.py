@@ -170,15 +170,26 @@ class ManifestLoader:
         cache_path = os.path.join(
             self.project.target_dir, "partial_parse.pickle"
         )
+        # cache key includes the ParsedNode field list: a pickle written
+        # by an older engine unpickles FINE but its nodes lack newly
+        # added fields and explode at use — same reason the reference
+        # gates partial_parse.msgpack on dbt_version
+        # (parser/manifest.py:330-362)
+        import dataclasses
+
+        node_schema = ",".join(
+            sorted(f.name for f in dataclasses.fields(ParsedNode))
+        )
         if partial and os.path.exists(cache_path):
             import pickle
 
             try:
                 with open(cache_path, "rb") as f:
                     stored = pickle.load(f)
-                if stored.get("hashes") == hashes and stored.get("vars") == (
-                    self.project.vars,
-                    self.cli_vars,
+                if (
+                    stored.get("hashes") == hashes
+                    and stored.get("node_schema") == node_schema
+                    and stored.get("vars") == (self.project.vars, self.cli_vars)
                 ):
                     self.manifest = stored["manifest"]
                     return self.manifest
@@ -201,6 +212,7 @@ class ManifestLoader:
                 pickle.dump(
                     {
                         "hashes": hashes,
+                        "node_schema": node_schema,
                         "vars": (self.project.vars, self.cli_vars),
                         "manifest": self.manifest,
                     },

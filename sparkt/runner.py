@@ -236,8 +236,12 @@ class Runner:
         state: str | None = None,
         defer: bool = False,
         only_uids: set | None = None,
+        empty: bool = False,
     ) -> RunResults:
         t0 = time.time()
+        # --empty (reference cli/params.py:87): refs/sources compile to
+        # zero-row subqueries — schema-only dry builds
+        self.compiler.empty = empty
         state_manifest = None
         if state is not None:
             from sparkt.state import StateManifest

@@ -379,3 +379,76 @@ models:
     got_all = names(select_nodes(g, m, "state:modified", state=st))
     assert {"plain_body", "plain_config", "plain_alias",
             "uses_macro", "contracted"} <= got_all
+
+
+def test_empty_flag_builds_schema_only(make_project, spark):
+    """--empty (reference cli/params.py:87): refs/sources compile to
+    zero-row subqueries; tables materialize with full schema, 0 rows.
+    A subsequent normal run repopulates."""
+    files = {
+        "dbt_project.yml": "name: emptyflag\nmodel-paths: [models]\n",
+        "models/sources.yml": """
+version: 2
+sources:
+  - name: tpch
+    tables:
+      - name: orders
+        external: {location: /root/testdata/sf0.001/orders.parquet}
+""",
+        "models/base.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select o_orderkey, o_totalprice from {{ source('tpch', 'orders') }}"
+        ),
+        "models/agg.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select count(*) as n, sum(o_totalprice) as total "
+            "from {{ ref('base') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_emptyflag")
+    res = runner.run(empty=True)
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_emptyflag.base").count() == 0
+    assert [f.name for f in spark.table("t_emptyflag.base").schema.fields] == [
+        "o_orderkey", "o_totalprice",
+    ]
+    # agg over an empty input still yields its aggregate row
+    assert spark.table("t_emptyflag.agg").columns == ["n", "total"]
+    res2 = runner.run()
+    assert res2.ok
+    assert spark.table("t_emptyflag.base").count() == 1500
+
+
+def test_partial_parse_cache_invalidates_on_node_schema_change(tmp_path):
+    """A partial-parse pickle written by an older engine version (whose
+    ParsedNode lacked fields added since) must be discarded, not
+    unpickled into stale objects (reference gates partial_parse.msgpack
+    on dbt_version, parser/manifest.py:330-362)."""
+    import os
+    import pickle
+
+    from sparkt.parsing.parser import ManifestLoader
+    from sparkt.project import load_project
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: cachetest\nmodel-paths: [models]\n")
+    with open(os.path.join(root, "models", "m.sql"), "w") as f:
+        f.write("select 1 as id")
+    loader = ManifestLoader(load_project(root))
+    loader.load(partial=True)  # writes the cache
+    cache = os.path.join(root, "target", "partial_parse.pickle")
+    with open(cache, "rb") as f:
+        stored = pickle.load(f)
+    assert "node_schema" in stored
+    # simulate an old-engine pickle: schema string from fewer fields
+    stored["node_schema"] = "old,fields,only"
+    with open(cache, "wb") as f:
+        pickle.dump(stored, f)
+    loader2 = ManifestLoader(load_project(root))
+    manifest = loader2.load(partial=True)  # must reparse, not reuse
+    assert "model.cachetest.m" in manifest.nodes
+    with open(cache, "rb") as f:
+        refreshed = pickle.load(f)
+    assert refreshed["node_schema"] != "old,fields,only"
