@@ -798,6 +798,27 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------- q27
+def q27_range_window(spark, sf_dir):
+    """RANGE-frame window over a timestamp ORDER BY (value-based frame
+    incl. peers — a different Catalyst window path than ROWS frames):
+    trailing-7-day order count and spend per customer."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__q27_orders")
+    return spark.sql(Q27_SQL.replace("FROM orders", "FROM __q27_orders"))
+
+
+Q27_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       round(sum(o_totalprice) OVER w, 2) AS sum_7d
+FROM orders
+WHERE o_custkey < 500
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -824,6 +845,7 @@ QUERIES = {
     "q24_string_agg": q24_string_agg,
     "q25_percentiles": q25_percentiles,
     "q26_correlated_sub": q26_correlated_sub,
+    "q27_range_window": q27_range_window,
 }
 
 ORACLES = {
@@ -852,4 +874,5 @@ ORACLES = {
     "q24_string_agg": Q24_SQL,
     "q25_percentiles": Q25_SQL,
     "q26_correlated_sub": Q26_SQL,
+    "q27_range_window": Q27_SQL,
 }
