@@ -819,6 +819,51 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+# ---------------------------------------------------------------- q28
+def q28_unpivot(spark, sf_dir):
+    """UNPIVOT (wide→long): per-priority status counts melted with
+    ``stack`` — Spark's n-ary unpivot generator (also exposed as
+    ``DataFrame.unpivot``/``melt``); DuckDB uses native UNPIVOT."""
+    orders = T(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+            "open_ct"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "done_ct"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias(
+            "pend_ct"
+        ),
+    )
+    return (
+        wide.unpivot(
+            "o_orderpriority",
+            ["open_ct", "done_ct", "pend_ct"],
+            "status_col",
+            "ct",
+        )
+        .orderBy("o_orderpriority", "status_col")
+    )
+
+
+Q28_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS open_ct,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS done_ct,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pend_ct
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, status_col, ct
+FROM wide
+UNPIVOT (ct FOR status_col IN (open_ct, done_ct, pend_ct))
+ORDER BY o_orderpriority, status_col
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -846,6 +891,7 @@ QUERIES = {
     "q25_percentiles": q25_percentiles,
     "q26_correlated_sub": q26_correlated_sub,
     "q27_range_window": q27_range_window,
+    "q28_unpivot": q28_unpivot,
 }
 
 ORACLES = {
@@ -875,4 +921,5 @@ ORACLES = {
     "q25_percentiles": Q25_SQL,
     "q26_correlated_sub": Q26_SQL,
     "q27_range_window": Q27_SQL,
+    "q28_unpivot": Q28_SQL,
 }
