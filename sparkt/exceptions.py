@@ -30,3 +30,7 @@ class MacroReturn(BaseException):
 
     def __init__(self, value):
         self.value = value
+
+
+class SelectorError(SparktError):
+    pass

@@ -23,6 +23,7 @@ import re
 
 import networkx as nx
 
+from sparkt.exceptions import SelectorError
 from sparkt.manifest import Manifest
 
 _SPEC_RE = re.compile(
@@ -188,6 +189,82 @@ def _expand_spec(graph: nx.DiGraph, manifest: Manifest, spec: str,
                 fam |= nx.ancestors(graph, uid)
         out = fam
     return out
+
+
+def select_from_definition(
+    graph: nx.DiGraph,
+    manifest: Manifest,
+    definition,
+    named: dict | None = None,
+    state=None,
+) -> set[str]:
+    """Evaluate a selectors.yml definition (reference
+    ``core/dbt/graph/cli.py:120-235``): string specs, {method, value}
+    dicts with graph-operator keys, union/intersection lists with one
+    exclude, and cross-references via method: selector."""
+    named = named or {}
+    if isinstance(definition, str):
+        return select_nodes(graph, manifest, definition, state=state)
+    if isinstance(definition, list):
+        # bare list = implicit union (lenient vs reference, which
+        # requires an explicit union key at root level)
+        out: set[str] = set()
+        for part in definition:
+            out |= select_from_definition(graph, manifest, part, named, state)
+        return out
+    if not isinstance(definition, dict):
+        raise SelectorError(
+            f"selector definition must be str/dict/list, got {definition!r}"
+        )
+    if "union" in definition or "intersection" in definition:
+        key = "union" if "union" in definition else "intersection"
+        include: list[set[str]] = []
+        excluded: set[str] = set()
+        for part in definition[key] or []:
+            if isinstance(part, dict) and "exclude" in part:
+                for e in part["exclude"] or []:
+                    excluded |= select_from_definition(
+                        graph, manifest, e, named, state
+                    )
+            else:
+                include.append(
+                    select_from_definition(graph, manifest, part, named, state)
+                )
+        if key == "union":
+            out = set().union(*include) if include else set()
+        else:
+            out = set.intersection(*include) if include else set()
+        return out - excluded
+    if definition.get("method") == "selector":
+        target = definition.get("value")
+        if target not in named:
+            raise SelectorError(f"unknown selector reference '{target}'")
+        return select_from_definition(
+            graph, manifest, named[target]["definition"], named, state
+        )
+    if "method" in definition and "value" in definition:
+        spec = f"{definition['method']}:{definition['value']}"
+        pdepth = definition.get("parents_depth")
+        cdepth = definition.get("children_depth")
+        left = (
+            f"{pdepth}+" if pdepth
+            else ("+" if definition.get("parents") else "")
+        )
+        right = (
+            f"+{cdepth}" if cdepth
+            else ("+" if definition.get("children") else "")
+        )
+        prefix = "@" if definition.get("childrens_parents") else ""
+        base = select_nodes(
+            graph, manifest, f"{prefix}{left}{spec}{right}", state=state
+        )
+        for e in definition.get("exclude") or []:
+            base -= select_from_definition(graph, manifest, e, named, state)
+        return base
+    if len(definition) == 1:
+        k, v = next(iter(definition.items()))
+        return select_nodes(graph, manifest, f"{k}:{v}", state=state)
+    raise SelectorError(f"cannot parse selector definition: {definition!r}")
 
 
 def select_nodes(

@@ -39,6 +39,9 @@ class Project:
     # profile
     schema: str = "analytics"
     threads: int = 4
+    # selectors.yml: {name: {"default": bool, "definition": <raw yaml>}}
+    # (reference: core/dbt/config/selectors.py + graph/cli.py:235)
+    selectors: dict[str, dict] = field(default_factory=dict)
 
     @property
     def target_dir(self) -> str:
@@ -119,6 +122,16 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
         on_run_start=_listify(raw.get("on-run-start")),
         on_run_end=_listify(raw.get("on-run-end")),
     )
+    # selectors.yml (optional): named YAML selectors
+    spath = os.path.join(project_root, "selectors.yml")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            sel_raw = yaml.safe_load(f) or {}
+        for entry in sel_raw.get("selectors", []) or []:
+            proj.selectors[entry["name"]] = {
+                "default": bool(entry.get("default", False)),
+                "definition": entry.get("definition"),
+            }
     # profiles.yml (optional): schema/threads
     ppath = os.path.join(project_root, "profiles.yml")
     if os.path.exists(ppath):
