@@ -62,9 +62,17 @@ def main():
         for wq in ("d5_ngram_jaccard", "d3_minhash_pairs", "t2_quality_scores"):
             QUERIES[wq](spark, tiny).write.mode("overwrite").format("noop").save()
 
+    # n>=5 samples per query with stddev (VERDICT r2 #9: n=2 made a
+    # +5% delta unreadable). Reported value = mean across samples.
+    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5")))
+    import statistics
+
     times: dict[str, float] = {}
+    stds: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = round(run(name), 3)
+        samples = [run(name) for _ in range(n_samples)]
+        times[name] = round(statistics.mean(samples), 3)
+        stds[name] = round(statistics.pstdev(samples), 3)
 
     total = round(sum(times.values()), 3)
 
@@ -110,6 +118,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_std": stds,
+                "n_samples": n_samples,
                 "sf": sf,
                 **parse_stats,
                 **orch_stats,
@@ -152,11 +162,20 @@ def orchestration_overhead(spark, n_chains: int = 20, chain_len: int = 10):
         engine_wall = time.time() - t0
         assert res.ok
         spark.sql("CREATE DATABASE IF NOT EXISTS bench_orch_raw")
+        # raw baseline mirrors the engine DAG's ref-chains (ADVICE r2:
+        # flat SELECT 1 views understate the analyzer/catalog cost of
+        # chained CREATE VIEWs, inflating the subtraction)
         t1 = time.time()
-        for i in range(n):
-            spark.sql(
-                f"CREATE OR REPLACE VIEW bench_orch_raw.v{i} AS SELECT 1 AS id"
-            )
+        for c in range(n_chains):
+            for i in range(chain_len):
+                sql = (
+                    "SELECT 1 AS id"
+                    if i == 0
+                    else f"SELECT id FROM bench_orch_raw.v_{c}_{i-1}"
+                )
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW bench_orch_raw.v_{c}_{i} AS {sql}"
+                )
         ddl_wall = time.time() - t1
         return {
             "orchestration_nodes": n,

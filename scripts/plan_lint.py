@@ -15,6 +15,7 @@ Exit code = number of violations.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -27,7 +28,9 @@ ALLOWED = {
     "s1_cosine_topk": "BroadcastNestedLoopJoin",
 }
 
-SKIP_PREFIXES = ("m",)  # engine flows execute real projects — not compile-only
+# Engine flows (m1..m9) execute real projects — not compile-only. Match
+# exactly m<digit> so mm*/future pipeline gates stay linted (ADVICE r2).
+SKIP_RE = re.compile(r"^m\d")
 
 BAD_OPERATORS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
@@ -41,7 +44,7 @@ def main() -> int:
     spark = get_spark(master="local[4]", shuffle_partitions=4)
     violations = 0
     for name, fn in sorted(entry.queries().items()):
-        if name.startswith(SKIP_PREFIXES):
+        if SKIP_RE.match(name):
             continue
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

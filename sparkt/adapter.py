@@ -26,6 +26,7 @@ reference's relation-cache locking (SURVEY.md §7 "Concurrency").
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import threading
 import time
@@ -356,13 +357,21 @@ class SparkAdapter:
             # header+inferSchema default on: seeds-parity ergonomics
             options = {"header": "true", "inferSchema": "true",
                        **(options or {})}
-        opt_clause = (
-            " OPTIONS (" + ", ".join(
-                f"{k} '{v}'" for k, v in options.items()
+        # keys must be identifiers and values are quote-escaped so csv
+        # quote/escape chars (e.g. quote: "'") can't break out of the DDL
+        if options:
+            for k in options:
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", str(k)):
+                    raise ValueError(f"invalid table OPTION key: {k!r}")
+
+            def esc(v):
+                return str(v).replace("\\", "\\\\").replace("'", "\\'")
+
+            opt_clause = " OPTIONS (" + ", ".join(
+                f"{k} '{esc(v)}'" for k, v in options.items()
             ) + ")"
-            if options
-            else ""
-        )
+        else:
+            opt_clause = ""
         with self._ddl_lock:
             self.create_schema(relation.schema)
             if self.relation_exists(relation):

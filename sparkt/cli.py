@@ -19,6 +19,8 @@ def _common(fn):
     fn = click.option("--project-dir", default=".", help="project root")(fn)
     fn = click.option("--select", "-s", default=None)(fn)
     fn = click.option("--exclude", default=None)(fn)
+    fn = click.option("--selector", default=None,
+                      help="named selector from selectors.yml")(fn)
     fn = click.option("--threads", type=int, default=None)(fn)
     fn = click.option("--vars", "vars_", default=None, help="YAML dict of vars")(fn)
     return fn
@@ -60,10 +62,11 @@ def cli():
 
 def _make_cmd(name: str, full_refresh_opt: bool = False):
     @_common
-    def cmd(project_dir, select, exclude, threads, vars_, **kw):
+    def cmd(project_dir, select, exclude, selector, threads, vars_, **kw):
         runner = _mk_runner(project_dir, vars_)
         fn = getattr(runner, name)
-        kwargs = dict(select=select, exclude=exclude, threads=threads,
+        kwargs = dict(select=select, exclude=exclude, selector=selector,
+                      threads=threads,
                       state=kw.get("state"), defer=kw.get("defer", False))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
@@ -133,7 +136,7 @@ def source_freshness(project_dir):
 @click.option("--state", default=None)
 def retry(project_dir, select, state):
     runner = Runner(project_dir)
-    _report(runner.retry())
+    _report(runner.retry(select=select, state=state))
 
 
 @cli.command()

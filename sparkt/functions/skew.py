@@ -33,6 +33,15 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+#: join modes where replicating the small side cannot duplicate or drop
+#: rows: the small side is never the preserved outer side, so an
+#: unmatched small-side row (which exists once per salt) is never
+#: emitted. 'right'/'full'/'left_anti'-on-small shapes would emit each
+#: unmatched replicated row n_salts times.
+SAFE_HOWS = frozenset({"inner", "left", "left_outer", "leftouter",
+                       "left_semi", "leftsemi", "left_anti", "leftanti"})
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -42,9 +51,17 @@ def salted_join(
 ) -> DataFrame:
     """Equijoin robust to extreme key skew on ``big``: the big side is
     salted deterministically; the small side is replicated once per
-    salt value. Output equals ``big.join(small, on, how)`` exactly."""
+    salt value. Output equals ``big.join(small, on, how)`` exactly for
+    ``how`` in :data:`SAFE_HOWS` (modes that preserve only the big
+    side); outer-on-small modes would see unmatched small rows once per
+    salt and are rejected."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in SAFE_HOWS}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not replication-safe; use one of "
+            f"{sorted(SAFE_HOWS)} (outer-on-small modes would duplicate "
+            f"unmatched small-side rows n_salts times)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
-    non_key = [c for c in big.columns if c not in keys]
     # salt from the full row hash: rows of the same hot key spread
     # uniformly; deterministic under retries (no rand())
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))

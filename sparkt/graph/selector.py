@@ -197,11 +197,13 @@ def select_from_definition(
     definition,
     named: dict | None = None,
     state=None,
+    _seen: frozenset = frozenset(),
 ) -> set[str]:
     """Evaluate a selectors.yml definition (reference
     ``core/dbt/graph/cli.py:120-235``): string specs, {method, value}
     dicts with graph-operator keys, union/intersection lists with one
-    exclude, and cross-references via method: selector."""
+    exclude, and cross-references via method: selector (cycle-guarded
+    by ``_seen`` — a self/mutually-referencing selector raises)."""
     named = named or {}
     if isinstance(definition, str):
         return select_nodes(graph, manifest, definition, state=state)
@@ -210,7 +212,9 @@ def select_from_definition(
         # requires an explicit union key at root level)
         out: set[str] = set()
         for part in definition:
-            out |= select_from_definition(graph, manifest, part, named, state)
+            out |= select_from_definition(
+                graph, manifest, part, named, state, _seen
+            )
         return out
     if not isinstance(definition, dict):
         raise SelectorError(
@@ -224,11 +228,13 @@ def select_from_definition(
             if isinstance(part, dict) and "exclude" in part:
                 for e in part["exclude"] or []:
                     excluded |= select_from_definition(
-                        graph, manifest, e, named, state
+                        graph, manifest, e, named, state, _seen
                     )
             else:
                 include.append(
-                    select_from_definition(graph, manifest, part, named, state)
+                    select_from_definition(
+                        graph, manifest, part, named, state, _seen
+                    )
                 )
         if key == "union":
             out = set().union(*include) if include else set()
@@ -239,8 +245,14 @@ def select_from_definition(
         target = definition.get("value")
         if target not in named:
             raise SelectorError(f"unknown selector reference '{target}'")
+        if target in _seen:
+            raise SelectorError(
+                f"selector cycle: '{target}' references itself "
+                f"(via {sorted(_seen)})"
+            )
         return select_from_definition(
-            graph, manifest, named[target]["definition"], named, state
+            graph, manifest, named[target]["definition"], named, state,
+            _seen | {target},
         )
     if "method" in definition and "value" in definition:
         spec = f"{definition['method']}:{definition['value']}"
@@ -259,7 +271,9 @@ def select_from_definition(
             graph, manifest, f"{prefix}{left}{spec}{right}", state=state
         )
         for e in definition.get("exclude") or []:
-            base -= select_from_definition(graph, manifest, e, named, state)
+            base -= select_from_definition(
+                graph, manifest, e, named, state, _seen
+            )
         return base
     if len(definition) == 1:
         k, v = next(iter(definition.items()))

@@ -226,6 +226,38 @@ class Runner:
                 thread=threading.current_thread().name,
             )
 
+    def _selected_uids(self, graph, select, exclude, selector, state_manifest):
+        """Resolve --select/--exclude or a named selectors.yml entry
+        (``--selector``; reference ``core/dbt/graph/cli.py:235``). With
+        no explicit selection, a selectors.yml entry marked
+        ``default: true`` applies."""
+        from sparkt.graph.selector import SelectorError, select_from_definition
+
+        named = self.project.selectors
+        if selector is not None:
+            if select or exclude:
+                raise SelectorError(
+                    "cannot combine --selector with --select/--exclude"
+                )
+            if selector not in named:
+                raise SelectorError(f"unknown selector '{selector}'")
+            return select_from_definition(
+                graph, self.manifest, named[selector]["definition"],
+                named, state_manifest, frozenset({selector}),
+            )
+        if select is None and exclude is None:
+            default = next(
+                (n for n, d in named.items() if d.get("default")), None
+            )
+            if default is not None:
+                return select_from_definition(
+                    graph, self.manifest, named[default]["definition"],
+                    named, state_manifest, frozenset({default}),
+                )
+        return select_nodes(
+            graph, self.manifest, select, exclude, state=state_manifest
+        )
+
     def execute_nodes(
         self,
         which: str = "run",
@@ -237,6 +269,7 @@ class Runner:
         defer: bool = False,
         only_uids: set | None = None,
         empty: bool = False,
+        selector: str | None = None,
     ) -> RunResults:
         t0 = time.time()
         # --empty (reference cli/params.py:87): refs/sources compile to
@@ -251,8 +284,8 @@ class Runner:
                 self.compiler.defer_state = state_manifest
         self.register_sources()
         graph = link_graph(self.manifest, add_test_edges=(which == "build"))
-        selected = select_nodes(
-            graph, self.manifest, select, exclude, state=state_manifest
+        selected = self._selected_uids(
+            graph, select, exclude, selector, state_manifest
         )
         if only_uids is not None:
             selected &= only_uids

@@ -26,12 +26,27 @@ def test_salted_join_matches_plain_join(spark):
     small = spark.createDataFrame(
         [("hot", 1), ("k13", 2), ("missing", 3)], ["k", "tag"]
     )
-    for how in ("inner", "left"):
+    for how in ("inner", "left", "left_semi", "left_anti"):
         expected = big.join(small, "k", how)
         got = salted_join(big, small, "k", n_salts=4, how=how)
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, expected.collect())
         ), how
+
+
+def test_salted_join_rejects_outer_on_small(spark):
+    """'right'/'full' would emit unmatched replicated small-side rows
+    once per salt — salted_join must refuse rather than silently
+    duplicate (ADVICE r2)."""
+    import pytest
+
+    from sparkt.functions.skew import salted_join
+
+    big = _skewed(spark, n=100)
+    small = spark.createDataFrame([("hot", 1), ("missing", 3)], ["k", "tag"])
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="not replication-safe"):
+            salted_join(big, small, "k", n_salts=4, how=how)
 
 
 def test_two_phase_agg_matches_direct(spark):
