@@ -39,6 +39,19 @@ from pyspark.sql import DataFrame, SparkSession
 from sparkt.relation import Relation
 
 
+def _sql_str(spark: SparkSession, v) -> str:
+    """Escape ``v`` for embedding in a single-quoted Spark SQL string
+    literal. Quotes are doubled (``''``), which Spark parses identically
+    whether ``spark.sql.parser.escapedStringLiterals`` is true or false;
+    literal backslashes are doubled only under the default (false)
+    setting, where backslash acts as an escape character."""
+    s = str(v)
+    raw = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    if str(raw).lower() != "true":
+        s = s.replace("\\", "\\\\")
+    return s.replace("'", "''")
+
+
 @dataclass
 class ExecuteResult:
     """Driver-side result set (the reference's agate table analogue,
@@ -134,7 +147,8 @@ class SparkAdapter:
                         )
                         self.spark.sql(
                             f"CREATE TABLE {rel.render()}{cols} USING "
-                            f"parquet{buck} LOCATION '{entry['location']}'"
+                            f"parquet{buck} "
+                            f"LOCATION '{_sql_str(self.spark, entry['location'])}'"
                         )
                         # A partitioned location needs explicit partition
                         # recovery in the in-memory catalog, else the
@@ -364,11 +378,8 @@ class SparkAdapter:
                 if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", str(k)):
                     raise ValueError(f"invalid table OPTION key: {k!r}")
 
-            def esc(v):
-                return str(v).replace("\\", "\\\\").replace("'", "\\'")
-
             opt_clause = " OPTIONS (" + ", ".join(
-                f"{k} '{esc(v)}'" for k, v in options.items()
+                f"{k} '{_sql_str(self.spark, v)}'" for k, v in options.items()
             ) + ")"
         else:
             opt_clause = ""
@@ -380,7 +391,7 @@ class SparkAdapter:
             if not ns_cols:
                 self.spark.sql(
                     f"CREATE TABLE {relation.render()} USING {fmt}"
-                    f"{opt_clause} LOCATION '{path}'"
+                    f"{opt_clause} LOCATION '{_sql_str(self.spark, path)}'"
                 )
                 self._record(relation, kind="external", path=path, fmt=fmt,
                              options=options or {})
@@ -388,7 +399,8 @@ class SparkAdapter:
             raw = relation.with_suffix("__raw")
             if not self.relation_exists(raw):
                 self.spark.sql(
-                    f"CREATE TABLE {raw.render()} USING parquet LOCATION '{path}'"
+                    f"CREATE TABLE {raw.render()} USING parquet "
+                    f"LOCATION '{_sql_str(self.spark, path)}'"
                 )
             cols = [f.name for f in self.spark.table(raw.render()).schema.fields]
             exprs = ", ".join(ns_fix_exprs(cols, ns_cols))
@@ -474,7 +486,8 @@ class SparkAdapter:
                 writer.saveAsTable(tmp.render())
             elif df is not None:
                 self.spark.sql(
-                    f"CREATE TABLE {tmp.render()} USING parquet LOCATION '{loc}'"
+                    f"CREATE TABLE {tmp.render()} USING parquet "
+                    f"LOCATION '{_sql_str(self.spark, loc)}'"
                 )
                 if partition_by:
                     # in-memory catalog doesn't auto-track partitions of a
@@ -485,7 +498,7 @@ class SparkAdapter:
             else:
                 self.spark.sql(
                     f"CREATE TABLE {tmp.render()} USING parquet{part}{buck} "
-                    f"LOCATION '{loc}' AS {select_sql}"
+                    f"LOCATION '{_sql_str(self.spark, loc)}' AS {select_sql}"
                 )
             # replaying a bucketed table needs an explicit column list
             # (Spark refuses CLUSTERED BY on schema-inferred CREATE)

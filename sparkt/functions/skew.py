@@ -39,7 +39,8 @@ SALT = "__salt"
 #: emitted. 'right'/'full'/'left_anti'-on-small shapes would emit each
 #: unmatched replicated row n_salts times.
 SAFE_HOWS = frozenset({"inner", "left", "left_outer", "leftouter",
-                       "left_semi", "leftsemi", "left_anti", "leftanti"})
+                       "left_semi", "leftsemi", "semi",
+                       "left_anti", "leftanti", "anti"})
 
 
 def salted_join(

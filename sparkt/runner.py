@@ -226,11 +226,16 @@ class Runner:
                 thread=threading.current_thread().name,
             )
 
-    def _selected_uids(self, graph, select, exclude, selector, state_manifest):
+    def _selected_uids(self, graph, select, exclude, selector, state_manifest,
+                       allow_default=True):
         """Resolve --select/--exclude or a named selectors.yml entry
         (``--selector``; reference ``core/dbt/graph/cli.py:235``). With
         no explicit selection, a selectors.yml entry marked
-        ``default: true`` applies."""
+        ``default: true`` applies — unless ``allow_default`` is False
+        (the retry path passes an explicit uid set; intersecting it
+        with a default selector could silently drop failed nodes,
+        reference ``core/dbt/task/retry.py`` replays the original
+        selection instead)."""
         from sparkt.graph.selector import SelectorError, select_from_definition
 
         named = self.project.selectors
@@ -245,7 +250,7 @@ class Runner:
                 graph, self.manifest, named[selector]["definition"],
                 named, state_manifest, frozenset({selector}),
             )
-        if select is None and exclude is None:
+        if select is None and exclude is None and allow_default:
             default = next(
                 (n for n, d in named.items() if d.get("default")), None
             )
@@ -285,7 +290,8 @@ class Runner:
         self.register_sources()
         graph = link_graph(self.manifest, add_test_edges=(which == "build"))
         selected = self._selected_uids(
-            graph, select, exclude, selector, state_manifest
+            graph, select, exclude, selector, state_manifest,
+            allow_default=only_uids is None,
         )
         if only_uids is not None:
             selected &= only_uids
@@ -395,10 +401,13 @@ class Runner:
 
     def retry(self, **kw) -> RunResults:
         """Re-run only non-successful nodes from the previous invocation
-        (``core/dbt/task/retry.py``)."""
+        (``core/dbt/task/retry.py``). With ``--state``, the prior
+        ``run_results.json`` is read from the state dir (the reference
+        retry task replays from the ``--state`` artifacts)."""
         from sparkt.state import retry_candidates
 
-        path = os.path.join(self.project.target_dir, "run_results.json")
+        src_dir = kw.get("state") or self.project.target_dir
+        path = os.path.join(src_dir, "run_results.json")
         if not os.path.exists(path):
             return self.build(**kw)
         bad = retry_candidates(path)

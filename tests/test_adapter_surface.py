@@ -149,3 +149,47 @@ sources:
     assert res.ok, [r.message for r in res.results]
     rows = [tuple(r) for r in spark.table("t_extsrc.joined").collect()]
     assert rows == [("ada", 1.5), ("grace", 2.5)]
+
+
+def test_external_location_with_quote_in_path(make_project, spark, tmp_path):
+    """A single quote in the data path must not break the CREATE TABLE
+    ... LOCATION DDL (ADVICE r3: LOCATION interpolation was unescaped)."""
+    qdir = tmp_path / "o'brien data"
+    qdir.mkdir()
+    spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"]).write.parquet(
+        str(qdir / "t.parquet")
+    )
+    runner = make_project(
+        {
+            "dbt_project.yml": "name: qloc\nmodel-paths: [models]\n",
+            "models/sources.yml": f"""
+version: 2
+sources:
+  - name: raw
+    tables:
+      - name: t
+        external:
+          location: "{qdir}/t.parquet"
+""",
+            "models/m.sql": (
+                "{{ config(materialized='table') }}\n"
+                "select count(*) as n from {{ source('raw', 't') }}"
+            ),
+        },
+        schema="t_qloc",
+    )
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_qloc.m").first()["n"] == 2
+
+
+def test_sql_str_escaping_unit(spark):
+    """_sql_str doubles quotes (valid under both parser modes) and
+    doubles backslashes only under the default escape mode."""
+    from sparkt.adapter import _sql_str
+
+    assert _sql_str(spark, "o'brien") == "o''brien"
+    assert _sql_str(spark, "a\\b") == "a\\\\b"
+    # round-trip through the parser: literal comes back verbatim
+    val = spark.sql(f"select '{_sql_str(spark, 'o' + chr(39) + 'b')}' as v")
+    assert val.first()["v"] == "o'b"

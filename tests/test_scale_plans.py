@@ -26,7 +26,7 @@ def test_salted_join_matches_plain_join(spark):
     small = spark.createDataFrame(
         [("hot", 1), ("k13", 2), ("missing", 3)], ["k", "tag"]
     )
-    for how in ("inner", "left", "left_semi", "left_anti"):
+    for how in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
         expected = big.join(small, "k", how)
         got = salted_join(big, small, "k", n_salts=4, how=how)
         assert sorted(map(tuple, got.collect())) == sorted(

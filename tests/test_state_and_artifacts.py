@@ -120,6 +120,70 @@ def test_retry(make_project, spark):
     assert res3.results == []
 
 
+def test_retry_from_state_dir(make_project, spark, tmp_path):
+    """retry --state replays the prior run_results.json from the state
+    dir, not the live target dir (reference core/dbt/task/retry.py)."""
+    import shutil
+
+    files = dict(FILES)
+    files["models/c.sql"] = (
+        "select {{ 'broken_col' if var('break_it', true) else '1' }} as x "
+        "from {{ ref('b') }}"
+    )
+    runner = make_project(files, schema="t_retry_state")
+    assert runner.seed().ok
+    assert not runner.build().ok
+    state_dir = str(tmp_path / "prior_target")
+    shutil.copytree(runner.project.target_dir, state_dir)
+    # wipe the live run_results: only --state knows what failed
+    os.remove(os.path.join(runner.project.target_dir, "run_results.json"))
+    from sparkt.runner import Runner
+
+    fixed = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_it": False},
+        project_overrides={"schema": "t_retry_state"},
+    )
+    res = fixed.retry(state=state_dir)
+    assert [r.unique_id for r in res.results] == ["model.st.c"]
+    assert res.ok, [r.message for r in res.results]
+
+
+def test_retry_ignores_default_selector(make_project, spark):
+    """A selectors.yml entry marked default:true must not intersect the
+    retry uid set (ADVICE r3: failed nodes outside the default selector
+    were silently dropped, reporting a clean empty retry)."""
+    files = dict(FILES)
+    files["models/c.sql"] = (
+        "select {{ 'broken_col' if var('break_it', true) else '1' }} as x "
+        "from {{ ref('b') }}"
+    )
+    # default selector covers only model a — c is outside it
+    files["selectors.yml"] = (
+        "selectors:\n"
+        "  - name: just_a\n"
+        "    default: true\n"
+        "    definition:\n"
+        "      method: fqn\n"
+        "      value: a\n"
+    )
+    runner = make_project(files, schema="t_retry_defsel")
+    assert runner.seed().ok
+    # build everything explicitly (bypass the default selector)
+    res = runner.build(select="+c")
+    assert not res.ok
+    from sparkt.runner import Runner
+
+    fixed = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_it": False},
+        project_overrides={"schema": "t_retry_defsel"},
+    )
+    res2 = fixed.retry()
+    assert [r.unique_id for r in res2.results] == ["model.st.c"]
+    assert res2.ok, [r.message for r in res2.results]
+
+
 def test_docs_generate(make_project, spark):
     runner = make_project(FILES, schema="t_docs")
     assert runner.seed().ok
