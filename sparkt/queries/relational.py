@@ -9,18 +9,11 @@ functions only (whole-stage codegen; zero Python UDFs).
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from sparkt.sources import load_parquet
-
-
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+from sparkt.queries._util import T  # noqa: F401 — shared loader w/ shuffle tuning
 
 
 # ----------------------------------------------------------------- q1

@@ -87,6 +87,9 @@ def _layer() -> SemanticLayer:
 
 
 def _events_view(spark, sf_dir) -> None:
+    from sparkt.queries._util import tune_shuffle
+
+    tune_shuffle(spark, sf_dir)
     load_parquet(
         spark, os.path.join(sf_dir, "events.parquet")
     ).createOrReplaceTempView("__sparkt_sem_events")

@@ -48,6 +48,34 @@ def ns_fix_exprs(columns: list[str], ns_cols: tuple[str, ...]) -> list[str]:
     ]
 
 
+def repair_event_time(df: DataFrame, ns_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize event-time columns to TIMESTAMP (UTC wall time):
+
+    - BIGINT-nanosecond columns (parquet TIMESTAMP(NANOS) read under
+      ``nanosAsLong``) → integer ``DIV 1000`` → ``timestamp_micros``;
+    - TIMESTAMP_NTZ columns (naive parquet µs timestamps, which Spark
+      reads as NTZ while the DuckDB oracle reads as naive TIMESTAMP)
+      → cast to TIMESTAMP, interpreting the wall time in the session
+      timezone (pinned to UTC by :func:`ensure_runtime_conf`), so
+      event-time functions (``unix_micros``, watermarks, streaming
+      windows) accept the column.
+
+    Works on batch and streaming DataFrames alike.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    out = df
+    for c in ns_cols:
+        out = out.withColumn(
+            c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+        )
+    for f in out.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return out
+
+
 # Runtime-settable confs the engine depends on for *correctness* (not
 # just speed). A driver-provided session built without our defaults
 # (plain ``SparkSession.builder.getOrCreate()``) would otherwise run
@@ -75,21 +103,26 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
     """nanosAsLong is runtime-settable, so set it defensively before any
-    parquet read that may contain TIMESTAMP(NANOS)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # noqa: BLE001 — conf may be pinned; reads will tell
-        pass
+    parquet read that may contain TIMESTAMP(NANOS). The session timezone
+    is pinned to UTC at the same time: naive (NTZ) parquet timestamps
+    are treated as UTC wall time when normalized to TIMESTAMP, matching
+    the DuckDB oracle's naive semantics regardless of host timezone."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 — conf may be pinned; reads will tell
+            pass
 
 
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet; ns-timestamp columns come back as real timestamps."""
+    """Read parquet; ns- and ntz-timestamp columns come back as real
+    (UTC) timestamps."""
     ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
-    ns_cols = ns_timestamp_columns(path)
-    if not ns_cols:
-        return df
-    return df.selectExpr(*ns_fix_exprs(df.columns, ns_cols))
+    return repair_event_time(df, ns_timestamp_columns(path))
 
 
 def spread(df: DataFrame) -> DataFrame:
