@@ -19,6 +19,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def _const_array(vals: list[float]) -> Column:
+    """A constant ``array<double>`` as ONE expression node.
+
+    ``F.lit(list)`` / ``F.array`` desugar to one Literal node per
+    element — at dim=768 × 16 planes that is ~12k expression nodes and
+    ~26 s of analyzer time before a single row moves (measured r4).
+    A JSON string literal decoded by ``from_json`` is 2 nodes; Catalyst
+    constant-folds it to a true array Literal at optimization time, so
+    runtime cost is identical. Floats round-trip exactly through
+    ``json.dumps`` (shortest-repr)."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(vals)), "array<double>")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -88,16 +103,13 @@ def hyperplane_bits(vec: Column, dim: int, n_planes: int = 8) -> Column:
 
     bits = []
     for p in range(n_planes):
-        weights = []
-        for d in range(dim):
-            h = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
-            weights.append((h % 1001) - 500)
+        weights = [
+            float((int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
+                   % 1001) - 500)
+            for d in range(dim)
+        ]
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(w)) for w in weights]),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, _const_array(weights), lambda x, w: x * w),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -125,7 +137,7 @@ def _cell_assignment(vec: Column, centroids: list[list[float]]) -> Column:
     struct comparison is lexicographic, deterministic)."""
     scored = []
     for j, c in enumerate(centroids):
-        d = dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+        d = dot(vec, _const_array([float(x) for x in c]))
         scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
     return F.array_max(F.array(*scored))["c"]
 
@@ -156,7 +168,7 @@ def ivf_topk(
     # query cells: top n_probe centroid dots
     scored = []
     for j, cent in enumerate(cents):
-        d = dot(F.col(vec), F.array(*[F.lit(float(x)) for x in cent]))
+        d = dot(F.col(vec), _const_array([float(x) for x in cent]))
         scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
     probe_cells = F.slice(
         F.reverse(F.array_sort(F.array(*scored))), 1, n_probe
@@ -214,11 +226,11 @@ def cosine_neardup_pairs(
         _cell_assignment(F.col(vec), cents).alias("cell"),
     )
     if n_probe is None or n_probe >= n_cells:
-        probes = F.array(*[F.lit(j) for j in range(n_cells)])
+        probes = F.lit(list(range(n_cells)))
     else:
         scored = []
         for j, cent in enumerate(cents):
-            d = dot(F.col(vec), F.array(*[F.lit(float(x)) for x in cent]))
+            d = dot(F.col(vec), _const_array([float(x) for x in cent]))
             scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
         probes = F.transform(
             F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, n_probe),

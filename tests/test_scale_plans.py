@@ -49,6 +49,40 @@ def test_salted_join_rejects_outer_on_small(spark):
             salted_join(big, small, "k", n_salts=4, how=how)
 
 
+def test_similarity_plan_size_at_high_dim(spark):
+    """Hyperplane/centroid constants must be ONE array literal per
+    plane/cell, not dim Literal nodes (VERDICT r3 #5: the per-element
+    form cost 8.6s of analyzer time at dim=768 × 16 planes before a
+    single row moved — a plan-compile scale-killer at real embedding
+    widths). Bound: analysis at dim=768 completes in seconds."""
+    import time
+
+    from sparkt.functions.similarity import (
+        _cell_assignment, _pseudo_centroids, hyperplane_bits,
+    )
+
+    dim = 768
+    base = spark.createDataFrame(
+        [(i, [float(j % 7) for j in range(dim)]) for i in range(3)],
+        ["id", "embedding"],
+    )
+    t0 = time.time()
+    planes = base.select(
+        hyperplane_bits(F.col("embedding"), dim, n_planes=16).alias("b")
+    )
+    planes.schema  # forces analysis
+    cells = base.select(
+        _cell_assignment(
+            F.col("embedding"), _pseudo_centroids(dim, 32)
+        ).alias("c")
+    )
+    cells.schema
+    elapsed = time.time() - t0
+    assert elapsed < 5.0, f"analysis took {elapsed:.1f}s — literal bloat is back"
+    assert planes.first()["b"] is not None
+    assert 0 <= cells.first()["c"] < 32
+
+
 def test_two_phase_agg_matches_direct(spark):
     from sparkt.functions.skew import two_phase_count, two_phase_sum
 
