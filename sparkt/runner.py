@@ -103,6 +103,18 @@ class Runner:
         )
         os.makedirs(self.project.target_dir, exist_ok=True)
         os.makedirs(os.path.join(self.project.target_dir, "compiled"), exist_ok=True)
+        # structured event log (core/dbt/events: jsonl logs/dbt.log)
+        import uuid
+
+        from sparkt import __version__
+        from sparkt.events import EventManager, MainReportVersion
+
+        self.invocation_id = str(uuid.uuid4())
+        self.events = EventManager(
+            os.path.join(self.project.project_root, "logs"),
+            self.invocation_id,
+        )
+        self.events.fire(MainReportVersion(version=__version__))
 
     # ------------------------------------------------------------ sources
     def register_sources(self) -> None:
@@ -324,6 +336,18 @@ class Runner:
         lock = threading.Lock()
         n_threads = threads or self.project.threads
 
+        from sparkt import events as EV
+
+        self.events.fire(EV.MainReportArgs(args={
+            "which": which, "select": select, "exclude": exclude,
+            "threads": n_threads, "full_refresh": full_refresh,
+        }))
+        self.events.fire(EV.ConcurrencyLine(
+            num_threads=n_threads, target_name=self.project.schema,
+        ))
+        total = len(to_run)
+        counter = iter(range(1, total + 1))
+
         def worker():
             while True:
                 try:
@@ -339,11 +363,34 @@ class Runner:
                     node = self.manifest.nodes[uid]
                     with lock:
                         is_skipped = uid in skipped
+                        index = next(counter)
                     if is_skipped:
+                        self.events.fire(EV.SkippingDetails(
+                            resource_type=node.resource_type,
+                            unique_id=uid, index=index, total=total,
+                        ))
                         res = RunResult(unique_id=uid, status="skipped",
                                         message="upstream failure")
                     else:
+                        self.events.fire(EV.NodeStart(unique_id=uid))
+                        self.events.fire(EV.LogStartLine(
+                            description=uid, index=index, total=total,
+                        ))
                         res = self._execute_node(ctx, node)
+                        self.events.fire(EV.NodeFinished(
+                            unique_id=uid, status=res.status,
+                            execution_time=res.execution_time,
+                        ))
+                        self.events.fire(EV.LogModelResult(
+                            description=uid, status=res.status,
+                            index=index, total=total,
+                            execution_time=res.execution_time,
+                        ))
+                        if res.status == "error" and res.message:
+                            self.events.fire(EV.RunResultError(
+                                msg=res.message.splitlines()[0],
+                                unique_id=uid,
+                            ))
                     if res.status in ("error", "fail"):
                         # skip descendants (runnable.py:319-340);
                         # computed under the QUEUE's lock — traversing
@@ -381,6 +428,9 @@ class Runner:
         )
         rr.write(os.path.join(self.project.target_dir, "run_results.json"))
         self.manifest.write(os.path.join(self.project.target_dir, "manifest.json"))
+        self.events.fire(EV.CommandCompleted(
+            command=which, success=rr.ok, elapsed=rr.elapsed,
+        ))
         return rr
 
     # ------------------------------------------------------- task aliases
