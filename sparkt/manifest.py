@@ -21,6 +21,21 @@ EXECUTABLE_TYPES = {"model", "seed", "snapshot", "test", "unit_test", "operation
 REFABLE_TYPES = {"model", "seed", "snapshot"}
 
 
+def column_info_dict(cols: dict) -> dict:
+    """YAML column entries → manifest-v12 ColumnInfo objects (the
+    schema's per-column alternative sets additionalProperties: false).
+    Also the canonical form for state:modified.contract comparison."""
+    out = {}
+    for cname, c in (cols or {}).items():
+        c = c if isinstance(c, dict) else {}
+        col = {"name": c.get("name", cname),
+               "description": str(c.get("description", ""))}
+        if c.get("data_type") is not None:
+            col["data_type"] = str(c["data_type"])
+        out[cname] = col
+    return out
+
+
 @dataclass
 class ParsedNode:
     """One resource (reference ``ParsedNode``/``CompiledNode``,
@@ -160,40 +175,139 @@ class Manifest:
                 self.child_map.setdefault(p, []).append(uid)
 
     def to_dict(self) -> dict:
-        """Serializable form for target/manifest.json (reference schema
-        v12 reduced; ``core/dbt/artifacts/schemas/manifest/v12``)."""
+        """``target/manifest.json`` in the reference's published
+        manifest v12 shape (``schemas/dbt/manifest/v12.json`` —
+        WritableManifest: every alternative there sets
+        ``additionalProperties: false``, so each node emits exactly the
+        schema's keys; engine-only extras ride in ``config``, which the
+        schema leaves open). Validated by
+        ``tests/test_state_and_artifacts.py``."""
+        from sparkt import __version__
+
+        columns_dict = column_info_dict
 
         def node_dict(n: ParsedNode) -> dict:
-            return {
-                "unique_id": n.unique_id,
+            d = {
+                "database": None,
+                "schema": n.relation.schema if n.relation else "",
                 "name": n.name,
-                "package_name": n.package_name,
                 "resource_type": n.resource_type,
+                "package_name": n.package_name,
                 "path": n.path,
-                "raw_code": n.raw_code,
-                "language": n.language,
+                "original_file_path": n.path,
+                "unique_id": n.unique_id,
+                "fqn": [n.package_name, n.name],
+                "alias": n.alias,
+                "checksum": {"name": "md5", "checksum": n.checksum()},
                 "config": n.config,
                 "tags": n.tags,
-                "depends_on": {"nodes": n.depends_on},
-                "compiled_code": n.compiled_code,
-                "relation_name": n.relation.render() if n.relation else None,
-                "checksum": n.checksum(),
                 "description": n.description,
-                # contract surface for state:modified.contract
-                "columns": n.columns,
+                "columns": columns_dict(n.columns),
+                "depends_on": {"nodes": n.depends_on},
+                "raw_code": n.raw_code,
+                "relation_name": n.relation.render() if n.relation else None,
+            }
+            if n.resource_type == "seed":
+                # Seed: MacroDependsOn only ("No SQLDefaults!",
+                # nodes.py:774) — no nodes key, no compiled fields
+                d["depends_on"] = {"macros": []}
+            else:
+                d["language"] = n.language
+                d["compiled_code"] = n.compiled_code
+            return d
+
+        def unit_test_dict(n: ParsedNode) -> dict:
+            return {
+                "model": n.model or "",
+                "given": [
+                    {"input": str(g.get("input", "")),
+                     "rows": g.get("rows"),
+                     "format": g.get("format", "dict")}
+                    for g in (n.given or [])
+                ],
+                "expect": {"rows": n.expect.get("rows"),
+                           "format": n.expect.get("format", "dict")},
+                "name": n.name,
+                "resource_type": "unit_test",
+                "package_name": n.package_name,
+                "path": n.path,
+                "original_file_path": n.path,
+                "unique_id": n.unique_id,
+                "fqn": [n.package_name, n.name],
+                "config": {k: v for k, v in n.config.items()
+                           if k in ("tags", "meta", "enabled")},
+            }
+
+        def source_dict(n: ParsedNode) -> dict:
+            return {
+                "database": None,
+                "schema": n.config.get("schema") or "",
+                "name": n.name,
+                "resource_type": "source",
+                "package_name": n.package_name,
+                "path": n.path,
+                "original_file_path": n.path,
+                "unique_id": n.unique_id,
+                "fqn": [n.package_name, n.source_name or "", n.name],
+                "source_name": n.source_name or "",
+                "source_description": "",
+                "loader": "",
+                "identifier": n.config.get("identifier", n.name),
+                "loaded_at_field": n.loaded_at_field,
+                "freshness": None,
+                "description": n.description,
+                "columns": columns_dict(n.columns),
+                "config": n.config,
+                "tags": n.tags,
+                "relation_name": n.relation.render() if n.relation else None,
+            }
+
+        def macro_dict(name: str, src: str) -> dict:
+            pkg, _, rel = name.partition("/")
+            stem = rel.rsplit("/", 1)[-1].rsplit(".", 1)[0] or pkg
+            return {
+                "name": stem,
+                "resource_type": "macro",
+                "package_name": pkg,
+                "path": rel,
+                "original_file_path": rel,
+                "unique_id": f"macro.{pkg}.{stem}",
+                "macro_sql": src,
             }
 
         return {
-            "metadata": {"sparkt_version": "0.1.0", "manifest_schema": "v12-reduced"},
-            "nodes": {uid: node_dict(n) for uid, n in self.nodes.items()},
-            "sources": {uid: node_dict(n) for uid, n in self.sources.items()},
-            # macro checksums for state:modified.macros
+            "metadata": {
+                "dbt_schema_version":
+                    "https://schemas.getdbt.com/dbt/manifest/v12.json",
+                "dbt_version": __version__,
+                "generated_at": "",
+                "invocation_id": None,
+                "project_name": None,
+            },
+            "nodes": {
+                uid: node_dict(n) for uid, n in self.nodes.items()
+                if n.resource_type != "unit_test"
+            },
+            "sources": {uid: source_dict(n) for uid, n in self.sources.items()},
             "macros": {
-                name: hashlib.md5(src.encode()).hexdigest()
+                name: macro_dict(name, src)
                 for name, src in self.macros.items()
             },
+            "docs": {},
+            "exposures": {},
+            "metrics": {},
+            "groups": {},
+            "selectors": {},
+            "disabled": {},
             "parent_map": self.parent_map,
             "child_map": self.child_map,
+            "group_map": {},
+            "saved_queries": {},
+            "semantic_models": {},
+            "unit_tests": {
+                uid: unit_test_dict(n) for uid, n in self.nodes.items()
+                if n.resource_type == "unit_test"
+            },
         }
 
     def write(self, path: str) -> None:

@@ -43,13 +43,20 @@ class RunResult:
     thread: str = ""
 
     def to_dict(self) -> dict:
+        # run-results v5 RunResultOutput — additionalProperties: false,
+        # all 11 keys required (schemas/dbt/run-results/v5.json)
         return {
-            "unique_id": self.unique_id,
             "status": self.status,
-            "message": self.message,
-            "execution_time": self.execution_time,
-            "failures": self.failures,
+            "timing": [],
             "thread_id": self.thread,
+            "execution_time": self.execution_time,
+            "adapter_response": {},
+            "message": self.message or None,
+            "failures": self.failures,
+            "unique_id": self.unique_id,
+            "compiled": None,
+            "compiled_code": None,
+            "relation_name": None,
         }
 
 
@@ -64,13 +71,23 @@ class RunResults:
         return all(r.status in ("success", "pass", "warn", "skipped") for r in self.results)
 
     def write(self, path: str) -> None:
+        """run-results v5 artifact (``schemas/dbt/run-results/v5.json``;
+        validated by tests/test_state_and_artifacts.py)."""
+        from sparkt import __version__
+
         with open(path, "w") as f:
             json.dump(
                 {
-                    "metadata": {"generated_at": self.generated_at,
-                                 "schema": "run-results-v5-reduced"},
-                    "elapsed_time": self.elapsed,
+                    "metadata": {
+                        "dbt_schema_version":
+                            "https://schemas.getdbt.com/dbt/run-results/v5.json",
+                        "dbt_version": __version__,
+                        "generated_at": self.generated_at,
+                        "invocation_id": None,
+                    },
                     "results": [r.to_dict() for r in self.results],
+                    "elapsed_time": self.elapsed,
+                    "args": {},
                 },
                 f,
                 indent=1,

@@ -29,11 +29,30 @@ class StateManifest:
             raw = json.load(f)
         self.nodes: dict[str, dict] = raw.get("nodes", {})
         self.sources: dict[str, dict] = raw.get("sources", {})
-        self.macros: dict[str, str] = raw.get("macros", {})
+        # macros: manifest-v12 Macro objects (name→{macro_sql, ...}) or
+        # the pre-v12 name→md5 form; normalize to name→md5
+        import hashlib as _h
+
+        self.macros: dict[str, str] = {}
+        for name, m in (raw.get("macros", {}) or {}).items():
+            if isinstance(m, dict):
+                src = m.get("macro_sql", "")
+                self.macros[name] = _h.md5(src.encode()).hexdigest()
+            else:
+                self.macros[name] = m
+        self.macro_sql: dict[str, str] = {
+            name: m.get("macro_sql", "")
+            for name, m in (raw.get("macros", {}) or {}).items()
+            if isinstance(m, dict)
+        }
 
     def checksum(self, unique_id: str) -> str | None:
         node = self.nodes.get(unique_id)
-        return None if node is None else node.get("checksum")
+        if node is None:
+            return None
+        c = node.get("checksum")
+        # manifest v12: FileHash object {"name": algo, "checksum": hex}
+        return c.get("checksum") if isinstance(c, dict) else c
 
     def config(self, unique_id: str) -> dict:
         node = self.nodes.get(unique_id) or {}
@@ -94,7 +113,7 @@ def modified_nodes(
             if sub is None:
                 out.add(uid)
             continue
-        body = node.checksum() != old.get("checksum")
+        body = node.checksum() != state.checksum(uid)
         configs = (old.get("config") or {}) != node.config
         # relation identity = (schema override, alias); node.relation
         # itself is only populated at run time, so compare the configs
@@ -104,7 +123,9 @@ def modified_nodes(
             node.config.get("alias", node.name),
         ) != (old_cfg.get("schema"), old_cfg.get("alias", old.get("name")))
         macros = bool(_macros_used(node.raw_code) & changed_macro_names)
-        contract = (old.get("columns") or {}) != node.columns
+        from sparkt.manifest import column_info_dict
+
+        contract = (old.get("columns") or {}) != column_info_dict(node.columns)
         by_sub = {
             "body": body,
             "configs": configs,

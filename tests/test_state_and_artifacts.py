@@ -266,3 +266,62 @@ models:
     res2 = runner2.run(select="contracted")
     assert not res2.ok
     assert "contract violation" in res2.results[0].message
+
+
+def test_artifacts_validate_against_published_schemas(make_project, spark):
+    """manifest.json / run_results.json validate against the
+    reference's published JSON schemas (schemas/dbt/manifest/v12.json,
+    run-results/v5.json) so external dbt tooling can consume them."""
+    import json
+
+    import jsonschema
+
+    files = dict(FILES)
+    files["models/schema.yml"] = (
+        "version: 2\n"
+        "models:\n"
+        "  - name: b\n"
+        "    description: summed\n"
+        "    columns:\n"
+        "      - name: s\n"
+        "        data_type: bigint\n"
+        "        tests: [not_null]\n"
+        "unit_tests:\n"
+        "  - name: ut_b\n"
+        "    model: b\n"
+        "    given:\n"
+        "      - input: ref('a')\n"
+        "        rows:\n"
+        "          - {id: 1, v: 5}\n"
+        "    expect:\n"
+        "      rows:\n"
+        "        - {s: 5}\n"
+    )
+    files["models/sources.yml"] = (
+        "version: 2\n"
+        "sources:\n"
+        "  - name: raw_src\n"
+        "    tables:\n"
+        "      - name: orders\n"
+        "        external: {location: /root/testdata/sf0.001/orders.parquet}\n"
+    )
+    runner = make_project(files, schema="t_schema_val")
+    assert runner.seed().ok
+    assert runner.build().ok
+
+    with open("/root/reference/schemas/dbt/manifest/v12.json") as f:
+        manifest_schema = json.load(f)
+    with open("/root/reference/schemas/dbt/run-results/v5.json") as f:
+        rr_schema = json.load(f)
+    tgt = runner.project.target_dir
+    with open(os.path.join(tgt, "manifest.json")) as f:
+        manifest = json.load(f)
+    with open(os.path.join(tgt, "run_results.json")) as f:
+        rr = json.load(f)
+
+    jsonschema.validate(manifest, manifest_schema)
+    jsonschema.validate(rr, rr_schema)
+    # the artifact still carries what state:modified/defer need
+    assert manifest["nodes"]["model.st.b"]["checksum"]["checksum"]
+    assert manifest["unit_tests"]["unit_test.st.ut_b"]["model"] == "b"
+    assert manifest["sources"]["source.raw_src.orders"]["source_name"] == "raw_src"
