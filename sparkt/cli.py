@@ -3,12 +3,14 @@
 Mirrors the reference's click command surface
 (``core/dbt/cli/main.py``) for the commands this engine implements:
 run, build, test, seed, snapshot, compile, show, run-operation,
-source-freshness, ls.
+source-freshness, deps, retry, clone, docs-generate, list/ls, clean,
+init, debug.
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 import click
 
@@ -176,18 +178,251 @@ def docs_generate(project_dir):
     click.echo(f"catalog: {len(cat['nodes'])} relations -> target/catalog.json")
 
 
-@cli.command("ls")
-@click.option("--project-dir", default=".")
-@click.option("--select", "-s", default=None)
-@click.option("--exclude", default=None)
-def ls(project_dir, select, exclude):
+# json output keys (reference core/dbt/task/list.py:42 ALLOWED_KEYS)
+_LIST_KEYS = (
+    "name", "resource_type", "package_name", "original_file_path",
+    "unique_id", "alias", "config", "tags", "depends_on", "source_name",
+)
+
+
+def _list_lines(runner, select, exclude, output, resource_types):
+    """Newline-delimited list output (reference
+    ``core/dbt/task/list.py:97-167``: selector/name/json/path
+    generators over the selected nodes)."""
+    import json as _json
+
     from sparkt.graph.linker import link_graph
     from sparkt.graph.selector import select_nodes
 
-    runner = Runner(project_dir)
     graph = link_graph(runner.manifest)
-    for uid in sorted(select_nodes(graph, runner.manifest, select, exclude)):
-        click.echo(uid)
+    selected = select_nodes(graph, runner.manifest, select, exclude)
+    nodes = runner.manifest.all_nodes()
+    for uid in sorted(selected):
+        n = nodes.get(uid)
+        if n is None:
+            continue
+        if resource_types and n.resource_type not in resource_types:
+            continue
+        if n.resource_type == "source":
+            if output == "selector":
+                yield f"source:{n.package_name}.{n.source_name}.{n.name}"
+            elif output == "name":
+                yield f"{n.source_name}.{n.name}"
+            elif output == "path":
+                yield n.path
+            else:
+                yield _json.dumps({
+                    "name": n.name, "resource_type": "source",
+                    "package_name": n.package_name,
+                    "original_file_path": n.path, "unique_id": n.unique_id,
+                    "source_name": n.source_name, "tags": n.tags,
+                    "config": n.config,
+                })
+            continue
+        if output == "selector":
+            yield ".".join([n.package_name, n.name])
+        elif output == "name":
+            yield n.name
+        elif output == "path":
+            yield n.path
+        else:
+            d = {
+                "name": n.name, "resource_type": n.resource_type,
+                "package_name": n.package_name,
+                "original_file_path": n.path, "unique_id": n.unique_id,
+                "alias": n.alias, "config": n.config, "tags": n.tags,
+                "depends_on": {"nodes": n.depends_on},
+            }
+            yield _json.dumps(d)
+
+
+def _list_cmd(name: str):
+    @cli.command(name)
+    @click.option("--project-dir", default=".")
+    @click.option("--select", "-s", default=None)
+    @click.option("--exclude", default=None)
+    @click.option("--output", type=click.Choice(
+        ["json", "name", "path", "selector", "unique_id"],
+        case_sensitive=False), default="selector")
+    @click.option("--resource-type", "resource_types", multiple=True)
+    def _cmd(project_dir, select, exclude, output, resource_types):
+        """List project resources (reference core/dbt/task/list.py)."""
+        runner = Runner(project_dir)
+        if output == "unique_id":  # sparkt extension (round-3 ls shape)
+            from sparkt.graph.linker import link_graph
+            from sparkt.graph.selector import select_nodes
+
+            graph = link_graph(runner.manifest)
+            for uid in sorted(select_nodes(graph, runner.manifest,
+                                           select, exclude)):
+                click.echo(uid)
+            return
+        for line in _list_lines(runner, select, exclude, output,
+                                set(resource_types)):
+            click.echo(line)
+    return _cmd
+
+
+_list_cmd("ls")
+_list_cmd("list")
+
+
+@cli.command()
+@click.option("--project-dir", default=".")
+def clean(project_dir):
+    """Delete clean-targets dirs (reference core/dbt/task/clean.py:
+    refuses to delete any configured source path)."""
+    import shutil
+
+    from sparkt.project import load_project
+
+    proj = load_project(project_dir)
+    source_paths = {
+        os.path.realpath(os.path.join(proj.project_root, p))
+        for p in (proj.model_paths + proj.seed_paths + proj.snapshot_paths
+                  + proj.test_paths + proj.macro_paths + proj.analysis_paths)
+    }
+    for target in proj.clean_targets:
+        path = os.path.realpath(os.path.join(proj.project_root, target))
+        if path in source_paths:
+            click.echo(f"ERROR: refusing to clean source path {target}",
+                       err=True)
+            raise SystemExit(2)
+        click.echo(f"Checking {target}/*")
+        shutil.rmtree(path, ignore_errors=True)
+        click.echo(f"Cleaned {target}/*")
+    click.echo("Finished cleaning all paths.")
+
+
+_STARTER_MODEL_1 = """\
+{{ config(materialized='table') }}
+
+with source_data as (
+    select 1 as id
+    union all
+    select null as id
+)
+select * from source_data
+"""
+_STARTER_MODEL_2 = "select * from {{ ref('my_first_model') }}\nwhere id = 1\n"
+_STARTER_SCHEMA = """\
+version: 2
+
+models:
+  - name: my_first_model
+    description: "A starter model"
+    columns:
+      - name: id
+        tests: [unique]
+  - name: my_second_model
+    columns:
+      - name: id
+        tests: [not_null]
+"""
+
+
+@cli.command()
+@click.argument("project_name", required=False)
+@click.option("--skip-profile-setup", is_flag=True, default=False)
+def init(project_name, skip_profile_setup):
+    """Create a starter project (reference core/dbt/task/init.py +
+    its starter-project scaffold)."""
+    if not project_name:
+        click.echo("ERROR: provide a project name: sparkt init <name>",
+                   err=True)
+        raise SystemExit(2)
+    if os.path.exists(project_name):
+        click.echo(f"ERROR: directory '{project_name}' already exists",
+                   err=True)
+        raise SystemExit(2)
+    os.makedirs(os.path.join(project_name, "models", "example"))
+    for rel, content in {
+        "dbt_project.yml": (
+            f"name: {project_name}\nversion: '1.0.0'\n"
+            "model-paths: [models]\nseed-paths: [seeds]\n"
+            "test-paths: [tests]\nmacro-paths: [macros]\n"
+            "snapshot-paths: [snapshots]\n"
+            "clean-targets: [target, dbt_packages]\n"
+            "models:\n  " + project_name + ":\n    example:\n"
+            "      +materialized: view\n"
+        ),
+        "models/example/my_first_model.sql": _STARTER_MODEL_1,
+        "models/example/my_second_model.sql": _STARTER_MODEL_2,
+        "models/example/schema.yml": _STARTER_SCHEMA,
+        ".gitignore": "target/\ndbt_packages/\nlogs/\n",
+    }.items():
+        path = os.path.join(project_name, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+    if not skip_profile_setup:
+        with open(os.path.join(project_name, "profiles.yml"), "w") as f:
+            f.write("target:\n  schema: analytics\n  threads: 4\n")
+    click.echo(f"Your new sparkt project \"{project_name}\" was created!")
+
+
+@cli.command()
+@click.option("--project-dir", default=".")
+@click.option("--connection", is_flag=True, default=False,
+              help="only test the Spark connection")
+def debug(project_dir, connection):
+    """Diagnose project/profile/connection setup (reference
+    core/dbt/task/debug.py: per-check OK/ERROR lines, nonzero exit on
+    any failure)."""
+    import platform
+
+    from sparkt import __version__
+
+    failures = 0
+
+    def check(label, fn):
+        nonlocal failures
+        try:
+            detail = fn()
+            click.echo(f"  {label}: [OK{f' {detail}' if detail else ''}]")
+        except Exception as e:  # noqa: BLE001 — each check reports
+            failures += 1
+            click.echo(f"  {label}: [ERROR] {e}")
+
+    click.echo(f"sparkt version: {__version__}")
+    click.echo(f"python version: {platform.python_version()}")
+
+    def project_check():
+        path = os.path.join(project_dir, "dbt_project.yml")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no dbt_project.yml at {path}")
+        from sparkt.project import load_project
+
+        return f"(name={load_project(project_dir).name})"
+
+    def deps_check():
+        import pyspark
+
+        return f"(pyspark {pyspark.__version__})"
+
+    def parse_check():
+        from sparkt.parsing.parser import ManifestLoader
+        from sparkt.project import load_project
+
+        m = ManifestLoader(load_project(project_dir)).load()
+        return f"({len(m.nodes)} nodes)"
+
+    def connection_check():
+        from sparkt.session import get_spark
+
+        spark = get_spark(app_name="sparkt-debug")
+        assert spark.sql("select 1 as ok").first()["ok"] == 1
+        return f"(master={spark.conf.get('spark.master')})"
+
+    if not connection:
+        check("dbt_project.yml file", project_check)
+        check("dependencies", deps_check)
+        check("project parses", parse_check)
+    check("connection test", connection_check)
+    if failures:
+        click.echo(f"{failures} check(s) failed")
+        raise SystemExit(1)
+    click.echo("All checks passed!")
 
 
 if __name__ == "__main__":

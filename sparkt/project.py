@@ -42,6 +42,11 @@ class Project:
     # selectors.yml: {name: {"default": bool, "definition": <raw yaml>}}
     # (reference: core/dbt/config/selectors.py + graph/cli.py:235)
     selectors: dict[str, dict] = field(default_factory=dict)
+    # dbt clean targets (reference Project.clean_targets; default
+    # matches dbt: target + installed packages)
+    clean_targets: list[str] = field(
+        default_factory=lambda: ["target", "dbt_packages"]
+    )
 
     @property
     def target_dir(self) -> str:
@@ -122,6 +127,8 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
         on_run_start=_listify(raw.get("on-run-start")),
         on_run_end=_listify(raw.get("on-run-end")),
     )
+    if raw.get("clean-targets") is not None:
+        proj.clean_targets = _listify(raw.get("clean-targets"))
     # selectors.yml (optional): named YAML selectors
     spath = os.path.join(project_root, "selectors.yml")
     if os.path.exists(spath):

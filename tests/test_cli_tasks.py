@@ -1,0 +1,121 @@
+"""CLI tasks: list/ls output formats, clean, init, debug (reference
+core/dbt/task/{list,clean,init,debug}.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from click.testing import CliRunner
+
+from sparkt.cli import cli
+from tests.conftest import write_files
+
+FILES = {
+    "dbt_project.yml": (
+        "name: cliproj\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        "clean-targets: [target, dbt_packages]\n"
+    ),
+    "seeds/raw.csv": "id,v\n1,10\n",
+    "models/a.sql": "select * from {{ ref('raw') }}",
+    "models/b.sql": "{{ config(materialized='table', tags=['mart']) }}\nselect sum(v) as s from {{ ref('a') }}",
+    "models/sources.yml": (
+        "version: 2\n"
+        "sources:\n"
+        "  - name: ext\n"
+        "    tables:\n"
+        "      - name: orders\n"
+        "        external: {location: /root/testdata/sf0.001/orders.parquet}\n"
+    ),
+}
+
+
+def test_list_output_formats(spark, tmp_path):
+    proj = str(tmp_path / "p")
+    write_files(proj, FILES)
+    r = CliRunner()
+
+    out = r.invoke(cli, ["list", "--project-dir", proj]).output.splitlines()
+    assert "cliproj.a" in out and "cliproj.b" in out
+    assert "source:cliproj.ext.orders" in out
+
+    out = r.invoke(cli, ["ls", "--project-dir", proj, "--output", "name",
+                         "--resource-type", "model"]).output.splitlines()
+    assert sorted(out) == ["a", "b"]
+
+    out = r.invoke(cli, ["list", "--project-dir", proj, "--output", "path",
+                         "--resource-type", "model"]).output.splitlines()
+    assert sorted(out) == ["a.sql", "b.sql"]
+
+    out = r.invoke(cli, ["list", "--project-dir", proj, "--output", "json",
+                         "--select", "b"]).output.splitlines()
+    d = json.loads(out[0])
+    # reference ALLOWED_KEYS field names (core/dbt/task/list.py:42)
+    assert d["name"] == "b" and d["resource_type"] == "model"
+    assert d["package_name"] == "cliproj"
+    assert d["original_file_path"] == "b.sql"
+    assert d["unique_id"] == "model.cliproj.b"
+    assert d["alias"] == "b" and d["tags"] == ["mart"]
+    assert d["depends_on"] == {"nodes": ["model.cliproj.a"]}
+
+    # selection composes with list
+    out = r.invoke(cli, ["list", "--project-dir", proj, "--select", "+b",
+                         "--output", "name"]).output.splitlines()
+    assert set(out) >= {"a", "b", "raw"}
+
+
+def test_clean(tmp_path):
+    proj = str(tmp_path / "p")
+    write_files(proj, FILES)
+    os.makedirs(os.path.join(proj, "target", "compiled"), exist_ok=True)
+    os.makedirs(os.path.join(proj, "dbt_packages", "x"), exist_ok=True)
+    res = CliRunner().invoke(cli, ["clean", "--project-dir", proj])
+    assert res.exit_code == 0, res.output
+    assert not os.path.exists(os.path.join(proj, "target"))
+    assert not os.path.exists(os.path.join(proj, "dbt_packages"))
+    assert os.path.exists(os.path.join(proj, "models"))
+    assert "Finished cleaning all paths." in res.output
+
+
+def test_clean_refuses_source_paths(tmp_path):
+    proj = str(tmp_path / "p")
+    files = dict(FILES)
+    files["dbt_project.yml"] = (
+        "name: cliproj\nmodel-paths: [models]\nclean-targets: [models]\n"
+    )
+    write_files(proj, files)
+    res = CliRunner().invoke(cli, ["clean", "--project-dir", proj])
+    assert res.exit_code == 2
+    assert os.path.exists(os.path.join(proj, "models"))
+
+
+def test_init_scaffold(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    res = CliRunner().invoke(cli, ["init", "new_proj"])
+    assert res.exit_code == 0, res.output
+    assert os.path.exists("new_proj/dbt_project.yml")
+    assert os.path.exists("new_proj/models/example/my_first_model.sql")
+    assert os.path.exists("new_proj/models/example/schema.yml")
+    # scaffold parses
+    from sparkt.parsing.parser import ManifestLoader
+    from sparkt.project import load_project
+
+    m = ManifestLoader(load_project("new_proj")).load()
+    assert "model.new_proj.my_first_model" in m.nodes
+    # second init refuses to overwrite
+    res2 = CliRunner().invoke(cli, ["init", "new_proj"])
+    assert res2.exit_code == 2
+
+
+def test_debug(spark, tmp_path):
+    proj = str(tmp_path / "p")
+    write_files(proj, FILES)
+    res = CliRunner().invoke(cli, ["debug", "--project-dir", proj])
+    assert res.exit_code == 0, res.output
+    assert "dbt_project.yml file: [OK" in res.output
+    assert "connection test: [OK" in res.output
+    assert "All checks passed!" in res.output
+
+    res = CliRunner().invoke(cli, ["debug", "--project-dir", str(tmp_path / "nowhere")])
+    assert res.exit_code == 1
+    assert "[ERROR]" in res.output
