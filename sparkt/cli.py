@@ -267,6 +267,18 @@ _list_cmd("ls")
 _list_cmd("list")
 
 
+@cli.command("docs-serve")
+@click.option("--project-dir", default=".")
+@click.option("--port", type=int, default=8080)
+def docs_serve(project_dir, port):
+    """Serve target/ docs artifacts over HTTP (reference
+    core/dbt/task/docs/serve.py:28)."""
+    from sparkt.docs import serve_docs
+    from sparkt.project import load_project
+
+    serve_docs(load_project(project_dir).target_dir, port)
+
+
 @cli.command()
 @click.option("--project-dir", default=".")
 def clean(project_dir):

@@ -119,3 +119,28 @@ def test_debug(spark, tmp_path):
     res = CliRunner().invoke(cli, ["debug", "--project-dir", str(tmp_path / "nowhere")])
     assert res.exit_code == 1
     assert "[ERROR]" in res.output
+
+
+def test_docs_serve_smoke(make_project, spark):
+    """docs-serve serves index.html + catalog.json/manifest.json from
+    the target dir (reference core/dbt/task/docs/serve.py:28)."""
+    import json as _json
+    import urllib.request
+
+    from sparkt.docs import serve_in_thread
+
+    runner = make_project(FILES, schema="t_docs_serve")
+    assert runner.seed().ok
+    assert runner.run().ok
+    runner.docs_generate()
+
+    httpd, base = serve_in_thread(runner.project.target_dir)
+    try:
+        html = urllib.request.urlopen(f"{base}/index.html").read().decode()
+        assert "sparkt project docs" in html
+        cat = _json.loads(urllib.request.urlopen(f"{base}/catalog.json").read())
+        assert any(uid.endswith(".b") for uid in cat["nodes"])
+        man = _json.loads(urllib.request.urlopen(f"{base}/manifest.json").read())
+        assert "nodes" in man
+    finally:
+        httpd.shutdown()
