@@ -666,6 +666,16 @@ class SparkAdapter:
         ``calculate_freshness_from_metadata``; warehouse table metadata
         there, file mtimes for external parquet here — the exact
         analogue of a Delta/Iceberg last-commit timestamp)."""
+        newest = self.metadata_max_loaded_at(relation)
+        if newest is None:
+            return None
+        return max(0.0, time.time() - newest)
+
+    def metadata_max_loaded_at(self, relation: Relation) -> float | None:
+        """Absolute last-modified epoch of the newest data file backing
+        the relation — deterministic across calls (unlike age, which
+        moves with the clock); feeds the sources.json ``max_loaded_at``
+        that ``source_status:fresher`` compares across runs."""
         entry = self._catalog.get(f"{relation.schema}.{relation.identifier}")
         path = None
         if entry is not None:
@@ -683,9 +693,7 @@ class SparkAdapter:
                         )
         else:
             newest = os.path.getmtime(path)
-        if newest == 0.0:
-            return None
-        return max(0.0, time.time() - newest)
+        return None if newest == 0.0 else newest
 
     def calculate_freshness_from_metadata_batch(
         self, relations: list[Relation]

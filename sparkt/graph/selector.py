@@ -54,14 +54,35 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
         results = state if isinstance(state, dict) else {}
         return {uid for uid, st in results.items() if st == value}
     if method == "source_status":
-        # freshness statuses recorded in --state's sources.json
-        # (reference: selector_methods.py SourceStatusSelectorMethod;
-        # 'fresher' needs a current-vs-previous loaded_at comparison the
-        # freshness task performs — statuses pass/warn/error here)
-        fresh = getattr(state, "freshness", None) or []
+        # reference selector_methods.py SourceStatusSelectorMethod:
+        # 'fresher' = current max_loaded_at > previous (or new in
+        # current), runtime errors excluded on either side; status
+        # classes (pass/warn/error) kept as a sparkt extension
+        fresh_prev = getattr(state, "freshness", None) or []
+        if value == "fresher":
+            fresh_cur = getattr(state, "freshness_current", None) or []
+            err = {
+                r["unique_id"]
+                for r in list(fresh_prev) + list(fresh_cur)
+                if r.get("status") == "runtime error"
+                or r.get("max_loaded_at") is None
+            }
+            prev = {
+                r["unique_id"]: r["max_loaded_at"]
+                for r in fresh_prev
+                if r["unique_id"] not in err
+            }
+            out = set()
+            for r in fresh_cur:
+                uid = r["unique_id"]
+                if uid in err:
+                    continue
+                if uid not in prev or r["max_loaded_at"] > prev[uid]:
+                    out.add(uid)
+            return out
         return {
             r["unique_id"]
-            for r in fresh
+            for r in fresh_prev
             if r.get("status") == value
         }
     out: set[str] = set()

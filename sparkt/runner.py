@@ -314,6 +314,15 @@ class Runner:
             from sparkt.state import StateManifest
 
             state_manifest = StateManifest(state)
+            # current-invocation freshness results (target/sources.json)
+            # for source_status:fresher previous-vs-current comparison
+            # (reference previous_state.sources_current)
+            cur_path = os.path.join(self.project.target_dir, "sources.json")
+            if os.path.exists(cur_path):
+                with open(cur_path) as f:
+                    state_manifest.freshness_current = (
+                        json.load(f).get("results", [])
+                    )
             if defer:
                 self.compiler.defer_state = state_manifest
         self.register_sources()
@@ -666,14 +675,30 @@ class Runner:
         out = []
         for node in checked:
             rel = self.compiler.relation_for(node)
+            # absolute max_loaded_at (reference FreshnessResponse): the
+            # source_status:fresher selector compares these across runs,
+            # so it must be a property of the DATA (max ts / file
+            # mtime), not re-derived from the moving clock
             if node.loaded_at_field:
                 age = self.adapter.calculate_freshness(
                     rel, node.loaded_at_field, node.freshness.get("filter")
                 )
+                flt = node.freshness.get("filter")
+                where = f" WHERE {flt}" if flt else ""
+                row = self.spark.sql(
+                    f"SELECT CAST(max({node.loaded_at_field}) AS STRING) "
+                    f"AS m FROM {rel.render()}{where}"
+                ).first()
+                max_loaded_at = None if row is None else row["m"]
             else:
                 age = meta_ages.get(f"{rel.schema}.{rel.identifier}")
                 if age is None:
                     continue
+                newest = self.adapter.metadata_max_loaded_at(rel)
+                max_loaded_at = (
+                    datetime.fromtimestamp(newest, tz=timezone.utc).isoformat()
+                    if newest is not None else None
+                )
             status = "pass"
             for level in ("warn_after", "error_after"):
                 th = node.freshness.get(level)
@@ -685,7 +710,7 @@ class Runner:
                         status = level.split("_")[0]
             out.append(
                 {"unique_id": node.unique_id, "max_loaded_at_age_s": age,
-                 "status": status}
+                 "max_loaded_at": max_loaded_at, "status": status}
             )
         # sources.json artifact (reference writes the same next to
         # run_results; consumed by the source_status: selector method)

@@ -17,6 +17,11 @@ class StateManifest:
     """A previously written target/manifest.json (+ optional
     sources.json freshness artifact in the same directory)."""
 
+    #: current-invocation freshness results (the reference's
+    #: previous_state.sources_current) — set by the runner from the
+    #: live target dir's sources.json for source_status:fresher
+    freshness_current: list[dict] = []
+
     def __init__(self, path: str):
         self.freshness: list[dict] = []
         if os.path.isdir(path):

@@ -325,3 +325,69 @@ def test_artifacts_validate_against_published_schemas(make_project, spark):
     assert manifest["nodes"]["model.st.b"]["checksum"]["checksum"]
     assert manifest["unit_tests"]["unit_test.st.ut_b"]["model"] == "b"
     assert manifest["sources"]["source.raw_src.orders"]["source_name"] == "raw_src"
+
+
+def test_source_status_fresher(make_project, spark, tmp_path):
+    """source_status:fresher selects only sources whose CURRENT
+    max_loaded_at advanced past the previous run's (reference
+    SourceStatusSelectorMethod) — not every source that merely passes
+    its freshness thresholds."""
+    import json
+    import shutil
+
+    src_a = tmp_path / "src_a.parquet"
+    src_b = tmp_path / "src_b.parquet"
+    spark.createDataFrame([(1, 10)], ["id", "v"]).write.parquet(str(src_a))
+    spark.createDataFrame([(1, 20)], ["id", "v"]).write.parquet(str(src_b))
+    files = {
+        "dbt_project.yml": "name: fr\nmodel-paths: [models]\n",
+        "models/sources.yml": f"""
+version: 2
+sources:
+  - name: raw
+    tables:
+      - name: alpha
+        external: {{location: {src_a}}}
+        freshness: {{warn_after: {{count: 9999, period: day}}}}
+      - name: beta
+        external: {{location: {src_b}}}
+        freshness: {{warn_after: {{count: 9999, period: day}}}}
+""",
+        "models/down_a.sql": "select * from {{ source('raw', 'alpha') }}",
+    }
+    runner = make_project(files, schema="t_fresher")
+    res1 = runner.source_freshness()
+    assert {r["status"] for r in res1} == {"pass"}
+    assert all(r["max_loaded_at"] for r in res1)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    shutil.copy(
+        os.path.join(runner.project.target_dir, "sources.json"),
+        os.path.join(state_dir, "sources.json"),
+    )
+    runner.manifest.write(os.path.join(state_dir, "manifest.json"))
+
+    # only alpha gets newer data
+    time.sleep(1.1)
+    spark.createDataFrame([(2, 11)], ["id", "v"]).write.mode("append").parquet(str(src_a))
+    runner.source_freshness()
+
+    from sparkt.graph.linker import link_graph
+    from sparkt.graph.selector import select_nodes
+    from sparkt.state import StateManifest
+
+    sm = StateManifest(state_dir)
+    with open(os.path.join(runner.project.target_dir, "sources.json")) as f:
+        sm.freshness_current = json.load(f)["results"]
+    g = link_graph(runner.manifest)
+    fresher = select_nodes(g, runner.manifest, "source_status:fresher", state=sm)
+    assert fresher == {"source.raw.alpha"}
+    # both still merely 'pass' — fresher is strictly narrower
+    both = select_nodes(g, runner.manifest, "source_status:pass", state=sm)
+    assert both == {"source.raw.alpha", "source.raw.beta"}
+
+    # runner wiring: fresher+ builds only alpha's descendant
+    res = runner.execute_nodes(
+        which="run", select="source_status:fresher+", state=state_dir
+    )
+    assert [r.unique_id for r in res.results] == ["model.fr.down_a"]
