@@ -23,7 +23,8 @@ def _common(fn):
     fn = click.option("--exclude", default=None)(fn)
     fn = click.option("--selector", default=None,
                       help="named selector from selectors.yml")(fn)
-    fn = click.option("--threads", type=int, default=None)(fn)
+    fn = click.option("--threads", type=int, default=None,
+                      envvar="DBT_THREADS")(fn)
     fn = click.option("--vars", "vars_", default=None, help="YAML dict of vars")(fn)
     return fn
 
@@ -69,7 +70,9 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
         fn = getattr(runner, name)
         kwargs = dict(select=select, exclude=exclude, selector=selector,
                       threads=threads,
-                      state=kw.get("state"), defer=kw.get("defer", False))
+                      state=kw.get("state"), defer=kw.get("defer", False),
+                      fail_fast=kw.get("fail_fast", False),
+                      warn_error=kw.get("warn_error", False))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
             kwargs["empty"] = kw.get("empty", False)
@@ -78,6 +81,12 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
     cmd = click.option("--state", default=None,
                        help="path to a previous target/ for state: selectors")(cmd)
     cmd = click.option("--defer", "defer", is_flag=True, default=False)(cmd)
+    # flag > DBT_* env var > default (reference core/dbt/cli/flags.py
+    # precedence; click envvar implements the env tier)
+    cmd = click.option("--fail-fast", "-x", "fail_fast", is_flag=True,
+                       default=False, envvar="DBT_FAIL_FAST")(cmd)
+    cmd = click.option("--warn-error", "warn_error", is_flag=True,
+                       default=False, envvar="DBT_WARN_ERROR")(cmd)
     if full_refresh_opt:
         cmd = click.option("--full-refresh", is_flag=True, default=False)(cmd)
         cmd = click.option("--empty/--no-empty", "empty", default=False,

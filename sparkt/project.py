@@ -118,7 +118,10 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
         test_paths=raw.get("test-paths", raw.get("test_paths", ["tests"])),
         macro_paths=raw.get("macro-paths", raw.get("macro_paths", ["macros"])),
         analysis_paths=raw.get("analysis-paths", raw.get("analysis_paths", ["analyses"])),
-        target_path=raw.get("target-path", "target"),
+        # env > project file (reference core/dbt/cli/flags.py:
+        # DBT_TARGET_PATH overrides the project's target-path)
+        target_path=os.environ.get("DBT_TARGET_PATH")
+        or raw.get("target-path", "target"),
         models_config=raw.get("models", {}) or {},
         seeds_config=raw.get("seeds", {}) or {},
         snapshots_config=raw.get("snapshots", {}) or {},

@@ -304,6 +304,8 @@ class Runner:
         only_uids: set | None = None,
         empty: bool = False,
         selector: str | None = None,
+        fail_fast: bool = False,
+        warn_error: bool = False,
     ) -> RunResults:
         t0 = time.time()
         # --empty (reference cli/params.py:87): refs/sources compile to
@@ -359,6 +361,7 @@ class Runner:
 
         results: dict[str, RunResult] = {}
         skipped: set[str] = set()
+        aborted = threading.Event()  # set on first failure under --fail-fast
         lock = threading.Lock()
         n_threads = threads or self.project.threads
 
@@ -390,6 +393,18 @@ class Runner:
                     with lock:
                         is_skipped = uid in skipped
                         index = next(counter)
+                    if aborted.is_set() and not is_skipped:
+                        # reference runnable.py:386: remaining nodes are
+                        # recorded as skipped, not silently dropped
+                        results[uid] = RunResult(
+                            unique_id=uid, status="skipped",
+                            message="Skipping due to fail_fast",
+                        )
+                        self.events.fire(EV.SkippingDetails(
+                            resource_type=node.resource_type,
+                            unique_id=uid, index=index, total=total,
+                        ))
+                        continue
                     if is_skipped:
                         self.events.fire(EV.SkippingDetails(
                             resource_type=node.resource_type,
@@ -403,6 +418,13 @@ class Runner:
                             description=uid, index=index, total=total,
                         ))
                         res = self._execute_node(ctx, node)
+                        if warn_error and res.status == "warn":
+                            # --warn-error (reference cli/flags.py
+                            # WARN_ERROR): warnings are promoted
+                            res.status = "error"
+                            res.message = (
+                                f"[warn-error] {res.message or 'warning'}"
+                            )
                         self.events.fire(EV.NodeFinished(
                             unique_id=uid, status=res.status,
                             execution_time=res.execution_time,
@@ -418,6 +440,8 @@ class Runner:
                                 unique_id=uid,
                             ))
                     if res.status in ("error", "fail"):
+                        if fail_fast:
+                            aborted.set()
                         # skip descendants (runnable.py:319-340);
                         # computed under the QUEUE's lock — traversing
                         # queue.graph here would race mark_done

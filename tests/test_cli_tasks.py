@@ -144,3 +144,82 @@ def test_docs_serve_smoke(make_project, spark):
         assert "nodes" in man
     finally:
         httpd.shutdown()
+
+
+def test_fail_fast_and_warn_error(make_project, spark):
+    """--fail-fast stops scheduling after the first failure (remaining
+    nodes recorded as 'Skipping due to fail_fast', reference
+    runnable.py:386); --warn-error promotes warn-severity test results
+    to errors (reference cli/flags.py WARN_ERROR)."""
+    files = {
+        "dbt_project.yml": "name: ff\nmodel-paths: [models]\n",
+        # alphabetical within topological level 0: a_bad runs first
+        "models/a_bad.sql": "select no_such_column",
+        "models/z_ok.sql": "select 1 as v",
+    }
+    runner = make_project(files, schema="t_failfast")
+    res = runner.run(threads=1, fail_fast=True)
+    by = {r.unique_id: r for r in res.results}
+    assert by["model.ff.a_bad"].status == "error"
+    assert by["model.ff.z_ok"].status == "skipped"
+    assert by["model.ff.z_ok"].message == "Skipping due to fail_fast"
+    # without fail_fast the sibling still runs
+    res2 = runner.run(threads=1)
+    by2 = {r.unique_id: r for r in res2.results}
+    assert by2["model.ff.z_ok"].status == "success"
+
+    warn_files = {
+        "dbt_project.yml": "name: we\nmodel-paths: [models]\n",
+        "models/m.sql": "select 1 as v union all select 1 as v",
+        "models/schema.yml": (
+            "version: 2\n"
+            "models:\n"
+            "  - name: m\n"
+            "    columns:\n"
+            "      - name: v\n"
+            "        tests:\n"
+            "          - unique:\n"
+            "              config: {severity: warn}\n"
+        ),
+    }
+    import tempfile
+
+    from sparkt.runner import Runner
+
+    warn_dir = tempfile.mkdtemp(prefix="sparkt_warnerr_")
+    write_files(warn_dir, warn_files)
+    wr = Runner(warn_dir, spark=spark,
+                project_overrides={"schema": "t_warnerr"})
+    assert wr.build().ok  # warn passes by default
+    res3 = wr.build(warn_error=True)
+    assert not res3.ok
+    warn_res = [r for r in res3.results if r.unique_id.startswith("test.")][0]
+    assert warn_res.status == "error"
+    assert "[warn-error]" in warn_res.message
+
+
+def test_env_var_flag_precedence(tmp_path, monkeypatch, spark):
+    """DBT_TARGET_PATH and DBT_FAIL_FAST env vars apply when flags are
+    absent (reference flags.py: flag > env > default)."""
+    proj = str(tmp_path / "p")
+    write_files(proj, {
+        "dbt_project.yml": "name: envp\nmodel-paths: [models]\n",
+        "models/a.sql": "select 1 as v",
+    })
+    monkeypatch.setenv("DBT_TARGET_PATH", "custom_target")
+    from sparkt.project import load_project
+
+    proj_obj = load_project(proj)
+    assert proj_obj.target_dir.endswith("custom_target")
+    monkeypatch.delenv("DBT_TARGET_PATH")
+
+    # DBT_FAIL_FAST reaches the run command through click's envvar tier
+    write_files(proj, {"models/a_bad.sql": "select no_such_column",
+                       "models/zz.sql": "select 2 as v"})
+    res = CliRunner().invoke(
+        cli, ["run", "--project-dir", proj, "--threads", "1"],
+        env={"DBT_FAIL_FAST": "1"},
+    )
+    assert res.exit_code == 1
+    # zz would have run without DBT_FAIL_FAST (it has no upstream dep)
+    assert "SKIPPED  model.envp.zz" in res.output
