@@ -63,13 +63,18 @@ def main():
             QUERIES[wq](spark, tiny).write.mode("overwrite").format("noop").save()
 
     # n>=5 samples per query with stddev (VERDICT r2 #9: n=2 made a
-    # +5% delta unreadable). Reported value = mean across samples.
+    # +5% delta unreadable). One untimed warmup per query at the bench
+    # SF first: the first execution of each plan pays whole-stage
+    # codegen + shuffle-file setup (measured r4: d5 first sample 2-3x
+    # its steady state), which is session-lifetime one-time cost, not
+    # query throughput. Reported value = mean of the timed samples.
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5")))
     import statistics
 
     times: dict[str, float] = {}
     stds: dict[str, float] = {}
     for name in HEADLINE:
+        run(name)  # warmup, untimed
         samples = [run(name) for _ in range(n_samples)]
         times[name] = round(statistics.mean(samples), 3)
         stds[name] = round(statistics.pstdev(samples), 3)
