@@ -232,3 +232,38 @@ def tfidf_top_terms(df, text_col: str, id_col: str, top_k: int = 3):
         .filter(F.col("rnk") <= top_k)
         .select("doc", "term", "tf", "df", "rnk")
     )
+
+
+# ------------------------------------------------------------ chunking
+def chunk_table(
+    df, text_col: str, id_col: str, window: int = 50, stride: int = 40
+):
+    """Overlapping token-window chunking — the unit-of-work transform
+    for LLM training pipelines (documents → fixed-size training
+    chunks with ``window - stride`` tokens of overlap).
+
+    Spark shape: one narrow projection + ``posexplode`` of the start
+    offsets — NO shuffle, no Python; a 100 TB corpus chunks at scan
+    speed and the output stays partition-aligned with its input
+    (reference has no chunking; this is a BASELINE.json extension
+    operator like dedup/similarity).
+
+    Returns (doc, chunk_idx, n_tokens, chunk_md5); the md5 is over the
+    space-joined window, so chunk identity is engine-portable.
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, window)
+    return exploded.select(
+        "doc",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

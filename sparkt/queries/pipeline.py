@@ -837,7 +837,32 @@ ORDER BY item_id
 """
 
 
+# ------------------------------------------------------------------ c1
+def c1_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (window=50, stride=40): the
+    document → training-chunk explosion every LLM data pipeline runs.
+    Narrow posexplode, zero shuffle (sparkt.functions.text.chunk_table)."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.chunk_table(docs, "text", "doc_id", window=50, stride=40) \
+        .orderBy("doc", "chunk_idx")
+
+
+C1_SQL = f"""
+WITH t AS (SELECT doc_id, {_DK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 40)) AS start
+      FROM t)
+SELECT doc_id AS doc,
+       CAST(start / 40 AS INT) AS chunk_idx,
+       CAST(least(50, len(toks) - start) AS INT) AS n_tokens,
+       md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_md5
+FROM s
+ORDER BY doc, chunk_idx
+"""
+
+
 QUERIES = {
+    "c1_doc_chunks": c1_doc_chunks,
     "a1_asof_join": a1_asof_join,
     "a2_range_join": a2_range_join,
     "t1_token_stats": t1_token_stats,
@@ -865,6 +890,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "c1_doc_chunks": C1_SQL,
     "a1_asof_join": A1_SQL,
     "a2_range_join": A2_SQL,
     "t1_token_stats": T1_SQL,

@@ -857,6 +857,75 @@ ORDER BY o_orderpriority, status_col
 """
 
 
+# ---------------------------------------------------------------- q29
+def q29_nested_agg(spark, sf_dir):
+    """Nested types as first-class relational surface: per-order ARRAY
+    aggregation (collect_list → sort_array → slice → HOF sum,
+    array_contains, array_distinct) reduced to scalars, then a
+    broadcast-dimension rollup. One shuffle for the per-order agg, one
+    for the priority rollup; arrays never cross the second exchange.
+    (Spark ArrayType exceeds the reference's type surface —
+    SURVEY.md §1.3 'free upgrade'.)"""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("l_extendedprice"), asc=False),
+                1, 2,
+            ).alias("top2"),
+            F.array_contains(
+                F.collect_list("l_returnflag"), "R"
+            ).alias("has_return"),
+            F.size(
+                F.array_distinct(F.collect_list("l_suppkey"))
+            ).alias("n_supp"),
+        )
+        .select(
+            "l_orderkey",
+            F.round(
+                F.aggregate(
+                    "top2", F.lit(0.0).cast("double"), lambda a, v: a + v
+                ), 2,
+            ).alias("top2_sum"),
+            "has_return",
+            "n_supp",
+        )
+    )
+    return (
+        per_order.join(
+            orders, per_order.l_orderkey == orders.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("top2_sum"), 2).alias("avg_top2"),
+            F.sum(F.col("has_return").cast("int")).alias("n_with_returns"),
+            F.max("n_supp").alias("max_suppliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q29_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         round(list_sum(list_slice(
+             list_sort(list(l_extendedprice), 'DESC'), 1, 2)), 2) AS top2_sum,
+         list_contains(list(l_returnflag), 'R') AS has_return,
+         len(list_distinct(list(l_suppkey))) AS n_supp
+  FROM lineitem GROUP BY 1)
+SELECT o_orderpriority,
+       round(avg(top2_sum), 2) AS avg_top2,
+       CAST(sum(CASE WHEN has_return THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_returns,
+       CAST(max(n_supp) AS INT) AS max_suppliers
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -885,6 +954,7 @@ QUERIES = {
     "q26_correlated_sub": q26_correlated_sub,
     "q27_range_window": q27_range_window,
     "q28_unpivot": q28_unpivot,
+    "q29_nested_agg": q29_nested_agg,
 }
 
 ORACLES = {
@@ -915,4 +985,5 @@ ORACLES = {
     "q26_correlated_sub": Q26_SQL,
     "q27_range_window": Q27_SQL,
     "q28_unpivot": Q28_SQL,
+    "q29_nested_agg": Q29_SQL,
 }

@@ -452,3 +452,34 @@ def test_partial_parse_cache_invalidates_on_node_schema_change(tmp_path):
     with open(cache, "rb") as f:
         refreshed = pickle.load(f)
     assert refreshed["node_schema"] != "old,fields,only"
+
+
+def test_analysis_compile_only(make_project, spark):
+    """Analyses compile to target/compiled but never execute
+    (reference core/dbt/parser/analysis.py; run skips them, compile
+    renders them)."""
+    import os
+
+    files = {
+        "dbt_project.yml": "name: an\nmodel-paths: [models]\nanalysis-paths: [analyses]\n",
+        "models/base.sql": "select 1 as id",
+        "analyses/revenue_probe.sql": (
+            "select count(*) as n from {{ ref('base') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_analysis")
+    assert "analysis.an.revenue_probe" in runner.manifest.nodes
+    res = runner.run()
+    assert res.ok
+    # never executed: no relation created, not in run results
+    assert not any("revenue_probe" in r.unique_id for r in res.results)
+    assert not spark.catalog.tableExists("t_analysis.revenue_probe")
+    # compile renders it with the ref resolved
+    runner.compile()
+    compiled = os.path.join(
+        runner.project.target_dir, "compiled", "revenue_probe.sql"
+    )
+    assert os.path.exists(compiled)
+    with open(compiled) as f:
+        sql = f.read()
+    assert "t_analysis" in sql and "{{" not in sql

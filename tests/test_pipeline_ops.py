@@ -399,3 +399,36 @@ def test_sketch_rollup_merges(spark):
     }
     for r in rolled.collect():
         assert abs(r["approx_distinct"] / exact[r["event_type"]] - 1) <= 0.05
+
+
+def test_chunk_table_windows(spark):
+    """chunk_table: overlapping windows, trailing partial chunk, and
+    short-doc identity (doc shorter than one window → single chunk)."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.text import chunk_table
+
+    long_text = " ".join(f"w{i}" for i in range(90))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "just three tokens"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_table(df, "text", "doc_id", window=50, stride=40) \
+        .orderBy("doc", "chunk_idx").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append(r)
+    # 90 tokens, stride 40 → starts 0/40/80 → sizes 50/50/10
+    assert [r["n_tokens"] for r in by_doc[1]] == [50, 50, 10]
+    assert [r["chunk_idx"] for r in by_doc[1]] == [0, 1, 2]
+    # overlap: chunk1 starts at w40 — verify via recomputed md5
+    import hashlib
+
+    expect_md5 = hashlib.md5(
+        " ".join(f"w{i}" for i in range(40, 90)).encode()
+    ).hexdigest()
+    assert by_doc[1][1]["chunk_md5"] == expect_md5
+    # short doc: one chunk, all tokens
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    # empty doc still yields exactly one (empty) chunk, not zero rows
+    assert len(by_doc[3]) == 1
