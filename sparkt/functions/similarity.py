@@ -295,3 +295,72 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos", "rank")
     )
+
+
+# --------------------------------------------------------- quantization
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the ANN memory/scale
+    path (4× smaller vectors; at 100 TB the quantized corpus rides in
+    executor memory where float32 would spill).
+
+    scale = max|x| / 127 per vector; q_i = floor(x_i / scale + 0.5)
+    (explicit half-up — identical on any engine, unlike bankers'
+    rounding). Reconstruction error is bounded by scale/2 per element.
+    Pure codegen projection, no shuffle, no Python.
+
+    Returns (id, scale, qvec array<int>).
+    """
+    v = F.col(vec).cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    out = df.select(
+        F.col(id_col), v.alias("__v"), scale.alias("scale")
+    )
+    qvec = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    return out.select(F.col(id_col), "scale", qvec.alias("qvec"))
+
+
+def dequantize_error_stats(
+    df: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Per-vector reconstruction error of the int8 round-trip:
+    (id, q_md5, scale_r, max_err_r, mse_r). The md5 over the quantized
+    ints gives an engine-portable identity for the quantized vector."""
+    v = F.col(vec).cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    base = df.select(F.col(id_col), v.alias("__v"), scale.alias("__s"))
+    qvec = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x / F.col("__s") + F.lit(0.5)).cast("int"),
+    )
+    errs = F.zip_with(
+        F.col("__v"), F.col("__q"),
+        lambda x, qi: F.abs(x - qi.cast("double") * F.col("__s")),
+    )
+    return (
+        base.withColumn("__q", qvec)
+        .withColumn("__e", errs)
+        .select(
+            F.col(id_col),
+            F.md5(F.concat_ws(",", F.col("__q"))).alias("q_md5"),
+            F.round("__s", 6).alias("scale_r"),
+            F.round(F.array_max("__e"), 6).alias("max_err_r"),
+            F.round(
+                F.aggregate(
+                    "__e", F.lit(0.0).cast("double"),
+                    lambda a, e: a + e * e,
+                ) / F.size("__e"),
+                9,
+            ).alias("mse_r"),
+        )
+    )

@@ -861,8 +861,44 @@ ORDER BY doc, chunk_idx
 """
 
 
+# ------------------------------------------------------------------ s5
+def s5_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization round-trip: quantized
+    identity (md5 of the int vector), scale, and reconstruction error
+    stats — the 4× memory scale path for ANN corpora
+    (sparkt.functions.similarity.quantize_int8)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.dequantize_error_stats(emb, "vec_id", "embedding") \
+        .orderBy("vec_id")
+
+
+S5_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))) / 127,
+                      1e-12) AS scale
+      FROM e),
+q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+               AS qv
+      FROM s),
+err AS (SELECT vec_id, scale, qv,
+               list_transform(generate_series(1, len(v)),
+                              i -> abs(v[i] - qv[i] * scale)) AS e
+        FROM q)
+SELECT vec_id,
+       md5(array_to_string(qv, ',')) AS q_md5,
+       round(scale, 6) AS scale_r,
+       round(list_max(e), 6) AS max_err_r,
+       round(list_sum(list_transform(e, x -> x * x)) / len(e), 9) AS mse_r
+FROM err
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "c1_doc_chunks": c1_doc_chunks,
+    "s5_quantize_int8": s5_quantize_int8,
     "a1_asof_join": a1_asof_join,
     "a2_range_join": a2_range_join,
     "t1_token_stats": t1_token_stats,
@@ -891,6 +927,7 @@ QUERIES = {
 
 ORACLES = {
     "c1_doc_chunks": C1_SQL,
+    "s5_quantize_int8": S5_SQL,
     "a1_asof_join": A1_SQL,
     "a2_range_join": A2_SQL,
     "t1_token_stats": T1_SQL,

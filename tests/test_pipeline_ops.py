@@ -432,3 +432,30 @@ def test_chunk_table_windows(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
     # empty doc still yields exactly one (empty) chunk, not zero rows
     assert len(by_doc[3]) == 1
+
+
+def test_quantize_int8_roundtrip(spark):
+    """int8 quantization: values in [-127, 127], reconstruction error
+    bounded by scale/2 per element, quantization deterministic."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.similarity import (
+        dequantize_error_stats, quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [100.0, -200.0, 50.0, 0.1])],
+        ["vec_id", "embedding"],
+    )
+    q = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert all(-127 <= x <= 127 for r in q.values() for x in r["qvec"])
+    # max-magnitude element always quantizes to ±127
+    assert max(abs(x) for x in q[2]["qvec"]) == 127
+    stats = {r["vec_id"]: r for r in dequantize_error_stats(df).collect()}
+    for vid, r in stats.items():
+        # 1e-6 slack: max_err_r is rounded half-up to 6 decimals
+        assert r["max_err_r"] <= q[vid]["scale"] / 2 + 1e-6
+    # deterministic identity
+    again = {r["vec_id"]: r for r in dequantize_error_stats(df).collect()}
+    assert {v: r["q_md5"] for v, r in stats.items()} == \
+        {v: r["q_md5"] for v, r in again.items()}
