@@ -276,6 +276,35 @@ _list_cmd("ls")
 _list_cmd("list")
 
 
+@cli.command()
+@click.option("--project-dir", default=".")
+def parse(project_dir):
+    """Parse the project and write target/manifest.json without
+    touching the warehouse (reference `dbt parse`,
+    core/dbt/cli/main.py parse command). No SparkSession needed."""
+    import time as _time
+
+    from sparkt.exceptions import SparktError
+    from sparkt.parsing.parser import ManifestLoader
+    from sparkt.project import load_project
+
+    t0 = _time.time()
+    try:
+        proj = load_project(project_dir)
+        manifest = ManifestLoader(proj).load()
+    except SparktError as e:
+        click.echo(f"ERROR: {e}", err=True)
+        raise SystemExit(2) from None
+    manifest.build_parent_child_maps()
+    os.makedirs(proj.target_dir, exist_ok=True)
+    manifest.write(os.path.join(proj.target_dir, "manifest.json"))
+    click.echo(
+        f"Parsed {len(manifest.nodes)} nodes, "
+        f"{len(manifest.sources)} sources in {_time.time()-t0:.2f}s "
+        f"-> target/manifest.json"
+    )
+
+
 @cli.command("docs-serve")
 @click.option("--project-dir", default=".")
 @click.option("--port", type=int, default=8080)

@@ -65,6 +65,9 @@ class RunResults:
     results: list[RunResult] = field(default_factory=list)
     elapsed: float = 0.0
     generated_at: str = ""
+    # invocation args echoed into the artifact (v5 `args`, reference
+    # records the flags the command ran with)
+    args: dict = field(default_factory=dict)
 
     @property
     def ok(self) -> bool:
@@ -87,7 +90,7 @@ class RunResults:
                     },
                     "results": [r.to_dict() for r in self.results],
                     "elapsed_time": self.elapsed,
-                    "args": {},
+                    "args": self.args,
                 },
                 f,
                 indent=1,
@@ -475,6 +478,9 @@ class Runner:
             results=[results[uid] for uid in sorted(results)],
             elapsed=time.time() - t0,
             generated_at=datetime.now(timezone.utc).isoformat(),
+            args={"which": which, "select": select, "exclude": exclude,
+                  "full_refresh": full_refresh, "fail_fast": fail_fast,
+                  "warn_error": warn_error},
         )
         rr.write(os.path.join(self.project.target_dir, "run_results.json"))
         self.manifest.write(os.path.join(self.project.target_dir, "manifest.json"))
