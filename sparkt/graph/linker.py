@@ -37,6 +37,19 @@ def _add_test_edges(manifest: Manifest, graph: nx.DiGraph) -> None:
         for uid, n in manifest.nodes.items()
         if n.resource_type == "test"
     ]
+    test_set = set(tests)
+    # ancestors memoized across tests: edges added here only originate
+    # at TEST nodes while test_deps only contain non-test nodes, so the
+    # subset check is unaffected by edges added mid-loop (the has_path
+    # cycle guard still queries the live graph). Non-memoized form was
+    # 2.6 s of the 2,000-model cold parse (r4).
+    anc_cache: dict[str, set] = {}
+
+    def ancestors_of(child: str) -> set:
+        if child not in anc_cache:
+            anc_cache[child] = nx.ancestors(graph, child)
+        return anc_cache[child]
+
     for test_uid in tests:
         test_deps = set(manifest.nodes[test_uid].depends_on)
         if not test_deps:
@@ -45,8 +58,9 @@ def _add_test_edges(manifest: Manifest, graph: nx.DiGraph) -> None:
         for dep in test_deps:
             children.update(graph.successors(dep))
         for child in children:
-            if child == test_uid or child in tests:
+            if child == test_uid or child in test_set:
                 continue
-            ancestors = nx.ancestors(graph, child)
-            if test_deps <= ancestors and not nx.has_path(graph, child, test_uid):
+            if test_deps <= ancestors_of(child) and not nx.has_path(
+                graph, child, test_uid
+            ):
                 graph.add_edge(test_uid, child)

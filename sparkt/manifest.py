@@ -119,6 +119,28 @@ class Manifest:
     parent_map: dict[str, list[str]] = field(default_factory=dict)
     child_map: dict[str, list[str]] = field(default_factory=dict)
 
+    def _ref_index(self) -> dict:
+        """(package|None, base_name-or-name) → [refable nodes, insertion
+        order]. Rebuilt when the node count changes (node additions;
+        in-place patches keep the same objects, so index values stay
+        live). Without this, ``ref_lookup`` scans every node per call —
+        measured 11.5 s of a 21 s cold parse at 2,000 models (r4)."""
+        cached = getattr(self, "__ref_idx", None)
+        if cached is not None and cached[0] == len(self.nodes):
+            return cached[1]
+        idx: dict = {}
+        for n in self.nodes.values():
+            if n.resource_type not in REFABLE_TYPES:
+                continue
+            key_name = n.base_name or n.name
+            idx.setdefault((n.package_name, key_name), []).append(n)
+            idx.setdefault((None, key_name), []).append(n)
+            if n.base_name and n.base_name != n.name:
+                idx.setdefault((n.package_name, n.name), []).append(n)
+                idx.setdefault((None, n.name), []).append(n)
+        object.__setattr__(self, "__ref_idx", (len(self.nodes), idx))
+        return idx
+
     def ref_lookup(
         self,
         name: str,
@@ -129,13 +151,8 @@ class Manifest:
         matches on base_name + version; an unversioned ref to a
         versioned model resolves to its latest_version
         (``core/dbt/contracts/graph/manifest.py`` ref resolution +
-        ``nodes.py:426``)."""
-        candidates = [
-            n
-            for n in self.nodes.values()
-            if n.resource_type in REFABLE_TYPES
-            and (package is None or n.package_name == package)
-        ]
+        ``nodes.py:426``). O(1) via :meth:`_ref_index`."""
+        candidates = self._ref_index().get((package, name), [])
         if version is not None:
             for n in candidates:
                 if (n.base_name or n.name) == name and str(
