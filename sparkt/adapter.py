@@ -97,18 +97,68 @@ class SparkAdapter:
 
         if self._restoring:
             return
-        with open(self._catalog_path, "w") as f:
+        if getattr(self, "_defer_saves", False):
+            self._catalog_dirty = True
+            return
+        self._catalog_dirty = False
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self._catalog, f, indent=1)
+        os.replace(tmp, self._catalog_path)
 
-    def _record(self, relation: Relation, **entry) -> None:
+    @contextmanager
+    def defer_catalog_saves(self):
+        """Batch catalog.json persistence across a run: each DDL op
+        otherwise rewrites the file (open+truncate measured ~19 ms on
+        this filesystem — 4.3 s of a 200-view run, r4 profile). One
+        atomic write lands on exit, success or failure; a hard kill
+        mid-run loses the run's catalog delta, which is acceptable
+        because a killed run's results are replayed anyway."""
+        self._defer_saves = True
+        try:
+            yield
+        finally:
+            self._defer_saves = False
+            if getattr(self, "_catalog_dirty", False):
+                self._save_catalog()
+
+    def _record(self, relation: Relation, obj_type: str | None = None,
+                **entry) -> None:
         key = f"{relation.schema}.{relation.identifier}"
         self._catalog.pop(key, None)  # re-insert to keep dependency order
         self._catalog[key] = entry
         self._save_catalog()
+        # keep the lazy per-schema listing (see _cached_relation_type)
+        # in sync with the real object type: views record "view",
+        # everything else is a table unless the caller says otherwise
+        # (external sources may be a repair VIEW)
+        listing = getattr(self, "_listing", {}).get(relation.schema)
+        if listing is not None:
+            t = obj_type or ("view" if entry.get("kind") == "view" else "table")
+            listing[relation.identifier] = t
 
     def _unrecord(self, relation: Relation) -> None:
         self._catalog.pop(f"{relation.schema}.{relation.identifier}", None)
         self._save_catalog()
+        listing = getattr(self, "_listing", {}).get(relation.schema)
+        if listing is not None:
+            listing.pop(relation.identifier, None)
+
+    def _cached_relation_type(self, schema: str, identifier: str) -> str | None:
+        """Object type from a lazily-built per-schema listing — ONE
+        ``listTables`` JVM roundtrip per schema instead of one
+        ``getTable`` probe per node (200 serialized probes ≈ 2.5 s of
+        a 200-view run, r4 profile). Kept in sync by
+        ``_record``/``_unrecord``/``rename_relation``/``drop_schema``;
+        external catalog mutations made outside this adapter are
+        invisible to it (same assumption as dbt's relation cache)."""
+        if not hasattr(self, "_listing"):
+            self._listing = {}
+        listing = self._listing.get(schema)
+        if listing is None:
+            listing = {r.identifier: r.type for r in self.list_relations(schema)}
+            self._listing[schema] = listing
+        return listing.get(identifier)
 
     def _restore_catalog(self) -> None:
         import json
@@ -259,10 +309,21 @@ class SparkAdapter:
 
     # --------------------------------------------------------------- schemas
     def create_schema(self, schema: str) -> None:
+        # memoized: every materialization ensures its schema, which at
+        # 200 nodes was 200 serialized CREATE DATABASE IF NOT EXISTS
+        # JVM roundtrips under the DDL lock (~12 ms each, r4 profile)
+        ensured = getattr(self, "_schemas_ensured", None)
+        if ensured is None:
+            ensured = self._schemas_ensured = set()
+        if schema in ensured:
+            return
         with self._ddl_lock:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.quote(schema)}")
+            ensured.add(schema)
 
     def drop_schema(self, schema: str) -> None:
+        getattr(self, "_schemas_ensured", set()).discard(schema)
+        getattr(self, "_listing", {}).pop(schema, None)
         with self._ddl_lock:
             self.spark.sql(
                 f"DROP DATABASE IF EXISTS {self.quote(schema)} CASCADE"
@@ -408,14 +469,25 @@ class SparkAdapter:
                 f"CREATE OR REPLACE VIEW {relation.render()} AS "
                 f"SELECT {exprs} FROM {raw.render()}"
             )
-            self._record(relation, kind="external", path=path, fmt="parquet")
+            self._record(relation, obj_type="view",
+                         kind="external", path=path, fmt="parquet")
 
     def create_view_as(self, relation: Relation, select_sql: str) -> None:
+        self.create_schema(relation.schema)
         with self._ddl_lock:
-            self.create_schema(relation.schema)
-            existing = self.get_relation(relation.schema, relation.identifier)
-            if existing is not None and existing.type != "view":
-                self.drop_relation(existing)
+            # the pre-drop matters only when a non-view occupies the
+            # name (CREATE OR REPLACE VIEW cannot replace a table).
+            # The managed catalog answers that without a JVM getTable
+            # roundtrip (~12 ms, serialized under this lock) — only an
+            # unknown name pays the probe.
+            existing_type = self._cached_relation_type(
+                relation.schema, relation.identifier
+            )
+            if existing_type == "table":
+                self.drop_relation(
+                    Relation(schema=relation.schema,
+                             identifier=relation.identifier, type="table")
+                )
             self.spark.sql(
                 f"CREATE OR REPLACE VIEW {relation.render()} AS {select_sql}"
             )
@@ -559,6 +631,13 @@ class SparkAdapter:
             self.spark.sql(
                 f"ALTER TABLE {from_rel.render()} RENAME TO {to_rel.render()}"
             )
+            listings = getattr(self, "_listing", {})
+            src = listings.get(from_rel.schema)
+            if src is not None:
+                src.pop(from_rel.identifier, None)
+            dst = listings.get(to_rel.schema)
+            if dst is not None:
+                dst[to_rel.identifier] = "table"
 
     def alter_table_add_columns(
         self, relation: Relation, columns: list[tuple[str, str]]

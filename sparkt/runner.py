@@ -467,10 +467,13 @@ class Runner:
             threading.Thread(target=worker, name=f"Thread-{i+1}", daemon=True)
             for i in range(max(1, n_threads))
         ]
-        for w in workers:
-            w.start()
-        for w in workers:
-            w.join()
+        # batch the durable catalog writes: one atomic save per run
+        # instead of one file rewrite per DDL (adapter.defer_catalog_saves)
+        with self.adapter.defer_catalog_saves():
+            for w in workers:
+                w.start()
+            for w in workers:
+                w.join()
 
         self._run_hooks(self.project.on_run_end)
 
