@@ -443,3 +443,64 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
     )
+
+
+# ----------------------------------------------------------- clustering
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs — the step after
+    every pair generator (minhash/jaccard/winnowing): pairs → clusters,
+    so one canonical doc per cluster survives.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round a node takes the min of its label and its
+    neighbors' labels; fixpoint in O(component diameter) rounds. Each
+    round is ONE shuffle (edge⋈label groupBy-min) — the alternating
+    small-star/large-star formulation (Kiveris et al., "Connected
+    Components in MapReduce") drops the round count to O(log n) at
+    100 TB, same per-round shuffle shape. ``localCheckpoint`` truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1.
+
+    Returns (doc, cluster) for every doc appearing in ``pairs``;
+    cluster = min doc id of the component (deterministic).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"),
+                         F.col("label").alias("cluster"))

@@ -861,6 +861,35 @@ ORDER BY doc, chunk_idx
 """
 
 
+# ------------------------------------------------------------------ d9
+def d9_dup_clusters(spark, sf_dir):
+    """Pairs → clusters: connected components over the d5 jaccard
+    pairs via iterative min-label propagation
+    (sparkt.functions.dedup.duplicate_clusters) — a genuinely
+    iterative operator the driver checks against DuckDB's recursive
+    CTE transitive closure."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+    return D.duplicate_clusters(pairs).orderBy("doc")
+
+
+def _d9_sql():
+    # same pair set as d5, clustered by recursive closure
+    d5_body = D5_SQL.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({d5_body}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+)
+SELECT node AS doc, min(r) AS cluster FROM reach GROUP BY node ORDER BY doc
+"""
+
+
 # ------------------------------------------------------------------ s5
 def s5_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization round-trip: quantized
@@ -910,6 +939,7 @@ QUERIES = {
     "d4_simhash": d4_simhash,
     "d5_ngram_jaccard": d5_ngram_jaccard,
     "d7_winnow_pairs": d7_winnow_pairs,
+    "d9_dup_clusters": d9_dup_clusters,
     "s1_cosine_topk": s1_cosine_topk,
     "s2_lsh_ann": s2_lsh_ann,
     "s3_label_centroids": s3_label_centroids,
@@ -939,6 +969,7 @@ ORACLES = {
     "d4_simhash": D4_SQL,
     "d5_ngram_jaccard": D5_SQL,
     "d7_winnow_pairs": D7_SQL,
+    "d9_dup_clusters": _d9_sql(),
     "s1_cosine_topk": S1_SQL,
     # s2_lsh_ann / s4_ivf_ann: intentionally no oracle (approximate)
     "s3_label_centroids": S3_SQL,

@@ -459,3 +459,22 @@ def test_quantize_int8_roundtrip(spark):
     again = {r["vec_id"]: r for r in dequantize_error_stats(df).collect()}
     assert {v: r["q_md5"] for v, r in stats.items()} == \
         {v: r["q_md5"] for v, r in again.items()}
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Connected components: chains merge transitively, singletons
+    never appear, disjoint components stay separate."""
+    from sparkt.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> component {1,2,3,4}
+         (10, 11),                    # pair  -> component {10,11}
+         (20, 21), (22, 21)],         # star  -> component {20,21,22}
+        ["id_a", "id_b"],
+    )
+    out = {r["doc"]: r["cluster"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert {d: c for d, c in out.items() if d <= 4} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert out[10] == 10 and out[11] == 10
+    assert out[20] == 20 and out[21] == 20 and out[22] == 20
+    assert set(out) == {1, 2, 3, 4, 10, 11, 20, 21, 22}
