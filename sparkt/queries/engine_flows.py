@@ -584,6 +584,58 @@ ORDER BY purchase_id
 """
 
 
+# ----------------------------------------------------------------- m10
+def m10_stream_dedup(spark, sf_dir):
+    """Stateful streaming deduplication — the duplicate-delivery /
+    exactly-once pattern: the source delivers every event TWICE (two
+    file copies, at-least-once semantics); ``dropDuplicates`` on the
+    event key holds seen-keys in the state store so the drained output
+    carries each event exactly once. At scale the state is bounded with
+    ``dropDuplicatesWithinWatermark`` (keys older than the watermark
+    are evicted — same operator, bounded memory); the availableNow
+    drain here processes both copies in one run, where the unbounded
+    form is exact. Oracle: the batch table itself (each event once)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from sparkt.sources import ns_timestamp_columns, repair_event_time
+    from sparkt.streaming.incremental import stream_append
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m10_")
+    dup_src = os.path.join(work, "src")
+    os.makedirs(dup_src)
+    # duplicate delivery: the same payload arrives as two files
+    if os.path.isdir(src):
+        _sh.copytree(src, os.path.join(dup_src, "copy_a"))
+        _sh.copytree(src, os.path.join(dup_src, "copy_b"))
+    else:
+        _sh.copy(src, os.path.join(dup_src, "copy_a.parquet"))
+        _sh.copy(src, os.path.join(dup_src, "copy_b.parquet"))
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    ns_cols = ns_timestamp_columns(src)
+
+    def transform(stream):
+        out = repair_event_time(stream, ns_cols)
+        return out.select(
+            "event_id", "ts", "user_id", "event_type",
+            F.round("value", 2).alias("value"),
+        ).dropDuplicates(["event_id"])
+
+    with _low_shuffle(spark):
+        stream_append(spark, dup_src, tgt, cp, transform=transform)
+    return spark.read.parquet(tgt).orderBy("event_id")
+
+
+M10_SQL = """
+SELECT event_id, ts, user_id, event_type, round(value, 2) AS value
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
@@ -594,6 +646,7 @@ QUERIES = {
     "m7_streaming_window": m7_streaming_window,
     "m8_stateful_sessions": m8_stateful_sessions,
     "m9_stream_stream_join": m9_stream_stream_join,
+    "m10_stream_dedup": m10_stream_dedup,
 }
 
 ORACLES = {
@@ -606,4 +659,5 @@ ORACLES = {
     "m7_streaming_window": M7_SQL,
     "m8_stateful_sessions": M8_SQL,
     "m9_stream_stream_join": M9_SQL,
+    "m10_stream_dedup": M10_SQL,
 }
