@@ -95,14 +95,15 @@ where o_orderdate >= timestamp'1997-01-01'
         },
     )
     spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
-    r1 = Runner(proj, spark=spark, cli_vars={"batch": 1},
-                project_overrides={"schema": schema})
-    res1 = r1.run()
-    assert res1.ok, [x.message for x in res1.results]
-    r2 = Runner(proj, spark=spark, cli_vars={"batch": 2},
-                project_overrides={"schema": schema})
-    res2 = r2.run()
-    assert res2.ok, [x.message for x in res2.results]
+    with _low_shuffle(spark):
+        r1 = Runner(proj, spark=spark, cli_vars={"batch": 1},
+                    project_overrides={"schema": schema})
+        res1 = r1.run()
+        assert res1.ok, [x.message for x in res1.results]
+        r2 = Runner(proj, spark=spark, cli_vars={"batch": 2},
+                    project_overrides={"schema": schema})
+        res2 = r2.run()
+        assert res2.ok, [x.message for x in res2.results]
     return spark.table(f"{schema}.orders_incr").orderBy("o_orderkey")
 
 
@@ -159,14 +160,15 @@ from {{ source('tpch', 'orders') }}
         },
     )
     spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
-    r1 = Runner(proj, spark=spark, cli_vars={"batch": 1},
-                project_overrides={"schema": schema})
-    res1 = r1.snapshot()
-    assert res1.ok, [x.message for x in res1.results]
-    r2 = Runner(proj, spark=spark, cli_vars={"batch": 2},
-                project_overrides={"schema": schema})
-    res2 = r2.snapshot()
-    assert res2.ok, [x.message for x in res2.results]
+    with _low_shuffle(spark):
+        r1 = Runner(proj, spark=spark, cli_vars={"batch": 1},
+                    project_overrides={"schema": schema})
+        res1 = r1.snapshot()
+        assert res1.ok, [x.message for x in res1.results]
+        r2 = Runner(proj, spark=spark, cli_vars={"batch": 2},
+                    project_overrides={"schema": schema})
+        res2 = r2.snapshot()
+        assert res2.ok, [x.message for x in res2.results]
     return (
         spark.table(f"{schema}.orders_snap")
         .select("id", "status", "price", "dbt_valid_from", "dbt_valid_to")

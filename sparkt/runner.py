@@ -706,7 +706,10 @@ class Runner:
             list(meta_rels.values())
         )
         out = []
+        artifact_results = []
+        t_start = time.time()
         for node in checked:
+            t_node = time.time()
             rel = self.compiler.relation_for(node)
             # absolute max_loaded_at (reference FreshnessResponse): the
             # source_status:fresher selector compares these across runs,
@@ -745,14 +748,53 @@ class Runner:
                 {"unique_id": node.unique_id, "max_loaded_at_age_s": age,
                  "max_loaded_at": max_loaded_at, "status": status}
             )
-        # sources.json artifact (reference writes the same next to
-        # run_results; consumed by the source_status: selector method)
+
+            def time_obj(th):
+                if not th:
+                    return None
+                return {"count": th.get("count"), "period": th.get("period")}
+
+            # sources v3 SourceFreshnessOutput (all 10 keys required,
+            # additionalProperties: false — schemas/dbt/sources/v3.json)
+            artifact_results.append({
+                "unique_id": node.unique_id,
+                "max_loaded_at": max_loaded_at or "1970-01-01T00:00:00",
+                "snapshotted_at":
+                    datetime.now(timezone.utc).isoformat(),
+                "max_loaded_at_time_ago_in_s": float(age or 0.0),
+                "status": status,
+                "criteria": {
+                    "warn_after": time_obj(node.freshness.get("warn_after")),
+                    "error_after": time_obj(node.freshness.get("error_after")),
+                    "filter": node.freshness.get("filter"),
+                },
+                "adapter_response": {},
+                "timing": [],
+                "thread_id": threading.current_thread().name,
+                "execution_time": time.time() - t_node,
+            })
+        # sources.json artifact in the reference's published v3 shape
+        # (FreshnessExecutionResultArtifact; consumed by the
+        # source_status: selector method and external tooling)
         try:
+            from sparkt import __version__
+
             os.makedirs(self.project.target_dir, exist_ok=True)
             with open(
                 os.path.join(self.project.target_dir, "sources.json"), "w"
             ) as f:
-                json.dump({"results": out}, f, indent=1)
+                json.dump({
+                    "metadata": {
+                        "dbt_schema_version":
+                            "https://schemas.getdbt.com/dbt/sources/v3.json",
+                        "dbt_version": __version__,
+                        "generated_at":
+                            datetime.now(timezone.utc).isoformat(),
+                        "invocation_id": self.invocation_id,
+                    },
+                    "results": artifact_results,
+                    "elapsed_time": time.time() - t_start,
+                }, f, indent=1)
         except Exception:  # noqa: BLE001 — artifact is best-effort
             pass
         return out

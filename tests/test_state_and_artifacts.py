@@ -359,6 +359,13 @@ sources:
     res1 = runner.source_freshness()
     assert {r["status"] for r in res1} == {"pass"}
     assert all(r["max_loaded_at"] for r in res1)
+    # the artifact validates against the published sources v3 schema
+    import jsonschema
+
+    with open("/root/reference/schemas/dbt/sources/v3.json") as f:
+        v3 = json.load(f)
+    with open(os.path.join(runner.project.target_dir, "sources.json")) as f:
+        jsonschema.validate(json.load(f), v3)
     state_dir = str(tmp_path / "state")
     os.makedirs(state_dir)
     shutil.copy(
