@@ -602,7 +602,8 @@ class Runner:
         """Catalog artifact from the live catalog (``core/dbt/task/docs/
         generate.py:215-366``) → target/catalog.json."""
         self.register_sources()
-        catalog: dict[str, dict] = {}
+        nodes: dict[str, dict] = {}
+        sources: dict[str, dict] = {}
         for uid, node in self.manifest.all_nodes().items():
             if node.resource_type in ("test", "unit_test", "operation", "analysis"):
                 continue
@@ -610,22 +611,47 @@ class Runner:
             if not self.adapter.relation_exists(rel):
                 continue
             cols = self.adapter.get_columns_in_relation(rel)
-            catalog[uid] = {
+            # catalog v1 CatalogTable (schemas/dbt/catalog/v1.json:
+            # TableMetadata + ColumnMetadata + stats, all
+            # additionalProperties: false)
+            entry = {
                 "metadata": {
+                    "type": rel.type,
                     "schema": rel.schema,
                     "name": rel.identifier,
-                    "type": rel.type,
+                    "database": None,
+                    "comment": node.description or None,
+                    "owner": None,
                 },
                 "columns": {
-                    name: {"type": dtype, "index": i,
+                    name: {"type": dtype, "index": i, "name": name,
                            "comment": (node.columns.get(name) or {}).get(
-                               "description", "")}
+                               "description") or None}
                     for i, (name, dtype) in enumerate(cols)
                 },
+                "stats": {
+                    "has_stats": {
+                        "id": "has_stats",
+                        "label": "Has Stats?",
+                        "value": False,
+                        "include": False,
+                        "description":
+                            "Indicates whether there are statistics for this table",
+                    },
+                },
+                "unique_id": uid,
             }
+            (sources if node.resource_type == "source" else nodes)[uid] = entry
         out = {
-            "metadata": {"sparkt_version": "0.1.0", "schema": "catalog-v1-reduced"},
-            "nodes": catalog,
+            "metadata": {
+                "dbt_schema_version":
+                    "https://schemas.getdbt.com/dbt/catalog/v1.json",
+                "generated_at": datetime.now(timezone.utc).isoformat(),
+                "invocation_id": self.invocation_id,
+            },
+            "nodes": nodes,
+            "sources": sources,
+            "errors": None,
         }
         with open(os.path.join(self.project.target_dir, "catalog.json"), "w") as f:
             json.dump(out, f, indent=1)

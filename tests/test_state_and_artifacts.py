@@ -321,6 +321,12 @@ def test_artifacts_validate_against_published_schemas(make_project, spark):
 
     jsonschema.validate(manifest, manifest_schema)
     jsonschema.validate(rr, rr_schema)
+    # catalog v1 as well (all four published artifact schemas)
+    runner.docs_generate()
+    with open("/root/reference/schemas/dbt/catalog/v1.json") as f:
+        cat_schema = json.load(f)
+    with open(os.path.join(tgt, "catalog.json")) as f:
+        jsonschema.validate(json.load(f), cat_schema)
     # the artifact still carries what state:modified/defer need
     assert manifest["nodes"]["model.st.b"]["checksum"]["checksum"]
     assert manifest["unit_tests"]["unit_test.st.ut_b"]["model"] == "b"
