@@ -71,6 +71,7 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
         kwargs = dict(select=select, exclude=exclude, selector=selector,
                       threads=threads,
                       state=kw.get("state"), defer=kw.get("defer", False),
+                      favor_state=kw.get("favor_state", False),
                       fail_fast=kw.get("fail_fast", False),
                       warn_error=kw.get("warn_error", False))
         if full_refresh_opt:
@@ -81,6 +82,8 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
     cmd = click.option("--state", default=None,
                        help="path to a previous target/ for state: selectors")(cmd)
     cmd = click.option("--defer", "defer", is_flag=True, default=False)(cmd)
+    cmd = click.option("--favor-state", "favor_state", is_flag=True,
+                       default=False, envvar="DBT_FAVOR_STATE")(cmd)
     # flag > DBT_* env var > default (reference core/dbt/cli/flags.py
     # precedence; click envvar implements the env tier)
     cmd = click.option("--fail-fast", "-x", "fail_fast", is_flag=True,

@@ -46,6 +46,10 @@ class Compiler:
         # relations (providers.py:548-573, favor-state semantics with
         # cache-miss fallback)
         self.defer_state = None
+        # --favor-state (providers.py:559): prefer the state relation
+        # for any UNSELECTED resource even when a local build exists
+        self.favor_state = False
+        self.selected_uids: set[str] = set()
         # --empty: refs/sources render as zero-row subqueries so models
         # build schema-only (reference resolve_limit,
         # context/providers.py:229-231 → Relation render_limited)
@@ -100,14 +104,17 @@ class Compiler:
                 self._add_ephemeral_cte(target, cte_name, extra_ctes, ref_overrides)
                 return cte_name
             rel = self.relation_for(target)
-            if (
-                self.defer_state is not None
-                and self.adapter is not None
-                and not self.adapter.relation_exists(rel)
-            ):
-                deferred = self.defer_state.relation_name(target.unique_id)
-                if deferred:
-                    return self._maybe_limited(deferred)
+            if self.defer_state is not None and self.adapter is not None:
+                use_defer = (
+                    self.favor_state
+                    and target.unique_id not in self.selected_uids
+                ) or not self.adapter.relation_exists(rel)
+                if use_defer:
+                    deferred = self.defer_state.relation_name(
+                        target.unique_id
+                    )
+                    if deferred:
+                        return self._maybe_limited(deferred)
             return self._maybe_limited(rel.render())
 
         def source(source_name, table_name):

@@ -309,6 +309,7 @@ class Runner:
         selector: str | None = None,
         fail_fast: bool = False,
         warn_error: bool = False,
+        favor_state: bool = False,
     ) -> RunResults:
         t0 = time.time()
         # --empty (reference cli/params.py:87): refs/sources compile to
@@ -330,6 +331,7 @@ class Runner:
                     )
             if defer:
                 self.compiler.defer_state = state_manifest
+                self.compiler.favor_state = favor_state
         self.register_sources()
         graph = link_graph(self.manifest, add_test_edges=(which == "build"))
         selected = self._selected_uids(
@@ -339,6 +341,9 @@ class Runner:
         if only_uids is not None:
             selected &= only_uids
         to_run = {uid for uid in selected if self._executable(uid, which)}
+        # favor_state scope: unselected refs defer to the state relation
+        # (providers.py:559 checks SELECTED_RESOURCES)
+        self.compiler.selected_uids = to_run
         # upstream non-selected nodes are not executed but must not gate
         # the queue: restrict the queue graph to selected executables,
         # preserving transitive order between them.

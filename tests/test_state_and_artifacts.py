@@ -404,3 +404,45 @@ sources:
         which="run", select="source_status:fresher+", state=state_dir
     )
     assert [r.unique_id for r in res.results] == ["model.fr.down_a"]
+
+
+def test_favor_state(make_project, spark, tmp_path):
+    """--favor-state (providers.py:559): unselected refs defer to the
+    state relation EVEN IF a local build exists; without it, an
+    existing local relation wins."""
+    import shutil
+
+    runner = make_project(FILES, schema="t_favor_prod")
+    assert runner.seed().ok
+    assert runner.run().ok  # prod: a, b built (sum=30)
+    state_dir = str(tmp_path / "prod_state")
+    os.makedirs(state_dir)
+    shutil.copy(
+        os.path.join(runner.project.target_dir, "manifest.json"),
+        os.path.join(state_dir, "manifest.json"),
+    )
+
+    # dev schema gets a STALE local 'a' (one row only)
+    from sparkt.runner import Runner
+
+    dev = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_favor_dev"},
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_favor_dev")
+    dev.adapter.execute(
+        "CREATE OR REPLACE VIEW t_favor_dev.a AS SELECT 1 AS id, 5 AS v"
+    )
+
+    # plain defer: local dev.a exists -> b reads the stale local (5)
+    res = dev.execute_nodes(which="run", select="b", state=state_dir,
+                            defer=True)
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_favor_dev.b").first()["s"] == 5
+
+    # favor_state: unselected 'a' defers to prod even though dev.a
+    # exists -> b reads prod (30)
+    res = dev.execute_nodes(which="run", select="b", state=state_dir,
+                            defer=True, favor_state=True)
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_favor_dev.b").first()["s"] == 30
