@@ -51,3 +51,39 @@ def train_val_test_split(
         .when(b.isin(_VAL_NIBBLES), "val")
         .otherwise("test"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the class-rebalancing
+    step of a training-data pipeline (e.g. keep 10% of English, all of
+    low-resource languages).
+
+    A row survives iff the first 8 hex digits of its salted md5 fall
+    below ``fraction × 2³²`` for its stratum — exact, engine-portable
+    (md5 is bit-identical everywhere), stable under reruns and
+    repartitioning, and embarrassingly parallel: pure filter, NO
+    shuffle, no per-group state (contrast ``df.sampleBy``, whose
+    Bernoulli draw depends on partition layout and seed plumbing).
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    cutoff = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        val = F.lit(int(frac * (1 << 32)))
+        cutoff = F.when(cond, val) if cutoff is None else cutoff.when(cond, val)
+    default = F.lit(int(default_fraction * (1 << 32)))
+    cutoff = default if cutoff is None else cutoff.otherwise(default)
+    return df.filter(h32 < cutoff)

@@ -861,6 +861,50 @@ ORDER BY doc, chunk_idx
 """
 
 
+# ------------------------------------------------------------------ p3
+def p3_stratified_sample(spark, sf_dir):
+    """Class-rebalancing: deterministic per-language downsampling
+    (keep 25% of 'en', 50% of 'de', everything else untouched) —
+    sparkt.functions.sampling.stratified_sample. Pure filter, no
+    shuffle; counts per language prove the survivor sets match the
+    oracle's identical md5 arithmetic exactly."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "de": 0.5}
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id")))
+            )).alias("ids_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+P3_SQL = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('strata:' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::UBIGINT AS BIGINT) AS h32
+  FROM documents),
+kept AS (
+  SELECT doc_id, lang FROM hashed
+  WHERE h32 < CASE lang WHEN 'en' THEN CAST(0.25 * 4294967296 AS BIGINT)
+                        WHEN 'de' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                        ELSE 4294967296 END)
+SELECT lang, count(*) AS n_kept,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ------------------------------------------------------------------ d9
 def d9_dup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the d5 jaccard
@@ -951,6 +995,7 @@ QUERIES = {
     "d8_decontaminate": d8_decontaminate,
     "p1_hash_split": p1_hash_split,
     "p2_salted_join": p2_salted_join,
+    "p3_stratified_sample": p3_stratified_sample,
     "t7_approx_sketch": t7_approx_sketch,
     "mm1_image_meta": mm1_image_meta,
 }
@@ -980,6 +1025,7 @@ ORACLES = {
     "d8_decontaminate": D8_SQL,
     "p1_hash_split": P1_SQL,
     "p2_salted_join": P2_SQL,
+    "p3_stratified_sample": P3_SQL,
     "t7_approx_sketch": T7_SQL,
     "mm1_image_meta": MM1_SQL,
 }

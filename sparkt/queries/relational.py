@@ -926,6 +926,72 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------- q30
+def q30_gapfill(spark, sf_dir):
+    """Time-series gap filling (dimension densification): per-customer
+    daily spend densified over each customer's active span via
+    ``sequence()`` + explode + left join, then summarized. The
+    calendar explode is proportional to span-days, not rows²; the
+    join is an equijoin on (customer, day). The canonical prepare-
+    for-training densification pattern."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    daily = (
+        orders.withColumn("day", F.to_date("o_orderdate"))
+        .groupBy("o_custkey", "day")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    spans = daily.groupBy("o_custkey").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = spans.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    filled = cal.join(daily, ["o_custkey", "day"], "left").select(
+        "o_custkey", "day", F.coalesce("spend", F.lit(0.0)).alias("spend")
+    )
+    return (
+        filled.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(F.col("spend") == 0.0, 1).otherwise(0)
+            ).alias("n_gap_days"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q30_SQL = """
+WITH daily AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders WHERE o_custkey < 50
+  GROUP BY 1, 2),
+spans AS (
+  SELECT o_custkey, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+cal AS (
+  SELECT o_custkey, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                         AS DATE) AS day
+  FROM spans),
+filled AS (
+  SELECT c.o_custkey, c.day, coalesce(d.spend, 0.0) AS spend
+  FROM cal c LEFT JOIN daily d
+    ON c.o_custkey = d.o_custkey AND c.day = d.day)
+SELECT o_custkey,
+       count(*) AS n_days,
+       CAST(sum(CASE WHEN spend = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gap_days,
+       round(sum(spend), 2) AS total_spend
+FROM filled
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -955,6 +1021,7 @@ QUERIES = {
     "q27_range_window": q27_range_window,
     "q28_unpivot": q28_unpivot,
     "q29_nested_agg": q29_nested_agg,
+    "q30_gapfill": q30_gapfill,
 }
 
 ORACLES = {
@@ -986,4 +1053,5 @@ ORACLES = {
     "q27_range_window": Q27_SQL,
     "q28_unpivot": Q28_SQL,
     "q29_nested_agg": Q29_SQL,
+    "q30_gapfill": Q30_SQL,
 }
