@@ -118,9 +118,17 @@ def compile(project_dir, select):  # noqa: A001
 @click.option("--inline", default=None)
 @click.option("--select", "-s", default=None)
 @click.option("--limit", type=int, default=5)
-def show(project_dir, inline, select, limit):
+@click.option("--output", type=click.Choice(["text", "json"]),
+              default="text")
+def show(project_dir, inline, select, limit, output):
     runner = Runner(project_dir)
-    runner.show(inline=inline, select=select, limit=limit).show(truncate=False)
+    df = runner.show(inline=inline, select=select, limit=limit)
+    if output == "json":
+        # reference show --output json (core/dbt/task/show.py preview)
+        for row in df.toJSON().collect():
+            click.echo(row)
+    else:
+        df.show(truncate=False)
 
 
 @cli.command("run-operation")
