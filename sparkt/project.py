@@ -142,8 +142,13 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
                 "default": bool(entry.get("default", False)),
                 "definition": entry.get("definition"),
             }
-    # profiles.yml (optional): schema/threads
-    ppath = os.path.join(project_root, "profiles.yml")
+    # profiles.yml (optional): schema/threads. DBT_PROFILES_DIR
+    # (reference cli/params.py profiles_dir) takes precedence over the
+    # project root copy.
+    pdir = os.environ.get("DBT_PROFILES_DIR") or project_root
+    ppath = os.path.join(pdir, "profiles.yml")
+    if not os.path.exists(ppath):
+        ppath = os.path.join(project_root, "profiles.yml")
     if os.path.exists(ppath):
         with open(ppath) as f:
             prof = yaml.safe_load(f) or {}

@@ -41,13 +41,15 @@ class RunResult:
     execution_time: float = 0.0
     failures: int | None = None
     thread: str = ""
+    # v5 TimingInfo entries ({name, started_at, completed_at})
+    timing: list = field(default_factory=list)
 
     def to_dict(self) -> dict:
         # run-results v5 RunResultOutput — additionalProperties: false,
         # all 11 keys required (schemas/dbt/run-results/v5.json)
         return {
             "status": self.status,
-            "timing": [],
+            "timing": self.timing,
             "thread_id": self.thread,
             "execution_time": self.execution_time,
             "adapter_response": {},
@@ -214,6 +216,18 @@ class Runner:
     # ---------------------------------------------------------- execution
     def _execute_node(self, ctx: MatContext, node: ParsedNode) -> RunResult:
         start = time.time()
+
+        def timing():
+            # one "execute" TimingInfo spanning the materialization
+            # (v5 shape; the reference splits compile/execute, sparkt
+            # compiles inside the materialization)
+            return [{
+                "name": "execute",
+                "started_at": datetime.fromtimestamp(
+                    start, tz=timezone.utc).isoformat(),
+                "completed_at": datetime.now(timezone.utc).isoformat(),
+            }]
+
         try:
             # adapter model hooks (reference pre_model_hook/post_model_hook):
             # per-model session conf, e.g. spark_session_conf={'spark.sql.
@@ -241,6 +255,7 @@ class Runner:
                     failures=out.get("failures"),
                     execution_time=time.time() - start,
                     thread=threading.current_thread().name,
+                    timing=timing(),
                 )
             return RunResult(
                 unique_id=node.unique_id,
@@ -248,6 +263,7 @@ class Runner:
                 message=str(out),
                 execution_time=time.time() - start,
                 thread=threading.current_thread().name,
+                timing=timing(),
             )
         except Exception as e:  # noqa: BLE001
             return RunResult(

@@ -223,3 +223,40 @@ def test_env_var_flag_precedence(tmp_path, monkeypatch, spark):
     assert res.exit_code == 1
     # zz would have run without DBT_FAIL_FAST (it has no upstream dep)
     assert "SKIPPED  model.envp.zz" in res.output
+
+
+def test_profiles_dir_env(tmp_path, monkeypatch):
+    """DBT_PROFILES_DIR points at an external profiles.yml that takes
+    precedence over the project-root copy (reference profiles_dir)."""
+    proj = str(tmp_path / "p")
+    write_files(proj, {
+        "dbt_project.yml": "name: pd\nmodel-paths: [models]\n",
+        "profiles.yml": "target:\n  schema: local_schema\n  threads: 2\n",
+    })
+    ext = tmp_path / "ext_profiles"
+    ext.mkdir()
+    (ext / "profiles.yml").write_text(
+        "target:\n  schema: env_schema\n  threads: 7\n"
+    )
+    from sparkt.project import load_project
+
+    assert load_project(proj).schema == "local_schema"
+    monkeypatch.setenv("DBT_PROFILES_DIR", str(ext))
+    p = load_project(proj)
+    assert p.schema == "env_schema" and p.threads == 7
+
+
+def test_run_results_timing_present(make_project, spark):
+    """run_results.json results carry v5 TimingInfo entries."""
+    import json as _json
+
+    runner = make_project(dict(FILES), schema="t_timing")
+    assert runner.seed().ok
+    assert runner.run().ok
+    with open(os.path.join(runner.project.target_dir, "run_results.json")) as f:
+        rr = _json.load(f)
+    for r in rr["results"]:
+        assert r["timing"], r["unique_id"]
+        t = r["timing"][0]
+        assert t["name"] == "execute"
+        assert t["started_at"] <= t["completed_at"]
