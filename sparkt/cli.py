@@ -343,11 +343,21 @@ def clean(project_dir):
         for p in (proj.model_paths + proj.seed_paths + proj.snapshot_paths
                   + proj.test_paths + proj.macro_paths + proj.analysis_paths)
     }
+    project_root = os.path.realpath(proj.project_root)
     for target in proj.clean_targets:
         path = os.path.realpath(os.path.join(proj.project_root, target))
         if path in source_paths:
             click.echo(f"ERROR: refusing to clean source path {target}",
                        err=True)
+            raise SystemExit(2)
+        # reference clean task: clean_project_files_only — refuse any
+        # target that resolves outside (or to) the project root, so
+        # '..', absolute paths, and symlink escapes never rmtree the
+        # project or its parents (core/dbt/task/clean.py)
+        if not path.startswith(project_root + os.sep):
+            click.echo(
+                f"ERROR: refusing to clean path outside project: {target}",
+                err=True)
             raise SystemExit(2)
         click.echo(f"Checking {target}/*")
         shutil.rmtree(path, ignore_errors=True)

@@ -21,6 +21,31 @@ EXECUTABLE_TYPES = {"model", "seed", "snapshot", "test", "unit_test", "operation
 REFABLE_TYPES = {"model", "seed", "snapshot"}
 
 
+def unit_test_fingerprint(model, given, expect) -> str:
+    """Stable md5 over a unit test's *definition* (model/given/expect).
+
+    The published manifest-v12 UnitTestDefinition has no checksum field
+    (``schemas/dbt/manifest/v12.json``), so state:modified compares unit
+    tests by this canonical serialization instead — computed identically
+    from a live ParsedNode and from a previously written artifact. The
+    normalization below must mirror ``Manifest.to_dict``'s
+    ``unit_test_dict`` exactly."""
+    norm = {
+        "model": model or "",
+        "given": [
+            {"input": str(g.get("input", "")),
+             "rows": g.get("rows"),
+             "format": g.get("format", "dict")}
+            for g in (given or [])
+        ],
+        "expect": {"rows": (expect or {}).get("rows"),
+                   "format": (expect or {}).get("format", "dict")},
+    }
+    return hashlib.md5(
+        json.dumps(norm, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
 def column_info_dict(cols: dict) -> dict:
     """YAML column entries → manifest-v12 ColumnInfo objects (the
     schema's per-column alternative sets additionalProperties: false).
@@ -102,14 +127,60 @@ class ParsedNode:
         return self.materialized == "ephemeral"
 
     def checksum(self) -> str:
+        # unit tests serialize to the artifact without raw_code (the v12
+        # UnitTestDefinition has no checksum), so their identity is the
+        # definition fingerprint — comparable against a state artifact.
+        if self.resource_type == "unit_test":
+            return unit_test_fingerprint(self.model, self.given, self.expect)
         return hashlib.md5(self.raw_code.encode()).hexdigest()
+
+
+class _TrackedDict(dict):
+    """dict that bumps a generation counter on every structural
+    mutation. Backs ``Manifest.nodes`` so ``_ref_index`` invalidates on
+    same-count mutations too (delete one + add another, key rename) —
+    a pure len() check would serve stale index entries there."""
+
+    __slots__ = ("gen",)
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.gen = 0
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self.gen += 1
+
+    def __delitem__(self, k):
+        super().__delitem__(k)
+        self.gen += 1
+
+    def update(self, *a, **k):
+        super().update(*a, **k)
+        self.gen += 1
+
+    def pop(self, *a):
+        self.gen += 1
+        return super().pop(*a)
+
+    def popitem(self):
+        self.gen += 1
+        return super().popitem()
+
+    def clear(self):
+        self.gen += 1
+        super().clear()
+
+    def setdefault(self, k, d=None):
+        self.gen += 1
+        return super().setdefault(k, d)
 
 
 @dataclass
 class Manifest:
     """Reference ``Manifest`` (``core/dbt/contracts/graph/manifest.py``)."""
 
-    nodes: dict[str, ParsedNode] = field(default_factory=dict)
+    nodes: dict[str, ParsedNode] = field(default_factory=_TrackedDict)
     sources: dict[str, ParsedNode] = field(default_factory=dict)
     macros: dict[str, str] = field(default_factory=dict)  # name -> raw jinja
     semantic_models: list = field(default_factory=list)  # raw yaml specs
@@ -121,12 +192,15 @@ class Manifest:
 
     def _ref_index(self) -> dict:
         """(package|None, base_name-or-name) → [refable nodes, insertion
-        order]. Rebuilt when the node count changes (node additions;
-        in-place patches keep the same objects, so index values stay
-        live). Without this, ``ref_lookup`` scans every node per call —
-        measured 11.5 s of a 21 s cold parse at 2,000 models (r4)."""
+        order]. Rebuilt whenever ``nodes``' mutation generation changes
+        (every add/remove/replace bumps ``_TrackedDict.gen``, so
+        same-count mutations invalidate too); in-place patches keep the
+        same objects, so index values stay live. Without this,
+        ``ref_lookup`` scans every node per call — measured 11.5 s of a
+        21 s cold parse at 2,000 models (r4)."""
+        gen = (getattr(self.nodes, "gen", None), len(self.nodes))
         cached = getattr(self, "__ref_idx", None)
-        if cached is not None and cached[0] == len(self.nodes):
+        if cached is not None and cached[0] == gen:
             return cached[1]
         idx: dict = {}
         for n in self.nodes.values():
@@ -138,7 +212,7 @@ class Manifest:
             if n.base_name and n.base_name != n.name:
                 idx.setdefault((n.package_name, n.name), []).append(n)
                 idx.setdefault((None, n.name), []).append(n)
-        object.__setattr__(self, "__ref_idx", (len(self.nodes), idx))
+        object.__setattr__(self, "__ref_idx", (gen, idx))
         return idx
 
     def ref_lookup(

@@ -544,7 +544,14 @@ class Runner:
         if not bad:
             return RunResults(results=[], elapsed=0.0,
                               generated_at=datetime.now(timezone.utc).isoformat())
-        return self.execute_nodes(which="build", only_uids=bad, **kw)
+        # replay the ORIGINAL task type (reference retry.py restores the
+        # prior task class) — replaying run/test/seed as 'build' would
+        # add test edges and execute tests the first invocation never
+        # ran. args.which is recorded in run-results v5.
+        with open(path) as f:
+            prior_which = (json.load(f).get("args") or {}).get("which")
+        return self.execute_nodes(which=prior_which or "build",
+                                  only_uids=bad, **kw)
 
     def clone(self, state: str, select: str | None = None) -> list[str]:
         """Copy relations recorded in a --state manifest into this

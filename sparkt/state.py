@@ -33,6 +33,11 @@ class StateManifest:
         with open(path) as f:
             raw = json.load(f)
         self.nodes: dict[str, dict] = raw.get("nodes", {})
+        # manifest v12 moves unit tests out of 'nodes' into a top-level
+        # 'unit_tests' key; fold them back so state:modified/state:new
+        # see them (they compare by definition fingerprint — the v12
+        # UnitTestDefinition carries no checksum field)
+        self.nodes.update(raw.get("unit_tests", {}) or {})
         self.sources: dict[str, dict] = raw.get("sources", {})
         # macros: manifest-v12 Macro objects (name→{macro_sql, ...}) or
         # the pre-v12 name→md5 form; normalize to name→md5
@@ -56,6 +61,14 @@ class StateManifest:
         if node is None:
             return None
         c = node.get("checksum")
+        if c is None and node.get("resource_type") == "unit_test":
+            # v12 UnitTestDefinition has no checksum — fingerprint the
+            # serialized definition the same way the live node does
+            from sparkt.manifest import unit_test_fingerprint
+
+            return unit_test_fingerprint(
+                node.get("model"), node.get("given"), node.get("expect")
+            )
         # manifest v12: FileHash object {"name": algo, "checksum": hex}
         return c.get("checksum") if isinstance(c, dict) else c
 
@@ -119,7 +132,13 @@ def modified_nodes(
                 out.add(uid)
             continue
         body = node.checksum() != state.checksum(uid)
-        configs = (old.get("config") or {}) != node.config
+        live_config = node.config
+        if node.resource_type == "unit_test":
+            # the artifact serializes only the schema's UnitTestConfig
+            # keys; compare the same projection of the live config
+            live_config = {k: v for k, v in node.config.items()
+                           if k in ("tags", "meta", "enabled")}
+        configs = (old.get("config") or {}) != live_config
         # relation identity = (schema override, alias); node.relation
         # itself is only populated at run time, so compare the configs
         old_cfg = old.get("config") or {}

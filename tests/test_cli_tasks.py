@@ -89,6 +89,26 @@ def test_clean_refuses_source_paths(tmp_path):
     assert os.path.exists(os.path.join(proj, "models"))
 
 
+def test_clean_refuses_paths_outside_project(tmp_path):
+    """clean_project_files_only (reference core/dbt/task/clean.py): a
+    clean-targets entry of '..', an absolute path, or the project root
+    itself must be refused, not rmtree'd."""
+    outside = str(tmp_path / "precious")
+    os.makedirs(outside)
+    for target in ("..", outside, "."):
+        proj = str(tmp_path / f"p_{abs(hash(target)) % 1000}")
+        files = dict(FILES)
+        files["dbt_project.yml"] = (
+            f"name: cliproj\nmodel-paths: [models]\nclean-targets: ['{target}']\n"
+        )
+        write_files(proj, files)
+        res = CliRunner().invoke(cli, ["clean", "--project-dir", proj])
+        assert res.exit_code == 2, (target, res.output)
+        assert "outside project" in res.output
+        assert os.path.exists(os.path.join(proj, "models"))
+    assert os.path.exists(outside)
+
+
 def test_init_scaffold(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     res = CliRunner().invoke(cli, ["init", "new_proj"])

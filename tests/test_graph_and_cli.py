@@ -483,3 +483,22 @@ def test_analysis_compile_only(make_project, spark):
     with open(compiled) as f:
         sql = f.read()
     assert "t_analysis" in sql and "{{" not in sql
+
+
+def test_ref_index_invalidates_on_same_count_mutation():
+    """Delete-one-add-another keeps len(nodes) constant; the ref index
+    must still invalidate (ADVICE r4: count-keyed cache served deleted
+    nodes). Manifest.nodes is a generation-tracked dict."""
+    from sparkt.manifest import Manifest, ParsedNode
+
+    m = Manifest()
+    a = ParsedNode(unique_id="model.p.a", name="a", package_name="p",
+                   resource_type="model")
+    m.nodes[a.unique_id] = a
+    assert m.ref_lookup("a") is a
+    del m.nodes[a.unique_id]
+    b = ParsedNode(unique_id="model.p.b", name="b", package_name="p",
+                   resource_type="model")
+    m.nodes[b.unique_id] = b
+    assert m.ref_lookup("a") is None
+    assert m.ref_lookup("b") is b

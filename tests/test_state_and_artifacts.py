@@ -71,6 +71,60 @@ def test_state_modified_and_defer(make_project, spark, tmp_path):
     assert not spark.catalog.tableExists("t_state_dev.a")
 
 
+def test_state_modified_unit_tests(make_project, spark, tmp_path):
+    """Unit tests serialize into manifest v12's top-level 'unit_tests'
+    (no checksum field); state:modified must compare them by definition
+    fingerprint, not report every unit test as new/modified forever
+    (ADVICE r4)."""
+    import shutil
+
+    ut_yaml = """
+unit_tests:
+  - name: ut_b_sum
+    model: b
+    given:
+      - input: ref('a')
+        rows:
+          - {id: 1, v: 1}
+          - {id: 2, v: 2}
+    expect:
+      rows:
+        - {s: 3}
+"""
+    files = dict(FILES)
+    files["models/units.yml"] = ut_yaml
+    runner = make_project(files, schema="t_state_ut")
+    assert runner.seed().ok and runner.build().ok
+    state_dir = str(tmp_path / "prod_state")
+    os.makedirs(state_dir)
+    shutil.copy(
+        os.path.join(runner.project.target_dir, "manifest.json"),
+        os.path.join(state_dir, "manifest.json"),
+    )
+    from sparkt.graph.linker import link_graph
+    from sparkt.graph.selector import select_nodes
+    from sparkt.runner import Runner
+    from sparkt.state import StateManifest
+
+    runner2 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_state_ut"})
+    sm = StateManifest(state_dir)
+    g = link_graph(runner2.manifest)
+    # untouched project: nothing modified, nothing new — in particular
+    # not the unit test
+    assert select_nodes(g, runner2.manifest, "state:modified", state=sm) == set()
+    assert select_nodes(g, runner2.manifest, "state:new", state=sm) == set()
+
+    # change only the expected rows → exactly the unit test is modified
+    with open(os.path.join(runner.project.project_root, "models/units.yml"), "w") as f:
+        f.write(ut_yaml.replace("{s: 3}", "{s: 4}"))
+    runner3 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_state_ut"})
+    g3 = link_graph(runner3.manifest)
+    modified = select_nodes(g3, runner3.manifest, "state:modified", state=sm)
+    assert {u.split(".")[-1] for u in modified} == {"ut_b_sum"}
+
+
 def test_clone(make_project, spark, tmp_path):
     runner = make_project(FILES, schema="t_clone_src")
     assert runner.seed().ok
@@ -147,6 +201,33 @@ def test_retry_from_state_dir(make_project, spark, tmp_path):
     res = fixed.retry(state=state_dir)
     assert [r.unique_id for r in res.results] == ["model.st.c"]
     assert res.ok, [r.message for r in res.results]
+
+
+def test_retry_replays_original_task_type(make_project, spark):
+    """retry must replay the ORIGINAL command (reference retry.py
+    restores the prior task class from run_results args) — a failed
+    `run` retried as `build` would add test edges and execute tests the
+    first invocation never ran (ADVICE r4)."""
+    files = dict(FILES)
+    files["models/c.sql"] = (
+        "select {{ 'broken_col' if var('break_it', true) else '1' }} as x "
+        "from {{ ref('b') }}"
+    )
+    runner = make_project(files, schema="t_retry_which")
+    assert runner.seed().ok
+    res = runner.run()
+    assert not res.ok and res.args["which"] == "run"
+    from sparkt.runner import Runner
+
+    fixed = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_it": False},
+        project_overrides={"schema": "t_retry_which"},
+    )
+    res2 = fixed.retry()
+    assert res2.ok and [r.unique_id for r in res2.results] == ["model.st.c"]
+    # the replay recorded the original task type, not 'build'
+    assert res2.args["which"] == "run"
 
 
 def test_retry_ignores_default_selector(make_project, spark):
