@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Maintain ROTATION.json: gate name → last round whose official
+driver artifact (CORRECTNESS_r{N}.json) recorded a green row for it.
+
+The driver artifact holds at most 50 entries per round (observed
+45/50/50/50 across r1–r4 — an entry cap, not a time budget), so with
+>50 registered gates some rotate out every round. The registry
+(sparkt/queries/__init__.py) orders gates by ascending last-rowed
+round, so the gates that missed the previous artifact run FIRST next
+round and every gate is green within the union of the last two
+artifacts. Run this at the start of each round, after the driver wrote
+CORRECTNESS_r{N}.json:
+
+    python scripts/update_rotation.py [--reset gate [gate ...]]
+
+--reset forces the named gates to round 0 (= "needs a fresh row"), for
+gates whose implementation changed since their last green row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reset", nargs="*", default=[],
+                    help="gates to force to round 0 (impl changed)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from sparkt.queries import QUERIES
+
+    last_rowed: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for gate, row in rows.items():
+            ok = (row.get("err") is None and row.get("rows_match")
+                  and row.get("schema_match") is not False)
+            if ok and gate in QUERIES:
+                last_rowed[gate] = max(last_rowed.get(gate, 0), rnd)
+
+    out = {g: last_rowed.get(g, 0) for g in QUERIES}
+    for g in args.reset:
+        if g not in out:
+            print(f"WARN: --reset {g}: not a registered gate", file=sys.stderr)
+            continue
+        out[g] = 0
+
+    dest = os.path.join(REPO, "ROTATION.json")
+    with open(dest, "w") as f:
+        json.dump(dict(sorted(out.items())), f, indent=1)
+        f.write("\n")
+    stale = [g for g, r in out.items() if r == 0]
+    print(f"{len(out)} gates; {len(stale)} need a fresh row: {sorted(stale)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

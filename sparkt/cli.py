@@ -73,7 +73,8 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                       state=kw.get("state"), defer=kw.get("defer", False),
                       favor_state=kw.get("favor_state", False),
                       fail_fast=kw.get("fail_fast", False),
-                      warn_error=kw.get("warn_error", False))
+                      warn_error=kw.get("warn_error", False),
+                      warn_error_options=kw.get("warn_error_options"))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
             kwargs["empty"] = kw.get("empty", False)
@@ -90,6 +91,13 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                        default=False, envvar="DBT_FAIL_FAST")(cmd)
     cmd = click.option("--warn-error", "warn_error", is_flag=True,
                        default=False, envvar="DBT_WARN_ERROR")(cmd)
+    cmd = click.option(
+        "--warn-error-options", "warn_error_options", default=None,
+        envvar="DBT_WARN_ERROR_OPTIONS",
+        help="YAML mapping with include/exclude/silence lists of event "
+             "names to promote/demote/suppress, e.g. "
+             "'{\"include\": \"all\", \"exclude\": [\"TestWarning\"]}' "
+             "(reference core/dbt/cli/main.py:138)")(cmd)
     if full_refresh_opt:
         cmd = click.option("--full-refresh", is_flag=True, default=False)(cmd)
         cmd = click.option("--empty/--no-empty", "empty", default=False,

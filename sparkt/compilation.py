@@ -60,17 +60,87 @@ class Compiler:
             return f"(select * from {rendered} limit 0)"
         return rendered
 
+    # ----------------------------------------------------- naming macros
+    def _naming_macros(self) -> dict:
+        """Project-overridable ``generate_schema_name`` /
+        ``generate_alias_name`` / ``generate_database_name``
+        (reference: ``tests/functional/custom_aliases/fixtures.py:14-38``,
+        ``tests/functional/context_methods/test_var_in_generate_name.py``;
+        ``parser/partial.py:55`` lists them as special macros whose
+        change forces re-render — satisfied here because macro file
+        hashes key the whole-manifest parse cache). Bound ONCE against a
+        minimal context (target/var/env_var/parse-adapter): naming
+        macros run before any relation exists, so they may not ref() or
+        run queries — same restriction as the reference."""
+        cached = getattr(self, "_naming_cache", None)
+        if cached is None:
+            ctx = ctx_mod.base_context(self.project.vars, self.cli_vars)
+            ctx.update({
+                "target": {
+                    "name": "dev",
+                    "type": "spark",
+                    "schema": self.project.schema,
+                    "threads": self.project.threads,
+                },
+                "adapter": ctx_mod._ParseAdapter(),
+            })
+            ctx_mod.bind_macros(self.macro_templates, ctx)
+            cached = {
+                kind: ctx.get(f"generate_{kind}_name")
+                for kind in ("schema", "alias", "database")
+            }
+            self._naming_cache = cached
+        return cached
+
+    @staticmethod
+    def _node_view(node: ParsedNode) -> dict:
+        """The ``node`` argument naming macros receive (attribute access
+        works on dicts in Jinja)."""
+        return {
+            "name": node.name,
+            "unique_id": node.unique_id,
+            "resource_type": node.resource_type,
+            "package_name": node.package_name,
+            "config": node.config,
+            "version": node.config.get("version"),
+        }
+
+    def generate_schema_name(self, custom: str | None, node: ParsedNode) -> str:
+        fn = self._naming_macros()["schema"]
+        if fn is not None:
+            return str(fn(custom, self._node_view(node))).strip()
+        # reference default__generate_schema_name: concat, NOT verbatim
+        if custom is None:
+            return self.project.schema
+        return f"{self.project.schema}_{str(custom).strip()}"
+
+    def generate_alias_name(self, custom: str | None, node: ParsedNode) -> str:
+        fn = self._naming_macros()["alias"]
+        if fn is not None:
+            return str(fn(custom, self._node_view(node))).strip()
+        # default: custom alias verbatim, else node name (versioned
+        # model files are already named <base>_v<N>)
+        return str(custom).strip() if custom is not None else node.name
+
     # ------------------------------------------------------------------
     def relation_for(self, node: ParsedNode) -> Relation:
-        schema = node.config.get("schema") or self.project.schema
         if node.resource_type == "source":
             return Relation(
                 schema=node.config.get("schema", node.source_name),
                 identifier=node.config.get("identifier", node.name),
             )
+        cache = getattr(self, "_rel_name_cache", None)
+        if cache is None:
+            cache = self._rel_name_cache = {}
+        names = cache.get(node.unique_id)
+        if names is None:
+            names = cache[node.unique_id] = (
+                self.generate_schema_name(node.config.get("schema"), node),
+                self.generate_alias_name(node.config.get("alias"), node),
+            )
         return Relation(
-            schema=schema,
-            identifier=node.alias,
+            schema=names[0],
+            identifier=names[1],
             type="view" if node.materialized == "view" else "table",
         )
 

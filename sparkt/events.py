@@ -153,6 +153,17 @@ class CommandCompleted(Event):
 
 
 @dataclass
+class NoNodesForSelectionCriteria(Event):
+    CODE = "M030"
+    LEVEL = "warn"
+    spec_raw: str = ""
+
+    def message(self) -> str:
+        return (f"The selection criterion '{self.spec_raw}' does not "
+                "match any enabled nodes")
+
+
+@dataclass
 class RunResultError(Event):
     CODE = "Z024"
     LEVEL = "error"
@@ -163,6 +174,66 @@ class RunResultError(Event):
         return f"  {self.msg}"
 
 
+class WarnErrorOptions:
+    """``--warn-error-options`` include/exclude/silence semantics
+    (reference ``core/dbt/cli/main.py:138`` + ``option_types.py:46-66``):
+
+    - ``include``: ``"all"``/``"*"`` or a list of event names promoted
+      from warning to error;
+    - ``exclude``: event names kept as warnings even under
+      ``include: all`` (exclusion wins over inclusion);
+    - ``silence``: event names suppressed entirely (not logged, never
+      promoted).
+
+    ``error`` / ``warn`` are accepted aliases for include / exclude,
+    matching the reference's ``exclusive_primary_alt_value_setting``.
+    """
+
+    def __init__(self, include=None, exclude=None, silence=None):
+        self.include = include if include is not None else []
+        self.exclude = list(exclude or [])
+        self.silence = list(silence or [])
+
+    @classmethod
+    def from_yaml(cls, text: str | None) -> "WarnErrorOptions":
+        """Parse the CLI/env YAML string, e.g.
+        ``'{"include": "all", "exclude": ["NoNodesForSelectionCriteria"]}'``."""
+        if not text:
+            return cls()
+        import yaml
+
+        raw = yaml.safe_load(text) or {}
+        if not isinstance(raw, dict):
+            raise ValueError(
+                f"--warn-error-options must be a YAML mapping, got: {text!r}"
+            )
+        return cls(
+            include=raw.get("include", raw.get("error", [])),
+            exclude=raw.get("exclude", raw.get("warn", [])),
+            silence=raw.get("silence", []),
+        )
+
+    def _include_all(self) -> bool:
+        return isinstance(self.include, str) and self.include.lower() in (
+            "all", "*",
+        )
+
+    def silenced(self, name: str) -> bool:
+        return name in self.silence
+
+    def includes(self, name: str) -> bool:
+        if name in self.silence or name in self.exclude:
+            return False
+        if self._include_all():
+            return True
+        return name in self.include
+
+
+class WarnAsError(Exception):
+    """A warning promoted to an error by --warn-error /
+    --warn-error-options (reference EventCompilationError shape)."""
+
+
 class EventManager:
     """Append-only jsonl event log (``logs/dbt.log``), thread-safe —
     runner worker threads fire node events concurrently."""
@@ -171,9 +242,32 @@ class EventManager:
         self.log_path = os.path.join(log_dir, "dbt.log")
         self.invocation_id = invocation_id
         self._lock = threading.Lock()
+        #: blanket --warn-error + granular --warn-error-options; set by
+        #: the runner per invocation
+        self.warn_error = False
+        self.warn_error_options = WarnErrorOptions()
         os.makedirs(log_dir, exist_ok=True)
 
     def fire(self, event: Event) -> None:
         line = event.to_line(self.invocation_id)
         with self._lock, open(self.log_path, "a") as f:
             f.write(line + "\n")
+
+    def promotes(self, event_name: str) -> bool:
+        """True when this warning class must be raised as an error."""
+        if self.warn_error_options.silenced(event_name):
+            return False
+        if self.warn_error and event_name not in self.warn_error_options.exclude:
+            return True
+        return self.warn_error_options.includes(event_name)
+
+    def warn_or_error(self, event: Event) -> None:
+        """Fire a warning-level event, raising instead when its class is
+        promoted (reference dbt_common warn_or_error + the
+        ``--warn-error-options`` flag)."""
+        name = type(event).__name__
+        if self.warn_error_options.silenced(name):
+            return
+        if self.promotes(name):
+            raise WarnAsError(f"[{name}] {event.message()}")
+        self.fire(event)

@@ -451,56 +451,113 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the step after
     every pair generator (minhash/jaccard/winnowing): pairs → clusters,
     so one canonical doc per cluster survives.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round a node takes the min of its label and its
-    neighbors' labels; fixpoint in O(component diameter) rounds. Each
-    round is ONE shuffle (edge⋈label groupBy-min) — the alternating
-    small-star/large-star formulation (Kiveris et al., "Connected
-    Components in MapReduce") drops the round count to O(log n) at
-    100 TB, same per-round shuffle shape. ``localCheckpoint`` truncates
-    the growing lineage so round N doesn't replay rounds 1..N-1.
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14):
+
+    - large-star(u): over the undirected neighborhood Γ(u), attach every
+      strictly-greater neighbor to ``m = min(Γ(u) ∪ {u})``;
+    - small-star(u): over the smaller neighbors, attach them (and u) to
+      their minimum.
+
+    Both steps are one groupBy-min + one equijoin — the same per-round
+    shuffle shape as naive label propagation — but the component
+    collapses in **O(log n) rounds instead of O(diameter)**, which is
+    the difference between 7 rounds and thousands on the chain-shaped
+    components templated boilerplate produces at 100 TB. At fixpoint
+    every component is a star rooted at its minimum id.
+
+    Convergence is detected from the edge multiset signature
+    (count + sum of xxhash64(u, v)) folded into ONE aggregate job per
+    round — no extra join-and-count pass; a false "converged" would
+    need a colliding 64-bit hash *sum*, which is negligible. On hitting
+    ``max_iter`` unconverged this RAISES (``strict=True``, default) or
+    warns — it never silently returns truncated labels (round-4 advice:
+    a >20-hop chain used to be split into multiple clusters with no
+    signal). With default settings, components up to ~2^20 diameter
+    converge.
 
     Returns (doc, cluster) for every doc appearing in ``pairs``;
     cluster = min doc id of the component (deterministic).
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    # canonical (child > parent) orientation; both star steps preserve it
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-    )
+
+    def _signature(e: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: a plain bigint sum of 64-bit hashes
+        # overflows under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        bidir = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            bidir.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        return (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is (child, parent) with parent < child
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        reattached = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return reattached.union(
+            mins.select("u", F.col("m").alias("v"))
+        ).distinct()
+
+    sig = None  # first round always runs; no upfront signature job
+    converged = False
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src").agg(F.min("label").alias("nl"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.node == neigh.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            converged = True
             break
-    return labels.select(F.col("node").alias("doc"),
-                         F.col("label").alias("cluster"))
+        sig = new_sig
+    if not converged:
+        msg = (
+            f"duplicate_clusters did not converge in {max_iter} rounds; "
+            "labels would be incorrect for components still contracting. "
+            "Raise max_iter (rounds grow O(log component_size))."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # fixpoint is a star forest: every non-root points at its component
+    # minimum; roots appear only on the parent side
+    return (
+        edges.select(F.col("u").alias("doc"), F.col("v").alias("cluster"))
+        .union(
+            edges.select(F.col("v").alias("doc"), F.col("v").alias("cluster"))
+        )
+        .distinct()
+    )

@@ -147,32 +147,40 @@ class _TrackedDict(dict):
         super().__init__(*a, **k)
         self.gen = 0
 
+    def _bump(self):
+        # unpickling repopulates via __setitem__ BEFORE __init__ runs,
+        # so the slot may not exist yet
+        try:
+            self.gen += 1
+        except AttributeError:
+            self.gen = 1
+
     def __setitem__(self, k, v):
         super().__setitem__(k, v)
-        self.gen += 1
+        self._bump()
 
     def __delitem__(self, k):
         super().__delitem__(k)
-        self.gen += 1
+        self._bump()
 
     def update(self, *a, **k):
         super().update(*a, **k)
-        self.gen += 1
+        self._bump()
 
     def pop(self, *a):
-        self.gen += 1
+        self._bump()
         return super().pop(*a)
 
     def popitem(self):
-        self.gen += 1
+        self._bump()
         return super().popitem()
 
     def clear(self):
-        self.gen += 1
+        self._bump()
         super().clear()
 
     def setdefault(self, k, d=None):
-        self.gen += 1
+        self._bump()
         return super().setdefault(k, d)
 
 

@@ -40,34 +40,21 @@ _DK_SHINGLES_K3 = (
 ).format(toks=_DK_TOKENS)
 
 
-# ------------------------------------------------------------------ t1
-def t1_token_stats(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    ).orderBy("doc_id")
-
-
-T1_SQL = f"""
-SELECT doc_id,
-       len({_DK_TOKENS}) AS n_tokens,
-       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                            t -> t != ''))
-            + (length(lower(text))
-               - length(regexp_replace(lower(text), '[a-z][0-9]', '', 'g'))) / 2
-            AS INT) AS n_subword_tokens,
-       length(text) AS n_chars_actual
-FROM documents
-ORDER BY doc_id
-"""
-
-
 # ------------------------------------------------------------------ t2
+# (r5 consolidation: t1_token_stats and t5_repetition merged into this
+# gate; p1_hash_split into p3; s2_lsh_ann into s4; d2 into d3 — see
+# COVERAGE.md "registry policy")
 def t2_quality_scores(spark, sf_dir):
-    """Explode→groupBy formulation: one tokenize pass per doc (the
+    """Text-analysis scalars in ONE per-doc gate: token stats
+    (whitespace + BPE-ish subword counts — r4's t1), quality features
+    (alpha/stopword/length ratios), and Gopher-style repetition signals
+    (dup-token fraction, top-bigram occupancy — r4's t5). Consolidated
+    in r5 under the driver's 50-entry artifact cap (COVERAGE.md
+    "registry policy"): the three surfaces are per-doc projections over
+    the same tokenize pass, so one gate verifies all of them without
+    extra scans.
+
+    Explode→groupBy formulation: one tokenize pass per doc (the
     column-expression form re-evaluates the split per feature because
     stopword filtering is a higher-order function — see PLANS.md)."""
     docs = T(spark, sf_dir, "documents")
@@ -85,14 +72,20 @@ def t2_quality_scores(spark, sf_dir):
         "doc_id",
         F.length("text").alias("n_chars"),
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
     )
-    j = char_stats.join(tok_stats, "doc_id")
+    rep = TX.repetition_table(docs, "text", "doc_id").select(
+        F.col("doc").alias("doc_id"), "dup_token_ratio", "top_bigram_ratio"
+    )
+    j = char_stats.join(tok_stats, "doc_id").join(rep, "doc_id")
     alpha = F.col("alpha_chars") / F.greatest(F.col("n_chars"), F.lit(1))
     stop = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
     length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
     return j.select(
         "doc_id",
         "n_tokens",
+        "n_subword_tokens",
+        "n_chars",
         F.round(alpha, 6).alias("alpha_ratio"),
         F.round(stop, 6).alias("stopword_ratio"),
         F.round(
@@ -101,13 +94,41 @@ def t2_quality_scores(spark, sf_dir):
         F.round(0.4 * length_term + 0.3 * alpha + 0.3 * stop, 6).alias(
             "quality"
         ),
+        "dup_token_ratio",
+        "top_bigram_ratio",
     ).orderBy("doc_id")
 
 
 _EN = _sql_list(TX.EN_STOPWORDS)
 T2_SQL = f"""
-SELECT doc_id,
+WITH t AS (SELECT doc_id, {_DK_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
+       FROM tc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+              CAST(max(cnt) AS BIGINT) AS top_bigram
+       FROM bc GROUP BY 1),
+rep AS (SELECT ts.doc_id,
+               round(dup_tok * 1.0 / greatest(n_tokens, 1), 6)
+                 AS dup_token_ratio,
+               round(coalesce(top_bigram, 0) * 1.0 / greatest(n_bigrams, 1), 6)
+                 AS top_bigram_ratio
+        FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)
+SELECT d.doc_id,
        len({_DK_TOKENS}) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t != ''))
+            + (length(lower(text))
+               - length(regexp_replace(lower(text), '[a-z][0-9]', '', 'g'))) / 2
+            AS INT) AS n_subword_tokens,
+       length(text) AS n_chars,
        round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
              / greatest(length(text), 1), 6) AS alpha_ratio,
        round(len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
@@ -118,9 +139,11 @@ SELECT doc_id,
              + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                       / greatest(length(text), 1))
              + 0.3 * (len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
-                      / greatest(len({_DK_TOKENS}), 1)), 6) AS quality
-FROM documents
-ORDER BY doc_id
+                      / greatest(len({_DK_TOKENS}), 1)), 6) AS quality,
+       rep.dup_token_ratio,
+       rep.top_bigram_ratio
+FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -184,15 +207,8 @@ ORDER BY doc_id
 
 
 # ------------------------------------------------------------------ d2
-def d2_minhash_signatures(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
-    return (
-        D.minhash_table(docs, "text", "doc_id", n_hashes=4)
-        .withColumnRenamed("doc", "doc_id")
-        .orderBy("doc_id")
-    )
-
-
+# (d2_minhash_signatures gate merged into d3 in r5: signatures are the
+# intermediate of minhash pairs — COVERAGE.md "registry policy")
 def _dk_minhash(i: int) -> str:
     # mirrors hash_family_member: ONE md5 per shingle, member i = hex
     # string rotated left by 4*i chars
@@ -204,17 +220,6 @@ def _dk_minhash(i: int) -> str:
             f"substr(md5(s), {off + 1}, {32 - off}) || substr(md5(s), 1, {off})"
         )
     return f"list_min(list_transform({_DK_SHINGLES_K3}, s -> {member}))"
-
-
-D2_SQL = f"""
-SELECT doc_id,
-       {_dk_minhash(0)} AS mh0,
-       {_dk_minhash(1)} AS mh1,
-       {_dk_minhash(2)} AS mh2,
-       {_dk_minhash(3)} AS mh3
-FROM documents
-ORDER BY doc_id
-"""
 
 
 # ------------------------------------------------------------------ d3
@@ -367,26 +372,15 @@ ORDER BY query_id, rank
 
 
 # ------------------------------------------------------------------ s2
-def s2_lsh_ann(spark, sf_dir):
-    """Approximate NN via sign-bit LSH buckets (scale path). Not
-    SQL-oracled: the driver records a rows-only check; accuracy is
-    asserted against brute force in tests/test_pipeline_ops.py."""
-    emb = T(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    return S.lsh_bucketed_topk(queries, corpus, dim=64, k=5, n_planes=4).orderBy(
-        "query_id", "rank"
-    )
-
-
 # ------------------------------------------------------------------ s4
-def s4_ivf_ann(spark, sf_dir):
-    """IVF-style ANN (cell-pruned exact search). Approximate → rows-only
-    check; recall asserted vs brute force in tests."""
+def s4_ann_methods(spark, sf_dir):
+    """BOTH approximate-NN scale paths in one method-tagged gate
+    (consolidated r5 under the driver's 50-entry artifact cap,
+    COVERAGE.md "registry policy"): sign-bit LSH bucketed top-k (r4's
+    s2) unioned with IVF cell-pruned top-k. Approximate → rows-only
+    driver check (no exact SQL oracle exists); recall vs brute force
+    and the full-probe ≡ exact identity are asserted in
+    tests/test_pipeline_ops.py."""
     emb = T(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -394,8 +388,13 @@ def s4_ivf_ann(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    return S.ivf_topk(queries, corpus, dim=64, k=5, n_cells=8, n_probe=2) \
-        .orderBy("query_id", "rank")
+    lsh = S.lsh_bucketed_topk(
+        queries, corpus, dim=64, k=5, n_planes=4
+    ).withColumn("method", F.lit("signlsh"))
+    ivf = S.ivf_topk(
+        queries, corpus, dim=64, k=5, n_cells=8, n_probe=2
+    ).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf).orderBy("method", "query_id", "rank")
 
 
 # ------------------------------------------------------------------ d6
@@ -592,38 +591,6 @@ ORDER BY doc_id
 """
 
 
-# ------------------------------------------------------------------ t5
-def t5_repetition(spark, sf_dir):
-    """Gopher-style repetition signals (duplicate-token fraction,
-    top-bigram occupancy) via sparkt.functions.text.repetition_table."""
-    docs = T(spark, sf_dir, "documents")
-    return TX.repetition_table(docs, "text", "doc_id").orderBy("doc")
-
-
-T5_SQL = f"""
-WITH t AS (SELECT doc_id, {_DK_TOKENS} AS toks FROM documents),
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-tc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
-ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
-       FROM tc GROUP BY 1),
-bg AS (SELECT doc_id,
-              unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
-                                    i -> toks[i] || ' ' || toks[i+1])) AS bg
-       FROM t WHERE len(toks) >= 2),
-bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
-bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-              CAST(max(cnt) AS BIGINT) AS top_bigram
-       FROM bc GROUP BY 1)
-SELECT ts.doc_id AS doc, n_tokens,
-       round(dup_tok * 1.0 / greatest(n_tokens, 1), 6) AS dup_token_ratio,
-       round(coalesce(top_bigram, 0) * 1.0 / greatest(n_bigrams, 1), 6)
-         AS top_bigram_ratio
-FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
-ORDER BY doc
-"""
-
-
 # ------------------------------------------------------------------ t6
 def t6_tfidf_terms(spark, sf_dir):
     """Top-3 characteristic terms per doc by tf·(1/df)
@@ -674,52 +641,6 @@ SELECT s.doc_id AS doc, n_sh, overlap,
 FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
 WHERE overlap * 1.0 / n_sh >= 0.05
 ORDER BY doc
-"""
-
-
-# ------------------------------------------------------------------ p1
-def p1_hash_split(spark, sf_dir):
-    """Deterministic hash sampling + train/val/test split
-    (sparkt.functions.sampling): per (lang, split) doc counts plus how
-    many fall in a 4/16 hash sample — stable across reruns, partition
-    layouts, and engines."""
-    from sparkt.functions import sampling as SP
-
-    docs = T(spark, sf_dir, "documents")
-    split = SP.train_val_test_split(docs, "doc_id")
-    sampled = split.withColumn(
-        "kept",
-        F.when(
-            SP.hash_bucket(F.col("doc_id")).isin(list("0123")), 1
-        ).otherwise(0),
-    )
-    return (
-        sampled.groupBy("lang", "split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("kept").alias("n_sampled"),
-        )
-        .orderBy("lang", "split")
-    )
-
-
-P1_SQL = """
-WITH b AS (
-  SELECT lang,
-         substr(md5('split:' || doc_id::VARCHAR), 1, 1) AS sb,
-         substr(md5('sample:' || doc_id::VARCHAR), 1, 1) AS kb
-  FROM documents)
-SELECT lang,
-       CASE WHEN sb IN ('0','1','2','3','4','5','6','7','8','9','a','b')
-              THEN 'train'
-            WHEN sb IN ('c','d') THEN 'val'
-            ELSE 'test' END AS split,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN kb IN ('0','1','2','3') THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_sampled
-FROM b
-GROUP BY 1, 2
-ORDER BY lang, split
 """
 
 
@@ -863,24 +784,44 @@ ORDER BY doc, chunk_idx
 
 # ------------------------------------------------------------------ p3
 def p3_stratified_sample(spark, sf_dir):
-    """Class-rebalancing: deterministic per-language downsampling
-    (keep 25% of 'en', 50% of 'de', everything else untouched) —
-    sparkt.functions.sampling.stratified_sample. Pure filter, no
-    shuffle; counts per language prove the survivor sets match the
-    oracle's identical md5 arithmetic exactly."""
+    """Deterministic sampling surfaces in ONE gate (consolidated r5
+    under the driver's 50-entry artifact cap, COVERAGE.md "registry
+    policy"): class-rebalancing stratified downsampling (keep 25% of
+    'en', 50% of 'de' — stratified_sample), then the salted-md5
+    train/val/test split and 4/16 hash sample (r4's p1:
+    train_val_test_split + hash_bucket) applied to the survivors. All
+    pure filters/projections — no shuffle before the final tiny
+    groupBy; per-language counts + sorted-id md5 prove the survivor
+    sets match the oracle's identical md5 arithmetic exactly."""
     from sparkt.functions import sampling as SP
 
     docs = T(spark, sf_dir, "documents")
     kept = SP.stratified_sample(
         docs, "doc_id", "lang", {"en": 0.25, "de": 0.5}
     )
+    split = SP.train_val_test_split(kept, "doc_id").withColumn(
+        "sampled",
+        F.when(
+            SP.hash_bucket(F.col("doc_id")).isin(list("0123")), 1
+        ).otherwise(0),
+    )
     return (
-        kept.groupBy("lang")
+        split.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.md5(F.concat_ws(
                 ",", F.sort_array(F.collect_list(F.col("doc_id")))
             )).alias("ids_md5"),
+            F.sum(
+                F.when(F.col("split") == "train", 1).otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(F.col("split") == "val", 1).otherwise(0)
+            ).alias("n_val"),
+            F.sum(
+                F.when(F.col("split") == "test", 1).otherwise(0)
+            ).alias("n_test"),
+            F.sum("sampled").alias("n_sampled"),
         )
         .orderBy("lang")
     )
@@ -896,10 +837,24 @@ kept AS (
   SELECT doc_id, lang FROM hashed
   WHERE h32 < CASE lang WHEN 'en' THEN CAST(0.25 * 4294967296 AS BIGINT)
                         WHEN 'de' THEN CAST(0.5 * 4294967296 AS BIGINT)
-                        ELSE 4294967296 END)
+                        ELSE 4294967296 END),
+b AS (
+  SELECT doc_id, lang,
+         substr(md5('split:' || doc_id::VARCHAR), 1, 1) AS sb,
+         substr(md5('sample:' || doc_id::VARCHAR), 1, 1) AS kb
+  FROM kept)
 SELECT lang, count(*) AS n_kept,
-       md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
-FROM kept
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5,
+       CAST(sum(CASE WHEN sb IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN sb IN ('c','d') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(sum(CASE WHEN sb NOT IN ('0','1','2','3','4','5','6','7','8','9',
+                                     'a','b','c','d') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN kb IN ('0','1','2','3') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled
+FROM b
 GROUP BY lang
 ORDER BY lang
 """
@@ -908,10 +863,10 @@ ORDER BY lang
 # ------------------------------------------------------------------ d9
 def d9_dup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the d5 jaccard
-    pairs via iterative min-label propagation
-    (sparkt.functions.dedup.duplicate_clusters) — a genuinely
-    iterative operator the driver checks against DuckDB's recursive
-    CTE transitive closure."""
+    pairs via alternating large-star/small-star contraction
+    (sparkt.functions.dedup.duplicate_clusters, O(log n) rounds) — a
+    genuinely iterative operator the driver checks against DuckDB's
+    recursive CTE transitive closure."""
     docs = T(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
     return D.duplicate_clusters(pairs).orderBy("doc")
@@ -974,26 +929,21 @@ QUERIES = {
     "s5_quantize_int8": s5_quantize_int8,
     "a1_asof_join": a1_asof_join,
     "a2_range_join": a2_range_join,
-    "t1_token_stats": t1_token_stats,
     "t2_quality_scores": t2_quality_scores,
     "t3_lang_id": t3_lang_id,
     "d1_exact_dedup": d1_exact_dedup,
-    "d2_minhash_signatures": d2_minhash_signatures,
     "d3_minhash_pairs": d3_minhash_pairs,
     "d4_simhash": d4_simhash,
     "d5_ngram_jaccard": d5_ngram_jaccard,
     "d7_winnow_pairs": d7_winnow_pairs,
     "d9_dup_clusters": d9_dup_clusters,
     "s1_cosine_topk": s1_cosine_topk,
-    "s2_lsh_ann": s2_lsh_ann,
     "s3_label_centroids": s3_label_centroids,
-    "s4_ivf_ann": s4_ivf_ann,
+    "s4_ann_methods": s4_ann_methods,
     "d6_embedding_neardup": d6_embedding_neardup,
     "t4_pii_redact": t4_pii_redact,
-    "t5_repetition": t5_repetition,
     "t6_tfidf_terms": t6_tfidf_terms,
     "d8_decontaminate": d8_decontaminate,
-    "p1_hash_split": p1_hash_split,
     "p2_salted_join": p2_salted_join,
     "p3_stratified_sample": p3_stratified_sample,
     "t7_approx_sketch": t7_approx_sketch,
@@ -1005,25 +955,21 @@ ORACLES = {
     "s5_quantize_int8": S5_SQL,
     "a1_asof_join": A1_SQL,
     "a2_range_join": A2_SQL,
-    "t1_token_stats": T1_SQL,
     "t2_quality_scores": T2_SQL,
     "t3_lang_id": T3_SQL,
     "d1_exact_dedup": D1_SQL,
-    "d2_minhash_signatures": D2_SQL,
     "d3_minhash_pairs": D3_SQL,
     "d4_simhash": D4_SQL,
     "d5_ngram_jaccard": D5_SQL,
     "d7_winnow_pairs": D7_SQL,
     "d9_dup_clusters": _d9_sql(),
     "s1_cosine_topk": S1_SQL,
-    # s2_lsh_ann / s4_ivf_ann: intentionally no oracle (approximate)
+    # s4_ann_methods: intentionally no oracle (approximate ANN)
     "s3_label_centroids": S3_SQL,
     "d6_embedding_neardup": D6_SQL,
     "t4_pii_redact": T4_SQL,
-    "t5_repetition": T5_SQL,
     "t6_tfidf_terms": T6_SQL,
     "d8_decontaminate": D8_SQL,
-    "p1_hash_split": P1_SQL,
     "p2_salted_join": P2_SQL,
     "p3_stratified_sample": P3_SQL,
     "t7_approx_sketch": T7_SQL,

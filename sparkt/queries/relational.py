@@ -91,28 +91,8 @@ LIMIT 10
 
 
 # ----------------------------------------------------------------- q4
-def q4_order_priority(spark, sf_dir):
-    """EXISTS correlated subquery → left-semi join."""
-    orders = T(spark, sf_dir, "orders")
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = li.filter(F.col("l_shipdate") > "1998-06-01").select("l_orderkey").distinct()
-    return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-Q4_SQL = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01')
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
+# (q4_order_priority merged into q13_semi_anti in r5: both pin
+# existence-join physical operators — COVERAGE.md "registry policy")
 
 
 # ----------------------------------------------------------------- q5
@@ -369,26 +349,66 @@ ORDER BY p_brand
 
 
 # ---------------------------------------------------------------- q13
-def q13_customers_no_orders(spark, sf_dir):
-    """NOT IN → null-aware anti join (the incremental-predicate shape,
-    incremental_schema_tests/fixtures.py:74-80)."""
-    cust = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") == 1995
-    ).select("o_custkey")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+def q13_semi_anti(spark, sf_dir):
+    """Existence joins in ONE src-tagged gate (consolidated r5 under
+    the driver's 50-entry artifact cap, COVERAGE.md "registry policy"):
+
+    - 'semi' block (r4's q4): EXISTS correlated subquery → left-semi
+      join, order-priority counts;
+    - 'anti' block: NOT IN → null-aware left-anti join (the
+      incremental-predicate shape,
+      incremental_schema_tests/fixtures.py:74-80), row-level customers
+      with no 1995 orders.
+
+    The driver's value-hash is order-insensitive, so the union verifies
+    both blocks exactly."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.filter(F.col("l_shipdate") > "1998-06-01") \
+        .select("l_orderkey").distinct()
+    semi = (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("semi").alias("src"),
+            F.col("o_orderpriority").alias("k"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("mktsegment"),
+            F.col("n"),
+        )
     )
+    cust = T(spark, sf_dir, "customer")
+    o95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    anti = (
+        cust.join(o95, cust.c_custkey == o95.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("src"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
+    return semi.unionByName(anti).orderBy("src", "k")
 
 
 Q13_SQL = """
-SELECT c_custkey, c_name, c_mktsegment
+SELECT 'semi' AS src, o_orderpriority AS k,
+       CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS mktsegment,
+       count(*) AS n
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01')
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'anti', CAST(c_custkey AS VARCHAR), c_name, c_mktsegment,
+       CAST(NULL AS BIGINT)
 FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL)
-ORDER BY c_custkey
+ORDER BY src, k
 """
 
 
@@ -430,28 +450,8 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------- q15
-def q15_rollup(spark, sf_dir):
-    """GROUP BY ROLLUP (free via Spark SQL, SURVEY.md §2.5)."""
-    li = T(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.grouping("l_returnflag").alias("g_rf"),
-            F.grouping("l_linestatus").alias("g_ls"),
-        )
-        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
-    )
-
-
-Q15_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       CAST(grouping(l_returnflag) AS INT) AS g_rf,
-       CAST(grouping(l_linestatus) AS INT) AS g_ls
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
-"""
+# (q15_rollup merged into q22_grouping_sets in r5: both compile to the
+# same Catalyst Expand — COVERAGE.md "registry policy")
 
 
 # ---------------------------------------------------------------- q16
@@ -655,32 +655,58 @@ ORDER BY event_type
 
 # ---------------------------------------------------------------- q22
 def q22_grouping_sets(spark, sf_dir):
-    """GROUPING SETS via Spark SQL (free surface, SURVEY.md §2.5)."""
+    """GROUPING SETS + ROLLUP in ONE src-tagged gate (absorbs r4's
+    q15_rollup — consolidated r5 under the driver's 50-entry artifact
+    cap, COVERAGE.md "registry policy"). Both compile to the same
+    Catalyst Expand; the 'rollup' block keeps the DataFrame
+    ``.rollup()`` API surface, the 'gsets' block the SQL
+    ``GROUP BY GROUPING SETS`` surface."""
     li = T(spark, sf_dir, "lineitem")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+        .select(F.lit("rollup").alias("src"), "l_returnflag",
+                "l_linestatus", "n_rows", "qty", "g_rf", "g_ls")
+    )
     li.createOrReplaceTempView("__q22_lineitem")
-    return spark.sql(
+    gsets = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        SELECT 'gsets' AS src, l_returnflag, l_linestatus,
+               count(*) AS n_rows,
                round(sum(l_quantity), 2) AS qty,
                CAST(grouping(l_returnflag) AS INT) AS g_rf,
                CAST(grouping(l_linestatus) AS INT) AS g_ls
         FROM __q22_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                 (l_returnflag, l_linestatus))
-        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
         """
+    )
+    return rollup.unionByName(gsets).orderBy(
+        "src", "g_rf", "g_ls", "l_returnflag", "l_linestatus"
     )
 
 
 Q22_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+SELECT 'rollup' AS src, l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS qty,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets', l_returnflag, l_linestatus, count(*) AS n_rows,
        round(sum(l_quantity), 2) AS qty,
        CAST(grouping(l_returnflag) AS INT) AS g_rf,
        CAST(grouping(l_linestatus) AS INT) AS g_ls
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                         (l_returnflag, l_linestatus))
-ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+ORDER BY src, g_rf, g_ls, l_returnflag, l_linestatus
 """
 
 
@@ -995,7 +1021,6 @@ ORDER BY o_custkey
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
-    "q4_order_priority": q4_order_priority,
     "q5_region_revenue": q5_region_revenue,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q7_customer_order_ranks": q7_customer_order_ranks,
@@ -1004,9 +1029,8 @@ QUERIES = {
     "q10_status_pivot": q10_status_pivot,
     "q11_distinct_counts": q11_distinct_counts,
     "q12_parts_having": q12_parts_having,
-    "q13_customers_no_orders": q13_customers_no_orders,
+    "q13_semi_anti": q13_semi_anti,
     "q14_scalar_functions": q14_scalar_functions,
-    "q15_rollup": q15_rollup,
     "q16_events_hourly": q16_events_hourly,
     "q17_sessionize": q17_sessionize,
     "q18_above_brand_avg": q18_above_brand_avg,
@@ -1027,7 +1051,6 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
-    "q4_order_priority": Q4_SQL,
     "q5_region_revenue": Q5_SQL,
     "q6_revenue_forecast": Q6_SQL,
     "q7_customer_order_ranks": Q7_SQL,
@@ -1036,9 +1059,8 @@ ORACLES = {
     "q10_status_pivot": Q10_SQL,
     "q11_distinct_counts": Q11_SQL,
     "q12_parts_having": Q12_SQL,
-    "q13_customers_no_orders": Q13_SQL,
+    "q13_semi_anti": Q13_SQL,
     "q14_scalar_functions": Q14_SQL,
-    "q15_rollup": Q15_SQL,
     "q16_events_hourly": Q16_SQL,
     "q17_sessionize": Q17_SQL,
     "q18_above_brand_avg": Q18_SQL,

@@ -325,9 +325,23 @@ class Runner:
         selector: str | None = None,
         fail_fast: bool = False,
         warn_error: bool = False,
+        warn_error_options: str | None = None,
         favor_state: bool = False,
     ) -> RunResults:
         t0 = time.time()
+        # --warn-error (blanket) + --warn-error-options (granular
+        # include/exclude/silence by event name, reference
+        # core/dbt/cli/main.py:138); both live on the event manager so
+        # every warn site routes through events.promotes()
+        from sparkt import events as EV
+        from sparkt.events import WarnErrorOptions
+
+        self.events.warn_error = warn_error
+        self.events.warn_error_options = (
+            warn_error_options
+            if isinstance(warn_error_options, WarnErrorOptions)
+            else WarnErrorOptions.from_yaml(warn_error_options)
+        )
         # --empty (reference cli/params.py:87): refs/sources compile to
         # zero-row subqueries — schema-only dry builds
         self.compiler.empty = empty
@@ -357,6 +371,12 @@ class Runner:
         if only_uids is not None:
             selected &= only_uids
         to_run = {uid for uid in selected if self._executable(uid, which)}
+        if not to_run and (select or selector) and only_uids is None:
+            # reference graph/selector.py:145 — a selection matching
+            # nothing is the canonical --warn-error-options example
+            self.events.warn_or_error(EV.NoNodesForSelectionCriteria(
+                spec_raw=select or selector or ""
+            ))
         # favor_state scope: unselected refs defer to the state relation
         # (providers.py:559 checks SELECTED_RESOURCES)
         self.compiler.selected_uids = to_run
@@ -388,8 +408,6 @@ class Runner:
         aborted = threading.Event()  # set on first failure under --fail-fast
         lock = threading.Lock()
         n_threads = threads or self.project.threads
-
-        from sparkt import events as EV
 
         self.events.fire(EV.MainReportArgs(args={
             "which": which, "select": select, "exclude": exclude,
@@ -442,9 +460,12 @@ class Runner:
                             description=uid, index=index, total=total,
                         ))
                         res = self._execute_node(ctx, node)
-                        if warn_error and res.status == "warn":
-                            # --warn-error (reference cli/flags.py
-                            # WARN_ERROR): warnings are promoted
+                        if res.status == "warn" and self.events.promotes(
+                            "TestWarning"
+                        ):
+                            # --warn-error (blanket) or
+                            # --warn-error-options include:TestWarning;
+                            # exclude/silence lists demote it back
                             res.status = "error"
                             res.message = (
                                 f"[warn-error] {res.message or 'warning'}"
@@ -504,7 +525,12 @@ class Runner:
             generated_at=datetime.now(timezone.utc).isoformat(),
             args={"which": which, "select": select, "exclude": exclude,
                   "full_refresh": full_refresh, "fail_fast": fail_fast,
-                  "warn_error": warn_error},
+                  "warn_error": warn_error,
+                  "warn_error_options": (
+                      warn_error_options
+                      if isinstance(warn_error_options, (str, type(None)))
+                      else vars(warn_error_options)
+                  )},
         )
         rr.write(os.path.join(self.project.target_dir, "run_results.json"))
         self.manifest.write(os.path.join(self.project.target_dir, "manifest.json"))

@@ -76,3 +76,86 @@ def test_failed_node_emits_error_and_skip_events(make_project, spark):
     assert any(
         c == "Q034" and d["unique_id"].endswith(".child") for c, d in codes
     )
+
+
+def test_warn_error_options_parsing():
+    """include/exclude/silence + the error/warn aliases and 'all'
+    (reference option_types.py:46-66)."""
+    from sparkt.events import WarnErrorOptions
+
+    o = WarnErrorOptions.from_yaml('{"include": "all", "exclude": ["B"]}')
+    assert o.includes("A") and not o.includes("B")
+    o = WarnErrorOptions.from_yaml('{"error": ["A"], "warn": ["B"]}')
+    assert o.includes("A") and not o.includes("B") and not o.includes("C")
+    o = WarnErrorOptions.from_yaml('{"include": "all", "silence": ["S"]}')
+    assert o.silenced("S") and not o.includes("S")
+    assert WarnErrorOptions.from_yaml(None).includes("X") is False
+
+
+WARN_TEST_FILES = {
+    "dbt_project.yml": "name: ev\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+    "models/a.sql": "select * from {{ ref('raw') }}",
+    "models/schema.yml": """
+models:
+  - name: a
+    columns:
+      - name: v
+        data_tests:
+          - accepted_values:
+              values: [999]
+              config: {severity: warn}
+""",
+}
+
+
+def test_warn_error_options_promote_and_exclude(make_project, spark):
+    """Granular promotion: include TestWarning -> the warn-severity test
+    errors; blanket --warn-error with exclude TestWarning leaves it a
+    warning (reference core/dbt/cli/main.py:138 WarnErrorOptions)."""
+    runner = make_project(WARN_TEST_FILES, schema="t_weo")
+    assert runner.seed().ok
+
+    res = runner.build()
+    assert {r.status for r in res.results if "accepted_values" in r.unique_id} \
+        == {"warn"}
+
+    res = runner.build(warn_error_options='{"include": ["TestWarning"]}')
+    assert {r.status for r in res.results if "accepted_values" in r.unique_id} \
+        == {"error"}
+
+    res = runner.build(warn_error=True,
+                       warn_error_options='{"exclude": ["TestWarning"]}')
+    assert {r.status for r in res.results if "accepted_values" in r.unique_id} \
+        == {"warn"}
+
+
+def test_no_nodes_selected_warning(make_project, spark):
+    """Empty selection fires NoNodesForSelectionCriteria (M030); under
+    include it raises; under silence it doesn't even log."""
+    import pytest
+
+    from sparkt.events import WarnAsError
+
+    runner = make_project(dict(FILES), schema="t_nonodes")
+    assert runner.seed().ok
+    res = runner.run(select="does_not_exist")
+    assert res.results == []
+    assert any(e["info"]["code"] == "M030" for e in _read_log(runner))
+
+    with pytest.raises(WarnAsError, match="NoNodesForSelectionCriteria"):
+        runner.run(
+            select="does_not_exist",
+            warn_error_options='{"include": ["NoNodesForSelectionCriteria"]}',
+        )
+
+    # silence: no new M030 line
+    before = sum(1 for e in _read_log(runner)
+                 if e["info"]["code"] == "M030")
+    runner.run(
+        select="does_not_exist",
+        warn_error_options='{"silence": ["NoNodesForSelectionCriteria"]}',
+    )
+    after = sum(1 for e in _read_log(runner)
+                if e["info"]["code"] == "M030")
+    assert after == before

@@ -478,3 +478,40 @@ def test_duplicate_clusters_transitive(spark):
     assert out[10] == 10 and out[11] == 10
     assert out[20] == 20 and out[21] == 20 and out[22] == 20
     assert set(out) == {1, 2, 3, 4, 10, 11, 20, 21, 22}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 64-hop path graph must collapse to ONE cluster within default
+    iterations — the large-star/small-star contraction converges in
+    O(log n) rounds, where plain min-label propagation needs O(diameter)
+    (round-4 advice: >20-hop chains silently split before)."""
+    from sparkt.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    out = {r["doc"]: r["cluster"]
+           for r in duplicate_clusters(pairs, max_iter=10).collect()}
+    assert set(out) == set(range(65))
+    assert set(out.values()) == {0}
+
+
+def test_duplicate_clusters_raises_unconverged(spark):
+    """Hitting max_iter while still contracting raises instead of
+    returning truncated labels; strict=False downgrades to a warning."""
+    import warnings
+
+    import pytest
+
+    from sparkt.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1).collect()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = duplicate_clusters(pairs, max_iter=1, strict=False).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert len(out) > 0
