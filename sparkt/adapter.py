@@ -289,9 +289,40 @@ class SparkAdapter:
         return self.list_relations(schema)
 
     # ------------------------------------------------------------------ exec
+    # ---------------------------------------------------- query comment
+    def set_query_header(self, comment: str | None, append: bool = False) -> None:
+        """Per-node query attribution (reference query_comment,
+        ``core/dbt/config/project.py:211-240``): the rendered comment is
+        attached to every submitted statement AND becomes the Spark job
+        description, so the Spark UI groups this thread's jobs under the
+        node. Thread-local — worker threads run different nodes
+        concurrently, and ``setJobDescription`` is itself a thread-local
+        scheduler property."""
+        state = getattr(self, "_query_header", None)
+        if state is None:
+            import threading as _threading
+
+            state = self._query_header = _threading.local()
+        state.comment = comment
+        state.append = append
+        try:
+            self.spark.sparkContext.setJobDescription(comment)
+        except Exception:  # noqa: BLE001 — no sparkContext (Connect)
+            pass
+
+    def _commented(self, sql: str) -> str:
+        state = getattr(self, "_query_header", None)
+        comment = getattr(state, "comment", None) if state else None
+        if not comment:
+            return sql
+        block = "/* {} */".format(comment.replace("*/", "* /"))
+        if getattr(state, "append", False):
+            return f"{sql}\n{block}"
+        return f"{block}\n{sql}"
+
     def execute(self, sql: str, fetch: bool = False) -> tuple[str, ExecuteResult]:
         """Run one SQL statement; optionally fetch rows to the driver."""
-        df = self.spark.sql(sql)
+        df = self.spark.sql(self._commented(sql))
         if fetch:
             rows = df.collect()
             return "OK", ExecuteResult(
@@ -302,7 +333,7 @@ class SparkAdapter:
         return "OK", ExecuteResult(column_names=list(df.columns))
 
     def sql_df(self, sql: str) -> DataFrame:
-        return self.spark.sql(sql)
+        return self.spark.sql(self._commented(sql))
 
     def quote(self, identifier: str) -> str:
         return "`" + identifier.replace("`", "``") + "`"

@@ -129,6 +129,14 @@ class Compiler:
                 schema=node.config.get("schema", node.source_name),
                 identifier=node.config.get("identifier", node.name),
             )
+        if node.config.get("external_node"):
+            # plugin-contributed external model (sparkt/plugins.py):
+            # the relation already exists elsewhere — naming macros do
+            # not apply, the declared coordinates are used verbatim
+            return Relation(
+                schema=node.config["schema"],
+                identifier=node.config.get("alias", node.name),
+            )
         cache = getattr(self, "_rel_name_cache", None)
         if cache is None:
             cache = self._rel_name_cache = {}

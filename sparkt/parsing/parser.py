@@ -237,6 +237,14 @@ class ManifestLoader:
                     and stored.get("vars") == (self.project.vars, self.cli_vars)
                 ):
                     self.manifest = stored["manifest"]
+                    # external nodes are plugin-provided, not file-backed:
+                    # re-inject on every load (reference parser/
+                    # manifest.py:453 runs inject_external_nodes even on
+                    # a reused partial parse). No-op without plugins, so
+                    # the warm-parse path stays O(0).
+                    if self._inject_external_nodes():
+                        self._resolve_refs()
+                        self.manifest.build_parent_child_maps()
                     return self.manifest
             except Exception:  # noqa: BLE001 — stale/corrupt cache
                 pass
@@ -247,6 +255,7 @@ class ManifestLoader:
         self._parse_schema_yaml()
         self._parse_analyses()
         self._add_semantic_nodes()
+        self._inject_external_nodes()
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
         try:
@@ -776,6 +785,46 @@ class ManifestLoader:
             self.manifest.nodes[uid] = node
 
     # ------------------------------------------------------------- linking
+    def _inject_external_nodes(self) -> bool:
+        """Plugin-contributed external model nodes (reference
+        ``core/dbt/parser/manifest.py:795`` inject_external_nodes +
+        ``plugins/manager.py:163``): drop previously injected externals,
+        then add the current plugin set — a project-parsed node with the
+        same unique_id wins (never clobbered). Returns True when the
+        manifest changed."""
+        from sparkt import plugins as plugin_mod
+
+        pm = plugin_mod.get_plugin_manager(self.project.name)
+        stale = [uid for uid, n in self.manifest.nodes.items()
+                 if n.config.get("external_node")]
+        if not pm.plugins and not stale:
+            return False
+        changed = False
+        for uid in stale:
+            del self.manifest.nodes[uid]
+            changed = True
+        if not pm.plugins:
+            return changed
+        for args in pm.get_nodes().models.values():
+            if args.unique_id in self.manifest.nodes:
+                continue
+            self.manifest.nodes[args.unique_id] = ParsedNode(
+                unique_id=args.unique_id,
+                name=args.name,
+                package_name=args.package_name,
+                resource_type="model",
+                config={
+                    "external_node": True,
+                    "schema": args.schema,
+                    "alias": args.identifier,
+                    "enabled": args.enabled,
+                    "materialized": "external",
+                },
+                depends_on=list(args.depends_on_nodes),
+            )
+            changed = True
+        return changed
+
     def _resolve_refs(self) -> None:
         """``process_refs``/``process_sources``
         (``core/dbt/contracts/graph/manifest.py:1103,1248``)."""

@@ -47,6 +47,13 @@ class Project:
     clean_targets: list[str] = field(
         default_factory=lambda: ["target", "dbt_packages"]
     )
+    # query-comment (reference core/dbt/config/project.py:211-240):
+    # {"comment": jinja str | None (None = dbt-style default JSON),
+    #  "append": bool} — rendered per node and attached to every
+    # submitted statement + the Spark job description
+    query_comment: dict[str, Any] = field(
+        default_factory=lambda: {"comment": None, "append": False}
+    )
 
     @property
     def target_dir(self) -> str:
@@ -112,8 +119,14 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
         project_root=project_root,
         name=raw.get("name", "sparkt_project"),
         version=str(raw.get("version", "1.0")),
-        model_paths=raw.get("model-paths", raw.get("model_paths", ["models"])),
-        seed_paths=raw.get("seed-paths", raw.get("seed_paths", ["seeds"])),
+        model_paths=raw.get(
+            "model-paths",
+            raw.get("model_paths", raw.get("source-paths", ["models"])),
+        ),
+        seed_paths=raw.get(
+            "seed-paths",
+            raw.get("seed_paths", raw.get("data-paths", ["seeds"])),
+        ),
         snapshot_paths=raw.get("snapshot-paths", raw.get("snapshot_paths", ["snapshots"])),
         test_paths=raw.get("test-paths", raw.get("test_paths", ["tests"])),
         macro_paths=raw.get("macro-paths", raw.get("macro_paths", ["macros"])),
@@ -132,6 +145,27 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
     )
     if raw.get("clean-targets") is not None:
         proj.clean_targets = _listify(raw.get("clean-targets"))
+    # renamed-config deprecations (core/dbt/deprecations.py, once-only)
+    from sparkt import deprecations
+
+    if "source-paths" in raw and "model-paths" not in raw:
+        deprecations.warn("project-config-source-paths")
+    if "data-paths" in raw and "seed-paths" not in raw:
+        deprecations.warn("project-config-data-paths")
+    if "tests" in raw and "data_tests" not in raw \
+            and isinstance(raw.get("tests"), dict):
+        deprecations.warn("project-test-config")
+    if "query-comment" in raw or "query_comment" in raw:
+        qc = raw.get("query-comment", raw.get("query_comment"))
+        if isinstance(qc, dict):
+            proj.query_comment = {
+                "comment": qc.get("comment"),
+                "append": bool(qc.get("append", False)),
+            }
+        else:
+            # string comment; explicit null/empty DISABLES the comment
+            # ("" sentinel), matching the reference's NoValue handling
+            proj.query_comment = {"comment": qc or "", "append": False}
     # selectors.yml (optional): named YAML selectors
     spath = os.path.join(project_root, "selectors.yml")
     if os.path.exists(spath):

@@ -137,6 +137,12 @@ class Runner:
             self.invocation_id,
         )
         self.events.fire(MainReportVersion(version=__version__))
+        # attach the invocation's event manager to the deprecations
+        # singleton so parse-time deprecations reach logs/dbt.log and
+        # --warn-error-options can promote them by event name
+        from sparkt import deprecations
+
+        deprecations.set_event_manager(self.events)
 
     # ------------------------------------------------------------ sources
     def register_sources(self) -> None:
@@ -159,6 +165,10 @@ class Runner:
         if node is None or node.resource_type == "source":
             return False
         if not node.config.get("enabled", True):
+            return False
+        if node.config.get("external_node"):
+            # plugin-contributed external models are built elsewhere
+            # (sparkt/plugins.py); they resolve but never execute
             return False
         by_task = {
             "run": {"model"},
@@ -229,6 +239,14 @@ class Runner:
             }]
 
         try:
+            # query attribution: rendered query-comment rides every
+            # submitted statement for this node and names the Spark jobs
+            # in the UI (thread-local; reference query_comment,
+            # core/dbt/config/project.py:211-240)
+            ctx.adapter.set_query_header(
+                self._query_comment_for(node) or None,
+                self.project.query_comment.get("append", False),
+            )
             # adapter model hooks (reference pre_model_hook/post_model_hook):
             # per-model session conf, e.g. spark_session_conf={'spark.sql.
             # shuffle.partitions': 8}. NB the session is shared across
@@ -273,6 +291,33 @@ class Runner:
                 execution_time=time.time() - start,
                 thread=threading.current_thread().name,
             )
+        finally:
+            ctx.adapter.set_query_header(None)
+
+    def _query_comment_for(self, node: ParsedNode) -> str:
+        """Render the project's query-comment for one node. Default
+        (no config) is the dbt-style JSON attribution blob; an explicit
+        empty/null config disables the comment."""
+        qc = self.project.query_comment
+        tmpl = qc.get("comment")
+        if tmpl == "":
+            return ""
+        if tmpl is None:
+            from sparkt import __version__
+
+            return json.dumps({
+                "app": "sparkt",
+                "dbt_version": __version__,
+                "node_id": node.unique_id,
+                "invocation_id": self.invocation_id,
+            })
+        return self.loader.env.from_string(str(tmpl)).render(
+            node=Compiler._node_view(node),
+            target={"name": "dev", "type": "spark",
+                    "schema": self.project.schema,
+                    "threads": self.project.threads},
+            invocation_id=self.invocation_id,
+        ).strip()
 
     def _selected_uids(self, graph, select, exclude, selector, state_manifest,
                        allow_default=True):

@@ -193,3 +193,63 @@ def test_sql_str_escaping_unit(spark):
     # round-trip through the parser: literal comes back verbatim
     val = spark.sql(f"select '{_sql_str(spark, 'o' + chr(39) + 'b')}' as v")
     assert val.first()["v"] == "o'b"
+
+
+def test_query_comment_attribution(make_project, spark):
+    """query-comment (reference core/dbt/config/project.py:211-240):
+    the rendered comment rides every submitted statement and becomes
+    the Spark job description (thread-local), so the Spark UI groups
+    jobs by node."""
+    runner = _runner(make_project, "t_qc1")
+    a = runner.adapter
+
+    a.set_query_header('{"node_id": "model.x.y"}')
+    assert a._commented("select 1").startswith('/* {"node_id": "model.x.y"} */')
+    assert spark.sparkContext.getLocalProperty("spark.job.description") \
+        == '{"node_id": "model.x.y"}'
+    # comment must not break execution, append mode trails the SQL
+    assert a.execute("select 1 as n", fetch=True)[1].rows[0]["n"] == 1
+    a.set_query_header("tail", append=True)
+    assert a._commented("select 1").endswith("/* tail */")
+    a.set_query_header(None)
+    assert a._commented("select 1") == "select 1"
+    assert spark.sparkContext.getLocalProperty("spark.job.description") is None
+
+
+def test_query_comment_rendering(make_project, spark):
+    """Default comment is the dbt-style JSON blob; a configured jinja
+    string renders with node/target/invocation_id; explicit null
+    disables; header is cleared after the run."""
+    import json as _json
+    import os
+
+    runner = _runner(make_project, "t_qc2")
+    node = runner.manifest.nodes["model.surf.base"]
+    blob = _json.loads(runner._query_comment_for(node))
+    assert blob["node_id"] == "model.surf.base"
+    assert blob["app"] == "sparkt" and blob["invocation_id"]
+
+    # custom jinja comment end-to-end
+    files = {
+        "dbt_project.yml": (
+            "name: surf\nmodel-paths: [models]\n"
+            "query-comment: \"node {{ node.unique_id }} in {{ target.schema }}\"\n"
+        ),
+        "models/base.sql": "{{ config(materialized='table') }}\nselect 1 as id",
+    }
+    runner2 = make_project(files, schema="t_qc3")
+    node2 = runner2.manifest.nodes["model.surf.base"]
+    assert runner2._query_comment_for(node2) \
+        == "node model.surf.base in t_qc3"
+    assert runner2.run().ok
+    # header cleared after each node
+    assert spark.sparkContext.getLocalProperty("spark.job.description") is None
+
+    # explicit null disables
+    files["dbt_project.yml"] = (
+        "name: surf\nmodel-paths: [models]\nquery-comment:\n"
+    )
+    runner3 = make_project(files, schema="t_qc4")
+    assert runner3._query_comment_for(
+        runner3.manifest.nodes["model.surf.base"]) == ""
+    assert runner3.run().ok

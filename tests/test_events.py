@@ -159,3 +159,52 @@ def test_no_nodes_selected_warning(make_project, spark):
     after = sum(1 for e in _read_log(runner)
                 if e["info"]["code"] == "M030")
     assert after == before
+
+
+def test_deprecations_once_only_event_log(make_project, spark):
+    """Named deprecations (sparkt/deprecations.py; reference
+    core/dbt/deprecations.py): renamed project configs fire a D-code
+    warning event ONCE per process, visible in logs/dbt.log, and
+    --warn-error-options can promote a specific deprecation by name."""
+    import pytest
+
+    from sparkt import deprecations
+    from sparkt.events import WarnAsError
+
+    deprecations.reset()
+    try:
+        files = {
+            # legacy source-paths/data-paths keys (renamed in dbt 1.0)
+            "dbt_project.yml": (
+                "name: dep\nsource-paths: [models]\ndata-paths: [seeds]\n"
+            ),
+            "seeds/raw.csv": "id,v\n1,10\n",
+            "models/a.sql": "select * from {{ ref('raw') }}",
+        }
+        runner = make_project(files, schema="t_depr")
+        # legacy keys still work
+        assert runner.seed().ok and runner.run().ok
+        codes = [e["info"]["code"] for e in _read_log(runner)]
+        assert codes.count("D003") == 1 and codes.count("D004") == 1
+
+        # once-only: loading the project again fires nothing new
+        from sparkt.runner import Runner
+
+        runner2 = Runner(runner.project.project_root, spark=spark,
+                         project_overrides={"schema": "t_depr"})
+        codes = [e["info"]["code"] for e in _read_log(runner2)]
+        assert codes.count("D003") == 1
+
+        # a deprecation fired mid-invocation can be promoted by name
+        deprecations.reset()
+        deprecations.set_event_manager(runner.events)
+        runner.events.warn_error_options = __import__(
+            "sparkt.events", fromlist=["WarnErrorOptions"]
+        ).WarnErrorOptions(include=["PackageRedirectDeprecation"])
+        with pytest.raises(WarnAsError, match="PackageRedirectDeprecation"):
+            deprecations.warn("package-redirect",
+                              old_name="fishtown/x", new_name="dbt-labs/x")
+        # while an un-included deprecation stays a warning
+        deprecations.warn("project-test-config")
+    finally:
+        deprecations.reset()
