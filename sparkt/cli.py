@@ -115,8 +115,13 @@ _make_cmd("snapshot")
 @cli.command()
 @click.option("--project-dir", default=".")
 @click.option("--select", "-s", default=None)
-def compile(project_dir, select):  # noqa: A001
+@click.option("--inline", default=None,
+              help="compile this jinja-SQL string instead of project files")
+def compile(project_dir, select, inline):  # noqa: A001
     runner = Runner(project_dir)
+    if inline is not None:
+        click.echo(runner.compile_inline(inline))
+        return
     runner.compile(select=select)
     click.echo("compiled → target/manifest.json")
 
@@ -153,10 +158,11 @@ def run_operation(macro_name, project_dir, args):
 
 
 @cli.command("source-freshness")
+@click.option("--select", "-s", default=None)
 @click.option("--project-dir", default=".")
-def source_freshness(project_dir):
+def source_freshness(project_dir, select):
     runner = Runner(project_dir)
-    for row in runner.source_freshness():
+    for row in runner.source_freshness(select=select):
         click.echo(json.dumps(row))
 
 

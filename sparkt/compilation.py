@@ -71,7 +71,12 @@ class Compiler:
         hashes key the whole-manifest parse cache). Bound ONCE against a
         minimal context (target/var/env_var/parse-adapter): naming
         macros run before any relation exists, so they may not ref() or
-        run queries — same restriction as the reference."""
+        run queries — same restriction as the reference.
+
+        ``generate_database_name`` is deliberately NOT dispatched:
+        Spark's session catalog is two-level and the real dbt-spark
+        adapter errors on any ``database`` setting ("Cannot set database
+        in spark!"), so there is no database component to name."""
         cached = getattr(self, "_naming_cache", None)
         if cached is None:
             ctx = ctx_mod.base_context(self.project.vars, self.cli_vars)

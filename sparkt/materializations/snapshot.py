@@ -101,6 +101,34 @@ def materialize_snapshot(ctx: MatContext, node):
 
     t_cols = ", ".join(f"t.{c}" for c in data_cols)
     uk_eq_tch = " AND ".join(f"t.{k} <=> ch.{k}" for k in uk)
+    # invalidate_hard_deletes (reference
+    # tests/functional/adapter/simple_snapshot/snapshots.py:9; the
+    # dbt 1.9 `hard_deletes: invalidate` spelling is accepted too):
+    # current rows whose key vanished from the source close out at the
+    # batch timestamp instead of staying current forever
+    invalidate = bool(
+        cfg.get("invalidate_hard_deletes")
+        or cfg.get("hard_deletes") == "invalidate"
+    )
+    c_uk = ", ".join(f"c.{k}" for k in uk)
+    uk_eq_td = " AND ".join(f"t.{k} <=> d.{k}" for k in uk)
+    deleted_cte = (
+        f""",
+__deleted AS (
+    SELECT {c_uk}, TRUE AS __del
+    FROM __cur c LEFT ANTI JOIN __src s ON {uk_eq_sc}
+)"""
+        if invalidate
+        else ""
+    )
+    deleted_join = (
+        f" LEFT JOIN __deleted d ON {uk_eq_td}" if invalidate else ""
+    )
+    deleted_case = (
+        f"WHEN t.dbt_valid_to IS NULL AND d.__del THEN {ts_literal}\n         "
+        if invalidate
+        else ""
+    )
     merged = f"""
 WITH __src AS ({src_sql}),
 __cur AS (SELECT * FROM {rel.render()} WHERE dbt_valid_to IS NULL),
@@ -112,11 +140,12 @@ __changed AS (
 __new_keys AS (
     SELECT {s_cols}, {upd('s')} AS __new_ts
     FROM __src s LEFT ANTI JOIN __cur c ON {uk_eq_sc}
-)
+){deleted_cte}
 SELECT {t_cols}, t.dbt_scd_id, t.dbt_updated_at, t.dbt_valid_from,
     CASE WHEN t.dbt_valid_to IS NULL AND ch.__new_ts IS NOT NULL
-         THEN ch.__new_ts ELSE t.dbt_valid_to END AS dbt_valid_to
-FROM {rel.render()} t LEFT JOIN __changed ch ON {uk_eq_tch}
+         THEN ch.__new_ts
+         {deleted_case}ELSE t.dbt_valid_to END AS dbt_valid_to
+FROM {rel.render()} t LEFT JOIN __changed ch ON {uk_eq_tch}{deleted_join}
 UNION ALL
 SELECT {s_cols},
     {_scd_id_expr(uk, 's.__new_ts', 's')} AS dbt_scd_id,

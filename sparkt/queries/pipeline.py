@@ -58,15 +58,43 @@ def t2_quality_scores(spark, sf_dir):
     column-expression form re-evaluates the split per feature because
     stopword filtering is a higher-order function — see PLANS.md)."""
     docs = T(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    pre = docs.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("__toks")
     )
-    tok_stats = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+    # ONE token explode feeds quality AND repetition stats: per-(doc,
+    # token) counts first, then one per-doc reduce (same two doc-keyed
+    # shuffles repetition_table uses, but the quality features ride
+    # along instead of re-exploding)
+    tc = (
+        pre.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_stats = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
         F.sum(
-            F.when(F.col("tok").isin(TX.EN_STOPWORDS), 1).otherwise(0)
+            F.when(F.col("tok").isin(TX.EN_STOPWORDS), F.col("cnt"))
+            .otherwise(0)
         ).alias("stop_hits"),
-        F.sum(F.length("tok")).alias("tok_chars"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("tok_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+        ).alias("dup_tok"),
+    )
+    # bigram occupancy needs token ORDER → its own array explode
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks") - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+        ),
+    )
+    bg_stats = (
+        pre.filter(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id").agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram"),
+        )
     )
     char_stats = docs.select(
         "doc_id",
@@ -74,10 +102,7 @@ def t2_quality_scores(spark, sf_dir):
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
         TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
     )
-    rep = TX.repetition_table(docs, "text", "doc_id").select(
-        F.col("doc").alias("doc_id"), "dup_token_ratio", "top_bigram_ratio"
-    )
-    j = char_stats.join(tok_stats, "doc_id").join(rep, "doc_id")
+    j = char_stats.join(tok_stats, "doc_id").join(bg_stats, "doc_id", "left")
     alpha = F.col("alpha_chars") / F.greatest(F.col("n_chars"), F.lit(1))
     stop = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
     length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
@@ -94,8 +119,13 @@ def t2_quality_scores(spark, sf_dir):
         F.round(0.4 * length_term + 0.3 * alpha + 0.3 * stop, 6).alias(
             "quality"
         ),
-        "dup_token_ratio",
-        "top_bigram_ratio",
+        F.round(
+            F.col("dup_tok") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.coalesce(F.col("top_bigram"), F.lit(0))
+            / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+        ).alias("top_bigram_ratio"),
     ).orderBy("doc_id")
 
 

@@ -756,6 +756,25 @@ class Runner:
             json.dump(out, f, indent=1)
         return out
 
+    def compile_inline(self, sql: str) -> str:
+        """``dbt compile --inline`` (reference cli/main.py:314 +
+        task/compile.py): compile arbitrary jinja-SQL against the
+        project context and return the rendered SQL without running it."""
+        self.register_sources()
+        node = ParsedNode(
+            unique_id=f"sql_operation.{self.project.name}.inline_query",
+            name="inline_query",
+            package_name=self.project.name,
+            resource_type="model",
+            raw_code=sql,
+        )
+        self.manifest.nodes[node.unique_id] = node
+        try:
+            self.compiler.compile_node(node)
+            return node.compiled_code or ""
+        finally:
+            del self.manifest.nodes[node.unique_id]
+
     def compile(self, select: str | None = None) -> Manifest:
         self.register_sources()
         graph = link_graph(self.manifest)
@@ -816,10 +835,16 @@ class Runner:
             raise ValueError(f"no macro named '{macro_name}'")
         return fn(**(args or {}))
 
-    def source_freshness(self) -> list[dict]:
-        """``dbt source freshness`` (``core/dbt/task/freshness.py``)."""
+    def source_freshness(self, select: str | None = None) -> list[dict]:
+        """``dbt source freshness [--select source:...]``
+        (``core/dbt/task/freshness.py``; selection as in the reference's
+        freshness task)."""
         self.register_sources()
         checked = [n for n in self.manifest.sources.values() if n.freshness]
+        if select:
+            graph = link_graph(self.manifest)
+            selected = select_nodes(graph, self.manifest, select)
+            checked = [n for n in checked if n.unique_id in selected]
         # metadata-path sources go through ONE batch call
         # (calculate_freshness_from_metadata_batch, freshness.py:107-145)
         meta_rels = {

@@ -502,3 +502,48 @@ def test_ref_index_invalidates_on_same_count_mutation():
     m.nodes[b.unique_id] = b
     assert m.ref_lookup("a") is None
     assert m.ref_lookup("b") is b
+
+
+def test_source_freshness_select(make_project):
+    """dbt source freshness --select source:... checks only the
+    selected sources (reference task/freshness.py selection)."""
+    files = {
+        "dbt_project.yml": "name: fresh\nmodel-paths: [models]\n",
+        "models/sources.yml": """
+version: 2
+sources:
+  - name: tpch
+    schema: tpch_fsel
+    tables:
+      - name: events
+        external: {location: /root/testdata/sf0.001/events.parquet}
+        loaded_at_field: ts
+        freshness:
+          warn_after: {count: 1, period: hour}
+      - name: orders
+        external: {location: /root/testdata/sf0.001/orders.parquet}
+        loaded_at_field: o_orderdate
+        freshness:
+          warn_after: {count: 1, period: hour}
+""",
+    }
+    runner = make_project(files, schema="t_fsel")
+    assert len(runner.source_freshness()) == 2
+    rows = runner.source_freshness(select="source:tpch.events")
+    assert len(rows) == 1 and "events" in rows[0]["unique_id"]
+
+
+def test_compile_inline(make_project, spark):
+    """dbt compile --inline renders jinja-SQL against the project
+    context without executing it (reference cli/main.py:314)."""
+    files = {
+        "dbt_project.yml": "name: ci\nmodel-paths: [models]\n",
+        "models/m.sql": "select 1 as id",
+    }
+    runner = make_project(files, schema="t_cinline")
+    sql = runner.compile_inline(
+        "select * from {{ ref('m') }} where id > {{ var('min_id', 0) }}"
+    )
+    assert "t_cinline" in sql and "{{" not in sql and "where id > 0" in sql
+    # inline node does not leak into the manifest
+    assert "sql_operation.ci.inline_query" not in runner.manifest.nodes

@@ -3,7 +3,20 @@ core/dbt/plugins/manager.py:163 + parser/manifest.py:795)."""
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
+
+
+def _fresh_table(spark, schema, table, select):
+    """DROP + CTAS robust to orphaned warehouse dirs left by other
+    sessions (LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+    spark.sql(f"DROP TABLE IF EXISTS {schema}.{table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{schema}.db/{table}",
+                  ignore_errors=True)
+    spark.sql(f"CREATE TABLE {schema}.{table} AS {select}")
 
 
 @pytest.fixture(autouse=True)
@@ -31,9 +44,7 @@ def test_plugin_contributes_external_node(make_project, spark):
     from sparkt.plugins import ModelNodeArgs, PluginNodes, SparktPlugin, register_plugin
 
     # the "other project's" already-built relation
-    spark.sql("CREATE DATABASE IF NOT EXISTS ext_side")
-    spark.sql("DROP TABLE IF EXISTS ext_side.metrics_tbl")
-    spark.sql("CREATE TABLE ext_side.metrics_tbl AS SELECT 1 AS id, 10.0 AS v")
+    _fresh_table(spark, "ext_side", "metrics_tbl", "SELECT 1 AS id, 10.0 AS v")
 
     @register_plugin
     class LoomLike(SparktPlugin):
@@ -69,9 +80,7 @@ def test_external_nodes_reinjected_on_cached_parse(make_project, spark):
     from sparkt.plugins import ModelNodeArgs, PluginNodes, SparktPlugin, register_plugin
     from sparkt.runner import Runner
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS ext_side2")
-    spark.sql("DROP TABLE IF EXISTS ext_side2.m")
-    spark.sql("CREATE TABLE ext_side2.m AS SELECT 1 AS id, 5.0 AS v")
+    _fresh_table(spark, "ext_side2", "m", "SELECT 1 AS id, 5.0 AS v")
 
     files = dict(FILES)
     files["models/consumer.sql"] = (

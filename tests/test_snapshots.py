@@ -110,3 +110,58 @@ def test_snapshot_check_empty_cols_raises(make_project, spark):
     assert not res.ok
     msg = " ".join(str(r.message) for r in res.results)
     assert "check_cols" in msg
+
+
+def test_snapshot_invalidate_hard_deletes(make_project, spark):
+    """invalidate_hard_deletes=True (reference
+    tests/functional/adapter/simple_snapshot/snapshots.py:9): a row that
+    vanishes from the source closes its validity interval at the batch
+    timestamp; without the flag it stays current forever. The dbt 1.9
+    `hard_deletes: invalidate` spelling is accepted too."""
+    files = dict(FILES)
+    files["snapshots/items_snap.sql"] = """
+{% snapshot items_snap %}
+{{ config(strategy='check', unique_key='id', check_cols=['status'],
+          invalidate_hard_deletes=true) }}
+select * from {{ ref('items') }}
+{% endsnapshot %}
+"""
+    runner = make_project(files, schema="t_snap_hd")
+    assert runner.seed().ok and runner.snapshot().ok
+    root = runner.project.project_root
+
+    # delete id=3, change id=1
+    with open(os.path.join(root, "seeds/items.csv"), "w") as f:
+        f.write(_seed([(1, "a", "sold"), (2, "b", "new")]))
+    assert runner.seed().ok and runner.snapshot().ok
+    t = spark.table("t_snap_hd.items_snap")
+    # id=3's only row is now closed; ids 1 (new version) and 2 current
+    current = {r["id"] for r in t.filter("dbt_valid_to is null").collect()}
+    assert current == {1, 2}
+    closed3 = t.filter("id = 3").collect()
+    assert len(closed3) == 1 and closed3[0]["dbt_valid_to"] is not None
+
+    # the key coming BACK creates a fresh current version (new interval)
+    with open(os.path.join(root, "seeds/items.csv"), "w") as f:
+        f.write(_seed([(1, "a", "sold"), (2, "b", "new"), (3, "c", "back")]))
+    assert runner.seed().ok and runner.snapshot().ok
+    t = spark.table("t_snap_hd.items_snap")
+    rows3 = sorted(t.filter("id = 3").collect(),
+                   key=lambda r: r["dbt_valid_from"])
+    assert len(rows3) == 2
+    assert rows3[0]["dbt_valid_to"] is not None
+    assert rows3[1]["dbt_valid_to"] is None and rows3[1]["status"] == "back"
+
+
+def test_snapshot_without_flag_keeps_deleted_current(make_project, spark):
+    """Default (no invalidate_hard_deletes): hard-deleted keys remain
+    current — the pre-1.9 dbt default."""
+    runner = make_project(FILES, schema="t_snap_nohd")
+    assert runner.seed().ok and runner.snapshot().ok
+    with open(os.path.join(runner.project.project_root,
+                           "seeds/items.csv"), "w") as f:
+        f.write(_seed([(1, "a", "new")]))
+    assert runner.seed().ok and runner.snapshot().ok
+    t = spark.table("t_snap_nohd.items_snap")
+    current = {r["id"] for r in t.filter("dbt_valid_to is null").collect()}
+    assert current == {1, 2, 3}
