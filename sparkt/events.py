@@ -195,14 +195,18 @@ class WarnErrorOptions:
         self.silence = list(silence or [])
 
     @classmethod
-    def from_yaml(cls, text: str | None) -> "WarnErrorOptions":
-        """Parse the CLI/env YAML string, e.g.
-        ``'{"include": "all", "exclude": ["NoNodesForSelectionCriteria"]}'``."""
+    def from_yaml(cls, text) -> "WarnErrorOptions":
+        """Parse the CLI/env YAML string (e.g.
+        ``'{"include": "all", "exclude": ["NoNodesForSelectionCriteria"]}'``)
+        or an already-parsed mapping (dbt_project.yml ``flags:`` tier)."""
         if not text:
             return cls()
-        import yaml
+        if isinstance(text, dict):
+            raw = text
+        else:
+            import yaml
 
-        raw = yaml.safe_load(text) or {}
+            raw = yaml.safe_load(text) or {}
         if not isinstance(raw, dict):
             raise ValueError(
                 f"--warn-error-options must be a YAML mapping, got: {text!r}"

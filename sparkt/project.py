@@ -47,6 +47,10 @@ class Project:
     clean_targets: list[str] = field(
         default_factory=lambda: ["target", "dbt_packages"]
     )
+    # dbt_project.yml `flags:` (reference ProjectFlags,
+    # core/dbt/cli/flags.py precedence: CLI flag > env var > project
+    # flags > default) — consumed as the default tier by execute_nodes
+    flags: dict[str, Any] = field(default_factory=dict)
     # query-comment (reference core/dbt/config/project.py:211-240):
     # {"comment": jinja str | None (None = dbt-style default JSON),
     #  "append": bool} — rendered per node and attached to every
@@ -145,6 +149,8 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
     )
     if raw.get("clean-targets") is not None:
         proj.clean_targets = _listify(raw.get("clean-targets"))
+    if isinstance(raw.get("flags"), dict):
+        proj.flags = raw["flags"]
     # renamed-config deprecations (core/dbt/deprecations.py, once-only)
     from sparkt import deprecations
 

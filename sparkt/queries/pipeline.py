@@ -919,6 +919,66 @@ SELECT node AS doc, min(r) AS cluster FROM reach GROUP BY node ORDER BY doc
 """
 
 
+# ------------------------------------------------------------------ sd1
+def sd1_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — the published pipeline shape, re-expressed
+    Spark-first): embedding-cosine near-duplicate pairs (d6's IVF-cell
+    bucketed equijoin — never all-pairs) → connected components (d9's
+    O(log n) large-star/small-star contraction) → keep the min-id
+    representative per cluster. Returns one row per semantic cluster
+    with its representative, member count, and sorted-member md5 so the
+    oracle verifies the exact survivor sets.
+
+    100 TB shape: both stages are bucketed equijoins + star
+    contraction; no stage is quadratic in corpus size."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.35)
+    clusters = D.duplicate_clusters(pairs)
+    return (
+        clusters.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.md5(F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc")))
+            )).alias("members_md5"),
+        )
+        .select(
+            F.col("cluster").alias("representative"),
+            "n_members",
+            "members_md5",
+        )
+        .orderBy("representative")
+    )
+
+
+def _sd1_sql():
+    # same pair set as d6, clustered by recursive closure, reduced to
+    # per-cluster survivor rows
+    d6_body = D6_SQL.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE pairs AS ({d6_body}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+labels AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+SELECT cluster AS representative,
+       count(*) AS n_members,
+       md5(array_to_string(list_sort(list(node)), ',')) AS members_md5
+FROM labels
+GROUP BY cluster
+ORDER BY representative
+"""
+
+
 # ------------------------------------------------------------------ s5
 def s5_quantize_int8(spark, sf_dir):
     """Symmetric per-vector int8 quantization round-trip: quantized
@@ -967,6 +1027,7 @@ QUERIES = {
     "d5_ngram_jaccard": d5_ngram_jaccard,
     "d7_winnow_pairs": d7_winnow_pairs,
     "d9_dup_clusters": d9_dup_clusters,
+    "sd1_semantic_dedup": sd1_semantic_dedup,
     "s1_cosine_topk": s1_cosine_topk,
     "s3_label_centroids": s3_label_centroids,
     "s4_ann_methods": s4_ann_methods,
@@ -993,6 +1054,7 @@ ORACLES = {
     "d5_ngram_jaccard": D5_SQL,
     "d7_winnow_pairs": D7_SQL,
     "d9_dup_clusters": _d9_sql(),
+    "sd1_semantic_dedup": _sd1_sql(),
     "s1_cosine_topk": S1_SQL,
     # s4_ann_methods: intentionally no oracle (approximate ANN)
     "s3_label_centroids": S3_SQL,

@@ -377,10 +377,19 @@ class Runner:
         # --warn-error (blanket) + --warn-error-options (granular
         # include/exclude/silence by event name, reference
         # core/dbt/cli/main.py:138); both live on the event manager so
-        # every warn site routes through events.promotes()
+        # every warn site routes through events.promotes(). Precedence:
+        # CLI flag > env var (click envvar) > dbt_project.yml flags:
+        # tier > default (reference core/dbt/cli/flags.py).
         from sparkt import events as EV
         from sparkt.events import WarnErrorOptions
 
+        project_flags = self.project.flags
+        if not warn_error:
+            warn_error = bool(project_flags.get("warn_error", False))
+        if warn_error_options is None:
+            warn_error_options = project_flags.get("warn_error_options")
+        if not fail_fast:
+            fail_fast = bool(project_flags.get("fail_fast", False))
         self.events.warn_error = warn_error
         self.events.warn_error_options = (
             warn_error_options
@@ -573,7 +582,8 @@ class Runner:
                   "warn_error": warn_error,
                   "warn_error_options": (
                       warn_error_options
-                      if isinstance(warn_error_options, (str, type(None)))
+                      if isinstance(warn_error_options,
+                                    (str, dict, type(None)))
                       else vars(warn_error_options)
                   )},
         )

@@ -208,3 +208,22 @@ def test_deprecations_once_only_event_log(make_project, spark):
         deprecations.warn("project-test-config")
     finally:
         deprecations.reset()
+
+
+def test_project_flags_tier(make_project, spark):
+    """dbt_project.yml `flags:` provides defaults below CLI/env
+    (reference ProjectFlags, core/dbt/cli/flags.py precedence)."""
+    files = dict(WARN_TEST_FILES)
+    files["dbt_project.yml"] = (
+        "name: ev\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        "flags:\n  warn_error_options:\n    include: [TestWarning]\n"
+    )
+    runner = make_project(files, schema="t_pflags")
+    assert runner.seed().ok
+    res = runner.build()
+    assert {r.status for r in res.results if "accepted_values" in r.unique_id} \
+        == {"error"}
+    # explicit CLI-level options override the project tier
+    res = runner.build(warn_error_options='{"exclude": ["TestWarning"]}')
+    assert {r.status for r in res.results if "accepted_values" in r.unique_id} \
+        == {"warn"}

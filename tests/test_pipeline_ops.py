@@ -515,3 +515,46 @@ def test_duplicate_clusters_raises_unconverged(spark):
         out = duplicate_clusters(pairs, max_iter=1, strict=False).collect()
     assert any("did not converge" in str(x.message) for x in w)
     assert len(out) > 0
+
+
+def test_duplicate_clusters_matches_networkx(spark):
+    """Property-style pin for the large-star/small-star contraction:
+    on a batch of randomized graph shapes (chains, stars, cliques,
+    disjoint mixes), cluster labels must equal networkx
+    connected_components with min-id labeling."""
+    import random
+
+    import networkx as nx
+
+    from sparkt.functions.dedup import duplicate_clusters
+
+    rng = random.Random(42)
+    edges = []
+    # disjoint structures over separated id ranges
+    base = 0
+    for kind in ("chain", "star", "clique", "random"):
+        ids = list(range(base, base + 12))
+        if kind == "chain":
+            edges += [(ids[i], ids[i + 1]) for i in range(11)]
+        elif kind == "star":
+            edges += [(ids[0], x) for x in ids[1:]]
+        elif kind == "clique":
+            edges += [(a, b) for a in ids for b in ids if a < b]
+        else:
+            for _ in range(15):
+                a, b = rng.sample(ids, 2)
+                edges.append((a, b))
+        base += 100
+
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    expected = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for n in comp:
+            expected[n] = root
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["doc"]: r["cluster"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == expected
