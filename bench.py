@@ -18,6 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# NOTE (r5): t2_quality_scores absorbed t1 token stats and t5
+# repetition signals in the registry consolidation (COVERAGE.md
+# "registry policy"), so the suite now does strictly MORE work for the
+# same 13 names: t2 alone went ~0.62 s → ~1.2 s while replacing ~1.9 s
+# of separate r4 gate time. Compare r5+ headline numbers to r4 with
+# that shift in mind.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",

@@ -281,6 +281,29 @@ class Compiler:
                 },
             }
         )
+        # builtins (reference providers.py generate_builtins +
+        # tests/functional/ref_override): a project macro named
+        # ref/source shadows the context function via bind_macros below;
+        # `builtins.ref(...)` reaches the original — returned as a
+        # Relation so the override can `.replace_path(identifier=...)`
+        def _builtin_ref(*args, **kwargs):
+            name = args[-1]
+            package = args[0] if len(args) == 2 else None
+            version = kwargs.get("v", kwargs.get("version"))
+            target = self.manifest.ref_lookup(name, package, version=version)
+            if target is None:
+                raise CompilationError(
+                    f"unknown ref '{name}' in {node.unique_id}"
+                )
+            if target.is_ephemeral:
+                return ref(*args, **kwargs)  # CTE name string
+            return self.relation_for(target)
+
+        ctx["builtins"] = {
+            "ref": _builtin_ref,
+            "source": source,
+            "config": ctx.get("config"),
+        }
         ctx_mod.bind_macros(self.macro_templates, ctx)
         return ctx
 

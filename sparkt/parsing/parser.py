@@ -352,6 +352,22 @@ class ManifestLoader:
         node.tags = list(merged.get("tags", []) or [])
         return node
 
+    def _add_unique(self, node: ParsedNode, path: str) -> None:
+        """Duplicate-resource detection (reference
+        ``tests/functional/duplicates``): two resources compiling to the
+        same unique_id is a PARSE ERROR, not a silent last-wins
+        overwrite — a dup would otherwise make ref() resolution depend
+        on filesystem walk order."""
+        existing = self.manifest.nodes.get(node.unique_id)
+        if existing is not None:
+            raise ParsingError(
+                f"found two {node.resource_type}s with the name "
+                f"'{node.name}' in package '{node.package_name}' "
+                f"({existing.path!r} and {path!r}): {node.unique_id} "
+                "must be unique"
+            )
+        self.manifest.nodes[node.unique_id] = node
+
     def _parse_models(self) -> None:
         for proj in self.all_projects:
             for full, rel in _walk(
@@ -365,7 +381,7 @@ class ManifestLoader:
                 else:
                     node = self._parse_sql_node("model", name, rel, raw,
                                                 project=proj)
-                self.manifest.nodes[node.unique_id] = node
+                self._add_unique(node, rel)
 
     def _parse_python_model(self, name: str, rel: str, raw: str) -> ParsedNode:
         """Python models (``core/dbt/parser/models.py:32-104``): extract
@@ -419,7 +435,7 @@ class ManifestLoader:
                     config=proj.config_for_path("seed", rel),
                 )
                 node.config["seed_path"] = full
-                self.manifest.nodes[node.unique_id] = node
+                self._add_unique(node, rel)
 
     # ---------------------------------------------------------- snapshots
     def _parse_snapshots(self) -> None:
@@ -435,7 +451,7 @@ class ManifestLoader:
                 for name, body in blocks:
                     node = self._parse_sql_node("snapshot", name, rel, body,
                                                 project=proj)
-                    self.manifest.nodes[node.unique_id] = node
+                    self._add_unique(node, rel)
 
     # ------------------------------------------------------ singular tests
     def _parse_singular_tests(self) -> None:
@@ -448,7 +464,7 @@ class ManifestLoader:
                     raw = f.read()
                 node = self._parse_sql_node("test", name, rel, raw,
                                             project=proj)
-                self.manifest.nodes[node.unique_id] = node
+                self._add_unique(node, rel)
 
     # ------------------------------------------------------------ analyses
     def _parse_analyses(self) -> None:
@@ -461,12 +477,13 @@ class ManifestLoader:
                     raw = f.read()
                 node = self._parse_sql_node("analysis", name, rel, raw,
                                             project=proj)
-                self.manifest.nodes[node.unique_id] = node
+                self._add_unique(node, rel)
 
     # --------------------------------------------------------- schema yaml
     def _parse_schema_yaml(self) -> None:
         import yaml
 
+        pending_sources: list[tuple[dict, Project]] = []
         for proj in self.all_projects:
             for full, rel in _walk(
                 proj.project_root,
@@ -476,7 +493,7 @@ class ManifestLoader:
                 with open(full) as f:
                     doc = yaml.safe_load(f) or {}
                 for src in doc.get("sources", []) or []:
-                    self._add_source(src, project=proj)
+                    pending_sources.append((src, proj))
                 for patch in doc.get("models", []) or []:
                     self._patch_node("model", patch, project=proj)
                 for patch in doc.get("seeds", []) or []:
@@ -500,6 +517,46 @@ class ManifestLoader:
                 self.manifest.saved_queries.extend(
                     doc.get("saved_queries", []) or []
                 )
+        self._register_sources(pending_sources)
+
+    def _register_sources(
+        self, pending: list[tuple[dict, "Project"]]
+    ) -> None:
+        """Register buffered source specs, honoring ``overrides:``
+        (reference ``tests/functional/source_overrides`` +
+        ``core/dbt/parser/sources.py`` patch_source): a root-project
+        source with ``overrides: <package>`` replaces the package's
+        same-named source — its source-level schema / freshness /
+        loaded_at defaults apply, its table entries win by name, and
+        package-only tables remain. An override with no matching
+        package source registers as a plain source."""
+        root = self.project.name
+        overrides: dict[tuple[str, str], dict] = {}
+        for src, proj in pending:
+            if proj.name == root and src.get("overrides"):
+                overrides[(src["overrides"], src["name"])] = src
+        applied: set[int] = set()
+        for src, proj in pending:
+            if proj.name == root and src.get("overrides"):
+                continue  # applied at its target package's position
+            o = overrides.get((proj.name, src["name"]))
+            if o is None:
+                self._add_source(src, project=proj)
+                continue
+            merged = dict(src)
+            for k in ("schema", "freshness", "loaded_at_field"):
+                if k in o:
+                    merged[k] = o[k]
+            tables = {t["name"]: t for t in (src.get("tables") or [])}
+            for t in o.get("tables") or []:
+                tables[t["name"]] = t
+            merged["tables"] = list(tables.values())
+            self._add_source(merged, project=proj)
+            applied.add(id(o))
+        for src, proj in pending:
+            if (proj.name == root and src.get("overrides")
+                    and id(src) not in applied):
+                self._add_source(src, project=proj)  # no target package
 
     def _add_source(self, src: dict, project: Project | None = None) -> None:
         project = project or self.project
@@ -682,7 +739,7 @@ class ManifestLoader:
                     "owner": exp.get("owner")},
             description=exp.get("description", ""),
         )
-        self.manifest.nodes[node.unique_id] = node
+        self._add_unique(node, node.path or name)
 
     def _add_unit_test(self, ut: dict, project: Project | None = None) -> None:
         """Unit-test definitions (``core/dbt/parser/unit_tests.py``)."""
@@ -700,7 +757,7 @@ class ManifestLoader:
             expect=ut.get("expect", {}) or {},
             config=ut.get("config", {}) or {},
         )
-        self.manifest.nodes[node.unique_id] = node
+        self._add_unique(node, node.path or name)
 
     def _add_semantic_nodes(self) -> None:
         """Semantic models, metrics and saved queries join the manifest

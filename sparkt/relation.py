@@ -36,6 +36,14 @@ class Relation:
     def incorporate(self, **kwargs) -> "Relation":
         return replace(self, **kwargs)
 
+    def replace_path(self, **kwargs) -> "Relation":
+        """Reference ``BaseRelation.replace_path`` (used by ref-override
+        macros, ``tests/functional/ref_override``): accepts
+        database/schema/identifier; ``database`` is dropped — Spark's
+        catalog is two-level."""
+        kwargs.pop("database", None)
+        return replace(self, **kwargs)
+
     def with_suffix(self, suffix: str) -> "Relation":
         return replace(self, identifier=f"{self.identifier}{suffix}")
 

@@ -547,3 +547,27 @@ def test_compile_inline(make_project, spark):
     assert "t_cinline" in sql and "{{" not in sql and "where id > 0" in sql
     # inline node does not leak into the manifest
     assert "sql_operation.ci.inline_query" not in runner.manifest.nodes
+
+
+def test_duplicate_resource_names_raise(tmp_path):
+    """Two files compiling to the same unique_id must be a parse error
+    (reference tests/functional/duplicates) — silent last-wins would
+    make ref() resolution depend on walk order."""
+    import os
+
+    import pytest
+
+    from sparkt.exceptions import ParsingError
+    from sparkt.parsing.parser import ManifestLoader
+    from sparkt.project import load_project
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "models", "sub"), exist_ok=True)
+    with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+        f.write("name: dup\nmodel-paths: [models]\n")
+    with open(os.path.join(root, "models", "m.sql"), "w") as f:
+        f.write("select 1 as id")
+    with open(os.path.join(root, "models", "sub", "m.sql"), "w") as f:
+        f.write("select 2 as id")
+    with pytest.raises(ParsingError, match="two models with the name 'm'"):
+        ManifestLoader(load_project(root)).load(partial=False)

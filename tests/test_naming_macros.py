@@ -128,3 +128,32 @@ def test_naming_macro_change_invalidates_parse_cache(make_project, spark):
                      project_overrides={"schema": "t_nm_inval"})
     assert runner2.run().ok
     assert spark.catalog.tableExists("t_nm_inval.b_alias")
+
+
+def test_ref_override_macro(make_project, spark):
+    """A project macro named `ref` overrides the builtin; builtins.ref
+    reaches the original and supports replace_path
+    (reference tests/functional/ref_override)."""
+    files = {
+        "dbt_project.yml": (
+            "name: ro\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "macro-paths: [macros]\n"
+        ),
+        "seeds/seed_1.csv": "a,b\n1,2\n2,4\n3,6\n",
+        "seeds/seed_2.csv": "a,b\n6,2\n12,4\n18,6\n",
+        "models/ref_override.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select * from {{ ref('seed_1') }}"
+        ),
+        "macros/ref_override_macro.sql": """
+{% macro ref(modelname) %}
+{% do return(builtins.ref(modelname).replace_path(identifier='seed_2')) %}
+{% endmacro %}
+""",
+    }
+    runner = make_project(files, schema="t_refov")
+    assert runner.seed().ok
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    got = sorted(r["a"] for r in spark.table("t_refov.ref_override").collect())
+    assert got == [6, 12, 18]  # seed_2, not seed_1

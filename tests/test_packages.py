@@ -268,3 +268,63 @@ def test_hub_semver_resolution_unit():
 
     with pytest.raises(ParsingError, match="no version matching"):
         resolve_version(parse_specs([">=3.0.0"]), avail)
+
+
+def test_source_overrides(make_project, spark, tmp_path):
+    """A root-project source with `overrides: <package>` replaces the
+    package's same-named source: override tables win by name (here the
+    identifier swaps to a different parquet), source-level freshness
+    defaults from the override apply, and package-only tables survive
+    (reference tests/functional/source_overrides)."""
+    pkg_root = str(tmp_path / "src_pkg")
+    write_files(pkg_root, {
+        "dbt_project.yml": "name: src_pkg\nmodel-paths: [models]\n",
+        "models/sources.yml": """
+version: 2
+sources:
+  - name: shared_src
+    schema: pkg_schema
+    freshness:
+      error_after: {count: 1, period: day}
+    tables:
+      - name: main_tbl
+        external: {location: /root/testdata/sf0.001/region.parquet}
+      - name: side_tbl
+        external: {location: /root/testdata/sf0.001/nation.parquet}
+""",
+        "models/pkg_model.sql": (
+            "select count(*) as n from {{ source('shared_src', 'main_tbl') }}"
+        ),
+    })
+    files = {
+        "dbt_project.yml": "name: app\nmodel-paths: [models]\n",
+        "packages.yml": f"packages:\n  - local: {pkg_root}\n",
+        "models/sources.yml": """
+version: 2
+sources:
+  - name: shared_src
+    overrides: src_pkg
+    schema: root_schema
+    freshness:
+      error_after: {count: 99, period: day}
+    tables:
+      - name: main_tbl
+        external: {location: /root/testdata/sf0.001/customer.parquet}
+""",
+    }
+    runner = make_project(files, schema="t_srcovr")
+    src = runner.manifest.sources["source.shared_src.main_tbl"]
+    # override won: root schema, customer location, override freshness
+    assert src.config["schema"] == "root_schema"
+    assert "customer.parquet" in src.external_location
+    assert src.freshness["error_after"]["count"] == 99
+    # package-only table survives with the override's source defaults
+    side = runner.manifest.sources["source.shared_src.side_tbl"]
+    assert side.config["schema"] == "root_schema"
+    assert "nation.parquet" in side.external_location
+    # the package model reads through the overridden source
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    n = spark.table("t_srcovr.pkg_model").first()["n"]
+    # customer table at sf0.001 has 1500 rows (region would be 5)
+    assert n > 100
