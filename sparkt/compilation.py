@@ -265,6 +265,11 @@ class Compiler:
                     "threads": self.project.threads,
                 },
                 "database": "spark_catalog",
+                # unique_ids selected by the current invocation
+                # (reference SELECTED_RESOURCES context var,
+                # tests/functional/selected_resources) — available to
+                # hooks and macros
+                "selected_resources": sorted(self.selected_uids),
                 "schema": this.schema,
                 "pre_hooks": node.config.get("pre_hook", []),
                 "post_hooks": node.config.get("post_hook", []),

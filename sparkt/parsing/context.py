@@ -38,11 +38,22 @@ INVOCATION_ID = str(uuid.uuid4())
 
 
 class _Modules:
-    """``modules`` namespace (``core/dbt/context/base.py:46-95``);
-    pytz is replaced by stdlib zoneinfo (public API difference only)."""
+    """``modules`` namespace (``core/dbt/context/base.py:46-95``)."""
 
     import itertools as itertools  # noqa: PLC0414
     import re as re  # noqa: PLC0414
+
+    try:
+        import pytz as pytz  # noqa: PLC0414 — reference surface
+    except ImportError:  # pragma: no cover — zoneinfo-compatible shim
+        from zoneinfo import ZoneInfo as _ZoneInfo
+
+        class pytz:  # minimal tz lookup (timezones fixture surface)
+            @staticmethod
+            def timezone(name):
+                from zoneinfo import ZoneInfo
+
+                return ZoneInfo(name)
 
     class datetime:  # namespace, not the class
         date = date

@@ -571,3 +571,84 @@ def test_duplicate_resource_names_raise(tmp_path):
         f.write("select 2 as id")
     with pytest.raises(ParsingError, match="two models with the name 'm'"):
         ManifestLoader(load_project(root)).load(partial=False)
+
+
+def test_run_started_at_timezones(make_project, spark):
+    """run_started_at is tz-aware UTC and converts via modules.pytz
+    (reference tests/functional/timezones; Saskatchewan has no DST so
+    the UTC offset is a constant -6)."""
+    files = {
+        "dbt_project.yml": "name: tz\nmodel-paths: [models]\n",
+        "models/tzs.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select '{{ run_started_at.astimezone(modules.pytz.timezone("
+            "\"Canada/Saskatchewan\")) }}' as rsa_sask, "
+            "'{{ run_started_at }}' as rsa_utc"
+        ),
+    }
+    runner = make_project(files, schema="t_tz")
+    assert runner.run().ok
+    row = spark.table("t_tz.tzs").first()
+    assert row["rsa_utc"].endswith("+00:00")
+    assert row["rsa_sask"].endswith("-06:00")
+    # same instant, different rendering
+    from datetime import datetime
+
+    utc = datetime.fromisoformat(row["rsa_utc"])
+    sask = datetime.fromisoformat(row["rsa_sask"])
+    assert utc == sask
+
+
+def test_selected_resources_context_var(make_project, spark):
+    """`selected_resources` lists the invocation's selected unique_ids
+    in hooks/macros (reference tests/functional/selected_resources)."""
+    files = {
+        "dbt_project.yml": """
+name: sr
+model-paths: [models]
+macro-paths: [macros]
+on-run-start: "{{ assert_selected() }}"
+""",
+        "macros/assert_selected.sql": """
+{% macro assert_selected() %}
+  {% if execute %}
+    {% set expected = var('expected_selected') %}
+    {% if (selected_resources | sort) != (expected | sort) %}
+      {{ exceptions.raise_compiler_error(
+          'FAIL: ' ~ selected_resources ~ ' != ' ~ expected) }}
+    {% endif %}
+  {% endif %}
+{% endmacro %}
+""",
+        "models/model1.sql": "select 1 as id",
+        "models/model2.sql": "select * from {{ ref('model1') }}",
+    }
+    runner = make_project(
+        files, schema="t_selres",
+        # full run selects both models
+    )
+    runner.cli_vars["expected_selected"] = [
+        "model.sr.model1", "model.sr.model2"]
+    # rebuild compiler vars view
+    from sparkt.runner import Runner
+
+    r1 = Runner(runner.project.project_root, spark=spark,
+                cli_vars={"expected_selected":
+                          ["model.sr.model1", "model.sr.model2"]},
+                project_overrides={"schema": "t_selres"})
+    assert r1.run().ok
+
+    r2 = Runner(runner.project.project_root, spark=spark,
+                cli_vars={"expected_selected": ["model.sr.model1"]},
+                project_overrides={"schema": "t_selres"})
+    assert r2.run(select="model1").ok
+    # and a wrong expectation actually fails (the hook checks for real)
+    r3 = Runner(runner.project.project_root, spark=spark,
+                cli_vars={"expected_selected": ["model.sr.model1"]},
+                project_overrides={"schema": "t_selres"})
+    import pytest
+
+    from sparkt.exceptions import CompilationError
+
+    with pytest.raises(CompilationError, match="FAIL"):
+        r3.run()
