@@ -18,6 +18,9 @@ from sparkt.runner import Runner
 
 
 def _common(fn):
+    fn = click.option("--target", "-t", "target", default=None,
+                      envvar="DBT_TARGET",
+                      help="profiles.yml output to use")(fn)
     fn = click.option("--project-dir", default=".", help="project root")(fn)
     fn = click.option("--select", "-s", default=None)(fn)
     fn = click.option("--exclude", default=None)(fn)
@@ -66,6 +69,11 @@ def cli():
 def _make_cmd(name: str, full_refresh_opt: bool = False):
     @_common
     def cmd(project_dir, select, exclude, selector, threads, vars_, **kw):
+        if kw.get("target"):
+            # --target/-t selects the profiles.yml output; project
+            # loading reads it from the env tier (reference flags
+            # precedence: flag > env > default)
+            os.environ["DBT_TARGET"] = kw["target"]
         runner = _mk_runner(project_dir, vars_)
         fn = getattr(runner, name)
         kwargs = dict(select=select, exclude=exclude, selector=selector,
@@ -424,6 +432,7 @@ def init(project_name, skip_profile_setup):
     for rel, content in {
         "dbt_project.yml": (
             f"name: {project_name}\nversion: '1.0.0'\n"
+            f"profile: {project_name}\n"
             "model-paths: [models]\nseed-paths: [seeds]\n"
             "test-paths: [tests]\nmacro-paths: [macros]\n"
             "snapshot-paths: [snapshots]\n"
@@ -442,7 +451,15 @@ def init(project_name, skip_profile_setup):
             f.write(content)
     if not skip_profile_setup:
         with open(os.path.join(project_name, "profiles.yml"), "w") as f:
-            f.write("target:\n  schema: analytics\n  threads: 4\n")
+            f.write(
+                f"{project_name}:\n"
+                "  target: dev\n"
+                "  outputs:\n"
+                "    dev:\n"
+                "      type: spark\n"
+                "      schema: analytics\n"
+                "      threads: 4\n"
+            )
     click.echo(f"Your new sparkt project \"{project_name}\" was created!")
 
 

@@ -82,7 +82,7 @@ class Compiler:
             ctx = ctx_mod.base_context(self.project.vars, self.cli_vars)
             ctx.update({
                 "target": {
-                    "name": "dev",
+                    "name": self.project.target_name,
                     "type": "spark",
                     "schema": self.project.schema,
                     "threads": self.project.threads,
@@ -259,7 +259,7 @@ class Compiler:
                     else ctx_mod._ParseAdapter()
                 ),
                 "target": {
-                    "name": "dev",
+                    "name": self.project.target_name,
                     "type": "spark",
                     "schema": self.project.schema,
                     "threads": self.project.threads,

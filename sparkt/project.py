@@ -39,6 +39,9 @@ class Project:
     # profile
     schema: str = "analytics"
     threads: int = 4
+    # selected profile output name (reference --target/-t; surfaces as
+    # {{ target.name }} in jinja)
+    target_name: str = "dev"
     # selectors.yml: {name: {"default": bool, "definition": <raw yaml>}}
     # (reference: core/dbt/config/selectors.py + graph/cli.py:235)
     selectors: dict[str, dict] = field(default_factory=dict)
@@ -191,11 +194,40 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
         ppath = os.path.join(project_root, "profiles.yml")
     if os.path.exists(ppath):
         with open(ppath) as f:
-            prof = yaml.safe_load(f) or {}
-        target = prof.get("target", {})
-        if isinstance(target, dict):
-            proj.schema = target.get("schema", proj.schema)
-            proj.threads = int(target.get("threads", proj.threads))
+            prof_doc = yaml.safe_load(f) or {}
+        out = None
+        # dbt shape (reference core/dbt/config/profile.py):
+        # {<profile>: {target: <name>, outputs: {<name>: {schema,
+        # threads, ...}}}} — profile chosen by dbt_project.yml
+        # `profile:` (project name fallback), output by DBT_TARGET
+        # (--target/-t) > the profile's `target:` key > first output
+        prof_name = raw.get("profile") or proj.name
+        entry = prof_doc.get(prof_name)
+        if entry is None:
+            shaped = {k: v for k, v in prof_doc.items()
+                      if isinstance(v, dict) and "outputs" in v}
+            if len(shaped) == 1:
+                entry = next(iter(shaped.values()))
+        if isinstance(entry, dict) and isinstance(entry.get("outputs"), dict):
+            outputs = entry["outputs"]
+            tname = os.environ.get("DBT_TARGET") or entry.get("target")
+            if tname is None and outputs:
+                tname = next(iter(outputs))
+            out = outputs.get(tname)
+            if out is None:
+                from sparkt.exceptions import ParsingError
+
+                raise ParsingError(
+                    f"profiles.yml: target '{tname}' not found in "
+                    f"outputs {sorted(outputs)}"
+                )
+            proj.target_name = str(tname)
+        elif isinstance(prof_doc.get("target"), dict):
+            # legacy single-target form: `target: {schema, threads}`
+            out = prof_doc["target"]
+        if isinstance(out, dict):
+            proj.schema = out.get("schema", proj.schema)
+            proj.threads = int(out.get("threads", proj.threads))
     if overrides:
         for k, v in overrides.items():
             setattr(proj, k, v)

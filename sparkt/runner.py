@@ -313,7 +313,7 @@ class Runner:
             })
         return self.loader.env.from_string(str(tmpl)).render(
             node=Compiler._node_view(node),
-            target={"name": "dev", "type": "spark",
+            target={"name": self.project.target_name, "type": "spark",
                     "schema": self.project.schema,
                     "threads": self.project.threads},
             invocation_id=self.invocation_id,

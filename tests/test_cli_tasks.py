@@ -280,3 +280,44 @@ def test_run_results_timing_present(make_project, spark):
         t = r["timing"][0]
         assert t["name"] == "execute"
         assert t["started_at"] <= t["completed_at"]
+
+
+def test_profiles_outputs_and_target(tmp_path, monkeypatch):
+    """dbt-shaped profiles.yml: named profile (dbt_project.yml
+    `profile:`) with target/outputs; DBT_TARGET (--target/-t) selects
+    the output; unknown targets error; the selected name surfaces as
+    target_name (reference core/dbt/config/profile.py)."""
+    import pytest
+
+    from sparkt.exceptions import ParsingError
+    from sparkt.project import load_project
+
+    proj = str(tmp_path / "p")
+    write_files(proj, {
+        "dbt_project.yml": (
+            "name: pt\nprofile: my_warehouse\nmodel-paths: [models]\n"
+        ),
+        "profiles.yml": """
+my_warehouse:
+  target: dev
+  outputs:
+    dev:
+      type: spark
+      schema: dev_schema
+      threads: 2
+    prod:
+      type: spark
+      schema: prod_schema
+      threads: 8
+""",
+    })
+    p = load_project(proj)
+    assert (p.schema, p.threads, p.target_name) == ("dev_schema", 2, "dev")
+
+    monkeypatch.setenv("DBT_TARGET", "prod")
+    p = load_project(proj)
+    assert (p.schema, p.threads, p.target_name) == ("prod_schema", 8, "prod")
+
+    monkeypatch.setenv("DBT_TARGET", "nope")
+    with pytest.raises(ParsingError, match="target 'nope' not found"):
+        load_project(proj)
