@@ -54,6 +54,30 @@ class TestsConfigDeprecation(Event):
 
 
 @dataclass
+class SpacesInResourceNameDeprecation(Event):
+    CODE = "D014"
+    LEVEL = "warn"
+    unique_id: str = ""
+
+    def message(self) -> str:
+        return f"Found spaces in the name of `{self.unique_id}`"
+
+
+@dataclass
+class ResourceNamesWithSpacesDeprecation(Event):
+    CODE = "D015"
+    LEVEL = "warn"
+    count_invalid_names: int = 1
+
+    def message(self) -> str:
+        return (
+            "Spaces in resource names are deprecated "
+            f"({self.count_invalid_names} resource(s) affected); rename "
+            "with underscores"
+        )
+
+
+@dataclass
 class PackageRedirectDeprecation(Event):
     CODE = "D001"
     LEVEL = "warn"
@@ -74,6 +98,7 @@ _REGISTRY: dict[str, type] = {
     "project-config-data-paths": ConfigDataPathDeprecation,
     "project-test-config": TestsConfigDeprecation,
     "package-redirect": PackageRedirectDeprecation,
+    "resource-names-with-spaces": ResourceNamesWithSpacesDeprecation,
 }
 
 #: names already shown this process (reference active_deprecations)
@@ -93,6 +118,16 @@ def warn(name: str, **kwargs) -> None:
         return
     active_deprecations.add(name)
     event = _REGISTRY[name](**kwargs)
+    if _manager is not None:
+        _manager.warn_or_error(event)
+    else:
+        _buffered.append(event)
+
+
+def fire_event(event: Event) -> None:
+    """Route a non-once-only warning event through the attached manager
+    (or the pre-manager buffer) — used for per-resource companions of a
+    named deprecation, e.g. SpacesInResourceNameDeprecation (D014)."""
     if _manager is not None:
         _manager.warn_or_error(event)
     else:

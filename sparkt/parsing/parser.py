@@ -256,6 +256,19 @@ class ManifestLoader:
         self._parse_analyses()
         self._add_semantic_nodes()
         self._inject_external_nodes()
+        # spaces in resource names (reference manifest validation,
+        # D014 per resource + once-only D015 summary)
+        spaced = [uid for uid, n in self.manifest.nodes.items()
+                  if " " in n.name]
+        if spaced:
+            from sparkt import deprecations as _depr
+
+            for uid in spaced:
+                _depr.fire_event(
+                    _depr.SpacesInResourceNameDeprecation(unique_id=uid)
+                )
+            _depr.warn("resource-names-with-spaces",
+                       count_invalid_names=len(spaced))
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
         try:

@@ -227,3 +227,26 @@ def test_project_flags_tier(make_project, spark):
     res = runner.build(warn_error_options='{"exclude": ["TestWarning"]}')
     assert {r.status for r in res.results if "accepted_values" in r.unique_id} \
         == {"warn"}
+
+
+def test_spaces_in_resource_names_deprecation(make_project, spark):
+    """A model file with spaces in its name parses but fires D014 per
+    resource + a once-only D015 summary (reference
+    manifest_validations/test_check_for_spaces_in_model_names.py)."""
+    from sparkt import deprecations
+
+    deprecations.reset()
+    try:
+        files = {
+            "dbt_project.yml": "name: sp\nmodel-paths: [models]\n",
+            "models/my model.sql": "select 1 as id",
+            "models/clean_model.sql": "select 2 as id",
+        }
+        runner = make_project(files, schema="t_spaces")
+        codes = [e["info"]["code"] for e in _read_log(runner)]
+        assert codes.count("D014") == 1 and codes.count("D015") == 1
+        msgs = [e["info"]["msg"] for e in _read_log(runner)
+                if e["info"]["code"] == "D014"]
+        assert "Found spaces in the name of `model.sp.my model`" in msgs[0]
+    finally:
+        deprecations.reset()
