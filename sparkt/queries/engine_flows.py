@@ -296,6 +296,53 @@ ORDER BY o_orderkey
 """
 
 
+# ----------------------------------------------------------------- m11
+def m11_materialized_view(spark, sf_dir):
+    """materialized_view emulation (table + recorded refresh query —
+    Spark has no managed MVs, the SURVEY §2.1 documented divergence):
+    batch 1 creates the MV; batch 2 changes the definition (adds a
+    status filter) and ``on_configuration_change='apply'`` refreshes it
+    in place. The final content must equal the batch-2 definition —
+    proving both the create and the changed-definition refresh paths."""
+    from sparkt.runner import Runner
+
+    proj = tempfile.mkdtemp(prefix="sparkt_m11_")
+    schema = _schema_for("m11", sf_dir)
+    _write(
+        proj,
+        {
+            "dbt_project.yml": "name: flows\nmodel-paths: [models]\n",
+            "models/sources.yml": _sources_yml(sf_dir),
+            "models/order_mv.sql": """
+{{ config(materialized='materialized_view', on_configuration_change='apply') }}
+select o_orderpriority,
+       count(*) as n_orders,
+       round(sum(o_totalprice), 2) as total
+from {{ source('tpch', 'orders') }}
+{% if var('batch') == 2 %}where o_orderstatus = 'F'{% endif %}
+group by o_orderpriority
+""",
+        },
+    )
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    for batch in (1, 2):
+        r = Runner(proj, spark=spark, cli_vars={"batch": batch},
+                   project_overrides={"schema": schema})
+        res = r.run()
+        assert res.ok, [x.message for x in res.results]
+    return spark.table(f"{schema}.order_mv").orderBy("o_orderpriority")
+
+
+M11_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ------------------------------------------------------------------ m5
 def m5_python_model(spark, sf_dir):
     """Python model (model(dbt, session) -> DataFrame, ADR-004 native
@@ -649,6 +696,7 @@ QUERIES = {
     "m8_stateful_sessions": m8_stateful_sessions,
     "m9_stream_stream_join": m9_stream_stream_join,
     "m10_stream_dedup": m10_stream_dedup,
+    "m11_materialized_view": m11_materialized_view,
 }
 
 ORACLES = {
@@ -662,4 +710,5 @@ ORACLES = {
     "m8_stateful_sessions": M8_SQL,
     "m9_stream_stream_join": M9_SQL,
     "m10_stream_dedup": M10_SQL,
+    "m11_materialized_view": M11_SQL,
 }
