@@ -158,3 +158,59 @@ def decode_video_frame(item_id: int, frame_idx: int) -> bytes:
     raise NotImplementedError(
         "video decode requires ffmpeg bindings not present in this container"
     )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, stride_ms: int = 5000) -> DataFrame:
+    """Video frame sampling through the REAL Arrow ``mapInPandas``
+    plumbing: each (item_id, content) row expands to one row per
+    sampled frame at ``stride_ms`` intervals across the clip duration.
+
+    The container probe + frame decode are STUBBED deterministically
+    (no ffmpeg here): duration_ms = first two md5 digest bytes of the
+    payload (0–65535 ms) and frame_hash = md5(content_hash:frame_idx),
+    so an exact SQL oracle exists. A real cluster swaps the two inner
+    lambdas for PyAV/ffmpeg probe + seek-decode; the Spark plumbing —
+    schema, Arrow batching, row expansion inside the Python worker so
+    frame rows never round-trip through a shuffle — is production
+    shape. Scale: expansion is local to each input partition
+    (duration/stride rows per item); keep payload partitions small via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; downstream
+    carries (item_id, frame_idx, features), never bytes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, tss, hashes = [], [], [], []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                digest = hashlib.md5(bytes(content)).hexdigest()
+                # STUB probe: duration from the first two digest bytes
+                duration_ms = int(digest[:4], 16)
+                for k in range(duration_ms // stride_ms + 1):
+                    ids.append(item_id)
+                    idxs.append(k)
+                    tss.append(k * stride_ms)
+                    hashes.append(
+                        hashlib.md5(f"{digest}:{k}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)

@@ -267,3 +267,86 @@ def chunk_table(
         F.size(chunk).alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# ------------------------------------------- hashed linear classifier
+def hashed_classifier_score(text: Column) -> dict[str, Column]:
+    """fastText-style hashed linear quality classifier (public design:
+    Joulin et al. 2016; the CCNet/Gopher quality-filter pipelines):
+    tokens hash into weight buckets and the document score is the sum
+    of bucket weights — here the weight table is a deterministic
+    function of the bucket hash so the DuckDB oracle reproduces it
+    exactly (a trained model would broadcast a real weight array; the
+    distributed shape is identical).
+
+    weight(token) = (first 4 md5 hex nibbles as int) % 2001 - 1000, an
+    integer milli-weight in [-1000, 1000] — exact in any engine.
+    The score accumulates through the ``aggregate`` higher-order
+    function: ONE narrow JVM-side projection — no shuffle, no Python,
+    no explode. At 100 TB this runs at scan speed beside the parquet
+    reader. Reference has no classifier (dbt delegates all compute,
+    ARCHITECTURE.md:34-46); BASELINE.json extension operator.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % 2001
+            - 1000
+        ),
+    )
+    return {
+        "n_toks": F.size(toks).cast("int"),
+        "score_milli": score,
+        "keep": (score > 0).cast("int"),
+    }
+
+
+# -------------------------------------------- char-trigram familiarity
+def char_trigrams(text: Column) -> Column:
+    """Array of character trigrams over the lowercased a-z/space
+    normalization of ``text`` (the CCNet-style character-LM feature
+    space). Bounded vocabulary: ≤ 27³ ≈ 20k distinct trigrams."""
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower(text), "[^a-z ]", ""), " +", " "
+    )
+    n = F.length(s)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.substr(s, i, F.lit(3)))
+    )
+
+
+def trigram_familiarity(df, text_col: str, id_col: str):
+    """Corpus-level character-LM familiarity (the distributed shape of
+    CCNet's perplexity filter, public design: Wenzek et al. 2019):
+    pass 1 builds the corpus trigram frequency table, pass 2 scores
+    each document by the total corpus frequency of its trigrams. A
+    real deployment swaps the count for a log-probability from a
+    trained LM; the integer-count formulation keeps the oracle
+    comparison exact while pinning the identical two-pass plan.
+
+    Scale: the trigram vocabulary is bounded (≤ ~20k rows) so the
+    frequency table is BROADCAST — pass 2 is a map-side join, and the
+    per-document aggregate map-side-combines on doc id. No all-pairs
+    work anywhere: a 100 TB corpus scans twice, shuffles once on the
+    bounded vocab and once on doc id.
+    """
+    from pyspark.sql.functions import broadcast
+
+    tri = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_trigrams(F.col(text_col))).alias("tri"),
+    )
+    freq = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    return (
+        tri.join(broadcast(freq), "tri")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum("corpus_freq").alias("familiarity"),
+        )
+    )

@@ -1014,8 +1014,119 @@ ORDER BY vec_id
 """
 
 
+# ------------------------------------------------------------------ t8
+def t8_hashed_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier over documents
+    (sparkt.functions.text.hashed_classifier_score): deterministic
+    milli-weight per token bucket, accumulated with the ``aggregate``
+    HOF — one narrow codegen projection, zero shuffle/Python."""
+    docs = T(spark, sf_dir, "documents")
+    cols = TX.hashed_classifier_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_toks"].alias("n_toks"),
+        cols["score_milli"].alias("score_milli"),
+        cols["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+_T8_W = (
+    "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) % 2001 - 1000"
+)
+T8_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)),
+                                           '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_toks,
+         CAST(coalesce(list_sum(list_transform(toks, t -> {_T8_W})), 0)
+              AS BIGINT) AS score_milli
+  FROM t)
+SELECT doc_id, n_toks, score_milli,
+       CAST(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ t9
+def t9_trigram_familiarity(spark, sf_dir):
+    """CCNet-shaped two-pass corpus familiarity score
+    (sparkt.functions.text.trigram_familiarity): corpus char-trigram
+    frequency table (bounded vocab, broadcast) + per-doc aggregate."""
+    docs = T(spark, sf_dir, "documents")
+    return TX.trigram_familiarity(docs, "text", "doc_id").orderBy("doc")
+
+
+T9_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                        ' +', ' ', 'g') AS s
+  FROM documents),
+tg AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(generate_series(1, length(s) - 2),
+                               i -> substr(s, i, 3))) AS tri
+  FROM norm WHERE length(s) >= 3),
+freq AS (SELECT tri, count(*) AS corpus_freq FROM tg GROUP BY tri)
+SELECT t.doc,
+       CAST(count(*) AS BIGINT) AS n_tri,
+       CAST(sum(f.corpus_freq) AS BIGINT) AS familiarity
+FROM tg t JOIN freq f USING (tri)
+GROUP BY t.doc
+ORDER BY t.doc
+"""
+
+
+# ----------------------------------------------------------------- mm2
+def mm2_frame_sample(spark, sf_dir):
+    """Video frame sampling through real Arrow mapInPandas plumbing
+    (sparkt.functions.multimodal.sample_video_frames): per-item frame
+    expansion inside the Python worker; probe/decode deterministically
+    stubbed (duration from md5 bytes) so the oracle is exact."""
+    from sparkt.functions import multimodal as MM
+
+    docs = T(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.sample_video_frames(items, stride_ms=5000).orderBy(
+        "item_id", "frame_idx"
+    )
+
+
+MM2_SQL = f"""
+WITH v AS (
+  SELECT doc_id, md5(text) AS digest,
+         ({_DK_BYTE0} * 256 + {_DK_BYTE1}) AS duration_ms
+  FROM documents),
+s AS (
+  SELECT doc_id, digest,
+         unnest(generate_series(0, duration_ms // 5000)) AS k
+  FROM v)
+SELECT doc_id AS item_id,
+       CAST(k AS INT) AS frame_idx,
+       CAST(k * 5000 AS INT) AS ts_ms,
+       md5(digest || ':' || CAST(k AS VARCHAR)) AS frame_hash
+FROM s
+ORDER BY item_id, frame_idx
+"""
+
+
 QUERIES = {
     "c1_doc_chunks": c1_doc_chunks,
+    "t8_hashed_classifier": t8_hashed_classifier,
+    "t9_trigram_familiarity": t9_trigram_familiarity,
+    "mm2_frame_sample": mm2_frame_sample,
     "s5_quantize_int8": s5_quantize_int8,
     "a1_asof_join": a1_asof_join,
     "a2_range_join": a2_range_join,
@@ -1043,6 +1154,9 @@ QUERIES = {
 
 ORACLES = {
     "c1_doc_chunks": C1_SQL,
+    "t8_hashed_classifier": T8_SQL,
+    "t9_trigram_familiarity": T9_SQL,
+    "mm2_frame_sample": MM2_SQL,
     "s5_quantize_int8": S5_SQL,
     "a1_asof_join": A1_SQL,
     "a2_range_join": A2_SQL,

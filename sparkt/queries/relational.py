@@ -1018,8 +1018,60 @@ ORDER BY o_custkey
 """
 
 
+# ----------------------------------------------------------------- q31
+_Q31_BODY = """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM {src}),
+edges AS (
+  SELECT a.o_custkey, a.o_orderkey AS src, b.o_orderkey AS dst,
+         b.o_totalprice AS price
+  FROM ord a JOIN ord b
+    ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+chain AS (
+  SELECT o_custkey, o_orderkey, 1 AS depth,
+         CAST(o_totalprice AS DOUBLE) AS cum
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT e.o_custkey, e.dst, c.depth + 1, c.cum + e.price
+  FROM chain c JOIN edges e
+    ON c.o_orderkey = e.src AND e.o_custkey = c.o_custkey
+  WHERE c.depth < 25)
+SELECT o_custkey,
+       CAST(max(depth) AS INT) AS chain_len,
+       round(max(cum), 2) AS chain_spend
+FROM chain
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+def q31_recursive_cte(spark, sf_dir):
+    """Recursive CTE (iterative fixpoint): walk each customer's order
+    chain (consecutive orders linked by date order) accumulating depth
+    and cumulative spend, depth-capped at 25. Spark 4 executes WITH
+    RECURSIVE as repeated equijoin steps (one shuffle per round,
+    bounded by the depth cap) — the same iterative-join shape as
+    duplicate clustering; at 100 TB each round shuffles only the
+    frontier, and the cap bounds total work. Reference surface: user
+    SQL delegated to the warehouse (SURVEY.md §2.5); Postgres
+    supports WITH RECURSIVE so dbt models use it — our engine must
+    answer it too. Additions chain in a fixed sequential order, so
+    the double `cum` is bit-identical to the oracle's."""
+    T(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    ).createOrReplaceTempView("q31_orders")
+    return spark.sql(_Q31_BODY.format(src="q31_orders"))
+
+
+Q31_SQL = _Q31_BODY.format(src="(SELECT * FROM orders WHERE o_custkey < 100)")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q31_recursive_cte": q31_recursive_cte,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_revenue_forecast": q6_revenue_forecast,
@@ -1050,6 +1102,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q31_recursive_cte": Q31_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "q6_revenue_forecast": Q6_SQL,

@@ -558,3 +558,109 @@ def test_duplicate_clusters_matches_networkx(spark):
     got = {r["doc"]: r["cluster"]
            for r in duplicate_clusters(pairs).collect()}
     assert got == expected
+
+
+def test_hashed_classifier_exact_and_shuffle_free(spark):
+    """Score matches a Python md5 reimplementation, empty text scores
+    0, and the physical plan contains NO Exchange (pure projection)."""
+    import hashlib
+    import re
+
+    from sparkt.functions.text import hashed_classifier_score
+
+    def py_score(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.strip().lower()) if t]
+        return sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 2001 - 1000
+            for t in toks
+        )
+
+    rows = [(1, "The quick brown fox! 42"), (2, ""), (3, "aaa aaa bbb")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cols = hashed_classifier_score(F.col("text"))
+    out = df.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+    got = {r["doc_id"]: (r["n_toks"], r["score_milli"], r["keep"])
+           for r in out.collect()}
+    for doc_id, text in rows:
+        s = py_score(text)
+        assert got[doc_id][1] == s
+        assert got[doc_id][2] == int(s > 0)
+    assert got[2] == (0, 0, 0)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_trigram_familiarity_matches_counter(spark):
+    from collections import Counter
+
+    from sparkt.functions.text import trigram_familiarity
+
+    rows = [(1, "abc abcd"), (2, "xyz!"), (3, "ab")]
+
+    def tris(text):
+        import re
+
+        s = re.sub(" +", " ", re.sub("[^a-z ]", "", text.lower()))
+        return [s[i:i + 3] for i in range(len(s) - 2)]
+
+    corpus = Counter()
+    for _, t in rows:
+        corpus.update(tris(t))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc"]: (r["n_tri"], r["familiarity"])
+           for r in trigram_familiarity(df, "text", "doc_id").collect()}
+    for doc_id, t in rows:
+        ts = tris(t)
+        if not ts:
+            assert doc_id not in got  # no trigrams -> no row (doc 3)
+        else:
+            assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
+
+
+def test_sample_video_frames_deterministic_stub(spark):
+    """Frame expansion matches the documented stub: duration from the
+    first two md5 digest bytes, one frame per stride, hash chain."""
+    import hashlib
+
+    from sparkt.functions.multimodal import sample_video_frames
+
+    payloads = [(1, b"some video bytes"), (2, b"")]
+    df = spark.createDataFrame(payloads, ["item_id", "content"])
+    out = sample_video_frames(df, stride_ms=5000).collect()
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r["item_id"], []).append(r)
+    for item_id, content in payloads:
+        digest = hashlib.md5(content).hexdigest()
+        dur = int(digest[:4], 16)
+        frames = sorted(by_item[item_id], key=lambda r: r["frame_idx"])
+        assert len(frames) == dur // 5000 + 1
+        for k, fr in enumerate(frames):
+            assert fr["ts_ms"] == k * 5000
+            assert fr["frame_hash"] == hashlib.md5(
+                f"{digest}:{k}".encode()
+            ).hexdigest()
+
+
+def test_recursive_cte_gate_chain_semantics(spark):
+    """q31: chain_len equals per-customer order count (capped at 25)
+    and chain_spend equals the sum of the first chain_len orders."""
+    from sparkt.queries.relational import q31_recursive_cte
+    from sparkt.sources import load_parquet
+
+    out = {r["o_custkey"]: (r["chain_len"], r["chain_spend"])
+           for r in q31_recursive_cte(spark, SF).collect()}
+    orders = (
+        load_parquet(spark, f"{SF}/orders.parquet")
+        .filter(F.col("o_custkey") < 100)
+        .orderBy("o_orderdate", "o_orderkey")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    per_cust = {}
+    for r in orders:
+        per_cust.setdefault(r["o_custkey"], []).append(r["o_totalprice"])
+    assert set(out) == set(per_cust)
+    for ck, prices in per_cust.items():
+        n = min(len(prices), 25)
+        assert out[ck][0] == n
+        assert abs(out[ck][1] - round(sum(prices[:n]), 2)) < 1e-6
