@@ -561,3 +561,57 @@ def duplicate_clusters(
         )
         .distinct()
     )
+
+
+# ------------------------------------------------- repeated-span dedup
+def span_duplicates(
+    df,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+    stride: int = 1,
+    max_span_freq: int = 1000,
+):
+    """Cross-document repeated-span detection — the distributed
+    formulation of exact-substring deduplication (public design: Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; their suffix-array construction is single-machine, the
+    scalable equivalent is token-window fingerprinting).
+
+    With ``stride=1`` (default) every ``window``-token position is
+    fingerprinted, so EVERY shared verbatim span of >= ``window``
+    tokens is caught regardless of where it sits in each document —
+    the honest exact-substring guarantee. ``stride > 1`` is the cheap
+    sampled mode: it only catches spans whose window offsets happen to
+    align modulo ``stride`` across documents (fine for intra-corpus
+    boilerplate scans, NOT a detection guarantee — content-anchored
+    sampling with a guarantee is ``winnow_pairs``). Output: one row
+    per fingerprint seen in >= 2 distinct documents, with document
+    count, occurrences, and the smallest doc id (the canonical
+    keeper); removing spans elsewhere is a fingerprint semi-join back
+    against this table.
+
+    Scale shape: ONE posexplode (~1 row per token at stride=1 — the
+    same blowup class as d5's shingle explode, partition-local, no
+    shuffle) + ONE groupBy shuffle on the md5 fingerprint.
+    ``max_span_freq`` drops degenerate boilerplate fingerprints (the
+    stop-shingle cap of d5) so no reducer key explodes at 100 TB.
+    Reference has no dedup operators (dbt delegates compute,
+    ARCHITECTURE.md:34-46).
+    """
+    from sparkt.functions.text import chunk_table
+
+    chunks = chunk_table(
+        df, text_col, id_col, window=window, stride=stride
+    ).filter(F.col("n_tokens") == window)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc").alias("keep_doc"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= max_span_freq)
+        )
+    )

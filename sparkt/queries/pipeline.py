@@ -1014,6 +1014,38 @@ ORDER BY vec_id
 """
 
 
+# ----------------------------------------------------------------- d10
+def d10_span_dupes(spark, sf_dir):
+    """Exact-substring (repeated verbatim span) detection across
+    documents (sparkt.functions.dedup.span_duplicates): every 10-token
+    window fingerprinted (stride=1 — the guarantee mode), grouped with
+    a frequency cap. The distributed stand-in for Lee et al. 2022
+    suffix-array dedup."""
+    docs = T(spark, sf_dir, "documents")
+    return D.span_duplicates(
+        docs, "text", "doc_id", window=10, stride=1
+    ).orderBy("chunk_md5")
+
+
+D10_SQL = f"""
+WITH t AS (SELECT doc_id, {_DK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 1)) AS start
+      FROM t),
+c AS (SELECT doc_id,
+             md5(array_to_string(toks[start + 1 : start + 10], ' ')) AS fp
+      FROM s WHERE len(toks) - start >= 10)
+SELECT fp AS chunk_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM c
+GROUP BY fp
+HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1000
+ORDER BY chunk_md5
+"""
+
+
 # ------------------------------------------------------------------ t8
 def t8_hashed_classifier(spark, sf_dir):
     """fastText-style hashed linear quality classifier over documents
@@ -1127,6 +1159,7 @@ QUERIES = {
     "t8_hashed_classifier": t8_hashed_classifier,
     "t9_trigram_familiarity": t9_trigram_familiarity,
     "mm2_frame_sample": mm2_frame_sample,
+    "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
     "a1_asof_join": a1_asof_join,
     "a2_range_join": a2_range_join,
@@ -1157,6 +1190,7 @@ ORACLES = {
     "t8_hashed_classifier": T8_SQL,
     "t9_trigram_familiarity": T9_SQL,
     "mm2_frame_sample": MM2_SQL,
+    "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,
     "a1_asof_join": A1_SQL,
     "a2_range_join": A2_SQL,

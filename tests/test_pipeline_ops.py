@@ -664,3 +664,21 @@ def test_recursive_cte_gate_chain_semantics(spark):
         n = min(len(prices), 25)
         assert out[ck][0] == n
         assert abs(out[ck][1] - round(sum(prices[:n]), 2)) < 1e-6
+
+
+def test_span_duplicates_finds_shared_span(spark):
+    """A verbatim span >= window + stride - 1 tokens shared by two docs
+    is always caught; the keeper is the smallest doc id."""
+    from sparkt.functions.dedup import span_duplicates
+
+    shared = " ".join(f"tok{i}" for i in range(20))  # 20-token span
+    rows = [
+        (1, "intro words here " + shared),
+        (2, shared + " trailing content"),
+        (3, "completely unrelated text with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_duplicates(df, "text", "doc_id", window=10).collect()
+    # 20-token shared span -> 11 shared 10-token windows, any alignment
+    assert len(out) == 11
+    assert all(r["n_docs"] == 2 and r["keep_doc"] == 1 for r in out)
