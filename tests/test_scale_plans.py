@@ -145,3 +145,37 @@ def test_fact_scan_prunes_columns_and_pushes_filters(spark):
     assert "l_extendedprice" in read_schema
     assert "l_comment" not in read_schema  # untouched wide column pruned
     assert "PushedFilters: [" in scan and "IsNotNull" in scan
+
+
+def test_trigram_familiarity_broadcasts_vocab(spark):
+    """t9's pass-2 join must be a BroadcastHashJoin (bounded <=27^3
+    vocab), never a sort-merge join on the exploded trigram stream."""
+    from sparkt.functions.text import trigram_familiarity
+
+    df = spark.createDataFrame(
+        [(i, "some words appear here repeatedly") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        trigram_familiarity(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_duplicates_single_fingerprint_shuffle(spark):
+    """d10: the chunk explosion is partition-local; the only shuffles
+    are the fingerprint aggregate's (<= 2 Exchanges for the distinct
+    count), and nothing degenerates to a cartesian product."""
+    from sparkt.functions.dedup import span_duplicates
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 30) for i in range(10)], ["doc_id", "text"]
+    )
+    plan = (
+        span_duplicates(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 2
