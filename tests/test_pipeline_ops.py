@@ -682,3 +682,44 @@ def test_span_duplicates_finds_shared_span(spark):
     # 20-token shared span -> 11 shared 10-token windows, any alignment
     assert len(out) == 11
     assert all(r["n_docs"] == 2 and r["keep_doc"] == 1 for r in out)
+
+
+def test_span_duplicates_matches_bruteforce_random(spark):
+    """Randomized pin: on a batch of random small-vocab docs, d10's
+    output equals the brute-force every-position window fingerprint
+    computation exactly (fp set, doc counts, occurrence counts)."""
+    import hashlib
+    import random
+    import re
+    from collections import defaultdict
+
+    from sparkt.functions.dedup import span_duplicates
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(40)
+    ]
+    W = 5
+    expected = defaultdict(lambda: [set(), 0])
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t] \
+            if text.strip() else []
+        # mirror tokens(): split of "" yields [""], giving one token
+        toks = re.split(r"\s+", text.strip().lower())
+        for s in range(len(toks) - W + 1):
+            fp = hashlib.md5(" ".join(toks[s:s + W]).encode()).hexdigest()
+            expected[fp][0].add(doc_id)
+            expected[fp][1] += 1
+    expected = {
+        fp: (len(docs), occ, min(docs))
+        for fp, (docs, occ) in expected.items()
+        if len(docs) >= 2
+    }
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["chunk_md5"]: (r["n_docs"], r["n_occ"], r["keep_doc"])
+        for r in span_duplicates(df, "text", "doc_id", window=W).collect()
+    }
+    assert got == expected
