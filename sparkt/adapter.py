@@ -625,6 +625,85 @@ class SparkAdapter:
             )
         self._gc_old_versions(relation, keep=loc)
 
+    def _location_stats(self, location: str) -> tuple[int, int]:
+        n_files = total = 0
+        for root, _dirs, files in os.walk(location):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        return n_files, total
+
+    def optimize_table(
+        self,
+        relation: Relation | str,
+        target_file_mb: int = 128,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """OPTIMIZE-style table maintenance: compact files toward
+        ``target_file_mb`` and optionally sort-cluster rows on
+        ``cluster_by`` — the Spark-first substitute for Delta
+        ``OPTIMIZE``/``ZORDER BY`` (SURVEY.md §4 "OPTIMIZE/compaction
+        for Delta"; the reference leaves maintenance to the warehouse,
+        but this engine IS the warehouse).
+
+        Shapes, chosen for 100 TB:
+        - compaction only: ``coalesce(n)`` — NARROW, no shuffle; a
+          small-file-riddled table rewrites at scan speed.
+        - ``cluster_by``: ``repartitionByRange(n, cols)`` +
+          ``sortWithinPartitions`` — one range shuffle; globally
+          range-clustered files give parquet min/max skipping on the
+          leading column(s), the practical benefit of Z-ordering for
+          single-column predicates (true multi-dim interleaving is a Delta
+          feature; divergence documented).
+        - partitioned tables compact within partitions (shuffle on the
+          partition columns keeps directory layout).
+        Atomicity comes from the same versioned-path swap as
+        ``create_table_as``. Returns before/after file stats.
+        """
+        import math
+
+        if isinstance(relation, str):
+            schema, _, ident = relation.replace("`", "").rpartition(".")
+            if not schema:
+                raise ValueError(
+                    "optimize_table: pass 'schema.identifier' or a Relation"
+                )
+            relation = Relation(schema=schema, identifier=ident)
+        key = f"{relation.schema}.{relation.identifier}"
+        entry = self._catalog.get(key)
+        if entry is None or entry.get("kind") != "table":
+            raise ValueError(f"optimize_table: {key} is not a managed table")
+        if entry.get("bucket_by"):
+            raise ValueError(
+                "optimize_table: bucketed tables already control file "
+                "placement via their bucket spec; rebuild instead"
+            )
+        files_before, bytes_total = self._location_stats(entry["location"])
+        n_files = max(1, math.ceil(bytes_total / (target_file_mb * 1024**2)))
+        df = self.spark.table(relation.render())
+        part_cols = (
+            self.partition_columns(relation) if entry.get("partitioned") else []
+        )
+        if part_cols:
+            df = df.repartition(n_files, *part_cols)
+            if cluster_by:
+                df = df.sortWithinPartitions(*cluster_by)
+            self.create_table_as(relation, df=df, partition_by=part_cols)
+        elif cluster_by:
+            df = df.repartitionByRange(n_files, *cluster_by) \
+                .sortWithinPartitions(*cluster_by)
+            self.create_table_as(relation, df=df)
+        else:
+            self.create_table_as(relation, df=df.coalesce(n_files))
+        files_after, _ = self._location_stats(self._catalog[key]["location"])
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes": bytes_total,
+            "cluster_by": list(cluster_by or []),
+        }
+
     def insert_into(self, relation: Relation, select_sql: str) -> None:
         self.spark.sql(f"INSERT INTO {relation.render()} {select_sql}")
 

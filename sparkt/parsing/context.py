@@ -377,5 +377,14 @@ class RuntimeAdapterFacade:
     def type(self):
         return "spark"
 
+    def optimize_table(self, relation, target_file_mb=128, cluster_by=None):
+        """Maintenance entrypoint for run-operation macros:
+        ``{% do adapter.optimize_table(this | string) %}``."""
+        return self._adapter.optimize_table(
+            relation if isinstance(relation, str) else str(relation),
+            target_file_mb=target_file_mb,
+            cluster_by=cluster_by,
+        )
+
     def __getattr__(self, item):
         raise CompilationError(f"adapter.{item} is not implemented")

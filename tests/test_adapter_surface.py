@@ -6,6 +6,8 @@ catalog the reference's core calls (``core/dbt/task/runnable.py:345-360``,
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sparkt.relation import Relation
 
 
@@ -253,3 +255,79 @@ def test_query_comment_rendering(make_project, spark):
     assert runner3._query_comment_for(
         runner3.manifest.nodes["model.surf.base"]) == ""
     assert runner3.run().ok
+
+
+def test_optimize_table_compacts_files(make_project, spark):
+    """optimize_table rewrites a many-file table into few files at the
+    same row count, atomically (old location gc'd, catalog updated)."""
+    runner = _runner(make_project, "t_opt1")
+    a = runner.adapter
+    rel = Relation(schema="t_opt1", identifier="frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") % 7)
+    a.create_table_as(rel, df=df.repartition(24))
+    stats = a.optimize_table(rel, target_file_mb=128)
+    assert stats["files_before"] >= 24
+    assert stats["files_after"] == 1  # 10k rows << 128 MB
+    assert spark.table(rel.render()).count() == 10000
+
+
+def test_optimize_table_cluster_by_enables_skipping(make_project, spark):
+    """cluster_by range-partitions + sorts: each output file covers a
+    disjoint id range, so a point predicate prunes to one file."""
+    runner = _runner(make_project, "t_opt2")
+    a = runner.adapter
+    rel = Relation(schema="t_opt2", identifier="clust")
+    a.create_table_as(
+        rel,
+        df=spark.range(0, 300000)
+        .withColumn("v", F.md5(F.col("id").cast("string")))  # incompressible
+        .repartition(16),
+    )
+    # force multiple output files via a tiny target size
+    stats = a.optimize_table(rel, target_file_mb=1, cluster_by=["id"])
+    assert stats["files_after"] >= 2
+    import duckdb
+
+    loc = a._catalog["t_opt2.clust"]["location"]
+    ranges = duckdb.connect().execute(
+        f"select filename, min(id), max(id) from "
+        f"read_parquet('{loc}/*.parquet', filename=true) group by filename"
+    ).fetchall()
+    spans = sorted((lo, hi) for _, lo, hi in ranges)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next  # disjoint ranges -> min/max skipping
+    assert spark.table(rel.render()).count() == 300000
+
+
+def test_optimize_table_partitioned_keeps_layout(make_project, spark):
+    runner = _runner(make_project, "t_opt3")
+    a = runner.adapter
+    rel = Relation(schema="t_opt3", identifier="part")
+    df = spark.range(0, 5000).withColumn("day", (F.col("id") % 3).cast("string"))
+    a.create_table_as(rel, df=df.repartition(8), partition_by=["day"])
+    stats = a.optimize_table(rel, target_file_mb=64)
+    assert stats["files_after"] <= stats["files_before"]
+    out = spark.table(rel.render())
+    assert out.count() == 5000
+    assert a.partition_columns(rel) == ["day"]
+    import os as _os
+
+    loc = a._catalog["t_opt3.part"]["location"]
+    assert any(d.startswith("day=") for d in _os.listdir(loc))
+
+
+def test_optimize_table_via_run_operation(make_project, spark):
+    """Macro path: {% do adapter.optimize_table('schema.table') %}."""
+    files = {
+        "dbt_project.yml": "name: surf\nmodel-paths: [models]\nmacro-paths: [macros]\n",
+        "models/base.sql": "{{ config(materialized='table') }}\nselect 1 as id",
+        "macros/maint.sql": (
+            "{% macro compact_base() %}"
+            "{% do adapter.optimize_table(schema ~ '.base') %}"
+            "{% endmacro %}"
+        ),
+    }
+    runner = make_project(files, schema="t_opt4")
+    assert runner.run().ok
+    runner.run_operation("compact_base")
+    assert spark.table("`t_opt4`.`base`").count() == 1
