@@ -1018,6 +1018,94 @@ ORDER BY o_custkey
 """
 
 
+# ----------------------------------------------------------------- q32
+def q32_stats_family(spark, sf_dir):
+    """Statistical aggregate family per group: corr / covariance /
+    stddev / variance / least-squares regression slope+intercept of
+    price vs quantity per return flag. All built-in JVM aggregates
+    (one map-side-combined groupBy); doubles rounded to 6 so the
+    bit-level summation-order difference vs the oracle washes out."""
+    li = T(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp(q, p), 4).alias("covar_qty_price"),
+            F.round(F.stddev_samp(p), 4).alias("stddev_price"),
+            F.round(F.var_samp(q), 6).alias("var_qty"),
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+            .alias("slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+            .alias("intercept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q32_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ----------------------------------------------------------------- q33
+def q33_window_family(spark, sf_dir):
+    """The remaining analytic-window family in one gate: ntile /
+    percent_rank / cume_dist over spend order, nth_value and
+    first/last with an explicit ROWS frame, per customer-nation
+    partition. One window sort per partition spec (Catalyst shares
+    the Exchange across same-spec functions)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            (F.col("o_custkey") % 10).alias("grp"),
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+            F.first("o_orderkey").over(wf).alias("cheapest_key"),
+            F.last("o_orderkey").over(wf).alias("dearest_key"),
+        )
+        .orderBy("grp", "o_orderkey")
+    )
+
+
+Q33_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_custkey < 200)
+SELECT CAST(o_custkey % 10 AS BIGINT) AS grp,
+       o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER wf AS second_key,
+       first_value(o_orderkey) OVER wf AS cheapest_key,
+       last_value(o_orderkey) OVER wf AS dearest_key
+FROM o
+WINDOW w AS (PARTITION BY o_custkey % 10
+             ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_custkey % 10
+              ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY grp, o_orderkey
+"""
+
+
 # ----------------------------------------------------------------- q31
 _Q31_BODY = """
 WITH RECURSIVE ord AS (
@@ -1072,6 +1160,8 @@ Q31_SQL = _Q31_BODY.format(src="(SELECT * FROM orders WHERE o_custkey < 100)")
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q31_recursive_cte": q31_recursive_cte,
+    "q32_stats_family": q32_stats_family,
+    "q33_window_family": q33_window_family,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_revenue_forecast": q6_revenue_forecast,
@@ -1103,6 +1193,8 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q31_recursive_cte": Q31_SQL,
+    "q32_stats_family": Q32_SQL,
+    "q33_window_family": Q33_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "q6_revenue_forecast": Q6_SQL,
