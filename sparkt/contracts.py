@@ -62,3 +62,84 @@ def enforce_contract(node, df_schema) -> None:
         raise ExecutionError(
             f"{node.unique_id}: contract violation — " + "; ".join(problems)
         )
+
+
+def _gather_constraints(node) -> list[tuple[str, str, str | None]]:
+    """(kind, label, violation-count SQL expr | None) per constraint.
+    None expr = recorded-not-enforced (foreign_key, custom)."""
+    out = []
+    for cname, spec in node.columns.items():
+        for c in (spec or {}).get("constraints", []) or []:
+            ctype = c.get("type") if isinstance(c, dict) else str(c)
+            expr = (c or {}).get("expression") if isinstance(c, dict) else None
+            q = f"`{cname}`"
+            if ctype == "not_null":
+                out.append((
+                    "not_null", f"not_null({cname})",
+                    f"sum(case when {q} is null then 1 else 0 end)",
+                ))
+            elif ctype == "check" and expr:
+                out.append((
+                    "check", f"check({cname}: {expr})",
+                    f"sum(case when ({expr}) = false then 1 else 0 end)",
+                ))
+            elif ctype in ("unique", "primary_key"):
+                # primary_key = unique + not_null
+                out.append((
+                    ctype, f"{ctype}({cname})",
+                    f"count({q}) - count(distinct {q})"
+                    + (f" + sum(case when {q} is null then 1 else 0 end)"
+                       if ctype == "primary_key" else ""),
+                ))
+            else:
+                out.append((ctype or "custom", f"{ctype}({cname})", None))
+    for c in node.config.get("constraints") or []:
+        ctype = c.get("type") if isinstance(c, dict) else str(c)
+        expr = (c or {}).get("expression") if isinstance(c, dict) else None
+        if ctype == "check" and expr:
+            out.append((
+                "check", f"check(model: {expr})",
+                f"sum(case when ({expr}) = false then 1 else 0 end)",
+            ))
+        else:
+            out.append((ctype or "custom", f"{ctype}(model)", None))
+    return out
+
+
+def enforce_constraints(node, spark) -> None:
+    """Data-level constraint enforcement (reference column-level
+    ``constraints`` on contract-enforced models, dbt-common
+    ``ConstraintType``; behavior pinned by
+    ``tests/functional/adapter/constraints/fixtures.py:275-281``).
+
+    Warehouses enforce these as DDL constraints at insert time; our
+    engine IS the warehouse, so ``not_null`` / ``check`` /
+    ``unique`` / ``primary_key`` are verified with ONE aggregate job
+    over the model's compiled SELECT *before anything is written* —
+    a violation aborts the node with nothing replaced (same atomicity
+    as a failed warehouse CTAS). SQL CHECK semantics: NULL check
+    expressions pass (violation only when the expression is FALSE).
+    ``foreign_key``/``custom`` are recorded, not enforced, matching
+    adapters that emit them as metadata only. Cost: one extra
+    execution of the model query — the same price a warehouse pays to
+    validate DDL constraints; opt-in via ``contract.enforced``.
+    """
+    cons = _gather_constraints(node)
+    enforced = [(label, expr) for _k, label, expr in cons if expr]
+    if not enforced:
+        return
+    aggs = ", ".join(
+        f"{expr} as c{i}" for i, (_l, expr) in enumerate(enforced)
+    )
+    row = spark.sql(
+        f"select {aggs} from ({node.compiled_code}) __sparkt_constraints"
+    ).first()
+    problems = [
+        f"{label}: {row[f'c{i}']} violating row(s)"
+        for i, (label, _e) in enumerate(enforced)
+        if (row[f"c{i}"] or 0) > 0
+    ]
+    if problems:
+        raise ExecutionError(
+            f"{node.unique_id}: constraint violation — " + "; ".join(problems)
+        )

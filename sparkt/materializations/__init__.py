@@ -52,10 +52,11 @@ def check_contract(ctx: "MatContext", node: ParsedNode) -> None:
     """Contract enforcement hook (sparkt/contracts.py): analysis-only
     schema check, no data read."""
     if (node.config.get("contract") or {}).get("enforced"):
-        from sparkt.contracts import enforce_contract
+        from sparkt.contracts import enforce_constraints, enforce_contract
 
         schema = ctx.spark.sql(node.compiled_code).schema
         enforce_contract(node, schema)
+        enforce_constraints(node, ctx.spark)
 
 
 def unique_key_list(node: ParsedNode) -> list[str]:

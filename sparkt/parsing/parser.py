@@ -620,6 +620,10 @@ class ManifestLoader:
         merged = dict(yml_cfg)
         merged.update(node.config)  # in-file config still wins
         node.config = merged
+        if patch.get("constraints"):
+            # model-level constraints ride in config (column-level ones
+            # live on node.columns); see contracts.enforce_constraints
+            node.config.setdefault("constraints", patch["constraints"])
         for col in patch.get("columns", []) or []:
             node.columns[col["name"]] = col
             for t in col.get("data_tests", col.get("tests", [])) or []:

@@ -527,3 +527,83 @@ def test_favor_state(make_project, spark, tmp_path):
                             defer=True, favor_state=True)
     assert res.ok, [r.message for r in res.results]
     assert spark.table("t_favor_dev.b").first()["s"] == 30
+
+
+def test_constraint_enforcement_data_level(make_project, spark):
+    """Constraints on a contract-enforced model are verified against
+    the DATA before write (reference column-level constraints,
+    tests/functional/adapter/constraints/fixtures.py:275-281):
+    passing data builds; a NULL in a not_null column, a check
+    violation, or a primary_key duplicate each abort the node with
+    nothing replaced."""
+    import os
+
+    yml = """
+version: 2
+models:
+  - name: strict
+    constraints:
+      - type: check
+        expression: v < 1000
+    columns:
+      - name: id
+        data_type: int
+        constraints:
+          - {type: not_null}
+          - {type: primary_key}
+          - {type: check, expression: id > 0}
+      - name: v
+        data_type: bigint
+"""
+    files = dict(FILES)
+    files["models/strict.sql"] = (
+        "{{ config(materialized='table', contract={'enforced': True}) }}\n"
+        "select cast(id as int) as id, cast(v as bigint) as v "
+        "from {{ ref('raw') }}"
+    )
+    files["models/strict.yml"] = yml
+    runner = make_project(files, schema="t_cons")
+    assert runner.seed().ok
+    res = runner.run(select="strict")
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_cons.strict").count() == 2
+
+    from sparkt.runner import Runner
+
+    def rerun_with(sql_body):
+        with open(os.path.join(runner.project.project_root,
+                               "models/strict.sql"), "w") as f:
+            f.write(
+                "{{ config(materialized='table', "
+                "contract={'enforced': True}) }}\n" + sql_body
+            )
+        r = Runner(runner.project.project_root, spark=spark,
+                   project_overrides={"schema": "t_cons"})
+        return r.run(select="strict")
+
+    # not_null violation
+    res = rerun_with(
+        "select cast(if(id = 2, null, id) as int) as id, "
+        "cast(v as bigint) as v from {{ ref('raw') }}"
+    )
+    assert not res.ok and "not_null(id)" in res.results[0].message
+    # check violation (column-level)
+    res = rerun_with(
+        "select cast(-id as int) as id, cast(v as bigint) as v "
+        "from {{ ref('raw') }}"
+    )
+    assert not res.ok and "check(id" in res.results[0].message
+    # primary_key duplicate
+    res = rerun_with(
+        "select cast(1 as int) as id, cast(v as bigint) as v "
+        "from {{ ref('raw') }}"
+    )
+    assert not res.ok and "primary_key(id)" in res.results[0].message
+    # model-level check violation
+    res = rerun_with(
+        "select cast(id as int) as id, cast(v * 1000 as bigint) as v "
+        "from {{ ref('raw') }}"
+    )
+    assert not res.ok and "check(model" in res.results[0].message
+    # table untouched by the four failed builds
+    assert spark.table("t_cons.strict").count() == 2
