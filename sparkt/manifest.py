@@ -273,6 +273,58 @@ class Manifest:
             for p in parents:
                 self.child_map.setdefault(p, []).append(uid)
 
+    def infer_primary_key(self, node: "ParsedNode") -> list[str]:
+        """Primary-key inference for model nodes, mirroring the
+        reference's resolution order (``ModelNode.infer_primary_key``,
+        ``core/dbt/contracts/graph/nodes.py:483-530``; behavior pinned
+        by ``tests/functional/primary_keys``):
+
+        1. model-level ``primary_key`` constraint (its ``columns``)
+        2. a column with a ``primary_key`` constraint
+        3. columns with unique AND not_null data tests
+        4. columns with enabled unique tests
+        5. columns with disabled unique tests
+        """
+        for c in node.config.get("constraints") or []:
+            if isinstance(c, dict) and c.get("type") == "primary_key":
+                return list(c.get("columns") or [])
+        for cname, spec in node.columns.items():
+            for c in (spec or {}).get("constraints", []) or []:
+                if isinstance(c, dict) and c.get("type") == "primary_key":
+                    return [cname]
+        enabled_unique: set[str] = set()
+        disabled_unique: set[str] = set()
+        not_null: set[str] = set()
+        for t in self.nodes.values():
+            if (
+                t.resource_type != "test"
+                or t.attached_node != node.unique_id
+            ):
+                continue
+            meta = t.test_metadata or {}
+            kwargs = meta.get("kwargs") or {}
+            cols = (
+                [meta["column_name"]] if meta.get("column_name")
+                else list(kwargs.get("combination_of_columns") or [])
+            )
+            tname = meta.get("name")
+            for col in cols:
+                if tname in ("unique", "unique_combination_of_columns"):
+                    if t.config.get("enabled", True):
+                        enabled_unique.add(col)
+                    else:
+                        disabled_unique.add(col)
+                elif tname == "not_null":
+                    not_null.add(col)
+        both = sorted(
+            c for c in not_null if c in enabled_unique | disabled_unique
+        )
+        if both:
+            return both
+        if enabled_unique:
+            return sorted(enabled_unique)
+        return sorted(disabled_unique)
+
     def to_dict(self) -> dict:
         """``target/manifest.json`` in the reference's published
         manifest v12 shape (``schemas/dbt/manifest/v12.json`` —
@@ -313,6 +365,8 @@ class Manifest:
             else:
                 d["language"] = n.language
                 d["compiled_code"] = n.compiled_code
+            if n.resource_type == "model":
+                d["primary_key"] = self.infer_primary_key(n)
             return d
 
         def unit_test_dict(n: ParsedNode) -> dict:

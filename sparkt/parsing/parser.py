@@ -725,7 +725,13 @@ class ManifestLoader:
             raw_code=raw,
             refs=[attached.name],
             config=config,
-            test_metadata={"name": test_name, "kwargs": kwargs},
+            test_metadata={
+                "name": test_name,
+                "kwargs": kwargs,
+                # reference keeps column_name in kwargs; primary-key
+                # inference (manifest.infer_primary_key) reads it
+                "column_name": column_name,
+            },
             attached_node=attached.unique_id,
         )
         if isinstance(kwargs.get("to"), str):

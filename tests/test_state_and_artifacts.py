@@ -607,3 +607,47 @@ models:
     assert not res.ok and "check(model" in res.results[0].message
     # table untouched by the four failed builds
     assert spark.table("t_cons.strict").count() == 2
+
+
+def test_primary_key_inference(make_project, spark):
+    """manifest primary_key mirrors the reference's inference order
+    (nodes.py:483-530; tests/functional/primary_keys): constraints
+    first, then unique+not_null tests, then unique-only."""
+    import json
+    import os
+
+    files = dict(FILES)
+    files["models/pk_constraint.sql"] = "select 1 as id"
+    files["models/pk_tests.sql"] = "select 1 as id, 2 as other"
+    files["models/pk_unique_only.sql"] = "select 1 as id"
+    files["models/pk_none.sql"] = "select 1 as id"
+    files["models/pks.yml"] = """
+version: 2
+models:
+  - name: pk_constraint
+    columns:
+      - name: id
+        constraints:
+          - {type: primary_key}
+  - name: pk_tests
+    columns:
+      - name: id
+        data_tests: [unique, not_null]
+      - name: other
+        data_tests: [not_null]
+  - name: pk_unique_only
+    columns:
+      - name: id
+        data_tests: [unique]
+  - name: pk_none
+"""
+    runner = make_project(files, schema="t_pk")
+    runner.parse_only() if hasattr(runner, "parse_only") else runner.compile()
+    m = json.load(open(os.path.join(
+        runner.project.target_dir, "manifest.json")))
+    pk = {k.split(".")[-1]: v.get("primary_key")
+          for k, v in m["nodes"].items() if v["resource_type"] == "model"}
+    assert pk["pk_constraint"] == ["id"]
+    assert pk["pk_tests"] == ["id"]  # unique AND not_null beats not_null-only
+    assert pk["pk_unique_only"] == ["id"]
+    assert pk["pk_none"] == []
