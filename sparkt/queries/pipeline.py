@@ -50,81 +50,107 @@ def t2_quality_scores(spark, sf_dir):
     (alpha/stopword/length ratios), and Gopher-style repetition signals
     (dup-token fraction, top-bigram occupancy — r4's t5). Consolidated
     in r5 under the driver's 50-entry artifact cap (COVERAGE.md
-    "registry policy"): the three surfaces are per-doc projections over
-    the same tokenize pass, so one gate verifies all of them without
-    extra scans.
+    "registry policy").
 
-    Explode→groupBy formulation: one tokenize pass per doc (the
-    column-expression form re-evaluates the split per feature because
-    stopword filtering is a higher-order function — see PLANS.md)."""
+    SHUFFLE-FREE formulation (r5 rewrite; was explode -> two
+    (doc, token)-keyed double-groupBys + two joins = 5 shuffles):
+    duplicate-token and top-bigram counts are run-length scans over
+    the SORTED token/bigram arrays via the ``aggregate`` higher-order
+    function — count(token) > 1 is equivalent to adjacent-equal runs
+    after an array_sort, which is per-row work inside whole-stage
+    codegen. The whole gate is one narrow projection; at 100 TB it
+    runs at scan speed with zero exchanges (the trailing orderBy is
+    gate-output cosmetics)."""
     docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
     pre = docs.select(
-        "doc_id", "text", TX.tokens(F.col("text")).alias("__toks")
+        "doc_id",
+        "text",
+        toks.alias("__toks"),
+        F.array_sort(toks).alias("__s"),
     )
-    # ONE token explode feeds quality AND repetition stats: per-(doc,
-    # token) counts first, then one per-doc reduce (same two doc-keyed
-    # shuffles repetition_table uses, but the quality features ride
-    # along instead of re-exploding)
-    tc = (
-        pre.select("doc_id", F.explode("__toks").alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tok_stats = tc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.sum(
-            F.when(F.col("tok").isin(TX.EN_STOPWORDS), F.col("cnt"))
-            .otherwise(0)
-        ).alias("stop_hits"),
-        F.sum(F.length("tok") * F.col("cnt")).alias("tok_chars"),
-        F.sum(
-            F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
-        ).alias("dup_tok"),
-    )
-    # bigram occupancy needs token ORDER → its own array explode
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__toks") - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
-        ),
-    )
-    bg_stats = (
-        pre.filter(F.size("__toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id").agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.max("cnt").alias("top_bigram"),
+    n = F.size("__toks")
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
+            ),
         )
     )
-    char_stats = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
-        TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
+
+    def _run_state(prev, run, extra, started):
+        return F.struct(
+            prev.alias("prev"), run.alias("run"),
+            extra[0].alias(extra[1]), started.alias("started"),
+        )
+
+    # dup_tok = sum of run lengths > 1 over the sorted tokens: when a
+    # run reaches 2 both members count (retroactive +2), each further
+    # extension adds 1
+    dup_tok = F.aggregate(
+        "__s",
+        _run_state(F.lit(""), F.lit(0), (F.lit(0).cast("long"), "dup"),
+                   F.lit(False)),
+        lambda acc, x: _run_state(
+            x,
+            F.when(acc.started & (x == acc.prev), acc.run + 1).otherwise(
+                F.lit(1)
+            ),
+            (
+                acc.dup
+                + F.when(
+                    acc.started & (x == acc.prev),
+                    F.when(acc.run == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0)).cast("long"),
+                "dup",
+            ),
+            F.lit(True),
+        ),
+        lambda acc: acc.dup,
     )
-    j = char_stats.join(tok_stats, "doc_id").join(bg_stats, "doc_id", "left")
-    alpha = F.col("alpha_chars") / F.greatest(F.col("n_chars"), F.lit(1))
-    stop = F.col("stop_hits") / F.greatest(F.col("n_tokens"), F.lit(1))
-    length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
-    return j.select(
+    # top_bigram = longest adjacent-equal run over the sorted bigrams
+    top_bigram = F.aggregate(
+        F.array_sort(bigrams),
+        _run_state(F.lit(""), F.lit(0), (F.lit(0).cast("long"), "best"),
+                   F.lit(False)),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.started & (x == acc.prev), acc.run + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(acc.started & (x == acc.prev), acc.run + 1)
+                .otherwise(F.lit(1)).cast("long"),
+            ).alias("best"),
+            F.lit(True).alias("started"),
+        ),
+        lambda acc: acc.best,
+    )
+    stop_hits = F.size(F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS)))
+    tok_chars = F.aggregate(
+        "__toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    alpha = alpha_chars / F.greatest(n_chars, F.lit(1))
+    stop = stop_hits / F.greatest(n, F.lit(1))
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    n_bigrams = F.size(bigrams)
+    return pre.select(
         "doc_id",
-        "n_tokens",
-        "n_subword_tokens",
-        "n_chars",
+        n.cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
+        n_chars.alias("n_chars"),
         F.round(alpha, 6).alias("alpha_ratio"),
         F.round(stop, 6).alias("stopword_ratio"),
-        F.round(
-            F.col("tok_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
-        ).alias("avg_token_len"),
+        F.round(tok_chars / F.greatest(n, F.lit(1)), 6).alias("avg_token_len"),
         F.round(0.4 * length_term + 0.3 * alpha + 0.3 * stop, 6).alias(
             "quality"
         ),
+        F.round(dup_tok / F.greatest(n, F.lit(1)), 6).alias("dup_token_ratio"),
         F.round(
-            F.col("dup_tok") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
-        ).alias("dup_token_ratio"),
-        F.round(
-            F.coalesce(F.col("top_bigram"), F.lit(0))
-            / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+            top_bigram / F.greatest(n_bigrams, F.lit(1)), 6
         ).alias("top_bigram_ratio"),
     ).orderBy("doc_id")
 

@@ -179,3 +179,17 @@ def test_span_duplicates_single_fingerprint_shuffle(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_t2_quality_is_pure_projection(spark):
+    """r5 rewrite pin: the t2 gate computes all repetition/quality
+    stats as run-length HOF scans — no aggregate, no join; the only
+    exchange is the cosmetic output sort."""
+    from sparkt.queries.pipeline import t2_quality_scores
+
+    plan = (
+        t2_quality_scores(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
