@@ -145,59 +145,101 @@ def redact_pii(text: Column) -> Column:
 
 
 # ---------------------------------------------------------- repetition
+# ------------------------------------------- run-length repetition HOFs
+def dup_token_count(sorted_arr: Column) -> Column:
+    """Number of element occurrences belonging to values appearing
+    more than once, computed as a run-length scan over a SORTED array
+    with the ``aggregate`` HOF: count(x) > 1 is equivalent to
+    adjacent-equal runs after a sort. Per-row codegen work — the
+    shuffle-free replacement for explode -> groupBy(doc, token)."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("dup"), F.lit(False).alias("started"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.started & (x == acc.prev), acc.run + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            (
+                acc.dup
+                + F.when(
+                    acc.started & (x == acc.prev),
+                    # a run reaching 2 counts both members retroactively
+                    F.when(acc.run == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("dup"),
+            F.lit(True).alias("started"),
+        ),
+        lambda acc: acc.dup,
+    )
+
+
+def max_adjacent_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — the
+    max multiplicity of any value, as a single ``aggregate`` HOF scan
+    (shuffle-free top-bigram occupancy)."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("best"), F.lit(False).alias("started"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.started & (x == acc.prev), acc.run + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(acc.started & (x == acc.prev), acc.run + 1)
+                .otherwise(F.lit(1)).cast("long"),
+            ).alias("best"),
+            F.lit(True).alias("started"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def bigram_array(toks: Column) -> Column:
+    """Adjacent-bigram array ('' joined by spaces); empty for < 2
+    tokens (ANSI-safe: the element_at branch is guarded)."""
+    n = F.size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
 def repetition_table(df, text_col: str, id_col: str):
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     fraction of token occurrences belonging to tokens that repeat
     within the document, and the fraction of bigram occurrences taken
     by the document's single most frequent bigram.
 
-    Scale shape: explode → two groupBy-on-doc-prefixed-key shuffles
-    (token and bigram counts both hash-partition on (doc, gram), then
-    reduce to one row per doc) — identical cost profile to
-    ``minhash_table``; no pairwise work, no Python."""
-    from sparkt.sources import spread
-
-    pre = spread(df).select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
-    )
-    # all occurrences (NOT distinct — repetition measures multiplicity)
-    tok = pre.select("doc", F.explode("__toks").alias("tok"))
-    tok_counts = tok.groupBy("doc", "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    tok_stats = tok_counts.groupBy("doc").agg(
-        F.sum("cnt").alias("n_tokens"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
-            "dup_tok"
-        ),
-    )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__toks") - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
-        ),
-    )
-    bg = pre.filter(F.size("__toks") >= 2).select(
-        "doc", F.explode(bigrams).alias("bg")
-    )
-    bg_counts = bg.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-    bg_stats = bg_counts.groupBy("doc").agg(
-        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram")
-    )
-    return (
-        tok_stats.join(bg_stats, "doc", "left")
-        .select(
-            "doc",
-            "n_tokens",
-            F.round(
-                F.col("dup_tok") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
-            ).alias("dup_token_ratio"),
-            F.round(
-                F.coalesce(F.col("top_bigram"), F.lit(0))
-                / F.greatest(F.col("n_bigrams"), F.lit(1)),
-                6,
-            ).alias("top_bigram_ratio"),
-        )
+    Scale shape (r5 rewrite): run-length ``aggregate`` HOF scans over
+    the sorted token/bigram arrays — ONE narrow codegen projection,
+    zero shuffles, zero Python (was explode -> two doc-keyed
+    double-groupBys + a join). A 100 TB corpus scores at scan speed.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bg = bigram_array(toks)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            dup_token_count(F.array_sort(toks)) / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_token_ratio"),
+        F.round(
+            max_adjacent_run(F.array_sort(bg))
+            / F.greatest(F.size(bg), F.lit(1)),
+            6,
+        ).alias("top_bigram_ratio"),
     )
 
 

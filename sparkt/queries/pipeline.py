@@ -70,63 +70,11 @@ def t2_quality_scores(spark, sf_dir):
         F.array_sort(toks).alias("__s"),
     )
     n = F.size("__toks")
-    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at("__toks", i), F.element_at("__toks", i + 1)
-            ),
-        )
-    )
-
-    def _run_state(prev, run, extra, started):
-        return F.struct(
-            prev.alias("prev"), run.alias("run"),
-            extra[0].alias(extra[1]), started.alias("started"),
-        )
-
-    # dup_tok = sum of run lengths > 1 over the sorted tokens: when a
-    # run reaches 2 both members count (retroactive +2), each further
-    # extension adds 1
-    dup_tok = F.aggregate(
-        "__s",
-        _run_state(F.lit(""), F.lit(0), (F.lit(0).cast("long"), "dup"),
-                   F.lit(False)),
-        lambda acc, x: _run_state(
-            x,
-            F.when(acc.started & (x == acc.prev), acc.run + 1).otherwise(
-                F.lit(1)
-            ),
-            (
-                acc.dup
-                + F.when(
-                    acc.started & (x == acc.prev),
-                    F.when(acc.run == 1, F.lit(2)).otherwise(F.lit(1)),
-                ).otherwise(F.lit(0)).cast("long"),
-                "dup",
-            ),
-            F.lit(True),
-        ),
-        lambda acc: acc.dup,
-    )
-    # top_bigram = longest adjacent-equal run over the sorted bigrams
-    top_bigram = F.aggregate(
-        F.array_sort(bigrams),
-        _run_state(F.lit(""), F.lit(0), (F.lit(0).cast("long"), "best"),
-                   F.lit(False)),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(acc.started & (x == acc.prev), acc.run + 1)
-            .otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc.best,
-                F.when(acc.started & (x == acc.prev), acc.run + 1)
-                .otherwise(F.lit(1)).cast("long"),
-            ).alias("best"),
-            F.lit(True).alias("started"),
-        ),
-        lambda acc: acc.best,
-    )
+    bigrams = TX.bigram_array(F.col("__toks"))
+    # run-length HOF scans over the sorted arrays (library helpers;
+    # plan shape pinned by test_t2_quality_is_pure_projection)
+    dup_tok = TX.dup_token_count(F.col("__s"))
+    top_bigram = TX.max_adjacent_run(F.array_sort(bigrams))
     stop_hits = F.size(F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS)))
     tok_chars = F.aggregate(
         "__toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
