@@ -625,6 +625,61 @@ class SparkAdapter:
             )
         self._gc_old_versions(relation, keep=loc)
 
+    @staticmethod
+    def merge_into_sql(
+        target: Relation,
+        source_sql: str,
+        unique_key: list[str],
+        columns: list[str],
+        predicates: list[str] | None = None,
+        update_columns: list[str] | None = None,
+        exclude_columns: list[str] | None = None,
+    ) -> str:
+        """The ACID-table-format merge statement: ``MERGE INTO`` as
+        Delta Lake / Apache Iceberg execute it, mirroring the public
+        dbt-spark ``spark__get_merge_sql`` macro surface —
+        ``DBT_INTERNAL_DEST``/``DBT_INTERNAL_SOURCE`` aliases, ON over
+        the unique key plus optional ``incremental_predicates``,
+        ``UPDATE SET *`` (or the ``merge_update_columns`` /
+        ``merge_exclude_columns`` explicit list), ``INSERT *``.
+
+        Dispatched by the incremental 'merge' strategy when
+        ``file_format`` is delta/iceberg (this sandbox has neither
+        runtime, so the statement is emitted but a real cluster is
+        where it executes; the versioned-path rewrite in
+        ``materialize_incremental`` is the plain-parquet substitute —
+        see adapter.py:7-17). At 100 TB MERGE is the right path: the
+        table format prunes by file stats and rewrites only matched
+        files instead of the whole relation.
+        """
+        on = " AND ".join(
+            f"DBT_INTERNAL_DEST.`{k}` = DBT_INTERNAL_SOURCE.`{k}`"
+            for k in unique_key
+        )
+        for p in predicates or []:
+            on = f"({on}) AND ({p})"
+        if update_columns:
+            upd_cols = list(update_columns)
+        elif exclude_columns:
+            upd_cols = [c for c in columns if c not in set(exclude_columns)]
+        else:
+            upd_cols = None
+        update_set = (
+            "*"
+            if upd_cols is None
+            else ", ".join(
+                f"DBT_INTERNAL_DEST.`{c}` = DBT_INTERNAL_SOURCE.`{c}`"
+                for c in upd_cols
+            )
+        )
+        return (
+            f"MERGE INTO {target.render()} AS DBT_INTERNAL_DEST\n"
+            f"USING ({source_sql}) AS DBT_INTERNAL_SOURCE\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED THEN UPDATE SET {update_set}\n"
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
     def _location_stats(self, location: str) -> tuple[int, int]:
         n_files = total = 0
         for root, _dirs, files in os.walk(location):

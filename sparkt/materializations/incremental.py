@@ -155,6 +155,30 @@ def materialize_incremental(ctx: MatContext, node):
     if strategy in ("merge", "delete+insert") and not uk:
         raise ExecutionError(f"{node.unique_id}: {strategy} requires unique_key")
 
+    # ACID-format dispatch: on delta/iceberg the merge strategy submits
+    # a real MERGE INTO (file-stat-pruned, rewrites only matched files)
+    # instead of the whole-relation versioned-path rewrite below
+    file_format = str(node.config.get("file_format") or "parquet").lower()
+    if (
+        strategy == "merge"
+        and file_format in ("delta", "iceberg")
+        and not schema_rewrite
+    ):
+        preds = node.config.get("incremental_predicates") or []
+        if isinstance(preds, str):
+            preds = [preds]
+        merge_sql = ctx.adapter.merge_into_sql(
+            rel,
+            src_sql,
+            uk,
+            [name for name, _, _ in final_cols],
+            predicates=preds,
+            update_columns=node.config.get("merge_update_columns"),
+            exclude_columns=node.config.get("merge_exclude_columns"),
+        )
+        ctx.adapter.execute(merge_sql)
+        return f"MERGE INTO ({file_format})"
+
     # rewrite path: one set-oriented statement through the atomic swap
     if strategy in ("merge", "delete+insert"):
         # incremental_predicates (reference tests/functional/adapter/
