@@ -680,6 +680,38 @@ class SparkAdapter:
             f"WHEN NOT MATCHED THEN INSERT *"
         )
 
+    @staticmethod
+    def snapshot_merge_sql(
+        target: Relation, staging_sql: str, insert_cols: list[str]
+    ) -> str:
+        """SCD-2 snapshot merge for ACID table formats, mirroring the
+        reference's ``default__snapshot_merge_sql`` (public
+        dbt-adapters project; driver at ``core/dbt/task/snapshot.py``):
+        the staging select tags each row with ``dbt_change_type`` ∈
+        {insert, update, delete}; matched update/delete rows close the
+        current version (``dbt_valid_to``), unmatched insert rows add
+        the new version. Dispatched when ``file_format`` is
+        delta/iceberg — only changed files rewrite, vs the whole-
+        relation versioned-path rewrite used on plain parquet."""
+        cols = ", ".join(f"`{c}`" for c in insert_cols)
+        vals = ", ".join(
+            f"DBT_INTERNAL_SOURCE.`{c}`" for c in insert_cols
+        )
+        return (
+            f"MERGE INTO {target.render()} AS DBT_INTERNAL_DEST\n"
+            f"USING ({staging_sql}) AS DBT_INTERNAL_SOURCE\n"
+            "ON DBT_INTERNAL_SOURCE.dbt_scd_id = "
+            "DBT_INTERNAL_DEST.dbt_scd_id\n"
+            "WHEN MATCHED AND DBT_INTERNAL_DEST.dbt_valid_to IS NULL\n"
+            " AND DBT_INTERNAL_SOURCE.dbt_change_type IN "
+            "('update', 'delete')\n"
+            "  THEN UPDATE SET dbt_valid_to = "
+            "DBT_INTERNAL_SOURCE.dbt_valid_to\n"
+            "WHEN NOT MATCHED AND DBT_INTERNAL_SOURCE.dbt_change_type = "
+            "'insert'\n"
+            f"  THEN INSERT ({cols}) VALUES ({vals})"
+        )
+
     def _location_stats(self, location: str) -> tuple[int, int]:
         n_files = total = 0
         for root, _dirs, files in os.walk(location):

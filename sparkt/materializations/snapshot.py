@@ -129,6 +129,52 @@ __deleted AS (
         if invalidate
         else ""
     )
+    # ACID-format dispatch: delta/iceberg snapshots run the reference's
+    # change-type-tagged staging select + MERGE on dbt_scd_id
+    # (adapter.snapshot_merge_sql) instead of the whole-table rewrite
+    file_format = str(cfg.get("file_format") or "parquet").lower()
+    if file_format in ("delta", "iceberg"):
+        uk_eq_chc = " AND ".join(f"ch.{k} <=> c.{k}" for k in uk)
+        ch_data = ", ".join(f"ch.{c}" for c in data_cols)
+        c_data = ", ".join(f"c.{c}" for c in data_cols)
+        deletes_branch = (
+            f"""
+UNION ALL
+SELECT {c_data},
+       c.dbt_scd_id, c.dbt_updated_at, c.dbt_valid_from,
+       {ts_literal} AS dbt_valid_to, 'delete' AS dbt_change_type
+FROM __cur c LEFT ANTI JOIN __src s ON {uk_eq_sc}"""
+            if invalidate
+            else ""
+        )
+        staging = f"""WITH __src AS ({src_sql}),
+__cur AS (SELECT * FROM {rel.render()} WHERE dbt_valid_to IS NULL),
+__changed AS (
+    SELECT {s_cols}, {upd('s')} AS __new_ts
+    FROM __src s JOIN __cur c ON {uk_eq_sc}
+    WHERE {changed}
+),
+__new_keys AS (
+    SELECT {s_cols}, {upd('s')} AS __new_ts
+    FROM __src s LEFT ANTI JOIN __cur c ON {uk_eq_sc}
+)
+SELECT {s_cols},
+       {_scd_id_expr(uk, 's.__new_ts', 's')} AS dbt_scd_id,
+       s.__new_ts AS dbt_updated_at,
+       s.__new_ts AS dbt_valid_from,
+       CAST(NULL AS timestamp) AS dbt_valid_to,
+       'insert' AS dbt_change_type
+FROM (SELECT * FROM __changed UNION ALL SELECT * FROM __new_keys) s
+UNION ALL
+SELECT {ch_data}, c.dbt_scd_id, c.dbt_updated_at, c.dbt_valid_from,
+       ch.__new_ts AS dbt_valid_to, 'update' AS dbt_change_type
+FROM __changed ch JOIN __cur c ON {uk_eq_chc}{deletes_branch}"""
+        merge_sql = ctx.adapter.snapshot_merge_sql(
+            rel, staging, data_cols + META_COLS
+        )
+        ctx.adapter.execute(merge_sql)
+        return f"SNAPSHOT (MERGE {file_format})"
+
     merged = f"""
 WITH __src AS ({src_sql}),
 __cur AS (SELECT * FROM {rel.render()} WHERE dbt_valid_to IS NULL),
