@@ -214,10 +214,18 @@ def deps(project_dir):
 
 @cli.command("docs-generate")
 @click.option("--project-dir", default=".")
-def docs_generate(project_dir):
+@click.option("--static", "static", is_flag=True, default=False,
+              help="also write a self-contained static_index.html "
+                   "(reference docs generate --static)")
+def docs_generate(project_dir, static):
     runner = Runner(project_dir)
     cat = runner.docs_generate()
     click.echo(f"catalog: {len(cat['nodes'])} relations -> target/catalog.json")
+    if static:
+        from sparkt.docs import write_static_index
+
+        path = write_static_index(runner.project.target_dir)
+        click.echo(f"static docs: {path}")
 
 
 # json output keys (reference core/dbt/task/list.py:42 ALLOWED_KEYS)

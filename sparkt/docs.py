@@ -51,6 +51,44 @@ def write_index(target_dir: str) -> str:
     return path
 
 
+def write_static_index(target_dir: str) -> str:
+    """``docs generate --static`` (reference
+    ``core/dbt/task/docs/generate.py:315-331``): one self-contained
+    ``static_index.html`` with manifest.json and catalog.json inlined
+    — shareable without a server, same filename as the reference."""
+    import json
+
+    def _load(name):
+        try:
+            with open(os.path.join(target_dir, name)) as f:
+                return f.read()
+        except OSError:
+            return "{}"
+
+    manifest_data = _load("manifest.json")
+    catalog_data = _load("catalog.json")
+    index = _INDEX_HTML.replace(
+        "fetch('catalog.json').then(r=>r.json()).then(cat=>{",
+        "Promise.resolve(\"CATALOG.JSON INLINE DATA\").then(cat=>{"
+        "window.__manifest=\"MANIFEST.JSON INLINE DATA\";",
+    )
+    # the reference inlines via the same literal-placeholder replace
+    index = index.replace('"MANIFEST.JSON INLINE DATA"', manifest_data)
+    index = index.replace('"CATALOG.JSON INLINE DATA"', catalog_data)
+    # links to sibling artifacts make no sense in a standalone file
+    index = index.replace(
+        '<p>Artifacts: <a href="manifest.json">manifest.json</a> ·\n'
+        ' <a href="catalog.json">catalog.json</a> ·\n'
+        ' <a href="run_results.json">run_results.json</a></p>',
+        "<p>Self-contained docs (manifest + catalog inlined).</p>",
+    )
+    path = os.path.join(target_dir, "static_index.html")
+    with open(path, "w") as f:
+        f.write(index)
+    json.loads(manifest_data)  # fail loudly on corrupt artifacts
+    return path
+
+
 def make_server(target_dir: str, port: int = 8080):
     """HTTP server rooted at the target dir. ``port=0`` picks a free
     port (tests). Returns the live server; call ``serve_forever`` (or

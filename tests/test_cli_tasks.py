@@ -321,3 +321,25 @@ my_warehouse:
     monkeypatch.setenv("DBT_TARGET", "nope")
     with pytest.raises(ParsingError, match="target 'nope' not found"):
         load_project(proj)
+
+
+def test_docs_generate_static(make_project, spark):
+    """--static writes a self-contained static_index.html with manifest
+    and catalog inlined (reference docs/generate.py:315-331)."""
+    import os
+
+    files = {
+        "dbt_project.yml": "name: ds\nmodel-paths: [models]\n",
+        "models/m.sql": "{{ config(materialized='table') }}\nselect 1 as id",
+    }
+    runner = make_project(files, schema="t_docstatic")
+    assert runner.run().ok
+    runner.docs_generate()
+    from sparkt.docs import write_static_index
+
+    path = write_static_index(runner.project.target_dir)
+    assert os.path.basename(path) == "static_index.html"
+    html = open(path).read()
+    assert "model.ds.m" in html          # manifest inlined
+    assert '"columns"' in html           # catalog inlined
+    assert "MANIFEST.JSON INLINE DATA" not in html
