@@ -217,9 +217,11 @@ def deps(project_dir):
 @click.option("--static", "static", is_flag=True, default=False,
               help="also write a self-contained static_index.html "
                    "(reference docs generate --static)")
-def docs_generate(project_dir, static):
+@click.option("--empty-catalog", "empty_catalog", is_flag=True, default=False,
+              help="skip relation introspection (reference --empty-catalog)")
+def docs_generate(project_dir, static, empty_catalog):
     runner = Runner(project_dir)
-    cat = runner.docs_generate()
+    cat = runner.docs_generate(empty_catalog=empty_catalog)
     click.echo(f"catalog: {len(cat['nodes'])} relations -> target/catalog.json")
     if static:
         from sparkt.docs import write_static_index

@@ -707,13 +707,18 @@ class Runner:
                 return df
         raise ValueError(f"no saved query named '{name}'")
 
-    def docs_generate(self) -> dict:
+    def docs_generate(self, empty_catalog: bool = False) -> dict:
         """Catalog artifact from the live catalog (``core/dbt/task/docs/
-        generate.py:215-366``) → target/catalog.json."""
+        generate.py:215-366``) → target/catalog.json. ``empty_catalog``
+        (reference ``--empty-catalog``, ``cli/params.py:523``) skips the
+        per-relation introspection — docs-site serving without the
+        catalog cost on huge projects."""
         self.register_sources()
         nodes: dict[str, dict] = {}
         sources: dict[str, dict] = {}
         for uid, node in self.manifest.all_nodes().items():
+            if empty_catalog:
+                break
             if node.resource_type in ("test", "unit_test", "operation", "analysis"):
                 continue
             rel = self.compiler.relation_for(node)

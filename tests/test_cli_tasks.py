@@ -343,3 +343,14 @@ def test_docs_generate_static(make_project, spark):
     assert "model.ds.m" in html          # manifest inlined
     assert '"columns"' in html           # catalog inlined
     assert "MANIFEST.JSON INLINE DATA" not in html
+
+
+def test_docs_generate_empty_catalog(make_project, spark):
+    files = {
+        "dbt_project.yml": "name: dse\nmodel-paths: [models]\n",
+        "models/m.sql": "{{ config(materialized='table') }}\nselect 1 as id",
+    }
+    runner = make_project(files, schema="t_docsempty")
+    assert runner.run().ok
+    cat = runner.docs_generate(empty_catalog=True)
+    assert cat["nodes"] == {}
