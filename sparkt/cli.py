@@ -82,7 +82,8 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                       favor_state=kw.get("favor_state", False),
                       fail_fast=kw.get("fail_fast", False),
                       warn_error=kw.get("warn_error", False),
-                      warn_error_options=kw.get("warn_error_options"))
+                      warn_error_options=kw.get("warn_error_options"),
+                      indirect_selection=kw.get("indirect_selection"))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
             kwargs["empty"] = kw.get("empty", False)
@@ -99,6 +100,12 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                        default=False, envvar="DBT_FAIL_FAST")(cmd)
     cmd = click.option("--warn-error", "warn_error", is_flag=True,
                        default=False, envvar="DBT_WARN_ERROR")(cmd)
+    cmd = click.option(
+        "--indirect-selection", "indirect_selection",
+        type=click.Choice(["eager", "cautious", "buildable", "empty"]),
+        default=None, envvar="DBT_INDIRECT_SELECTION",
+        help="how tests attached to selected nodes are included "
+             "(reference core/dbt/cli/params.py:138)")(cmd)
     cmd = click.option(
         "--warn-error-options", "warn_error_options", default=None,
         envvar="DBT_WARN_ERROR_OPTIONS",

@@ -14,6 +14,22 @@ Supported methods: fqn/name (default, fnmatch glob), ``tag:``,
 ``source_status:``, ``state:`` (incl. ``modified.body/.configs/
 .relation/.macros/.contract``), ``result:``, plus
 ``+``/``N+``/``+N``/``@`` graph operators and ``--exclude``.
+
+Indirect test selection (reference ``core/dbt/graph/selector.py:216-274``
+``expand_selection``/``incorporate_indirect_nodes``): selecting a model
+also selects its attached data/unit tests. Four modes
+(``selector_spec.py:26`` IndirectSelection):
+
+- ``eager`` (default): a test is selected if ANY of its parents is;
+- ``cautious``: only if ALL its parents are selected;
+- ``buildable``: if all its parents are within selected ∪ ancestors of
+  selected ∪ sources (so a relationships test to a parent dim passes);
+- ``empty``: no expansion — only the named nodes.
+
+cautious/buildable keep not-yet-qualified tests as *indirect*
+candidates and re-check them after set algebra combines criteria, so a
+union whose parts each select one parent of a two-parent test still
+selects it (reference ``incorporate_indirect_nodes``).
 """
 
 from __future__ import annotations
@@ -212,6 +228,83 @@ def _expand_spec(graph: nx.DiGraph, manifest: Manifest, spec: str,
     return out
 
 
+INDIRECT_MODES = ("eager", "cautious", "buildable", "empty")
+
+_INDIRECT_TYPES = ("test", "unit_test")
+
+
+def _expand_indirect(
+    graph: nx.DiGraph, manifest: Manifest, selected: set[str], mode: str
+) -> tuple[set[str], set[str]]:
+    """(direct, indirect) test expansion over the immediate successors
+    of ``selected`` (reference ``expand_selection``,
+    ``core/dbt/graph/selector.py:216-274``; only data/unit tests can be
+    indirectly selected, ``can_select_indirectly`` ibid:22-34)."""
+    if mode == "empty":
+        return set(selected), set()
+    if mode not in INDIRECT_MODES:
+        raise SelectorError(
+            f"invalid indirect selection mode {mode!r}; "
+            f"expected one of {INDIRECT_MODES}"
+        )
+    direct = set(selected)
+    indirect: set[str] = set()
+    nodes = manifest.all_nodes()
+    sel_and_parents: set[str] = set()
+    if mode == "buildable":
+        sel_and_parents = set(selected) | set(manifest.sources)
+        for uid in selected:
+            if uid in graph:
+                sel_and_parents |= nx.ancestors(graph, uid)
+    succ: set[str] = set()
+    for uid in selected:
+        if uid in graph:
+            succ |= set(graph.successors(uid))
+    for uid in succ - direct:
+        node = nodes.get(uid)
+        if node is None or node.resource_type not in _INDIRECT_TYPES:
+            continue
+        deps = set(node.depends_on)
+        if mode == "eager" or deps <= set(selected):
+            direct.add(uid)
+        elif mode == "buildable" and deps <= sel_and_parents:
+            direct.add(uid)
+        else:
+            indirect.add(uid)
+    return direct, indirect
+
+
+def _incorporate_indirect(
+    graph: nx.DiGraph,
+    manifest: Manifest,
+    direct: set[str],
+    indirect: set[str],
+    mode: str,
+) -> set[str]:
+    """Re-check indirect candidates against the post-set-algebra direct
+    set (reference ``incorporate_indirect_nodes``,
+    ``core/dbt/graph/selector.py:276-305``)."""
+    if not indirect or mode == "eager" or mode == "empty":
+        return direct
+    selected = set(direct)
+    sel_and_parents = set(selected) | set(manifest.sources)
+    if mode == "buildable":
+        for uid in direct:
+            if uid in graph:
+                sel_and_parents |= nx.ancestors(graph, uid)
+    nodes = manifest.all_nodes()
+    for uid in indirect:
+        node = nodes.get(uid)
+        if node is None:
+            continue
+        deps = set(node.depends_on)
+        if mode == "cautious" and deps <= set(direct):
+            selected.add(uid)
+        elif mode == "buildable" and deps <= sel_and_parents:
+            selected.add(uid)
+    return selected
+
+
 def select_from_definition(
     graph: nx.DiGraph,
     manifest: Manifest,
@@ -289,7 +382,8 @@ def select_from_definition(
         )
         prefix = "@" if definition.get("childrens_parents") else ""
         base = select_nodes(
-            graph, manifest, f"{prefix}{left}{spec}{right}", state=state
+            graph, manifest, f"{prefix}{left}{spec}{right}", state=state,
+            indirect=definition.get("indirect_selection", "eager"),
         )
         for e in definition.get("exclude") or []:
             base -= select_from_definition(
@@ -308,22 +402,37 @@ def select_nodes(
     select: str | list[str] | None = None,
     exclude: str | list[str] | None = None,
     state=None,
+    indirect: str = "eager",
 ) -> set[str]:
     all_ids = set(manifest.all_nodes())
     if select is None or select == []:
         selected = set(all_ids)
+        indirect_nodes: set[str] = set()
     else:
         specs = select.split() if isinstance(select, str) else list(select)
-        selected: set[str] = set()
+        selected = set()
+        indirect_nodes = set()
         for union_part in specs:  # space = union
             inter_parts = union_part.split(",")  # comma = intersection
-            acc: set[str] | None = None
+            acc_d: set[str] | None = None
+            acc_di: set[str] | None = None
             for part in inter_parts:
-                s = _expand_spec(graph, manifest, part, state=state)
-                acc = s if acc is None else (acc & s)
-            selected |= acc or set()
+                coll = _expand_spec(graph, manifest, part, state=state)
+                d, i = _expand_indirect(graph, manifest, coll, indirect)
+                # reference select_nodes_recursively: combine direct
+                # sets and (direct|indirect) sets separately
+                acc_d = d if acc_d is None else (acc_d & d)
+                acc_di = (d | i) if acc_di is None else (acc_di & (d | i))
+            selected |= acc_d or set()
+            indirect_nodes |= acc_di or set()
+        selected = _incorporate_indirect(
+            graph, manifest, selected, indirect_nodes - selected, indirect
+        )
     if exclude:
         specs = exclude.split() if isinstance(exclude, str) else list(exclude)
         for spec in specs:
-            selected -= _expand_spec(graph, manifest, spec, state=state)
+            coll = _expand_spec(graph, manifest, spec, state=state)
+            # an excluded model drags its attached tests out with it
+            d, i = _expand_indirect(graph, manifest, coll, indirect)
+            selected -= d | i
     return selected & all_ids

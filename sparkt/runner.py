@@ -320,7 +320,7 @@ class Runner:
         ).strip()
 
     def _selected_uids(self, graph, select, exclude, selector, state_manifest,
-                       allow_default=True):
+                       allow_default=True, indirect="eager"):
         """Resolve --select/--exclude or a named selectors.yml entry
         (``--selector``; reference ``core/dbt/graph/cli.py:235``). With
         no explicit selection, a selectors.yml entry marked
@@ -353,7 +353,8 @@ class Runner:
                     named, state_manifest, frozenset({default}),
                 )
         return select_nodes(
-            graph, self.manifest, select, exclude, state=state_manifest
+            graph, self.manifest, select, exclude, state=state_manifest,
+            indirect=indirect,
         )
 
     def execute_nodes(
@@ -372,6 +373,7 @@ class Runner:
         warn_error: bool = False,
         warn_error_options: str | None = None,
         favor_state: bool = False,
+        indirect_selection: str | None = None,
     ) -> RunResults:
         t0 = time.time()
         # --warn-error (blanket) + --warn-error-options (granular
@@ -416,11 +418,18 @@ class Runner:
             if defer:
                 self.compiler.defer_state = state_manifest
                 self.compiler.favor_state = favor_state
+        # --indirect-selection tier: CLI flag > DBT_INDIRECT_SELECTION
+        # env (click envvar) > project flags: > eager default (reference
+        # cli/params.py:138 + flags precedence)
+        if indirect_selection is None:
+            indirect_selection = project_flags.get(
+                "indirect_selection", "eager"
+            )
         self.register_sources()
         graph = link_graph(self.manifest, add_test_edges=(which == "build"))
         selected = self._selected_uids(
             graph, select, exclude, selector, state_manifest,
-            allow_default=only_uids is None,
+            allow_default=only_uids is None, indirect=indirect_selection,
         )
         if only_uids is not None:
             selected &= only_uids

@@ -280,6 +280,11 @@ saved_queries:
     m = runner.manifest
     g = link_graph(m)
     names = lambda s: {uid.split(".", 2)[-1] for uid in s}  # noqa: E731
+    # indirect="empty" pins METHOD matching alone; eager-mode expansion
+    # (attached tests riding along) is pinned by
+    # test_indirect_selection.py
+    _sel = select_nodes
+    select_nodes = lambda g, m, s: _sel(g, m, s, indirect="empty")  # noqa: E731
 
     assert names(select_nodes(g, m, "group:finance")) == {"orders_sel"}
     assert names(select_nodes(g, m, "access:public")) == {"orders_sel"}
