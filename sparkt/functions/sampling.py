@@ -14,7 +14,7 @@ operator set (BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # first hex nibble of md5("<salt>:<id>") → 16 uniform buckets
@@ -87,3 +87,40 @@ def stratified_sample(
     default = F.lit(int(default_fraction * (1 << 32)))
     cutoff = default if cutoff is None else cutoff.otherwise(default)
     return df.filter(h32 < cutoff)
+
+
+def domain_quota(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, preferring the lowest
+    salted md5(id) — the Common-Crawl-style per-domain quota that stops
+    boilerplate-heavy mega-domains from dominating a corpus. The hash
+    preference makes the kept subset uniform-random-per-domain yet
+    rerun-stable, engine-portable, and independent of partitioning.
+
+    SKEW-SAFE TWO-PHASE TOP-N: a plain ``row_number() over (partition
+    by domain)`` puts every row of a mega-domain (at 100 TB: billions)
+    into ONE task. Phase 1 ranks within (domain, sub-bucket) — the
+    second md5 nibble, 16 buckets — so any task emits at most ``cap``
+    rows per bucket; phase 2 ranks the ≤ cap×16 survivors per domain.
+    Keeping the top-``cap`` of every sub-bucket is a superset of the
+    global top-``cap``, so the result is EXACTLY the single-phase
+    answer (same guarantee as Spark's own TakeOrderedAndProject
+    partial top-k). Ties are impossible: the order key ends with the
+    unique id.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    sub = F.substring(h, 2, 1)  # 16-way sub-bucket, derived from the id
+    w1 = Window.partitionBy(domain_col, sub).orderBy(h, F.col(id_col))
+    w2 = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= cap)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= cap)
+        .drop("__rk1", "__rk2")
+    )

@@ -364,3 +364,94 @@ def dequantize_error_stats(
             ).alias("mse_r"),
         )
     )
+
+
+# ---------------------------------------------------------- k-means
+def _const_matrix(rows: list[list[float]]) -> Column:
+    """Constant ``array<array<double>>`` as ONE ``from_json`` literal
+    (same analyzer-cost rationale as :func:`_const_array`)."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(rows)), "array<array<double>>")
+
+
+def _q6(v: float) -> float:
+    """floor-quantize to 1e-6 — floor (unlike round) has identical
+    semantics in every engine, so quantized centroids are
+    bit-reproducible between Spark and the DuckDB oracle."""
+    import math
+
+    return math.floor(v * 1_000_000) / 1_000_000
+
+
+def kmeans_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Argmin-cell over a constant-folded centroid matrix — a PURE
+    PROJECTION: no join, no shuffle, no Python. Squared L2 runs as a
+    sequential ``zip_with``/``aggregate`` fold (array order), ties
+    break to the lowest cell via lexicographic struct min."""
+    mat = _const_matrix(centroids)
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # first occurrence of the minimum = lowest-cell tie-break
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column — the
+    trainer for :func:`ivf_topk`'s centroid table (public design:
+    Lloyd 1982; IVF coarse quantizers, Jégou et al. 2011).
+
+    100 TB shape per iteration:
+    - ASSIGN: :func:`kmeans_assign` — argmin over a constant-folded
+      literal matrix, pure codegen projection (the centroid model
+      never crosses a join; contrast a crossJoin with a k-row table,
+      which plan-lints as BroadcastNestedLoopJoin);
+    - UPDATE: ``posexplode`` dims → ONE map-side-combined groupBy on
+      (cell, dim) — k×dim result cells regardless of corpus size —
+      then a k×dim ``collect()`` of the MODEL (tiny, driver-side by
+      design, like any ML fit).
+
+    Determinism: init = the ``k`` lowest-``id_col`` vectors; each new
+    centroid is floor-quantized to 1e-6 (:func:`_q6`) so iteration
+    N+1's input — and therefore every assignment — is bit-identical
+    across engines and partitionings; distance sums fold sequentially
+    in array order on both sides. Empty cells keep their previous
+    centroid. Returns the final centroid matrix (list of k vectors);
+    call :func:`kmeans_assign` with it for the final labeling.
+    """
+    first = (
+        df.select(F.col(id_col), F.col(vec))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[_q6(float(x)) for x in r[1]] for r in first]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = df.select(
+            kmeans_assign(F.col(vec), cents).alias("cell"),
+            F.posexplode(F.col(vec)).alias("dim", "val"),
+        )
+        new = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("cv"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty cells keep old centroid
+        for row in new:
+            nxt[row["cell"]][row["dim"]] = _q6(row["cv"])
+        cents = nxt
+    assert all(len(c) == dim for c in cents)
+    return cents

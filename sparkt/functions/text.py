@@ -9,7 +9,7 @@ make them oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # stopword lists used by quality scoring + language ID; deliberately
@@ -391,4 +391,78 @@ def trigram_familiarity(df, text_col: str, id_col: str):
             F.count(F.lit(1)).alias("n_tri"),
             F.sum("corpus_freq").alias("familiarity"),
         )
+    )
+
+
+# ------------------------------------------------- sequence packing
+def pack_offsets(
+    df,
+    id_col: str,
+    n_tokens_col: str,
+    ctx: int = 2048,
+    bucket_size: int = 4096,
+):
+    """Context-window packing offsets: the "concatenate every document
+    and split every ``ctx`` tokens" layout LLM pretraining uses to
+    waste zero sequence positions. For each document (in ``id_col``
+    order) this computes its global token offset and which context
+    windows (bins) it lands in:
+    ``global_start, first_bin, last_bin, start_offset``.
+
+    SCALE SHAPE — prefix sum WITHOUT a global single-partition window:
+    a plain ``sum() over (order by id)`` pulls the whole corpus
+    through ONE task. Instead, the classic two-phase scan:
+
+    1. per-bucket sums (``bucket = id // bucket_size``) — one
+       map-side-combined groupBy producing n/bucket_size rows;
+    2. the tiny exclusive cumsum over bucket sums runs in one
+       partition (n/4096 rows — at 10B docs that is 2.4M longs; nest
+       another level of bucketing if that ever dominates);
+    3. broadcast-join bucket offsets back and window the intra-bucket
+       cumsum partitioned BY BUCKET — every task handles ≤ bucket_size
+       rows regardless of corpus size.
+
+    The result equals the single-window formulation exactly (integers,
+    same order), which is what the DuckDB oracle computes.
+    """
+    bucket = (F.col(id_col) / bucket_size).cast("bigint").alias("__bucket")
+    base = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("bigint").alias("__n"),
+        bucket,
+    )
+    bucket_sums = base.groupBy("__bucket").agg(F.sum("__n").alias("__bsum"))
+    w_buckets = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_offsets = bucket_sums.select(
+        "__bucket",
+        (F.sum("__bsum").over(w_buckets) - F.col("__bsum"))
+        .alias("__boff"),
+    )
+    w_intra = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gs = (
+        F.col("__boff") + F.sum("__n").over(w_intra) - F.col("__n")
+    ).alias("global_start")
+    out = base.join(F.broadcast(bucket_offsets), "__bucket").select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        gs,
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "global_start",
+        F.floor(F.col("global_start") / ctx).cast("bigint")
+        .alias("first_bin"),
+        F.floor(
+            (F.col("global_start") + F.greatest("n_tokens", F.lit(1)) - 1)
+            / ctx
+        ).cast("bigint").alias("last_bin"),
+        (F.col("global_start") % ctx).alias("start_offset"),
     )

@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from sparkt.functions import dedup as D
 from sparkt.functions import similarity as S
@@ -1128,7 +1129,168 @@ ORDER BY item_id, frame_idx
 """
 
 
+# ------------------------------------------------------------------ p4
+def p4_domain_cap(spark, sf_dir):
+    """Per-domain quota (Common-Crawl-style: keep ≤15 docs per source,
+    preferring lowest salted md5 — rerun-stable uniform-per-domain).
+    Exercises the skew-safe two-phase top-N in
+    sparkt.functions.sampling.domain_quota; exact oracle because the
+    two-phase result provably equals the single-window answer."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    kept = SP.domain_quota(docs, "source", "doc_id", cap=15, salt="quota")
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+P4_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ c2
+def c2_pack_offsets(spark, sf_dir):
+    """Context-window packing offsets ("concatenate and split every
+    ctx tokens"): global token offset + bin span per document via the
+    two-phase prefix sum in sparkt.functions.text.pack_offsets (no
+    global single-partition window; bucket_size=64 so the sf0.01 gate
+    genuinely exercises the bucket-offset join path). Integer-exact
+    oracle: the single-window cumsum formulation."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_toks")
+    )
+    out = TX.pack_offsets(base, "doc_id", "n_toks", ctx=512, bucket_size=64)
+    return out.orderBy("doc_id")
+
+
+C2_SQL = f"""
+WITH t AS (SELECT doc_id, CAST(len({_DK_TOKENS}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS BIGINT) AS gs
+      FROM t)
+SELECT doc_id, n_tokens, gs AS global_start,
+       CAST(floor(gs / 512.0) AS BIGINT) AS first_bin,
+       CAST(floor((gs + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+           AS last_bin,
+       CAST(gs % 512 AS BIGINT) AS start_offset
+FROM c ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ s6
+def s6_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means fit (k=4, 2 iterations) — the IVF
+    coarse-quantizer trainer (sparkt.functions.similarity.kmeans_fit).
+    Deterministic: init = 4 lowest-vec_id embeddings; centroids
+    floor-quantized to 1e-6 each iteration so assignments (and so the
+    whole fit) are engine-reproducible. Output = final centroid matrix
+    exploded to (cell, dim, centroid_val) + per-cell population; the
+    oracle re-runs both unrolled iterations in DuckDB list SQL."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+    assigned = emb.select(
+        S.kmeans_assign(F.col("embedding"), cents).alias("cell")
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    cent_rows = spark.createDataFrame(
+        [
+            (ci, di + 1, v)
+            for ci, c in enumerate(cents)
+            for di, v in enumerate(c)
+        ],
+        "cell int, dim int, centroid_val double",
+    )
+    return (
+        cent_rows.join(broadcast(counts), "cell", "left")
+        .select(
+            "cell", "dim", "centroid_val",
+            F.coalesce("n_points", F.lit(0)).cast("bigint")
+            .alias("n_points"),
+        )
+        .orderBy("cell", "dim")
+    )
+
+
+def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations in DuckDB list SQL, mirroring
+    kmeans_fit exactly: same init order, same floor-1e-6 centroid
+    quantization, same (distance, cell) tie-break, same
+    keep-old-centroid for empty cells."""
+    q = "floor({} * 1000000) / 1000000"
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - p.c[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - p.c[i])))"
+    )
+
+    def assign(name, prev):
+        return (
+            f"{name} AS (SELECT vec_id, embedding, cell FROM ("
+            f"SELECT e.vec_id, e.embedding, p.cell, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {d2}, p.cell) AS rn "
+            f"FROM e, {prev} p) WHERE rn = 1)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        (
+            "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS INT) AS cell, list_transform(embedding, x -> "
+            + q.format("CAST(x AS DOUBLE)")
+            + ") AS c FROM (SELECT * FROM e ORDER BY vec_id LIMIT "
+            f"{k}))"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(
+            f"m{i} AS (SELECT cell, dim, "
+            + q.format("avg(CAST(v AS DOUBLE))")
+            + " AS cv FROM (SELECT cell, "
+            f"unnest(range(1, {dim + 1})) AS dim, "
+            f"unnest(embedding) AS v FROM a{i}) GROUP BY cell, dim)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT p.cell, coalesce(n.c, p.c) AS c "
+            f"FROM c{i - 1} p LEFT JOIN (SELECT cell, "
+            f"list(cv ORDER BY dim) AS c FROM m{i} GROUP BY cell) n "
+            "USING (cell))"
+        )
+    parts.append(assign("af", f"c{iters}"))
+    parts.append(
+        "cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_points "
+        "FROM af GROUP BY cell)"
+    )
+    parts.append(
+        f"d AS (SELECT cell, unnest(range(1, {dim + 1})) AS dim, "
+        f"unnest(c) AS cv FROM c{iters})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT d.cell, CAST(d.dim AS INT) AS dim, d.cv AS centroid_val, "
+        "coalesce(cnt.n_points, 0) AS n_points "
+        "FROM d LEFT JOIN cnt USING (cell) ORDER BY cell, dim"
+    )
+
+
 QUERIES = {
+    "p4_domain_cap": p4_domain_cap,
+    "c2_pack_offsets": c2_pack_offsets,
+    "s6_kmeans": s6_kmeans,
     "c1_doc_chunks": c1_doc_chunks,
     "t8_hashed_classifier": t8_hashed_classifier,
     "t9_trigram_familiarity": t9_trigram_familiarity,
@@ -1160,6 +1322,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "p4_domain_cap": P4_SQL,
+    "c2_pack_offsets": C2_SQL,
+    "s6_kmeans": _s6_sql(),
     "c1_doc_chunks": C1_SQL,
     "t8_hashed_classifier": T8_SQL,
     "t9_trigram_familiarity": T9_SQL,

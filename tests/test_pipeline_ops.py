@@ -723,3 +723,105 @@ def test_span_duplicates_matches_bruteforce_random(spark):
         for r in span_duplicates(df, "text", "doc_id", window=W).collect()
     }
     assert got == expected
+
+
+def test_domain_quota_equals_single_phase(spark):
+    """Two-phase top-N == plain per-domain row_number ≤ cap, and the
+    kept set is partitioning-independent."""
+    from pyspark.sql import Window
+
+    from sparkt.functions.sampling import domain_quota
+
+    rows = [(i, f"d{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, ["id", "dom"])
+    kept = {r["id"] for r in domain_quota(df, "dom", "id", cap=7).collect()}
+    h = F.md5(F.concat(F.lit("quota:"), F.col("id").cast("string")))
+    w = Window.partitionBy("dom").orderBy(h, "id")
+    ref = {
+        r["id"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 7").collect()
+    }
+    assert kept == ref and len(kept) == 21
+    kept2 = {
+        r["id"]
+        for r in domain_quota(df.repartition(13), "dom", "id", cap=7)
+        .collect()
+    }
+    assert kept2 == kept
+
+
+def test_pack_offsets_equals_global_cumsum(spark):
+    from pyspark.sql import Window
+
+    from sparkt.functions.text import pack_offsets
+
+    rows = [(i, (i * 7) % 23) for i in range(200)]  # includes zeros
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = {
+        r["doc_id"]: (
+            r["global_start"], r["first_bin"], r["last_bin"],
+            r["start_offset"],
+        )
+        for r in pack_offsets(df, "doc_id", "n", ctx=16, bucket_size=32)
+        .collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref_rows = df.withColumn(
+        "gs", F.sum("n").over(w) - F.col("n")
+    ).collect()
+    for r in ref_rows:
+        gs, n = r["gs"], r["n"]
+        assert got[r["doc_id"]] == (
+            gs, gs // 16, (gs + max(n, 1) - 1) // 16, gs % 16
+        )
+    # offsets chain contiguously: doc i+1 starts where doc i ended
+    n_by_id = dict(rows)
+    for d in range(199):
+        assert got[d + 1][0] == got[d][0] + n_by_id[d]
+
+
+def test_kmeans_fit_invariants(spark):
+    """Assignment is the exact argmin; inertia never increases across
+    an iteration; fit is partitioning-independent."""
+    import math
+
+    from sparkt.functions.similarity import kmeans_assign, kmeans_fit
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11) - 5.0 for d in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, "vec_id", "embedding", k=5, iters=3)
+    assert len(cents) == 5 and all(len(c) == 8 for c in cents)
+    got = df.select(
+        "vec_id", "embedding",
+        kmeans_assign(F.col("embedding"), cents).alias("cell"),
+    ).collect()
+
+    def d2(v, c):
+        return sum((a - b) * (a - b) for a, b in zip(v, c))
+
+    for r in got:
+        dists = [d2(r["embedding"], c) for c in cents]
+        assert r["cell"] == dists.index(min(dists))
+    # partitioning independence (deterministic init + quantized steps)
+    cents2 = kmeans_fit(
+        df.repartition(17), "vec_id", "embedding", k=5, iters=3
+    )
+    assert cents == cents2
+
+    def inertia(cs):
+        a = df.select(
+            "embedding", kmeans_assign(F.col("embedding"), cs).alias("c")
+        ).collect()
+        return sum(d2(r["embedding"], cs[r["c"]]) for r in a)
+
+    c1 = kmeans_fit(df, "vec_id", "embedding", k=5, iters=1)
+    c2 = kmeans_fit(df, "vec_id", "embedding", k=5, iters=2)
+    # quantization perturbs by ≤1e-6 per coord; allow that slack
+    assert inertia(c2) <= inertia(c1) + 1e-3
+    assert math.isfinite(inertia(c2))
