@@ -21,6 +21,17 @@ def _common(fn):
     fn = click.option("--target", "-t", "target", default=None,
                       envvar="DBT_TARGET",
                       help="profiles.yml output to use")(fn)
+    fn = click.option("--profiles-dir", default=None,
+                      help="directory holding profiles.yml "
+                           "(reference cli/params.py profiles_dir)")(fn)
+    fn = click.option("--target-path", default=None,
+                      help="artifact output dir, default target/")(fn)
+    fn = click.option("--partial-parse/--no-partial-parse",
+                      "partial_parse", default=None,
+                      help="reuse target/partial_parse cache")(fn)
+    fn = click.option("--quiet", "-q", "quiet", is_flag=True,
+                      default=False, envvar="DBT_QUIET",
+                      help="only errors and the summary line")(fn)
     fn = click.option("--project-dir", default=".", help="project root")(fn)
     fn = click.option("--select", "-s", default=None)(fn)
     fn = click.option("--exclude", default=None)(fn)
@@ -32,14 +43,15 @@ def _common(fn):
     return fn
 
 
-def _mk_runner(project_dir, vars_):
+def _mk_runner(project_dir, vars_, partial_parse=None):
     import yaml
 
     from sparkt.exceptions import SparktError
 
     cli_vars = yaml.safe_load(vars_) if vars_ else {}
     try:
-        return Runner(project_dir, cli_vars=cli_vars)
+        return Runner(project_dir, cli_vars=cli_vars,
+                      partial_parse=partial_parse)
     except SparktError as e:
         # parse/compile-time project errors get a one-line report, not a
         # Python traceback
@@ -47,9 +59,13 @@ def _mk_runner(project_dir, vars_):
         raise SystemExit(2) from None
 
 
-def _report(results) -> None:
+def _report(results, quiet: bool = False) -> None:
     for r in results.results:
-        click.echo(f"{r.status.upper():8s} {r.unique_id} ({r.execution_time:.2f}s)")
+        if not quiet:
+            click.echo(
+                f"{r.status.upper():8s} {r.unique_id} "
+                f"({r.execution_time:.2f}s)"
+            )
         if r.status == "error":
             click.echo(f"  {r.message}")
     ok = sum(1 for r in results.results if r.status in ("success", "pass"))
@@ -61,7 +77,15 @@ def _report(results) -> None:
         raise SystemExit(1)
 
 
+def _version():
+    from sparkt import __version__
+
+    return __version__
+
+
 @click.group()
+@click.version_option(version=_version(), prog_name="sparkt",
+                      message="%(prog)s %(version)s")
 def cli():
     """sparkt — PySpark-native SQL transformation engine."""
 
@@ -74,7 +98,12 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
             # loading reads it from the env tier (reference flags
             # precedence: flag > env > default)
             os.environ["DBT_TARGET"] = kw["target"]
-        runner = _mk_runner(project_dir, vars_)
+        if kw.get("profiles_dir"):
+            os.environ["DBT_PROFILES_DIR"] = kw["profiles_dir"]
+        if kw.get("target_path"):
+            os.environ["DBT_TARGET_PATH"] = kw["target_path"]
+        runner = _mk_runner(project_dir, vars_,
+                            partial_parse=kw.get("partial_parse"))
         fn = getattr(runner, name)
         kwargs = dict(select=select, exclude=exclude, selector=selector,
                       threads=threads,
@@ -83,12 +112,22 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                       fail_fast=kw.get("fail_fast", False),
                       warn_error=kw.get("warn_error", False),
                       warn_error_options=kw.get("warn_error_options"),
-                      indirect_selection=kw.get("indirect_selection"))
+                      indirect_selection=kw.get("indirect_selection"),
+                      resource_types=list(kw.get("resource_types") or [])
+                      or None,
+                      exclude_resource_types=list(
+                          kw.get("exclude_resource_types") or []) or None)
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
             kwargs["empty"] = kw.get("empty", False)
-        _report(fn(**kwargs))
+        _report(fn(**kwargs), quiet=kw.get("quiet", False))
 
+    cmd = click.option("--resource-type", "resource_types", multiple=True,
+                       help="restrict to these resource types "
+                            "(repeatable; reference cli/params.py)")(cmd)
+    cmd = click.option("--exclude-resource-type", "exclude_resource_types",
+                       multiple=True,
+                       help="drop these resource types (repeatable)")(cmd)
     cmd = click.option("--state", default=None,
                        help="path to a previous target/ for state: selectors")(cmd)
     cmd = click.option("--defer", "defer", is_flag=True, default=False)(cmd)

@@ -107,6 +107,7 @@ class Runner:
         spark=None,
         cli_vars: dict | None = None,
         project_overrides: dict | None = None,
+        partial_parse: bool | None = None,
     ):
         self.project: Project = load_project(project_root, project_overrides)
         if spark is None:
@@ -117,7 +118,13 @@ class Runner:
         self.adapter = SparkAdapter(spark, self.project.warehouse_dir)
         self.cli_vars = cli_vars or {}
         self.loader = ManifestLoader(self.project, self.cli_vars)
-        self.manifest: Manifest = self.loader.load()
+        # --no-partial-parse / DBT_PARTIAL_PARSE=0 (reference
+        # cli/params.py partial_parse): force a full re-parse
+        if partial_parse is None:
+            partial_parse = os.environ.get(
+                "DBT_PARTIAL_PARSE", "1"
+            ).lower() not in ("0", "false", "no")
+        self.manifest: Manifest = self.loader.load(partial=partial_parse)
         self.compiler = Compiler(
             self.project, self.manifest, self.loader.env, self.adapter,
             cli_vars=self.cli_vars,
@@ -374,6 +381,8 @@ class Runner:
         warn_error_options: str | None = None,
         favor_state: bool = False,
         indirect_selection: str | None = None,
+        resource_types: list[str] | None = None,
+        exclude_resource_types: list[str] | None = None,
     ) -> RunResults:
         t0 = time.time()
         # --warn-error (blanket) + --warn-error-options (granular
@@ -434,6 +443,21 @@ class Runner:
         if only_uids is not None:
             selected &= only_uids
         to_run = {uid for uid in selected if self._executable(uid, which)}
+        # --resource-type / --exclude-resource-type (reference
+        # cli/params.py resource_type; 'test' covers data tests,
+        # 'unit_test' unit tests — same taxonomy as NodeType)
+        if resource_types:
+            to_run = {
+                uid for uid in to_run
+                if self.manifest.nodes[uid].resource_type
+                in set(resource_types)
+            }
+        if exclude_resource_types:
+            to_run = {
+                uid for uid in to_run
+                if self.manifest.nodes[uid].resource_type
+                not in set(exclude_resource_types)
+            }
         if not to_run and (select or selector) and only_uids is None:
             # reference graph/selector.py:145 — a selection matching
             # nothing is the canonical --warn-error-options example

@@ -354,3 +354,41 @@ def test_docs_generate_empty_catalog(make_project, spark):
     assert runner.run().ok
     cat = runner.docs_generate(empty_catalog=True)
     assert cat["nodes"] == {}
+
+
+def test_flag_batch_version_quiet_resource_types(spark, tmp_path):
+    """--version, --quiet, --resource-type/--exclude-resource-type,
+    --no-partial-parse, --target-path (reference cli/params.py)."""
+    proj = str(tmp_path / "p")
+    write_files(proj, FILES)
+    r = CliRunner()
+
+    res = r.invoke(cli, ["--version"])
+    assert res.exit_code == 0 and res.output.startswith("sparkt ")
+
+    res = r.invoke(cli, ["seed", "--project-dir", proj, "-q"])
+    assert res.exit_code == 0
+    assert "SUCCESS" not in res.output and "Done." in res.output
+
+    res = r.invoke(cli, [
+        "build", "--project-dir", proj, "--resource-type", "model",
+    ])
+    assert res.exit_code == 0
+    assert "model.cliproj.a" in res.output
+    assert "seed.cliproj.raw" not in res.output
+
+    res = r.invoke(cli, [
+        "build", "--project-dir", proj,
+        "--exclude-resource-type", "model",
+    ])
+    assert res.exit_code == 0
+    assert "seed.cliproj.raw" in res.output
+    assert "model.cliproj.a" not in res.output
+
+    res = r.invoke(cli, [
+        "run", "--project-dir", proj, "--no-partial-parse",
+        "--target-path", "t_alt",
+    ])
+    assert res.exit_code == 0
+    assert os.path.exists(os.path.join(proj, "t_alt", "manifest.json"))
+    os.environ.pop("DBT_TARGET_PATH", None)
