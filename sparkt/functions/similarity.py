@@ -152,13 +152,20 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: corpus rows are assigned to their nearest pseudo-
+    """IVF-style ANN: corpus rows are assigned to their nearest
     centroid cell; each query probes its ``n_probe`` nearest cells and
     runs exact cosine only there. At 100 TB: cells are the partition
-    key (cluster-pruned scan), centroids come from sampled k-means, and
-    the probe join is an equijoin on cell id."""
-    cents = _pseudo_centroids(dim, n_cells)
+    key (cluster-pruned scan) and the probe join is an equijoin on
+    cell id. Pass ``centroids=kmeans_fit(corpus, ...)`` for a trained
+    coarse quantizer (the production path — recall tracks data
+    geometry); the default md5-derived pseudo-centroids keep the gate
+    deterministic without a fit."""
+    cents = centroids if centroids is not None else _pseudo_centroids(
+        dim, n_cells
+    )
+    n_cells = len(cents)
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec).alias("cv"),

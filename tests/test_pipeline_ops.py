@@ -197,6 +197,18 @@ def test_ivf_ann_consistency(spark):
     # partial probe returns a non-empty subset of true cosines
     part = ivf_topk(q, c, dim=64, k=3, n_cells=8, n_probe=2)
     assert part.count() > 0
+    # trained coarse quantizer: kmeans centroids, full probe still
+    # equals brute force (probe-all is centroid-independent)
+    from sparkt.functions.similarity import kmeans_fit
+
+    cents = kmeans_fit(
+        emb.select("vec_id", "embedding"), k=4, iters=2
+    )
+    trained = ivf_topk(
+        q, c, dim=64, k=3, n_probe=4, centroids=cents
+    ).select("query_id", "corpus_id", "cos")
+    assert trained.exceptAll(exact).count() == 0
+    assert exact.exceptAll(trained).count() == 0
 
 
 def test_cosine_neardup_pairs(spark):
