@@ -120,6 +120,8 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
             kwargs["empty"] = kw.get("empty", False)
+            kwargs["event_time_start"] = kw.get("event_time_start")
+            kwargs["event_time_end"] = kw.get("event_time_end")
         _report(fn(**kwargs), quiet=kw.get("quiet", False))
 
     cmd = click.option("--resource-type", "resource_types", multiple=True,
@@ -156,6 +158,11 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
         cmd = click.option("--full-refresh", is_flag=True, default=False)(cmd)
         cmd = click.option("--empty/--no-empty", "empty", default=False,
                            help="build with zero-row ref/source inputs")(cmd)
+        cmd = click.option("--event-time-start", default=None,
+                           help="microbatch backfill window start "
+                                "(ISO timestamp)")(cmd)
+        cmd = click.option("--event-time-end", default=None,
+                           help="microbatch backfill window end")(cmd)
     return cli.command(name)(cmd)
 
 

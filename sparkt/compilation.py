@@ -54,11 +54,31 @@ class Compiler:
         # build schema-only (reference resolve_limit,
         # context/providers.py:229-231 → Relation render_limited)
         self.empty = False
+        # (start, end) ISO timestamps while a microbatch batch compiles:
+        # refs/sources carrying an event_time config render as
+        # batch-filtered subqueries (dbt 1.9 microbatch semantics —
+        # extension beyond the reference snapshot, which predates it)
+        self.event_time_bounds: tuple[str, str] | None = None
 
     def _maybe_limited(self, rendered: str) -> str:
         if self.empty:
             return f"(select * from {rendered} limit 0)"
         return rendered
+
+    def _maybe_event_filtered(self, rendered: str, target) -> str:
+        """Batch-window filter for microbatch compiles: a ref/source
+        whose target declares ``event_time`` scans only the current
+        batch (start-inclusive, end-exclusive). At scale this is what
+        turns each batch into a partition-pruned scan when the input is
+        partitioned on a date derived from its event_time."""
+        et = (target.config or {}).get("event_time")
+        if self.event_time_bounds is None or not et:
+            return self._maybe_limited(rendered)
+        start, end = self.event_time_bounds
+        return self._maybe_limited(
+            f"(select * from {rendered} where {et} >= TIMESTAMP '{start}'"
+            f" and {et} < TIMESTAMP '{end}')"
+        )
 
     # ----------------------------------------------------- naming macros
     def _naming_macros(self) -> dict:
@@ -197,8 +217,8 @@ class Compiler:
                         target.unique_id
                     )
                     if deferred:
-                        return self._maybe_limited(deferred)
-            return self._maybe_limited(rel.render())
+                        return self._maybe_event_filtered(deferred, target)
+            return self._maybe_event_filtered(rel.render(), target)
 
         def source(source_name, table_name):
             key = f"source:{source_name}.{table_name}"
@@ -209,7 +229,9 @@ class Compiler:
                 raise CompilationError(
                     f"unknown source '{source_name}.{table_name}'"
                 )
-            return self._maybe_limited(self.relation_for(target).render())
+            return self._maybe_event_filtered(
+                self.relation_for(target).render(), target
+            )
 
         def run_query(sql):
             _, res = self.adapter.execute(sql, fetch=True)

@@ -586,6 +586,12 @@ class ManifestLoader:
                 config={
                     "schema": schema,
                     "identifier": tbl.get("identifier", tbl["name"]),
+                    # event_time powers microbatch ref/source filters
+                    # (table-level wins over source-level)
+                    "event_time": (tbl.get("config") or {}).get(
+                        "event_time",
+                        (src.get("config") or {}).get("event_time"),
+                    ),
                 },
                 loaded_at_field=tbl.get(
                     "loaded_at_field", src.get("loaded_at_field")

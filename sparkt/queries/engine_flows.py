@@ -685,7 +685,72 @@ ORDER BY event_id
 """
 
 
+# ----------------------------------------------------------------- m12
+def m12_microbatch(spark, sf_dir):
+    """Microbatch incremental strategy (dbt 1.9 semantics — extension;
+    the reference snapshot predates it): a daily event rollup built in
+    two invocations — a 15-day initial backfill from ``begin``, then an
+    explicit backfill window that OVERLAPS day 15 (idempotent window
+    replace) and extends through day 30. Refs/sources declaring
+    ``event_time`` compile per-batch to window-filtered subqueries, so
+    each batch scans only its slice. Final state must equal the
+    whole-range rollup."""
+    from sparkt.runner import Runner
+
+    proj = tempfile.mkdtemp(prefix="sparkt_m12_")
+    schema = _schema_for("m12", sf_dir)
+    _write(
+        proj,
+        {
+            "dbt_project.yml": "name: flows\nmodel-paths: [models]\n",
+            "models/sources.yml": f"""
+version: 2
+sources:
+  - name: evsrc
+    schema: evsrc
+    tables:
+      - name: events
+        config: {{event_time: ts}}
+        external: {{location: {sf_dir}/events.parquet}}
+""",
+            "models/daily_rollup.sql": """
+{{ config(materialized='incremental', incremental_strategy='microbatch',
+          event_time='day', batch_size='day', begin='2024-01-01',
+          lookback=1) }}
+select date_trunc('day', ts) as day, event_type,
+       count(*) as n, round(sum(value), 2) as total
+from {{ source('evsrc', 'events') }}
+group by date_trunc('day', ts), event_type
+""",
+        },
+    )
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    with _low_shuffle(spark):
+        r1 = Runner(proj, spark=spark, project_overrides={"schema": schema})
+        res1 = r1.run(event_time_end="2024-01-09 00:00:00")
+        assert res1.ok, [x.message for x in res1.results]
+        res2 = r1.run(
+            event_time_start="2024-01-08 00:00:00",
+            event_time_end="2024-01-16 00:00:00",
+        )
+        assert res2.ok, [x.message for x in res2.results]
+    return spark.table(f"{schema}.daily_rollup").orderBy(
+        "day", "event_type"
+    )
+
+
+M12_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
+    "m12_microbatch": m12_microbatch,
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
     "m3_seed_types": m3_seed_types,
@@ -700,6 +765,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "m12_microbatch": M12_SQL,
     "m1_incremental_merge": M1_SQL,
     "m2_snapshot_scd2": M2_SQL,
     "m3_seed_types": M3_SQL,

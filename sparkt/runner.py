@@ -383,6 +383,8 @@ class Runner:
         indirect_selection: str | None = None,
         resource_types: list[str] | None = None,
         exclude_resource_types: list[str] | None = None,
+        event_time_start: str | None = None,
+        event_time_end: str | None = None,
     ) -> RunResults:
         t0 = time.time()
         # --warn-error (blanket) + --warn-error-options (granular
@@ -485,7 +487,12 @@ class Runner:
             manifest=self.manifest,
             project=self.project,
             full_refresh=full_refresh,
-            extras={"batch_ts": datetime.now(timezone.utc)},
+            extras={
+                "batch_ts": datetime.now(timezone.utc),
+                # microbatch backfill window overrides
+                "event_time_start": event_time_start,
+                "event_time_end": event_time_end,
+            },
         )
         self.adapter.create_schema(self.project.schema)
         self._run_hooks(self.project.on_run_start)

@@ -442,3 +442,89 @@ def test_merge_strategy_dispatches_merge_into_on_delta(make_project, spark, monk
     assert res.ok, [r.message for r in res.results]
     assert captured["sql"].startswith("MERGE INTO t_delta.inc")
     assert "WHEN NOT MATCHED THEN INSERT *" in captured["sql"]
+
+
+# ---------------------------------------------------------- microbatch
+_MB_FILES = {
+    "dbt_project.yml": "name: mb\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/ev.csv": (
+        "id,ts,v\n"
+        "1,2024-01-01 10:00:00,5\n"
+        "2,2024-01-02 00:30:00,6\n"
+        "3,2024-01-02 12:00:00,7\n"
+        "4,2024-01-04 08:00:00,8\n"
+    ),
+    "models/stg_ev.sql": (
+        "{{ config(materialized='table', event_time='ts') }}\n"
+        "select id, cast(ts as timestamp) as ts, v from {{ ref('ev') }}"
+    ),
+    "models/mb_daily.sql": (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='microbatch', event_time='ts', "
+        "batch_size='day', begin='2024-01-01', lookback=1) }}\n"
+        "select id, ts, v from {{ ref('stg_ev') }}"
+    ),
+}
+
+
+def _rows(spark, schema):
+    return {
+        r["id"]: r["v"]
+        for r in spark.table(f"{schema}.mb_daily").collect()
+    }
+
+
+def test_microbatch_first_build_and_incremental(make_project, spark):
+    import os
+
+    runner = make_project(dict(_MB_FILES), schema="t_mb")
+    assert runner.seed().ok
+    res = runner.run(event_time_end="2024-01-05 00:00:00")
+    assert res.ok
+    mb = next(r for r in res.results if "mb_daily" in r.unique_id)
+    assert "MICROBATCH (4 day batches" in mb.message
+    assert _rows(spark, "t_mb") == {1: 5, 2: 6, 3: 7, 4: 8}
+    # the per-batch compile filtered the event_time ref
+    assert "ts >= TIMESTAMP '2024-01-04" in (
+        runner.manifest.nodes["model.mb.mb_daily"].compiled_code
+    )
+
+    # incremental run: id 4 updated in-window, id 5 new; lookback=1
+    # reprocesses only [2024-01-04, 2024-01-05)
+    with open(
+        os.path.join(runner.project.project_root, "seeds/ev.csv"), "w"
+    ) as f:
+        f.write(
+            "id,ts,v\n"
+            "1,2024-01-01 10:00:00,99\n"  # out-of-window edit: ignored
+            "2,2024-01-02 00:30:00,6\n"
+            "3,2024-01-02 12:00:00,7\n"
+            "4,2024-01-04 08:00:00,80\n"
+            "5,2024-01-04 20:00:00,9\n"
+        )
+    assert runner.seed().ok
+    assert runner.run(event_time_end="2024-01-05 00:00:00").ok
+    assert _rows(spark, "t_mb") == {1: 5, 2: 6, 3: 7, 4: 80, 5: 9}
+
+    # explicit backfill window replays only day 2
+    assert runner.run(
+        event_time_start="2024-01-02 00:00:00",
+        event_time_end="2024-01-03 00:00:00",
+    ).ok
+    assert _rows(spark, "t_mb") == {1: 5, 2: 6, 3: 7, 4: 80, 5: 9}
+    # out-of-window edit to id 1 still never leaks in
+    assert _rows(spark, "t_mb")[1] == 5
+
+
+def test_microbatch_requires_event_time_and_begin(make_project, spark):
+    files = dict(_MB_FILES)
+    files["models/mb_daily.sql"] = (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='microbatch', batch_size='day') }}\n"
+        "select id, cast(ts as timestamp) as ts, v from {{ ref('ev') }}"
+    )
+    runner = make_project(files, schema="t_mb_err")
+    assert runner.seed().ok
+    res = runner.run(event_time_end="2024-01-05 00:00:00")
+    mb = next(r for r in res.results if "mb_daily" in r.unique_id)
+    assert mb.status == "error" and "event_time" in mb.message
