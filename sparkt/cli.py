@@ -122,6 +122,7 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
             kwargs["empty"] = kw.get("empty", False)
             kwargs["event_time_start"] = kw.get("event_time_start")
             kwargs["event_time_end"] = kw.get("event_time_end")
+            kwargs["sample"] = kw.get("sample")
         _report(fn(**kwargs), quiet=kw.get("quiet", False))
 
     cmd = click.option("--resource-type", "resource_types", multiple=True,
@@ -163,6 +164,11 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                                 "(ISO timestamp)")(cmd)
         cmd = click.option("--event-time-end", default=None,
                            help="microbatch backfill window end")(cmd)
+        cmd = click.option("--sample", default=None,
+                           envvar="DBT_SAMPLE",
+                           help="dev-run time slice, e.g. '3 days': "
+                                "event_time refs/sources scan only the "
+                                "trailing window")(cmd)
     return cli.command(name)(cmd)
 
 

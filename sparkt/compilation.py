@@ -54,11 +54,29 @@ class Compiler:
         # build schema-only (reference resolve_limit,
         # context/providers.py:229-231 → Relation render_limited)
         self.empty = False
-        # (start, end) ISO timestamps while a microbatch batch compiles:
-        # refs/sources carrying an event_time config render as
-        # batch-filtered subqueries (dbt 1.9 microbatch semantics —
-        # extension beyond the reference snapshot, which predates it)
-        self.event_time_bounds: tuple[str, str] | None = None
+        # Event-time window bounds, two tiers:
+        # - sample_bounds: invocation-global (--sample "3 days", dbt
+        #   1.10 sample mode) — set once by the runner;
+        # - event_time_bounds: THREAD-LOCAL override while a microbatch
+        #   batch compiles (the compiler is shared across scheduler
+        #   worker threads; a global would leak one node's batch window
+        #   into concurrently-compiling nodes).
+        # Refs/sources whose target declares event_time render as
+        # window-filtered subqueries (dbt 1.9 microbatch semantics —
+        # extension beyond the reference snapshot, which predates it).
+        import threading
+
+        self.sample_bounds: tuple[str, str] | None = None
+        self._etb_local = threading.local()
+
+    @property
+    def event_time_bounds(self) -> tuple[str, str] | None:
+        v = getattr(self._etb_local, "v", None)
+        return v if v is not None else self.sample_bounds
+
+    @event_time_bounds.setter
+    def event_time_bounds(self, v: tuple[str, str] | None) -> None:
+        self._etb_local.v = v
 
     def _maybe_limited(self, rendered: str) -> str:
         if self.empty:

@@ -33,6 +33,28 @@ from sparkt.parsing.parser import ManifestLoader
 from sparkt.project import Project, load_project
 
 
+def _sample_bounds(spec: str, now) -> tuple[str, str]:
+    """Parse a --sample spec ("3 days", "12 hours") into the trailing
+    (start, end) event-time window ending now (UTC, naive — matching
+    the testdata's timestamp_ntz columns)."""
+    import re as _re
+    from datetime import timedelta
+
+    from sparkt.exceptions import ExecutionError
+
+    m = _re.match(r"^\s*(\d+)\s*(hour|day)s?\s*$", str(spec).lower())
+    if not m:
+        raise ExecutionError(
+            f"--sample expects 'N hours' or 'N days', got {spec!r}"
+        )
+    n, unit = int(m.group(1)), m.group(2)
+    end = now.astimezone(timezone.utc).replace(tzinfo=None)
+    start = end - (
+        timedelta(hours=n) if unit == "hour" else timedelta(days=n)
+    )
+    return (start.isoformat(sep=" "), end.isoformat(sep=" "))
+
+
 @dataclass
 class RunResult:
     unique_id: str
@@ -385,6 +407,7 @@ class Runner:
         exclude_resource_types: list[str] | None = None,
         event_time_start: str | None = None,
         event_time_end: str | None = None,
+        sample: str | None = None,
     ) -> RunResults:
         t0 = time.time()
         # --warn-error (blanket) + --warn-error-options (granular
@@ -412,6 +435,16 @@ class Runner:
         # --empty (reference cli/params.py:87): refs/sources compile to
         # zero-row subqueries — schema-only dry builds
         self.compiler.empty = empty
+        # --sample="3 days" (EXTENSION: dbt 1.10 sample mode — this
+        # reference snapshot predates it): every ref/source declaring an
+        # event_time compiles window-filtered to the trailing N
+        # hours/days, so dev runs scan a time slice instead of 100 TB.
+        # Microbatch models manage their own bounds per batch and
+        # override this inside _materialize_microbatch.
+        self.compiler.sample_bounds = (
+            _sample_bounds(sample, datetime.now(timezone.utc))
+            if sample else None
+        )
         state_manifest = None
         if state is not None:
             from sparkt.state import StateManifest

@@ -528,3 +528,37 @@ def test_microbatch_requires_event_time_and_begin(make_project, spark):
     res = runner.run(event_time_end="2024-01-05 00:00:00")
     mb = next(r for r in res.results if "mb_daily" in r.unique_id)
     assert mb.status == "error" and "event_time" in mb.message
+
+
+def test_sample_mode_filters_event_time_refs(make_project, spark):
+    """--sample 'N days' (dbt 1.10 sample-mode extension): refs with
+    event_time scan only the trailing window; refs without event_time
+    are untouched; a fresh run without sample restores full scans."""
+    from datetime import datetime, timedelta, timezone
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    old = (now - timedelta(days=10)).isoformat(sep=" ")
+    recent = (now - timedelta(hours=5)).isoformat(sep=" ")
+    files = {
+        "dbt_project.yml": "name: smp\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/raw_ev.csv": f"id,ts\n1,{old}\n2,{recent}\n",
+        "models/stg.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts from {{ ref('raw_ev') }}"
+        ),
+        "models/uses_stg.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select count(*) as n from {{ ref('stg') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_sample")
+    assert runner.seed().ok
+    assert runner.run(sample="2 days").ok
+    # stg itself has no event_time inputs -> both rows; the downstream
+    # count sees only the in-window row
+    assert spark.table("t_sample.stg").count() == 2
+    assert spark.table("t_sample.uses_stg").first()["n"] == 1
+    compiled = runner.manifest.nodes["model.smp.uses_stg"].compiled_code
+    assert "ts >= TIMESTAMP" in compiled
+    assert runner.run().ok  # full run restores the complete scan
+    assert spark.table("t_sample.uses_stg").first()["n"] == 2
