@@ -864,6 +864,11 @@ class Runner:
             del self.manifest.nodes[node.unique_id]
 
     def compile(self, select: str | None = None) -> Manifest:
+        # a prior run(sample=.../empty=True) on this Runner must not
+        # leak its event-time slice / zero-row stubs into compiled
+        # artifacts
+        self.compiler.sample_bounds = None
+        self.compiler.empty = False
         self.register_sources()
         graph = link_graph(self.manifest)
         selected = select_nodes(graph, self.manifest, select)

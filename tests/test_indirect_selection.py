@@ -130,3 +130,29 @@ def test_project_flags_tier(make_project, spark):
         runner.test(select="child_model", indirect_selection="eager")
     )
     assert any(n.startswith("relationships_") for n in names)
+
+
+def test_yaml_selector_indirect_key(make_project, spark):
+    """selectors.yml criteria support a per-criteria
+    indirect_selection key (reference selector_spec: 'indirect
+    selection: ... in a yaml selector')."""
+    files = dict(FILES)
+    files["selectors.yml"] = """
+selectors:
+  - name: cautious_child
+    definition:
+      method: fqn
+      value: child_model
+      indirect_selection: cautious
+  - name: eager_child
+    definition:
+      method: fqn
+      value: child_model
+"""
+    runner = make_project(files, schema="t_ind_yaml")
+    assert runner.run().ok
+    names = _test_names(runner.test(selector="cautious_child"))
+    assert "not_null_child_model_id" in names
+    assert not any(n.startswith("relationships_") for n in names)
+    names = _test_names(runner.test(selector="eager_child"))
+    assert any(n.startswith("relationships_") for n in names)
