@@ -1129,6 +1129,36 @@ ORDER BY item_id, frame_idx
 """
 
 
+# ------------------------------------------------------------------ f1
+def f1_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy self-join (record linkage): near-identical part
+    names within a brand at edit distance ≤ 2. Candidate pairs come
+    only from the brand equijoin (+ length band + thresholded
+    levenshtein early-exit) — the blocking pattern that replaces
+    O(n²) comparison at scale (sparkt.functions.linkage.fuzzy_join).
+    Exact oracle: DuckDB computes the identical classic-DP
+    levenshtein."""
+    from sparkt.functions.linkage import fuzzy_join
+
+    part = T(spark, sf_dir, "part")
+    return fuzzy_join(
+        part, part, "p_partkey", "p_name", ["p_brand"],
+        max_distance=2, self_pairs=True,
+    ).orderBy("id_a", "id_b")
+
+
+F1_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ p4
 def p4_domain_cap(spark, sf_dir):
     """Per-domain quota (Common-Crawl-style: keep ≤15 docs per source,
@@ -1288,6 +1318,7 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
 
 
 QUERIES = {
+    "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
     "c2_pack_offsets": c2_pack_offsets,
     "s6_kmeans": s6_kmeans,
@@ -1322,6 +1353,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,
     "c2_pack_offsets": C2_SQL,
     "s6_kmeans": _s6_sql(),

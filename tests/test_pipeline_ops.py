@@ -837,3 +837,59 @@ def test_kmeans_fit_invariants(spark):
     # quantization perturbs by ≤1e-6 per coord; allow that slack
     assert inertia(c2) <= inertia(c1) + 1e-3
     assert math.isfinite(inertia(c2))
+
+
+def test_fuzzy_join_blocked_equals_brute_force(spark):
+    """Within-block results equal brute-force levenshtein filtering;
+    the block cap drops oversized blocks; unblocked use is refused."""
+    import pytest
+
+    from sparkt.functions.linkage import fuzzy_join
+
+    rows = [
+        (1, "red widget", "b1"), (2, "red gadget", "b1"),
+        (3, "red widgets", "b1"), (4, "blue bolt", "b1"),
+        (5, "red widget", "b2"),  # different block: never paired w/ b1
+        (6, "red widget", "b2"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_join(
+            df, df, "id", "name", ["blk"], max_distance=2,
+            self_pairs=True,
+        ).collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        d[:, 0] = range(len(a) + 1)
+        d[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1, d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return int(d[len(a), len(b)])
+
+    expected = {
+        (a_id, b_id): lev(a, b)
+        for a_id, a, ab in rows
+        for b_id, b, bb in rows
+        if a_id < b_id and ab == bb and lev(a, b) <= 2
+    }
+    assert got == expected
+    assert (1, 3) in got and got[(1, 3)] == 1  # widget/widgets
+    assert (5, 6) in got  # same-name cross-check inside b2
+    assert not any(a <= 4 < b for a, b in got)  # blocks never mix
+    # cap: block b1 has 4 right rows -> cap 3 drops every b1 pair
+    capped = fuzzy_join(
+        df, df, "id", "name", ["blk"], max_distance=2,
+        self_pairs=True, max_block_freq=3,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(5, 6)}
+    with pytest.raises(ValueError):
+        fuzzy_join(df, df, "id", "name", [], max_distance=1)
