@@ -93,6 +93,57 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (public recipe:
+    in-batch/ANN negatives à la DPR, Karpukhin et al. 2020): per
+    query, the top-k most-similar corpus items with a DIFFERENT label
+    — the near-misses that make the strongest training negatives.
+
+    Same 100 TB shape as :func:`cosine_topk` (broadcast query side,
+    single corpus scan, codegen HOF dot products); the label-mismatch
+    filter prunes pairs before the ranking window. For corpora too big
+    to brute-force, feed the candidate set from :func:`ivf_topk` with
+    a trained :func:`kmeans_fit` quantizer and apply the same filter.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("qv"),
+        F.col(label).alias("__ql"), norm(F.col(vec)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec).alias("cv"),
+        F.col(label).alias("__cl"), norm(F.col(vec)).alias("cn"),
+    )
+    scored = (
+        broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col(query_id) != F.col(corpus_id))
+            & ~F.col("__ql").eqNullSafe(F.col("__cl"))
+        )
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qn") * F.col("cn")), 4),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos", "rank")
+    )
+
+
 def hyperplane_bits(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic pseudo-random hyperplane sign bits.
 

@@ -376,6 +376,47 @@ ORDER BY query_id, rank
 """
 
 
+# ------------------------------------------------------------------ s7
+def s7_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard negatives: per query, the top-3
+    most-cosine-similar embeddings carrying a DIFFERENT label
+    (sparkt.functions.similarity.hard_negatives — the near-miss
+    negatives a DPR-style trainer wants). Exact oracle: same
+    cross-scored ranking with the label-mismatch predicate."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    return S.hard_negatives(queries, corpus, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+S7_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv, label AS cl
+      FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               4) AS cos
+  FROM q, c WHERE query_id != corpus_id AND ql IS DISTINCT FROM cl)
+SELECT query_id, corpus_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, corpus_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------------------------ s2
 # ------------------------------------------------------------------ s4
 def s4_ann_methods(spark, sf_dir):
@@ -1318,6 +1359,7 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
 
 
 QUERIES = {
+    "s7_hard_negatives": s7_hard_negatives,
     "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
     "c2_pack_offsets": c2_pack_offsets,
@@ -1353,6 +1395,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "s7_hard_negatives": S7_SQL,
     "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,
     "c2_pack_offsets": C2_SQL,

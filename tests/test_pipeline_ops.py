@@ -893,3 +893,31 @@ def test_fuzzy_join_blocked_equals_brute_force(spark):
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(5, 6)}
     with pytest.raises(ValueError):
         fuzzy_join(df, df, "id", "name", [], max_distance=1)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from sparkt.functions.similarity import cosine_topk, hard_negatives
+
+    rows = [
+        (i, [float((i * 7 + d) % 5) for d in range(4)], i % 2)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    c = df.select(F.col("vec_id").alias("corpus_id"), "embedding", "label")
+    got = hard_negatives(q, c, k=3).collect()
+    labels = {r["vec_id"]: r["label"] for r in df.collect()}
+    assert len(got) == 12  # 4 queries x 3
+    for r in got:
+        assert labels[r["query_id"]] != labels[r["corpus_id"]]
+    # it is exact top-k within the other-label subset: compare against
+    # cosine_topk over the pre-filtered corpus for one query
+    q0 = q.filter("query_id = 0")
+    c_other = c.filter(F.col("label") != labels[0])
+    ref = cosine_topk(q0, c_other, k=3).collect()
+    mine = [r for r in got if r["query_id"] == 0]
+    assert {(r["corpus_id"], r["cos"]) for r in mine} == {
+        (r["corpus_id"], r["cos"]) for r in ref
+    }
