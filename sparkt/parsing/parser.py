@@ -608,6 +608,17 @@ class ManifestLoader:
                 description=tbl.get("description", ""),
             )
             self.manifest.sources[uid] = node
+            # data tests on source tables (reference: SourcePatcher,
+            # core/dbt/parser/sources.py — sources carry column- and
+            # table-level generic tests just like models)
+            for col in tbl.get("columns", []) or []:
+                node.columns[col["name"]] = col
+                for t in col.get("data_tests", col.get("tests", [])) or []:
+                    self._add_generic_test(
+                        node, t, column_name=col["name"]
+                    )
+            for t in tbl.get("data_tests", tbl.get("tests", [])) or []:
+                self._add_generic_test(node, t, column_name=None)
 
     def _patch_node(
         self, resource_type: str, patch: dict, project: Project | None = None
@@ -694,7 +705,12 @@ class ManifestLoader:
             nested_cfg = (next(iter(spec.values())) or {}).get("config") or {}
             kwargs.pop("config", None)
             config.update(nested_cfg)
-        parts = [test_name, attached.name] + ([column_name] if column_name else [])
+        is_source = attached.resource_type == "source"
+        parts = (
+            [test_name, "source", attached.source_name, attached.name]
+            if is_source
+            else [test_name, attached.name]
+        ) + ([column_name] if column_name else [])
         for v in kwargs.values():
             parts.append(re.sub(r"\W+", "_", str(v))[:30])
         name = "_".join(parts)
@@ -711,10 +727,18 @@ class ManifestLoader:
             f"{k}={render_kwarg(v)}" for k, v in kwargs.items()
         )
         where = config.get("where")
-        model_expr = (
-            f"get_where_subquery(ref('{attached.name}'), where={where!r})"
-            if where
+        # tests on sources scan via source(), not ref() (reference:
+        # SourcePatcher builds generic tests off the source table,
+        # core/dbt/parser/sources.py)
+        target_expr = (
+            f"source('{attached.source_name}', '{attached.name}')"
+            if is_source
             else f"ref('{attached.name}')"
+        )
+        model_expr = (
+            f"get_where_subquery({target_expr}, where={where!r})"
+            if where
+            else target_expr
         )
         call_args = [f"model={model_expr}"]
         if column_name:
@@ -729,7 +753,10 @@ class ManifestLoader:
             package_name=attached.package_name,
             resource_type="test",
             raw_code=raw,
-            refs=[attached.name],
+            refs=[] if is_source else [attached.name],
+            sources=(
+                [(attached.source_name, attached.name)] if is_source else []
+            ),
             config=config,
             test_metadata={
                 "name": test_name,

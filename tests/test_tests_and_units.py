@@ -209,3 +209,51 @@ unit_tests:
     assert by_name["ut_sql_given_expect"].status == "pass", by_name["ut_sql_given_expect"].message
     assert by_name["ut_sql_given_dict_expect"].status == "pass", by_name["ut_sql_given_dict_expect"].message
     assert by_name["ut_sql_wrong"].status == "fail"
+
+
+def test_source_table_tests(make_project, spark):
+    """Generic tests declared on SOURCE tables (reference
+    core/dbt/parser/sources.py SourcePatcher): column- and table-level,
+    scanning via source() against the registered external table."""
+    files = {
+        "dbt_project.yml": "name: srct\nmodel-paths: [models]\n",
+        "models/sources.yml": """
+version: 2
+sources:
+  - name: tpch
+    schema: tpch_srct
+    tables:
+      - name: region
+        external: {location: /root/testdata/sf0.001/region.parquet}
+        columns:
+          - name: r_regionkey
+            data_tests:
+              - unique
+              - not_null
+          - name: r_name
+            data_tests:
+              - accepted_values:
+                  values: [AFRICA, AMERICA, ASIA, EUROPE, MIDDLE EAST]
+        data_tests:
+          - row_count_nonzero
+""",
+        "macros/row_count.sql": (
+            "{% macro test_row_count_nonzero(model) %}"
+            "select count(*) as n from {{ model }} having count(*) = 0"
+            "{% endmacro %}"
+        ),
+    }
+    files["dbt_project.yml"] += "macro-paths: [macros]\n"
+    runner = make_project(files, schema="t_srct")
+    res = runner.test()
+    by_name = {r.unique_id.split(".")[-1]: r for r in res.results}
+    assert len(by_name) == 4
+    assert by_name["unique_source_tpch_region_r_regionkey"].status == "pass"
+    assert by_name["not_null_source_tpch_region_r_regionkey"].status == "pass"
+    acc = next(k for k in by_name if k.startswith("accepted_values_source"))
+    assert by_name[acc].status == "pass"
+    rc = next(k for k in by_name if k.startswith("row_count_nonzero"))
+    assert by_name[rc].status == "pass"
+    # indirect selection reaches them from the source selector
+    res = runner.test(select="source:tpch.region")
+    assert len(res.results) == 4
