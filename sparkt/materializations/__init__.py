@@ -59,6 +59,43 @@ def check_contract(ctx: "MatContext", node: ParsedNode) -> None:
         enforce_constraints(node, ctx.spark)
 
 
+def persist_docs(ctx: "MatContext", node: ParsedNode, rel=None,
+                 is_view: bool = False) -> None:
+    """``persist_docs: {relation: bool, columns: bool}`` — write
+    descriptions into the catalog as comments (reference: adapter
+    macro ``persist_docs``, exercised by ``tests/functional/docs``;
+    warehouse-visible docs are how BI tools surface dbt descriptions).
+    Spark: ``COMMENT ON TABLE`` and ``ALTER TABLE ... ALTER COLUMN
+    ... COMMENT`` for tables; views only support the table-level
+    comment via ``TBLPROPERTIES``."""
+    cfg = node.config.get("persist_docs") or {}
+    if not cfg:
+        return
+    rel = rel or node.relation
+
+    def q(s: str) -> str:
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    if cfg.get("relation") and node.description:
+        if is_view:
+            ctx.adapter.execute(
+                f"ALTER VIEW {rel.render()} SET TBLPROPERTIES "
+                f"('comment' = {q(node.description)})"
+            )
+        else:
+            ctx.adapter.execute(
+                f"COMMENT ON TABLE {rel.render()} IS {q(node.description)}"
+            )
+    if cfg.get("columns") and not is_view:
+        for name, col in (node.columns or {}).items():
+            desc = (col or {}).get("description")
+            if desc:
+                ctx.adapter.execute(
+                    f"ALTER TABLE {rel.render()} ALTER COLUMN "
+                    f"{name} COMMENT {q(desc)}"
+                )
+
+
 def unique_key_list(node: ParsedNode) -> list[str]:
     uk = node.config.get("unique_key")
     if uk is None:

@@ -32,6 +32,7 @@ from sparkt.exceptions import ExecutionError, SchemaChangeError
 from sparkt.materializations import (
     MatContext,
     check_contract,
+    persist_docs,
     register,
     unique_key_list,
 )
@@ -269,6 +270,7 @@ def materialize_incremental(ctx: MatContext, node):
                 rel, select_sql=node.compiled_code, partition_by=partition_by
             )
         node.relation = rel
+        persist_docs(ctx, node, rel)
         return "CREATE TABLE AS (first run)"
 
     ctx.compiler.compile_node(node, is_incremental=True)

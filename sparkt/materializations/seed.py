@@ -10,7 +10,7 @@ type inference").
 
 from __future__ import annotations
 
-from sparkt.materializations import MatContext, register
+from sparkt.materializations import MatContext, persist_docs, register
 
 
 @register("seed")
@@ -32,4 +32,5 @@ def materialize_seed(ctx: MatContext, node):
     rel = ctx.compiler.relation_for(node)
     node.relation = rel
     ctx.adapter.create_table_as(rel, df=df)
+    persist_docs(ctx, node)
     return f"SEED {df.count()} rows"

@@ -9,7 +9,12 @@ scale path for 100 TB targets.
 
 from __future__ import annotations
 
-from sparkt.materializations import MatContext, check_contract, register
+from sparkt.materializations import (
+    MatContext,
+    check_contract,
+    persist_docs,
+    register,
+)
 from sparkt.materializations.python_model import run_python_model
 
 
@@ -54,4 +59,5 @@ def materialize_table(ctx: MatContext, node):
             partition_by=_partition_by(node),
             **_bucket_kwargs(node),
         )
+    persist_docs(ctx, node)
     return "CREATE TABLE AS"

@@ -7,7 +7,12 @@ pinned by ``tests/functional/basic/test_simple_reference.py``.
 
 from __future__ import annotations
 
-from sparkt.materializations import MatContext, check_contract, register
+from sparkt.materializations import (
+    MatContext,
+    check_contract,
+    persist_docs,
+    register,
+)
 
 
 @register("view")
@@ -15,6 +20,7 @@ def materialize_view(ctx: MatContext, node):
     ctx.compiler.compile_node(node)
     check_contract(ctx, node)
     ctx.adapter.create_view_as(node.relation, node.compiled_code)
+    persist_docs(ctx, node, is_view=True)
     return "CREATE VIEW"
 
 

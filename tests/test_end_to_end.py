@@ -87,3 +87,47 @@ def test_show_inline(make_project, spark):
     runner.run()
     df = runner.show(inline="select count(*) as n from {{ ref('users') }}", limit=5)
     assert df.collect()[0]["n"] == 100
+
+
+def test_persist_docs_comments(make_project, spark):
+    """persist_docs {relation, columns} writes descriptions as catalog
+    comments (reference adapter macro persist_docs,
+    tests/functional/docs)."""
+    files = {
+        "dbt_project.yml": "name: pd\nmodel-paths: [models]\n",
+        "models/commented.sql": (
+            "{{ config(materialized='table', "
+            "persist_docs={'relation': true, 'columns': true}) }}\n"
+            "select 1 as a, 'x' as b"
+        ),
+        "models/viewed.sql": (
+            "{{ config(materialized='view', "
+            "persist_docs={'relation': true}) }}\nselect 2 as c"
+        ),
+        "models/schema.yml": """
+version: 2
+models:
+  - name: commented
+    description: "the o'clock table"
+    columns:
+      - name: a
+        description: "column a docs"
+  - name: viewed
+    description: "a documented view"
+""",
+    }
+    runner = make_project(files, schema="t_pdocs")
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    desc = spark.sql("describe extended t_pdocs.commented").collect()
+    cols = {r["col_name"]: r["comment"] for r in desc if r["col_name"]}
+    assert cols.get("a") == "column a docs"
+    props = {r["col_name"]: r["data_type"] for r in desc}
+    assert "the o'clock table" in str(props.get("Comment", "")) or any(
+        "the o'clock table" in str(r) for r in desc
+    )
+    # view comment surfaces as the Comment row of DESCRIBE EXTENDED
+    # (Spark folds the 'comment' tblproperty into view metadata)
+    vdesc = spark.sql("describe extended t_pdocs.viewed").collect()
+    vmeta = {r["col_name"]: r["data_type"] for r in vdesc}
+    assert vmeta.get("Comment") == "a documented view"
