@@ -96,6 +96,13 @@ def persist_docs(ctx: "MatContext", node: ParsedNode, rel=None,
                 )
 
 
+def bt(name: str) -> str:
+    """Backtick-quote an identifier for generated DML (reference:
+    column quoting, ``tests/functional/column_quoting`` — merges and
+    snapshots must survive reserved-word/special-char column names)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def unique_key_list(node: ParsedNode) -> list[str]:
     uk = node.config.get("unique_key")
     if uk is None:

@@ -31,6 +31,7 @@ from __future__ import annotations
 from sparkt.exceptions import ExecutionError, SchemaChangeError
 from sparkt.materializations import (
     MatContext,
+    bt,
     check_contract,
     persist_docs,
     register,
@@ -49,7 +50,9 @@ def _source_df(ctx, node):
 
 def _uk_eq(uk: list[str], left: str, right: str) -> str:
     # null-safe equality: dbt merges treat NULL keys as matching values
-    return " AND ".join(f"{left}.{k} <=> {right}.{k}" for k in uk)
+    return " AND ".join(
+        f"{left}.{bt(k)} <=> {right}.{bt(k)}" for k in uk
+    )
 
 
 def _apply_schema_change(ctx, node, src_cols, tgt_cols):
@@ -91,9 +94,11 @@ def _col_select(cols, alias: str, side: str, types: dict[str, str]) -> str:
     for name, in_src, in_tgt in cols:
         present = in_src if side == "src" else in_tgt
         if present:
-            out.append(f"{alias}.{name}")
+            out.append(f"{alias}.{bt(name)}")
         else:
-            out.append(f"CAST(NULL AS {types.get(name, 'string')}) AS {name}")
+            out.append(
+                f"CAST(NULL AS {types.get(name, 'string')}) AS {bt(name)}"
+            )
     return ", ".join(out)
 
 
@@ -224,7 +229,8 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                 )
             else:
                 cols = ", ".join(
-                    c for c, _ in ctx.adapter.get_columns_in_relation(rel)
+                    bt(c)
+                    for c, _ in ctx.adapter.get_columns_in_relation(rel)
                 )
                 merged = (
                     f"WITH __sparkt_src AS ({src_sql}) "
@@ -295,14 +301,14 @@ def materialize_incremental(ctx: MatContext, node):
         src_sql = node.compiled_code
 
     if strategy == "append" and not schema_rewrite:
-        cols = ", ".join(name for name, _, _ in final_cols)
+        cols = ", ".join(bt(name) for name, _, _ in final_cols)
         ctx.adapter.insert_into(
             rel, f"({cols}) SELECT {cols} FROM ({src_sql}) __sparkt_src"
         )
         return "INSERT INTO (append)"
 
     if strategy == "insert_overwrite" and not schema_rewrite:
-        cols = ", ".join(name for name, _, _ in final_cols)
+        cols = ", ".join(bt(name) for name, _, _ in final_cols)
         ctx.adapter.insert_overwrite(
             rel, f"SELECT {cols} FROM ({src_sql}) __sparkt_src"
         )
@@ -389,7 +395,7 @@ def materialize_incremental(ctx: MatContext, node):
                 "(unpartitioned overwrite would drop all existing rows)"
             )
         part_eq = _uk_eq(partition_by, "t", "s")
-        part_cols = ", ".join(partition_by)
+        part_cols = ", ".join(bt(c) for c in partition_by)
         keep_tgt = (
             f"SELECT {_col_select(final_cols, 't', 'tgt', types)} "
             f"FROM {rel.render()} t LEFT ANTI JOIN "

@@ -26,14 +26,14 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 from sparkt.exceptions import ExecutionError
-from sparkt.materializations import MatContext, register, unique_key_list
+from sparkt.materializations import MatContext, bt, register, unique_key_list
 
 META_COLS = ["dbt_scd_id", "dbt_updated_at", "dbt_valid_from", "dbt_valid_to"]
 
 
 def _scd_id_expr(uk: list[str], updated_expr: str, alias: str) -> str:
     parts = ", ".join(
-        [f"cast({alias}.{k} as string)" for k in uk]
+        [f"cast({alias}.{bt(k)} as string)" for k in uk]
         + [f"cast({updated_expr} as string)"]
     )
     return f"md5(concat_ws('|', {parts}))"
@@ -62,8 +62,8 @@ def materialize_snapshot(ctx: MatContext, node):
         updated_at = cfg.get("updated_at")
         if not updated_at:
             raise ExecutionError(f"{node.unique_id}: timestamp strategy needs updated_at")
-        upd = lambda a: f"{a}.{updated_at}"  # noqa: E731
-        changed = f"s.{updated_at} > c.dbt_updated_at"
+        upd = lambda a: f"{a}.{bt(updated_at)}"  # noqa: E731
+        changed = f"s.{bt(updated_at)} > c.dbt_updated_at"
     elif strategy == "check":
         check_cols = cfg.get("check_cols", "all")
         if check_cols == "all":
@@ -79,13 +79,13 @@ def materialize_snapshot(ctx: MatContext, node):
             )
         upd = lambda a: ts_literal  # noqa: E731
         changed = "(" + " OR ".join(
-            f"NOT (s.{c} <=> c.{c})" for c in check_cols
+            f"NOT (s.{bt(c)} <=> c.{bt(c)})" for c in check_cols
         ) + ")"
     else:
         raise ExecutionError(f"unknown snapshot strategy '{strategy}'")
 
-    uk_eq_sc = " AND ".join(f"s.{k} <=> c.{k}" for k in uk)
-    s_cols = ", ".join(f"s.{c}" for c in data_cols)
+    uk_eq_sc = " AND ".join(f"s.{bt(k)} <=> c.{bt(k)}" for k in uk)
+    s_cols = ", ".join(f"s.{bt(c)}" for c in data_cols)
 
     if not ctx.adapter.relation_exists(rel):
         first = (
@@ -99,8 +99,8 @@ def materialize_snapshot(ctx: MatContext, node):
         ctx.adapter.create_table_as(rel, select_sql=first)
         return "SNAPSHOT (first run)"
 
-    t_cols = ", ".join(f"t.{c}" for c in data_cols)
-    uk_eq_tch = " AND ".join(f"t.{k} <=> ch.{k}" for k in uk)
+    t_cols = ", ".join(f"t.{bt(c)}" for c in data_cols)
+    uk_eq_tch = " AND ".join(f"t.{bt(k)} <=> ch.{bt(k)}" for k in uk)
     # invalidate_hard_deletes (reference
     # tests/functional/adapter/simple_snapshot/snapshots.py:9; the
     # dbt 1.9 `hard_deletes: invalidate` spelling is accepted too):
@@ -110,8 +110,8 @@ def materialize_snapshot(ctx: MatContext, node):
         cfg.get("invalidate_hard_deletes")
         or cfg.get("hard_deletes") == "invalidate"
     )
-    c_uk = ", ".join(f"c.{k}" for k in uk)
-    uk_eq_td = " AND ".join(f"t.{k} <=> d.{k}" for k in uk)
+    c_uk = ", ".join(f"c.{bt(k)}" for k in uk)
+    uk_eq_td = " AND ".join(f"t.{bt(k)} <=> d.{bt(k)}" for k in uk)
     deleted_cte = (
         f""",
 __deleted AS (
@@ -134,9 +134,9 @@ __deleted AS (
     # (adapter.snapshot_merge_sql) instead of the whole-table rewrite
     file_format = str(cfg.get("file_format") or "parquet").lower()
     if file_format in ("delta", "iceberg"):
-        uk_eq_chc = " AND ".join(f"ch.{k} <=> c.{k}" for k in uk)
-        ch_data = ", ".join(f"ch.{c}" for c in data_cols)
-        c_data = ", ".join(f"c.{c}" for c in data_cols)
+        uk_eq_chc = " AND ".join(f"ch.{bt(k)} <=> c.{bt(k)}" for k in uk)
+        ch_data = ", ".join(f"ch.{bt(c)}" for c in data_cols)
+        c_data = ", ".join(f"c.{bt(c)}" for c in data_cols)
         deletes_branch = (
             f"""
 UNION ALL

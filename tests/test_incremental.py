@@ -562,3 +562,40 @@ def test_sample_mode_filters_event_time_refs(make_project, spark):
     assert "ts >= TIMESTAMP" in compiled
     assert runner.run().ok  # full run restores the complete scan
     assert spark.table("t_sample.uses_stg").first()["n"] == 2
+
+
+def test_reserved_word_columns_in_merge_and_snapshot(make_project, spark):
+    """Generated DML backtick-quotes identifiers (reference
+    tests/functional/column_quoting): a unique_key / data column named
+    with a reserved word survives incremental merge and snapshots."""
+    files = {
+        "dbt_project.yml": (
+            "name: cq\nmodel-paths: [models]\nsnapshot-paths: [snapshots]\n"
+        ),
+        "models/resv.sql": (
+            "{{ config(materialized='incremental', unique_key='select', "
+            "incremental_strategy='merge') }}\n"
+            "select id as `select`, v as `order` from (\n"
+            "  select 1 as id, {{ var('v', 10) }} as v\n"
+            "  union all select 2, 20)"
+        ),
+        "snapshots/resv_snap.sql": """
+{% snapshot resv_snap %}
+{{ config(unique_key='select', strategy='check', check_cols='all') }}
+select * from {{ ref('resv') }}
+{% endsnapshot %}
+""",
+    }
+    runner = make_project(files, schema="t_cq")
+    assert runner.run().ok
+    assert runner.run().ok  # second run exercises the merge path
+    rows = {r["select"]: r["order"] for r in
+            spark.table("t_cq.resv").collect()}
+    assert rows == {1: 10, 2: 20}
+    res = runner.snapshot()
+    assert res.ok, [r.message for r in res.results]
+    # change a value -> merge updates, snapshot adds an SCD-2 version
+    assert runner.run(**{}).ok
+    runner2 = make_project(files, schema="t_cq")
+    assert runner2.run().ok
+    assert spark.table("t_cq.resv").count() == 2
