@@ -86,3 +86,71 @@ def test_sql_str_escaping_never_breaks_out(s):
     assert "'" not in out.replace("''", "")
     # backslashes all doubled under the default escape mode
     assert "\\" not in re.sub(r"\\\\", "", out)
+
+
+# ---------------------------------------------------- microbatch math
+_ts = st.datetimes(
+    min_value=__import__("datetime").datetime(2020, 1, 1),
+    max_value=__import__("datetime").datetime(2030, 12, 28),
+)
+
+
+@given(_ts, _ts, st.sampled_from(["hour", "day", "month", "year"]))
+@settings(max_examples=300, deadline=None)
+def test_microbatch_batches_tile_window_exactly(a, b, size):
+    """Batch windows partition [start, end): contiguous, non-
+    overlapping, first starts at start, last ends at end, and every
+    interior boundary is a period boundary."""
+    from sparkt.materializations.incremental import (
+        _batch_floor,
+        _batch_shift,
+    )
+
+    start, end = min(a, b), max(a, b)
+    if start == end:
+        return
+    batches = []
+    cur = _batch_floor(start, size)
+    while cur < end:
+        nxt = _batch_shift(cur, size, 1)
+        batches.append((max(cur, start), min(nxt, end)))
+        cur = nxt
+    assert batches[0][0] == start and batches[-1][1] == end
+    for (s1, e1), (s2, e2) in zip(batches, batches[1:]):
+        assert e1 == s2  # contiguous, no gap/overlap
+        assert _batch_floor(s2, size) == s2  # interior = period boundary
+    assert all(s < e for s, e in batches)
+    # shift is the inverse of itself
+    assert _batch_shift(_batch_shift(batches[0][0], size, 3), size, -3) \
+        == batches[0][0]
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.integers(1, 16),
+    st.integers(2, 9),
+)
+@settings(max_examples=25, deadline=None)
+def test_pack_offsets_conserves_tokens(spark, ns, ctx, bucket):
+    """Pure math of the two-phase prefix sum: offsets are the exclusive
+    cumsum regardless of bucket size; bins cover exactly the token
+    span."""
+    from sparkt.functions.text import pack_offsets
+
+    df = spark.createDataFrame(
+        list(enumerate(ns)), ["doc_id", "n"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_offsets(
+            df, "doc_id", "n", ctx=ctx, bucket_size=bucket
+        ).collect()
+    }
+    run = 0
+    for i, n in enumerate(ns):
+        r = got[i]
+        assert r["global_start"] == run
+        assert r["first_bin"] == run // ctx
+        assert r["last_bin"] == (run + max(n, 1) - 1) // ctx
+        assert r["start_offset"] == run % ctx
+        run += n
