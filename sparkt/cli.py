@@ -60,6 +60,11 @@ def _mk_runner(project_dir, vars_, partial_parse=None):
 
 
 def _report(results, quiet: bool = False) -> None:
+    # programmatic invocations (sparktRunner.invoke) read the task
+    # result off the click context object (reference dbtRunnerResult)
+    _ctx = click.get_current_context(silent=True)
+    if _ctx is not None and isinstance(_ctx.obj, dict):
+        _ctx.obj["result"] = results
     for r in results.results:
         if not quiet:
             click.echo(
@@ -598,3 +603,46 @@ def debug(project_dir, connection):
 
 if __name__ == "__main__":
     cli()
+
+
+# ------------------------------------------------- programmatic API
+class sparktRunnerResult:  # noqa: N801 — reference casing (dbtRunnerResult)
+    """Mirror of the reference ``dbtRunnerResult``
+    (``core/dbt/cli/main.py``): ``success``, ``result`` (the task's
+    RunResults when one was produced), ``exception``."""
+
+    def __init__(self, success, result=None, exception=None):
+        self.success = success
+        self.result = result
+        self.exception = exception
+
+
+class sparktRunner:  # noqa: N801 — reference casing (dbtRunner)
+    """Programmatic in-process invocation, the reference ``dbtRunner``
+    analogue (``core/dbt/cli/main.py``; behavior pinned by
+    ``tests/functional/dbt_runner``)::
+
+        res = sparktRunner().invoke(["run", "--project-dir", "proj"])
+        assert res.success and res.result.results
+
+    Runs the SAME click command pipeline as ``python -m sparkt`` —
+    flags, env tiers and defaults included — but in-process, returning
+    the task result instead of printing-and-exiting.
+    """
+
+    def invoke(self, args: list[str]) -> sparktRunnerResult:
+        obj: dict = {}
+        try:
+            cli.main(
+                args=list(args), standalone_mode=False, obj=obj,
+                prog_name="sparkt",
+            )
+        except SystemExit as e:
+            return sparktRunnerResult(
+                success=(e.code in (0, None)), result=obj.get("result"),
+            )
+        except click.ClickException as e:
+            return sparktRunnerResult(False, obj.get("result"), e)
+        except Exception as e:  # noqa: BLE001 — reference catches all
+            return sparktRunnerResult(False, obj.get("result"), e)
+        return sparktRunnerResult(True, obj.get("result"))

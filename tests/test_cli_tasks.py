@@ -392,3 +392,29 @@ def test_flag_batch_version_quiet_resource_types(spark, tmp_path):
     assert res.exit_code == 0
     assert os.path.exists(os.path.join(proj, "t_alt", "manifest.json"))
     os.environ.pop("DBT_TARGET_PATH", None)
+
+
+def test_sparkt_runner_programmatic(spark, tmp_path):
+    """sparktRunner().invoke(...) — the reference dbtRunner analogue:
+    in-process, returns (success, RunResults) instead of exiting."""
+    from sparkt.cli import sparktRunner
+
+    proj = str(tmp_path / "pr")
+    write_files(proj, FILES)
+    r = sparktRunner()
+    res = r.invoke(["seed", "--project-dir", proj])
+    assert res.success and res.result is not None
+    res = r.invoke(["build", "--project-dir", proj])
+    assert res.success
+    assert {x.status for x in res.result.results} == {"success"}
+    # failure surfaces as success=False, result still carried
+    import os
+
+    with open(os.path.join(proj, "models", "broken.sql"), "w") as f:
+        f.write("select * from {{ ref('a') }} where no_such_col = 1")
+    res = r.invoke(["run", "--project-dir", proj])
+    assert not res.success
+    assert any(x.status == "error" for x in res.result.results)
+    # unknown command -> exception captured, no raise
+    res = r.invoke(["definitely-not-a-command"])
+    assert not res.success
