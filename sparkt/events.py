@@ -118,6 +118,45 @@ class NodeFinished(Event):
 
 
 @dataclass
+class MicrobatchExecutionStarted(Event):
+    """Microbatch batch begins (EXTENSION: dbt 1.9 microbatch
+    LogStartBatch shape; this reference snapshot predates it)."""
+
+    CODE = "Q043"
+    LEVEL = "debug"
+    unique_id: str = ""
+    batch_start: str = ""
+    batch_end: str = ""
+    index: int = 0
+    total: int = 0
+
+    def message(self) -> str:
+        return (
+            f"Batch {self.index} of {self.total} START "
+            f"[{self.batch_start} .. {self.batch_end}) {self.unique_id}"
+        )
+
+
+@dataclass
+class MicrobatchExecutionCompleted(Event):
+    """Microbatch batch finished (LogBatchResult shape)."""
+
+    CODE = "Q044"
+    LEVEL = "debug"
+    unique_id: str = ""
+    batch_start: str = ""
+    index: int = 0
+    total: int = 0
+    execution_time: float = 0.0
+
+    def message(self) -> str:
+        return (
+            f"Batch {self.index} of {self.total} OK {self.unique_id} "
+            f"[{self.execution_time:.2f}s]"
+        )
+
+
+@dataclass
 class ConcurrencyLine(Event):
     CODE = "Q027"
     num_threads: int = 0

@@ -206,8 +206,21 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
 
     file_format = str(cfg.get("file_format") or "parquet").lower()
     compiler = ctx.compiler
+    events = ctx.extras.get("events")
     try:
-        for bs, be in batches:
+        for bi, (bs, be) in enumerate(batches, start=1):
+            import time as _time
+
+            _t0 = _time.time()
+            if events is not None:
+                from sparkt import events as EV
+
+                events.fire(EV.MicrobatchExecutionStarted(
+                    unique_id=node.unique_id,
+                    batch_start=bs.isoformat(sep=" "),
+                    batch_end=be.isoformat(sep=" "),
+                    index=bi, total=len(batches),
+                ))
             compiler.event_time_bounds = (bs.isoformat(sep=" "),
                                           be.isoformat(sep=" "))
             compiler.compile_node(node, is_incremental=not first_build)
@@ -241,6 +254,13 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                 ctx.adapter.create_table_as(
                     rel, select_sql=merged, partition_by=partition_by
                 )
+            if events is not None:
+                events.fire(EV.MicrobatchExecutionCompleted(
+                    unique_id=node.unique_id,
+                    batch_start=bs.isoformat(sep=" "),
+                    index=bi, total=len(batches),
+                    execution_time=_time.time() - _t0,
+                ))
     finally:
         compiler.event_time_bounds = None
     node.relation = rel

@@ -525,6 +525,8 @@ class Runner:
                 # microbatch backfill window overrides
                 "event_time_start": event_time_start,
                 "event_time_end": event_time_end,
+                # per-batch structured events (Q043/Q044)
+                "events": self.events,
             },
         )
         self.adapter.create_schema(self.project.schema)

@@ -250,3 +250,37 @@ def test_spaces_in_resource_names_deprecation(make_project, spark):
         assert "Found spaces in the name of `model.sp.my model`" in msgs[0]
     finally:
         deprecations.reset()
+
+
+def test_microbatch_batch_events(make_project, spark):
+    """Each microbatch batch fires Q043 start / Q044 completed into
+    logs/dbt.log (extension: dbt 1.9 LogStartBatch/LogBatchResult
+    shape)."""
+    import json
+    import os
+
+    files = {
+        "dbt_project.yml": "name: mbe\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/e2.csv": "id,ts\n1,2024-01-01 05:00:00\n2,2024-01-03 05:00:00\n",
+        "models/stg2.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts from {{ ref('e2') }}"
+        ),
+        "models/mb2.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01') }}\n"
+            "select id, ts from {{ ref('stg2') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_mbe")
+    assert runner.seed().ok
+    assert runner.run(event_time_end="2024-01-04 00:00:00").ok
+    log = os.path.join(runner.project.project_root, "logs", "dbt.log")
+    lines = [json.loads(x) for x in open(log)]
+    starts = [x for x in lines if x["info"]["code"] == "Q043"]
+    dones = [x for x in lines if x["info"]["code"] == "Q044"]
+    assert len(starts) == 3 and len(dones) == 3  # 3 day batches
+    assert starts[0]["data"]["batch_start"] == "2024-01-01 00:00:00"
+    assert starts[0]["data"]["total"] == 3
+    assert all(d["data"]["execution_time"] >= 0 for d in dones)
