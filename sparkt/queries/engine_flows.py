@@ -749,7 +749,58 @@ ORDER BY day, event_type
 """
 
 
+# ----------------------------------------------------------------- m13
+def m13_stream_static_join(spark, sf_dir):
+    """Stream-static dimension enrichment: the events stream joins a
+    BROADCAST static customer dim per microbatch (the canonical
+    streaming enrichment shape — dimension snapshot read fresh each
+    microbatch, no state store involved, unlike the m9 stream-stream
+    join). availableNow drain; output equals the batch join oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from sparkt.sources import (
+        load_parquet,
+        ns_timestamp_columns,
+        repair_event_time,
+    )
+    from sparkt.streaming.incremental import stream_append
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m13_")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    ns_cols = ns_timestamp_columns(src)
+    dim = load_parquet(spark, os.path.join(sf_dir, "customer.parquet")) \
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+
+    def transform(stream):
+        out = repair_event_time(stream, ns_cols)
+        return (
+            out.join(broadcast(dim),
+                     out.user_id == dim.c_custkey, "left")
+            .select(
+                "event_id", "user_id", "event_type",
+                F.round("value", 2).alias("value"),
+                "c_mktsegment", "c_nationkey",
+            )
+        )
+
+    with _low_shuffle(spark):
+        stream_append(spark, src, tgt, cp, transform=transform)
+    return spark.read.parquet(tgt).orderBy("event_id")
+
+
+M13_SQL = """
+SELECT event_id, user_id, event_type, round(value, 2) AS value,
+       c_mktsegment, c_nationkey
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "m13_stream_static_join": m13_stream_static_join,
     "m12_microbatch": m12_microbatch,
     "m1_incremental_merge": m1_incremental_merge,
     "m2_snapshot_scd2": m2_snapshot_scd2,
@@ -765,6 +816,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "m13_stream_static_join": M13_SQL,
     "m12_microbatch": M12_SQL,
     "m1_incremental_merge": M1_SQL,
     "m2_snapshot_scd2": M2_SQL,
