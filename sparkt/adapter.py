@@ -169,48 +169,65 @@ class SparkAdapter:
             self._catalog = json.load(f)
         self._restoring = True
         try:
-            for key, entry in list(self._catalog.items()):
-                schema, _, identifier = key.partition(".")
-                rel = Relation(
-                    schema=schema,
-                    identifier=identifier,
-                    type="view" if entry["kind"] == "view" else "table",
-                )
-                try:
-                    if self.relation_exists(rel):
-                        continue
-                    if entry["kind"] == "external":
-                        self.register_external_table(
-                            rel, entry["path"],
-                            fmt=entry.get("fmt", "parquet"),
-                            options=entry.get("options") or None,
-                        )
-                    elif entry["kind"] == "table":
-                        self.create_schema(schema)
-                        buck = self._bucket_clause(
-                            entry.get("bucket_by"), entry.get("buckets"),
-                            entry.get("sort_by"),
-                        )
-                        cols = (
-                            f" ({entry['schema_ddl']})"
-                            if buck and entry.get("schema_ddl") else ""
-                        )
-                        self.spark.sql(
-                            f"CREATE TABLE {rel.render()}{cols} USING "
-                            f"parquet{buck} "
-                            f"LOCATION '{_sql_str(self.spark, entry['location'])}'"
-                        )
-                        # A partitioned location needs explicit partition
-                        # recovery in the in-memory catalog, else the
-                        # restored table scans 0 rows.
-                        if entry.get("partitioned"):
-                            self.spark.sql(
-                                f"ALTER TABLE {rel.render()} RECOVER PARTITIONS"
+            # FIXPOINT replay: catalog.json's insertion order is NOT a
+            # dependency order (recreating a relation re-inserts it at
+            # the end, so a selective re-run can move a parent view
+            # AFTER its dependents). Replay in rounds, retrying entries
+            # whose dependencies may appear later; only entries that
+            # still fail once a full round makes no progress are truly
+            # stale and get dropped.
+            pending = list(self._catalog.items())
+            while pending:
+                failed: list[tuple[str, dict]] = []
+                for key, entry in pending:
+                    schema, _, identifier = key.partition(".")
+                    rel = Relation(
+                        schema=schema,
+                        identifier=identifier,
+                        type="view" if entry["kind"] == "view" else "table",
+                    )
+                    try:
+                        if self.relation_exists(rel):
+                            continue
+                        if entry["kind"] == "external":
+                            self.register_external_table(
+                                rel, entry["path"],
+                                fmt=entry.get("fmt", "parquet"),
+                                options=entry.get("options") or None,
                             )
-                    elif entry["kind"] == "view":
-                        self.create_view_as(rel, entry["sql"])
-                except Exception:  # noqa: BLE001 — stale entry
-                    self._catalog.pop(key, None)
+                        elif entry["kind"] == "table":
+                            self.create_schema(schema)
+                            buck = self._bucket_clause(
+                                entry.get("bucket_by"), entry.get("buckets"),
+                                entry.get("sort_by"),
+                            )
+                            cols = (
+                                f" ({entry['schema_ddl']})"
+                                if buck and entry.get("schema_ddl") else ""
+                            )
+                            self.spark.sql(
+                                f"CREATE TABLE {rel.render()}{cols} USING "
+                                f"parquet{buck} "
+                                f"LOCATION "
+                                f"'{_sql_str(self.spark, entry['location'])}'"
+                            )
+                            # A partitioned location needs explicit
+                            # partition recovery in the in-memory catalog,
+                            # else the restored table scans 0 rows.
+                            if entry.get("partitioned"):
+                                self.spark.sql(
+                                    f"ALTER TABLE {rel.render()} "
+                                    "RECOVER PARTITIONS"
+                                )
+                        elif entry["kind"] == "view":
+                            self.create_view_as(rel, entry["sql"])
+                    except Exception:  # noqa: BLE001 — retry next round
+                        failed.append((key, entry))
+                if len(failed) == len(pending):  # no progress: stale
+                    for key, _ in failed:
+                        self._catalog.pop(key, None)
+                    break
+                pending = failed
         finally:
             self._restoring = False
 

@@ -98,6 +98,8 @@ def cli():
 def _make_cmd(name: str, full_refresh_opt: bool = False):
     @_common
     def cmd(project_dir, select, exclude, selector, threads, vars_, **kw):
+        # -m/--models is the historical alias for --select
+        select = select or kw.get("models")
         if kw.get("target"):
             # --target/-t selects the profiles.yml output; project
             # loading reads it from the env tier (reference flags
@@ -121,13 +123,19 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                       resource_types=list(kw.get("resource_types") or [])
                       or None,
                       exclude_resource_types=list(
-                          kw.get("exclude_resource_types") or []) or None)
+                          kw.get("exclude_resource_types") or []) or None,
+                      defer_state=kw.get("defer_state"),
+                      store_failures=kw.get("store_failures", False),
+                      write_json=kw.get("write_json", True))
         if full_refresh_opt:
             kwargs["full_refresh"] = kw.get("full_refresh", False)
             kwargs["empty"] = kw.get("empty", False)
             kwargs["event_time_start"] = kw.get("event_time_start")
             kwargs["event_time_end"] = kw.get("event_time_end")
             kwargs["sample"] = kw.get("sample")
+            kwargs["export_saved_queries"] = kw.get(
+                "export_saved_queries", False
+            )
         _report(fn(**kwargs), quiet=kw.get("quiet", False))
 
     cmd = click.option("--resource-type", "resource_types", multiple=True,
@@ -136,8 +144,19 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
     cmd = click.option("--exclude-resource-type", "exclude_resource_types",
                        multiple=True,
                        help="drop these resource types (repeatable)")(cmd)
+    cmd = click.option("--models", "-m", "models", default=None,
+                       help="alias for --select")(cmd)
+    cmd = click.option("--store-failures", "store_failures", is_flag=True,
+                       default=False, envvar="DBT_STORE_FAILURES",
+                       help="store failing rows of every data test")(cmd)
+    cmd = click.option("--write-json/--no-write-json", "write_json",
+                       default=True,
+                       help="emit run_results.json / manifest.json")(cmd)
     cmd = click.option("--state", default=None,
                        help="path to a previous target/ for state: selectors")(cmd)
+    cmd = click.option("--defer-state", "defer_state", default=None,
+                       help="artifact dir used for --defer resolution "
+                            "(defaults to --state)")(cmd)
     cmd = click.option("--defer", "defer", is_flag=True, default=False)(cmd)
     cmd = click.option("--favor-state", "favor_state", is_flag=True,
                        default=False, envvar="DBT_FAVOR_STATE")(cmd)
@@ -174,6 +193,11 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
                            help="dev-run time slice, e.g. '3 days': "
                                 "event_time refs/sources scan only the "
                                 "trailing window")(cmd)
+        cmd = click.option("--export-saved-queries",
+                           "export_saved_queries", is_flag=True,
+                           default=False,
+                           help="run saved-query exports after a "
+                                "successful build")(cmd)
     return cli.command(name)(cmd)
 
 

@@ -27,7 +27,12 @@ def materialize_test(ctx: MatContext, node):
     limit = cfg.get("limit")
     limit_sql = f" limit {int(limit)}" if limit is not None else ""
 
-    if cfg.get("store_failures") or cfg.get("store_failures_as") in ("table", "view"):
+    # --store-failures CLI flag (reference cli/params.py) is a blanket
+    # enable; per-node config still wins when explicitly set False
+    flag = ctx.extras.get("store_failures_flag", False)
+    store = cfg.get("store_failures")
+    if (store or (store is None and flag)
+            or cfg.get("store_failures_as") in ("table", "view")):
         audit_schema = f"{ctx.project.schema}_dbt_test__audit"
         audit_rel = Relation(schema=audit_schema, identifier=node.name)
         as_view = cfg.get("store_failures_as") == "view"

@@ -408,6 +408,10 @@ class Runner:
         event_time_start: str | None = None,
         event_time_end: str | None = None,
         sample: str | None = None,
+        defer_state: str | None = None,
+        store_failures: bool = False,
+        write_json: bool = True,
+        export_saved_queries: bool = False,
     ) -> RunResults:
         t0 = time.time()
         # --warn-error (blanket) + --warn-error-options (granular
@@ -459,8 +463,18 @@ class Runner:
                     state_manifest.freshness_current = (
                         json.load(f).get("results", [])
                     )
-            if defer:
-                self.compiler.defer_state = state_manifest
+        if defer:
+            from sparkt.state import StateManifest
+
+            # --defer-state (reference cli/params.py defer_state): a
+            # separate artifact dir for DEFERRAL while --state keeps
+            # driving state: selectors
+            dm = (
+                StateManifest(defer_state) if defer_state
+                else state_manifest
+            )
+            if dm is not None:
+                self.compiler.defer_state = dm
                 self.compiler.favor_state = favor_state
         # --indirect-selection tier: CLI flag > DBT_INDIRECT_SELECTION
         # env (click envvar) > project flags: > eager default (reference
@@ -527,6 +541,8 @@ class Runner:
                 "event_time_end": event_time_end,
                 # per-batch structured events (Q043/Q044)
                 "events": self.events,
+                # --store-failures blanket enable for data tests
+                "store_failures_flag": store_failures,
             },
         )
         self.adapter.create_schema(self.project.schema)
@@ -662,8 +678,19 @@ class Runner:
                       else vars(warn_error_options)
                   )},
         )
-        rr.write(os.path.join(self.project.target_dir, "run_results.json"))
-        self.manifest.write(os.path.join(self.project.target_dir, "manifest.json"))
+        if write_json:  # --no-write-json skips artifact emission
+            rr.write(
+                os.path.join(self.project.target_dir, "run_results.json")
+            )
+            self.manifest.write(
+                os.path.join(self.project.target_dir, "manifest.json")
+            )
+        if export_saved_queries and rr.ok:
+            # --export-saved-queries (reference cli/params.py): run every
+            # saved query's table exports after a successful build
+            for sq in self.manifest.saved_queries:
+                if sq.get("name"):
+                    self.run_saved_query(sq["name"])
         self.events.fire(EV.CommandCompleted(
             command=which, success=rr.ok, elapsed=rr.elapsed,
         ))

@@ -331,3 +331,36 @@ def test_optimize_table_via_run_operation(make_project, spark):
     assert runner.run().ok
     runner.run_operation("compact_base")
     assert spark.table("`t_opt4`.`base`").count() == 1
+
+
+def test_catalog_replay_out_of_order_views(spark, tmp_path):
+    """Durable-catalog replay must not drop a view whose parent appears
+    LATER in catalog.json (selective re-runs re-insert recreated
+    relations at the end, breaking insertion-order dependencies).
+    Regression: fixpoint replay, only no-progress entries are stale."""
+    import json
+    import os
+
+    from sparkt.adapter import SparkAdapter
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    spark.sql("DROP DATABASE IF EXISTS t_replay CASCADE")
+    # child listed BEFORE the parent it selects from + one truly stale
+    with open(os.path.join(wh, "catalog.json"), "w") as f:
+        json.dump({
+            "t_replay.child_v": {
+                "kind": "view",
+                "sql": "select id from t_replay.parent_v",
+            },
+            "t_replay.stale_v": {
+                "kind": "view",
+                "sql": "select x from t_replay.never_exists",
+            },
+            "t_replay.parent_v": {"kind": "view", "sql": "select 1 as id"},
+        }, f)
+    adapter = SparkAdapter(spark, wh)
+    assert spark.sql("select * from t_replay.child_v").count() == 1
+    assert "t_replay.parent_v" in adapter._catalog
+    assert "t_replay.child_v" in adapter._catalog
+    assert "t_replay.stale_v" not in adapter._catalog

@@ -418,3 +418,58 @@ def test_sparkt_runner_programmatic(spark, tmp_path):
     # unknown command -> exception captured, no raise
     res = r.invoke(["definitely-not-a-command"])
     assert not res.success
+
+
+def test_flag_batch_models_alias_store_failures_defer_state(
+    spark, tmp_path
+):
+    """-m alias, --store-failures blanket, --no-write-json,
+    --defer-state (separate deferral dir)."""
+    import shutil
+
+    from sparkt.runner import Runner
+
+    proj = str(tmp_path / "p2")
+    files = dict(FILES)
+    files["models/schema.yml"] = """
+version: 2
+models:
+  - name: b
+    columns:
+      - name: s
+        data_tests: [not_null]
+"""
+    write_files(proj, files)
+    r = CliRunner()
+    assert r.invoke(cli, ["seed", "--project-dir", proj]).exit_code == 0
+    assert r.invoke(cli, ["run", "--project-dir", proj]).exit_code == 0
+    res = r.invoke(cli, ["run", "--project-dir", proj, "-m", "b"])
+    assert res.exit_code == 0 and "model.cliproj.b" in res.output
+    assert "model.cliproj.a" not in res.output  # -m selects only b
+
+    runner = Runner(proj, spark=spark)
+    # --store-failures blanket: test has no store_failures config but
+    # the audit table appears
+    res = runner.test(store_failures=True)
+    assert res.ok
+    audit = [t.name for t in spark.catalog.listTables(
+        runner.project.schema + "_dbt_test__audit")]
+    assert "not_null_b_s" in audit
+
+    # --no-write-json: no run_results.json written
+    import os
+
+    rrp = os.path.join(runner.project.target_dir, "run_results.json")
+    os.remove(rrp)
+    assert runner.run(write_json=False).ok
+    assert not os.path.exists(rrp)
+    assert runner.run().ok
+    assert os.path.exists(rrp)
+
+    # --defer-state: deferral resolves from a SEPARATE dir than --state
+    state_dir = str(tmp_path / "prodstate")
+    shutil.copytree(runner.project.target_dir, state_dir)
+    res = runner.run(
+        select="b", defer=True, defer_state=state_dir, favor_state=True
+    )
+    assert res.ok
