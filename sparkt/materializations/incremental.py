@@ -224,10 +224,18 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
             compiler.event_time_bounds = (bs.isoformat(sep=" "),
                                           be.isoformat(sep=" "))
             compiler.compile_node(node, is_incremental=not first_build)
-            src_sql = node.compiled_code
             window = (
-                f"{et} >= TIMESTAMP '{bs.isoformat(sep=' ')}' AND "
-                f"{et} < TIMESTAMP '{be.isoformat(sep=' ')}'"
+                f"{bt(et)} >= TIMESTAMP '{bs.isoformat(sep=' ')}' AND "
+                f"{bt(et)} < TIMESTAMP '{be.isoformat(sep=' ')}'"
+            )
+            # The model OUTPUT is constrained to the batch window too —
+            # input-side event_time filters are the efficiency path, but
+            # an input WITHOUT an event_time config would otherwise
+            # re-emit its whole history every batch, duplicating rows on
+            # every rerun (window replace removes only in-window rows).
+            src_sql = (
+                f"SELECT * FROM ({node.compiled_code}) __sparkt_mb "
+                f"WHERE {window}"
             )
             if not ctx.adapter.relation_exists(rel):
                 check_contract(ctx, node)

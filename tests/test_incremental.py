@@ -599,3 +599,35 @@ select * from {{ ref('resv') }}
     runner2 = make_project(files, schema="t_cq")
     assert runner2.run().ok
     assert spark.table("t_cq.resv").count() == 2
+
+
+def test_microbatch_idempotent_with_unannotated_input(make_project, spark):
+    """Regression: an input WITHOUT an event_time config re-emits its
+    whole history every batch; the model output must be constrained to
+    the batch window or reruns duplicate out-of-window rows (found by
+    driving the CLI cross-process: 3 rows became 5 after two runs)."""
+    files = {
+        "dbt_project.yml": "name: mbu\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/ev3.csv": (
+            "id,ts\n1,2024-01-01 05:00:00\n"
+            "2,2024-02-02 05:00:00\n3,2024-02-03 05:00:00\n"
+        ),
+        # NOTE: no event_time config on the staging model
+        "models/stg3.sql": (
+            "select id, cast(ts as timestamp) as ts from {{ ref('ev3') }}"
+        ),
+        "models/mb3.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='month', begin='2024-01-01') }}\n"
+            "select id, ts from {{ ref('stg3') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_mbu")
+    assert runner.seed().ok
+    for _ in range(3):  # initial build + 2 incremental reruns
+        assert runner.run(event_time_end="2024-03-01 00:00:00").ok
+        assert spark.table("t_mbu.mb3").count() == 3
+    assert (
+        spark.table("t_mbu.mb3").select("id").distinct().count() == 3
+    )
