@@ -631,3 +631,49 @@ def test_microbatch_idempotent_with_unannotated_input(make_project, spark):
     assert (
         spark.table("t_mbu.mb3").select("id").distinct().count() == 3
     )
+
+
+def test_concurrent_microbatch_thread_isolation(make_project, spark):
+    """Two microbatch models with DIFFERENT batch sizes plus plain
+    models built on 4 threads: batch windows are thread-local on the
+    shared compiler, so concurrent compiles must not leak another
+    node's window (would show up as missing/duplicated rows)."""
+    files = {
+        "dbt_project.yml": "name: cmb\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/ev4.csv": (
+            "id,ts\n" + "\n".join(
+                f"{i},2024-01-{(i % 27) + 1:02d} 06:00:00"
+                for i in range(1, 41)
+            ) + "\n"
+        ),
+        "models/stg4.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts from {{ ref('ev4') }}"
+        ),
+        "models/mb_day.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01') }}\n"
+            "select id, ts from {{ ref('stg4') }}"
+        ),
+        "models/mb_month.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='month', begin='2024-01-01') }}\n"
+            "select id, ts from {{ ref('stg4') }}"
+        ),
+        "models/plain_all.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select count(*) as n from {{ ref('stg4') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_cmb")
+    assert runner.seed().ok
+    for _ in range(2):
+        assert runner.run(
+            threads=4, event_time_end="2024-02-01 00:00:00"
+        ).ok
+        assert spark.table("t_cmb.mb_day").count() == 40
+        assert spark.table("t_cmb.mb_month").count() == 40
+        # the un-windowed plain model saw the FULL staging table
+        assert spark.table("t_cmb.plain_all").first()["n"] == 40
