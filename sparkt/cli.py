@@ -325,7 +325,8 @@ _LIST_KEYS = (
 )
 
 
-def _list_lines(runner, select, exclude, output, resource_types):
+def _list_lines(runner, select, exclude, output, resource_types,
+                output_keys=None):
     """Newline-delimited list output (reference
     ``core/dbt/task/list.py:97-167``: selector/name/json/path
     generators over the selected nodes)."""
@@ -373,6 +374,8 @@ def _list_lines(runner, select, exclude, output, resource_types):
                 "alias": n.alias, "config": n.config, "tags": n.tags,
                 "depends_on": {"nodes": n.depends_on},
             }
+            if output_keys:
+                d = {k: v for k, v in d.items() if k in output_keys}
             yield _json.dumps(d)
 
 
@@ -385,7 +388,11 @@ def _list_cmd(name: str):
         ["json", "name", "path", "selector", "unique_id"],
         case_sensitive=False), default="selector")
     @click.option("--resource-type", "resource_types", multiple=True)
-    def _cmd(project_dir, select, exclude, output, resource_types):
+    @click.option("--output-keys", "output_keys", default=None,
+                  help="space-separated keys to keep in --output json "
+                       "rows (reference cli/params.py output_keys)")
+    def _cmd(project_dir, select, exclude, output, resource_types,
+             output_keys):
         """List project resources (reference core/dbt/task/list.py)."""
         runner = Runner(project_dir)
         if output == "unique_id":  # sparkt extension (round-3 ls shape)
@@ -397,8 +404,9 @@ def _list_cmd(name: str):
                                            select, exclude)):
                 click.echo(uid)
             return
+        keys = set(output_keys.split()) if output_keys else None
         for line in _list_lines(runner, select, exclude, output,
-                                set(resource_types)):
+                                set(resource_types), output_keys=keys):
             click.echo(line)
     return _cmd
 
