@@ -353,7 +353,9 @@ class SparkAdapter:
         return self.spark.sql(self._commented(sql))
 
     def quote(self, identifier: str) -> str:
-        return "`" + identifier.replace("`", "``") + "`"
+        from sparkt.relation import quote_identifier
+
+        return quote_identifier(identifier)
 
     # --------------------------------------------------------------- schemas
     def create_schema(self, schema: str) -> None:

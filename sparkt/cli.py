@@ -100,17 +100,30 @@ def _make_cmd(name: str, full_refresh_opt: bool = False):
     def cmd(project_dir, select, exclude, selector, threads, vars_, **kw):
         # -m/--models is the historical alias for --select
         select = select or kw.get("models")
-        if kw.get("target"):
-            # --target/-t selects the profiles.yml output; project
-            # loading reads it from the env tier (reference flags
-            # precedence: flag > env > default)
-            os.environ["DBT_TARGET"] = kw["target"]
-        if kw.get("profiles_dir"):
-            os.environ["DBT_PROFILES_DIR"] = kw["profiles_dir"]
-        if kw.get("target_path"):
-            os.environ["DBT_TARGET_PATH"] = kw["target_path"]
-        runner = _mk_runner(project_dir, vars_,
-                            partial_parse=kw.get("partial_parse"))
+        # flag values ride the env tier the project loader reads
+        # (reference flags precedence: flag > env > default); restored
+        # on exit so in-process sparktRunner.invoke calls don't inherit
+        # a previous invocation's paths
+        _env_sets = {
+            "DBT_TARGET": kw.get("target"),
+            "DBT_PROFILES_DIR": kw.get("profiles_dir"),
+            "DBT_TARGET_PATH": kw.get("target_path"),
+        }
+        _env_prev = {
+            k: os.environ.get(k) for k, v in _env_sets.items() if v
+        }
+        for k, v in _env_sets.items():
+            if v:
+                os.environ[k] = v
+        try:
+            runner = _mk_runner(project_dir, vars_,
+                                partial_parse=kw.get("partial_parse"))
+        finally:
+            for k, prev in _env_prev.items():
+                if prev is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = prev
         fn = getattr(runner, name)
         kwargs = dict(select=select, exclude=exclude, selector=selector,
                       threads=threads,
@@ -352,13 +365,16 @@ def _list_lines(runner, select, exclude, output, resource_types,
             elif output == "path":
                 yield n.path
             else:
-                yield _json.dumps({
+                d = {
                     "name": n.name, "resource_type": "source",
                     "package_name": n.package_name,
                     "original_file_path": n.path, "unique_id": n.unique_id,
                     "source_name": n.source_name, "tags": n.tags,
                     "config": n.config,
-                })
+                }
+                if output_keys:
+                    d = {k: v for k, v in d.items() if k in output_keys}
+                yield _json.dumps(d)
             continue
         if output == "selector":
             yield ".".join([n.package_name, n.name])

@@ -92,10 +92,13 @@ class Compiler:
         et = (target.config or {}).get("event_time")
         if self.event_time_bounds is None or not et:
             return self._maybe_limited(rendered)
+        from sparkt.relation import quote_identifier
+
+        q = quote_identifier(et)
         start, end = self.event_time_bounds
         return self._maybe_limited(
-            f"(select * from {rendered} where {et} >= TIMESTAMP '{start}'"
-            f" and {et} < TIMESTAMP '{end}')"
+            f"(select * from {rendered} where {q} >= TIMESTAMP '{start}'"
+            f" and {q} < TIMESTAMP '{end}')"
         )
 
     # ----------------------------------------------------- naming macros

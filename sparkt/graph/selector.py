@@ -312,6 +312,7 @@ def select_from_definition(
     named: dict | None = None,
     state=None,
     _seen: frozenset = frozenset(),
+    indirect: str = "eager",
 ) -> set[str]:
     """Evaluate a selectors.yml definition (reference
     ``core/dbt/graph/cli.py:120-235``): string specs, {method, value}
@@ -320,14 +321,16 @@ def select_from_definition(
     by ``_seen`` — a self/mutually-referencing selector raises)."""
     named = named or {}
     if isinstance(definition, str):
-        return select_nodes(graph, manifest, definition, state=state)
+        return select_nodes(
+            graph, manifest, definition, state=state, indirect=indirect
+        )
     if isinstance(definition, list):
         # bare list = implicit union (lenient vs reference, which
         # requires an explicit union key at root level)
         out: set[str] = set()
         for part in definition:
             out |= select_from_definition(
-                graph, manifest, part, named, state, _seen
+                graph, manifest, part, named, state, _seen, indirect
             )
         return out
     if not isinstance(definition, dict):
@@ -342,12 +345,13 @@ def select_from_definition(
             if isinstance(part, dict) and "exclude" in part:
                 for e in part["exclude"] or []:
                     excluded |= select_from_definition(
-                        graph, manifest, e, named, state, _seen
+                        graph, manifest, e, named, state, _seen, indirect
                     )
             else:
                 include.append(
                     select_from_definition(
-                        graph, manifest, part, named, state, _seen
+                        graph, manifest, part, named, state, _seen,
+                        indirect,
                     )
                 )
         if key == "union":
@@ -366,7 +370,7 @@ def select_from_definition(
             )
         return select_from_definition(
             graph, manifest, named[target]["definition"], named, state,
-            _seen | {target},
+            _seen | {target}, indirect,
         )
     if "method" in definition and "value" in definition:
         spec = f"{definition['method']}:{definition['value']}"
@@ -383,16 +387,19 @@ def select_from_definition(
         prefix = "@" if definition.get("childrens_parents") else ""
         base = select_nodes(
             graph, manifest, f"{prefix}{left}{spec}{right}", state=state,
-            indirect=definition.get("indirect_selection", "eager"),
+            # per-criteria yaml key wins over the invocation-level mode
+            indirect=definition.get("indirect_selection", indirect),
         )
         for e in definition.get("exclude") or []:
             base -= select_from_definition(
-                graph, manifest, e, named, state, _seen
+                graph, manifest, e, named, state, _seen, indirect
             )
         return base
     if len(definition) == 1:
         k, v = next(iter(definition.items()))
-        return select_nodes(graph, manifest, f"{k}:{v}", state=state)
+        return select_nodes(
+            graph, manifest, f"{k}:{v}", state=state, indirect=indirect
+        )
     raise SelectorError(f"cannot parse selector definition: {definition!r}")
 
 

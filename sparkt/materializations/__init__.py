@@ -72,9 +72,12 @@ def persist_docs(ctx: "MatContext", node: ParsedNode, rel=None,
     if not cfg:
         return
     rel = rel or node.relation
+    from sparkt.adapter import _sql_str
 
     def q(s: str) -> str:
-        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        # _sql_str handles escapedStringLiterals-aware escaping (the
+        # same policy every other generated literal uses)
+        return "'" + _sql_str(ctx.spark, s) + "'"
 
     if cfg.get("relation") and node.description:
         if is_view:
@@ -92,15 +95,18 @@ def persist_docs(ctx: "MatContext", node: ParsedNode, rel=None,
             if desc:
                 ctx.adapter.execute(
                     f"ALTER TABLE {rel.render()} ALTER COLUMN "
-                    f"{name} COMMENT {q(desc)}"
+                    f"{bt(name)} COMMENT {q(desc)}"
                 )
 
 
 def bt(name: str) -> str:
     """Backtick-quote an identifier for generated DML (reference:
     column quoting, ``tests/functional/column_quoting`` — merges and
-    snapshots must survive reserved-word/special-char column names)."""
-    return "`" + str(name).replace("`", "``") + "`"
+    snapshots must survive reserved-word/special-char column names).
+    Delegates to the single shared implementation."""
+    from sparkt.relation import quote_identifier
+
+    return quote_identifier(name)
 
 
 def unique_key_list(node: ParsedNode) -> list[str]:

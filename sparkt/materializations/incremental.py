@@ -158,11 +158,15 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
 
     100 TB shape: each batch scans only its input slice (partition-
     pruned when inputs are partitioned on an event_time-derived
-    column); on delta/iceberg the window replace dispatches to
-    ``INSERT INTO ... REPLACE WHERE`` (file-level replace, no table
-    rewrite); the parquet fallback is the documented atomic-swap
-    rewrite. A failed batch aborts the node (divergence: dbt records
-    per-batch results and continues — noted, retry re-runs the node).
+    column); the initial backfill APPENDS batch-by-batch (windows tile
+    disjointly); on delta/iceberg the incremental window replace
+    dispatches to ``INSERT INTO ... REPLACE WHERE`` (file-level
+    replace, no table rewrite); the parquet fallback is the documented
+    atomic-swap rewrite. A failed batch aborts the node (divergence:
+    dbt records per-batch results and continues — noted, retry re-runs
+    the node). Rows whose event_time is NULL belong to no batch: they
+    are never inserted by microbatch and always survive the window
+    replace.
     """
     cfg = node.config
     et = cfg.get("event_time")
@@ -177,6 +181,11 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         )
     lookback = int(cfg.get("lookback", 1))
     first_build = not exists or full_refresh
+    if full_refresh and exists:
+        # a full refresh REBUILDS from 'begin': drop so the first batch
+        # recreates the table (new schema, nothing outside the new
+        # window surviving)
+        ctx.adapter.drop_relation(rel)
 
     end = _parse_ts(
         ctx.extras.get("event_time_end") or ctx.extras["batch_ts"]
@@ -242,6 +251,20 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                 ctx.adapter.create_table_as(
                     rel, select_sql=src_sql, partition_by=partition_by
                 )
+            elif first_build:
+                # initial backfill: windows tile disjointly (pinned by
+                # the tiling property test) and the target holds only
+                # prior batches, so a plain APPEND is exact — the
+                # union-rewrite here would rewrite the whole table once
+                # per batch (O(n_batches²) data written)
+                cols = ", ".join(
+                    bt(c)
+                    for c, _ in ctx.adapter.get_columns_in_relation(rel)
+                )
+                ctx.adapter.insert_into(
+                    rel,
+                    f"({cols}) SELECT {cols} FROM ({src_sql}) __mb_ins",
+                )
             elif file_format in ("delta", "iceberg"):
                 # file-level window replace, no table rewrite
                 ctx.adapter.execute(
@@ -253,11 +276,16 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                     bt(c)
                     for c, _ in ctx.adapter.get_columns_in_relation(rel)
                 )
+                # NULL event_time rows live in NO window: the keep side
+                # must retain them explicitly (NOT(window) is NULL for
+                # them, which a bare WHERE would silently drop — and
+                # would diverge from the REPLACE WHERE path, which
+                # keeps them)
                 merged = (
                     f"WITH __sparkt_src AS ({src_sql}) "
                     f"SELECT {cols} FROM __sparkt_src UNION ALL "
                     f"SELECT {cols} FROM {rel.render()} "
-                    f"WHERE NOT ({window})"
+                    f"WHERE {bt(et)} IS NULL OR NOT ({window})"
                 )
                 ctx.adapter.create_table_as(
                     rel, select_sql=merged, partition_by=partition_by

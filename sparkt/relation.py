@@ -21,6 +21,14 @@ def _quote(part: str) -> str:
     return "`" + part.replace("`", "``") + "`"
 
 
+def quote_identifier(name: str) -> str:
+    """ALWAYS-quoted identifier for generated DML (unlike
+    :func:`_quote`, which skips plain identifiers and so would leave
+    reserved words like ``select`` bare). Single source of truth for
+    adapter.quote and the materializations' ``bt`` helper."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 @dataclass(frozen=True)
 class Relation:
     schema: str

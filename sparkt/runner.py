@@ -371,6 +371,7 @@ class Runner:
             return select_from_definition(
                 graph, self.manifest, named[selector]["definition"],
                 named, state_manifest, frozenset({selector}),
+                indirect=indirect,
             )
         if select is None and exclude is None and allow_default:
             default = next(
@@ -380,6 +381,7 @@ class Runner:
                 return select_from_definition(
                     graph, self.manifest, named[default]["definition"],
                     named, state_manifest, frozenset({default}),
+                    indirect=indirect,
                 )
         return select_nodes(
             graph, self.manifest, select, exclude, state=state_manifest,
@@ -877,6 +879,7 @@ class Runner:
         """``dbt compile --inline`` (reference cli/main.py:314 +
         task/compile.py): compile arbitrary jinja-SQL against the
         project context and return the rendered SQL without running it."""
+        self._reset_compile_modifiers()
         self.register_sources()
         node = ParsedNode(
             unique_id=f"sql_operation.{self.project.name}.inline_query",
@@ -892,12 +895,16 @@ class Runner:
         finally:
             del self.manifest.nodes[node.unique_id]
 
-    def compile(self, select: str | None = None) -> Manifest:
-        # a prior run(sample=.../empty=True) on this Runner must not
-        # leak its event-time slice / zero-row stubs into compiled
-        # artifacts
+    def _reset_compile_modifiers(self) -> None:
+        """A prior run(sample=.../empty=True) on this Runner must not
+        leak its event-time slice / zero-row stubs into later
+        compile/show/inline paths (execute_nodes re-sets both per
+        invocation)."""
         self.compiler.sample_bounds = None
         self.compiler.empty = False
+
+    def compile(self, select: str | None = None) -> Manifest:
+        self._reset_compile_modifiers()
         self.register_sources()
         graph = link_graph(self.manifest)
         selected = select_nodes(graph, self.manifest, select)
@@ -916,6 +923,7 @@ class Runner:
     def show(self, inline: str | None = None, select: str | None = None,
              limit: int = 5):
         """``dbt show`` (``core/dbt/task/show.py:22-109``)."""
+        self._reset_compile_modifiers()
         self.register_sources()
         if inline is not None:
             node = ParsedNode(

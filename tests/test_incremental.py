@@ -485,7 +485,7 @@ def test_microbatch_first_build_and_incremental(make_project, spark):
     assert "MICROBATCH (4 day batches" in mb.message
     assert _rows(spark, "t_mb") == {1: 5, 2: 6, 3: 7, 4: 8}
     # the per-batch compile filtered the event_time ref
-    assert "ts >= TIMESTAMP '2024-01-04" in (
+    assert "`ts` >= TIMESTAMP '2024-01-04" in (
         runner.manifest.nodes["model.mb.mb_daily"].compiled_code
     )
 
@@ -559,7 +559,7 @@ def test_sample_mode_filters_event_time_refs(make_project, spark):
     assert spark.table("t_sample.stg").count() == 2
     assert spark.table("t_sample.uses_stg").first()["n"] == 1
     compiled = runner.manifest.nodes["model.smp.uses_stg"].compiled_code
-    assert "ts >= TIMESTAMP" in compiled
+    assert "`ts` >= TIMESTAMP" in compiled
     assert runner.run().ok  # full run restores the complete scan
     assert spark.table("t_sample.uses_stg").first()["n"] == 2
 
@@ -677,3 +677,56 @@ def test_concurrent_microbatch_thread_isolation(make_project, spark):
         assert spark.table("t_cmb.mb_month").count() == 40
         # the un-windowed plain model saw the FULL staging table
         assert spark.table("t_cmb.plain_all").first()["n"] == 40
+
+
+def test_microbatch_full_refresh_recreates(make_project, spark):
+    """--full-refresh drops and rebuilds from 'begin': rows outside the
+    new window must NOT survive, and a changed schema applies
+    (review finding: window-replace-only full refresh kept old rows)."""
+    files = dict(_MB_FILES)
+    runner = make_project(files, schema="t_mb_fr")
+    assert runner.seed().ok
+    assert runner.run(event_time_end="2024-01-05 00:00:00").ok
+    assert spark.table("t_mb_fr.mb_daily").count() == 4
+    # raise begin past the first rows and full-refresh
+    import os
+
+    p = os.path.join(runner.project.project_root, "models/mb_daily.sql")
+    src = open(p).read().replace("begin='2024-01-01'", "begin='2024-01-02'")
+    with open(p, "w") as f:
+        f.write(src)
+    from sparkt.runner import Runner
+
+    runner2 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_mb_fr"})
+    assert runner2.run(
+        full_refresh=True, event_time_end="2024-01-05 00:00:00"
+    ).ok
+    ids = {r["id"] for r in spark.table("t_mb_fr.mb_daily").collect()}
+    assert ids == {2, 3, 4}  # id=1 (2024-01-01) rebuilt away
+
+
+def test_microbatch_null_event_time_rows_survive(make_project, spark):
+    """NULL event_time rows belong to no batch: never inserted by
+    microbatch, and NEVER deleted by the window replace (review
+    finding: bare NOT(window) silently dropped them)."""
+    files = {
+        "dbt_project.yml": "name: mbn\nmodel-paths: [models]\n",
+        "models/mbn.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01') }}\n"
+            "select 1 as id, cast('2024-01-01 05:00:00' as timestamp) as ts"
+        ),
+    }
+    runner = make_project(files, schema="t_mbn")
+    assert runner.run(event_time_end="2024-01-02 00:00:00").ok
+    # inject a NULL-ts row directly (e.g. legacy data in the target)
+    spark.sql(
+        "insert into t_mbn.mbn select 99 as id, "
+        "cast(null as timestamp) as ts"
+    )
+    assert spark.table("t_mbn.mbn").count() == 2
+    assert runner.run(event_time_end="2024-01-02 00:00:00").ok
+    rows = {r["id"] for r in spark.table("t_mbn.mbn").collect()}
+    assert 99 in rows and rows == {1, 99}

@@ -156,3 +156,24 @@ selectors:
     assert not any(n.startswith("relationships_") for n in names)
     names = _test_names(runner.test(selector="eager_child"))
     assert any(n.startswith("relationships_") for n in names)
+
+
+def test_selector_respects_invocation_indirect_mode(make_project, spark):
+    """--indirect-selection applies to --selector / default-selector
+    paths too (review finding: was silently ignored); the per-criteria
+    yaml key still wins over the invocation mode."""
+    files = dict(FILES)
+    files["selectors.yml"] = """
+selectors:
+  - name: child_sel
+    definition: child_model
+"""
+    runner = make_project(files, schema="t_ind_selinv")
+    assert runner.run().ok
+    names = _test_names(runner.test(selector="child_sel"))
+    assert any(n.startswith("relationships_") for n in names)  # eager
+    names = _test_names(
+        runner.test(selector="child_sel", indirect_selection="cautious")
+    )
+    assert not any(n.startswith("relationships_") for n in names)
+    assert "not_null_child_model_id" in names
