@@ -615,3 +615,40 @@ def span_duplicates(
             (F.col("n_docs") >= 2) & (F.col("n_occ") <= max_span_freq)
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deduplicate a NEW batch of documents against an EXISTING corpus
+    — the daily-increment shape of a continuously-crawled training
+    corpus (dedup each arrival batch against everything already
+    ingested, then within itself).
+
+    ``seen_fps`` carries one ``fp`` column — the persisted fingerprint
+    table of the corpus so far (``fingerprint`` of normalized text, as
+    written by :func:`exact_dedup` outputs). Two steps, both keyed on
+    fp:
+
+    1. LEFT ANTI join drops new docs whose fingerprint is already in
+       the corpus — at 100 TB this is a shuffle (or bucketed) equijoin
+       on the fingerprint, NOT a rescan of historical text;
+    2. :func:`exact_dedup` then picks one representative per remaining
+       fingerprint within the batch.
+
+    Returns the surviving new rows (with ``fp``) — append them and
+    their fingerprints to the corpus/fp tables to complete the cycle.
+    """
+    withfp = new_df.withColumn("fp", fingerprint(F.col(text_col)))
+    unseen = withfp.join(
+        seen_fps.select("fp").distinct(), "fp", "left_anti"
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        unseen.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -19,9 +19,9 @@ implementation changed, reset to 0 — run FIRST, so every gate is green
 within the union of the two most recent artifacts. r5 also merged
 redundant gates (69 → 62) with zero operator-coverage loss: t1/t5→t2,
 p1→p3, s2→s4, d2→d3, q4→q13, q15→q22 — mapping proven in COVERAGE.md —
-then added 16 new ones (m11, m12, m13, sd1, t8, t9, mm2, d10, q31,
-q32, q33, p4, c2, s6, f1, s7), which enter at rotation rank 0 (never
-officially rowed) and so run first.
+then added 17 new ones (m11, m12, m13, sd1, t8, t9, mm2, d10, d11,
+q31, q32, q33, p4, c2, s6, f1, s7), which enter at rotation rank 0
+(never officially rowed) and so run first.
 """
 
 from __future__ import annotations

@@ -1170,6 +1170,37 @@ ORDER BY item_id, frame_idx
 """
 
 
+# ----------------------------------------------------------------- d11
+def d11_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup (daily-increment shape): the batch of
+    docs with doc_id >= 250 dedups against the fingerprint table of
+    the first 250 (anti-join on fp — no rescan of historical text),
+    then within itself (sparkt.functions.dedup.incremental_dedup)."""
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    seen = D.exact_dedup(old, "text", "doc_id").select("fp")
+    kept = D.incremental_dedup(new, seen, "text", "doc_id")
+    return kept.select("doc_id", "fp").orderBy("doc_id")
+
+
+D11_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+new_docs AS (SELECT * FROM fp WHERE doc_id >= 250
+             AND fp NOT IN (SELECT fp FROM seen))
+SELECT doc_id, fp FROM (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rk
+  FROM new_docs)
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ f1
 def f1_fuzzy_join(spark, sf_dir):
     """Blocked fuzzy self-join (record linkage): near-identical part
@@ -1359,6 +1390,7 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
 
 
 QUERIES = {
+    "d11_incremental_dedup": d11_incremental_dedup,
     "s7_hard_negatives": s7_hard_negatives,
     "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
@@ -1395,6 +1427,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "d11_incremental_dedup": D11_SQL,
     "s7_hard_negatives": S7_SQL,
     "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,

@@ -921,3 +921,23 @@ def test_hard_negatives_excludes_same_label(spark):
     assert {(r["corpus_id"], r["cos"]) for r in mine} == {
         (r["corpus_id"], r["cos"]) for r in ref
     }
+
+
+def test_incremental_dedup_against_seen(spark):
+    from sparkt.functions.dedup import exact_dedup, incremental_dedup
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Alpha  Beta"),      # dup of corpus doc 1 -> dropped
+            (11, "epsilon zeta"),     # fresh
+            (12, "epsilon  zeta"),    # dup within batch -> dropped
+            (13, "gamma delta"),      # dup of corpus doc 2 -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    seen = exact_dedup(old, "text", "doc_id").select("fp")
+    kept = incremental_dedup(new, seen, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {11}
