@@ -26,6 +26,10 @@ ALLOWED = {
     # brute-force exact verification: tiny broadcast query set × one
     # corpus scan; LSH (s2) and IVF (s4) are the scale paths
     "s1_cosine_topk": "BroadcastNestedLoopJoin",
+    # same deliberate shape: broadcast query set × one corpus scan with
+    # a label-mismatch filter; the corpus-scale path feeds candidates
+    # from ivf_topk(centroids=kmeans_fit(...)) instead (PLANS.md s7)
+    "s7_hard_negatives": "BroadcastNestedLoopJoin",
 }
 
 # Engine flows (m1..m9) execute real projects — not compile-only. Match
