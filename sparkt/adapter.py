@@ -85,6 +85,10 @@ class SparkAdapter:
         self._catalog_path = os.path.join(warehouse_dir, "catalog.json")
         self._catalog: dict[str, dict] = {}
         self._restoring = False
+        # per-thread query-comment state, created ONCE here — lazy
+        # creation raced when two workers hit their first node
+        # simultaneously (loser's comment landed on a discarded object)
+        self._query_header = threading.local()
         self._restore_catalog()
 
     # ----------------------------------------------- persistent catalog
@@ -315,11 +319,7 @@ class SparkAdapter:
         node. Thread-local — worker threads run different nodes
         concurrently, and ``setJobDescription`` is itself a thread-local
         scheduler property."""
-        state = getattr(self, "_query_header", None)
-        if state is None:
-            import threading as _threading
-
-            state = self._query_header = _threading.local()
+        state = self._query_header
         state.comment = comment
         state.append = append
         try:
@@ -811,7 +811,9 @@ class SparkAdapter:
         }
 
     def insert_into(self, relation: Relation, select_sql: str) -> None:
-        self.spark.sql(f"INSERT INTO {relation.render()} {select_sql}")
+        self.spark.sql(self._commented(
+            f"INSERT INTO {relation.render()} {select_sql}"
+        ))
 
     def insert_overwrite(
         self, relation: Relation, select_sql: str

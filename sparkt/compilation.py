@@ -122,12 +122,7 @@ class Compiler:
         if cached is None:
             ctx = ctx_mod.base_context(self.project.vars, self.cli_vars)
             ctx.update({
-                "target": {
-                    "name": self.project.target_name,
-                    "type": "spark",
-                    "schema": self.project.schema,
-                    "threads": self.project.threads,
-                },
+                "target": self.project.target_context(),
                 "adapter": ctx_mod._ParseAdapter(),
             })
             ctx_mod.bind_macros(self.macro_templates, ctx)
@@ -301,12 +296,7 @@ class Compiler:
                     if self.adapter
                     else ctx_mod._ParseAdapter()
                 ),
-                "target": {
-                    "name": self.project.target_name,
-                    "type": "spark",
-                    "schema": self.project.schema,
-                    "threads": self.project.threads,
-                },
+                "target": self.project.target_context(),
                 "database": "spark_catalog",
                 # unique_ids selected by the current invocation
                 # (reference SELECTED_RESOURCES context var,
@@ -335,17 +325,30 @@ class Compiler:
         # `builtins.ref(...)` reaches the original — returned as a
         # Relation so the override can `.replace_path(identifier=...)`
         def _builtin_ref(*args, **kwargs):
+            # same resolution pipeline as the ref closure (overrides,
+            # access check, defer, event-time filter) — an override
+            # macro must not accidentally bypass unit-test fixtures or
+            # microbatch windows. The difference: when nothing rewrites
+            # the relation, return the Relation OBJECT so the macro can
+            # call replace_path()/render() (reference builtins.ref).
             name = args[-1]
             package = args[0] if len(args) == 2 else None
             version = kwargs.get("v", kwargs.get("version"))
+            if ref_overrides and name in ref_overrides:
+                return ref_overrides[name]
             target = self.manifest.ref_lookup(name, package, version=version)
             if target is None:
                 raise CompilationError(
                     f"unknown ref '{name}' in {node.unique_id}"
                 )
+            self._check_access(node, target)
             if target.is_ephemeral:
                 return ref(*args, **kwargs)  # CTE name string
-            return self.relation_for(target)
+            rel = self.relation_for(target)
+            rendered = ref(*args, **kwargs)  # full pipeline, string
+            if rendered == rel.render():
+                return rel  # unmodified: keep the Relation object
+            return rendered  # deferred/filtered/limited subquery
 
         ctx["builtins"] = {
             "ref": _builtin_ref,

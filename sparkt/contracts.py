@@ -96,11 +96,33 @@ def _gather_constraints(node) -> list[tuple[str, str, str | None]]:
     for c in node.config.get("constraints") or []:
         ctype = c.get("type") if isinstance(c, dict) else str(c)
         expr = (c or {}).get("expression") if isinstance(c, dict) else None
+        cols = (c or {}).get("columns") if isinstance(c, dict) else None
         if ctype == "check" and expr:
             out.append((
                 "check", f"check(model: {expr})",
                 f"sum(case when ({expr}) = false then 1 else 0 end)",
             ))
+        elif ctype in ("unique", "primary_key") and cols:
+            # multi-column form: {"type": "primary_key",
+            # "columns": ["a", "b"]} — unique over the tuple,
+            # plus not-null per component for primary_key
+            key = ", ".join(f"`{col}`" for col in cols)
+            tup = f"struct({key})"
+            violation = f"count({tup}) - count(distinct {tup})"
+            if ctype == "primary_key":
+                violation += "".join(
+                    f" + sum(case when `{col}` is null then 1 else 0 end)"
+                    for col in cols
+                )
+            out.append((
+                ctype, f"{ctype}({', '.join(cols)})", violation,
+            ))
+        elif ctype == "not_null" and cols:
+            for col in cols:
+                out.append((
+                    "not_null", f"not_null({col})",
+                    f"sum(case when `{col}` is null then 1 else 0 end)",
+                ))
         else:
             out.append((ctype or "custom", f"{ctype}(model)", None))
     return out

@@ -134,13 +134,26 @@ def fire_event(event: Event) -> None:
         _buffered.append(event)
 
 
-def set_event_manager(manager) -> None:
-    """Attach the invocation's EventManager and flush buffered
-    deprecations through its warn_or_error."""
+def set_event_manager(manager, flush: bool = False) -> None:
+    """Attach the invocation's EventManager. Buffered parse-time
+    deprecations are NOT flushed here by default: the runner attaches
+    the manager in __init__, BEFORE --warn-error/--warn-error-options
+    are applied, and an early flush would make parse-time deprecations
+    permanently un-promotable/un-silenceable. Tasks call
+    :func:`flush_buffered` once their options are live (or pass
+    ``flush=True`` when no task-level options can follow)."""
     global _manager
     _manager = manager
-    while _buffered:
-        manager.warn_or_error(_buffered.pop(0))
+    if flush:
+        flush_buffered()
+
+
+def flush_buffered() -> None:
+    """Emit buffered parse-time deprecations through the attached
+    manager's warn_or_error — call AFTER warn-error options are set so
+    include/exclude/silence apply to them."""
+    while _buffered and _manager is not None:
+        _manager.warn_or_error(_buffered.pop(0))
 
 
 def reset() -> None:

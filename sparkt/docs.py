@@ -67,6 +67,15 @@ def write_static_index(target_dir: str) -> str:
 
     manifest_data = _load("manifest.json")
     catalog_data = _load("catalog.json")
+    # validate BEFORE writing (a corrupt artifact must not leave a
+    # half-written page behind), then make the JSON safe to inline in a
+    # <script> block: '</script>' inside any description/raw_code would
+    # otherwise terminate the element (broken page + HTML injection in
+    # the shareable file). '<\/' is identical JSON after parsing.
+    json.loads(manifest_data)
+    json.loads(catalog_data)
+    manifest_data = manifest_data.replace("</", "<\\/")
+    catalog_data = catalog_data.replace("</", "<\\/")
     index = _INDEX_HTML.replace(
         "fetch('catalog.json').then(r=>r.json()).then(cat=>{",
         "Promise.resolve(\"CATALOG.JSON INLINE DATA\").then(cat=>{"
@@ -85,7 +94,6 @@ def write_static_index(target_dir: str) -> str:
     path = os.path.join(target_dir, "static_index.html")
     with open(path, "w") as f:
         f.write(index)
-    json.loads(manifest_data)  # fail loudly on corrupt artifacts
     return path
 
 

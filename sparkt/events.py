@@ -228,10 +228,24 @@ class WarnErrorOptions:
     matching the reference's ``exclusive_primary_alt_value_setting``.
     """
 
+    @staticmethod
+    def _namelist(v) -> list[str]:
+        # a scalar string is ONE event name, not an iterable of
+        # characters (list("TestWarning") would match nothing and
+        # silently disable the user's exclusion)
+        if v is None:
+            return []
+        if isinstance(v, str):
+            return [v]
+        return list(v)
+
     def __init__(self, include=None, exclude=None, silence=None):
-        self.include = include if include is not None else []
-        self.exclude = list(exclude or [])
-        self.silence = list(silence or [])
+        if isinstance(include, str) and include.lower() in ("all", "*"):
+            self.include: object = include
+        else:
+            self.include = self._namelist(include)
+        self.exclude = self._namelist(exclude)
+        self.silence = self._namelist(silence)
 
     @classmethod
     def from_yaml(cls, text) -> "WarnErrorOptions":

@@ -553,12 +553,29 @@ def duplicate_clusters(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # fixpoint is a star forest: every non-root points at its component
-    # minimum; roots appear only on the parent side
+    # minimum; roots appear only on the parent side. Docs appearing
+    # ONLY in self-pairs (u == v, dropped from the edge set) still owe
+    # the caller a singleton cluster — without the union below they
+    # would silently vanish from the output.
+    singles = (
+        pairs.select(F.col(id_a).alias("doc"))
+        .union(pairs.select(F.col(id_b).alias("doc")))
+        .distinct()
+        .join(
+            edges.select(F.col("u").alias("doc"))
+            .union(edges.select(F.col("v").alias("doc")))
+            .distinct(),
+            "doc",
+            "left_anti",
+        )
+        .select("doc", F.col("doc").alias("cluster"))
+    )
     return (
         edges.select(F.col("u").alias("doc"), F.col("v").alias("cluster"))
         .union(
             edges.select(F.col("v").alias("doc"), F.col("v").alias("cluster"))
         )
+        .union(singles)
         .distinct()
     )
 

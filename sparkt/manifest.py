@@ -273,6 +273,24 @@ class Manifest:
             for p in parents:
                 self.child_map.setdefault(p, []).append(uid)
 
+    def _tests_by_attached(self) -> dict:
+        """attached_node → [test nodes], rebuilt when ``nodes``'
+        mutation generation changes — ``infer_primary_key`` is called
+        once per model inside ``to_dict``, and a per-call scan of every
+        node is the same O(models × nodes) pattern the r4 ref-index
+        cache removed from parsing (~20M iterations per manifest write
+        at the 2,000-model bench scale)."""
+        gen = (getattr(self.nodes, "gen", None), len(self.nodes))
+        cached = getattr(self, "__tests_idx", None)
+        if cached is not None and cached[0] == gen:
+            return cached[1]
+        idx: dict = {}
+        for t in self.nodes.values():
+            if t.resource_type == "test" and t.attached_node:
+                idx.setdefault(t.attached_node, []).append(t)
+        object.__setattr__(self, "__tests_idx", (gen, idx))
+        return idx
+
     def infer_primary_key(self, node: "ParsedNode") -> list[str]:
         """Primary-key inference for model nodes, mirroring the
         reference's resolution order (``ModelNode.infer_primary_key``,
@@ -295,12 +313,7 @@ class Manifest:
         enabled_unique: set[str] = set()
         disabled_unique: set[str] = set()
         not_null: set[str] = set()
-        for t in self.nodes.values():
-            if (
-                t.resource_type != "test"
-                or t.attached_node != node.unique_id
-            ):
-                continue
+        for t in self._tests_by_attached().get(node.unique_id, []):
             meta = t.test_metadata or {}
             kwargs = meta.get("kwargs") or {}
             cols = (

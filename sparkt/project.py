@@ -62,6 +62,17 @@ class Project:
         default_factory=lambda: {"comment": None, "append": False}
     )
 
+    def target_context(self) -> dict:
+        """The ``target`` Jinja/context dict — single source for the
+        compiler's runtime context, naming macros, and query-comment
+        rendering (was hand-built in three places)."""
+        return {
+            "name": self.target_name,
+            "type": "spark",
+            "schema": self.schema,
+            "threads": self.threads,
+        }
+
     @property
     def target_dir(self) -> str:
         return os.path.join(self.project_root, self.target_path)

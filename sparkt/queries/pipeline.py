@@ -145,9 +145,9 @@ SELECT d.doc_id,
                       / greatest(length(text), 1))
              + 0.3 * (len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
                       / greatest(len({_DK_TOKENS}), 1)), 6) AS quality,
-       rep.dup_token_ratio,
-       rep.top_bigram_ratio
-FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+       coalesce(rep.dup_token_ratio, 0.0) AS dup_token_ratio,
+       coalesce(rep.top_bigram_ratio, 0.0) AS top_bigram_ratio
+FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
 ORDER BY d.doc_id
 """
 

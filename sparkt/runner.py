@@ -342,9 +342,7 @@ class Runner:
             })
         return self.loader.env.from_string(str(tmpl)).render(
             node=Compiler._node_view(node),
-            target={"name": self.project.target_name, "type": "spark",
-                    "schema": self.project.schema,
-                    "threads": self.project.threads},
+            target=self.project.target_context(),
             invocation_id=self.invocation_id,
         ).strip()
 
@@ -438,6 +436,13 @@ class Runner:
             if isinstance(warn_error_options, WarnErrorOptions)
             else WarnErrorOptions.from_yaml(warn_error_options)
         )
+        # parse-time deprecations buffered in __init__ flush NOW, so
+        # include/exclude/silence apply to them (a WarnAsError here
+        # aborts the command before any node runs — the reference's
+        # behavior for promoted parse warnings)
+        from sparkt import deprecations as _dep
+
+        _dep.flush_buffered()
         # --empty (reference cli/params.py:87): refs/sources compile to
         # zero-row subqueries — schema-only dry builds
         self.compiler.empty = empty
@@ -904,6 +909,9 @@ class Runner:
         self.compiler.empty = False
 
     def compile(self, select: str | None = None) -> Manifest:
+        from sparkt import deprecations as _dep
+
+        _dep.flush_buffered()  # no task-level warn options on compile
         self._reset_compile_modifiers()
         self.register_sources()
         graph = link_graph(self.manifest)

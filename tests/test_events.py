@@ -243,6 +243,10 @@ def test_spaces_in_resource_names_deprecation(make_project, spark):
             "models/clean_model.sql": "select 2 as id",
         }
         runner = make_project(files, schema="t_spaces")
+        # parse-time deprecations flush when a task applies its warn
+        # options (so --warn-error-options can promote/silence them),
+        # not at Runner construction
+        runner.compile()
         codes = [e["info"]["code"] for e in _read_log(runner)]
         assert codes.count("D014") == 1 and codes.count("D015") == 1
         msgs = [e["info"]["msg"] for e in _read_log(runner)
@@ -284,3 +288,58 @@ def test_microbatch_batch_events(make_project, spark):
     assert starts[0]["data"]["batch_start"] == "2024-01-01 00:00:00"
     assert starts[0]["data"]["total"] == 3
     assert all(d["data"]["execution_time"] >= 0 for d in dones)
+
+
+def test_parse_time_deprecation_promotable(make_project, spark):
+    """Parse-time deprecations (renamed configs) flush AFTER
+    --warn-error-options applies, so they can be promoted to errors
+    (review finding: the early flush in __init__ made them permanently
+    un-promotable)."""
+    from sparkt import deprecations
+
+    deprecations.reset()
+    try:
+        files = {
+            "dbt_project.yml": (
+                "name: dp\nsource-paths: [models]\n"  # renamed config
+            ),
+            "models/m1.sql": "select 1 as id",
+        }
+        import pytest
+
+        from sparkt.events import WarnAsError
+
+        runner = make_project(files, schema="t_depr_promote")
+        with pytest.raises(WarnAsError, match="ConfigSourcePath"):
+            # promoted parse warning aborts the command
+            runner.run(warn_error_options=(
+                '{"include": ["ConfigSourcePathDeprecation"]}'
+            ))
+    finally:
+        deprecations.reset()
+    deprecations.reset()
+    runner2 = make_project({}, schema="t_depr_promote")
+    res = runner2.run(warn_error_options=(
+        '{"include": "all", "silence": ["ConfigSourcePathDeprecation"]}'
+    ))
+    assert res.ok
+    codes = [e["info"]["code"] for e in _read_log(runner2)]
+    assert "D003" not in codes  # silenced entirely
+
+
+def test_warn_error_options_scalar_strings():
+    """A scalar-string include/exclude/silence is ONE event name, not a
+    character list (review finding: list('TestWarning') matched
+    nothing, silently disabling the exclusion)."""
+    from sparkt.events import WarnErrorOptions
+
+    o = WarnErrorOptions.from_yaml(
+        '{"include": "all", "exclude": "TestWarning"}'
+    )
+    assert not o.includes("TestWarning") and o.includes("Other")
+    o = WarnErrorOptions.from_yaml('{"include": "FooWarning"}')
+    assert o.includes("FooWarning")
+    assert not o.includes("Foo")        # no substring matches
+    assert not o.includes("FooWarningX")
+    o = WarnErrorOptions.from_yaml('{"silence": "Quiet"}')
+    assert o.silenced("Quiet") and not o.silenced("Q")

@@ -941,3 +941,18 @@ def test_incremental_dedup_against_seen(spark):
     seen = exact_dedup(old, "text", "doc_id").select("fp")
     kept = incremental_dedup(new, seen, "text", "doc_id").collect()
     assert {r["doc_id"] for r in kept} == {11}
+
+
+def test_duplicate_clusters_self_pairs_singletons(spark):
+    """Docs appearing only in self-pairs (u == v) must come back as
+    singleton clusters, not silently vanish (review finding)."""
+    from sparkt.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 3), (4, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc"]: r["cluster"]
+        for r in duplicate_clusters(pairs, "id_a", "id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}

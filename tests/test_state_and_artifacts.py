@@ -651,3 +651,32 @@ models:
     assert pk["pk_tests"] == ["id"]  # unique AND not_null beats not_null-only
     assert pk["pk_unique_only"] == ["id"]
     assert pk["pk_none"] == []
+
+
+def test_model_level_primary_key_constraint_enforced(make_project, spark):
+    """Model-level multi-column primary_key constraints are DATA-
+    enforced on contract models (review finding: only model-level
+    'check' was verified; dup (a,b) tuples passed)."""
+    files = {
+        "dbt_project.yml": "name: pkc\nmodel-paths: [models]\n",
+        "models/dup_pk.sql": (
+            "{{ config(materialized='table', "
+            "contract={'enforced': true}, "
+            "constraints=[{'type': 'primary_key', "
+            "'columns': ['a', 'b']}]) }}\n"
+            "select a, b from (select 1 as a, 2 as b "
+            "union all select 1, 2 union all select 3, 4)"
+        ),
+        "models/schema.yml": """
+version: 2
+models:
+  - name: dup_pk
+    columns:
+      - {name: a, data_type: int}
+      - {name: b, data_type: int}
+""",
+    }
+    runner = make_project(files, schema="t_pkc")
+    res = runner.run()
+    assert not res.ok
+    assert "primary_key" in res.results[0].message
