@@ -87,13 +87,26 @@ def materialize_snapshot(ctx: MatContext, node):
     uk_eq_sc = " AND ".join(f"s.{bt(k)} <=> c.{bt(k)}" for k in uk)
     s_cols = ", ".join(f"s.{bt(c)}" for c in data_cols)
 
+    # hard_deletes modes (dbt 1.9): ignore (default) | invalidate
+    # (close vanished keys) | new_record (close AND insert a
+    # dbt_is_deleted=TRUE marker row, so the deletion itself is a
+    # queryable SCD-2 version; a reappearing key revives normally)
+    new_record = cfg.get("hard_deletes") == "new_record"
+    invalidate = bool(
+        cfg.get("invalidate_hard_deletes")
+        or cfg.get("hard_deletes") == "invalidate"
+        or new_record
+    )
+
     if not ctx.adapter.relation_exists(rel):
+        extra_first = ", FALSE AS dbt_is_deleted" if new_record else ""
         first = (
             f"SELECT {s_cols}, "
             f"{_scd_id_expr(uk, upd('s'), 's')} AS dbt_scd_id, "
             f"{upd('s')} AS dbt_updated_at, "
             f"{upd('s')} AS dbt_valid_from, "
-            f"CAST(NULL AS timestamp) AS dbt_valid_to "
+            f"CAST(NULL AS timestamp) AS dbt_valid_to"
+            f"{extra_first} "
             f"FROM ({src_sql}) s"
         )
         ctx.adapter.create_table_as(rel, select_sql=first)
@@ -101,22 +114,34 @@ def materialize_snapshot(ctx: MatContext, node):
 
     t_cols = ", ".join(f"t.{bt(c)}" for c in data_cols)
     uk_eq_tch = " AND ".join(f"t.{bt(k)} <=> ch.{bt(k)}" for k in uk)
-    # invalidate_hard_deletes (reference
-    # tests/functional/adapter/simple_snapshot/snapshots.py:9; the
-    # dbt 1.9 `hard_deletes: invalidate` spelling is accepted too):
-    # current rows whose key vanished from the source close out at the
-    # batch timestamp instead of staying current forever
-    invalidate = bool(
-        cfg.get("invalidate_hard_deletes")
-        or cfg.get("hard_deletes") == "invalidate"
-    )
+    if new_record:
+        tgt_cols = {
+            c for c, _ in ctx.adapter.get_columns_in_relation(rel)
+        }
+        # mode enabled on a pre-existing snapshot: synthesize FALSE for
+        # history rows until the rewrite lands the real column
+        t_del = (
+            "t.dbt_is_deleted" if "dbt_is_deleted" in tgt_cols
+            else "FALSE"
+        )
+        c_del = (
+            "c.dbt_is_deleted" if "dbt_is_deleted" in tgt_cols
+            else "FALSE"
+        )
+        # a current deletion marker counts as changed when its key
+        # reappears in the source (revival inserts a normal row)
+        changed = f"({changed}) OR {c_del}"
     c_uk = ", ".join(f"c.{bt(k)}" for k in uk)
     uk_eq_td = " AND ".join(f"t.{bt(k)} <=> d.{bt(k)}" for k in uk)
+    # in new_record mode a current DELETION MARKER must not count as
+    # freshly deleted again (it would be re-closed and re-inserted
+    # every run — never idempotent)
+    not_marker = f" WHERE NOT {c_del}" if new_record else ""
     deleted_cte = (
         f""",
 __deleted AS (
     SELECT {c_uk}, TRUE AS __del
-    FROM __cur c LEFT ANTI JOIN __src s ON {uk_eq_sc}
+    FROM __cur c LEFT ANTI JOIN __src s ON {uk_eq_sc}{not_marker}
 )"""
         if invalidate
         else ""
@@ -133,6 +158,12 @@ __deleted AS (
     # change-type-tagged staging select + MERGE on dbt_scd_id
     # (adapter.snapshot_merge_sql) instead of the whole-table rewrite
     file_format = str(cfg.get("file_format") or "parquet").lower()
+    if file_format in ("delta", "iceberg") and new_record:
+        raise ExecutionError(
+            f"{node.unique_id}: hard_deletes='new_record' is not yet "
+            "wired into the delta/iceberg MERGE dispatch — use the "
+            "default file_format or hard_deletes='invalidate'"
+        )
     if file_format in ("delta", "iceberg"):
         uk_eq_chc = " AND ".join(f"ch.{bt(k)} <=> c.{bt(k)}" for k in uk)
         ch_data = ", ".join(f"ch.{bt(c)}" for c in data_cols)
@@ -175,6 +206,23 @@ FROM __changed ch JOIN __cur c ON {uk_eq_chc}{deletes_branch}"""
         ctx.adapter.execute(merge_sql)
         return f"SNAPSHOT (MERGE {file_format})"
 
+    if new_record:
+        c_data = ", ".join(f"c.{bt(c)}" for c in data_cols)
+        ts_str = ts_literal.replace("timestamp'", "'")
+        marker_branch = f"""
+UNION ALL
+SELECT {c_data},
+    md5(concat_ws('|', {c_uk}, {ts_str}, 'deleted')) AS dbt_scd_id,
+    {ts_literal} AS dbt_updated_at,
+    {ts_literal} AS dbt_valid_from,
+    CAST(NULL AS timestamp) AS dbt_valid_to,
+    TRUE AS dbt_is_deleted
+FROM __cur c JOIN __deleted d
+  ON {' AND '.join(f'c.{bt(k)} <=> d.{bt(k)}' for k in uk)}"""
+        t_extra = f", {t_del} AS dbt_is_deleted"
+        s_extra = ", FALSE AS dbt_is_deleted"
+    else:
+        marker_branch, t_extra, s_extra = "", "", ""
     merged = f"""
 WITH __src AS ({src_sql}),
 __cur AS (SELECT * FROM {rel.render()} WHERE dbt_valid_to IS NULL),
@@ -190,15 +238,15 @@ __new_keys AS (
 SELECT {t_cols}, t.dbt_scd_id, t.dbt_updated_at, t.dbt_valid_from,
     CASE WHEN t.dbt_valid_to IS NULL AND ch.__new_ts IS NOT NULL
          THEN ch.__new_ts
-         {deleted_case}ELSE t.dbt_valid_to END AS dbt_valid_to
+         {deleted_case}ELSE t.dbt_valid_to END AS dbt_valid_to{t_extra}
 FROM {rel.render()} t LEFT JOIN __changed ch ON {uk_eq_tch}{deleted_join}
 UNION ALL
 SELECT {s_cols},
     {_scd_id_expr(uk, 's.__new_ts', 's')} AS dbt_scd_id,
     s.__new_ts AS dbt_updated_at,
     s.__new_ts AS dbt_valid_from,
-    CAST(NULL AS timestamp) AS dbt_valid_to
-FROM (SELECT * FROM __changed UNION ALL SELECT * FROM __new_keys) s
+    CAST(NULL AS timestamp) AS dbt_valid_to{s_extra}
+FROM (SELECT * FROM __changed UNION ALL SELECT * FROM __new_keys) s{marker_branch}
 """
     ctx.adapter.create_table_as(rel, select_sql=merged)
     return "SNAPSHOT (merged)"

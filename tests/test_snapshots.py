@@ -211,3 +211,73 @@ select * from {{ ref('people') }}
     # the staging select must itself be valid Spark SQL (parse+analyze)
     staging = sql.split("USING (", 1)[1].rsplit(") AS DBT_INTERNAL_SOURCE", 1)[0]
     spark.sql(staging).schema  # raises if invalid
+
+
+def test_hard_deletes_new_record(make_project, spark):
+    """hard_deletes: new_record (dbt 1.9): a vanished key closes its
+    current row AND inserts a dbt_is_deleted=TRUE marker version;
+    re-running with the key still absent is idempotent; a reappearing
+    key revives (marker closes, fresh row inserts)."""
+    import os
+
+    files = {
+        "dbt_project.yml": (
+            "name: hd\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "snapshot-paths: [snapshots]\n"
+        ),
+        "seeds/items.csv": (
+            "id,v,updated_at\n"
+            "1,a,2024-01-01 00:00:00\n2,b,2024-01-01 00:00:00\n"
+        ),
+        "models/stg_items.sql": (
+            "select id, v, cast(updated_at as timestamp) as updated_at "
+            "from {{ ref('items') }}"
+        ),
+        "snapshots/items_snap.sql": """
+{% snapshot items_snap %}
+{{ config(unique_key='id', strategy='timestamp', updated_at='updated_at',
+          hard_deletes='new_record') }}
+select * from {{ ref('stg_items') }}
+{% endsnapshot %}
+""",
+    }
+    runner = make_project(files, schema="t_hd_nr")
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    snap = "t_hd_nr.items_snap"
+    assert spark.table(snap).count() == 2
+    assert spark.table(snap).filter("dbt_is_deleted").count() == 0
+
+    # delete id=2 from the source
+    root = runner.project.project_root
+    with open(os.path.join(root, "seeds/items.csv"), "w") as f:
+        f.write("id,v,updated_at\n1,a,2024-01-01 00:00:00\n")
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    t = spark.table(snap)
+    assert t.count() == 3  # 1-current, 2-closed, 2-deletion-marker
+    marker = t.filter("dbt_is_deleted").collect()
+    assert len(marker) == 1 and marker[0]["id"] == 2
+    assert marker[0]["dbt_valid_to"] is None
+    closed = t.filter("id = 2 and not dbt_is_deleted").first()
+    assert closed["dbt_valid_to"] is not None
+
+    # idempotent while still deleted
+    assert runner.snapshot().ok
+    assert spark.table(snap).count() == 3
+
+    # revival: id=2 reappears with a NEWER updated_at
+    with open(os.path.join(root, "seeds/items.csv"), "w") as f:
+        f.write(
+            "id,v,updated_at\n1,a,2024-01-01 00:00:00\n"
+            "2,b2,2024-02-01 00:00:00\n"
+        )
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    t = spark.table(snap)
+    assert t.count() == 4
+    cur2 = t.filter("id = 2 and dbt_valid_to is null").collect()
+    assert len(cur2) == 1
+    assert cur2[0]["v"] == "b2" and not cur2[0]["dbt_is_deleted"]
+    # the marker row is closed now
+    assert t.filter("dbt_is_deleted and dbt_valid_to is null").count() == 0
