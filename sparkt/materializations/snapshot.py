@@ -54,16 +54,27 @@ def materialize_snapshot(ctx: MatContext, node):
     batch_ts = ctx.extras.get("batch_ts") or datetime.now(timezone.utc)
     ts_literal = f"timestamp'{batch_ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
 
+    # snapshot_meta_column_names (dbt 1.9): rename the dbt_ meta
+    # columns — lets legacy SCD-2 tables keep their column names
+    meta = {c: c for c in META_COLS + ["dbt_is_deleted"]}
+    meta.update(cfg.get("snapshot_meta_column_names") or {})
+    m_scd, m_upd, m_from, m_to, m_del = (
+        meta["dbt_scd_id"], meta["dbt_updated_at"],
+        meta["dbt_valid_from"], meta["dbt_valid_to"],
+        meta["dbt_is_deleted"],
+    )
+    custom_meta = any(k != v for k, v in meta.items())
+
     src_sql = node.compiled_code
     src_cols = [f.name for f in ctx.spark.sql(src_sql).schema.fields]
-    data_cols = [c for c in src_cols if c not in META_COLS]
+    data_cols = [c for c in src_cols if c not in set(meta.values())]
 
     if strategy == "timestamp":
         updated_at = cfg.get("updated_at")
         if not updated_at:
             raise ExecutionError(f"{node.unique_id}: timestamp strategy needs updated_at")
         upd = lambda a: f"{a}.{bt(updated_at)}"  # noqa: E731
-        changed = f"s.{bt(updated_at)} > c.dbt_updated_at"
+        changed = f"s.{bt(updated_at)} > c.{bt(m_upd)}"
     elif strategy == "check":
         check_cols = cfg.get("check_cols", "all")
         if check_cols == "all":
@@ -99,13 +110,13 @@ def materialize_snapshot(ctx: MatContext, node):
     )
 
     if not ctx.adapter.relation_exists(rel):
-        extra_first = ", FALSE AS dbt_is_deleted" if new_record else ""
+        extra_first = f", FALSE AS {bt(m_del)}" if new_record else ""
         first = (
             f"SELECT {s_cols}, "
-            f"{_scd_id_expr(uk, upd('s'), 's')} AS dbt_scd_id, "
-            f"{upd('s')} AS dbt_updated_at, "
-            f"{upd('s')} AS dbt_valid_from, "
-            f"CAST(NULL AS timestamp) AS dbt_valid_to"
+            f"{_scd_id_expr(uk, upd('s'), 's')} AS {bt(m_scd)}, "
+            f"{upd('s')} AS {bt(m_upd)}, "
+            f"{upd('s')} AS {bt(m_from)}, "
+            f"CAST(NULL AS timestamp) AS {bt(m_to)}"
             f"{extra_first} "
             f"FROM ({src_sql}) s"
         )
@@ -121,12 +132,10 @@ def materialize_snapshot(ctx: MatContext, node):
         # mode enabled on a pre-existing snapshot: synthesize FALSE for
         # history rows until the rewrite lands the real column
         t_del = (
-            "t.dbt_is_deleted" if "dbt_is_deleted" in tgt_cols
-            else "FALSE"
+            f"t.{bt(m_del)}" if m_del in tgt_cols else "FALSE"
         )
         c_del = (
-            "c.dbt_is_deleted" if "dbt_is_deleted" in tgt_cols
-            else "FALSE"
+            f"c.{bt(m_del)}" if m_del in tgt_cols else "FALSE"
         )
         # a current deletion marker counts as changed when its key
         # reappears in the source (revival inserts a normal row)
@@ -150,7 +159,7 @@ __deleted AS (
         f" LEFT JOIN __deleted d ON {uk_eq_td}" if invalidate else ""
     )
     deleted_case = (
-        f"WHEN t.dbt_valid_to IS NULL AND d.__del THEN {ts_literal}\n         "
+        f"WHEN t.{bt(m_to)} IS NULL AND d.__del THEN {ts_literal}\n         "
         if invalidate
         else ""
     )
@@ -158,6 +167,12 @@ __deleted AS (
     # change-type-tagged staging select + MERGE on dbt_scd_id
     # (adapter.snapshot_merge_sql) instead of the whole-table rewrite
     file_format = str(cfg.get("file_format") or "parquet").lower()
+    if file_format in ("delta", "iceberg") and custom_meta:
+        raise ExecutionError(
+            f"{node.unique_id}: snapshot_meta_column_names is not yet "
+            "wired into the delta/iceberg MERGE dispatch — use the "
+            "default file_format or default meta column names"
+        )
     if file_format in ("delta", "iceberg") and new_record:
         raise ExecutionError(
             f"{node.unique_id}: hard_deletes='new_record' is not yet "
@@ -212,20 +227,20 @@ FROM __changed ch JOIN __cur c ON {uk_eq_chc}{deletes_branch}"""
         marker_branch = f"""
 UNION ALL
 SELECT {c_data},
-    md5(concat_ws('|', {c_uk}, {ts_str}, 'deleted')) AS dbt_scd_id,
-    {ts_literal} AS dbt_updated_at,
-    {ts_literal} AS dbt_valid_from,
-    CAST(NULL AS timestamp) AS dbt_valid_to,
-    TRUE AS dbt_is_deleted
+    md5(concat_ws('|', {c_uk}, {ts_str}, 'deleted')) AS {bt(m_scd)},
+    {ts_literal} AS {bt(m_upd)},
+    {ts_literal} AS {bt(m_from)},
+    CAST(NULL AS timestamp) AS {bt(m_to)},
+    TRUE AS {bt(m_del)}
 FROM __cur c JOIN __deleted d
   ON {' AND '.join(f'c.{bt(k)} <=> d.{bt(k)}' for k in uk)}"""
-        t_extra = f", {t_del} AS dbt_is_deleted"
-        s_extra = ", FALSE AS dbt_is_deleted"
+        t_extra = f", {t_del} AS {bt(m_del)}"
+        s_extra = f", FALSE AS {bt(m_del)}"
     else:
         marker_branch, t_extra, s_extra = "", "", ""
     merged = f"""
 WITH __src AS ({src_sql}),
-__cur AS (SELECT * FROM {rel.render()} WHERE dbt_valid_to IS NULL),
+__cur AS (SELECT * FROM {rel.render()} WHERE {bt(m_to)} IS NULL),
 __changed AS (
     SELECT {s_cols}, {upd('s')} AS __new_ts
     FROM __src s JOIN __cur c ON {uk_eq_sc}
@@ -235,17 +250,17 @@ __new_keys AS (
     SELECT {s_cols}, {upd('s')} AS __new_ts
     FROM __src s LEFT ANTI JOIN __cur c ON {uk_eq_sc}
 ){deleted_cte}
-SELECT {t_cols}, t.dbt_scd_id, t.dbt_updated_at, t.dbt_valid_from,
-    CASE WHEN t.dbt_valid_to IS NULL AND ch.__new_ts IS NOT NULL
+SELECT {t_cols}, t.{bt(m_scd)}, t.{bt(m_upd)}, t.{bt(m_from)},
+    CASE WHEN t.{bt(m_to)} IS NULL AND ch.__new_ts IS NOT NULL
          THEN ch.__new_ts
-         {deleted_case}ELSE t.dbt_valid_to END AS dbt_valid_to{t_extra}
+         {deleted_case}ELSE t.{bt(m_to)} END AS {bt(m_to)}{t_extra}
 FROM {rel.render()} t LEFT JOIN __changed ch ON {uk_eq_tch}{deleted_join}
 UNION ALL
 SELECT {s_cols},
-    {_scd_id_expr(uk, 's.__new_ts', 's')} AS dbt_scd_id,
-    s.__new_ts AS dbt_updated_at,
-    s.__new_ts AS dbt_valid_from,
-    CAST(NULL AS timestamp) AS dbt_valid_to{s_extra}
+    {_scd_id_expr(uk, 's.__new_ts', 's')} AS {bt(m_scd)},
+    s.__new_ts AS {bt(m_upd)},
+    s.__new_ts AS {bt(m_from)},
+    CAST(NULL AS timestamp) AS {bt(m_to)}{s_extra}
 FROM (SELECT * FROM __changed UNION ALL SELECT * FROM __new_keys) s{marker_branch}
 """
     ctx.adapter.create_table_as(rel, select_sql=merged)

@@ -281,3 +281,48 @@ select * from {{ ref('stg_items') }}
     assert cur2[0]["v"] == "b2" and not cur2[0]["dbt_is_deleted"]
     # the marker row is closed now
     assert t.filter("dbt_is_deleted and dbt_valid_to is null").count() == 0
+
+
+def test_snapshot_meta_column_names(make_project, spark):
+    """snapshot_meta_column_names (dbt 1.9): renamed meta columns flow
+    through first build + change capture (legacy SCD-2 tables keep
+    their column names)."""
+    import os
+
+    files = {
+        "dbt_project.yml": (
+            "name: mn\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "snapshot-paths: [snapshots]\n"
+        ),
+        "seeds/m_items.csv": "id,v,updated_at\n1,a,2024-01-01 00:00:00\n",
+        "models/stg_m.sql": (
+            "select id, v, cast(updated_at as timestamp) as updated_at "
+            "from {{ ref('m_items') }}"
+        ),
+        "snapshots/m_snap.sql": """
+{% snapshot m_snap %}
+{{ config(unique_key='id', strategy='timestamp', updated_at='updated_at',
+          snapshot_meta_column_names={
+            'dbt_scd_id': 'scd_key', 'dbt_updated_at': 'upd_ts',
+            'dbt_valid_from': 'valid_from', 'dbt_valid_to': 'valid_to'}) }}
+select * from {{ ref('stg_m') }}
+{% endsnapshot %}
+""",
+    }
+    runner = make_project(files, schema="t_metanames")
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    t = spark.table("t_metanames.m_snap")
+    assert {"scd_key", "upd_ts", "valid_from", "valid_to"} <= set(t.columns)
+    assert "dbt_scd_id" not in t.columns
+
+    # change the row -> one closed + one current version, custom names
+    root = runner.project.project_root
+    with open(os.path.join(root, "seeds/m_items.csv"), "w") as f:
+        f.write("id,v,updated_at\n1,a2,2024-02-01 00:00:00\n")
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    t = spark.table("t_metanames.m_snap")
+    assert t.count() == 2
+    assert t.filter("valid_to is null").first()["v"] == "a2"
+    assert t.filter("valid_to is not null").count() == 1
