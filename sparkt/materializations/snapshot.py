@@ -64,6 +64,14 @@ def materialize_snapshot(ctx: MatContext, node):
         meta["dbt_is_deleted"],
     )
     custom_meta = any(k != v for k, v in meta.items())
+    # dbt_valid_to_current (dbt 1.9): a sentinel "current row" value
+    # (e.g. date'9999-12-31') instead of NULL — legacy warehouse
+    # conventions and BETWEEN-friendly range joins
+    vt_cur = cfg.get("dbt_valid_to_current")
+    cur_val = str(vt_cur) if vt_cur else "CAST(NULL AS timestamp)"
+    cur_pred = (
+        f"= {vt_cur}" if vt_cur else "IS NULL"
+    )
 
     src_sql = node.compiled_code
     src_cols = [f.name for f in ctx.spark.sql(src_sql).schema.fields]
@@ -116,7 +124,7 @@ def materialize_snapshot(ctx: MatContext, node):
             f"{_scd_id_expr(uk, upd('s'), 's')} AS {bt(m_scd)}, "
             f"{upd('s')} AS {bt(m_upd)}, "
             f"{upd('s')} AS {bt(m_from)}, "
-            f"CAST(NULL AS timestamp) AS {bt(m_to)}"
+            f"{cur_val} AS {bt(m_to)}"
             f"{extra_first} "
             f"FROM ({src_sql}) s"
         )
@@ -159,7 +167,7 @@ __deleted AS (
         f" LEFT JOIN __deleted d ON {uk_eq_td}" if invalidate else ""
     )
     deleted_case = (
-        f"WHEN t.{bt(m_to)} IS NULL AND d.__del THEN {ts_literal}\n         "
+        f"WHEN t.{bt(m_to)} {cur_pred} AND d.__del THEN {ts_literal}\n         "
         if invalidate
         else ""
     )
@@ -167,11 +175,12 @@ __deleted AS (
     # change-type-tagged staging select + MERGE on dbt_scd_id
     # (adapter.snapshot_merge_sql) instead of the whole-table rewrite
     file_format = str(cfg.get("file_format") or "parquet").lower()
-    if file_format in ("delta", "iceberg") and custom_meta:
+    if file_format in ("delta", "iceberg") and (custom_meta or vt_cur):
         raise ExecutionError(
-            f"{node.unique_id}: snapshot_meta_column_names is not yet "
-            "wired into the delta/iceberg MERGE dispatch — use the "
-            "default file_format or default meta column names"
+            f"{node.unique_id}: snapshot_meta_column_names / "
+            "dbt_valid_to_current are not yet wired into the "
+            "delta/iceberg MERGE dispatch — use the default "
+            "file_format or default meta settings"
         )
     if file_format in ("delta", "iceberg") and new_record:
         raise ExecutionError(
@@ -230,7 +239,7 @@ SELECT {c_data},
     md5(concat_ws('|', {c_uk}, {ts_str}, 'deleted')) AS {bt(m_scd)},
     {ts_literal} AS {bt(m_upd)},
     {ts_literal} AS {bt(m_from)},
-    CAST(NULL AS timestamp) AS {bt(m_to)},
+    {cur_val} AS {bt(m_to)},
     TRUE AS {bt(m_del)}
 FROM __cur c JOIN __deleted d
   ON {' AND '.join(f'c.{bt(k)} <=> d.{bt(k)}' for k in uk)}"""
@@ -240,7 +249,7 @@ FROM __cur c JOIN __deleted d
         marker_branch, t_extra, s_extra = "", "", ""
     merged = f"""
 WITH __src AS ({src_sql}),
-__cur AS (SELECT * FROM {rel.render()} WHERE {bt(m_to)} IS NULL),
+__cur AS (SELECT * FROM {rel.render()} WHERE {bt(m_to)} {cur_pred}),
 __changed AS (
     SELECT {s_cols}, {upd('s')} AS __new_ts
     FROM __src s JOIN __cur c ON {uk_eq_sc}
@@ -251,7 +260,7 @@ __new_keys AS (
     FROM __src s LEFT ANTI JOIN __cur c ON {uk_eq_sc}
 ){deleted_cte}
 SELECT {t_cols}, t.{bt(m_scd)}, t.{bt(m_upd)}, t.{bt(m_from)},
-    CASE WHEN t.{bt(m_to)} IS NULL AND ch.__new_ts IS NOT NULL
+    CASE WHEN t.{bt(m_to)} {cur_pred} AND ch.__new_ts IS NOT NULL
          THEN ch.__new_ts
          {deleted_case}ELSE t.{bt(m_to)} END AS {bt(m_to)}{t_extra}
 FROM {rel.render()} t LEFT JOIN __changed ch ON {uk_eq_tch}{deleted_join}
@@ -260,7 +269,7 @@ SELECT {s_cols},
     {_scd_id_expr(uk, 's.__new_ts', 's')} AS {bt(m_scd)},
     s.__new_ts AS {bt(m_upd)},
     s.__new_ts AS {bt(m_from)},
-    CAST(NULL AS timestamp) AS {bt(m_to)}{s_extra}
+    {cur_val} AS {bt(m_to)}{s_extra}
 FROM (SELECT * FROM __changed UNION ALL SELECT * FROM __new_keys) s{marker_branch}
 """
     ctx.adapter.create_table_as(rel, select_sql=merged)

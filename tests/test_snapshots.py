@@ -326,3 +326,49 @@ select * from {{ ref('stg_m') }}
     assert t.count() == 2
     assert t.filter("valid_to is null").first()["v"] == "a2"
     assert t.filter("valid_to is not null").count() == 1
+
+
+def test_dbt_valid_to_current_sentinel(make_project, spark):
+    """dbt_valid_to_current (dbt 1.9): current rows carry a sentinel
+    timestamp instead of NULL; change capture closes them and new
+    versions get the sentinel."""
+    import os
+
+    files = {
+        "dbt_project.yml": (
+            "name: vc\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "snapshot-paths: [snapshots]\n"
+        ),
+        "seeds/v_items.csv": "id,v,updated_at\n1,a,2024-01-01 00:00:00\n",
+        "models/stg_v.sql": (
+            "select id, v, cast(updated_at as timestamp) as updated_at "
+            "from {{ ref('v_items') }}"
+        ),
+        "snapshots/v_snap.sql": """
+{% snapshot v_snap %}
+{{ config(unique_key='id', strategy='timestamp', updated_at='updated_at',
+          dbt_valid_to_current="timestamp'9999-12-31 00:00:00'") }}
+select * from {{ ref('stg_v') }}
+{% endsnapshot %}
+""",
+    }
+    runner = make_project(files, schema="t_vtc")
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    t = spark.table("t_vtc.v_snap")
+    assert str(t.first()["dbt_valid_to"]).startswith("9999-12-31")
+
+    root = runner.project.project_root
+    with open(os.path.join(root, "seeds/v_items.csv"), "w") as f:
+        f.write("id,v,updated_at\n1,a2,2024-02-01 00:00:00\n")
+    assert runner.seed().ok and runner.run().ok
+    assert runner.snapshot().ok
+    t = spark.table("t_vtc.v_snap")
+    assert t.count() == 2
+    cur = t.filter("dbt_valid_to = timestamp'9999-12-31 00:00:00'")
+    assert cur.count() == 1 and cur.first()["v"] == "a2"
+    closed = t.filter("dbt_valid_to < timestamp'9999-01-01'")
+    assert closed.count() == 1 and closed.first()["v"] == "a"
+    # idempotent re-snapshot
+    assert runner.snapshot().ok
+    assert spark.table("t_vtc.v_snap").count() == 2
