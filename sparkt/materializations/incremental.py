@@ -216,6 +216,68 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
     file_format = str(cfg.get("file_format") or "parquet").lower()
     compiler = ctx.compiler
     events = ctx.extras.get("events")
+
+    def _batch_sql(bs, be):
+        """Compile this node for one batch WITHOUT mutating the shared
+        node (concurrent batches would clobber node.compiled_code);
+        batch bounds ride the compiler's thread-local slot."""
+        from sparkt.compilation import inject_ctes_into_sql
+
+        compiler.event_time_bounds = (bs.isoformat(sep=" "),
+                                      be.isoformat(sep=" "))
+        try:
+            extra: list = []
+            compiled = compiler.render(
+                node, extra, None, is_incremental=not first_build
+            )
+            sql = inject_ctes_into_sql(compiled, extra)
+        finally:
+            compiler.event_time_bounds = None
+        window = (
+            f"{bt(et)} >= TIMESTAMP '{bs.isoformat(sep=' ')}' AND "
+            f"{bt(et)} < TIMESTAMP '{be.isoformat(sep=' ')}'"
+        )
+        return f"SELECT * FROM ({sql}) __sparkt_mb WHERE {window}"
+
+    # concurrent_batches (dbt 1.9): the initial backfill's batches are
+    # provably disjoint (tiling property), so they execute CONCURRENTLY
+    # as branches of ONE unioned insert — Spark schedules the union's
+    # subtrees in parallel within a single job, and unlike N parallel
+    # INSERT INTO statements there is no shared _temporary committer
+    # directory to corrupt (parquet tables do not support concurrent
+    # appends to one path). Incremental window replaces stay serial.
+    concurrent = bool(cfg.get("concurrent_batches")) and first_build
+    if concurrent and len(batches) > 1:
+        first_bs, first_be = batches[0]
+        if not ctx.adapter.relation_exists(rel):
+            compiler.event_time_bounds = (
+                first_bs.isoformat(sep=" "), first_be.isoformat(sep=" ")
+            )
+            try:
+                compiler.compile_node(node, is_incremental=False)
+            finally:
+                compiler.event_time_bounds = None
+            check_contract(ctx, node)
+            ctx.adapter.create_table_as(
+                rel, select_sql=_batch_sql(first_bs, first_be),
+                partition_by=partition_by,
+            )
+        cols = ", ".join(
+            bt(c) for c, _ in ctx.adapter.get_columns_in_relation(rel)
+        )
+        union_sql = " UNION ALL ".join(
+            f"SELECT {cols} FROM ({_batch_sql(bs, be)}) __b{i}"
+            for i, (bs, be) in enumerate(batches[1:])
+        )
+        ctx.adapter.insert_into(rel, f"({cols}) {union_sql}")
+        node.relation = rel
+        return (
+            f"MICROBATCH ({len(batches)} {size} batches, concurrent "
+            f"backfill: 1 create + 1 unioned append, "
+            f"{batches[0][0].isoformat(sep=' ')} → "
+            f"{batches[-1][1].isoformat(sep=' ')})"
+        )
+
     try:
         for bi, (bs, be) in enumerate(batches, start=1):
             import time as _time

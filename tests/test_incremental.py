@@ -730,3 +730,40 @@ def test_microbatch_null_event_time_rows_survive(make_project, spark):
     assert runner.run(event_time_end="2024-01-02 00:00:00").ok
     rows = {r["id"] for r in spark.table("t_mbn.mbn").collect()}
     assert 99 in rows and rows == {1, 99}
+
+
+def test_microbatch_concurrent_backfill(make_project, spark):
+    """concurrent_batches (dbt 1.9): the initial backfill appends
+    disjoint batches in parallel; result equals the serial build and
+    incremental runs after it stay correct."""
+    files = {
+        "dbt_project.yml": "name: cb\nmodel-paths: [models]\nseeds: {}\nseed-paths: [seeds]\n",
+        "seeds/ev5.csv": (
+            "id,ts\n" + "\n".join(
+                f"{i},2024-01-{(i % 10) + 1:02d} 03:00:00"
+                for i in range(1, 31)
+            ) + "\n"
+        ),
+        "models/stg5.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts from {{ ref('ev5') }}"
+        ),
+        "models/mb5.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01', "
+            "concurrent_batches=true) }}\n"
+            "select id, ts from {{ ref('stg5') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_cb")
+    assert runner.seed().ok
+    res = runner.run(event_time_end="2024-01-11 00:00:00", threads=4)
+    assert res.ok
+    mb = next(r for r in res.results if "mb5" in r.unique_id)
+    assert "concurrent backfill" in mb.message
+    assert spark.table("t_cb.mb5").count() == 30
+    assert spark.table("t_cb.mb5").select("id").distinct().count() == 30
+    # incremental rerun (serial window replace) stays exact
+    assert runner.run(event_time_end="2024-01-11 00:00:00").ok
+    assert spark.table("t_cb.mb5").count() == 30
