@@ -63,9 +63,19 @@ def salted_join(
             f"unmatched small-side rows n_salts times)"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    # salt from the full row hash: rows of the same hot key spread
-    # uniformly; deterministic under retries (no rand())
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    # salt from the full row hash PLUS a per-row discriminator:
+    # fully-duplicate hot-key rows (the classic null-key/default-tenant
+    # shape often collapses to identical rows after projection) would
+    # all hash to ONE salt and re-skew; monotonically_increasing_id
+    # breaks those ties. Deterministic within a run's partition layout
+    # (no rand()); the salt only needs uniformity, not rerun identity.
+    salt = F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in big.columns],
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(n_salts),
+    )
     b = big.withColumn(SALT, salt)
     s = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -51,7 +51,8 @@ class Measure:
     def to_sql(self) -> str:
         if self.agg not in AGG_SQL:
             raise CompilationError(f"unsupported measure agg '{self.agg}'")
-        return AGG_SQL[self.agg].format(e=self.expr, p=self.percentile or 0.5)
+        p = 0.5 if self.percentile is None else self.percentile
+        return AGG_SQL[self.agg].format(e=self.expr, p=p)
 
 
 @dataclass
@@ -159,22 +160,34 @@ class SemanticLayer:
                 return sm, sm.measures[measure]
         raise CompilationError(f"unknown measure '{measure}'")
 
-    def _metric_select_expr(self, metric: Metric) -> tuple[str, SemanticModel]:
+    def _measure_sql(self, sm, measure, metric_filter):
+        """Measure aggregate, honoring a metric-level filter as a
+        filtered aggregate (CASE inside the agg) — shared by simple,
+        ratio and cumulative metrics so a filter is never silently
+        dropped."""
+        if not metric_filter:
+            return measure.to_sql()
+        inner = re.sub(
+            r"\{\{\s*dimension\(['\"](\w+)['\"]\)\s*\}\}",
+            lambda m: sm.dimensions.get(m.group(1), m.group(1)),
+            metric_filter,
+        )
+        return AGG_SQL[measure.agg].format(
+            e=f"case when {inner} then {measure.expr} end",
+            p=(0.5 if measure.percentile is None else measure.percentile),
+        )
+
+    def _metric_select_expr(self, metric: Metric,
+                            _seen: frozenset = frozenset()
+                            ) -> tuple[str, SemanticModel]:
+        if metric.name in _seen:
+            raise CompilationError(
+                f"derived metric cycle involving '{metric.name}'"
+            )
+        _seen = _seen | {metric.name}
         if metric.type == "simple":
             sm, measure = self._find_measure(metric.measure)
-            expr = measure.to_sql()
-            if metric.filter:
-                # filtered measure: agg over CASE
-                inner = re.sub(
-                    r"\{\{\s*dimension\(['\"](\w+)['\"]\)\s*\}\}",
-                    lambda m: sm.dimensions.get(m.group(1), m.group(1)),
-                    metric.filter,
-                )
-                expr = AGG_SQL[measure.agg].format(
-                    e=f"case when {inner} then {measure.expr} end",
-                    p=measure.percentile or 0.5,
-                )
-            return expr, sm
+            return self._measure_sql(sm, measure, metric.filter), sm
         if metric.type == "ratio":
             sm_n, num = self._find_measure(metric.numerator)
             sm_d, den = self._find_measure(metric.denominator)
@@ -182,21 +195,42 @@ class SemanticLayer:
                 raise CompilationError(
                     "ratio metric across semantic models not supported"
                 )
+            n_sql = self._measure_sql(sm_n, num, metric.filter)
+            d_sql = self._measure_sql(sm_d, den, metric.filter)
             return (
-                f"cast({num.to_sql()} as double) / "
-                f"nullif(cast({den.to_sql()} as double), 0)",
+                f"cast({n_sql} as double) / "
+                f"nullif(cast({d_sql} as double), 0)",
                 sm_n,
             )
         if metric.type == "derived":
-            # expr references other metric names
-            expr = metric.expr
+            # Two-phase substitution: metric names -> opaque tokens
+            # first (longest name first), THEN tokens -> compiled SQL.
+            # Direct re.sub passes would rewrite matches INSIDE an
+            # already-substituted expression (e.g. metric 'value'
+            # matching the column 'value' in metric 'total''s SQL).
+            expr = metric.expr or ""
             sm_ref = None
-            for name, sub in self.metrics.items():
+            tokens: dict[str, str] = {}
+            for name in sorted(self.metrics, key=len, reverse=True):
+                sub = self.metrics[name]
                 if sub.name == metric.name:
                     continue
-                if re.search(rf"\b{re.escape(name)}\b", expr or ""):
-                    sub_expr, sm_ref = self._metric_select_expr(sub)
-                    expr = re.sub(rf"\b{re.escape(name)}\b", f"({sub_expr})", expr)
+                if re.search(rf"\b{re.escape(name)}\b", expr):
+                    if sub.type in ("cumulative", "conversion"):
+                        raise CompilationError(
+                            f"derived metric '{metric.name}' references "
+                            f"{sub.type} metric '{name}' — windowed "
+                            "components cannot be composed as plain "
+                            "aggregates; query them separately"
+                        )
+                    tok = f"\x00M{len(tokens)}\x00"
+                    sub_expr, sm_ref = self._metric_select_expr(
+                        sub, _seen
+                    )
+                    tokens[tok] = f"({sub_expr})"
+                    expr = re.sub(rf"\b{re.escape(name)}\b", tok, expr)
+            for tok, sql in tokens.items():
+                expr = expr.replace(tok, sql)
             if sm_ref is None:
                 raise CompilationError(
                     f"derived metric '{metric.name}' references no known metric"
@@ -211,7 +245,7 @@ class SemanticLayer:
                     f"cumulative metric '{metric.name}': measure agg "
                     f"'{measure.agg}' is not re-aggregable over time"
                 )
-            return measure.to_sql(), sm
+            return self._measure_sql(sm, measure, metric.filter), sm
         raise NotImplementedError(
             f"metric type '{metric.type}' is parsed but not compilable yet "
             f"(reference executes it in MetricFlow)"
@@ -440,10 +474,7 @@ class SemanticLayer:
             )
         exprs = []
         sm_used: SemanticModel | None = None
-        for name in metric_names:
-            metric = self.metrics.get(name)
-            if metric is None:
-                raise CompilationError(f"unknown metric '{name}'")
+        for name, metric in zip(metric_names, metrics):
             expr, sm = self._metric_select_expr(metric)
             if sm_used is not None and sm.name != sm_used.name:
                 raise CompilationError(
@@ -453,11 +484,10 @@ class SemanticLayer:
             sm_used = sm
             exprs.append(f"{expr} as {name}")
         dims = dimensions or []
-        dim_exprs = []
-        for d in dims:
-            if d not in sm_used.dimensions:
-                raise CompilationError(f"unknown dimension '{d}'")
-            dim_exprs.append(f"{sm_used.dimensions[d]} as {d}")
+        # _dim_expr resolves metric_time / __grain syntax — the same
+        # dimensions the cumulative path accepts work here too
+        resolved = [self._dim_expr(sm_used, d) for d in dims]
+        dim_exprs = [f"{expr} as {out}" for expr, out in resolved]
         relation = (
             relation_for_model(sm_used.model)
             if relation_for_model
@@ -466,6 +496,6 @@ class SemanticLayer:
         select = ", ".join(dim_exprs + exprs)
         sql = f"select {select} from {relation}"
         if dims:
-            sql += f" group by {', '.join(sm_used.dimensions[d] for d in dims)}"
+            sql += f" group by {', '.join(expr for expr, _ in resolved)}"
             sql += f" order by {', '.join(str(i + 1) for i in range(len(dims)))}"
         return sql

@@ -43,10 +43,15 @@ def stream_append(
     reader = spark.readStream.format(fmt).option("recursiveFileLookup", "true")
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt == "parquet":
+    else:
+        # streaming file sources REQUIRE a schema (AnalysisException
+        # otherwise, unless schemaInference is on); infer it from a
+        # batch read of the existing files for ANY format, not just
+        # parquet
         reader = reader.schema(
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(source_dir)
+            spark.read.format(fmt)
+            .option("recursiveFileLookup", "true")
+            .load(source_dir)
             .schema
         )
     stream = reader.load(source_dir)

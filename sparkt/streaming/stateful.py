@@ -52,7 +52,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_fn(gap_us: int):
+def _sessionize_fn(gap_us: int, session_tz: str = "UTC"):
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -67,8 +67,15 @@ def _sessionize_fn(gap_us: int):
         else:
             ts_us: list[int] = []
             for pdf in pdfs:
-                # pandas datetime64[us/ns] -> int64 microseconds
-                vals = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                # Arrow hands event times as tz-NAIVE wall clock in the
+                # SESSION timezone; localize before taking epoch micros
+                # or the timeout timestamp (true epoch millis) is off by
+                # the UTC offset whenever the session tz is not UTC
+                vals = (
+                    pd.to_datetime(pdf["ts"])
+                    .dt.tz_localize(session_tz)
+                    .astype("int64") // 1000
+                )
                 ts_us.extend(int(v) for v in vals)
             ts_us.sort()
             if state.exists:
@@ -80,8 +87,13 @@ def _sessionize_fn(gap_us: int):
             for t in ts_us:
                 if n > 0 and t - last_us > gap_us:
                     closed.append((start_us, last_us, n))
-                    start_us, n = t, 0
-                last_us = t
+                    start_us, last_us, n = t, t, 0
+                else:
+                    # late-but-valid events (above the watermark, below
+                    # the stored last) extend the open session WITHOUT
+                    # regressing its end/timeout
+                    start_us = min(start_us, t)
+                    last_us = max(last_us, t)
                 n += 1
             state.update((start_us, last_us, n))
             # close when the watermark passes last event + gap
@@ -92,10 +104,14 @@ def _sessionize_fn(gap_us: int):
                 {
                     "user_id": [user_id] * len(closed),
                     "session_start": [
-                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                        pd.Timestamp(s, unit="us", tz="UTC")
+                        .tz_convert(session_tz).tz_localize(None)
+                        for s, _, _ in closed
                     ],
                     "session_end": [
-                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                        pd.Timestamp(e, unit="us", tz="UTC")
+                        .tz_convert(session_tz).tz_localize(None)
+                        for _, e, _ in closed
                     ],
                     "n_events": [n for _, _, n in closed],
                 }
@@ -125,8 +141,11 @@ def stateful_sessionize(
     renamed = stream.select(
         col(user_col).alias("user_id"), col(ts_col).alias("ts")
     ).withWatermark("ts", watermark)
+    session_tz = stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     return renamed.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_us),
+        _sessionize_fn(gap_us, session_tz),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -216,3 +216,67 @@ saved_queries:
     assert {r["region"]: r["total_revenue"] for r in df.collect()} == {
         "east": 400, "west": 200}
     assert spark.table("t_sq.revenue_by_region_tbl").count() == 2
+
+
+def test_semantic_review_fixes(make_project, spark):
+    """Review-finding regressions: metric_time works on SIMPLE metrics;
+    ratio metrics honor filter; derived cycles and
+    derived-of-cumulative raise instead of compiling wrong SQL."""
+    import pytest
+
+    from sparkt.exceptions import CompilationError
+    from sparkt.semantic import SemanticLayer
+
+    layer = SemanticLayer()
+    layer.add_semantic_model({
+        "name": "sm_ev",
+        "model": "evt",
+        "defaults": {"agg_time_dimension": "ts"},
+        "dimensions": [
+            {"name": "ts", "type": "time"},
+            {"name": "event_type", "type": "categorical"},
+        ],
+        "measures": [
+            {"name": "total_value", "agg": "sum", "expr": "value"},
+            {"name": "n_events", "agg": "count", "expr": "1"},
+        ],
+    })
+    layer.add_metric({
+        "name": "daily_value", "type": "simple",
+        "type_params": {"measure": "total_value"},
+    })
+    layer.add_metric({
+        "name": "click_rate", "type": "ratio",
+        "filter": "{{ dimension('event_type') }} = 'click'",
+        "type_params": {"numerator": "total_value",
+                        "denominator": "n_events"},
+    })
+    layer.add_metric({
+        "name": "cum_value", "type": "cumulative",
+        "type_params": {"measure": "total_value"},
+    })
+    layer.add_metric({
+        "name": "bad_derived", "type": "derived",
+        "type_params": {"expr": "cum_value / 2"},
+    })
+    layer.add_metric({
+        "name": "loop_a", "type": "derived",
+        "type_params": {"expr": "loop_b + 1"},
+    })
+    layer.add_metric({
+        "name": "loop_b", "type": "derived",
+        "type_params": {"expr": "loop_a + 1"},
+    })
+
+    # simple metric at a time grain — the most common semantic query
+    sql = layer.compile_query(["daily_value"], ["metric_time__day"])
+    assert "date_trunc('day'" in sql and "group by" in sql
+
+    # ratio filter lands in BOTH sides as a filtered aggregate
+    sql = layer.compile_query(["click_rate"], [])
+    assert sql.lower().count("case when event_type = 'click'") == 2
+
+    with pytest.raises(CompilationError, match="cumulative"):
+        layer.compile_query(["bad_derived"], [])
+    with pytest.raises(CompilationError, match="cycle"):
+        layer.compile_query(["loop_a"], [])
