@@ -131,6 +131,7 @@ def _batch_floor(dt, size):
 
 
 def _batch_shift(dt, size, n):
+    import calendar
     from datetime import timedelta
 
     if size == "hour":
@@ -139,8 +140,15 @@ def _batch_shift(dt, size, n):
         return dt + timedelta(days=n)
     if size == "month":
         m = dt.month - 1 + n
-        return dt.replace(year=dt.year + m // 12, month=m % 12 + 1)
-    return dt.replace(year=dt.year + n)
+        y, mo = dt.year + m // 12, m % 12 + 1
+        # clamp the day (Jan 31 + 1 month, Nov 29 + 3 months → Feb):
+        # batch boundaries are floored (day=1) so this only matters for
+        # raw caller timestamps, but a ValueError there is still a bug
+        day = min(dt.day, calendar.monthrange(y, mo)[1])
+        return dt.replace(year=y, month=mo, day=day)
+    y = dt.year + n
+    day = min(dt.day, calendar.monthrange(y, dt.month)[1])
+    return dt.replace(year=y, day=day)
 
 
 def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
