@@ -82,6 +82,33 @@ def _report(results, quiet: bool = False) -> None:
         raise SystemExit(1)
 
 
+def _with_target(fn):
+    """--target/-t for commands outside the _make_cmd family (show,
+    compile, list, run-operation, source-freshness, docs-generate,
+    clone) — environment selection applies to every warehouse-touching
+    command."""
+    return click.option("--target", "-t", "target", default=None,
+                        envvar="DBT_TARGET",
+                        help="profiles.yml output to use")(fn)
+
+
+def _runner_with_target(project_dir, target=None, **kw):
+    """Construct a Runner with DBT_TARGET set for the duration of
+    project loading only (saved/restored: no leak into later
+    in-process invocations)."""
+    prev = os.environ.get("DBT_TARGET")
+    if target:
+        os.environ["DBT_TARGET"] = target
+    try:
+        return Runner(project_dir, **kw)
+    finally:
+        if target:
+            if prev is None:
+                os.environ.pop("DBT_TARGET", None)
+            else:
+                os.environ["DBT_TARGET"] = prev
+
+
 def _version():
     from sparkt import __version__
 
@@ -226,8 +253,9 @@ _make_cmd("snapshot")
 @click.option("--select", "-s", default=None)
 @click.option("--inline", default=None,
               help="compile this jinja-SQL string instead of project files")
-def compile(project_dir, select, inline):  # noqa: A001
-    runner = Runner(project_dir)
+@_with_target
+def compile(project_dir, select, inline, target):  # noqa: A001
+    runner = _runner_with_target(project_dir, target)
     if inline is not None:
         click.echo(runner.compile_inline(inline))
         return
@@ -242,8 +270,9 @@ def compile(project_dir, select, inline):  # noqa: A001
 @click.option("--limit", type=int, default=5)
 @click.option("--output", type=click.Choice(["text", "json"]),
               default="text")
-def show(project_dir, inline, select, limit, output):
-    runner = Runner(project_dir)
+@_with_target
+def show(project_dir, inline, select, limit, output, target):
+    runner = _runner_with_target(project_dir, target)
     df = runner.show(inline=inline, select=select, limit=limit)
     if output == "json":
         # reference show --output json (core/dbt/task/show.py preview)
@@ -257,10 +286,11 @@ def show(project_dir, inline, select, limit, output):
 @click.argument("macro_name")
 @click.option("--project-dir", default=".")
 @click.option("--args", default=None, help="YAML dict of macro args")
-def run_operation(macro_name, project_dir, args):
+@_with_target
+def run_operation(macro_name, project_dir, args, target):
     import yaml
 
-    runner = Runner(project_dir)
+    runner = _runner_with_target(project_dir, target)
     out = runner.run_operation(macro_name, yaml.safe_load(args) if args else {})
     if out is not None:
         click.echo(str(out))
@@ -269,8 +299,9 @@ def run_operation(macro_name, project_dir, args):
 @cli.command("source-freshness")
 @click.option("--select", "-s", default=None)
 @click.option("--project-dir", default=".")
-def source_freshness(project_dir, select):
-    runner = Runner(project_dir)
+@_with_target
+def source_freshness(project_dir, select, target):
+    runner = _runner_with_target(project_dir, target)
     for row in runner.source_freshness(select=select):
         click.echo(json.dumps(row))
 
@@ -279,8 +310,9 @@ def source_freshness(project_dir, select):
 @click.option("--project-dir", default=".")
 @click.option("--select", "-s", default=None)
 @click.option("--state", default=None)
-def retry(project_dir, select, state):
-    runner = Runner(project_dir)
+@_with_target
+def retry(project_dir, select, state, target):
+    runner = _runner_with_target(project_dir, target)
     _report(runner.retry(select=select, state=state))
 
 
@@ -288,10 +320,14 @@ def retry(project_dir, select, state):
 @click.option("--project-dir", default=".")
 @click.option("--select", "-s", default=None)
 @click.option("--state", required=True)
-def clone(project_dir, select, state):
-    runner = Runner(project_dir)
+@_with_target
+def clone(project_dir, select, state, target):
+    runner = _runner_with_target(project_dir, target)
+    n = 0
     for rel in runner.clone(state=state, select=select):
         click.echo(f"cloned {rel}")
+        n += 1
+    click.echo(f"Done. cloned={n}")
 
 
 @cli.command()
@@ -320,8 +356,9 @@ def deps(project_dir):
                    "(reference docs generate --static)")
 @click.option("--empty-catalog", "empty_catalog", is_flag=True, default=False,
               help="skip relation introspection (reference --empty-catalog)")
-def docs_generate(project_dir, static, empty_catalog):
-    runner = Runner(project_dir)
+@_with_target
+def docs_generate(project_dir, static, empty_catalog, target):
+    runner = _runner_with_target(project_dir, target)
     cat = runner.docs_generate(empty_catalog=empty_catalog)
     click.echo(f"catalog: {len(cat['nodes'])} relations -> target/catalog.json")
     if static:
@@ -407,10 +444,11 @@ def _list_cmd(name: str):
     @click.option("--output-keys", "output_keys", default=None,
                   help="space-separated keys to keep in --output json "
                        "rows (reference cli/params.py output_keys)")
+    @_with_target
     def _cmd(project_dir, select, exclude, output, resource_types,
-             output_keys):
+             output_keys, target):
         """List project resources (reference core/dbt/task/list.py)."""
-        runner = Runner(project_dir)
+        runner = _runner_with_target(project_dir, target)
         if output == "unique_id":  # sparkt extension (round-3 ls shape)
             from sparkt.graph.linker import link_graph
             from sparkt.graph.selector import select_nodes
