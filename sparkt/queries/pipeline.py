@@ -86,20 +86,25 @@ def t2_quality_scores(spark, sf_dir):
     stop = stop_hits / F.greatest(n, F.lit(1))
     length_term = F.least(n / F.lit(100.0), F.lit(1.0))
     n_bigrams = F.size(bigrams)
+    # floor-quantize (not round): round()'s half-way handling differs
+    # between Spark (HALF_UP on the decimal rescale) and DuckDB, which
+    # broke the value-hash at sf0.1 (quality hit an exact .xxxxxx5);
+    # floor of the SAME double arithmetic is engine-identical
+    def q6(c):
+        return F.floor(c * 1_000_000) / 1_000_000
+
     return pre.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
         n_chars.alias("n_chars"),
-        F.round(alpha, 6).alias("alpha_ratio"),
-        F.round(stop, 6).alias("stopword_ratio"),
-        F.round(tok_chars / F.greatest(n, F.lit(1)), 6).alias("avg_token_len"),
-        F.round(0.4 * length_term + 0.3 * alpha + 0.3 * stop, 6).alias(
-            "quality"
-        ),
-        F.round(dup_tok / F.greatest(n, F.lit(1)), 6).alias("dup_token_ratio"),
-        F.round(
-            top_bigram / F.greatest(n_bigrams, F.lit(1)), 6
+        q6(alpha).alias("alpha_ratio"),
+        q6(stop).alias("stopword_ratio"),
+        q6(tok_chars / F.greatest(n, F.lit(1))).alias("avg_token_len"),
+        q6(0.4 * length_term + 0.3 * alpha + 0.3 * stop).alias("quality"),
+        q6(dup_tok / F.greatest(n, F.lit(1))).alias("dup_token_ratio"),
+        q6(
+            top_bigram / F.greatest(n_bigrams, F.lit(1))
         ).alias("top_bigram_ratio"),
     ).orderBy("doc_id")
 
@@ -121,9 +126,10 @@ bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
               CAST(max(cnt) AS BIGINT) AS top_bigram
        FROM bc GROUP BY 1),
 rep AS (SELECT ts.doc_id,
-               round(dup_tok * 1.0 / greatest(n_tokens, 1), 6)
-                 AS dup_token_ratio,
-               round(coalesce(top_bigram, 0) * 1.0 / greatest(n_bigrams, 1), 6)
+               floor(dup_tok * 1.0 / greatest(n_tokens, 1) * 1000000)
+                 / 1000000 AS dup_token_ratio,
+               floor(coalesce(top_bigram, 0) * 1.0
+                     / greatest(n_bigrams, 1) * 1000000) / 1000000
                  AS top_bigram_ratio
         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)
 SELECT d.doc_id,
@@ -134,17 +140,21 @@ SELECT d.doc_id,
                - length(regexp_replace(lower(text), '[a-z][0-9]', '', 'g'))) / 2
             AS INT) AS n_subword_tokens,
        length(text) AS n_chars,
-       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-             / greatest(length(text), 1), 6) AS alpha_ratio,
-       round(len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
-             / greatest(len({_DK_TOKENS}), 1), 6) AS stopword_ratio,
-       round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-             / greatest(len({_DK_TOKENS}), 1), 6) AS avg_token_len,
-       round(0.4 * least(len({_DK_TOKENS}) / 100.0, 1.0)
+       floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             / greatest(length(text), 1) * 1000000) / 1000000
+         AS alpha_ratio,
+       floor(len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
+             / greatest(len({_DK_TOKENS}), 1) * 1000000) / 1000000
+         AS stopword_ratio,
+       floor(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+             / greatest(len({_DK_TOKENS}), 1) * 1000000) / 1000000
+         AS avg_token_len,
+       floor((0.4 * least(len({_DK_TOKENS}) / 100.0, 1.0)
              + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                       / greatest(length(text), 1))
              + 0.3 * (len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
-                      / greatest(len({_DK_TOKENS}), 1)), 6) AS quality,
+                      / greatest(len({_DK_TOKENS}), 1))) * 1000000) / 1000000
+         AS quality,
        coalesce(rep.dup_token_ratio, 0.0) AS dup_token_ratio,
        coalesce(rep.top_bigram_ratio, 0.0) AS top_bigram_ratio
 FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id

@@ -807,7 +807,7 @@ def q26_correlated_sub(spark, sf_dir):
 Q26_SQL = """
 SELECT o_orderpriority,
        count(*) AS n_big,
-       round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS share
+       cast(round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) as double) AS share
 FROM orders o
 WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
                       FROM orders o2
