@@ -25,15 +25,23 @@ from sparkt.sources import spread
 
 
 # ------------------------------------------------------------- exact
+def _keep_first(df_with_fp: DataFrame, id_col: str) -> DataFrame:
+    """One representative (lowest id) per ``fp`` — the shared
+    representative-selection rule of exact_dedup and
+    incremental_dedup."""
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        df_with_fp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative per normalized-text
     fingerprint."""
-    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+    return _keep_first(
+        df.withColumn("fp", fingerprint(F.col(text_col))), id_col
     )
 
 
@@ -82,8 +90,19 @@ def shingle_table(
 # ------------------------------------------------------------ minhash
 def _rot_offset(i: int, n_hashes: int) -> int:
     """Hex-char rotation offset for family member i (≤ 8 members get
-    4-char steps; more members pack tighter)."""
-    step = max(1, 32 // max(n_hashes, 8) * 2) if n_hashes > 8 else 4
+    4-char steps; more members pack tighter). The step must be
+    32 // n_hashes — the earlier ``32 // n * 2`` doubled the stride and
+    WRAPPED for n_hashes ≥ 11, silently duplicating family members
+    (mh8..mh15 were copies of mh0..mh7 at n_hashes=16, fully
+    correlating LSH band keys)."""
+    if n_hashes <= 8:
+        return (4 * i) % 32
+    if n_hashes > 32:
+        raise ValueError(
+            "minhash family derives members from 32 hex chars; "
+            f"n_hashes={n_hashes} > 32 would repeat offsets"
+        )
+    step = max(1, 32 // n_hashes)
     return (step * i) % 32
 
 
@@ -133,8 +152,18 @@ def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
     )
 
 
-def lsh_bands(signature: Column, n_bands: int = 4, rows_per_band: int = 2) -> Column:
-    """Band keys: md5 of each band's concatenated signature rows."""
+def lsh_bands(signature: Column, n_bands: int = 4, rows_per_band: int = 2,
+              n_hashes: int | None = None) -> Column:
+    """Band keys: md5 of each band's concatenated signature rows.
+    Pass ``n_hashes`` (the signature length) to validate up front:
+    indexing past the signature throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    at runtime under ANSI mode, mid-job instead of at build time."""
+    if n_hashes is not None and n_bands * rows_per_band > n_hashes:
+        raise ValueError(
+            f"lsh_bands: n_bands*rows_per_band = "
+            f"{n_bands * rows_per_band} exceeds the signature length "
+            f"{n_hashes}"
+        )
     return F.array(
         *[
             F.md5(
@@ -663,9 +692,4 @@ def incremental_dedup(
     unseen = withfp.join(
         seen_fps.select("fp").distinct(), "fp", "left_anti"
     )
-    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
-    return (
-        unseen.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
+    return _keep_first(unseen, id_col)

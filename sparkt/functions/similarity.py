@@ -48,8 +48,16 @@ def norm(a: Column) -> Column:
     )
 
 
+def _safe_cos(dot_expr: Column, qn: Column, cn: Column) -> Column:
+    """Rounded cosine with a zero-norm guard: an all-zero embedding
+    makes the denominator 0, which under ANSI mode (the Spark 4
+    default) raises DIVIDE_BY_ZERO and kills the whole job. For any
+    nonzero norms the greatest() is a no-op, so oracle parity holds."""
+    return F.round(dot_expr / F.greatest(qn * cn, F.lit(1e-12)), 4)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def cosine_topk(
@@ -79,8 +87,8 @@ def cosine_topk(
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")), 4),
+            _safe_cos(dot(F.col("qv"), F.col("cv")),
+                      F.col("qn"), F.col("cn")),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -130,8 +138,8 @@ def hard_negatives(
         )
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")), 4),
+            _safe_cos(dot(F.col("qv"), F.col("cv")),
+                      F.col("qn"), F.col("cn")),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -213,21 +221,38 @@ def ivf_topk(
     coarse quantizer (the production path — recall tracks data
     geometry); the default md5-derived pseudo-centroids keep the gate
     deterministic without a fit."""
-    cents = centroids if centroids is not None else _pseudo_centroids(
-        dim, n_cells
-    )
+    trained = centroids is not None
+    cents = centroids if trained else _pseudo_centroids(dim, n_cells)
     n_cells = len(cents)
+    # metric must match how the centroids were produced: kmeans_fit
+    # optimizes squared-L2, so trained quantizers assign and probe by
+    # argmin-L2 (kmeans_assign — same tie-break as the fit); the
+    # md5 pseudo-centroids keep the legacy argmax-dot assignment
+    assign = (
+        (lambda v: kmeans_assign(v, cents)) if trained
+        else (lambda v: _cell_assignment(v, cents))
+    )
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec).alias("cv"),
         norm(F.col(vec)).alias("cn"),
-        _cell_assignment(F.col(vec), cents).alias("cell"),
+        assign(F.col(vec)).alias("cell"),
     )
-    # query cells: top n_probe centroid dots
+    # query cells: the n_probe nearest centroids under the SAME metric
     scored = []
     for j, cent in enumerate(cents):
-        d = dot(F.col(vec), _const_array([float(x) for x in cent]))
-        scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
+        carr = _const_array([float(x) for x in cent])
+        if trained:
+            d2 = F.aggregate(
+                F.zip_with(F.col(vec), carr,
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            scored.append(F.struct((-d2).alias("s"), F.lit(j).alias("c")))
+        else:
+            d = dot(F.col(vec), carr)
+            scored.append(F.struct(d.alias("s"), F.lit(j).alias("c")))
     probe_cells = F.slice(
         F.reverse(F.array_sort(F.array(*scored))), 1, n_probe
     )
@@ -243,8 +268,8 @@ def ivf_topk(
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")), 4),
+            _safe_cos(dot(F.col("qv"), F.col("cv")),
+                      F.col("qn"), F.col("cn")),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
@@ -343,8 +368,8 @@ def lsh_bucketed_topk(
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn(
             "cos",
-            F.round(dot(F.col("qv"), F.col("cv"))
-                    / (F.col("qn") * F.col("cn")), 4),
+            _safe_cos(dot(F.col("qv"), F.col("cv")),
+                      F.col("qn"), F.col("cn")),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.asc(corpus_id))
@@ -356,6 +381,22 @@ def lsh_bucketed_topk(
 
 
 # --------------------------------------------------------- quantization
+def _q8_scale(v: Column) -> Column:
+    """Per-vector int8 scale (max|x|/127, zero-guarded) — the single
+    definition quantize_int8 and dequantize_error_stats share."""
+    return F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+
+
+def _q8_vec(v: Column, scale_col: Column) -> Column:
+    """Quantized int vector (explicit half-up floor(x/scale + 0.5))."""
+    return F.transform(
+        v, lambda x: F.floor(x / scale_col + F.lit(0.5)).cast("int")
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:
@@ -371,18 +412,13 @@ def quantize_int8(
     Returns (id, scale, qvec array<int>).
     """
     v = F.col(vec).cast("array<double>")
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
-        F.lit(1e-12),
-    )
     out = df.select(
-        F.col(id_col), v.alias("__v"), scale.alias("scale")
+        F.col(id_col), v.alias("__v"), _q8_scale(v).alias("scale")
     )
-    qvec = F.transform(
-        F.col("__v"),
-        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+    return out.select(
+        F.col(id_col), "scale",
+        _q8_vec(F.col("__v"), F.col("scale")).alias("qvec"),
     )
-    return out.select(F.col(id_col), "scale", qvec.alias("qvec"))
 
 
 def dequantize_error_stats(
@@ -392,15 +428,10 @@ def dequantize_error_stats(
     (id, q_md5, scale_r, max_err_r, mse_r). The md5 over the quantized
     ints gives an engine-portable identity for the quantized vector."""
     v = F.col(vec).cast("array<double>")
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
-        F.lit(1e-12),
+    base = df.select(
+        F.col(id_col), v.alias("__v"), _q8_scale(v).alias("__s")
     )
-    base = df.select(F.col(id_col), v.alias("__v"), scale.alias("__s"))
-    qvec = F.transform(
-        F.col("__v"),
-        lambda x: F.floor(x / F.col("__s") + F.lit(0.5)).cast("int"),
-    )
+    qvec = _q8_vec(F.col("__v"), F.col("__s"))
     errs = F.zip_with(
         F.col("__v"), F.col("__q"),
         lambda x, qi: F.abs(x - qi.cast("double") * F.col("__s")),

@@ -23,6 +23,11 @@ CJK_RANGE = f"{chr(0x4E00)}-{chr(0x9FFF)}"
 
 
 def tokens(text: Column) -> Column:
+    """NB: split of empty/whitespace-only text yields [''] — ONE
+    phantom empty token (so token_count('') == 1). This mirrors
+    DuckDB's regexp_split_to_array exactly, and every oracle gate
+    depends on the two engines agreeing; treat it as the deliberate
+    cross-engine contract, not a bug to fix on one side."""
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 

