@@ -148,10 +148,12 @@ class MicrobatchExecutionCompleted(Event):
     index: int = 0
     total: int = 0
     execution_time: float = 0.0
+    status: str = "success"
 
     def message(self) -> str:
+        word = "OK" if self.status == "success" else "ERROR"
         return (
-            f"Batch {self.index} of {self.total} OK {self.unique_id} "
+            f"Batch {self.index} of {self.total} {word} {self.unique_id} "
             f"[{self.execution_time:.2f}s]"
         )
 

@@ -151,6 +151,45 @@ def _batch_shift(dt, size, n):
     return dt.replace(year=y, day=day)
 
 
+# table property marking a microbatch target whose last run completed
+# with zero failed batches; absence on an existing table signals a
+# crash/partial run and triggers backfill-gap recovery
+_MB_COMPLETE_PROP = "sparkt.microbatch.complete"
+
+
+def _microbatch_complete(ctx, rel) -> bool:
+    try:
+        _, rows = ctx.adapter.execute(
+            f"SHOW TBLPROPERTIES {rel.render()}", fetch=True
+        )
+        return any(
+            r["key"] == _MB_COMPLETE_PROP and str(r["value"]) == "true"
+            for r in rows
+        )
+    except Exception:
+        # catalogs without property support can't detect partial runs;
+        # assume complete (recovery is best-effort, retry still heals)
+        return True
+
+
+def _set_microbatch_complete(ctx, rel) -> None:
+    try:
+        ctx.adapter.execute(
+            f"ALTER TABLE {rel.render()} SET TBLPROPERTIES "
+            f"('{_MB_COMPLETE_PROP}' = 'true')"
+        )
+    except Exception:
+        pass
+
+
+def _target_max_event_time(ctx, rel, et):
+    _, res = ctx.adapter.execute(
+        f"SELECT max({bt(et)}) AS mx FROM {rel.render()}", fetch=True
+    )
+    mx = res.rows[0]["mx"] if len(res) else None
+    return _parse_ts(mx) if mx is not None else None
+
+
 def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                             partition_by):
     """dbt 1.9 microbatch incremental strategy (EXTENSION: the
@@ -170,11 +209,20 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
     disjointly); on delta/iceberg the incremental window replace
     dispatches to ``INSERT INTO ... REPLACE WHERE`` (file-level
     replace, no table rewrite); the parquet fallback is the documented
-    atomic-swap rewrite. A failed batch aborts the node (divergence:
-    dbt records per-batch results and continues — noted, retry re-runs
-    the node). Rows whose event_time is NULL belong to no batch: they
-    are never inserted by microbatch and always survive the window
-    replace.
+    atomic-swap rewrite. Rows whose event_time is NULL belong to no
+    batch: they are never inserted by microbatch and always survive
+    the window replace.
+
+    Batch-level results (dbt 1.9 semantics): each batch records its own
+    success/failure; a failed batch does NOT abort the node — remaining
+    batches still run, the node finishes as ``partial success`` with a
+    ``batch_results`` entry in run_results, and ``retry`` re-runs ONLY
+    the failed batch windows (idempotent window replace heals the
+    holes). A hard crash mid-backfill is detected on the next run via
+    the ``sparkt.microbatch.complete`` table property (set only after a
+    fully-successful run): recovery extends the incremental window back
+    to the last batch actually present in the target (one
+    ``max(event_time)`` scan — column-stats cheap on parquet).
     """
     cfg = node.config
     et = cfg.get("event_time")
@@ -189,17 +237,28 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         )
     lookback = int(cfg.get("lookback", 1))
     first_build = not exists or full_refresh
-    if full_refresh and exists:
-        # a full refresh REBUILDS from 'begin': drop so the first batch
-        # recreates the table (new schema, nothing outside the new
-        # window surviving)
-        ctx.adapter.drop_relation(rel)
 
+    # ---- compute and VALIDATE the whole window BEFORE any destructive
+    # step: a bad 'begin' / unparseable --event-time bound must fail the
+    # node with the existing table intact (drop-then-raise would leave
+    # the model destroyed with nothing rebuilt)
     end = _parse_ts(
         ctx.extras.get("event_time_end") or ctx.extras["batch_ts"]
     )
+    retry_windows = None
+    if not full_refresh:
+        retry_windows = (ctx.extras.get("retry_batches") or {}).get(
+            node.unique_id
+        )
     start_override = ctx.extras.get("event_time_start")
-    if start_override:
+    if retry_windows:
+        # batch retry: heal EXACTLY the failed windows from the prior
+        # invocation via the idempotent window-replace path
+        batches = [
+            (_parse_ts(s), _parse_ts(e)) for s, e in retry_windows
+        ]
+        first_build = False
+    elif start_override:
         start = _parse_ts(start_override)
     elif first_build:
         begin = cfg.get("begin")
@@ -211,15 +270,56 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         start = _parse_ts(begin)
     else:
         start = _batch_shift(_batch_floor(end, size), size, -lookback)
-    if start >= end:
+        if not _microbatch_complete(ctx, rel):
+            # prior run crashed / left failed batches: resume from the
+            # newest batch actually present instead of silently leaving
+            # the crash-to-lookback gap unprocessed forever
+            mx = _target_max_event_time(ctx, rel, et)
+            if mx is None:
+                # table exists but is empty — re-backfill from begin
+                begin = cfg.get("begin")
+                if begin:
+                    start = min(start, _parse_ts(begin))
+            else:
+                start = min(start, _batch_floor(mx, size))
+
+    if full_refresh and exists:
+        # a full refresh REBUILDS from 'begin': drop so the first batch
+        # recreates the table (new schema, nothing outside the new
+        # window surviving) — safe now that the window above validated
+        ctx.adapter.drop_relation(rel)
+
+    if not retry_windows and start >= end:
+        if not ctx.adapter.relation_exists(rel):
+            # empty window on a first build: still create the (empty)
+            # table from the compiled schema so downstream refs resolve
+            # and node.relation is set — returning bare success with no
+            # relation would fail every child while this node reports ok
+            bound = end.isoformat(sep=" ")
+            ctx.compiler.event_time_bounds = (bound, bound)
+            try:
+                ctx.compiler.compile_node(node, is_incremental=False)
+            finally:
+                ctx.compiler.event_time_bounds = None
+            check_contract(ctx, node)
+            ctx.adapter.create_table_as(
+                rel,
+                select_sql=(
+                    f"SELECT * FROM ({node.compiled_code}) "
+                    "__sparkt_mb WHERE 1 = 0"
+                ),
+                partition_by=partition_by,
+            )
+        node.relation = rel
         return "MICROBATCH (0 batches — window empty)"
 
-    batches = []
-    b = _batch_floor(start, size)
-    while b < end:
-        nb = _batch_shift(b, size, 1)
-        batches.append((max(b, start), min(nb, end)))
-        b = nb
+    if not retry_windows:
+        batches = []
+        b = _batch_floor(start, size)
+        while b < end:
+            nb = _batch_shift(b, size, 1)
+            batches.append((max(b, start), min(nb, end)))
+            b = nb
 
     file_format = str(cfg.get("file_format") or "parquet").lower()
     compiler = ctx.compiler
@@ -247,6 +347,39 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         )
         return f"SELECT * FROM ({sql}) __sparkt_mb WHERE {window}"
 
+    def _win(bs, be):
+        return [bs.isoformat(sep=" "), be.isoformat(sep=" ")]
+
+    def _result(succeeded, failed, message):
+        """run-results v6 batch_results shape; status follows dbt 1.9:
+        all green → success, mixed → 'partial success' (downstream
+        nodes still run against the partially-populated table), all
+        red → error. ``retry`` re-runs only ``failed``."""
+        out = {
+            "status": (
+                "success" if not failed
+                else "partial success" if succeeded
+                else "error"
+            ),
+            "message": message,
+            "batch_results": {
+                "successful": [_win(*b) for b in succeeded],
+                "failed": [_win(*b) for b, _ in failed],
+            },
+        }
+        if failed:
+            out["failures"] = len(failed)
+            out["message"] += "; failed batches: " + "; ".join(
+                f"[{_win(*b)[0]} → {_win(*b)[1]}]: {err}"
+                for b, err in failed
+            )
+        if not failed and ctx.adapter.relation_exists(rel):
+            _set_microbatch_complete(ctx, rel)
+        node.relation = (
+            rel if ctx.adapter.relation_exists(rel) else None
+        )
+        return out
+
     # concurrent_batches (dbt 1.9): the initial backfill's batches are
     # provably disjoint (tiling property), so they execute CONCURRENTLY
     # as branches of ONE unioned insert — Spark schedules the union's
@@ -256,36 +389,84 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
     # appends to one path). Incremental window replaces stay serial.
     concurrent = bool(cfg.get("concurrent_batches")) and first_build
     if concurrent and len(batches) > 1:
+        import time as _time
+
+        from sparkt import events as EV
+
+        _t0 = _time.time()
+        if events is not None:
+            for bi, (bs, be) in enumerate(batches, start=1):
+                events.fire(EV.MicrobatchExecutionStarted(
+                    unique_id=node.unique_id,
+                    batch_start=bs.isoformat(sep=" "),
+                    batch_end=be.isoformat(sep=" "),
+                    index=bi, total=len(batches),
+                ))
         first_bs, first_be = batches[0]
-        if not ctx.adapter.relation_exists(rel):
-            compiler.event_time_bounds = (
-                first_bs.isoformat(sep=" "), first_be.isoformat(sep=" ")
-            )
+        # contract check runs UNCONDITIONALLY (same as the serial
+        # path's create branch — an existing table from a crashed
+        # backfill must not bypass enforcement)
+        compiler.event_time_bounds = (
+            first_bs.isoformat(sep=" "), first_be.isoformat(sep=" ")
+        )
+        try:
+            compiler.compile_node(node, is_incremental=False)
+        finally:
+            compiler.event_time_bounds = None
+        check_contract(ctx, node)
+        succeeded, failed = [], []
+        try:
+            if not ctx.adapter.relation_exists(rel):
+                ctx.adapter.create_table_as(
+                    rel, select_sql=_batch_sql(first_bs, first_be),
+                    partition_by=partition_by,
+                )
+            succeeded.append(batches[0])
+        except Exception as e:  # noqa: BLE001 — recorded per batch
+            failed.append((batches[0], f"{type(e).__name__}: {e}"))
+        if succeeded:
             try:
-                compiler.compile_node(node, is_incremental=False)
-            finally:
-                compiler.event_time_bounds = None
-            check_contract(ctx, node)
-            ctx.adapter.create_table_as(
-                rel, select_sql=_batch_sql(first_bs, first_be),
-                partition_by=partition_by,
+                cols = ", ".join(
+                    bt(c)
+                    for c, _ in ctx.adapter.get_columns_in_relation(rel)
+                )
+                union_sql = " UNION ALL ".join(
+                    f"SELECT {cols} FROM ({_batch_sql(bs, be)}) __b{i}"
+                    for i, (bs, be) in enumerate(batches[1:])
+                )
+                ctx.adapter.insert_into(rel, f"({cols}) {union_sql}")
+                succeeded.extend(batches[1:])
+            except Exception as e:  # noqa: BLE001
+                # one job = one fate for every unioned batch
+                err = f"{type(e).__name__}: {e}"
+                failed.extend((b, err) for b in batches[1:])
+        else:
+            failed.extend(
+                (b, "skipped: create batch failed") for b in batches[1:]
             )
-        cols = ", ".join(
-            bt(c) for c, _ in ctx.adapter.get_columns_in_relation(rel)
-        )
-        union_sql = " UNION ALL ".join(
-            f"SELECT {cols} FROM ({_batch_sql(bs, be)}) __b{i}"
-            for i, (bs, be) in enumerate(batches[1:])
-        )
-        ctx.adapter.insert_into(rel, f"({cols}) {union_sql}")
-        node.relation = rel
-        return (
+        if events is not None:
+            # batches ran as branches of one Spark job: per-batch wall
+            # time does not exist, each Q044 carries the shared wall
+            elapsed = _time.time() - _t0
+            for bi, (bs, be) in enumerate(batches, start=1):
+                events.fire(EV.MicrobatchExecutionCompleted(
+                    unique_id=node.unique_id,
+                    batch_start=bs.isoformat(sep=" "),
+                    index=bi, total=len(batches),
+                    execution_time=elapsed,
+                    status=(
+                        "success" if (bs, be) in succeeded else "error"
+                    ),
+                ))
+        return _result(
+            succeeded, failed,
             f"MICROBATCH ({len(batches)} {size} batches, concurrent "
             f"backfill: 1 create + 1 unioned append, "
             f"{batches[0][0].isoformat(sep=' ')} → "
-            f"{batches[-1][1].isoformat(sep=' ')})"
+            f"{batches[-1][1].isoformat(sep=' ')})",
         )
 
+    succeeded, failed = [], []
     try:
         for bi, (bs, be) in enumerate(batches, start=1):
             import time as _time
@@ -300,81 +481,106 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                     batch_end=be.isoformat(sep=" "),
                     index=bi, total=len(batches),
                 ))
-            compiler.event_time_bounds = (bs.isoformat(sep=" "),
-                                          be.isoformat(sep=" "))
-            compiler.compile_node(node, is_incremental=not first_build)
-            window = (
-                f"{bt(et)} >= TIMESTAMP '{bs.isoformat(sep=' ')}' AND "
-                f"{bt(et)} < TIMESTAMP '{be.isoformat(sep=' ')}'"
-            )
-            # The model OUTPUT is constrained to the batch window too —
-            # input-side event_time filters are the efficiency path, but
-            # an input WITHOUT an event_time config would otherwise
-            # re-emit its whole history every batch, duplicating rows on
-            # every rerun (window replace removes only in-window rows).
-            src_sql = (
-                f"SELECT * FROM ({node.compiled_code}) __sparkt_mb "
-                f"WHERE {window}"
-            )
-            if not ctx.adapter.relation_exists(rel):
-                check_contract(ctx, node)
-                ctx.adapter.create_table_as(
-                    rel, select_sql=src_sql, partition_by=partition_by
+            try:
+                compiler.event_time_bounds = (bs.isoformat(sep=" "),
+                                              be.isoformat(sep=" "))
+                # a retry against a table whose create batch failed has
+                # no relation yet: compile non-incrementally so
+                # is_incremental() blocks (which reference {{ this }})
+                # don't resolve a missing table
+                compiler.compile_node(
+                    node,
+                    is_incremental=(
+                        not first_build
+                        and ctx.adapter.relation_exists(rel)
+                    ),
                 )
-            elif first_build:
-                # initial backfill: windows tile disjointly (pinned by
-                # the tiling property test) and the target holds only
-                # prior batches, so a plain APPEND is exact — the
-                # union-rewrite here would rewrite the whole table once
-                # per batch (O(n_batches²) data written)
-                cols = ", ".join(
-                    bt(c)
-                    for c, _ in ctx.adapter.get_columns_in_relation(rel)
+                window = (
+                    f"{bt(et)} >= TIMESTAMP '{bs.isoformat(sep=' ')}' "
+                    f"AND {bt(et)} < TIMESTAMP '{be.isoformat(sep=' ')}'"
                 )
-                ctx.adapter.insert_into(
-                    rel,
-                    f"({cols}) SELECT {cols} FROM ({src_sql}) __mb_ins",
+                # The model OUTPUT is constrained to the batch window
+                # too — input-side event_time filters are the
+                # efficiency path, but an input WITHOUT an event_time
+                # config would otherwise re-emit its whole history
+                # every batch, duplicating rows on every rerun (window
+                # replace removes only in-window rows).
+                src_sql = (
+                    f"SELECT * FROM ({node.compiled_code}) __sparkt_mb "
+                    f"WHERE {window}"
                 )
-            elif file_format in ("delta", "iceberg"):
-                # file-level window replace, no table rewrite
-                ctx.adapter.execute(
-                    f"INSERT INTO {rel.render()} "
-                    f"REPLACE WHERE {window} {src_sql}"
-                )
-            else:
-                cols = ", ".join(
-                    bt(c)
-                    for c, _ in ctx.adapter.get_columns_in_relation(rel)
-                )
-                # NULL event_time rows live in NO window: the keep side
-                # must retain them explicitly (NOT(window) is NULL for
-                # them, which a bare WHERE would silently drop — and
-                # would diverge from the REPLACE WHERE path, which
-                # keeps them)
-                merged = (
-                    f"WITH __sparkt_src AS ({src_sql}) "
-                    f"SELECT {cols} FROM __sparkt_src UNION ALL "
-                    f"SELECT {cols} FROM {rel.render()} "
-                    f"WHERE {bt(et)} IS NULL OR NOT ({window})"
-                )
-                ctx.adapter.create_table_as(
-                    rel, select_sql=merged, partition_by=partition_by
-                )
+                if not ctx.adapter.relation_exists(rel):
+                    check_contract(ctx, node)
+                    ctx.adapter.create_table_as(
+                        rel, select_sql=src_sql,
+                        partition_by=partition_by,
+                    )
+                elif first_build:
+                    # initial backfill: windows tile disjointly (pinned
+                    # by the tiling property test) and the target holds
+                    # only prior batches, so a plain APPEND is exact —
+                    # the union-rewrite here would rewrite the whole
+                    # table once per batch (O(n_batches²) data written)
+                    cols = ", ".join(
+                        bt(c) for c, _ in
+                        ctx.adapter.get_columns_in_relation(rel)
+                    )
+                    ctx.adapter.insert_into(
+                        rel,
+                        f"({cols}) SELECT {cols} "
+                        f"FROM ({src_sql}) __mb_ins",
+                    )
+                elif file_format in ("delta", "iceberg"):
+                    # file-level window replace, no table rewrite
+                    ctx.adapter.execute(
+                        f"INSERT INTO {rel.render()} "
+                        f"REPLACE WHERE {window} {src_sql}"
+                    )
+                else:
+                    cols = ", ".join(
+                        bt(c) for c, _ in
+                        ctx.adapter.get_columns_in_relation(rel)
+                    )
+                    # NULL event_time rows live in NO window: the keep
+                    # side must retain them explicitly (NOT(window) is
+                    # NULL for them, which a bare WHERE would silently
+                    # drop — and would diverge from the REPLACE WHERE
+                    # path, which keeps them)
+                    merged = (
+                        f"WITH __sparkt_src AS ({src_sql}) "
+                        f"SELECT {cols} FROM __sparkt_src UNION ALL "
+                        f"SELECT {cols} FROM {rel.render()} "
+                        f"WHERE {bt(et)} IS NULL OR NOT ({window})"
+                    )
+                    ctx.adapter.create_table_as(
+                        rel, select_sql=merged, partition_by=partition_by
+                    )
+                succeeded.append((bs, be))
+                status = "success"
+            except Exception as e:  # noqa: BLE001 — dbt 1.9: a failed
+                # batch is recorded and the run CONTINUES (later
+                # batches are independent windows; retry heals this one
+                # via the idempotent window replace). The append path
+                # stays exact for the survivors: a batch whose insert
+                # failed contributed no rows to its window.
+                failed.append(((bs, be), f"{type(e).__name__}: {e}"))
+                status = "error"
             if events is not None:
                 events.fire(EV.MicrobatchExecutionCompleted(
                     unique_id=node.unique_id,
                     batch_start=bs.isoformat(sep=" "),
                     index=bi, total=len(batches),
                     execution_time=_time.time() - _t0,
+                    status=status,
                 ))
     finally:
         compiler.event_time_bounds = None
-    node.relation = rel
-    return (
+    return _result(
+        succeeded, failed,
         f"MICROBATCH ({len(batches)} {size} batch"
         f"{'es' if len(batches) != 1 else ''}, "
         f"{batches[0][0].isoformat(sep=' ')} → "
-        f"{batches[-1][1].isoformat(sep=' ')})"
+        f"{batches[-1][1].isoformat(sep=' ')})",
     )
 
 

@@ -65,11 +65,18 @@ class RunResult:
     thread: str = ""
     # v5 TimingInfo entries ({name, started_at, completed_at})
     timing: list = field(default_factory=list)
+    # microbatch per-batch outcomes (run-results v6 BatchResults:
+    # {successful: [[start,end],...], failed: [[start,end],...]}) —
+    # None for every non-microbatch node
+    batch_results: dict | None = None
 
     def to_dict(self) -> dict:
         # run-results v5 RunResultOutput — additionalProperties: false,
-        # all 11 keys required (schemas/dbt/run-results/v5.json)
-        return {
+        # all 11 keys required (schemas/dbt/run-results/v5.json);
+        # batch_results is the v6 extension key, emitted only when a
+        # microbatch node actually produced batches so plain artifacts
+        # still validate against the published v5 schema
+        out = {
             "status": self.status,
             "timing": self.timing,
             "thread_id": self.thread,
@@ -82,6 +89,9 @@ class RunResult:
             "compiled_code": None,
             "relation_name": None,
         }
+        if self.batch_results is not None:
+            out["batch_results"] = self.batch_results
+        return out
 
 
 @dataclass
@@ -294,7 +304,8 @@ class Runner:
                     node.relation, node.config["grants"]
                 )
             self._write_compiled(node)
-            if isinstance(out, dict):  # tests return status dicts
+            if isinstance(out, dict):
+                # tests + microbatch return status dicts
                 return RunResult(
                     unique_id=node.unique_id,
                     status=out.get("status", "success"),
@@ -303,6 +314,7 @@ class Runner:
                     execution_time=time.time() - start,
                     thread=threading.current_thread().name,
                     timing=timing(),
+                    batch_results=out.get("batch_results"),
                 )
             return RunResult(
                 unique_id=node.unique_id,
@@ -412,6 +424,7 @@ class Runner:
         store_failures: bool = False,
         write_json: bool = True,
         export_saved_queries: bool = False,
+        retry_batches: dict | None = None,
     ) -> RunResults:
         t0 = time.time()
         # --warn-error (blanket) + --warn-error-options (granular
@@ -546,6 +559,9 @@ class Runner:
                 # microbatch backfill window overrides
                 "event_time_start": event_time_start,
                 "event_time_end": event_time_end,
+                # retry: per-uid failed batch windows from the prior
+                # run_results — microbatch re-runs ONLY these
+                "retry_batches": retry_batches,
                 # per-batch structured events (Q043/Q044)
                 "events": self.events,
                 # --store-failures blanket enable for data tests
@@ -739,9 +755,21 @@ class Runner:
         # add test edges and execute tests the first invocation never
         # ran. args.which is recorded in run-results v5.
         with open(path) as f:
-            prior_which = (json.load(f).get("args") or {}).get("which")
+            prior = json.load(f)
+        prior_which = (prior.get("args") or {}).get("which")
+        # dbt 1.9 batch retry: a partial-success microbatch node re-runs
+        # ONLY its failed batch windows (idempotent window replace), not
+        # the whole lookback
+        retry_batches = {
+            r["unique_id"]: r["batch_results"]["failed"]
+            for r in prior.get("results", [])
+            if (r.get("batch_results") or {}).get("failed")
+            and r.get("status") in ("partial success", "error")
+        }
         return self.execute_nodes(which=prior_which or "build",
-                                  only_uids=bad, **kw)
+                                  only_uids=bad,
+                                  retry_batches=retry_batches or None,
+                                  **kw)
 
     def clone(self, state: str, select: str | None = None) -> list[str]:
         """Copy relations recorded in a --state manifest into this

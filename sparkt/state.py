@@ -174,7 +174,10 @@ def retry_candidates(run_results_path: str) -> set[str]:
     (``core/dbt/task/retry.py``)."""
     with open(run_results_path) as f:
         raw = json.load(f)
-    bad = {"error", "fail", "skipped"}
+    # 'partial success' (dbt 1.9): a microbatch node with failed
+    # batches — retry re-runs only those windows (runner.retry passes
+    # them through as retry_batches)
+    bad = {"error", "fail", "skipped", "partial success"}
     return {
         r["unique_id"]
         for r in raw.get("results", [])

