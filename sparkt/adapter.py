@@ -644,6 +644,20 @@ class SparkAdapter:
             )
         self._gc_old_versions(relation, keep=loc)
 
+    def shallow_clone(self, target: Relation, source_name: str) -> None:
+        """Delta zero-copy clone (reference ``core/dbt/task/clone.py:18-126``
+        + public dbt-spark ``spark__can_clone_table``: delta only):
+        ``CREATE OR REPLACE TABLE ... SHALLOW CLONE`` copies table
+        metadata, not data files — the right clone at 100 TB. This
+        sandbox has no delta runtime, so execution is cluster-only; the
+        emitted statement is pinned by a golden test and plain-parquet
+        clones fall back to CTAS in ``Runner.clone``."""
+        self.execute(
+            f"CREATE OR REPLACE TABLE {target.render()} "
+            f"SHALLOW CLONE {source_name}"
+        )
+        self._record(target, kind="table", cloned_from=source_name)
+
     @staticmethod
     def merge_into_sql(
         target: Relation,

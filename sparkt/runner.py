@@ -791,9 +791,17 @@ class Runner:
             target_rel = self.compiler.relation_for(node)
             if src_name == target_rel.render():
                 continue
-            self.adapter.create_table_as(
-                target_rel, select_sql=f"SELECT * FROM {src_name}"
-            )
+            file_format = str(
+                (node.config or {}).get("file_format") or "parquet"
+            ).lower()
+            if file_format == "delta":
+                # zero-copy metadata clone (dbt-spark can_clone_table:
+                # delta only; iceberg/parquet take the CTAS path)
+                self.adapter.shallow_clone(target_rel, src_name)
+            else:
+                self.adapter.create_table_as(
+                    target_rel, select_sql=f"SELECT * FROM {src_name}"
+                )
             cloned.append(target_rel.render())
         return cloned
 
