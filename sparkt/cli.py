@@ -49,9 +49,19 @@ def _mk_runner(project_dir, vars_, partial_parse=None):
     from sparkt.exceptions import SparktError
 
     cli_vars = yaml.safe_load(vars_) if vars_ else {}
+    # record/replay support bundle — same env contract as the reference
+    # dbt-common record engine (DBT_RECORDER_MODE=record|replay +
+    # DBT_RECORDER_FILE_PATH); see sparkt/record.py
+    mode = os.environ.get("DBT_RECORDER_MODE", "").lower()
+    rec_path = os.environ.get("DBT_RECORDER_FILE_PATH") or os.path.join(
+        project_dir, "target", "recording.jsonl"
+    )
+    record = rec_path if mode == "record" else None
+    replay = rec_path if mode == "replay" else None
     try:
         return Runner(project_dir, cli_vars=cli_vars,
-                      partial_parse=partial_parse)
+                      partial_parse=partial_parse,
+                      record=record, replay=replay)
     except SparktError as e:
         # parse/compile-time project errors get a one-line report, not a
         # Python traceback

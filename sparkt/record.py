@@ -1,0 +1,260 @@
+"""Record/replay support bundle (reference ``tests/functional/record/``
++ the dbt-common record engine behind ``DBT_RECORDER_MODE=record|replay``):
+capture every warehouse interaction of a run to a replayable JSONL, then
+re-run the same invocation WITHOUT a warehouse — recorded responses are
+served back call-for-call, so a support engineer can reproduce a user's
+run (scheduling, compilation, materialization dispatch, artifacts) from
+the bundle alone, no Spark session and no data.
+
+Shape: ``RecordingAdapter`` proxies a live ``SparkAdapter`` and appends
+``{method, params, result}`` lines for the warehouse-touching surface;
+``ReplayAdapter`` serves those lines back, matched by (method, params)
+as a FIFO per key — order-tolerant across worker threads, strict about
+content: an un-recorded call raises ``ReplayMismatch`` (the reference
+engine's "diff" failure mode).
+
+Replayable today: ``run`` of SQL models (view / table / first-build
+incremental and every ``execute``-routed statement, including jinja
+``statement``/``run_query`` and the compiler's introspection calls).
+Documented limits (lite scope): python models, seeds' CSV read, and the
+incremental schema-discovery ``spark.sql`` touch the session directly
+and need a live warehouse; ``sql_df`` (live DataFrame handoff) is
+forwarded in record mode but refuses in replay.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections import deque
+from contextlib import contextmanager
+
+from sparkt.exceptions import ExecutionError
+
+#: adapter methods whose calls + results constitute the warehouse
+#: interaction of a run (params JSON-canonicalized; results serialized)
+RECORDED_METHODS = (
+    "execute",
+    "create_schema",
+    "drop_schema",
+    "list_schemas",
+    "relation_exists",
+    "get_relation",
+    "list_relations",
+    "get_columns_in_relation",
+    "partition_columns",
+    "create_table_as",
+    "create_view_as",
+    "insert_into",
+    "insert_overwrite",
+    "drop_relation",
+    "rename_relation",
+    "alter_table_add_columns",
+    "register_external_table",
+    "apply_grants",
+    "get_grants",
+    "optimize_table",
+    "calculate_freshness",
+    "calculate_freshness_from_metadata",
+)
+
+
+class ReplayMismatch(ExecutionError):
+    """A replayed invocation diverged from the recording."""
+
+
+def _simple(v):
+    """JSON-safe canonical form of a call parameter."""
+    from sparkt.relation import Relation
+
+    if isinstance(v, Relation):
+        return v.render()
+    if isinstance(v, (list, tuple)):
+        return [_simple(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _simple(x) for k, x in sorted(v.items())}
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    # DataFrames and other live objects: identity doesn't replay —
+    # record presence only
+    return f"<{type(v).__name__}>"
+
+
+def _key(method: str, args, kwargs) -> str:
+    return json.dumps(
+        [method, _simple(list(args)), _simple(kwargs or {})],
+        sort_keys=True, default=str,
+    )
+
+
+def _ser_result(method: str, result):
+    from sparkt.relation import Relation
+
+    if method == "execute":
+        status, res = result
+        return {
+            "status": status,
+            "column_names": list(res.column_names),
+            "rows": [
+                r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+                for r in res.rows
+            ],
+            "rows_affected": res.rows_affected,
+        }
+    if isinstance(result, Relation):
+        return {"__relation__": [result.schema, result.identifier]}
+    if isinstance(result, (list, tuple)):
+        return [_ser_result(method, x) for x in result]
+    if result is None or isinstance(result, (str, int, float, bool, dict)):
+        return result
+    return str(result)
+
+
+def _deser_result(method: str, raw):
+    from sparkt.adapter import ExecuteResult
+    from sparkt.relation import Relation
+
+    if method == "execute":
+        return raw["status"], ExecuteResult(
+            column_names=raw["column_names"],
+            rows=raw["rows"],  # dicts: name-indexable like Row
+            rows_affected=raw["rows_affected"],
+        )
+    if isinstance(raw, dict) and "__relation__" in raw:
+        s, i = raw["__relation__"]
+        return Relation(schema=s, identifier=i)
+    if isinstance(raw, list):
+        # tuples and lists both recorded as lists; consumers unpack
+        # positionally, so a list round-trip is transparent
+        return [_deser_result(method, x) for x in raw]
+    return raw
+
+
+class RecordingAdapter:
+    """Transparent proxy over a live adapter that appends the warehouse
+    interaction to ``path`` (one JSON object per line)."""
+
+    def __init__(self, inner, path: str):
+        self._inner = inner
+        self._path = path
+        self._lock = threading.Lock()
+        with open(path, "w"):
+            pass
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in RECORDED_METHODS and callable(attr):
+            def wrapped(*args, **kwargs):
+                result = attr(*args, **kwargs)
+                line = json.dumps(
+                    {
+                        "method": name,
+                        "key": _key(name, args, kwargs),
+                        "result": _ser_result(name, result),
+                    },
+                    default=str,
+                )
+                with self._lock, open(self._path, "a") as f:
+                    f.write(line + "\n")
+                return result
+
+            return wrapped
+        return attr
+
+
+class ReplayAdapter:
+    """Serves a recorded run back with NO warehouse: recorded methods
+    return their captured responses (FIFO per (method, params) key);
+    cache/session bookkeeping no-ops; anything else raises."""
+
+    type_name = "spark"
+    #: replay never opens a session
+    spark = None
+
+    def __init__(self, path: str):
+        self._lock = threading.Lock()
+        self._queues: dict[str, deque] = {}
+        with open(path) as f:
+            for line in f:
+                entry = json.loads(line)
+                self._queues.setdefault(
+                    entry["key"], deque()
+                ).append(entry)
+
+    # ------------------------------------------------- recorded surface
+    def _serve(self, name, args, kwargs):
+        key = _key(name, args, kwargs)
+        with self._lock:
+            q = self._queues.get(key)
+            if not q:
+                raise ReplayMismatch(
+                    f"replay: no recorded response for {name} with "
+                    f"params {key} — the invocation diverged from the "
+                    "recording"
+                )
+            entry = q.popleft()
+        return _deser_result(name, entry["result"])
+
+    def __getattr__(self, name):
+        # dataclass-style attrs resolved normally; only method lookups
+        # reach here
+        if name in RECORDED_METHODS:
+            def served(*args, **kwargs):
+                return self._serve(name, args, kwargs)
+
+            return served
+        raise AttributeError(name)
+
+    def remaining(self) -> int:
+        """Recorded calls the replay never consumed (diff surface)."""
+        return sum(len(q) for q in self._queues.values())
+
+    # ------------------------------------------- session bookkeeping
+    def quote(self, identifier: str) -> str:
+        from sparkt.relation import quote_identifier
+
+        return quote_identifier(identifier)
+
+    def set_query_header(self, comment, append: bool = False) -> None:
+        pass
+
+    def set_relations_cache(self, relations) -> None:
+        pass
+
+    def cache_added(self, relation) -> None:
+        pass
+
+    def pre_model_hook(self, config: dict) -> dict:
+        return {}
+
+    def post_model_hook(self, config: dict, context: dict) -> None:
+        pass
+
+    def clear_transaction(self) -> None:
+        pass
+
+    def commit_if_has_connection(self) -> None:
+        pass
+
+    def is_cancelable(self) -> bool:
+        return False
+
+    def cancel_open_connections(self) -> None:
+        pass
+
+    def supports(self, capability: str) -> bool:
+        return False
+
+    @contextmanager
+    def connection_named(self, name: str):
+        yield
+
+    @contextmanager
+    def defer_catalog_saves(self):
+        yield
+
+    def sql_df(self, sql: str):
+        raise ReplayMismatch(
+            "replay: sql_df hands over a live DataFrame and cannot be "
+            "served from a recording"
+        )

@@ -140,14 +140,29 @@ class Runner:
         cli_vars: dict | None = None,
         project_overrides: dict | None = None,
         partial_parse: bool | None = None,
+        record: str | None = None,
+        replay: str | None = None,
     ):
         self.project: Project = load_project(project_root, project_overrides)
-        if spark is None:
-            from sparkt.session import get_spark
+        if replay is not None:
+            # record/replay support bundle (sparkt/record.py): replay a
+            # captured run WITHOUT a warehouse — no SparkSession is
+            # created; a touch of self.spark is itself a divergence
+            from sparkt.record import ReplayAdapter
 
-            spark = get_spark()
-        self.spark = spark
-        self.adapter = SparkAdapter(spark, self.project.warehouse_dir)
+            self.spark = spark  # usually None; replay never uses it
+            self.adapter = ReplayAdapter(replay)
+        else:
+            if spark is None:
+                from sparkt.session import get_spark
+
+                spark = get_spark()
+            self.spark = spark
+            self.adapter = SparkAdapter(spark, self.project.warehouse_dir)
+            if record is not None:
+                from sparkt.record import RecordingAdapter
+
+                self.adapter = RecordingAdapter(self.adapter, record)
         self.cli_vars = cli_vars or {}
         self.loader = ManifestLoader(self.project, self.cli_vars)
         # --no-partial-parse / DBT_PARTIAL_PARSE=0 (reference

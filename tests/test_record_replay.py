@@ -1,0 +1,128 @@
+"""Record/replay support bundle (reference ``tests/functional/record/``
++ dbt-common record engine): capture a run's warehouse interactions to
+JSONL, replay the invocation warehouse-free, diff run_results."""
+
+from __future__ import annotations
+
+import os
+
+FILES = {
+    "dbt_project.yml": "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+    "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+    "models/a.sql": "select * from {{ ref('raw') }}",
+    "models/b.sql": (
+        "{{ config(materialized='table') }}\n"
+        "select sum(v) as s from {{ ref('a') }}"
+    ),
+    "models/c.sql": (
+        "{{ config(materialized='incremental') }}\n"
+        "select * from {{ ref('b') }}"
+    ),
+}
+
+
+def test_record_then_replay_warehouse_free(make_project, spark, tmp_path):
+    """A recorded `run` replays with NO SparkSession: every adapter
+    response is served from the bundle, statuses match the original,
+    and the recording is fully consumed (the reference engine's
+    replay-diff contract)."""
+    rec = str(tmp_path / "recording.jsonl")
+    runner = make_project(FILES, schema="t_rr")
+    assert runner.seed().ok
+
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr"}, record=rec,
+    )
+    res = recording.run()
+    assert res.ok, [r.message for r in res.results]
+    assert os.path.getsize(rec) > 0
+    baseline = {r.unique_id: r.status for r in res.results}
+
+    # replay: spark=None proves no session is created or touched — any
+    # warehouse access would AttributeError on None
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr"}, replay=rec,
+    )
+    assert replaying.spark is None
+    res2 = replaying.run()
+    assert {r.unique_id: r.status for r in res2.results} == baseline
+    assert res2.ok
+    # the replay consumed the full recording — a leftover call is a
+    # divergence (something the original did that the replay skipped)
+    assert replaying.adapter.remaining() == 0
+
+
+def test_replay_divergence_raises(make_project, spark, tmp_path):
+    """A replayed invocation whose compiled SQL differs from the
+    recording fails loudly (ReplayMismatch), never silently invents
+    results."""
+    rec = str(tmp_path / "recording.jsonl")
+    files = dict(FILES)
+    files["models/b.sql"] = (
+        "{{ config(materialized='table') }}\n"
+        "select sum(v) {{ '+ 1' if var('drift', false) else '' }} as s "
+        "from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_rr_div")
+    assert runner.seed().ok
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_div"}, record=rec,
+    )
+    assert recording.run().ok
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        cli_vars={"drift": True},  # compiled SQL now differs
+        project_overrides={"schema": "t_rr_div"}, replay=rec,
+    )
+    res = replaying.run()
+    drifted = next(r for r in res.results if r.unique_id == "model.rr.b")
+    assert drifted.status == "error"
+    assert "replay" in drifted.message and "diverged" in drifted.message
+
+
+def test_record_env_contract_cli(make_project, spark, tmp_path):
+    """DBT_RECORDER_MODE=record + DBT_RECORDER_FILE_PATH (the reference
+    dbt-common env contract) produce a bundle through the CLI path."""
+    import subprocess
+    import sys
+
+    runner = make_project(FILES, schema="t_rr_cli")
+    root = runner.project.project_root
+    rec = str(tmp_path / "cli_recording.jsonl")
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo",
+    )
+    # the seed runs in the SAME cross-process world the record run will
+    # see (the pytest session's in-memory tables are invisible to a
+    # subprocess)
+    seed = subprocess.run(
+        [sys.executable, "-m", "sparkt", "seed",
+         "--project-dir", root],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert seed.returncode == 0, seed.stderr[-2000:]
+    env["DBT_RECORDER_MODE"] = "record"
+    env["DBT_RECORDER_FILE_PATH"] = rec
+    out = subprocess.run(
+        [sys.executable, "-m", "sparkt", "run",
+         "--project-dir", root],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.getsize(rec) > 0
+    env["DBT_RECORDER_MODE"] = "replay"
+    out2 = subprocess.run(
+        [sys.executable, "-m", "sparkt", "run",
+         "--project-dir", root],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
