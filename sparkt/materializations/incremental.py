@@ -618,8 +618,21 @@ def materialize_incremental(ctx: MatContext, node):
         "incremental_strategy", "merge" if uk else "append"
     )
 
-    src_df = _source_df(ctx, node)
-    src_cols = [(f.name, f.dataType.simpleString()) for f in src_df.schema.fields]
+    if node.language == "python":
+        src_df = _source_df(ctx, node)
+        src_cols = [
+            (f.name, f.dataType.simpleString())
+            for f in src_df.schema.fields
+        ]
+    else:
+        # analysis-only schema discovery via the ADAPTER (DESCRIBE QUERY
+        # emits the same simpleString type forms), not a bare spark.sql
+        # — keeps the whole SQL incremental path on the recorded surface
+        # so record/replay covers it (sparkt/record.py)
+        _, res = ctx.adapter.execute(
+            f"DESCRIBE QUERY {node.compiled_code}", fetch=True
+        )
+        src_cols = [(r["col_name"], r["data_type"]) for r in res]
     tgt_cols = ctx.adapter.get_columns_in_relation(rel)
     types = dict(tgt_cols)
     for n, t in src_cols:

@@ -55,6 +55,28 @@ def test_record_then_replay_warehouse_free(make_project, spark, tmp_path):
     # divergence (something the original did that the replay skipped)
     assert replaying.adapter.remaining() == 0
 
+    # SECOND invocation: model c now takes the INCREMENTAL path, whose
+    # schema discovery goes through the adapter (DESCRIBE QUERY) — the
+    # whole SQL incremental flow must replay too
+    rec2 = str(tmp_path / "recording2.jsonl")
+    recording2 = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr"}, record=rec2,
+    )
+    res3 = recording2.run()
+    assert res3.ok
+    inc = next(r for r in res3.results if r.unique_id == "model.rr.c")
+    assert "INSERT INTO" in inc.message  # the incremental append path
+    replaying2 = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr"}, replay=rec2,
+    )
+    res4 = replaying2.run()
+    assert {r.unique_id: r.status for r in res4.results} == {
+        r.unique_id: r.status for r in res3.results
+    }
+    assert res4.ok and replaying2.adapter.remaining() == 0
+
 
 def test_replay_divergence_raises(make_project, spark, tmp_path):
     """A replayed invocation whose compiled SQL differs from the
