@@ -53,9 +53,9 @@ def _mk_runner(project_dir, vars_, partial_parse=None):
     # dbt-common record engine (DBT_RECORDER_MODE=record|replay +
     # DBT_RECORDER_FILE_PATH); see sparkt/record.py
     mode = os.environ.get("DBT_RECORDER_MODE", "").lower()
-    rec_path = os.environ.get("DBT_RECORDER_FILE_PATH") or os.path.join(
-        project_dir, "target", "recording.jsonl"
-    )
+    # True = default bundle path; the Runner resolves it against the
+    # project's REAL target dir (target-path config aware)
+    rec_path = os.environ.get("DBT_RECORDER_FILE_PATH") or True
     record = rec_path if mode == "record" else None
     replay = rec_path if mode == "replay" else None
     try:

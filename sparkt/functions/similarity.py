@@ -152,21 +152,26 @@ def hard_negatives(
     )
 
 
-def hyperplane_bits(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Deterministic pseudo-random hyperplane sign bits.
-
-    Plane p's weight for dimension d is derived from md5(p|d) hex →
-    integer in [-500, 500] — fully reproducible on any engine, no RNG
-    state to ship."""
+def _plane_weights(p: int, dim: int) -> list[float]:
+    """Plane p's weights: md5(p|d) hex → integer in [-500, 500] —
+    fully reproducible on any engine, no RNG state to ship. The ONE
+    definition shared by :func:`hyperplane_bits` and the s4 DuckDB
+    oracle (``sparkt/queries/pipeline.py:_s4_sql``): tuning the scheme
+    here keeps the oracle in lockstep automatically."""
     import hashlib
 
+    return [
+        float((int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
+               % 1001) - 500)
+        for d in range(dim)
+    ]
+
+
+def hyperplane_bits(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Deterministic pseudo-random hyperplane sign bits."""
     bits = []
     for p in range(n_planes):
-        weights = [
-            float((int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
-                   % 1001) - 500)
-            for d in range(dim)
-        ]
+        weights = _plane_weights(p, dim)
         proj = F.aggregate(
             F.zip_with(vec, _const_array(weights), lambda x, w: x * w),
             F.lit(0.0).cast("double"),

@@ -182,6 +182,21 @@ def _set_microbatch_complete(ctx, rel) -> None:
         pass
 
 
+def _clear_microbatch_complete(ctx, rel) -> None:
+    """Drop the completion marker BEFORE the first batch write of a
+    run: on parquet the CTAS swap would drop it incidentally, but on
+    delta/iceberg ``REPLACE WHERE``/``MERGE`` preserve TBLPROPERTIES —
+    without the explicit clear, a crash mid-run would leave last run's
+    'true' marker and crash detection would never fire."""
+    try:
+        ctx.adapter.execute(
+            f"ALTER TABLE {rel.render()} UNSET TBLPROPERTIES IF EXISTS "
+            f"('{_MB_COMPLETE_PROP}')"
+        )
+    except Exception:
+        pass
+
+
 def _target_max_event_time(ctx, rel, et):
     _, res = ctx.adapter.execute(
         f"SELECT max({bt(et)}) AS mx FROM {rel.render()}", fetch=True
@@ -346,6 +361,12 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
             f"{bt(et)} < TIMESTAMP '{be.isoformat(sep=' ')}'"
         )
         return f"SELECT * FROM ({sql}) __sparkt_mb WHERE {window}"
+
+    # mark the run in-flight: a crash between here and the final
+    # marker re-set must be detectable on the next run even on table
+    # formats whose writes preserve properties
+    if ctx.adapter.relation_exists(rel):
+        _clear_microbatch_complete(ctx, rel)
 
     def _win(bs, be):
         return [bs.isoformat(sep=" "), be.isoformat(sep=" ")]

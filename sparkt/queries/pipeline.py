@@ -460,41 +460,32 @@ def s4_ann_methods(spark, sf_dir):
 
 
 def _s4_sql() -> str:
-    """DuckDB exact emulation of s4's two ANN paths. The Python here
-    only regenerates the same md5-derived constants the Spark operators
-    embed (similarity.hyperplane_bits / _pseudo_centroids) and inlines
-    them as SQL literals; all data computation is DuckDB SQL. Tie-break
-    parity: Spark's ``array_max`` over (score, cell) structs picks the
-    LARGEST cell on score ties, matched by taking the first position of
-    the max in the REVERSED score list."""
-    import hashlib
+    """DuckDB exact emulation of s4's two ANN paths. The constants come
+    from the SAME helpers the Spark operators use
+    (``similarity._plane_weights`` / ``similarity._pseudo_centroids``)
+    inlined as SQL literals, so tuning the hashing scheme there keeps
+    this oracle in lockstep; all data computation is DuckDB SQL.
+    Tie-break parity: Spark's ``array_max`` over (score, cell) structs
+    picks the LARGEST cell on score ties, matched by taking the first
+    position of the max in the REVERSED score list."""
+    from sparkt.functions.similarity import (
+        _plane_weights,
+        _pseudo_centroids,
+    )
 
     dim, n_planes, n_cells, k = 64, 4, 8, 5
-
-    def plane(p):
-        return [
-            float((int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8],
-                       16) % 1001) - 500)
-            for d in range(dim)
-        ]
-
-    def cent(j):
-        return [
-            ((int(hashlib.md5(f"c{j}|{d}".encode()).hexdigest()[:8],
-                  16) % 2001) - 1000) / 1000.0
-            for d in range(dim)
-        ]
+    cents = _pseudo_centroids(dim, n_cells)
 
     def arr(vals):
         return "[" + ", ".join(repr(v) for v in vals) + "]"
 
     bucket_bits = " || ".join(
-        f"(CASE WHEN list_dot_product(v, {arr(plane(p))}) >= 0 "
-        "THEN '1' ELSE '0' END)"
+        f"(CASE WHEN list_dot_product(v, {arr(_plane_weights(p, dim))}) "
+        ">= 0 THEN '1' ELSE '0' END)"
         for p in range(n_planes)
     )
     cell_scores = ", ".join(
-        f"list_dot_product(v, {arr(cent(j))})" for j in range(n_cells)
+        f"list_dot_product(v, {arr(c)})" for c in cents
     )
     return f"""
 WITH e AS (

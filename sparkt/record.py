@@ -13,13 +13,16 @@ as a FIFO per key — order-tolerant across worker threads, strict about
 content: an un-recorded call raises ``ReplayMismatch`` (the reference
 engine's "diff" failure mode).
 
-Replayable today: ``run`` of SQL models (view / table / first-build
-incremental and every ``execute``-routed statement, including jinja
-``statement``/``run_query`` and the compiler's introspection calls).
-Documented limits (lite scope): python models, seeds' CSV read, and the
-incremental schema-discovery ``spark.sql`` touch the session directly
-and need a live warehouse; ``sql_df`` (live DataFrame handoff) is
-forwarded in record mode but refuses in replay.
+Replayable today: ``run`` of SQL models — view / table / the full
+incremental flow (schema discovery routes through the adapter as
+``DESCRIBE QUERY``) and every ``execute``-routed statement, including
+jinja ``statement``/``run_query`` and the compiler's introspection
+calls. Failing calls replay too: a recorded exception is re-raised as
+``ReplayedError`` carrying the original type + message, so a support
+engineer reproduces the user's failure, not a bogus divergence.
+Documented limits (lite scope): python models and seeds' CSV read touch
+the session directly and need a live warehouse; ``sql_df`` (live
+DataFrame handoff) is forwarded in record mode but refuses in replay.
 """
 
 from __future__ import annotations
@@ -61,6 +64,47 @@ RECORDED_METHODS = (
 
 class ReplayMismatch(ExecutionError):
     """A replayed invocation diverged from the recording."""
+
+
+class ReplayedError(ExecutionError):
+    """A recorded failure, re-raised during replay with the original
+    exception type + message so the bundle reproduces the user's
+    error."""
+
+
+class _ReplayRow:
+    """Row stand-in for replayed result sets: supports name indexing,
+    positional indexing, attribute access and ``asDict`` — the styles
+    jinja ``run_query`` consumers and internal callers actually use."""
+
+    __slots__ = ("_cols", "_vals")
+
+    def __init__(self, cols, vals):
+        object.__setattr__(self, "_cols", cols)
+        object.__setattr__(self, "_vals", vals)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self._vals[key]
+        return self._vals[self._cols.index(key)]
+
+    def __getattr__(self, name):
+        try:
+            return self._vals[self._cols.index(name)]
+        except ValueError:
+            raise AttributeError(name) from None
+
+    def __iter__(self):
+        return iter(self._vals)
+
+    def __len__(self):
+        return len(self._vals)
+
+    def asDict(self, recursive: bool = False):  # noqa: N802 — Row parity
+        return dict(zip(self._cols, self._vals))
+
+    def __repr__(self):
+        return f"ReplayRow({self.asDict()})"
 
 
 def _simple(v):
@@ -115,9 +159,13 @@ def _deser_result(method: str, raw):
     from sparkt.relation import Relation
 
     if method == "execute":
+        cols = raw["column_names"]
         return raw["status"], ExecuteResult(
-            column_names=raw["column_names"],
-            rows=raw["rows"],  # dicts: name-indexable like Row
+            column_names=cols,
+            rows=[
+                _ReplayRow(list(r.keys()) or cols, list(r.values()))
+                for r in raw["rows"]
+            ],
             rows_affected=raw["rows_affected"],
         )
     if isinstance(raw, dict) and "__relation__" in raw:
@@ -135,27 +183,44 @@ class RecordingAdapter:
     interaction to ``path`` (one JSON object per line)."""
 
     def __init__(self, inner, path: str):
+        import os
+
         self._inner = inner
         self._path = path
         self._lock = threading.Lock()
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(path, "w"):
             pass
+
+    def _append(self, entry: dict) -> None:
+        line = json.dumps(entry, default=str)
+        with self._lock, open(self._path, "a") as f:
+            f.write(line + "\n")
 
     def __getattr__(self, name):
         attr = getattr(self._inner, name)
         if name in RECORDED_METHODS and callable(attr):
             def wrapped(*args, **kwargs):
-                result = attr(*args, **kwargs)
-                line = json.dumps(
-                    {
-                        "method": name,
-                        "key": _key(name, args, kwargs),
-                        "result": _ser_result(name, result),
-                    },
-                    default=str,
-                )
-                with self._lock, open(self._path, "a") as f:
-                    f.write(line + "\n")
+                key = _key(name, args, kwargs)
+                try:
+                    result = attr(*args, **kwargs)
+                except Exception as e:
+                    # a failing run is the PRIMARY support-bundle use
+                    # case: capture the failure so replay reproduces it
+                    self._append({
+                        "method": name, "key": key,
+                        "error": {
+                            "type": type(e).__name__,
+                            "message": str(e),
+                        },
+                    })
+                    raise
+                self._append({
+                    "method": name, "key": key,
+                    "result": _ser_result(name, result),
+                })
                 return result
 
             return wrapped
@@ -193,6 +258,9 @@ class ReplayAdapter:
                     "recording"
                 )
             entry = q.popleft()
+        err = entry.get("error")
+        if err is not None:
+            raise ReplayedError(f"{err['type']}: {err['message']}")
         return _deser_result(name, entry["result"])
 
     def __getattr__(self, name):

@@ -140,10 +140,21 @@ class Runner:
         cli_vars: dict | None = None,
         project_overrides: dict | None = None,
         partial_parse: bool | None = None,
-        record: str | None = None,
-        replay: str | None = None,
+        record: str | bool | None = None,
+        replay: str | bool | None = None,
     ):
         self.project: Project = load_project(project_root, project_overrides)
+        # True = "default bundle location": resolved against the
+        # PROJECT's target dir (which honors target-path config), not a
+        # hardcoded <project>/target
+        if record is True:
+            record = os.path.join(
+                self.project.target_dir, "recording.jsonl"
+            )
+        if replay is True:
+            replay = os.path.join(
+                self.project.target_dir, "recording.jsonl"
+            )
         if replay is not None:
             # record/replay support bundle (sparkt/record.py): replay a
             # captured run WITHOUT a warehouse — no SparkSession is

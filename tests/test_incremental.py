@@ -1026,3 +1026,50 @@ def test_microbatch_replace_where_emission_on_delta(
         "AND `ts` < TIMESTAMP '2024-01-05 00:00:00' "
     )
     assert "SELECT * FROM (" in captured[0]
+
+
+def test_microbatch_marker_cleared_before_first_write(
+    make_project, spark, monkeypatch
+):
+    """Crash detection on table formats whose writes PRESERVE
+    TBLPROPERTIES (delta/iceberg REPLACE WHERE): the completion marker
+    from the previous green run must be UNSET before the first batch
+    write, or a mid-run crash would leave it standing and recovery
+    would never fire."""
+    runner = make_project(dict(_MB_FILES), schema="t_mb_unset")
+    assert runner.seed().ok
+    assert runner.run(event_time_end="2024-01-03 00:00:00").ok
+    props = {
+        r["key"]
+        for r in spark.sql(
+            "show tblproperties t_mb_unset.mb_daily"
+        ).collect()
+    }
+    assert "sparkt.microbatch.complete" in props
+
+    stmts = []
+    real = runner.adapter.execute
+
+    def spy(sql, fetch=False):
+        stmts.append(sql)
+        return real(sql, fetch)
+
+    monkeypatch.setattr(runner.adapter, "execute", spy)
+    assert runner.run(event_time_end="2024-01-05 00:00:00").ok
+    unset_idx = next(
+        i for i, s in enumerate(stmts) if "UNSET TBLPROPERTIES" in s
+    )
+    write_idx = next(
+        (i for i, s in enumerate(stmts)
+         if s.lstrip().upper().startswith(("INSERT", "CREATE"))),
+        len(stmts),
+    )
+    assert unset_idx < write_idx
+    # ...and the marker is back after the fully-green run
+    props = {
+        r["key"]
+        for r in spark.sql(
+            "show tblproperties t_mb_unset.mb_daily"
+        ).collect()
+    }
+    assert "sparkt.microbatch.complete" in props

@@ -148,3 +148,71 @@ def test_record_env_contract_cli(make_project, spark, tmp_path):
         env=env, capture_output=True, text=True, timeout=300,
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
+
+
+def test_replay_reproduces_recorded_failure(make_project, spark, tmp_path):
+    """A recorded FAILING run replays as the same failure (original
+    exception type + message via ReplayedError), not a bogus
+    divergence — the primary support-bundle use case."""
+    rec = str(tmp_path / "recording.jsonl")
+    files = dict(FILES)
+    files["models/b.sql"] = (
+        "{{ config(materialized='table') }}\n"
+        "select no_such_column from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_rr_fail")
+    assert runner.seed().ok
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_fail"}, record=rec,
+    )
+    res = recording.run()
+    assert not res.ok
+    orig = next(r for r in res.results if r.unique_id == "model.rr.b")
+    assert orig.status == "error"
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_fail"}, replay=rec,
+    )
+    res2 = replaying.run()
+    rep = next(r for r in res2.results if r.unique_id == "model.rr.b")
+    assert rep.status == "error"
+    # the original Spark error class is carried through, and it is NOT
+    # a divergence error
+    assert "AnalysisException" in rep.message
+    assert "diverged" not in rep.message
+
+
+def test_replay_rows_support_positional_indexing(
+    make_project, spark, tmp_path
+):
+    """jinja run_query consumers index rows positionally
+    (r.rows[0][0]); replayed rows must support it like Spark Rows."""
+    rec = str(tmp_path / "recording.jsonl")
+    files = {
+        "dbt_project.yml": "name: rr\nmodel-paths: [models]\n",
+        "models/pos.sql": (
+            "{% set q = run_query('select 41 + 1 as x') %}"
+            "select {{ q.rows[0][0] }} as v"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_pos")
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_pos"}, record=rec,
+    )
+    assert recording.run().ok
+    assert spark.table("t_rr_pos.pos").first()["v"] == 42
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_pos"}, replay=rec,
+    )
+    res = replaying.run()
+    assert res.ok, [r.message for r in res.results]
+    assert replaying.adapter.remaining() == 0
