@@ -124,3 +124,97 @@ def domain_quota(
         .filter(F.col("__rk2") <= cap)
         .drop("__rk1", "__rk2")
     )
+
+
+def rank_quantile_buckets(
+    df: DataFrame,
+    part_col: str,
+    score_col: str,
+    id_col: str,
+    cuts: tuple = (1 / 3, 2 / 3),
+    labels: tuple = ("head", "middle", "tail"),
+    coarse: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    two_phase: bool = True,
+) -> DataFrame:
+    """CCNet-style per-partition quality bucketing: rank every row
+    within its partition (language) by score DESC (best first, ties by
+    id ASC) and cut the ranking at ``cuts`` fractions — the published
+    CCNet recipe buckets each language's documents into head/middle/
+    tail thirds by LM perplexity (Wenzek et al. 2020); this is that
+    operator with any monotone score.
+
+    SKEW-SAFE TWO-PHASE RANK (default): a plain ``row_number() over
+    (partition by lang)`` sorts an entire language in ONE task — at
+    100 TB the 'en' partition is most of the corpus. Phase 1 buckets
+    rows by a COARSE monotone grid over the score (``floor((s-lo)/
+    (hi-lo)*coarse)``, clamped), ranks only within (partition,
+    grid-cell) — small, skew-free windows — and phase 2 adds the
+    cell's prefix count (a tiny partitions×coarse aggregate, window
+    over it is driver-cheap, then a broadcast-sized join back). Equal
+    scores always share a grid cell (the grid is a function of the
+    score), so global rank = cell offset + local rank EXACTLY equals
+    the single-window formulation — pinned by the parity test.
+    ``two_phase=False`` gives the naive single-window reference.
+
+    Bucket thresholds are rank-based (``rank <= ceil(n * cut)``), so
+    both engines compute them from the same integers — no engine-
+    specific percentile semantics in the contract.
+    """
+    s = F.col(score_col)
+    if two_phase:
+        cell = F.greatest(
+            F.least(
+                F.floor((s - F.lit(lo)) / F.lit(hi - lo) * coarse),
+                F.lit(coarse - 1),
+            ),
+            F.lit(0),
+        ).cast("long")
+        wd = df.withColumn("__cell", cell)
+        counts = wd.groupBy(part_col, "__cell").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w_off = (
+            Window.partitionBy(part_col)
+            .orderBy(F.desc("__cell"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_n = Window.partitionBy(part_col)
+        offsets = counts.withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        ).withColumn("__n", F.sum("__cnt").over(w_n))
+        w_local = Window.partitionBy(part_col, "__cell").orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        ranked = (
+            wd.withColumn("__lr", F.row_number().over(w_local))
+            .join(
+                F.broadcast(
+                    offsets.select(part_col, "__cell", "__off", "__n")
+                ),
+                [part_col, "__cell"],
+            )
+            .withColumn(
+                "rank", (F.col("__off") + F.col("__lr")).cast("long")
+            )
+        )
+    else:
+        w = Window.partitionBy(part_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        ranked = df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(part_col))
+        )
+    c1 = F.ceil(F.col("__n") * F.lit(cuts[0])).cast("long")
+    c2 = F.ceil(F.col("__n") * F.lit(cuts[1])).cast("long")
+    bucket = (
+        F.when(F.col("rank") <= c1, labels[0])
+        .when(F.col("rank") <= c2, labels[1])
+        .otherwise(labels[2])
+    )
+    return ranked.select(
+        part_col, id_col, score_col, "rank", bucket.alias("bucket")
+    )

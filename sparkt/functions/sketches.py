@@ -65,3 +65,99 @@ def approx_distinct_rollup(
     return fine.groupBy(*rollup_keys).agg(
         hll_merge("__sk").alias("approx_distinct")
     )
+
+
+# ------------------------------------------------------------- bloom
+def _bloom_positions(value: Column, m_bits: int, k_hashes: int) -> Column:
+    """The k bit positions of ``value``: md5("<i>|<value>") first 8 hex
+    chars → int mod m — engine-portable (DuckDB computes the identical
+    positions via ('0x'||substr(md5(...),1,8))::BIGINT)."""
+    return F.array(*[
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), value.cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % m_bits
+        )
+        for i in range(k_hashes)
+    ])
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 13,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``value_col`` as a (word_idx, bits)
+    table of 32-bit words — m_bits/32 rows total (256 rows at the
+    8192-bit default; 32-bit words because DuckDB raises on BIGINT
+    shifts of 63, and parity with the oracle outweighs halving rows), the set-membership sketch of the family above.
+
+    Scale shape: one explode (k rows per value) then ONE map-side-
+    combined ``bit_or`` groupBy onto ≤ m/32 word rows — the filter for
+    a 10-billion-key column is still just m/32 rows, broadcastable to
+    every probe task. MERGEABLE like the HLL rollup: union per-
+    partition/per-day word tables and ``bit_or`` groupBy again.
+    Deterministic (md5-derived positions, no RNG), so the DuckDB
+    oracle reproduces the exact filter INCLUDING its false positives.
+    FPR ≈ (1 - e^(-k·n/m))^k — size m for the expected key count.
+    """
+    pos = F.explode(
+        _bloom_positions(F.col(value_col), m_bits, k_hashes)
+    ).alias("pos")
+    ex = df.select(pos)
+    one = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    return ex.groupBy(
+        (F.col("pos") / F.lit(32)).cast("long").alias("word_idx")
+    ).agg(F.bit_or(one).alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 13,
+    k_hashes: int = 4,
+    carry_cols: list | None = None,
+) -> DataFrame:
+    """Probe: (id, value) → ``maybe_member`` (no false negatives;
+    false positives at the filter's FPR, deterministically — the gate
+    hash-matches them). Each value explodes to its k positions, joins
+    the BROADCAST word table on word_idx, and is a member iff ALL k
+    bits are set (an absent word row means unset bits).
+    ``carry_cols``: columns constant per (id, value) to ride through
+    the aggregation (e.g. a precomputed per-doc set size)."""
+    carry = list(carry_cols or [])
+    ex = df.select(
+        F.col(id_col),
+        F.col(value_col),
+        *[F.col(c) for c in carry],
+        F.explode(
+            _bloom_positions(F.col(value_col), m_bits, k_hashes)
+        ).alias("pos"),
+    ).withColumn(
+        "word_idx", (F.col("pos") / F.lit(32)).cast("long")
+    ).withColumn(
+        "mask",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"),
+    )
+    joined = ex.join(F.broadcast(bloom), "word_idx", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        != 0
+    ).cast("int")
+    return (
+        joined.groupBy(id_col, value_col, *carry)
+        .agg(F.sum(hit).alias("__hits"))
+        .select(
+            id_col,
+            value_col,
+            *carry,
+            (F.col("__hits") == k_hashes).alias("maybe_member"),
+        )
+    )

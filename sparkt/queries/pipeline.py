@@ -1360,6 +1360,146 @@ SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ p5
+def p5_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail bucketing (Wenzek et
+    al. 2020: each language's documents sorted by quality, cut into
+    thirds): rank within language by the t2 quality score DESC and
+    label by rank thresholds — the skew-safe two-phase rank in
+    sparkt.functions.sampling.rank_quantile_buckets (coarse score grid
+    + prefix offsets; no whole-language single-task sort). Exact
+    oracle: the two-phase rank provably equals the single-window
+    ranking."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    # the same floor-quantized quality expression the t2 gate pins
+    toks = TX.tokens(F.col("text"))
+    pre = docs.select("doc_id", "lang", "text", toks.alias("__toks"))
+    n = F.size("__toks")
+    alpha = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    stop = F.size(
+        F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS))
+    ) / F.greatest(n, F.lit(1))
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    q = F.floor(
+        (0.4 * length_term + 0.3 * alpha + 0.3 * stop) * 1_000_000
+    ) / 1_000_000
+    scored = pre.select("lang", "doc_id", q.alias("q"))
+    return SP.rank_quantile_buckets(
+        scored, "lang", "q", "doc_id"
+    ).orderBy("lang", "rank")
+
+
+_DK_QUALITY = f"""floor((0.4 * least(len({_DK_TOKENS}) / 100.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                      / greatest(length(text), 1))
+             + 0.3 * (len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) * 1.0
+                      / greatest(len({_DK_TOKENS}), 1))) * 1000000) / 1000000"""
+
+P5_SQL = f"""
+WITH scored AS (
+  SELECT lang, doc_id, {_DK_QUALITY} AS q FROM documents),
+r AS (
+  SELECT lang, doc_id, q,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored)
+SELECT lang, doc_id, q, rank,
+       CASE WHEN rank <= ceil(n * {1 / 3!r}) THEN 'head'
+            WHEN rank <= ceil(n * {2 / 3!r}) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r ORDER BY lang, rank
+"""
+
+
+# ----------------------------------------------------------------- d12
+def d12_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the benchmark shingle set folds
+    into an 8192-bit Bloom filter (256 32-bit words — constant-size,
+    broadcastable, MERGEABLE across eval suites), and corpus shingles
+    probe it instead of joining the raw bench set. At 100 TB the
+    filter stays a few KB while the d8 broadcast set grows with the
+    benchmark; false positives only INFLATE contamination (no false
+    negatives — nothing contaminated escapes), and because positions
+    are md5-derived the oracle reproduces the exact filter including
+    its false positives."""
+    from sparkt.functions import sketches as SK
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_sh = (
+        D.shingle_table(bench, "text", "doc_id", 3)
+        .select("sh").distinct()
+    )
+    corpus_sh = D.shingle_table(corpus, "text", "doc_id", 3)
+    bloom = SK.bloom_build(bench_sh, "sh", m_bits=1 << 13, k_hashes=4)
+    probed = SK.bloom_probe(
+        corpus_sh, "doc", "sh", bloom,
+        m_bits=1 << 13, k_hashes=4, carry_cols=["sz"],
+    )
+    return (
+        probed.groupBy("doc")
+        .agg(
+            F.min("sz").cast("long").alias("n_sh"),
+            F.sum(F.col("maybe_member").cast("int"))
+            .cast("long").alias("bloom_overlap"),
+        )
+        .withColumn(
+            "contamination",
+            F.floor(
+                F.col("bloom_overlap") / F.col("n_sh") * 1_000_000
+            ) / 1_000_000,
+        )
+        .filter(F.col("contamination") >= 0.05)
+        .orderBy("doc")
+    )
+
+
+D12_SQL = f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, s.sh
+  FROM documents, unnest({_DK_SHINGLES_K3}) AS s(sh)),
+bench AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 97 = 0),
+bpos AS (
+  SELECT (('0x' || substr(md5(iv.i::VARCHAR || '|' || sh), 1, 8))::BIGINT
+          % 8192) AS pos
+  FROM bench, (SELECT unnest([0, 1, 2, 3]) AS i) iv),
+bloom AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1),
+corpus AS (SELECT doc_id AS doc, sh FROM sh0 WHERE doc_id % 97 != 0),
+cpos AS (
+  SELECT doc, sh,
+         (('0x' || substr(md5(iv.i::VARCHAR || '|' || sh), 1, 8))::BIGINT
+          % 8192) AS pos
+  FROM corpus, (SELECT unnest([0, 1, 2, 3]) AS i) iv),
+cprobe AS (
+  SELECT doc, sh,
+         min(CASE WHEN coalesce(b.bits, 0)
+                       & (1::BIGINT << CAST(pos % 32 AS INT)) != 0
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM cpos LEFT JOIN bloom b ON b.word_idx = pos // 32
+  GROUP BY doc, sh),
+agg AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(maybe) AS BIGINT) AS bloom_overlap
+  FROM cprobe GROUP BY doc)
+SELECT doc, n_sh, bloom_overlap,
+       floor(bloom_overlap * 1.0 / n_sh * 1000000) / 1000000
+         AS contamination
+FROM agg
+WHERE floor(bloom_overlap * 1.0 / n_sh * 1000000) / 1000000 >= 0.05
+ORDER BY doc
+"""
+
+
 # ------------------------------------------------------------------ c2
 def c2_pack_offsets(spark, sf_dir):
     """Context-window packing offsets ("concatenate and split every
@@ -1525,6 +1665,8 @@ QUERIES = {
     "d8_decontaminate": d8_decontaminate,
     "p2_salted_join": p2_salted_join,
     "p3_stratified_sample": p3_stratified_sample,
+    "p5_quality_buckets": p5_quality_buckets,
+    "d12_bloom_decontaminate": d12_bloom_decontaminate,
     "t7_approx_sketch": t7_approx_sketch,
     "mm1_image_meta": mm1_image_meta,
 }
@@ -1564,6 +1706,8 @@ ORACLES = {
     "d8_decontaminate": D8_SQL,
     "p2_salted_join": P2_SQL,
     "p3_stratified_sample": P3_SQL,
+    "p5_quality_buckets": P5_SQL,
+    "d12_bloom_decontaminate": D12_SQL,
     "t7_approx_sketch": T7_SQL,
     "mm1_image_meta": MM1_SQL,
 }

@@ -1044,3 +1044,74 @@ def test_ivf_trained_centroids_use_l2_metric(spark):
         "vec_id", kmeans_assign(F.col("embedding"), cents).alias("cell")
     )
     assert assigned.select("cell").distinct().count() >= 2
+
+
+def test_rank_quantile_buckets_two_phase_equals_single_window(spark):
+    """The skew-safe coarse-grid + prefix-offset rank must EXACTLY
+    equal the naive single-window formulation (p5's scale guarantee),
+    including ties and scores pinned to grid-cell boundaries."""
+    from sparkt.functions.sampling import rank_quantile_buckets
+
+    rows = []
+    for i in range(400):
+        # deliberately collide scores (ties) and hit exact grid edges
+        s = ((i * 37) % 64) / 64.0
+        rows.append((f"lang{i % 3}", i, s))
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "q"])
+    fast = rank_quantile_buckets(
+        df, "lang", "q", "doc_id", two_phase=True
+    )
+    ref = rank_quantile_buckets(
+        df, "lang", "q", "doc_id", two_phase=False
+    )
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+    # the cut is a partition of each language: every label present,
+    # head counts = ceil(n/3)
+    counts = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in fast.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import math
+
+    for lang in ("lang0", "lang1", "lang2"):
+        n = sum(v for (lg, _b), v in counts.items() if lg == lang)
+        assert counts[(lang, "head")] == math.ceil(n / 3)
+
+
+def test_bloom_filter_membership_and_merge(spark):
+    """Bloom invariants: NO false negatives ever; the filter built on
+    A∪B equals bit_or-merging the filters of A and B (the mergeable
+    rollup contract, same as the HLL sketches)."""
+    from sparkt.functions.sketches import bloom_build, bloom_probe
+
+    a = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(0, 60)], ["id", "v"]
+    )
+    b = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(60, 120)], ["id", "v"]
+    )
+    out = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(2000)], ["id", "v"]
+    )
+    bloom_ab = bloom_build(a.union(b), "v", m_bits=2048, k_hashes=3)
+    # membership: every inserted key probes true
+    probed = bloom_probe(
+        a.union(b), "id", "v", bloom_ab, m_bits=2048, k_hashes=3
+    )
+    assert probed.filter("NOT maybe_member").count() == 0
+    # false-positive rate on disjoint keys stays near theory
+    fp = bloom_probe(
+        out, "id", "v", bloom_ab, m_bits=2048, k_hashes=3
+    ).filter("maybe_member").count()
+    assert fp < 2000 * 0.10  # theory ~0.5% at n=120,m=2048,k=3
+    # mergeability: union-then-build == build-then-bit_or-merge
+    merged = (
+        bloom_build(a, "v", m_bits=2048, k_hashes=3)
+        .union(bloom_build(b, "v", m_bits=2048, k_hashes=3))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert merged.exceptAll(bloom_ab).count() == 0
+    assert bloom_ab.exceptAll(merged).count() == 0
