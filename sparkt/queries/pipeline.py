@@ -63,13 +63,27 @@ def t2_quality_scores(spark, sf_dir):
     runs at scan speed with zero exchanges (the trailing orderBy is
     gate-output cosmetics)."""
     docs = T(spark, sf_dir, "documents")
+    pre_cols, out_cols = _t2_columns()
+    return docs.select(*pre_cols).select(*out_cols).orderBy("doc_id")
+
+
+def _t2_columns():
+    """The t2 expression tree, built ONCE per process. Unbound Columns
+    are immutable and resolve at analysis time, so reusing them across
+    invocations is safe — and building this tree is ~0.6 s of pure
+    py4j round-trips (measured r6: 'build' dominated the per-call wall
+    over analysis 0.05 s + execution), which repeat callers (the bench
+    samples, repeated gate runs) should not pay twice."""
+    global _T2_COLS
+    if _T2_COLS is not None:
+        return _T2_COLS
     toks = TX.tokens(F.col("text"))
-    pre = docs.select(
-        "doc_id",
-        "text",
+    pre_cols = [
+        F.col("doc_id"),
+        F.col("text"),
         toks.alias("__toks"),
         F.array_sort(toks).alias("__s"),
-    )
+    ]
     n = F.size("__toks")
     bigrams = TX.bigram_array(F.col("__toks"))
     # run-length HOF scans over the sorted arrays (library helpers;
@@ -93,8 +107,8 @@ def t2_quality_scores(spark, sf_dir):
     def q6(c):
         return F.floor(c * 1_000_000) / 1_000_000
 
-    return pre.select(
-        "doc_id",
+    out_cols = [
+        F.col("doc_id"),
         n.cast("long").alias("n_tokens"),
         TX.bpe_ish_token_count(F.col("text")).alias("n_subword_tokens"),
         n_chars.alias("n_chars"),
@@ -106,7 +120,12 @@ def t2_quality_scores(spark, sf_dir):
         q6(
             top_bigram / F.greatest(n_bigrams, F.lit(1))
         ).alias("top_bigram_ratio"),
-    ).orderBy("doc_id")
+    ]
+    _T2_COLS = (pre_cols, out_cols)
+    return _T2_COLS
+
+
+_T2_COLS = None
 
 
 _EN = _sql_list(TX.EN_STOPWORDS)
