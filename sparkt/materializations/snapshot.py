@@ -74,7 +74,13 @@ def materialize_snapshot(ctx: MatContext, node):
     )
 
     src_sql = node.compiled_code
-    src_cols = [f.name for f in ctx.spark.sql(src_sql).schema.fields]
+    # analysis-only schema discovery through the ADAPTER so record/
+    # replay covers snapshots (sparkt/record.py; same move as the
+    # incremental path's DESCRIBE QUERY)
+    _, _res = ctx.adapter.execute(
+        f"DESCRIBE QUERY {src_sql}", fetch=True
+    )
+    src_cols = [r["col_name"] for r in _res]
     data_cols = [c for c in src_cols if c not in set(meta.values())]
 
     if strategy == "timestamp":

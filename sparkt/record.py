@@ -199,6 +199,12 @@ class RecordingAdapter:
         with self._lock, open(self._path, "a") as f:
             f.write(line + "\n")
 
+    def record_meta(self, meta: dict) -> None:
+        """Invocation metadata (e.g. the run's batch timestamp, which
+        snapshots/microbatch embed in generated SQL) — replay restores
+        it so time-dependent statements compile identically."""
+        self._append({"meta": meta})
+
     def __getattr__(self, name):
         attr = getattr(self._inner, name)
         if name in RECORDED_METHODS and callable(attr):
@@ -239,12 +245,22 @@ class ReplayAdapter:
     def __init__(self, path: str):
         self._lock = threading.Lock()
         self._queues: dict[str, deque] = {}
+        self._meta: deque = deque()
         with open(path) as f:
             for line in f:
                 entry = json.loads(line)
+                if "meta" in entry:
+                    self._meta.append(entry["meta"])
+                    continue
                 self._queues.setdefault(
                     entry["key"], deque()
                 ).append(entry)
+
+    def next_meta(self) -> dict:
+        """The next recorded invocation-metadata entry (FIFO), {} when
+        the recording carries none."""
+        with self._lock:
+            return self._meta.popleft() if self._meta else {}
 
     # ------------------------------------------------- recorded surface
     def _serve(self, name, args, kwargs):

@@ -573,6 +573,19 @@ class Runner:
                     order_graph.add_edge(anc, uid)
         queue = GraphQueue(nx.transitive_reduction(order_graph), to_run)
 
+        # the invocation timestamp rides the record/replay bundle:
+        # snapshots and microbatch embed it in generated SQL, so replay
+        # must compile with the RECORDED time or every statement
+        # diverges (sparkt/record.py)
+        batch_ts = datetime.now(timezone.utc)
+        record_meta = getattr(self.adapter, "record_meta", None)
+        if record_meta is not None:
+            record_meta({"batch_ts": batch_ts.isoformat()})
+        next_meta = getattr(self.adapter, "next_meta", None)
+        if next_meta is not None:
+            m = next_meta()
+            if m.get("batch_ts"):
+                batch_ts = datetime.fromisoformat(m["batch_ts"])
         ctx = MatContext(
             spark=self.spark,
             adapter=self.adapter,
@@ -581,7 +594,7 @@ class Runner:
             project=self.project,
             full_refresh=full_refresh,
             extras={
-                "batch_ts": datetime.now(timezone.utc),
+                "batch_ts": batch_ts,
                 # microbatch backfill window overrides
                 "event_time_start": event_time_start,
                 "event_time_end": event_time_end,

@@ -216,3 +216,51 @@ def test_replay_rows_support_positional_indexing(
     res = replaying.run()
     assert res.ok, [r.message for r in res.results]
     assert replaying.adapter.remaining() == 0
+
+
+def test_replay_covers_tests_and_snapshots(make_project, spark, tmp_path):
+    """Data tests are fully adapter-routed and snapshots' schema probe
+    goes through DESCRIBE QUERY — both task types replay
+    warehouse-free."""
+    files = {
+        "dbt_project.yml": (
+            "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "snapshot-paths: [snapshots]\n"
+        ),
+        "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+        "models/a.sql": "select * from {{ ref('raw') }}",
+        "models/schema.yml": (
+            "version: 2\nmodels:\n  - name: a\n    columns:\n"
+            "      - name: id\n        tests: [not_null, unique]\n"
+        ),
+        "snapshots/snap_a.sql": (
+            "{% snapshot snap_a %}\n"
+            "{{ config(strategy='check', unique_key='id', "
+            "check_cols='all') }}\n"
+            "select * from {{ ref('a') }}\n"
+            "{% endsnapshot %}\n"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_ts")
+    assert runner.seed().ok
+    assert runner.run().ok
+    from sparkt.runner import Runner
+
+    for which, rec_name in (("test", "t.jsonl"), ("snapshot", "s.jsonl")):
+        rec = str(tmp_path / rec_name)
+        recording = Runner(
+            runner.project.project_root, spark=spark,
+            project_overrides={"schema": "t_rr_ts"}, record=rec,
+        )
+        res = getattr(recording, which)()
+        assert res.ok, [r.message for r in res.results]
+        replaying = Runner(
+            runner.project.project_root, spark=None,
+            project_overrides={"schema": "t_rr_ts"}, replay=rec,
+        )
+        res2 = getattr(replaying, which)()
+        assert res2.ok, (which, [r.message for r in res2.results])
+        assert {r.unique_id: r.status for r in res2.results} == {
+            r.unique_id: r.status for r in res.results
+        }
+        assert replaying.adapter.remaining() == 0
