@@ -157,3 +157,60 @@ def test_pack_offsets_conserves_tokens(spark, ns, ctx, bucket):
         assert r["last_bin"] == (run + max(n, 1) - 1) // ctx
         assert r["start_offset"] == run % ctx
         run += n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.floats(
+                min_value=0.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1, max_size=60,
+    ),
+    st.integers(2, 32),
+)
+@settings(max_examples=20, deadline=None)
+def test_rank_quantile_buckets_two_phase_parity(spark, rows, coarse):
+    """For ANY score distribution (ties, boundary values, single-row
+    languages) and ANY coarse-grid size, the skew-safe two-phase rank
+    equals the single-window formulation exactly — the p5 scale
+    guarantee."""
+    from sparkt.functions.sampling import rank_quantile_buckets
+
+    df = spark.createDataFrame(
+        [(lang, i, s) for i, (lang, s) in enumerate(rows)],
+        ["lang", "doc_id", "q"],
+    )
+    fast = rank_quantile_buckets(
+        df, "lang", "q", "doc_id", coarse=coarse, two_phase=True
+    )
+    ref = rank_quantile_buckets(
+        df, "lang", "q", "doc_id", two_phase=False
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=40),
+    st.integers(64, 512).map(lambda x: x - x % 32),
+    st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_bloom_never_false_negative(spark, keys, m_bits, k):
+    """For ANY key set (unicode, empty strings, duplicates) and filter
+    geometry, every inserted key probes positive — the Bloom contract
+    that makes bloom-decontamination safe (nothing contaminated ever
+    escapes)."""
+    from sparkt.functions.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(keys)], ["id", "v"]
+    )
+    bloom = bloom_build(df, "v", m_bits=m_bits, k_hashes=k)
+    probed = bloom_probe(df, "id", "v", bloom, m_bits=m_bits, k_hashes=k)
+    assert probed.filter("NOT maybe_member").count() == 0
