@@ -218,3 +218,57 @@ def rank_quantile_buckets(
     return ranked.select(
         part_col, id_col, score_col, "rank", bucket.alias("bucket")
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+    target_tokens: float = 1_000_000.0,
+) -> DataFrame:
+    """Temperature-based data-mixture weighting (the published GPT-3 /
+    PaLM / multilingual-LM recipe: sample domain d proportionally to
+    p_d^alpha, alpha<1 up-weighting small domains): from per-row token
+    counts, compute each domain's natural share, its alpha-tempered
+    mixture weight, the token budget it receives out of
+    ``target_tokens``, and the acceptance rate a sampler applies
+    (>1 epochs over a small domain surface as rate 1.0 plus the
+    ``epochs`` column).
+
+    Scale shape: ONE map-side-combined groupBy collapses 100 TB of rows
+    to |domains| rows; the two global normalizers are unpartitioned
+    windows over that tiny domain table (thousands of rows — driver-
+    scale, never row-scale). Everything downstream (the actual
+    sampling) composes with :func:`hash_sample` per domain.
+
+    Engine parity: alpha=0.5 uses sqrt (IEEE-correctly-rounded in both
+    engines, unlike pow's libm variance); outputs are floor-quantized
+    at 6 decimals.
+    """
+    w_all = Window.partitionBy()
+    dom = df.groupBy(domain_col).agg(
+        F.sum(size_col).cast("double").alias("__n")
+    )
+    p = F.col("__n") / F.sum("__n").over(w_all)
+    tempered = (
+        F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(float(alpha)))
+    )
+    dom = dom.withColumn("__w", tempered)
+    q = F.col("__w") / F.sum("__w").over(w_all)
+    budget = q * F.lit(float(target_tokens))
+
+    def q6(c):
+        return F.floor(c * 1_000_000) / 1_000_000
+
+    return dom.select(
+        F.col(domain_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        q6(p).alias("share"),
+        q6(q).alias("weight"),
+        F.floor(budget).cast("long").alias("token_budget"),
+        q6(F.least(budget / F.col("__n"), F.lit(1.0))).alias(
+            "accept_rate"
+        ),
+        F.ceil(budget / F.col("__n")).cast("long").alias("epochs"),
+    )

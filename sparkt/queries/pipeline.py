@@ -1436,6 +1436,47 @@ FROM r ORDER BY lang, rank
 """
 
 
+# ------------------------------------------------------------------ p6
+def p6_mixture_weights(spark, sf_dir):
+    """alpha-temperature data-mixture weighting over sources (GPT-3 /
+    PaLM recipe: p^alpha up-weights small domains): per-source token
+    share, tempered mixture weight, token budget out of a 1M target,
+    acceptance rate and epoch count —
+    sparkt.functions.sampling.mixture_weights (one map-side-combined
+    groupBy to |domains| rows, global normalizers as windows over that
+    tiny table). alpha=0.5 → sqrt, exactly rounded in both engines."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    return SP.mixture_weights(
+        docs, "source", "n_chars", alpha=0.5,
+        target_tokens=1_000_000.0,
+    ).orderBy("source")
+
+
+P6_SQL = """
+WITH dom AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n
+  FROM documents GROUP BY source),
+norm AS (
+  SELECT source, n,
+         n / sum(n) OVER () AS p,
+         sqrt(n / sum(n) OVER ()) AS w
+  FROM dom),
+mix AS (
+  SELECT source, n, p, w / sum(w) OVER () AS q FROM norm)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       floor(p * 1000000) / 1000000 AS share,
+       floor(q * 1000000) / 1000000 AS weight,
+       CAST(floor(q * 1000000.0) AS BIGINT) AS token_budget,
+       floor(least(q * 1000000.0 / n, 1.0) * 1000000) / 1000000
+         AS accept_rate,
+       CAST(ceil(q * 1000000.0 / n) AS BIGINT) AS epochs
+FROM mix ORDER BY source
+"""
+
+
 # ----------------------------------------------------------------- d12
 def d12_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination: the benchmark shingle set folds
@@ -1685,6 +1726,7 @@ QUERIES = {
     "p2_salted_join": p2_salted_join,
     "p3_stratified_sample": p3_stratified_sample,
     "p5_quality_buckets": p5_quality_buckets,
+    "p6_mixture_weights": p6_mixture_weights,
     "d12_bloom_decontaminate": d12_bloom_decontaminate,
     "t7_approx_sketch": t7_approx_sketch,
     "mm1_image_meta": mm1_image_meta,
@@ -1726,6 +1768,7 @@ ORACLES = {
     "p2_salted_join": P2_SQL,
     "p3_stratified_sample": P3_SQL,
     "p5_quality_buckets": P5_SQL,
+    "p6_mixture_weights": P6_SQL,
     "d12_bloom_decontaminate": D12_SQL,
     "t7_approx_sketch": T7_SQL,
     "mm1_image_meta": MM1_SQL,
