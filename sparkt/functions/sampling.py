@@ -164,13 +164,18 @@ def rank_quantile_buckets(
     """
     s = F.col(score_col)
     if two_phase:
-        cell = F.greatest(
+        clamped = F.greatest(
             F.least(
                 F.floor((s - F.lit(lo)) / F.lit(hi - lo) * coarse),
                 F.lit(coarse - 1),
             ),
             F.lit(0),
         ).cast("long")
+        # NULL scores sort LAST under the single-window DESC ordering
+        # (Spark desc = nulls last); without this branch, least/greatest
+        # SKIP nulls and floor(NULL) lands null-score rows in the TOP
+        # cell — ranking them 'head' (review-found parity break)
+        cell = F.when(s.isNull(), F.lit(-1)).otherwise(clamped)
         wd = df.withColumn("__cell", cell)
         counts = wd.groupBy(part_col, "__cell").agg(
             F.count(F.lit(1)).alias("__cnt")
@@ -250,12 +255,19 @@ def mixture_weights(
     dom = df.groupBy(domain_col).agg(
         F.sum(size_col).cast("double").alias("__n")
     )
-    p = F.col("__n") / F.sum("__n").over(w_all)
+    # zero guards (same pattern as similarity._safe_cos): an all-empty
+    # domain — or an all-empty corpus — must yield zero weights, not an
+    # ANSI DIVIDE_BY_ZERO that kills the job; greatest(x, eps) is a
+    # no-op whenever any tokens exist
+    def g(c):
+        return F.greatest(c, F.lit(1e-12))
+
+    p = F.col("__n") / g(F.sum("__n").over(w_all))
     tempered = (
         F.sqrt(p) if alpha == 0.5 else F.pow(p, F.lit(float(alpha)))
     )
     dom = dom.withColumn("__w", tempered)
-    q = F.col("__w") / F.sum("__w").over(w_all)
+    q = F.col("__w") / g(F.sum("__w").over(w_all))
     budget = q * F.lit(float(target_tokens))
 
     def q6(c):
@@ -267,8 +279,8 @@ def mixture_weights(
         q6(p).alias("share"),
         q6(q).alias("weight"),
         F.floor(budget).cast("long").alias("token_budget"),
-        q6(F.least(budget / F.col("__n"), F.lit(1.0))).alias(
+        q6(F.least(budget / g(F.col("__n")), F.lit(1.0))).alias(
             "accept_rate"
         ),
-        F.ceil(budget / F.col("__n")).cast("long").alias("epochs"),
+        F.ceil(budget / g(F.col("__n"))).cast("long").alias("epochs"),
     )

@@ -151,13 +151,17 @@ def bloom_probe(
         F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
         != 0
     ).cast("int")
+    # membership = ALL probed bits set → min(hit) over the group, NOT
+    # sum == k: duplicate (id, value) input rows double the group's
+    # position rows, and a sum test would then report an inserted key
+    # absent — a false negative (review-found)
     return (
         joined.groupBy(id_col, value_col, *carry)
-        .agg(F.sum(hit).alias("__hits"))
+        .agg(F.min(hit).alias("__all_set"))
         .select(
             id_col,
             value_col,
             *carry,
-            (F.col("__hits") == k_hashes).alias("maybe_member"),
+            (F.col("__all_set") == 1).alias("maybe_member"),
         )
     )

@@ -486,7 +486,18 @@ def _s4_sql() -> str:
     this oracle in lockstep; all data computation is DuckDB SQL.
     Tie-break parity: Spark's ``array_max`` over (score, cell) structs
     picks the LARGEST cell on score ties, matched by taking the first
-    position of the max in the REVERSED score list."""
+    position of the max in the REVERSED score list.
+
+    Float-boundary disclosure: bucket sign bits and cell argmax compare
+    UNROUNDED dot products, and DuckDB's ``list_dot_product`` is not
+    bit-identical to Spark's sequential fold (~1e-13 relative, pairwise
+    summation). A divergence needs a projection within that error of
+    EXACTLY 0 (typical |proj| here is O(10²)+) or two centroid scores
+    within 1e-13 of each other — per (vector, plane) that is ~1e-13
+    probability, ~1e-8 across the sf0.1 corpus, and deterministic per
+    dataset (both SFs verified green). Quantizing before the sign test
+    would NOT remove the boundary, only move it, so the comparison
+    stays raw and this note records the accepted risk."""
     from sparkt.functions.similarity import (
         _plane_weights,
         _pseudo_centroids,
@@ -1460,19 +1471,21 @@ WITH dom AS (
   FROM documents GROUP BY source),
 norm AS (
   SELECT source, n,
-         n / sum(n) OVER () AS p,
-         sqrt(n / sum(n) OVER ()) AS w
+         n / greatest(sum(n) OVER (), 1e-12) AS p,
+         sqrt(n / greatest(sum(n) OVER (), 1e-12)) AS w
   FROM dom),
 mix AS (
-  SELECT source, n, p, w / sum(w) OVER () AS q FROM norm)
+  SELECT source, n, p,
+         w / greatest(sum(w) OVER (), 1e-12) AS q
+  FROM norm)
 SELECT source,
        CAST(n AS BIGINT) AS n_tokens,
        floor(p * 1000000) / 1000000 AS share,
        floor(q * 1000000) / 1000000 AS weight,
        CAST(floor(q * 1000000.0) AS BIGINT) AS token_budget,
-       floor(least(q * 1000000.0 / n, 1.0) * 1000000) / 1000000
-         AS accept_rate,
-       CAST(ceil(q * 1000000.0 / n) AS BIGINT) AS epochs
+       floor(least(q * 1000000.0 / greatest(n, 1e-12), 1.0) * 1000000)
+         / 1000000 AS accept_rate,
+       CAST(ceil(q * 1000000.0 / greatest(n, 1e-12)) AS BIGINT) AS epochs
 FROM mix ORDER BY source
 """
 

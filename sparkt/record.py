@@ -146,7 +146,11 @@ def _ser_result(method: str, result):
             "rows_affected": res.rows_affected,
         }
     if isinstance(result, Relation):
-        return {"__relation__": [result.schema, result.identifier]}
+        return {
+            "__relation__": [
+                result.schema, result.identifier, result.type,
+            ]
+        }
     if isinstance(result, (list, tuple)):
         return [_ser_result(method, x) for x in result]
     if result is None or isinstance(result, (str, int, float, bool, dict)):
@@ -169,8 +173,12 @@ def _deser_result(method: str, raw):
             rows_affected=raw["rows_affected"],
         )
     if isinstance(raw, dict) and "__relation__" in raw:
-        s, i = raw["__relation__"]
-        return Relation(schema=s, identifier=i)
+        # 3rd element (type) absent only in pre-r6 bundles
+        parts = raw["__relation__"]
+        return Relation(
+            schema=parts[0], identifier=parts[1],
+            type=parts[2] if len(parts) > 2 else "table",
+        )
     if isinstance(raw, list):
         # tuples and lists both recorded as lists; consumers unpack
         # positionally, so a list round-trip is transparent
@@ -191,13 +199,16 @@ class RecordingAdapter:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
-        with open(path, "w"):
-            pass
+        # one handle for the adapter's lifetime: re-opening per recorded
+        # statement puts thousands of open/close syscalls on the hot
+        # path of a big run; flush-per-line keeps the bundle crash-safe
+        self._fh = open(path, "w")
 
     def _append(self, entry: dict) -> None:
         line = json.dumps(entry, default=str)
-        with self._lock, open(self._path, "a") as f:
-            f.write(line + "\n")
+        with self._lock:
+            self._fh.write(line + "\n")
+            self._fh.flush()
 
     def record_meta(self, meta: dict) -> None:
         """Invocation metadata (e.g. the run's batch timestamp, which
@@ -298,6 +309,28 @@ class ReplayAdapter:
         from sparkt.relation import quote_identifier
 
         return quote_identifier(identifier)
+
+    # pure SQL-string builders (no warehouse access) delegate to the
+    # real adapter's staticmethods — a bundle recorded on a delta/
+    # iceberg warehouse replays its MERGE INTO paths through these
+    @staticmethod
+    def merge_into_sql(*args, **kwargs) -> str:
+        from sparkt.adapter import SparkAdapter
+
+        return SparkAdapter.merge_into_sql(*args, **kwargs)
+
+    @staticmethod
+    def snapshot_merge_sql(*args, **kwargs) -> str:
+        from sparkt.adapter import SparkAdapter
+
+        return SparkAdapter.snapshot_merge_sql(*args, **kwargs)
+
+    def shallow_clone(self, target, source_name: str) -> None:
+        # the emitted statement is a recorded execute; no catalog here
+        self.execute(
+            f"CREATE OR REPLACE TABLE {target.render()} "
+            f"SHALLOW CLONE {source_name}"
+        )
 
     def set_query_header(self, comment, append: bool = False) -> None:
         pass

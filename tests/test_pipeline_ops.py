@@ -1115,3 +1115,56 @@ def test_bloom_filter_membership_and_merge(spark):
     )
     assert merged.exceptAll(bloom_ab).count() == 0
     assert bloom_ab.exceptAll(merged).count() == 0
+
+
+def test_rank_quantile_buckets_null_scores_rank_last(spark):
+    """NULL scores sort LAST (parity with the single-window DESC
+    nulls-last ordering) in BOTH formulations — review-found: the grid
+    clamp used to land them in the top cell as 'head'."""
+    from sparkt.functions.sampling import rank_quantile_buckets
+
+    df = spark.createDataFrame(
+        [("en", 1, 0.9), ("en", 2, None), ("en", 3, 0.1)],
+        "lang string, doc_id long, q double",
+    )
+    for tp in (True, False):
+        rows = {
+            r["doc_id"]: (r["rank"], r["bucket"])
+            for r in rank_quantile_buckets(
+                df, "lang", "q", "doc_id", two_phase=tp
+            ).collect()
+        }
+        assert rows[1] == (1, "head")
+        assert rows[3] == (2, "middle")
+        assert rows[2] == (3, "tail")
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """Duplicate (id, value) probe rows must still report membership —
+    review-found: the sum==k test double-counted duplicated groups."""
+    from sparkt.functions.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [(1, "k1"), (1, "k1"), (2, "k2")], ["id", "v"]
+    )
+    bloom = bloom_build(df, "v", m_bits=512, k_hashes=3)
+    probed = bloom_probe(df, "id", "v", bloom, m_bits=512, k_hashes=3)
+    assert probed.filter("NOT maybe_member").count() == 0
+
+
+def test_mixture_weights_zero_token_domain(spark):
+    """A domain whose sizes sum to 0 yields zero weights instead of an
+    ANSI DIVIDE_BY_ZERO job kill (review-found)."""
+    from sparkt.functions.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 100)], ["d", "n"]
+    )
+    rows = {
+        r["d"]: r
+        for r in mixture_weights(df, "d", "n", alpha=0.5).collect()
+    }
+    assert rows["a"]["weight"] == 0.0
+    assert rows["a"]["accept_rate"] == 0.0
+    assert rows["a"]["epochs"] == 0
+    assert rows["b"]["weight"] == 1.0
