@@ -401,6 +401,14 @@ class Compiler:
         ref_overrides: dict[str, str] | None = None,
         is_incremental: bool = False,
     ) -> str:
+        if not ctx_mod.has_jinja(node.raw_code):
+            # pass-through compile (reference experimental parser's
+            # skip-Jinja idea applied at compile time): a model with no
+            # jinja delimiters renders to itself — no context build, no
+            # template parse. Ephemeral CTEs / event-time filters /
+            # --empty all act through ref()/source(), which such a
+            # model cannot contain.
+            return node.raw_code.strip()
         ctx = self.runtime_context(
             node, extra_ctes, ref_overrides, is_incremental=is_incremental
         )

@@ -87,6 +87,12 @@ def _wrap_macro(fn):
     return inner
 
 
+def has_jinja(raw: str) -> bool:
+    """Any jinja delimiter present? The skip-Jinja fast paths (static
+    parse, pass-through compile) apply only when none are."""
+    return "{{" in raw or "{%" in raw or "{#" in raw
+
+
 def build_environment() -> jinja2.Environment:
     env = jinja2.Environment(
         extensions=["jinja2.ext.do", "jinja2.ext.loopcontrols"],

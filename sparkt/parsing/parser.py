@@ -37,6 +37,9 @@ def _walk(root: str, paths: list[str], exts: tuple[str, ...]):
                     yield full, os.path.relpath(full, base)
 
 
+_has_jinja = ctx_mod.has_jinja
+
+
 class ManifestLoader:
     def __init__(self, project: Project, cli_vars: dict | None = None):
         self.project = project
@@ -44,6 +47,9 @@ class ManifestLoader:
         self.env = ctx_mod.build_environment()
         self.macro_templates = []
         self.manifest = Manifest()
+        #: models parsed via the skip-Jinja static fast path this load
+        #: (reference experimental parser's sampling stat)
+        self.static_parsed = 0
         self.packages = self._load_packages()
 
     def _load_packages(self) -> list[Project]:
@@ -334,20 +340,35 @@ class ManifestLoader:
         project: Project | None = None,
     ) -> ParsedNode:
         project = project or self.project
-        refs, sources, static_config = ctx_mod.extract_statically(self.env, raw)
-        # parse-phase render for dynamic config()/ref() the AST missed
-        pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
-            self.project.vars, self.cli_vars
-        )
-        ctx_mod.bind_macros(self.macro_templates, pctx)
-        try:
-            self.env.from_string(raw).render(**pctx)
-        except Exception:
-            pass  # runtime-only constructs may fail at parse; AST capture stands
-        config = dict(static_config)
-        config.update(collector.collected)
-        all_refs = list(dict.fromkeys(refs + r_refs))
-        all_sources = list(dict.fromkeys(sources + r_srcs))
+        if not _has_jinja(raw):
+            # static fast path (reference experimental parser,
+            # ``core/dbt/parser/models.py:255-299`` — skip-Jinja when a
+            # model is statically parseable): a model with NO jinja
+            # delimiters has no refs/sources/config and renders to
+            # itself, so both the AST walk and the parse-phase render
+            # are skipped entirely
+            self.static_parsed += 1
+            all_refs, all_sources, config = [], [], {}
+        else:
+            refs, sources, static_config = ctx_mod.extract_statically(
+                self.env, raw
+            )
+            # parse-phase render for dynamic config()/ref() the AST
+            # missed
+            pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
+                self.project.vars, self.cli_vars
+            )
+            ctx_mod.bind_macros(self.macro_templates, pctx)
+            try:
+                self.env.from_string(raw).render(**pctx)
+            except Exception:
+                # runtime-only constructs may fail at parse; AST
+                # capture stands
+                pass
+            config = dict(static_config)
+            config.update(collector.collected)
+            all_refs = list(dict.fromkeys(refs + r_refs))
+            all_sources = list(dict.fromkeys(sources + r_srcs))
         node = ParsedNode(
             unique_id=f"{resource_type}.{project.name}.{name}",
             name=name,

@@ -657,3 +657,30 @@ on-run-start: "{{ assert_selected() }}"
 
     with pytest.raises(CompilationError, match="FAIL"):
         r3.run()
+
+
+def test_static_parse_fast_path(make_project, spark):
+    """Models with no jinja delimiters skip both the parse-phase AST
+    walk/render and the compile-time template render (reference
+    experimental parser, core/dbt/parser/models.py:255-299): counted in
+    loader.static_parsed, built correctly, and jinja models are
+    untouched."""
+    files = {
+        "dbt_project.yml": "name: sp\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+        "models/pure.sql": "select 1 as x, 'static' as tag",
+        "models/jinja.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select count(*) as n from {{ ref('raw') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_static")
+    assert runner.loader.static_parsed == 1
+    pure = runner.manifest.nodes["model.sp.pure"]
+    assert pure.refs == [] and pure.config.get("materialized") is None
+    assert runner.seed().ok
+    assert runner.run().ok
+    assert spark.table("t_static.pure").first()["x"] == 1
+    assert spark.table("t_static.jinja").first()["n"] == 2
+    # compile pass-through: compiled == raw for the static model
+    assert pure.compiled_code.strip() == files["models/pure.sql"].strip()
