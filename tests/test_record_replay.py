@@ -323,3 +323,49 @@ def test_replay_serves_sql_builders_and_relation_types(
     m2 = next(r for r in res2.results if r.unique_id == "model.rr.m")
     assert "MERGE INTO" in m2.message
     assert replaying.adapter.remaining() == 0
+
+
+def test_replay_covers_microbatch(make_project, spark, tmp_path):
+    """Microbatch runs replay: window computation, crash-marker
+    probes, per-batch compiles and window replaces are all
+    adapter-routed, and the recorded batch_ts keeps the batch windows
+    identical."""
+    rec = str(tmp_path / "recording.jsonl")
+    files = {
+        "dbt_project.yml": "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/ev.csv": (
+            "id,ts,v\n1,2024-01-01 10:00:00,5\n2,2024-01-02 12:00:00,7\n"
+        ),
+        "models/stg.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts, v from {{ ref('ev') }}"
+        ),
+        "models/mb.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01') }}\n"
+            "select id, ts, v from {{ ref('stg') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_mb")
+    assert runner.seed().ok
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_mb"}, record=rec,
+    )
+    res = recording.run(event_time_end="2024-01-03 00:00:00")
+    assert res.ok, [r.message for r in res.results]
+    mb = next(r for r in res.results if "mb" in r.unique_id)
+    assert mb.batch_results and len(mb.batch_results["successful"]) == 2
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_mb"}, replay=rec,
+    )
+    res2 = replaying.run(event_time_end="2024-01-03 00:00:00")
+    assert res2.ok, [r.message for r in res2.results]
+    mb2 = next(r for r in res2.results if "mb" in r.unique_id)
+    assert mb2.batch_results == mb.batch_results
+    assert replaying.adapter.remaining() == 0
