@@ -59,6 +59,8 @@ RECORDED_METHODS = (
     "optimize_table",
     "calculate_freshness",
     "calculate_freshness_from_metadata",
+    "calculate_freshness_from_metadata_batch",
+    "metadata_max_loaded_at",
 )
 
 

@@ -1084,11 +1084,15 @@ class Runner:
                 )
                 flt = node.freshness.get("filter")
                 where = f" WHERE {flt}" if flt else ""
-                row = self.spark.sql(
-                    f"SELECT CAST(max({node.loaded_at_field}) AS STRING) "
-                    f"AS m FROM {rel.render()}{where}"
-                ).first()
-                max_loaded_at = None if row is None else row["m"]
+                # adapter-routed (not bare spark.sql) so record/replay
+                # covers source-freshness (sparkt/record.py)
+                _, fres = self.adapter.execute(
+                    f"SELECT CAST(max({node.loaded_at_field}) AS STRING)"
+                    f" AS m FROM {rel.render()}{where}", fetch=True,
+                )
+                max_loaded_at = (
+                    fres.rows[0]["m"] if len(fres) else None
+                )
             else:
                 age = meta_ages.get(f"{rel.schema}.{rel.identifier}")
                 if age is None:

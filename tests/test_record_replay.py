@@ -369,3 +369,43 @@ def test_replay_covers_microbatch(make_project, spark, tmp_path):
     mb2 = next(r for r in res2.results if "mb" in r.unique_id)
     assert mb2.batch_results == mb.batch_results
     assert replaying.adapter.remaining() == 0
+
+
+def test_replay_covers_source_freshness(make_project, spark, tmp_path):
+    """source-freshness replays: external-table registration, the
+    metadata batch call and loaded_at queries are all adapter-routed."""
+    rec = str(tmp_path / "recording.jsonl")
+    files = {
+        "dbt_project.yml": "name: rr\nmodel-paths: [models]\n",
+        "models/sources.yml": (
+            "version: 2\n"
+            "sources:\n"
+            "  - name: raw_src\n"
+            "    freshness: {warn_after: {count: 9999999, period: hour}}\n"
+            "    loaded_at_field: o_orderdate\n"
+            "    tables:\n"
+            "      - name: orders\n"
+            "        external: {location: /root/testdata/sf0.001/orders.parquet}\n"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_fresh")
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_fresh"}, record=rec,
+    )
+    res = recording.source_freshness()
+    assert res and all(r["status"] == "pass" for r in res)
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_fresh"}, replay=rec,
+    )
+    res2 = replaying.source_freshness()
+    assert [
+        (r["unique_id"], r["status"], r["max_loaded_at"]) for r in res2
+    ] == [
+        (r["unique_id"], r["status"], r["max_loaded_at"]) for r in res
+    ]
+    assert replaying.adapter.remaining() == 0
