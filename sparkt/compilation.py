@@ -200,6 +200,7 @@ class Compiler:
         extra_ctes: list[tuple[str, str]],
         ref_overrides: dict[str, str] | None = None,
         is_incremental: bool = False,
+        unit_overrides: dict | None = None,
     ) -> dict:
         ctx = ctx_mod.base_context(self.project.vars, self.cli_vars)
         this = self.relation_for(node)
@@ -356,6 +357,35 @@ class Compiler:
             "config": ctx.get("config"),
         }
         ctx_mod.bind_macros(self.macro_templates, ctx)
+        if unit_overrides:
+            # unit-test overrides (reference UnitTestOverrides,
+            # unit_test_definition.py:40-43): vars/env_vars shadow the
+            # lookup functions; each named macro becomes a constant
+            # callable — is_incremental: true is THE way to unit-test
+            # the incremental branch of a model. Applied AFTER
+            # bind_macros so they win over real macro definitions.
+            o_vars = unit_overrides.get("vars") or {}
+            o_env = unit_overrides.get("env_vars") or {}
+            o_macros = unit_overrides.get("macros") or {}
+            if o_vars:
+                base_var = ctx["var"]
+                ctx["var"] = lambda name, default=None: (
+                    o_vars[name] if name in o_vars
+                    else base_var(name, default)
+                )
+            if o_env:
+                base_env = ctx["env_var"]
+                ctx["env_var"] = lambda name, default=None: (
+                    o_env[name] if name in o_env
+                    else base_env(name, default)
+                )
+            for mname, mval in o_macros.items():
+                ctx[mname] = (lambda v: lambda *a, **k: v)(mval)
+            if "__this__" in unit_overrides:
+                # unit-test 'this' fixture (input: this): {{ this }}
+                # resolves to the fixture view instead of the model's
+                # real relation
+                ctx["this"] = unit_overrides["__this__"]
         return ctx
 
     # ------------------------------------------------------------------
@@ -400,6 +430,7 @@ class Compiler:
         extra_ctes: list[tuple[str, str]],
         ref_overrides: dict[str, str] | None = None,
         is_incremental: bool = False,
+        unit_overrides: dict | None = None,
     ) -> str:
         if not ctx_mod.has_jinja(node.raw_code):
             # pass-through compile (reference experimental parser's
@@ -410,7 +441,8 @@ class Compiler:
             # model cannot contain.
             return node.raw_code.strip()
         ctx = self.runtime_context(
-            node, extra_ctes, ref_overrides, is_incremental=is_incremental
+            node, extra_ctes, ref_overrides, is_incremental=is_incremental,
+            unit_overrides=unit_overrides,
         )
         try:
             return self.env.from_string(node.raw_code).render(**ctx).strip()
@@ -426,6 +458,7 @@ class Compiler:
         node: ParsedNode,
         ref_overrides: dict[str, str] | None = None,
         is_incremental: bool = False,
+        unit_overrides: dict | None = None,
     ) -> ParsedNode:
         if node.language == "python":
             node.compiled_code = node.raw_code
@@ -433,7 +466,8 @@ class Compiler:
             return node
         extra_ctes: list[tuple[str, str]] = []
         compiled = self.render(
-            node, extra_ctes, ref_overrides, is_incremental=is_incremental
+            node, extra_ctes, ref_overrides, is_incremental=is_incremental,
+            unit_overrides=unit_overrides,
         )
         node.extra_ctes = extra_ctes
         node.compiled_code = inject_ctes_into_sql(compiled, extra_ctes)

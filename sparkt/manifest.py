@@ -21,7 +21,7 @@ EXECUTABLE_TYPES = {"model", "seed", "snapshot", "test", "unit_test", "operation
 REFABLE_TYPES = {"model", "seed", "snapshot"}
 
 
-def unit_test_fingerprint(model, given, expect) -> str:
+def unit_test_fingerprint(model, given, expect, overrides=None) -> str:
     """Stable md5 over a unit test's *definition* (model/given/expect).
 
     The published manifest-v12 UnitTestDefinition has no checksum field
@@ -41,6 +41,10 @@ def unit_test_fingerprint(model, given, expect) -> str:
         "expect": {"rows": (expect or {}).get("rows"),
                    "format": (expect or {}).get("format", "dict")},
     }
+    if overrides:
+        # only present when set, so pre-override fingerprints (and
+        # artifacts written before this field existed) stay stable
+        norm["overrides"] = overrides
     return hashlib.md5(
         json.dumps(norm, sort_keys=True, default=str).encode()
     ).hexdigest()
@@ -92,6 +96,9 @@ class ParsedNode:
     given: list[dict] = field(default_factory=list)
     expect: dict = field(default_factory=dict)
     model: str | None = None
+    # unit-test overrides (reference UnitTestOverrides,
+    # unit_test_definition.py:40-43: macros / vars / env_vars)
+    overrides: dict = field(default_factory=dict)
     # model versions (nodes.py:426): versioned nodes share a base_name;
     # config carries version / latest_version
     base_name: str | None = None
@@ -131,7 +138,7 @@ class ParsedNode:
         # UnitTestDefinition has no checksum), so their identity is the
         # definition fingerprint — comparable against a state artifact.
         if self.resource_type == "unit_test":
-            return unit_test_fingerprint(self.model, self.given, self.expect)
+            return unit_test_fingerprint(self.model, self.given, self.expect, self.overrides)
         return hashlib.md5(self.raw_code.encode()).hexdigest()
 
 
@@ -393,6 +400,7 @@ class Manifest:
                 ],
                 "expect": {"rows": n.expect.get("rows"),
                            "format": n.expect.get("format", "dict")},
+                **({"overrides": n.overrides} if n.overrides else {}),
                 "name": n.name,
                 "resource_type": "unit_test",
                 "package_name": n.package_name,

@@ -82,12 +82,30 @@ def materialize_unit(ctx: MatContext, node):
     if model_node is None:
         raise ExecutionError(f"{node.unique_id}: unknown model '{node.model}'")
 
+    unit_overrides = dict(node.overrides or {})
     ref_overrides: dict[str, str] = {}
     for i, fixture in enumerate(node.given):
         input_expr = fixture.get("input", "")
         sql_fixture = _fixture_sql(fixture)
         rows = [] if sql_fixture is not None else _parse_rows(fixture)
         view_name = f"__sparkt_ut_{node.name}_{i}"
+        if input_expr.strip() == "this":
+            # 'this' fixture (reference unit_tests.py: required when
+            # overrides force is_incremental true): {{ this }} resolves
+            # to the fixture view, shaped like the model's relation if
+            # it exists
+            model_rel = ctx.compiler.relation_for(model_node)
+            base_rel = (
+                model_rel.render()
+                if ctx.adapter.relation_exists(model_rel) else None
+            )
+            if sql_fixture is not None:
+                df = ctx.spark.sql(sql_fixture)
+            else:
+                df = _fixture_df(ctx, base_rel, rows)
+            df.createOrReplaceTempView(view_name)
+            unit_overrides["__this__"] = view_name
+            continue
         m = _REF_RE.search(input_expr)
         base_rel = None
         key = None
@@ -117,7 +135,12 @@ def materialize_unit(ctx: MatContext, node):
         ref_overrides[key] = view_name
 
     compiled = ctx.compiler.compile_node(
-        model_node.__class__(**{**model_node.__dict__}), ref_overrides=ref_overrides
+        model_node.__class__(**{**model_node.__dict__}),
+        ref_overrides=ref_overrides,
+        is_incremental=bool(
+            (unit_overrides.get("macros") or {}).get("is_incremental")
+        ),
+        unit_overrides=unit_overrides or None,
     )
     actual = ctx.spark.sql(compiled.compiled_code)
 

@@ -833,6 +833,7 @@ class ManifestLoader:
             given=ut.get("given", []) or [],
             expect=ut.get("expect", {}) or {},
             config=ut.get("config", {}) or {},
+            overrides=ut.get("overrides", {}) or {},
         )
         self._add_unique(node, node.path or name)
 

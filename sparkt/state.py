@@ -67,7 +67,8 @@ class StateManifest:
             from sparkt.manifest import unit_test_fingerprint
 
             return unit_test_fingerprint(
-                node.get("model"), node.get("given"), node.get("expect")
+                node.get("model"), node.get("given"), node.get("expect"),
+                node.get("overrides"),
             )
         # manifest v12: FileHash object {"name": algo, "checksum": hex}
         return c.get("checksum") if isinstance(c, dict) else c

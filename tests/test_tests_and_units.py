@@ -257,3 +257,69 @@ sources:
     # indirect selection reaches them from the source selector
     res = runner.test(select="source:tpch.region")
     assert len(res.results) == 4
+
+
+def test_unit_test_overrides(make_project, spark):
+    """Unit-test `overrides:` (reference UnitTestOverrides,
+    unit_test_definition.py:40-43): macros.is_incremental forces the
+    incremental branch with an `input: this` fixture for {{ this }};
+    vars and env_vars shadow their lookups; a macro name overrides to a
+    constant."""
+    import os
+
+    os.environ.pop("UT_ENV", None)
+    files = {
+        "dbt_project.yml": "name: uo\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/raw.csv": "id,v\n1,10\n2,20\n3,30\n",
+        "models/inc.sql": (
+            "{{ config(materialized='incremental') }}\n"
+            "select id, v, '{{ var('tag', 'none') }}' as tag,\n"
+            "       '{{ env_var('UT_ENV', 'unset') }}' as env_tag\n"
+            "from {{ ref('raw') }}\n"
+            "{% if is_incremental() %}"
+            "where id > (select max(id) from {{ this }})"
+            "{% endif %}"
+        ),
+        "models/schema.yml": (
+            "version: 2\n"
+            "unit_tests:\n"
+            "  - name: ut_incremental_branch\n"
+            "    model: inc\n"
+            "    overrides:\n"
+            "      macros: {is_incremental: true}\n"
+            "      vars: {tag: from_override}\n"
+            "      env_vars: {UT_ENV: env_override}\n"
+            "    given:\n"
+            "      - input: ref('raw')\n"
+            "        rows:\n"
+            "          - {id: 1, v: 10}\n"
+            "          - {id: 5, v: 50}\n"
+            "      - input: this\n"
+            "        rows:\n"
+            "          - {id: 1, v: 10, tag: x, env_tag: y}\n"
+            "    expect:\n"
+            "      rows:\n"
+            "        - {id: 5, v: 50, tag: from_override,"
+            " env_tag: env_override}\n"
+            "  - name: ut_full_branch\n"
+            "    model: inc\n"
+            "    overrides:\n"
+            "      macros: {is_incremental: false}\n"
+            "    given:\n"
+            "      - input: ref('raw')\n"
+            "        rows:\n"
+            "          - {id: 7, v: 70}\n"
+            "    expect:\n"
+            "      rows:\n"
+            "        - {id: 7, v: 70, tag: none, env_tag: unset}\n"
+    )
+    }
+    runner = make_project(files, schema="t_unit_ovr")
+    assert runner.seed().ok
+    assert runner.run().ok  # the model itself builds (first run)
+    res = runner.test()
+    by = {r.unique_id: r for r in res.results}
+    ut1 = by["unit_test.uo.ut_incremental_branch"]
+    ut2 = by["unit_test.uo.ut_full_branch"]
+    assert ut1.status == "pass", ut1.message
+    assert ut2.status == "pass", ut2.message
