@@ -193,3 +193,40 @@ def test_t2_quality_is_pure_projection(spark):
     )
     assert "HashAggregate" not in plan
     assert "Join" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """d12's probe join must be a BroadcastHashJoin against the tiny
+    word table (m/32 rows), never a sort-merge of the exploded
+    positions."""
+    from sparkt.functions.sketches import bloom_build, bloom_probe
+
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(50)], ["id", "v"]
+    )
+    bloom = bloom_build(df, "v", m_bits=1024, k_hashes=3)
+    plan = (
+        bloom_probe(df, "id", "v", bloom, m_bits=1024, k_hashes=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_quantile_buckets_offsets_broadcast(spark):
+    """p5's two-phase rank joins the tiny offsets table via broadcast;
+    no data-sized single-partition window (the per-cell windows
+    partition by (part, cell))."""
+    from sparkt.functions.sampling import rank_quantile_buckets
+
+    df = spark.createDataFrame(
+        [(f"l{i % 3}", i, (i % 50) / 50.0) for i in range(300)],
+        ["lang", "doc_id", "q"],
+    )
+    plan = (
+        rank_quantile_buckets(df, "lang", "q", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
