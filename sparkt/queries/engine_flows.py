@@ -799,7 +799,54 @@ ORDER BY event_id
 """
 
 
+# ------------------------------------------------------------------ m14
+def m14_stream_upsert(spark, sf_dir):
+    """Streaming MERGE (upsert) sink — the streaming analogue of the
+    incremental 'merge' strategy (sparkt.streaming.incremental.
+    stream_upsert): per micro-batch, latest-row-per-user wins by
+    (ts, event_id) DESC; the drained target equals the batch
+    latest-per-key oracle regardless of how the files split into
+    micro-batches (the merge is associative)."""
+    from pyspark.sql import functions as F
+
+    from sparkt.sources import ns_timestamp_columns, repair_event_time
+    from sparkt.streaming.incremental import stream_upsert
+
+    src = os.path.join(sf_dir, "events.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m14_")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    ns_cols = ns_timestamp_columns(src)
+
+    def transform(stream):
+        out = repair_event_time(stream, ns_cols)
+        return out.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.round("value", 2).alias("value"),
+        )
+
+    with _low_shuffle(spark):
+        stream_upsert(
+            spark, src, tgt, cp,
+            unique_key="user_id", order_by=["ts", "event_id"],
+            transform=transform,
+        )
+    return spark.read.parquet(tgt).orderBy("user_id")
+
+
+M14_SQL = """
+SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "m14_stream_upsert": m14_stream_upsert,
     "m13_stream_static_join": m13_stream_static_join,
     "m12_microbatch": m12_microbatch,
     "m1_incremental_merge": m1_incremental_merge,
@@ -816,6 +863,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "m14_stream_upsert": M14_SQL,
     "m13_stream_static_join": M13_SQL,
     "m12_microbatch": M12_SQL,
     "m1_incremental_merge": M1_SQL,

@@ -67,6 +67,91 @@ def stream_append(
     query.awaitTermination()
 
 
+def stream_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    unique_key,
+    order_by,
+    schema=None,
+    transform=None,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming MERGE sink (the streaming analogue of the incremental
+    'merge' strategy, which the batch-only reference cannot express):
+    every micro-batch upserts into the target by ``unique_key``, latest
+    row winning by ``order_by`` (DESC, e.g. ["ts", "event_id"] — the
+    trailing unique column makes the winner deterministic).
+
+    Per batch: dedupe the batch per key (one window over batch-sized
+    data), union with the current target and keep the top-1 per key —
+    associative, so any micro-batch split of the input converges to the
+    same final state as one big batch (pinned by the m14 oracle).
+    Without a table format the swap is the engine's atomic
+    rename-rewrite (same class as the batch merge); on Delta this
+    foreachBatch body becomes one ``MERGE INTO``. At scale the window
+    shuffles on the unique key exactly like the batch merge's
+    anti-join, and the checkpoint makes ingestion exactly-once."""
+    import shutil
+
+    from pyspark.sql import Window
+    from sparkt.sources import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    reader = spark.readStream.format(fmt).option(
+        "recursiveFileLookup", "true"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(
+            spark.read.format(fmt)
+            .option("recursiveFileLookup", "true")
+            .load(source_dir)
+            .schema
+        )
+    stream = reader.load(source_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    def _latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = _latest(batch_df)
+        if os.path.isdir(target_path):
+            current = sess.read.parquet(target_path)
+            merged = _latest(current.unionByName(merged))
+        tmp = f"{target_path}.__sparkt_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_path):
+            old = f"{target_path}.__sparkt_old_{batch_id}"
+            os.rename(target_path, old)
+            os.rename(tmp, target_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, target_path)
+
+    query = (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def windowed_aggregate(
     stream: DataFrame,
     ts_col: str,

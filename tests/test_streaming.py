@@ -140,3 +140,36 @@ def test_stateful_sessionize(spark, tmp_path):
     got = {(r.user_id, r.n_events, str(r.session_start)) for r in rows2}
     assert (1, 2, str(t0 + 60 * m)) in got
     assert (2, 1, str(t0 + 61 * m)) in got
+
+
+def test_stream_upsert_multi_batch_converges(spark, tmp_path):
+    """stream_upsert's merge is associative: feeding the same rows as
+    TWO file batches (two availableNow drains) converges to the same
+    latest-per-key state as one batch — and newer rows REPLACE older
+    ones."""
+    import os
+
+    from sparkt.streaming.incremental import stream_upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tgt = str(tmp_path / "target")
+    cp = str(tmp_path / "cp")
+    spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b")], "k long, ver long, v string"
+    ).write.mode("append").parquet(src)
+    stream_upsert(spark, src, tgt, cp, unique_key="k",
+                  order_by=["ver", "v"])
+    got = {r["k"]: (r["ver"], r["v"])
+           for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: (100, "a"), 2: (100, "b")}
+    # second drain: key 1 updated, key 3 new, stale row for 2 ignored
+    spark.createDataFrame(
+        [(1, 200, "a2"), (2, 50, "stale"), (3, 10, "c")],
+        "k long, ver long, v string",
+    ).write.mode("append").parquet(src)
+    stream_upsert(spark, src, tgt, cp, unique_key="k",
+                  order_by=["ver", "v"])
+    got = {r["k"]: (r["ver"], r["v"])
+           for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: (200, "a2"), 2: (100, "b"), 3: (10, "c")}
