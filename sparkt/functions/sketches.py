@@ -165,3 +165,86 @@ def bloom_probe(
             (F.col("__all_set") == 1).alias("maybe_member"),
         )
     )
+
+
+# --------------------------------------------------------- count-min
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over
+    ``value_col``, as a SPARSE (row_idx, col_idx, cnt) counter table —
+    the frequency sibling of :func:`bloom_build`: every occurrence
+    increments counter (r, h_r(value)) for each of ``depth``
+    md5-derived hash rows.
+
+    Scale shape: one explode (depth rows per occurrence) + ONE
+    map-side-combined count groupBy onto ≤ depth×width counter rows —
+    constant-size for any corpus, broadcastable to estimators, and
+    MERGEABLE by summing counters (per-day sketches roll up like the
+    HLL path). Estimates are deterministic (md5 positions, no RNG), so
+    the DuckDB oracle reproduces them exactly, collisions included.
+    Guarantee: estimate ≥ true count always; error ≤ εN with
+    probability 1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+    """
+    rows = []
+    val = F.col(value_col).cast("string")
+    for r in range(depth):
+        c = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}|"), val)), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % width
+        )
+        rows.append(F.struct(F.lit(r).alias("r"), c.alias("c")))
+    ex = df.select(F.explode(F.array(*rows)).alias("p"))
+    return ex.groupBy(
+        F.col("p.r").alias("row_idx"), F.col("p.c").alias("col_idx")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    df: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: per distinct value, the MIN over its
+    ``depth`` counters (absent counter = 0). The sketch table
+    broadcasts (≤ depth×width rows); the probe is a broadcast
+    equijoin + one groupBy on the value."""
+    val = F.col(value_col).cast("string")
+    rows = []
+    for r in range(depth):
+        c = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}|"), val)), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % width
+        )
+        rows.append(F.struct(F.lit(r).alias("r"), c.alias("c")))
+    probes = df.select(
+        F.col(value_col),
+        F.explode(F.array(*rows)).alias("p"),
+    ).select(
+        value_col,
+        F.col("p.r").alias("row_idx"),
+        F.col("p.c").alias("col_idx"),
+    )
+    joined = probes.join(
+        F.broadcast(cms), ["row_idx", "col_idx"], "left"
+    )
+    return (
+        joined.groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("cms_est")
+        )
+    )

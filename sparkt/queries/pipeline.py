@@ -1490,6 +1490,57 @@ FROM mix ORDER BY source
 """
 
 
+# ----------------------------------------------------------------- t10
+def t10_count_min(spark, sf_dir):
+    """Count-Min heavy-hitter counting over per-user event volumes
+    (sparkt.functions.sketches.cms_build/cms_estimate): a 4×64 counter
+    table — constant-size, broadcastable, mergeable by summing — whose
+    deterministic md5 positions let the oracle reproduce every
+    estimate EXACTLY, collisions included (width 64 forces them at
+    sf0.1's 1500 users). Output pairs the sketch estimate with the
+    exact count, so est ≥ exact is visible in the gate itself."""
+    from sparkt.functions import sketches as SK
+
+    ev = T(spark, sf_dir, "events").select("user_id")
+    cms = SK.cms_build(ev, "user_id", width=64, depth=4)
+    est = SK.cms_estimate(
+        ev.distinct(), "user_id", cms, width=64, depth=4
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "cms_est", "exact_cnt")
+        .orderBy("user_id")
+    )
+
+
+T10_SQL = """
+WITH iv AS (SELECT unnest([0, 1, 2, 3]) AS r),
+pos AS (
+  SELECT iv.r,
+         (('0x' || substr(md5(iv.r::VARCHAR || '|' || user_id::VARCHAR),
+                          1, 8))::BIGINT % 64) AS c
+  FROM events, iv),
+cms AS (SELECT r, c, count(*) AS cnt FROM pos GROUP BY r, c),
+keys AS (SELECT DISTINCT user_id FROM events),
+kpos AS (
+  SELECT user_id, iv.r,
+         (('0x' || substr(md5(iv.r::VARCHAR || '|' || user_id::VARCHAR),
+                          1, 8))::BIGINT % 64) AS c
+  FROM keys, iv),
+est AS (
+  SELECT user_id, CAST(min(cnt) AS BIGINT) AS cms_est
+  FROM kpos JOIN cms USING (r, c) GROUP BY user_id)
+SELECT est.user_id, cms_est, CAST(ex.exact_cnt AS BIGINT) AS exact_cnt
+FROM est JOIN (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1) ex
+  USING (user_id)
+ORDER BY user_id
+"""
+
+
 # ----------------------------------------------------------------- d12
 def d12_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination: the benchmark shingle set folds
@@ -1740,6 +1791,7 @@ QUERIES = {
     "p3_stratified_sample": p3_stratified_sample,
     "p5_quality_buckets": p5_quality_buckets,
     "p6_mixture_weights": p6_mixture_weights,
+    "t10_count_min": t10_count_min,
     "d12_bloom_decontaminate": d12_bloom_decontaminate,
     "t7_approx_sketch": t7_approx_sketch,
     "mm1_image_meta": mm1_image_meta,
@@ -1782,6 +1834,7 @@ ORACLES = {
     "p3_stratified_sample": P3_SQL,
     "p5_quality_buckets": P5_SQL,
     "p6_mixture_weights": P6_SQL,
+    "t10_count_min": T10_SQL,
     "d12_bloom_decontaminate": D12_SQL,
     "t7_approx_sketch": T7_SQL,
     "mm1_image_meta": MM1_SQL,

@@ -1168,3 +1168,31 @@ def test_mixture_weights_zero_token_domain(spark):
     assert rows["a"]["accept_rate"] == 0.0
     assert rows["a"]["epochs"] == 0
     assert rows["b"]["weight"] == 1.0
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """Count-Min invariants: the estimate is ALWAYS >= the true count
+    (for any key set/geometry), and summing two sub-sketch counter
+    tables equals the sketch of the union (mergeable rollup)."""
+    from sparkt.functions.sketches import cms_build, cms_estimate
+
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(200)], ["v"]
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 13}",) for i in range(300)], ["v"]
+    )
+    both = a.union(b)
+    cms = cms_build(both, "v", width=16, depth=3)  # force collisions
+    est = cms_estimate(both.distinct(), "v", cms, width=16, depth=3)
+    exact = both.groupBy("v").count()
+    rows = est.join(exact, "v").collect()
+    assert rows and all(r["cms_est"] >= r["count"] for r in rows)
+    merged = (
+        cms_build(a, "v", width=16, depth=3)
+        .union(cms_build(b, "v", width=16, depth=3))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(cms).count() == 0
+    assert cms.exceptAll(merged).count() == 0
