@@ -189,22 +189,16 @@ def cms_build(
     Guarantee: estimate ≥ true count always; error ≤ εN with
     probability 1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
     """
-    rows = []
-    val = F.col(value_col).cast("string")
-    for r in range(depth):
-        c = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{r}|"), val)), 1, 8
-                ),
-                16, 10,
-            ).cast("long") % width
-        )
-        rows.append(F.struct(F.lit(r).alias("r"), c.alias("c")))
-    ex = df.select(F.explode(F.array(*rows)).alias("p"))
-    return ex.groupBy(
-        F.col("p.r").alias("row_idx"), F.col("p.c").alias("col_idx")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # same md5 position formula as the Bloom filter (ONE definition —
+    # _bloom_positions); posexplode yields (row_idx, col_idx) pairs
+    ex = df.select(
+        F.posexplode(
+            _bloom_positions(F.col(value_col), width, depth)
+        ).alias("row_idx", "col_idx")
+    )
+    return ex.groupBy("row_idx", "col_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
 
 def cms_estimate(
@@ -218,25 +212,11 @@ def cms_estimate(
     ``depth`` counters (absent counter = 0). The sketch table
     broadcasts (≤ depth×width rows); the probe is a broadcast
     equijoin + one groupBy on the value."""
-    val = F.col(value_col).cast("string")
-    rows = []
-    for r in range(depth):
-        c = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{r}|"), val)), 1, 8
-                ),
-                16, 10,
-            ).cast("long") % width
-        )
-        rows.append(F.struct(F.lit(r).alias("r"), c.alias("c")))
     probes = df.select(
         F.col(value_col),
-        F.explode(F.array(*rows)).alias("p"),
-    ).select(
-        value_col,
-        F.col("p.r").alias("row_idx"),
-        F.col("p.c").alias("col_idx"),
+        F.posexplode(
+            _bloom_positions(F.col(value_col), width, depth)
+        ).alias("row_idx", "col_idx"),
     )
     joined = probes.join(
         F.broadcast(cms), ["row_idx", "col_idx"], "left"

@@ -72,6 +72,12 @@ def _fixture_df(ctx: MatContext, base_relation: str | None, rows: list[dict]):
         )
         return casted
     # no upstream relation: infer from the rows themselves
+    if not rows:
+        raise ExecutionError(
+            "unit-test fixture has no rows and no existing relation to "
+            "take a schema from — give the fixture at least one row, "
+            "use a sql-format fixture, or build the model first"
+        )
     return ctx.spark.createDataFrame([tuple(r.values()) for r in rows],
                                      schema=list(rows[0].keys()))
 

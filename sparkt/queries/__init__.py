@@ -23,8 +23,9 @@ then added 17 new ones (m11, m12, m13, sd1, t8, t9, mm2, d10, d11,
 q31, q32, q33, p4, c2, s6, f1, s7), which enter at rotation rank 0
 (never officially rowed) and so run first.
 
-r6: 4 new gates (p5 quality buckets, p6 mixture weights, d12 bloom
-decontamination, m14 streaming upsert) enter at rank 0 alongside the
+r6: 5 new gates (p5 quality buckets, p6 mixture weights, d12 bloom
+decontamination, m14 streaming upsert, t10 count-min) enter at rank 0
+alongside the
 impl-changed resets (s4 gained its exact ANN-emulation oracle —
 every registered gate is now oracle-checked; d3/d5/d8 share the
 sz-carrying posting list; q31 hoists its ranked base out of the

@@ -810,7 +810,10 @@ def m14_stream_upsert(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from sparkt.sources import ns_timestamp_columns, repair_event_time
-    from sparkt.streaming.incremental import stream_upsert
+    from sparkt.streaming.incremental import (
+        stream_upsert,
+        upsert_current_path,
+    )
 
     src = os.path.join(sf_dir, "events.parquet")
     work = tempfile.mkdtemp(prefix="sparkt_m14_")
@@ -831,7 +834,9 @@ def m14_stream_upsert(spark, sf_dir):
             unique_key="user_id", order_by=["ts", "event_id"],
             transform=transform,
         )
-    return spark.read.parquet(tgt).orderBy("user_id")
+    return spark.read.parquet(
+        upsert_current_path(tgt)
+    ).orderBy("user_id")
 
 
 M14_SQL = """

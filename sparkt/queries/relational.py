@@ -1137,6 +1137,9 @@ ORDER BY o_custkey
 """
 
 
+_Q31_BASE: dict = {}
+
+
 def q31_recursive_cte(spark, sf_dir):
     """Recursive CTE (iterative fixpoint): walk each customer's order
     chain (consecutive orders linked by date order) accumulating depth
@@ -1161,18 +1164,25 @@ def q31_recursive_cte(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy(
         "o_orderdate", "o_orderkey"
     )
-    ord_df = (
-        T(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 100)
-        .select(
-            "o_custkey", "o_orderkey", "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+    # memoized per (session, sf_dir): repeat invocations reuse ONE
+    # persisted base instead of leaking a fresh cached DF each call
+    # (review-found; same policy as the t2 expression memo)
+    memo_key = (id(spark), sf_dir)
+    ord_df = _Q31_BASE.get(memo_key)
+    if ord_df is None:
+        ord_df = (
+            T(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") < 100)
+            .select(
+                "o_custkey", "o_orderkey", "o_totalprice",
+                F.row_number().over(w).alias("rn"),
+            )
+            # gate-only: <100 customers survive the filter, so each of
+            # the ≤25 recursion rounds is a single small task
+            .coalesce(1)
+            .persist()
         )
-        # gate-only: <100 customers survive the filter, so each of the
-        # ≤25 recursion rounds is a single small task instead of 32
-        .coalesce(1)
-        .persist()
-    )
+        _Q31_BASE[memo_key] = ord_df
     ord_df.createOrReplaceTempView("q31_ord")
     return spark.sql("""
 WITH RECURSIVE chain AS (

@@ -40,21 +40,7 @@ def stream_append(
     from sparkt.sources import ensure_nanos_conf
 
     ensure_nanos_conf(spark)
-    reader = spark.readStream.format(fmt).option("recursiveFileLookup", "true")
-    if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        # streaming file sources REQUIRE a schema (AnalysisException
-        # otherwise, unless schemaInference is on); infer it from a
-        # batch read of the existing files for ANY format, not just
-        # parquet
-        reader = reader.schema(
-            spark.read.format(fmt)
-            .option("recursiveFileLookup", "true")
-            .load(source_dir)
-            .schema
-        )
-    stream = reader.load(source_dir)
+    stream = _open_file_stream(spark, source_dir, schema, fmt)
     if transform is not None:
         stream = transform(stream)
     query = (
@@ -65,6 +51,28 @@ def stream_append(
         .start()
     )
     query.awaitTermination()
+
+
+def _open_file_stream(
+    spark: SparkSession, source_dir: str, schema, fmt: str
+) -> DataFrame:
+    """File-source readStream with batch-inferred schema (streaming
+    file sources REQUIRE a schema — AnalysisException otherwise, unless
+    schemaInference is on; the batch read infers it for ANY format).
+    Shared by stream_append and stream_upsert."""
+    reader = spark.readStream.format(fmt).option(
+        "recursiveFileLookup", "true"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(
+            spark.read.format(fmt)
+            .option("recursiveFileLookup", "true")
+            .load(source_dir)
+            .schema
+        )
+    return reader.load(source_dir)
 
 
 def stream_upsert(
@@ -88,11 +96,17 @@ def stream_upsert(
     data), union with the current target and keep the top-1 per key —
     associative, so any micro-batch split of the input converges to the
     same final state as one big batch (pinned by the m14 oracle).
-    Without a table format the swap is the engine's atomic
-    rename-rewrite (same class as the batch merge); on Delta this
-    foreachBatch body becomes one ``MERGE INTO``. At scale the window
-    shuffles on the unique key exactly like the batch merge's
-    anti-join, and the checkpoint makes ingestion exactly-once."""
+
+    CRASH-SAFE SWAP: the target is a directory of immutable version
+    dirs plus a ``current`` symlink replaced atomically
+    (``os.replace`` of a symlink is one rename syscall) — a crash at
+    ANY point leaves ``current`` pointing at the last COMPLETE version,
+    and the replayed micro-batch simply re-merges (the merge is
+    idempotent). Read the state with :func:`upsert_current_path`.
+    Stale version dirs are swept on the next batch. On Delta this
+    foreachBatch body becomes one ``MERGE INTO``; at scale the windows
+    shuffle on the unique key exactly like the batch merge's anti-join,
+    and the checkpoint makes ingestion exactly-once."""
     import shutil
 
     from pyspark.sql import Window
@@ -101,19 +115,7 @@ def stream_upsert(
     ensure_nanos_conf(spark)
     keys = [unique_key] if isinstance(unique_key, str) else list(unique_key)
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    reader = spark.readStream.format(fmt).option(
-        "recursiveFileLookup", "true"
-    )
-    if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.schema(
-            spark.read.format(fmt)
-            .option("recursiveFileLookup", "true")
-            .load(source_dir)
-            .schema
-        )
-    stream = reader.load(source_dir)
+    stream = _open_file_stream(spark, source_dir, schema, fmt)
     if transform is not None:
         stream = transform(stream)
 
@@ -130,18 +132,30 @@ def stream_upsert(
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         merged = _latest(batch_df)
-        if os.path.isdir(target_path):
-            current = sess.read.parquet(target_path)
-            merged = _latest(current.unionByName(merged))
-        tmp = f"{target_path}.__sparkt_tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_path):
-            old = f"{target_path}.__sparkt_old_{batch_id}"
-            os.rename(target_path, old)
-            os.rename(tmp, target_path)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, target_path)
+        cur = upsert_current_path(target_path)
+        if cur is not None:
+            merged = _latest(sess.read.parquet(cur).unionByName(merged))
+        os.makedirs(target_path, exist_ok=True)
+        version = f"v{batch_id}_{os.getpid()}"
+        vdir = os.path.join(target_path, version)
+        merged.write.mode("overwrite").parquet(vdir)
+        # atomic pointer flip: symlink prepared aside, then ONE rename
+        link_tmp = os.path.join(target_path, f".current_tmp_{batch_id}")
+        if os.path.islink(link_tmp):
+            os.unlink(link_tmp)
+        os.symlink(version, link_tmp)
+        os.replace(link_tmp, os.path.join(target_path, "current"))
+        # sweep superseded versions (crash here leaves garbage dirs
+        # only — 'current' already points at the new complete version)
+        for entry in os.listdir(target_path):
+            p = os.path.join(target_path, entry)
+            if (
+                entry not in (version, "current")
+                and not entry.startswith(".")
+                and os.path.isdir(p)
+                and not os.path.islink(p)
+            ):
+                shutil.rmtree(p, ignore_errors=True)
 
     query = (
         stream.writeStream.foreachBatch(_upsert)
@@ -150,6 +164,17 @@ def stream_upsert(
         .start()
     )
     query.awaitTermination()
+
+
+def upsert_current_path(target_path: str) -> str | None:
+    """The current version dir of a :func:`stream_upsert` target, or
+    None before the first completed batch."""
+    link = os.path.join(target_path, "current")
+    if os.path.islink(link) or os.path.exists(link):
+        return os.path.join(
+            target_path, os.readlink(link)
+        ) if os.path.islink(link) else link
+    return None
 
 
 def windowed_aggregate(

@@ -149,7 +149,10 @@ def test_stream_upsert_multi_batch_converges(spark, tmp_path):
     ones."""
     import os
 
-    from sparkt.streaming.incremental import stream_upsert
+    from sparkt.streaming.incremental import (
+        stream_upsert,
+        upsert_current_path,
+    )
 
     src = str(tmp_path / "src")
     os.makedirs(src)
@@ -161,7 +164,7 @@ def test_stream_upsert_multi_batch_converges(spark, tmp_path):
     stream_upsert(spark, src, tgt, cp, unique_key="k",
                   order_by=["ver", "v"])
     got = {r["k"]: (r["ver"], r["v"])
-           for r in spark.read.parquet(tgt).collect()}
+           for r in spark.read.parquet(upsert_current_path(tgt)).collect()}
     assert got == {1: (100, "a"), 2: (100, "b")}
     # second drain: key 1 updated, key 3 new, stale row for 2 ignored
     spark.createDataFrame(
@@ -171,5 +174,10 @@ def test_stream_upsert_multi_batch_converges(spark, tmp_path):
     stream_upsert(spark, src, tgt, cp, unique_key="k",
                   order_by=["ver", "v"])
     got = {r["k"]: (r["ver"], r["v"])
-           for r in spark.read.parquet(tgt).collect()}
+           for r in spark.read.parquet(upsert_current_path(tgt)).collect()}
     assert got == {1: (200, "a2"), 2: (100, "b"), 3: (10, "c")}
+    # superseded version dirs were swept; one live version + pointer
+    import os as _os
+
+    entries = [e for e in _os.listdir(tgt) if not e.startswith(".")]
+    assert "current" in entries and len(entries) == 2
