@@ -21,6 +21,34 @@ from sparkt.relation import Relation
 _WITH_RE = re.compile(r"^(\s*)with(\s+recursive)?\b", re.IGNORECASE)
 
 
+def _try_or_compiler_error(message_if_exception, func, *args, **kwargs):
+    """Reference ``try_or_compiler_error`` (providers.py:948): run the
+    callable; any exception becomes a CompilationError with the
+    macro-supplied message."""
+    try:
+        return func(*args, **kwargs)
+    except Exception:
+        raise CompilationError(str(message_if_exception)) from None
+
+
+def _make_write(project, node):
+    """Reference ``write(payload)`` (providers.py:935): persist a
+    payload under target/run/<node path> from inside a macro; returns
+    '' so it can be called inline in jinja."""
+    import os
+
+    def write(payload):
+        out = os.path.join(
+            project.target_dir, "run", f"{node.name}.sql"
+        )
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            f.write(str(payload))
+        return ""
+
+    return write
+
+
 def inject_ctes_into_sql(sql: str, ctes: list[tuple[str, str]]) -> str:
     """Reference ``compilation.py:540-608``."""
     if not ctes:
@@ -318,6 +346,29 @@ class Compiler:
                         for uid, n in self.manifest.sources.items()
                     },
                 },
+                # remaining provider-context tail (SURVEY §2.3 /
+                # reference providers.py; each cited inline):
+                # the node's raw SQL (providers.py:1365)
+                "sql": node.raw_code,
+                # metric('name') → MetricReference-style handle
+                # (providers.py:1029); renders as its name so exposure/
+                # metric descriptions can interpolate it
+                "metric": ctx_mod.metric_reference,
+                # api.Column type helpers (providers.py:1221)
+                "column": ctx_mod.ColumnShim,
+                # store_result minus metadata (providers.py:902)
+                "store_raw_result": store_result,
+                # try_or_compiler_error (providers.py:948)
+                "try_or_compiler_error": _try_or_compiler_error,
+                # write(payload) → target/run/<name> (providers.py:935)
+                "write": _make_write(self.project, node),
+                # defer_relation (providers.py:1565): the state
+                # artifact's relation for THIS node when deferral is
+                # active, else None
+                "defer_relation": (
+                    self.defer_state.relation_name(node.unique_id)
+                    if self.defer_state is not None else None
+                ),
             }
         )
         # builtins (reference providers.py generate_builtins +

@@ -394,3 +394,47 @@ class RuntimeAdapterFacade:
 
     def __getattr__(self, item):
         raise CompilationError(f"adapter.{item} is not implemented")
+
+
+def metric_reference(*args):
+    """``metric('name')`` / ``metric('pkg', 'name')`` context function
+    (reference providers.py:1029, MetricReference): a handle rendering
+    as the metric name — exposures/doc blocks interpolate it, the
+    semantic layer resolves it."""
+    name = args[-1]
+
+    class _MetricRef:
+        metric_name = name
+        package_name = args[0] if len(args) == 2 else None
+
+        def __str__(self):
+            return str(name)
+
+        def __repr__(self):
+            return str(name)
+
+    return _MetricRef()
+
+
+class ColumnShim:
+    """``api.Column`` type helpers (reference providers.py:1221 via
+    dbt-common Column) — the subset cross-db macros call, in Spark SQL
+    type names."""
+
+    @staticmethod
+    def translate_type(dtype: str) -> str:
+        mapping = {
+            "character varying": "string", "varchar": "string",
+            "text": "string", "integer": "int", "float8": "double",
+            "float4": "float", "numeric": "decimal(38,18)",
+            "bool": "boolean",
+        }
+        return mapping.get(str(dtype).lower(), str(dtype))
+
+    @staticmethod
+    def string_type(size=None):
+        return "string"
+
+    @staticmethod
+    def numeric_type(dtype="decimal", precision=38, scale=18):
+        return f"decimal({precision},{scale})"

@@ -157,3 +157,32 @@ def test_ref_override_macro(make_project, spark):
     assert res.ok, [r.message for r in res.results]
     got = sorted(r["a"] for r in spark.table("t_refov.ref_override").collect())
     assert got == [6, 12, 18]  # seed_2, not seed_1
+
+
+def test_provider_context_tail(make_project, spark):
+    """The remaining provider-context functions (SURVEY §2.3 tail):
+    sql, metric(), column helpers, try_or_compiler_error, write(),
+    defer_relation — callable from model jinja."""
+    import os
+
+    files = {
+        "dbt_project.yml": "name: pct\nmodel-paths: [models]\n",
+        "models/m.sql": (
+            "{{ write('-- persisted by write()') }}"
+            "select '{{ metric(\"revenue\") }}' as metric_name,\n"
+            "  '{{ column.translate_type(\"varchar\") }}' as t1,\n"
+            "  '{{ column.numeric_type(\"decimal\", 10, 2) }}' as t2,\n"
+            "  {{ try_or_compiler_error('boom', 1 .__add__, 2) }} as three,\n"
+            "  {{ 'null' if defer_relation is none else \"'x'\" }} as defer_rel\n"
+        ),
+    }
+    runner = make_project(files, schema="t_pctx")
+    assert runner.run().ok
+    row = spark.table("t_pctx.m").first()
+    assert row["metric_name"] == "revenue"
+    assert row["t1"] == "string"
+    assert row["t2"] == "decimal(10,2)"
+    assert row["three"] == 3
+    assert row["defer_rel"] is None
+    out = os.path.join(runner.project.target_dir, "run", "m.sql")
+    assert open(out).read() == "-- persisted by write()"
