@@ -31,6 +31,33 @@ def _try_or_compiler_error(message_if_exception, func, *args, **kwargs):
         raise CompilationError(str(message_if_exception)) from None
 
 
+def _make_load_agate_table(node):
+    """Reference ``load_agate_table`` (providers.py:957): seeds expose
+    their CSV as a small driver-side table; calling it from any other
+    node type is a compilation error (same as the reference)."""
+    def load_agate_table():
+        if node.resource_type != "seed":
+            raise CompilationError(
+                "can only load_agate_table for seeds "
+                f"(got a {node.resource_type})"
+            )
+        import csv as _csv
+
+        path = node.config["seed_path"]
+        delim = node.config.get("delimiter", ",")
+        with open(path, newline="") as f:
+            reader = _csv.reader(f, delimiter=delim)
+            header = next(reader, [])
+            rows = [tuple(r) for r in reader]
+        return type("AgateTable", (), {
+            "column_names": header,
+            "rows": rows,
+            "__len__": lambda self: len(rows),
+        })()
+
+    return load_agate_table
+
+
 def _make_write(project, node):
     """Reference ``write(payload)`` (providers.py:935): persist a
     payload under target/run/<node path> from inside a macro; returns
@@ -369,6 +396,10 @@ class Compiler:
                     self.defer_state.relation_name(node.unique_id)
                     if self.defer_state is not None else None
                 ),
+                # load_agate_table (providers.py:957): the seed's CSV
+                # as a driver-side rows object; errors on non-seeds
+                # exactly like the reference
+                "load_agate_table": _make_load_agate_table(node),
             }
         )
         # builtins (reference providers.py generate_builtins +

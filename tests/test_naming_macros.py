@@ -186,3 +186,36 @@ def test_provider_context_tail(make_project, spark):
     assert row["defer_rel"] is None
     out = os.path.join(runner.project.target_dir, "run", "m.sql")
     assert open(out).read() == "-- persisted by write()"
+
+
+def test_load_agate_table_seed_hook(make_project, spark):
+    """load_agate_table (providers.py:957): a seed post-hook macro can
+    read the CSV driver-side; non-seed nodes error like the
+    reference."""
+    files = {
+        "dbt_project.yml": "name: lat\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+        "seeds/schema.yml": (
+            "version: 2\nseeds:\n  - name: raw\n    config:\n"
+            "      post-hook: \"{{ log('seed rows: ' ~ "
+            "load_agate_table().rows | length) }}\"\n"
+        ),
+        "models/m.sql": (
+            "select 1 as ok\n"
+            "{% if var('break_lat', false) %}"
+            "{{ load_agate_table() }}{% endif %}"
+        ),
+    }
+    runner = make_project(files, schema="t_lat")
+    assert runner.seed().ok
+    assert runner.run().ok
+    from sparkt.runner import Runner
+
+    broken = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_lat": True},
+        project_overrides={"schema": "t_lat"},
+    )
+    res = broken.run()
+    assert not res.ok
+    assert "load_agate_table" in res.results[0].message
