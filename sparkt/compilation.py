@@ -31,10 +31,46 @@ def _try_or_compiler_error(message_if_exception, func, *args, **kwargs):
         raise CompilationError(str(message_if_exception)) from None
 
 
+def _coerce_seed_cell(raw: str, sql_type: str | None):
+    """Typed parsing for load_agate_table (ADVICE r6): the reference's
+    agate_helper.from_csv returns typed cells; honour the seed's
+    column_types so macros doing numeric comparisons on seed values get
+    number semantics. Untyped columns fall back to agate-style
+    inference: int → float → bool → string; empty cell → None."""
+    if raw == "":
+        return None
+    t = (sql_type or "").lower()
+    try:
+        if any(k in t for k in ("int", "long", "short", "byte")):
+            return int(raw)
+        if any(k in t for k in ("double", "float", "decimal", "numeric")):
+            return float(raw)
+        if "bool" in t:
+            return raw.strip().lower() in ("true", "t", "1", "yes")
+        if t:  # explicit string/date/timestamp types stay verbatim
+            return raw
+        # no declared type: infer like agate's TypeTester
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+        try:
+            return float(raw)
+        except ValueError:
+            pass
+        if raw.strip().lower() in ("true", "false"):
+            return raw.strip().lower() == "true"
+        return raw
+    except ValueError:
+        return raw
+
+
 def _make_load_agate_table(node):
     """Reference ``load_agate_table`` (providers.py:957): seeds expose
     their CSV as a small driver-side table; calling it from any other
-    node type is a compilation error (same as the reference)."""
+    node type is a compilation error (same as the reference). Cells are
+    typed via the seed's ``column_types`` config with agate-style
+    inference for undeclared columns (ADVICE r6)."""
     def load_agate_table():
         if node.resource_type != "seed":
             raise CompilationError(
@@ -45,10 +81,17 @@ def _make_load_agate_table(node):
 
         path = node.config["seed_path"]
         delim = node.config.get("delimiter", ",")
+        ctypes = node.config.get("column_types") or {}
         with open(path, newline="") as f:
             reader = _csv.reader(f, delimiter=delim)
             header = next(reader, [])
-            rows = [tuple(r) for r in reader]
+            rows = [
+                tuple(
+                    _coerce_seed_cell(cell, ctypes.get(col))
+                    for col, cell in zip(header, r)
+                )
+                for r in reader
+            ]
         return type("AgateTable", (), {
             "column_names": header,
             "rows": rows,
@@ -65,8 +108,13 @@ def _make_write(project, node):
     import os
 
     def write(payload):
+        # mirror the reference's target write path: package + the
+        # node's original subpath/extension under target/run, so
+        # same-named nodes in different packages/subdirs don't
+        # overwrite each other (ADVICE r6)
+        rel = node.path or f"{node.name}.sql"
         out = os.path.join(
-            project.target_dir, "run", f"{node.name}.sql"
+            project.target_dir, "run", node.package_name, rel
         )
         os.makedirs(os.path.dirname(out), exist_ok=True)
         with open(out, "w") as f:

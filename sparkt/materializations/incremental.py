@@ -182,6 +182,55 @@ def _set_microbatch_complete(ctx, rel) -> None:
         pass
 
 
+# table property persisting the UNHEALED failed batch windows of prior
+# partial-success runs (JSON list of [start, end] pairs). run_results is
+# overwritten by every command, so a plain ``run`` after a partial
+# success would otherwise make interior holes permanently undetectable
+# (the crash scan only extends to max(event_time), not interior gaps).
+# Every later incremental run re-attempts these windows until healed;
+# the completion marker is only set once none remain.
+_MB_FAILED_PROP = "sparkt.microbatch.failed"
+
+
+def _get_failed_windows(ctx, rel):
+    import json
+
+    try:
+        _, rows = ctx.adapter.execute(
+            f"SHOW TBLPROPERTIES {rel.render()}", fetch=True
+        )
+        for r in rows:
+            if r["key"] == _MB_FAILED_PROP:
+                return [
+                    (_parse_ts(s), _parse_ts(e))
+                    for s, e in json.loads(str(r["value"]))
+                ]
+    except Exception:
+        pass
+    return []
+
+
+def _set_failed_windows(ctx, rel, windows) -> None:
+    """windows: list of [start_str, end_str] pairs (empty → unset)."""
+    import json
+
+    try:
+        if windows:
+            # JSON uses double quotes and ISO timestamps contain no
+            # single quotes, so the literal embeds safely
+            ctx.adapter.execute(
+                f"ALTER TABLE {rel.render()} SET TBLPROPERTIES "
+                f"('{_MB_FAILED_PROP}' = '{json.dumps(windows)}')"
+            )
+        else:
+            ctx.adapter.execute(
+                f"ALTER TABLE {rel.render()} UNSET TBLPROPERTIES "
+                f"IF EXISTS ('{_MB_FAILED_PROP}')"
+            )
+    except Exception:
+        pass
+
+
 def _clear_microbatch_complete(ctx, rel) -> None:
     """Drop the completion marker BEFORE the first batch write of a
     run: on parquet the CTAS swap would drop it incidentally, but on
@@ -252,6 +301,12 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         )
     lookback = int(cfg.get("lookback", 1))
     first_build = not exists or full_refresh
+    # unhealed failed windows persisted by prior partial-success runs:
+    # read BEFORE any marker churn; re-attempted below until healed
+    prior_failed = (
+        _get_failed_windows(ctx, rel)
+        if exists and not full_refresh else []
+    )
 
     # ---- compute and VALIDATE the whole window BEFORE any destructive
     # step: a bad 'begin' / unparseable --event-time bound must fail the
@@ -304,7 +359,7 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         # window surviving) — safe now that the window above validated
         ctx.adapter.drop_relation(rel)
 
-    if not retry_windows and start >= end:
+    if not retry_windows and not prior_failed and start >= end:
         if not ctx.adapter.relation_exists(rel):
             # empty window on a first build: still create the (empty)
             # table from the compiled schema so downstream refs resolve
@@ -330,11 +385,21 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
 
     if not retry_windows:
         batches = []
-        b = _batch_floor(start, size)
-        while b < end:
-            nb = _batch_shift(b, size, 1)
-            batches.append((max(b, start), min(nb, end)))
-            b = nb
+        if start < end:
+            b = _batch_floor(start, size)
+            while b < end:
+                nb = _batch_shift(b, size, 1)
+                batches.append((max(b, start), min(nb, end)))
+                b = nb
+
+    # heal prior unhealed windows on EVERY later run (plain run or
+    # retry): append any persisted failed window the current window
+    # does not already cover — the window replace is idempotent, so
+    # reprocessing a past window is exact
+    for fs, fe in prior_failed:
+        if not any(bs <= fs and be >= fe for bs, be in batches):
+            batches.append((fs, fe))
+    batches.sort()
 
     file_format = str(cfg.get("file_format") or "parquet").lower()
     compiler = ctx.compiler
@@ -375,7 +440,19 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         """run-results v6 batch_results shape; status follows dbt 1.9:
         all green → success, mixed → 'partial success' (downstream
         nodes still run against the partially-populated table), all
-        red → error. ``retry`` re-runs only ``failed``."""
+        red → error. ``retry`` re-runs only ``failed``. Prior-run
+        unhealed windows this run did not heal carry forward (they are
+        injected into ``batches`` above, so normally each already sits
+        in succeeded or failed — this is the defensive net)."""
+        carried = [
+            w for w in prior_failed
+            if not any(bs <= w[0] and be >= w[1] for bs, be in succeeded)
+            and not any(b == w for b, _ in failed)
+        ]
+        failed = failed + [
+            (w, "unhealed window carried from a prior run")
+            for w in carried
+        ]
         out = {
             "status": (
                 "success" if not failed
@@ -394,8 +471,15 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                 f"[{_win(*b)[0]} → {_win(*b)[1]}]: {err}"
                 for b, err in failed
             )
-        if not failed and ctx.adapter.relation_exists(rel):
-            _set_microbatch_complete(ctx, rel)
+        if ctx.adapter.relation_exists(rel):
+            # persist the remaining holes (or clear when healed); the
+            # completion marker is set ONLY when no hole remains, so a
+            # later plain run can never mask an interior gap
+            _set_failed_windows(
+                ctx, rel, [_win(*b) for b, _ in failed]
+            )
+            if not failed:
+                _set_microbatch_complete(ctx, rel)
         node.relation = (
             rel if ctx.adapter.relation_exists(rel) else None
         )

@@ -1531,8 +1531,11 @@ kpos AS (
                           1, 8))::BIGINT % 64) AS c
   FROM keys, iv),
 est AS (
-  SELECT user_id, CAST(min(cnt) AS BIGINT) AS cms_est
-  FROM kpos JOIN cms USING (r, c) GROUP BY user_id)
+  -- LEFT JOIN + coalesce matches cms_estimate for keys absent from
+  -- the sketch (counter row missing -> estimate 0); here all probe
+  -- keys come from the build input, but the semantics must agree
+  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+  FROM kpos LEFT JOIN cms USING (r, c) GROUP BY user_id)
 SELECT est.user_id, cms_est, CAST(ex.exact_cnt AS BIGINT) AS exact_cnt
 FROM est JOIN (
   SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1) ex

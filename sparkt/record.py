@@ -201,14 +201,20 @@ class RecordingAdapter:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
-        # one handle for the adapter's lifetime: re-opening per recorded
+        # one handle for the adapter's lifetime (re-opening per recorded
         # statement puts thousands of open/close syscalls on the hot
-        # path of a big run; flush-per-line keeps the bundle crash-safe
-        self._fh = open(path, "w")
+        # path of a big run; flush-per-line keeps the bundle crash-safe)
+        # — but opened LAZILY on the first recorded call: a Runner that
+        # is constructed in record mode and never executes (config
+        # error, second construction in one environment) must not
+        # truncate a previously captured bundle (ADVICE r6)
+        self._fh = None
 
     def _append(self, entry: dict) -> None:
         line = json.dumps(entry, default=str)
         with self._lock:
+            if self._fh is None:
+                self._fh = open(self._path, "w")
             self._fh.write(line + "\n")
             self._fh.flush()
 

@@ -861,6 +861,52 @@ def test_microbatch_continue_on_failure_and_batch_retry(
     assert fixed.retry().results == []
 
 
+def test_microbatch_plain_run_heals_persisted_failed_windows(
+    make_project, spark
+):
+    """ADVICE r6 (medium): a partial success persists its failed
+    windows on the table (sparkt.microbatch.failed); a later PLAIN run
+    (which overwrites run_results) re-attempts those windows and only
+    sets the completion marker once no hole remains — the interior gap
+    can never become undetectable."""
+    runner = make_project(dict(_MB_BREAK_FILES), schema="t_mb_heal")
+    assert runner.seed().ok
+    res = runner.run(event_time_end="2024-01-05 00:00:00")
+    assert not res.ok
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            "show tblproperties t_mb_heal.mb_daily"
+        ).collect()
+    }
+    assert "2024-01-02 00:00:00" in props.get(
+        "sparkt.microbatch.failed", ""
+    )
+    assert props.get("sparkt.microbatch.complete") != "true"
+
+    # plain run (NOT retry) whose lookback window [01-04, 01-06) does
+    # not cover the day-2 hole; the persisted window must heal anyway
+    from sparkt.runner import Runner
+
+    fixed = Runner(
+        runner.project.project_root, spark=spark,
+        cli_vars={"break_day2": False},
+        project_overrides={"schema": "t_mb_heal"},
+    )
+    res2 = fixed.run(event_time_end="2024-01-06 00:00:00")
+    assert res2.ok, [r.message for r in res2.results]
+    ids = {r["id"] for r in spark.table("t_mb_heal.mb_daily").collect()}
+    assert ids == {1, 2, 3, 4}
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            "show tblproperties t_mb_heal.mb_daily"
+        ).collect()
+    }
+    assert "sparkt.microbatch.failed" not in props
+    assert props.get("sparkt.microbatch.complete") == "true"
+
+
 def test_microbatch_full_refresh_validates_before_drop(
     make_project, spark
 ):

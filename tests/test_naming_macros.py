@@ -184,7 +184,11 @@ def test_provider_context_tail(make_project, spark):
     assert row["t2"] == "decimal(10,2)"
     assert row["three"] == 3
     assert row["defer_rel"] is None
-    out = os.path.join(runner.project.target_dir, "run", "m.sql")
+    # write() preserves package + original subpath (ADVICE r6): no
+    # cross-package flattening of same-named nodes
+    out = os.path.join(
+        runner.project.target_dir, "run", "pct", "m.sql"
+    )
     assert open(out).read() == "-- persisted by write()"
 
 
@@ -197,8 +201,13 @@ def test_load_agate_table_seed_hook(make_project, spark):
         "seeds/raw.csv": "id,v\n1,10\n2,20\n",
         "seeds/schema.yml": (
             "version: 2\nseeds:\n  - name: raw\n    config:\n"
-            "      post-hook: \"{{ log('seed rows: ' ~ "
-            "load_agate_table().rows | length) }}\"\n"
+            "      column_types: {v: int}\n"
+            # typed cells (ADVICE r6): v coerces to int per
+            # column_types, so + is numeric addition (30), not string
+            # concatenation ('1020')
+            "      post-hook: \"{% set t = load_agate_table() %}"
+            "create table t_lat.agate_sum as select "
+            "{{ t.rows[0][1] + t.rows[1][1] }} as s\"\n"
         ),
         "models/m.sql": (
             "select 1 as ok\n"
@@ -208,6 +217,7 @@ def test_load_agate_table_seed_hook(make_project, spark):
     }
     runner = make_project(files, schema="t_lat")
     assert runner.seed().ok
+    assert spark.table("t_lat.agate_sum").first()["s"] == 30
     assert runner.run().ok
     from sparkt.runner import Runner
 
