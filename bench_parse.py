@@ -87,12 +87,20 @@ def main():
         # first partial=True run writes the pickle, second reads it
         parse_once(root, partial=True)
         warm_s, _ = parse_once(root, partial=True)
+        # file-level partial parse: ONE model changed out of 2,000 —
+        # only that file re-parses (sparkt/partial.py)
+        with open(
+            os.path.join(root, "models", "path_0", "node_0_1.sql"), "w"
+        ) as f:
+            f.write("select id, 1 as v from {{ ref('node_0_0') }}")
+        warm_1change_s, _ = parse_once(root, partial=True)
         print(
             json.dumps(
                 {
                     "metric": "parse_2000_models",
                     "cold_s": round(cold_s, 3),
                     "warm_s": round(warm_s, 3),
+                    "warm_1change_s": round(warm_1change_s, 3),
                     "nodes": n_nodes,
                     "unit": "sec",
                 }

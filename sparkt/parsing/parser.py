@@ -5,7 +5,10 @@ Mirrors the reference's load pipeline
 path/extension (``parser/read_files.py:386-430``), parse macros first,
 then models/seeds/snapshots/singular tests, then schema YAML (sources,
 model patches, generic data tests, unit tests), then resolve refs.
-Partial parsing (msgpack cache) is handled in ``sparkt/partial.py``.
+Partial parsing is two-tier: a whole-manifest cache (inline in
+``load``, ``partial_parse.pickle``) for the nothing-changed case, and
+the file-level cache in ``sparkt/partial.py`` (reference
+``core/dbt/parser/partial.py``) that re-parses only changed files.
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from sparkt.exceptions import ParsingError
 from sparkt.manifest import Manifest, ParsedNode
 from sparkt.parsing import context as ctx_mod
 from sparkt.parsing.macros import BUILTIN_MACRO_SOURCES
-from sparkt.project import Project
+from sparkt.project import Project, normalize_config_keys
 
 SNAPSHOT_BLOCK_RE = re.compile(
     r"{%-?\s*snapshot\s+(\w+)\s*-?%}(.*?){%-?\s*endsnapshot\s*-?%}", re.S
@@ -30,11 +33,14 @@ def _walk(root: str, paths: list[str], exts: tuple[str, ...]):
         base = os.path.join(root, p)
         if not os.path.isdir(base):
             continue
+        # strip the base prefix by slicing: os.path.relpath is ~20 µs
+        # a call and this walk runs twice per load over every file
+        cut = len(base.rstrip(os.sep)) + 1
         for dirpath, _, files in os.walk(base):
             for fn in sorted(files):
                 if fn.endswith(exts):
                     full = os.path.join(dirpath, fn)
-                    yield full, os.path.relpath(full, base)
+                    yield full, full[cut:]
 
 
 _has_jinja = ctx_mod.has_jinja
@@ -50,6 +56,11 @@ class ManifestLoader:
         #: models parsed via the skip-Jinja static fast path this load
         #: (reference experimental parser's sampling stat)
         self.static_parsed = 0
+        #: files whose parse actually ran this load (cache misses);
+        #: the file-level partial-parsing tests pin this
+        self.files_reparsed = 0
+        self._hashes: dict[str, str] = {}
+        self._pcache = None
         self.packages = self._load_packages()
 
     def _load_packages(self) -> list[Project]:
@@ -235,14 +246,27 @@ class ManifestLoader:
             import pickle
 
             try:
+                manifest = None
                 with open(cache_path, "rb") as f:
+                    # two-stage pickle: the small header (hashes, key)
+                    # loads first so a changed project skips unpickling
+                    # the whole manifest (~100 ms at 2,000 models) on
+                    # its way to the file-level partial path
                     stored = pickle.load(f)
-                if (
-                    stored.get("hashes") == hashes
-                    and stored.get("node_schema") == node_schema
-                    and stored.get("vars") == (self.project.vars, self.cli_vars)
-                ):
-                    self.manifest = stored["manifest"]
+                    if (
+                        stored.get("hashes") == hashes
+                        and stored.get("node_schema") == node_schema
+                        and stored.get("vars")
+                        == (self.project.vars, self.cli_vars)
+                    ):
+                        try:
+                            manifest = pickle.load(f)
+                        except EOFError:
+                            # legacy single-blob cache carries the
+                            # manifest inline
+                            manifest = stored.get("manifest")
+                if manifest is not None:
+                    self.manifest = manifest
                     # external nodes are plugin-provided, not file-backed:
                     # re-inject on every load (reference parser/
                     # manifest.py:453 runs inject_external_nodes even on
@@ -254,6 +278,41 @@ class ManifestLoader:
                     return self.manifest
             except Exception:  # noqa: BLE001 — stale/corrupt cache
                 pass
+        # file-level partial parsing (sparkt/partial.py; reference
+        # core/dbt/parser/partial.py): something changed, so the
+        # whole-manifest reuse above missed — serve every UNCHANGED
+        # file's parse output from the per-file cache and re-parse
+        # only the changed ones. Global parse inputs (macros, project
+        # files, vars, node schema) ride in the cache key: any change
+        # there discards the whole cache.
+        import hashlib as _hl
+
+        from sparkt.partial import FileParseCache
+
+        macro_hash = _hl.md5(
+            "".join(
+                f"{k}\x00{v}\x01"
+                for k, v in sorted(self.manifest.macros.items())
+            ).encode()
+        ).hexdigest()
+        proj_files = tuple(sorted(
+            (p, h) for p, h in hashes.items()
+            if os.path.basename(p) in ("dbt_project.yml", "profiles.yml")
+        ))
+        fkey = (
+            node_schema,
+            (self.project.vars, self.cli_vars),
+            macro_hash,
+            proj_files,
+        )
+        self._hashes = hashes
+        fcache_path = os.path.join(
+            self.project.target_dir, "partial_files.pickle"
+        )
+        self._pcache = (
+            FileParseCache.load(fcache_path, fkey)
+            if partial else FileParseCache(fcache_path, fkey)
+        )
         self._parse_models()
         self._parse_seeds()
         self._parse_snapshots()
@@ -277,20 +336,23 @@ class ManifestLoader:
                        count_invalid_names=len(spaced))
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
+        self._pcache.save(hashes)
         try:
             import pickle
 
             os.makedirs(self.project.target_dir, exist_ok=True)
             with open(cache_path, "wb") as f:
+                # header first, manifest second (see the two-stage
+                # load above)
                 pickle.dump(
                     {
                         "hashes": hashes,
                         "node_schema": node_schema,
                         "vars": (self.project.vars, self.cli_vars),
-                        "manifest": self.manifest,
                     },
                     f,
                 )
+                pickle.dump(self.manifest, f)
         except Exception:  # noqa: BLE001 — cache is best-effort
             pass
         return self.manifest
@@ -314,11 +376,15 @@ class ManifestLoader:
             ):
                 with open(full, "rb") as f:
                     hashes[full] = hashlib.md5(f.read()).hexdigest()
-        for name in ("dbt_project.yml", "profiles.yml"):
-            p = os.path.join(self.project.project_root, name)
-            if os.path.exists(p):
-                with open(p, "rb") as f:
-                    hashes[p] = hashlib.md5(f.read()).hexdigest()
+        # project files of the ROOT AND every package: their configs
+        # merge into each node at parse (config_for_path), so a change
+        # must invalidate cached parses
+        for proj in self.all_projects:
+            for name in ("dbt_project.yml", "profiles.yml"):
+                p = os.path.join(proj.project_root, name)
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        hashes[p] = hashlib.md5(f.read()).hexdigest()
         return hashes
 
     # ------------------------------------------------------------- macros
@@ -386,6 +452,39 @@ class ManifestLoader:
         node.tags = list(merged.get("tags", []) or [])
         return node
 
+    def _cached_file(self, full: str, build) -> list[ParsedNode]:
+        """Serve a file's ParsedNodes from the per-file cache when its
+        content hash is unchanged; otherwise run ``build`` (the real
+        parse) and cache its output. The cache snapshot is taken here,
+        BEFORE yml patches / ref resolution mutate the nodes."""
+        h = self._hashes.get(full)
+        if self._pcache is not None:
+            cached = self._pcache.get_nodes(full, h)
+            if cached is not None:
+                return cached
+        self.files_reparsed += 1
+        nodes = build()
+        if self._pcache is not None:
+            self._pcache.put_nodes(full, h, nodes)
+        return nodes
+
+    def _cached_yaml(self, full: str):
+        """yaml.safe_load with per-file caching (the load is the
+        expensive part; patch APPLICATION re-runs every parse)."""
+        import yaml
+
+        h = self._hashes.get(full)
+        if self._pcache is not None:
+            cached = self._pcache.get_doc(full, h)
+            if cached is not None:
+                return cached
+        self.files_reparsed += 1
+        with open(full) as f:
+            doc = yaml.safe_load(f) or {}
+        if self._pcache is not None:
+            self._pcache.put_doc(full, h, doc)
+        return doc
+
     def _add_unique(self, node: ParsedNode, path: str) -> None:
         """Duplicate-resource detection (reference
         ``tests/functional/duplicates``): two resources compiling to the
@@ -408,14 +507,18 @@ class ManifestLoader:
                 proj.project_root, proj.model_paths, (".sql", ".py")
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
-                with open(full) as f:
-                    raw = f.read()
-                if full.endswith(".py"):
-                    node = self._parse_python_model(name, rel, raw)
-                else:
-                    node = self._parse_sql_node("model", name, rel, raw,
-                                                project=proj)
-                self._add_unique(node, rel)
+
+                def build(full=full, rel=rel, name=name, proj=proj):
+                    with open(full) as f:
+                        raw = f.read()
+                    if full.endswith(".py"):
+                        return [self._parse_python_model(name, rel, raw)]
+                    return [self._parse_sql_node(
+                        "model", name, rel, raw, project=proj
+                    )]
+
+                for node in self._cached_file(full, build):
+                    self._add_unique(node, rel)
 
     def _parse_python_model(self, name: str, rel: str, raw: str) -> ParsedNode:
         """Python models (``core/dbt/parser/models.py:32-104``): extract
@@ -459,17 +562,22 @@ class ManifestLoader:
                 proj.project_root, proj.seed_paths, (".csv",)
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
-                node = ParsedNode(
-                    unique_id=f"seed.{proj.name}.{name}",
-                    name=name,
-                    package_name=proj.name,
-                    resource_type="seed",
-                    path=rel,
-                    raw_code="",  # "No SQLDefaults!" — nodes.py:774
-                    config=proj.config_for_path("seed", rel),
-                )
-                node.config["seed_path"] = full
-                self._add_unique(node, rel)
+
+                def build(full=full, rel=rel, name=name, proj=proj):
+                    node = ParsedNode(
+                        unique_id=f"seed.{proj.name}.{name}",
+                        name=name,
+                        package_name=proj.name,
+                        resource_type="seed",
+                        path=rel,
+                        raw_code="",  # "No SQLDefaults!" — nodes.py:774
+                        config=proj.config_for_path("seed", rel),
+                    )
+                    node.config["seed_path"] = full
+                    return [node]
+
+                for node in self._cached_file(full, build):
+                    self._add_unique(node, rel)
 
     # ---------------------------------------------------------- snapshots
     def _parse_snapshots(self) -> None:
@@ -477,14 +585,22 @@ class ManifestLoader:
             for full, rel in _walk(
                 proj.project_root, proj.snapshot_paths, (".sql",)
             ):
-                with open(full) as f:
-                    raw = f.read()
-                blocks = SNAPSHOT_BLOCK_RE.findall(raw)
-                if not blocks:
-                    raise ParsingError(f"no {{% snapshot %}} block in {rel}")
-                for name, body in blocks:
-                    node = self._parse_sql_node("snapshot", name, rel, body,
-                                                project=proj)
+                def build(full=full, rel=rel, proj=proj):
+                    with open(full) as f:
+                        raw = f.read()
+                    blocks = SNAPSHOT_BLOCK_RE.findall(raw)
+                    if not blocks:
+                        raise ParsingError(
+                            f"no {{% snapshot %}} block in {rel}"
+                        )
+                    return [
+                        self._parse_sql_node(
+                            "snapshot", name, rel, body, project=proj
+                        )
+                        for name, body in blocks
+                    ]
+
+                for node in self._cached_file(full, build):
                     self._add_unique(node, rel)
 
     # ------------------------------------------------------ singular tests
@@ -494,11 +610,16 @@ class ManifestLoader:
                 proj.project_root, proj.test_paths, (".sql",)
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
-                with open(full) as f:
-                    raw = f.read()
-                node = self._parse_sql_node("test", name, rel, raw,
-                                            project=proj)
-                self._add_unique(node, rel)
+
+                def build(full=full, rel=rel, name=name, proj=proj):
+                    with open(full) as f:
+                        raw = f.read()
+                    return [self._parse_sql_node(
+                        "test", name, rel, raw, project=proj
+                    )]
+
+                for node in self._cached_file(full, build):
+                    self._add_unique(node, rel)
 
     # ------------------------------------------------------------ analyses
     def _parse_analyses(self) -> None:
@@ -507,16 +628,19 @@ class ManifestLoader:
                 proj.project_root, proj.analysis_paths, (".sql",)
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
-                with open(full) as f:
-                    raw = f.read()
-                node = self._parse_sql_node("analysis", name, rel, raw,
-                                            project=proj)
-                self._add_unique(node, rel)
+
+                def build(full=full, rel=rel, name=name, proj=proj):
+                    with open(full) as f:
+                        raw = f.read()
+                    return [self._parse_sql_node(
+                        "analysis", name, rel, raw, project=proj
+                    )]
+
+                for node in self._cached_file(full, build):
+                    self._add_unique(node, rel)
 
     # --------------------------------------------------------- schema yaml
     def _parse_schema_yaml(self) -> None:
-        import yaml
-
         pending_sources: list[tuple[dict, Project]] = []
         for proj in self.all_projects:
             for full, rel in _walk(
@@ -524,8 +648,7 @@ class ManifestLoader:
                 proj.model_paths + proj.seed_paths + proj.snapshot_paths,
                 (".yml", ".yaml"),
             ):
-                with open(full) as f:
-                    doc = yaml.safe_load(f) or {}
+                doc = self._cached_yaml(full)
                 for src in doc.get("sources", []) or []:
                     pending_sources.append((src, proj))
                 for patch in doc.get("models", []) or []:
@@ -654,7 +777,7 @@ class ManifestLoader:
         if node is None:
             return
         node.description = patch.get("description", node.description)
-        yml_cfg = patch.get("config", {}) or {}
+        yml_cfg = normalize_config_keys(patch.get("config", {}) or {})
         merged = dict(yml_cfg)
         merged.update(node.config)  # in-file config still wins
         node.config = merged

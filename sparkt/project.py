@@ -98,7 +98,7 @@ class Project:
         def take(level: dict) -> None:
             for k, v in level.items():
                 if k.startswith("+"):
-                    out[k[1:]] = v
+                    out[_HOOK_ALIASES.get(k[1:], k[1:])] = v
 
         take(tree)
         level = tree
@@ -116,6 +116,16 @@ class Project:
             if isinstance(leaf, dict):
                 take(leaf)
         return out
+
+
+# dbt's canonical YAML spellings for hooks use hyphens
+# (core/dbt/config: pre-hook/post-hook); runtime config keys use
+# underscores — normalize at every YAML → config merge point
+_HOOK_ALIASES = {"pre-hook": "pre_hook", "post-hook": "post_hook"}
+
+
+def normalize_config_keys(cfg: dict) -> dict:
+    return {_HOOK_ALIASES.get(k, k): v for k, v in cfg.items()}
 
 
 def _listify(v) -> list[str]:

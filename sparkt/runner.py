@@ -254,17 +254,22 @@ class Runner:
             if not hook_sql:
                 continue
             if node is not None:
-                rendered = self.compiler.render(
-                    ParsedNode(
-                        unique_id=f"operation.{self.project.name}.hook",
-                        name="hook",
-                        package_name=self.project.name,
-                        resource_type="operation",
-                        raw_code=hook_sql,
-                        config=node.config,
-                    ),
-                    extra_ctes=[],
+                # a synthetic node (so the parent's compiled_code is
+                # not clobbered) that INHERITS the parent's identity:
+                # the reference renders hooks in the model context, so
+                # {{ this }}, load_agate_table (seeds) etc. must see
+                # the parent's resource_type/name/config
+                hook_node = ParsedNode(
+                    unique_id=f"operation.{self.project.name}.hook",
+                    name=node.name,
+                    package_name=node.package_name,
+                    resource_type=node.resource_type,
+                    path=node.path,
+                    raw_code=hook_sql,
+                    config=node.config,
                 )
+                hook_node.relation = node.relation
+                rendered = self.compiler.render(hook_node, extra_ctes=[])
             else:
                 rendered = self.compiler.render(
                     ParsedNode(

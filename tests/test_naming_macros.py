@@ -205,8 +205,11 @@ def test_load_agate_table_seed_hook(make_project, spark):
             # typed cells (ADVICE r6): v coerces to int per
             # column_types, so + is numeric addition (30), not string
             # concatenation ('1020')
+            # view, not table: idempotent across reruns and no
+            # warehouse location to collide with stale dirs from a
+            # previous test process
             "      post-hook: \"{% set t = load_agate_table() %}"
-            "create table t_lat.agate_sum as select "
+            "create or replace view t_lat.agate_sum as select "
             "{{ t.rows[0][1] + t.rows[1][1] }} as s\"\n"
         ),
         "models/m.sql": (
