@@ -644,6 +644,53 @@ class SparkAdapter:
             )
         self._gc_old_versions(relation, keep=loc)
 
+    def create_seed(
+        self,
+        relation: Relation,
+        path: str,
+        delimiter: str = ",",
+        column_types: dict | None = None,
+    ) -> dict:
+        """Seed CSV → table as ONE adapter call, returning a
+        serializable summary ({count, columns, rows ≤1000}) so a
+        record/replay bundle can serve seeds without a session
+        (sparkt/record.py; reference ``tests/functional/record/``).
+        Agate-like inference: header on, inferSchema, dates preferred,
+        empty string → NULL (SURVEY.md §7)."""
+        reader = (
+            self.spark.read.option("header", True)
+            .option("delimiter", delimiter)
+            .option("inferSchema", True)
+            .option("preferDate", True)
+            .option("nullValue", "")
+            .option("emptyValue", "")
+        )
+        df = reader.csv(path)
+        for col, dtype in (column_types or {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, df[col].cast(dtype))
+        self.create_table_as(relation, df=df)
+        rows = [r.asDict() for r in df.limit(1000).collect()]
+        return {
+            "count": df.count(),
+            "columns": [[f.name, f.dataType.simpleString()]
+                        for f in df.schema.fields],
+            "rows": rows,
+        }
+
+    def python_model_result(self, relation_name: str) -> dict:
+        """Schema + count + row sample of a materialized python model's
+        relation — recorded into the support bundle so replay can
+        describe the model's output without re-running user code
+        against a session (sparkt/record.py)."""
+        df = self.spark.table(relation_name)
+        return {
+            "count": df.count(),
+            "columns": [[f.name, f.dataType.simpleString()]
+                        for f in df.schema.fields],
+            "sample": [r.asDict() for r in df.limit(10).collect()],
+        }
+
     def shallow_clone(self, target: Relation, source_name: str) -> None:
         """Delta zero-copy clone (reference ``core/dbt/task/clone.py:18-126``
         + public dbt-spark ``spark__can_clone_table``: delta only):

@@ -16,21 +16,15 @@ from sparkt.materializations import MatContext, persist_docs, register
 @register("seed")
 def materialize_seed(ctx: MatContext, node):
     path = node.config["seed_path"]
-    delimiter = node.config.get("delimiter", ",")
-    reader = (
-        ctx.spark.read.option("header", True)
-        .option("delimiter", delimiter)
-        .option("inferSchema", True)
-        .option("preferDate", True)
-        .option("nullValue", "")
-        .option("emptyValue", "")
-    )
-    df = reader.csv(path)
-    for col, dtype in (node.config.get("column_types") or {}).items():
-        if col in df.columns:
-            df = df.withColumn(col, df[col].cast(dtype))
     rel = ctx.compiler.relation_for(node)
     node.relation = rel
-    ctx.adapter.create_table_as(rel, df=df)
+    # one adapter call (CSV read + cast + CTAS + summary): the summary
+    # is serializable, so record/replay bundles serve seeds without a
+    # session (sparkt/record.py)
+    info = ctx.adapter.create_seed(
+        rel, path,
+        delimiter=node.config.get("delimiter", ","),
+        column_types=node.config.get("column_types") or {},
+    )
     persist_docs(ctx, node)
-    return f"SEED {df.count()} rows"
+    return f"SEED {info['count']} rows"

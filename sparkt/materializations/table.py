@@ -47,11 +47,30 @@ def materialize_table(ctx: MatContext, node):
     if node.language != "python":
         check_contract(ctx, node)
     if node.language == "python":
+        if getattr(ctx.adapter, "is_replay", False):
+            # replay (sparkt/record.py): don't re-run user code — the
+            # stand-in reproduces the recorded CTAS key, and the
+            # recorded python_model_result serves the output shape
+            from sparkt.record import dataframe_standin
+
+            ctx.adapter.create_table_as(
+                node.relation, df=dataframe_standin(),
+                partition_by=_partition_by(node), **_bucket_kwargs(node),
+            )
+            info = ctx.adapter.python_model_result(node.relation.render())
+            persist_docs(ctx, node)
+            return (
+                f"CREATE TABLE AS (python, replayed: "
+                f"{info['count']} rows)"
+            )
         df = run_python_model(ctx, node)
         ctx.adapter.create_table_as(
             node.relation, df=df, partition_by=_partition_by(node),
             **_bucket_kwargs(node),
         )
+        if getattr(ctx.adapter, "is_recording", False):
+            # capture the materialized output shape for replay
+            ctx.adapter.python_model_result(node.relation.render())
     else:
         ctx.adapter.create_table_as(
             node.relation,

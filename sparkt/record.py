@@ -20,9 +20,15 @@ jinja ``statement``/``run_query`` and the compiler's introspection
 calls. Failing calls replay too: a recorded exception is re-raised as
 ``ReplayedError`` carrying the original type + message, so a support
 engineer reproduces the user's failure, not a bogus divergence.
-Documented limits (lite scope): python models and seeds' CSV read touch
-the session directly and need a live warehouse; ``sql_df`` (live
-DataFrame handoff) is forwarded in record mode but refuses in replay.
+Seeds replay via ``create_seed`` (ONE recorded call carrying the
+parsed rows + count), and table-materialized python models replay via
+a recorded ``python_model_result`` (materialized schema + row sample)
+plus a key-compatible DataFrame stand-in for the recorded CTAS — no
+session needed for either (r7; reference ``tests/functional/record/``).
+Documented limits (lite scope): INCREMENTAL python models still need a
+live warehouse (their DataFrame feeds follow-on SQL), and ``sql_df``
+(live DataFrame handoff) is forwarded in record mode but refuses in
+replay.
 """
 
 from __future__ import annotations
@@ -61,7 +67,21 @@ RECORDED_METHODS = (
     "calculate_freshness_from_metadata",
     "calculate_freshness_from_metadata_batch",
     "metadata_max_loaded_at",
+    # seeds + python models replay via these (r7): create_seed returns
+    # the parsed rows; python_model_result the materialized schema/
+    # sample — both serializable, so no session is needed on replay
+    "create_seed",
+    "python_model_result",
 )
+
+
+def dataframe_standin():
+    """Key-compatible stand-in for a live DataFrame in replayed calls:
+    ``_simple`` canonicalizes any non-primitive param to
+    ``<TypeName>``, so an object whose class is literally named
+    ``DataFrame`` reproduces the recorded ``<DataFrame>`` key without
+    a session (used by the python-model replay path)."""
+    return type("DataFrame", (), {})()
 
 
 class ReplayMismatch(ExecutionError):
@@ -192,6 +212,8 @@ class RecordingAdapter:
     """Transparent proxy over a live adapter that appends the warehouse
     interaction to ``path`` (one JSON object per line)."""
 
+    is_recording = True
+
     def __init__(self, inner, path: str):
         import os
 
@@ -258,6 +280,7 @@ class ReplayAdapter:
     cache/session bookkeeping no-ops; anything else raises."""
 
     type_name = "spark"
+    is_replay = True
     #: replay never opens a session
     spark = None
 

@@ -409,3 +409,53 @@ def test_replay_covers_source_freshness(make_project, spark, tmp_path):
         (r["unique_id"], r["status"], r["max_loaded_at"]) for r in res
     ]
     assert replaying.adapter.remaining() == 0
+
+
+def test_replay_covers_seeds_and_python_models(
+    make_project, spark, tmp_path
+):
+    """r6 documented gaps, closed in r7: seeds replay via the recorded
+    ``create_seed`` summary (parsed rows, no CSV/session), and a
+    table-materialized python model replays via the recorded
+    ``python_model_result`` + a key-compatible DataFrame stand-in for
+    its CTAS — warehouse-free end to end."""
+    files = {
+        "dbt_project.yml": (
+            "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        "seeds/nums.csv": "id,v\n1,10\n2,20\n3,30\n",
+        "models/py_double.py": (
+            "def model(dbt, session):\n"
+            "    df = dbt.ref('nums')\n"
+            "    return df.selectExpr('id', 'v * 2 as v2')\n"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_pyseed")
+    from sparkt.runner import Runner
+
+    rec = str(tmp_path / "recording.jsonl")
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_pyseed"}, record=rec,
+    )
+    res_seed = recording.seed()
+    assert res_seed.ok
+    assert "3 rows" in res_seed.results[0].message
+    res_run = recording.run()
+    assert res_run.ok, [r.message for r in res_run.results]
+
+    # seed replay: parsed rows served from the bundle
+    replay_seed = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_pyseed"}, replay=rec,
+    )
+    res2 = replay_seed.seed()
+    assert res2.ok and "3 rows" in res2.results[0].message
+
+    # python model replay continues from the same bundle (FIFO): no
+    # user code re-execution, no session
+    res3 = replay_seed.run()
+    assert res3.ok, [r.message for r in res3.results]
+    py = next(r for r in res3.results if "py_double" in r.unique_id)
+    assert "replayed: 3 rows" in py.message
+    assert replay_seed.adapter.remaining() == 0
