@@ -284,3 +284,141 @@ def mixture_weights(
         ),
         F.ceil(budget / g(F.col("__n"))).cast("long").alias("epochs"),
     )
+
+
+# ------------------------------------- deterministic shuffle + shards
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    seed: str = "shuffle",
+    shard_size: int = 1 << 20,
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """Deterministic corpus shuffle + fixed-size shard assignment —
+    the final layout stage of an LLM training pipeline (seeded global
+    shuffle so epochs are decorrelated from crawl order, packed into
+    fixed-size output shards; composes with ``text.pack_offsets``
+    downstream and ``mixture_weights`` upstream).
+
+    Shuffle key = ``md5(seed || '|' || id)`` — NO rand(): rerun-,
+    retry- and engine-stable (a retried task re-derives the identical
+    order; the DuckDB oracle reproduces it byte-for-byte). Each doc's
+    shard is ``floor(exclusive_prefix_sum(size) / shard_size)`` in
+    shuffle-key order: greedy size-based packing, every shard within
+    one doc of ``shard_size``.
+
+    SCALE SHAPE — no global single-partition stage: the md5 key is
+    uniform by construction, so its first ``prefix_chars`` hex chars
+    give 16^prefix_chars perfectly-balanced coarse buckets (4096 at
+    the default), and the prefix sum is the classic two-phase scan:
+    per-bucket sums (map-side-combined groupBy, 4096 rows), tiny
+    exclusive cumsum over the bucket table, broadcast back, window
+    partitioned BY BUCKET. Sorting by (key) within buckets = sorting
+    globally, because the bucket IS the key prefix — at 100 TB this is
+    one shuffle on a uniform key and constant-size driver state.
+
+    Returns (id, size, shuffle_key, global_start, shard_id).
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    ).alias("shuffle_key")
+    bucket = (
+        F.conv(F.substring("shuffle_key", 1, prefix_chars), 16, 10)
+        .cast("bigint").alias("__bucket")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(size_col).cast("bigint").alias("__sz"),
+        key,
+    ).select("*", bucket)
+    bucket_sums = base.groupBy("__bucket").agg(
+        F.sum("__sz").alias("__bsum")
+    )
+    w_buckets = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_offsets = bucket_sums.select(
+        "__bucket",
+        (F.sum("__bsum").over(w_buckets) - F.col("__bsum"))
+        .alias("__boff"),
+    )
+    w_intra = (
+        Window.partitionBy("__bucket")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gs = (
+        F.col("__boff") + F.sum("__sz").over(w_intra) - F.col("__sz")
+    ).alias("global_start")
+    return base.join(F.broadcast(bucket_offsets), "__bucket").select(
+        F.col(id_col),
+        F.col("__sz").alias("size"),
+        "shuffle_key",
+        gs,
+    ).withColumn(
+        "shard_id",
+        F.floor(F.col("global_start") / shard_size).cast("bigint"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    size_col: str,
+    seed: str = "shuffle",
+    shard_size: int = 1 << 20,
+) -> dict:
+    """Materialize ``shuffle_shards``: one parquet directory per shard
+    (``shard_id=N``) plus a ``manifest.json`` recording the seed,
+    shard size, per-shard row/byte counts and total count — the
+    rerun-stable handoff artifact a training job consumes.
+
+    Scale shape: ``repartition(shard_id)`` then
+    ``partitionBy(shard_id)`` — each shard's rows land in one task's
+    writer (files-per-shard stays O(1)); rows WITHIN a shard are
+    sorted by shuffle_key via ``sortWithinPartitions`` so the on-disk
+    order equals the logical shuffle order. The manifest aggregates
+    to |shards| rows — driver-scale by construction.
+    """
+    import json as _json
+    import os as _os
+
+    assigned = shuffle_shards(
+        df, id_col, size_col, seed=seed, shard_size=shard_size
+    )
+    (
+        assigned.repartition("shard_id")
+        .sortWithinPartitions("shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    stats = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("size").alias("n_bytes"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "seed": seed,
+        "shard_size": shard_size,
+        "n_shards": len(stats),
+        "n_docs": int(sum(r["n_docs"] for r in stats)),
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "n_docs": int(r["n_docs"]),
+                "n_bytes": int(r["n_bytes"]),
+            }
+            for r in stats
+        ],
+    }
+    with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1)
+    return manifest

@@ -1660,6 +1660,43 @@ FROM c ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ c3
+def c3_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle + fixed-size shard assignment
+    (sampling.shuffle_shards): md5-seeded rerun-stable global order,
+    greedy size packing into 8 KiB shards via the two-phase prefix sum
+    over 256 hash-prefix buckets (no global single-partition stage —
+    prefix_chars=2 so the sf0.01 gate genuinely exercises the
+    bucket-offset join). The oracle is the single-window exclusive
+    cumsum over the same md5 order — integer-exact, false-tie-free
+    (md5 keys are unique per doc_id)."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    out = SP.shuffle_shards(
+        docs, "doc_id", "n_chars",
+        seed="c3", shard_size=8192, prefix_chars=2,
+    )
+    return out.orderBy("shuffle_key")
+
+
+C3_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+         md5('c3|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents),
+c AS (
+  SELECT *, CAST(COALESCE(sum(size) OVER (
+        ORDER BY shuffle_key, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS BIGINT) AS global_start
+  FROM t)
+SELECT doc_id, size, shuffle_key, global_start,
+       CAST(floor(global_start / 8192.0) AS BIGINT) AS shard_id
+FROM c ORDER BY shuffle_key
+"""
+
+
 # ------------------------------------------------------------------ s6
 def s6_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means fit (k=4, 2 iterations) — the IVF
@@ -1765,6 +1802,7 @@ QUERIES = {
     "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
     "c2_pack_offsets": c2_pack_offsets,
+    "c3_shuffle_shards": c3_shuffle_shards,
     "s6_kmeans": s6_kmeans,
     "c1_doc_chunks": c1_doc_chunks,
     "t8_hashed_classifier": t8_hashed_classifier,
@@ -1806,6 +1844,7 @@ ORACLES = {
     "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,
     "c2_pack_offsets": C2_SQL,
+    "c3_shuffle_shards": C3_SQL,
     "s6_kmeans": _s6_sql(),
     "c1_doc_chunks": C1_SQL,
     "t8_hashed_classifier": T8_SQL,

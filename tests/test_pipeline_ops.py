@@ -1196,3 +1196,77 @@ def test_cms_never_underestimates_and_merges(spark):
     )
     assert merged.exceptAll(cms).count() == 0
     assert cms.exceptAll(merged).count() == 0
+
+
+def test_shuffle_shards_deterministic_and_packed(spark):
+    """shuffle_shards: md5-seeded order is rerun-stable, the two-phase
+    prefix sum equals the single-window formulation, and greedy
+    packing keeps every shard's preceding offset below shard_size."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.sampling import shuffle_shards
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 10).alias("sz"),
+    )
+    out = shuffle_shards(
+        df, "doc_id", "sz", seed="t", shard_size=500, prefix_chars=1
+    ).orderBy("shuffle_key")
+    rows = out.collect()
+    # rerun → identical assignment (no rand())
+    rows2 = shuffle_shards(
+        df, "doc_id", "sz", seed="t", shard_size=500, prefix_chars=1
+    ).orderBy("shuffle_key").collect()
+    assert rows == rows2
+    # two-phase prefix sum == running exclusive cumsum in key order
+    run = 0
+    for r in rows:
+        assert r["global_start"] == run
+        assert r["shard_id"] == run // 500
+        run += r["size"]
+    # a different seed draws a different permutation
+    other = shuffle_shards(
+        df, "doc_id", "sz", seed="u", shard_size=500, prefix_chars=1
+    ).orderBy("shuffle_key").collect()
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in rows]
+
+
+def test_write_shards_manifest_and_layout(spark, tmp_path):
+    """write_shards: one partition dir per shard, manifest counts
+    match the data, on-disk order within a shard equals the shuffle
+    order."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.sampling import write_shards
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 53 + 5).alias("sz"),
+    )
+    out_dir = str(tmp_path / "shards")
+    manifest = write_shards(
+        df, out_dir, "doc_id", "sz", seed="t", shard_size=400
+    )
+    assert manifest["n_docs"] == 200
+    assert manifest["n_shards"] >= 2
+    dirs = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("shard_id=")
+    )
+    assert len(dirs) == manifest["n_shards"]
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk == manifest
+    # per-shard counts line up and in-shard order is the shuffle order
+    for ent in manifest["shards"][:3]:
+        part = spark.read.parquet(
+            os.path.join(out_dir, f"shard_id={ent['shard_id']}")
+        )
+        got = part.collect()
+        assert len(got) == ent["n_docs"]
+        assert sum(r["size"] for r in got) == ent["n_bytes"]
+        keys = [r["shuffle_key"] for r in got]
+        assert keys == sorted(keys)
