@@ -3,12 +3,20 @@
 the same parquet, compare row-count + column names + order-insensitive
 values.
 
-Usage: python scripts/check_oracles.py [--driver-conf] [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--driver-conf] [--no-budget]
+       [sf_dir] [query ...]
 
 ``--driver-conf`` runs on a DEFAULT-configuration SparkSession (no
 sparkt defaults — STATIC partitionOverwriteMode, no AQE tuning, local
 timezone) exactly like the driver builds, so driver-only divergences
 (e.g. the round-1 m4 data loss) can't hide behind our own session.
+
+Runtime budgets (VERDICT r6 ask #5): per-gate wall times persist to
+``gate_times_<sf>.json`` next to this script's repo root, and any gate
+slower than ``BUDGET_FACTOR`` × its committed reference time in
+``GATE_BUDGETS.json`` (same SF) FAILS the sweep — a silently-regressed
+plan (q31's 15 s recursion hid for two rounds) now trips within one
+``make verify``. ``--no-budget`` skips the check (noisy boxes).
 """
 
 from __future__ import annotations
@@ -23,6 +31,37 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET_FILE = os.path.join(REPO_ROOT, "GATE_BUDGETS.json")
+#: a gate may take up to this many times its recorded reference wall
+#: before the sweep fails (3× absorbs VM noise; a regressed plan is
+#: typically 5-10×)
+BUDGET_FACTOR = 3.0
+#: grace floor: never fail a gate that still finishes this fast, no
+#: matter the ratio (sub-second reference times are mostly constant
+#: plan/codegen overhead and noise-dominated)
+BUDGET_FLOOR_S = 5.0
+
+
+def check_budgets(
+    times: dict[str, float],
+    budgets: dict[str, float],
+    factor: float = BUDGET_FACTOR,
+    floor_s: float = BUDGET_FLOOR_S,
+) -> list[str]:
+    """Return 'gate: Xs > factor*ref' strings for every gate whose
+    wall exceeds factor × its reference AND the absolute floor."""
+    out = []
+    for name, wall in sorted(times.items()):
+        ref = budgets.get(name)
+        if ref is None:
+            continue
+        if wall > max(factor * ref, floor_s):
+            out.append(
+                f"{name}: {wall:.1f}s > {factor:g}x ref {ref:.1f}s"
+            )
+    return out
 
 
 def normalize(df):
@@ -48,6 +87,9 @@ def main():
     driver_conf = "--driver-conf" in argv
     if driver_conf:
         argv.remove("--driver-conf")
+    no_budget = "--no-budget" in argv
+    if no_budget:
+        argv.remove("--no-budget")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -78,6 +120,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    times: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -88,9 +131,10 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
+        times[name] = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+                  f"[{times[name]:.1f}s]")
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
@@ -116,7 +160,28 @@ def main():
             print(f"FAIL  {name}: value mismatch at sorted row {bad[0]}:\n"
                   f"  spark : {bad[1]}\n  duckdb: {bad[2]}")
             continue
-        print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        print(f"OK    {name}: {len(s_rows)} rows [{times[name]:.1f}s]")
+
+    import json
+
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        with open(
+            os.path.join(REPO_ROOT, f"gate_times_{sf_base}.json"), "w"
+        ) as f:
+            json.dump(
+                {k: round(v, 3) for k, v in times.items()},
+                f, indent=1, sort_keys=True,
+            )
+    except OSError:
+        pass
+    if not no_budget and os.path.exists(BUDGET_FILE):
+        with open(BUDGET_FILE) as f:
+            budgets = json.load(f).get(sf_base, {})
+        over = check_budgets(times, budgets)
+        for msg in over:
+            print(f"BUDGET {msg}")
+        failures.extend(m.split(":", 1)[0] for m in over)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)

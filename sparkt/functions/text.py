@@ -9,6 +9,8 @@ make them oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the
+# stringified 'pd.Series' type hints against the function's globals
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -49,6 +51,65 @@ def bpe_ish_token_count(text: Column) -> Column:
         - F.length(F.regexp_replace(F.lower(text), "[a-z][0-9]", ""))
     ) / 2
     return (base + transitions).cast("int")
+
+
+def bpe_tokens_udf(merges: list[tuple[str, str]]):
+    """REAL byte-pair-encoding tokenizer (opt-in; VERDICT r6 ask #7):
+    the classic Sennrich et al. 2016 greedy merge loop over a fixed
+    merges table, so chunking/packing token counts match a production
+    tokenizer instead of the ``bpe_ish_token_count`` regex proxy.
+
+    The merges table ships as a plain Python literal inside the UDF
+    closure — broadcast with the task binary, no network, no files.
+    Iterative pairwise merging cannot be expressed with Spark's
+    built-in columns, so this is the documented Arrow-batched
+    pandas-UDF slow path (SURVEY §"UDFs are the slow path"): one
+    vectorized batch per Arrow block, per-word results memoized per
+    batch (Zipf makes the hit rate high). Pre-tokenization =
+    lowercased alphanumeric runs, matching ``bpe_ish_token_count``'s
+    base split so the two paths are comparable.
+
+    Returns a callable Column transform: text → array<string>.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def encode(word: str) -> list[str]:
+        parts = list(word)
+        while len(parts) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            parts[best_i:best_i + 2] = [
+                parts[best_i] + parts[best_i + 1]
+            ]
+        return parts
+
+    @pandas_udf("array<string>")
+    def fn(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def tokenize(t):
+            out: list[str] = []
+            for w in word_re.findall((t or "").lower()):
+                enc = cache.get(w)
+                if enc is None:
+                    enc = encode(w)
+                    cache[w] = enc
+                out.extend(enc)
+            return out
+
+        return texts.map(tokenize)
+
+    return fn
 
 
 def _stopword_hits(text: Column, words: list[str]) -> Column:
@@ -283,7 +344,8 @@ def tfidf_top_terms(df, text_col: str, id_col: str, top_k: int = 3):
 
 # ------------------------------------------------------------ chunking
 def chunk_table(
-    df, text_col: str, id_col: str, window: int = 50, stride: int = 40
+    df, text_col: str, id_col: str, window: int = 50, stride: int = 40,
+    bpe_merges: list[tuple[str, str]] | None = None,
 ):
     """Overlapping token-window chunking — the unit-of-work transform
     for LLM training pipelines (documents → fixed-size training
@@ -297,8 +359,17 @@ def chunk_table(
 
     Returns (doc, chunk_idx, n_tokens, chunk_md5); the md5 is over the
     space-joined window, so chunk identity is engine-portable.
+
+    ``bpe_merges`` (opt-in, r7): chunk on REAL BPE subword tokens via
+    ``bpe_tokens_udf`` instead of whitespace tokens — counts then
+    match a production tokenizer; the windowing/explode shape is
+    identical, only the token array source changes (Arrow-batched
+    UDF projection instead of a codegen split).
     """
-    toks = tokens(F.col(text_col))
+    if bpe_merges is not None:
+        toks = bpe_tokens_udf(bpe_merges)(F.col(text_col))
+    else:
+        toks = tokens(F.col(text_col))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )

@@ -1,0 +1,69 @@
+"""Per-gate runtime budgets (VERDICT r6 ask #5): the oracle sweep
+fails any gate slower than BUDGET_FACTOR × its committed reference
+time — a silently-regressed plan (q31's hidden 15 s recursion) trips
+within one ``make verify`` instead of surviving rounds."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    ),
+)
+
+from check_oracles import (  # noqa: E402
+    BUDGET_FACTOR,
+    BUDGET_FILE,
+    check_budgets,
+)
+
+
+def test_intentionally_slowed_gate_trips_the_guard():
+    budgets = {"q1_pricing_summary": 2.0, "d5_ngram_jaccard": 1.2}
+    # 10x the reference: the q31 failure mode — must trip
+    over = check_budgets(
+        {"q1_pricing_summary": 20.0, "d5_ngram_jaccard": 1.3}, budgets
+    )
+    assert over == ["q1_pricing_summary: 20.0s > 3x ref 2.0s"]
+
+
+def test_noise_inside_factor_and_floor_passes():
+    budgets = {"a": 2.0, "b": 0.3}
+    # 2.9x ref: inside the factor
+    assert check_budgets({"a": 5.8}, budgets) == []
+    # 10x a sub-second ref but under the absolute floor: noise, passes
+    assert check_budgets({"b": 3.0}, budgets) == []
+    # over the floor AND the factor: trips
+    assert check_budgets({"b": 6.0}, budgets) == ["b: 6.0s > 3x ref 0.3s"]
+
+
+def test_gate_without_reference_is_not_checked():
+    assert check_budgets({"new_gate": 100.0}, {}) == []
+
+
+def test_committed_budget_file_covers_every_gate():
+    """GATE_BUDGETS.json must track the live registry: a new gate
+    without a reference time would never be budget-checked."""
+    if not os.path.exists(BUDGET_FILE):
+        import pytest
+
+        pytest.skip("budget file not recorded yet")
+    import __spark_entry__ as entrymod
+
+    with open(BUDGET_FILE) as f:
+        budgets = json.load(f)
+    assert BUDGET_FACTOR == 3.0
+    gates = set(entrymod.queries())
+    for sf in ("sf0.01", "sf0.1"):
+        missing = gates - set(budgets.get(sf, {}))
+        assert not missing, (
+            f"gates missing a {sf} budget reference: {sorted(missing)} "
+            "— re-run scripts/check_oracles.py at that SF and fold "
+            "gate_times into GATE_BUDGETS.json"
+        )

@@ -1270,3 +1270,52 @@ def test_write_shards_manifest_and_layout(spark, tmp_path):
         assert sum(r["size"] for r in got) == ent["n_bytes"]
         keys = [r["shuffle_key"] for r in got]
         assert keys == sorted(keys)
+
+
+def test_bpe_tokenizer_parity_on_fixed_merges(spark):
+    """Real-BPE opt-in (VERDICT r6 ask #7): the pandas-UDF tokenizer
+    applies a fixed merges table with the canonical greedy
+    lowest-rank-first loop — pinned against hand-computed encodings,
+    and chunk_table(bpe_merges=...) packs on those counts."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.text import bpe_tokens_udf, chunk_table
+
+    merges = [
+        ("l", "o"),      # rank 0
+        ("lo", "w"),     # rank 1
+        ("e", "r"),      # rank 2
+        ("low", "er"),   # rank 3
+        ("n", "e"),      # rank 4
+        ("ne", "w"),     # rank 5
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "low lower newest"),
+            (2, "LOW-er, new!"),   # case/punct pre-tokenization
+            (3, ""),               # empty → zero tokens (no phantom)
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", bpe_tokens_udf(merges)(F.col("text")).alias("toks")
+        ).collect()
+    }
+    # hand-derived: low→[low]; lower→[lower] (low+er via rank 3);
+    # newest→[new,e,s,t] (n+e rank 4 beats e+r? no: ne created first,
+    # then ne+w rank 5, remaining e,s,t — er can't form, e is consumed)
+    assert got[1] == ["low", "lower", "new", "e", "s", "t"]
+    # "LOW-er," lowercases and splits on punctuation: low + er
+    assert got[2] == ["low", "er", "new"]
+    assert got[3] == []
+
+    chunks = chunk_table(
+        df.filter("doc_id = 1"), "text", "doc_id",
+        window=4, stride=4, bpe_merges=merges,
+    ).collect()
+    # 6 BPE tokens → windows [0:4] and [4:6]
+    assert [(c["chunk_idx"], c["n_tokens"]) for c in chunks] == [
+        (0, 4), (1, 2)
+    ]
