@@ -678,6 +678,23 @@ class SparkAdapter:
             "rows": rows,
         }
 
+    def stash_python_model_source(self, unique_id: str, columns) -> None:
+        """Per-INSTANCE stash feeding python_model_source: set via this
+        un-recorded call so the recorded call's KEY is the uid alone —
+        replay reproduces the key without knowing the schema."""
+        if "_py_src_stash" not in self.__dict__:
+            self._py_src_stash: dict = {}
+        self._py_src_stash[unique_id] = columns
+
+    def python_model_source(self, unique_id: str) -> dict:
+        """Echo of an incremental python model's SOURCE DataFrame
+        schema, recorded into the support bundle: replay reads it to
+        drive on_schema_change/strategy SQL generation identically,
+        with no session and no user-code re-run (sparkt/record.py)."""
+        return {
+            "columns": getattr(self, "_py_src_stash", {}).get(unique_id)
+        }
+
     def python_model_result(self, relation_name: str) -> dict:
         """Schema + count + row sample of a materialized python model's
         relation — recorded into the support bundle so replay can

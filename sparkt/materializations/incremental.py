@@ -706,8 +706,22 @@ def materialize_incremental(ctx: MatContext, node):
         if node.language != "python":
             check_contract(ctx, node)
         if node.language == "python":
-            df = run_python_model(ctx, node)
-            ctx.adapter.create_table_as(rel, df=df, partition_by=partition_by)
+            if getattr(ctx.adapter, "is_replay", False):
+                # replay (sparkt/record.py): the stand-in reproduces
+                # the recorded CTAS key; no user code, no session
+                from sparkt.record import dataframe_standin
+
+                ctx.adapter.create_table_as(
+                    rel, df=dataframe_standin(), partition_by=partition_by
+                )
+                ctx.adapter.python_model_result(rel.render())
+            else:
+                df = run_python_model(ctx, node)
+                ctx.adapter.create_table_as(
+                    rel, df=df, partition_by=partition_by
+                )
+                if getattr(ctx.adapter, "is_recording", False):
+                    ctx.adapter.python_model_result(rel.render())
         else:
             ctx.adapter.create_table_as(
                 rel, select_sql=node.compiled_code, partition_by=partition_by
@@ -724,11 +738,25 @@ def materialize_incremental(ctx: MatContext, node):
     )
 
     if node.language == "python":
-        src_df = _source_df(ctx, node)
-        src_cols = [
-            (f.name, f.dataType.simpleString())
-            for f in src_df.schema.fields
-        ]
+        if getattr(ctx.adapter, "is_replay", False):
+            # replay: the recorded source schema drives schema-change
+            # handling and strategy SQL generation identically; the
+            # downstream statements (which only reference the temp
+            # view by NAME) are served from the recording
+            src_df = None
+            info = ctx.adapter.python_model_source(node.unique_id)
+            src_cols = [tuple(c) for c in info["columns"]]
+        else:
+            src_df = _source_df(ctx, node)
+            src_cols = [
+                (f.name, f.dataType.simpleString())
+                for f in src_df.schema.fields
+            ]
+            if getattr(ctx.adapter, "is_recording", False):
+                ctx.adapter.stash_python_model_source(
+                    node.unique_id, [list(c) for c in src_cols]
+                )
+                ctx.adapter.python_model_source(node.unique_id)
     else:
         # analysis-only schema discovery via the ADAPTER (DESCRIBE QUERY
         # emits the same simpleString type forms), not a bare spark.sql
@@ -745,7 +773,10 @@ def materialize_incremental(ctx: MatContext, node):
     final_cols, schema_rewrite = _apply_schema_change(ctx, node, src_cols, tgt_cols)
 
     if node.language == "python":
-        src_df.createOrReplaceTempView(f"__sparkt_src_{node.name}")
+        if src_df is not None:
+            src_df.createOrReplaceTempView(f"__sparkt_src_{node.name}")
+        # replay: the recorded statements reference the view by NAME
+        # only, so the same src_sql string reproduces their keys
         src_sql = f"SELECT * FROM __sparkt_src_{node.name}"
     else:
         src_sql = node.compiled_code

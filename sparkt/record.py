@@ -21,14 +21,16 @@ calls. Failing calls replay too: a recorded exception is re-raised as
 ``ReplayedError`` carrying the original type + message, so a support
 engineer reproduces the user's failure, not a bogus divergence.
 Seeds replay via ``create_seed`` (ONE recorded call carrying the
-parsed rows + count), and table-materialized python models replay via
-a recorded ``python_model_result`` (materialized schema + row sample)
-plus a key-compatible DataFrame stand-in for the recorded CTAS — no
-session needed for either (r7; reference ``tests/functional/record/``).
-Documented limits (lite scope): INCREMENTAL python models still need a
-live warehouse (their DataFrame feeds follow-on SQL), and ``sql_df``
-(live DataFrame handoff) is forwarded in record mode but refuses in
-replay.
+parsed rows + count), and python models replay via a recorded
+``python_model_result`` (materialized schema + row sample) plus a
+key-compatible DataFrame stand-in for the recorded CTAS; incremental
+python models additionally record ``python_model_source`` (the source
+DataFrame's schema) so replay drives on_schema_change/strategy SQL
+generation identically — the generated statements reference the temp
+view by name only, so their recorded keys reproduce without a session
+(r7; reference ``tests/functional/record/``). Documented limit (lite
+scope): ``sql_df`` (live DataFrame handoff) is forwarded in record
+mode but refuses in replay.
 """
 
 from __future__ import annotations
@@ -72,6 +74,7 @@ RECORDED_METHODS = (
     # sample — both serializable, so no session is needed on replay
     "create_seed",
     "python_model_result",
+    "python_model_source",
 )
 
 

@@ -33,14 +33,31 @@ def test_intentionally_slowed_gate_trips_the_guard():
     assert over == ["q1_pricing_summary: 20.0s > 3x ref 2.0s"]
 
 
+def test_committed_sf01_budgets_catch_a_10x_regression():
+    """End-to-end on the real committed reference times: every sf0.1
+    gate slowed 10x would trip (no gate's budget is so large that a
+    10x regression hides under the floor)."""
+    if not os.path.exists(BUDGET_FILE):
+        import pytest
+
+        pytest.skip("budget file not recorded yet")
+    with open(BUDGET_FILE) as f:
+        refs = json.load(f)["sf0.1"]
+    slowed = {k: v * 10 + 15 for k, v in refs.items()}
+    assert len(check_budgets(slowed, refs)) == len(refs)
+
+
 def test_noise_inside_factor_and_floor_passes():
     budgets = {"a": 2.0, "b": 0.3}
     # 2.9x ref: inside the factor
     assert check_budgets({"a": 5.8}, budgets) == []
-    # 10x a sub-second ref but under the absolute floor: noise, passes
-    assert check_budgets({"b": 3.0}, budgets) == []
+    # first-gate session warmup on a sub-second ref: under the
+    # absolute floor, passes
+    assert check_budgets({"b": 7.0}, budgets) == []
     # over the floor AND the factor: trips
-    assert check_budgets({"b": 6.0}, budgets) == ["b: 6.0s > 3x ref 0.3s"]
+    assert check_budgets({"b": 12.0}, budgets) == [
+        "b: 12.0s > 3x ref 0.3s"
+    ]
 
 
 def test_gate_without_reference_is_not_checked():

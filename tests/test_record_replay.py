@@ -459,3 +459,56 @@ def test_replay_covers_seeds_and_python_models(
     py = next(r for r in res3.results if "py_double" in r.unique_id)
     assert "replayed: 3 rows" in py.message
     assert replay_seed.adapter.remaining() == 0
+
+
+def test_replay_covers_incremental_python_model(
+    make_project, spark, tmp_path
+):
+    """Incremental python models replay too (r7): the recorded
+    python_model_source schema drives strategy SQL generation, and the
+    merge statements (which reference the temp view by name only)
+    serve from the bundle — second-run INSERT/merge path,
+    warehouse-free."""
+    files = {
+        "dbt_project.yml": (
+            "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        "seeds/base.csv": "id,v\n1,10\n2,20\n",
+        "models/py_inc.py": (
+            "def model(dbt, session):\n"
+            "    dbt.config(materialized='incremental', "
+            "unique_key='id')\n"
+            "    return dbt.ref('base').selectExpr("
+            "'id', 'v * 3 as v3')\n"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_pyinc")
+    assert runner.seed().ok
+    # first run live (creates the table) so the RECORDED run below
+    # takes the incremental merge path
+    assert runner.run().ok
+
+    from sparkt.runner import Runner
+
+    rec = str(tmp_path / "recording.jsonl")
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_pyinc"}, record=rec,
+    )
+    res = recording.run()
+    assert res.ok, [r.message for r in res.results]
+    inc = next(r for r in res.results if "py_inc" in r.unique_id)
+    assert "first run" not in inc.message
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_pyinc"}, replay=rec,
+    )
+    res2 = replaying.run()
+    assert res2.ok, [r.message for r in res2.results]
+    assert {r.unique_id: r.status for r in res2.results} == {
+        r.unique_id: r.status for r in res.results
+    }
+    inc2 = next(r for r in res2.results if "py_inc" in r.unique_id)
+    assert inc2.message == inc.message
+    assert replaying.adapter.remaining() == 0
