@@ -102,9 +102,20 @@ def main():
             cold_s, n_nodes = bench_parse.parse_once(root, partial=False)
             bench_parse.parse_once(root, partial=True)
             warm_s, _ = bench_parse.parse_once(root, partial=True)
+            # file-level partial parsing (r7): one edited model out of
+            # 2,000 re-parses alone (sparkt/partial.py)
+            with open(
+                os.path.join(root, "models", "path_0", "node_0_1.sql"),
+                "w",
+            ) as f:
+                f.write("select id, 1 as v from {{ ref('node_0_0') }}")
+            warm_1change_s, _ = bench_parse.parse_once(root, partial=True)
             parse_stats = {
                 "parse_2000_models_cold_s": round(cold_s, 3),
                 "parse_2000_models_warm_s": round(warm_s, 3),
+                "parse_2000_models_warm_1change_s": round(
+                    warm_1change_s, 3
+                ),
                 "parse_graph_nodes": n_nodes,
             }
         finally:
