@@ -650,13 +650,19 @@ class SparkAdapter:
         path: str,
         delimiter: str = ",",
         column_types: dict | None = None,
+        sample: bool = False,
     ) -> dict:
         """Seed CSV → table as ONE adapter call, returning a
-        serializable summary ({count, columns, rows ≤1000}) so a
+        serializable summary ({count, columns, rows}) so a
         record/replay bundle can serve seeds without a session
         (sparkt/record.py; reference ``tests/functional/record/``).
         Agate-like inference: header on, inferSchema, dates preferred,
-        empty string → NULL (SURVEY.md §7)."""
+        empty string → NULL (SURVEY.md §7).
+
+        count and the opt-in ``sample`` rows (≤1000, recording runs
+        only — the flag rides the recorded key so replay matches) read
+        from the WRITTEN table, not the CSV: the parquet count is
+        footer-stats cheap and the CSV is scanned exactly once."""
         reader = (
             self.spark.read.option("header", True)
             .option("delimiter", delimiter)
@@ -670,12 +676,15 @@ class SparkAdapter:
             if col in df.columns:
                 df = df.withColumn(col, df[col].cast(dtype))
         self.create_table_as(relation, df=df)
-        rows = [r.asDict() for r in df.limit(1000).collect()]
+        written = self.spark.table(relation.render())
         return {
-            "count": df.count(),
+            "count": written.count(),
             "columns": [[f.name, f.dataType.simpleString()]
                         for f in df.schema.fields],
-            "rows": rows,
+            "rows": (
+                [r.asDict() for r in written.limit(1000).collect()]
+                if sample else []
+            ),
         }
 
     def stash_python_model_source(self, unique_id: str, columns) -> None:

@@ -31,15 +31,41 @@ def _try_or_compiler_error(message_if_exception, func, *args, **kwargs):
         raise CompilationError(str(message_if_exception)) from None
 
 
+def _infer_seed_column_type(cells: list[str]) -> str:
+    """agate-TypeTester-style PER-COLUMN inference for undeclared seed
+    columns: a column is int only if EVERY non-empty cell parses as
+    int (then float, then bool), else text — per-cell inference would
+    hand a macro mixed int/str values from one column."""
+    vals = [c for c in cells if c != ""]
+    if not vals:
+        return "text"
+
+    def _all(parse) -> bool:
+        for v in vals:
+            try:
+                parse(v)
+            except ValueError:
+                return False
+        return True
+
+    if _all(int):
+        return "int"
+    if _all(float):
+        return "float"
+    if all(v.strip().lower() in ("true", "false") for v in vals):
+        return "boolean"
+    return "text"
+
+
 def _coerce_seed_cell(raw: str, sql_type: str | None):
     """Typed parsing for load_agate_table (ADVICE r6): the reference's
     agate_helper.from_csv returns typed cells; honour the seed's
     column_types so macros doing numeric comparisons on seed values get
-    number semantics. Untyped columns fall back to agate-style
-    inference: int → float → bool → string; empty cell → None."""
+    number semantics. ``sql_type`` is the declared type or the
+    per-column inferred one; empty cell → None."""
     if raw == "":
         return None
-    t = (sql_type or "").lower()
+    t = (sql_type or "text").lower()
     try:
         if any(k in t for k in ("int", "long", "short", "byte")):
             return int(raw)
@@ -47,20 +73,7 @@ def _coerce_seed_cell(raw: str, sql_type: str | None):
             return float(raw)
         if "bool" in t:
             return raw.strip().lower() in ("true", "t", "1", "yes")
-        if t:  # explicit string/date/timestamp types stay verbatim
-            return raw
-        # no declared type: infer like agate's TypeTester
-        try:
-            return int(raw)
-        except ValueError:
-            pass
-        try:
-            return float(raw)
-        except ValueError:
-            pass
-        if raw.strip().lower() in ("true", "false"):
-            return raw.strip().lower() == "true"
-        return raw
+        return raw  # text/date/timestamp stay verbatim
     except ValueError:
         return raw
 
@@ -81,17 +94,27 @@ def _make_load_agate_table(node):
 
         path = node.config["seed_path"]
         delim = node.config.get("delimiter", ",")
-        ctypes = node.config.get("column_types") or {}
+        ctypes = dict(node.config.get("column_types") or {})
         with open(path, newline="") as f:
             reader = _csv.reader(f, delimiter=delim)
             header = next(reader, [])
-            rows = [
-                tuple(
-                    _coerce_seed_cell(cell, ctypes.get(col))
-                    for col, cell in zip(header, r)
+            raw_rows = [list(r) for r in reader]
+        # undeclared columns: infer ONE type per column over all its
+        # cells (agate TypeTester semantics)
+        for ci, col in enumerate(header):
+            if col not in ctypes:
+                ctypes[col] = _infer_seed_column_type(
+                    [r[ci] for r in raw_rows if ci < len(r)]
                 )
-                for r in reader
-            ]
+        rows = [
+            # extra cells beyond the header (ragged CSV) stay raw
+            # rather than silently vanishing
+            tuple(
+                _coerce_seed_cell(cell, ctypes.get(col))
+                for col, cell in zip(header, r)
+            ) + tuple(r[len(header):])
+            for r in raw_rows
+        ]
         return type("AgateTable", (), {
             "column_names": header,
             "rows": rows,

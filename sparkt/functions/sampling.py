@@ -389,22 +389,33 @@ def write_shards(
     assigned = shuffle_shards(
         df, id_col, size_col, seed=seed, shard_size=shard_size
     )
-    (
-        assigned.repartition("shard_id")
-        .sortWithinPartitions("shuffle_key")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(out_dir)
-    )
-    stats = (
-        assigned.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("size").alias("n_bytes"),
+    # one computation feeds both the write and the manifest stats — an
+    # unpersisted plan would run the whole shuffle pipeline twice
+    assigned = assigned.persist()
+    try:
+        (
+            assigned.repartition("shard_id")
+            # shard_id FIRST: partitionBy requires a [shard_id] sort
+            # prefix, and without it FileFormatWriter inserts its own
+            # SortExec on shard_id alone — under which all rows of a
+            # shard are ties, so a spill-merge could interleave them
+            # and break the sorted-within-shard on-disk contract
+            .sortWithinPartitions("shard_id", "shuffle_key")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(out_dir)
         )
-        .orderBy("shard_id")
-        .collect()
-    )
+        stats = (
+            assigned.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("size").alias("n_bytes"),
+            )
+            .orderBy("shard_id")
+            .collect()
+        )
+    finally:
+        assigned.unpersist()
     manifest = {
         "seed": seed,
         "shard_size": shard_size,

@@ -25,6 +25,12 @@ def materialize_seed(ctx: MatContext, node):
         rel, path,
         delimiter=node.config.get("delimiter", ","),
         column_types=node.config.get("column_types") or {},
+        # row sample only when a bundle consumes it; True in BOTH
+        # record and replay so the recorded call key matches
+        sample=bool(
+            getattr(ctx.adapter, "is_recording", False)
+            or getattr(ctx.adapter, "is_replay", False)
+        ),
     )
     persist_docs(ctx, node)
     return f"SEED {info['count']} rows"

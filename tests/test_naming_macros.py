@@ -232,3 +232,49 @@ def test_load_agate_table_seed_hook(make_project, spark):
     res = broken.run()
     assert not res.ok
     assert "load_agate_table" in res.results[0].message
+
+
+def test_seed_column_type_inference_is_per_column():
+    """Review r7: agate-TypeTester semantics — a mixed column ('10',
+    'x') is TEXT for every cell (never int for some rows and str for
+    others); all-numeric columns coerce whole; ragged rows keep their
+    extra cells raw."""
+    from sparkt.compilation import (
+        _coerce_seed_cell,
+        _infer_seed_column_type,
+    )
+
+    assert _infer_seed_column_type(["10", "20"]) == "int"
+    assert _infer_seed_column_type(["10", "2.5"]) == "float"
+    assert _infer_seed_column_type(["true", "False"]) == "boolean"
+    assert _infer_seed_column_type(["10", "x"]) == "text"
+    assert _infer_seed_column_type(["", ""]) == "text"
+    # mixed column: every cell stays str under the column's text type
+    assert _coerce_seed_cell("10", "text") == "10"
+    assert _coerce_seed_cell("", "int") is None
+    assert _coerce_seed_cell("7", "int") == 7
+
+
+def test_load_agate_table_mixed_and_ragged(make_project, spark):
+    files = {
+        "dbt_project.yml": (
+            "name: lat2\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        # v is mixed (int-looking + text) -> whole column text;
+        # row 2 has an extra trailing cell (ragged)
+        "seeds/mixed.csv": "id,v\n1,10\n2,x,extra\n",
+        "seeds/schema.yml": (
+            "version: 2\nseeds:\n  - name: mixed\n    config:\n"
+            "      post-hook: \"{% set t = load_agate_table() %}"
+            "create or replace view lat2_probe as select "
+            "'{{ t.rows[0][1] }}{{ t.rows[1][1] }}' as cat, "
+            "'{{ t.rows[1][2] }}' as extra\"\n"
+        ),
+        "models/m.sql": "select 1 as ok\n",
+    }
+    runner = make_project(files, schema="t_lat2")
+    assert runner.seed().ok, [r.message for r in runner.seed().results]
+    row = spark.sql("select * from lat2_probe").first()
+    # '10' stayed a string (concatenation, not numeric 10)
+    assert row["cat"] == "10x"
+    assert row["extra"] == "extra"
