@@ -1697,6 +1697,67 @@ FROM c ORDER BY shuffle_key
 """
 
 
+# ----------------------------------------------------------------- pl1
+def pl1_preprocess_pipeline(spark, sf_dir):
+    """END-TO-END corpus preprocessing composition (r7): the four
+    canonical stages chained as ONE dataflow — quality filter
+    (token_count ≥ 20) → exact dedup (lowest-id per normalized-text
+    fingerprint, d1's operator) → deterministic hash downsample (keep
+    'en' wholly, others at 8/16 by salted-md5 nibble, p3's operator)
+    → seeded shuffle + fixed-size shard assignment (c3's operator).
+    Proves the library operators COMPOSE into the real pipeline shape:
+    each stage consumes the previous stage's DataFrame lazily, so
+    Catalyst plans the whole pipeline as one job (filter pushdown
+    under the dedup window, single scan). The oracle replays every
+    stage with the same md5 arithmetic."""
+    from sparkt.functions import sampling as SP
+
+    docs = T(spark, sf_dir, "documents")
+    filtered = docs.filter(TX.token_count(F.col("text")) >= 20)
+    deduped = D.exact_dedup(filtered, "text", "doc_id")
+    sampled = deduped.filter(
+        (F.col("lang") == "en")
+        | SP.hash_bucket(F.col("doc_id"), "pl1").isin(list("01234567"))
+    )
+    return SP.shuffle_shards(
+        sampled, "doc_id", "n_chars",
+        seed="pl1", shard_size=4096, prefix_chars=2,
+    ).orderBy("shuffle_key")
+
+
+PL1_SQL = f"""
+WITH filtered AS (
+  SELECT doc_id, n_chars, lang, text FROM documents
+  WHERE len({_DK_TOKENS}) >= 20),
+deduped AS (
+  SELECT doc_id, n_chars, lang FROM (
+    SELECT doc_id, n_chars, lang,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                             '\\s+', ' ', 'g'))
+             ORDER BY doc_id ASC) AS rk
+    FROM filtered) WHERE rk = 1),
+sampled AS (
+  SELECT doc_id, n_chars FROM deduped
+  WHERE lang = 'en'
+     OR substr(md5('pl1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3','4','5','6','7')),
+keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+         md5('pl1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM sampled),
+c AS (
+  SELECT *, CAST(COALESCE(sum(size) OVER (
+        ORDER BY shuffle_key, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS BIGINT) AS global_start
+  FROM keyed)
+SELECT doc_id, size, shuffle_key, global_start,
+       CAST(floor(global_start / 4096.0) AS BIGINT) AS shard_id
+FROM c ORDER BY shuffle_key
+"""
+
+
 # ------------------------------------------------------------------ s6
 def s6_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means fit (k=4, 2 iterations) — the IVF
@@ -1803,6 +1864,7 @@ QUERIES = {
     "p4_domain_cap": p4_domain_cap,
     "c2_pack_offsets": c2_pack_offsets,
     "c3_shuffle_shards": c3_shuffle_shards,
+    "pl1_preprocess_pipeline": pl1_preprocess_pipeline,
     "s6_kmeans": s6_kmeans,
     "c1_doc_chunks": c1_doc_chunks,
     "t8_hashed_classifier": t8_hashed_classifier,
@@ -1845,6 +1907,7 @@ ORACLES = {
     "p4_domain_cap": P4_SQL,
     "c2_pack_offsets": C2_SQL,
     "c3_shuffle_shards": C3_SQL,
+    "pl1_preprocess_pipeline": PL1_SQL,
     "s6_kmeans": _s6_sql(),
     "c1_doc_chunks": C1_SQL,
     "t8_hashed_classifier": T8_SQL,
