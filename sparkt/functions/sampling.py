@@ -332,6 +332,13 @@ def shuffle_shards(
         F.col(size_col).cast("bigint").alias("__sz"),
         key,
     ).select("*", bucket)
+    # persist: the bucket-sum side and the main side both consume
+    # `base` — unpersisted, Spark would run the ENTIRE upstream
+    # pipeline (often filter -> dedup -> sample feeding this stage)
+    # twice. The projection is 4 narrow columns regardless of corpus
+    # text width (~50 GB at 10 B docs, spillable), the same tradeoff
+    # as dedup.shingle_table's shared posting list.
+    base = base.persist()
     bucket_sums = base.groupBy("__bucket").agg(
         F.sum("__sz").alias("__bsum")
     )
