@@ -230,3 +230,45 @@ def test_rank_quantile_buckets_offsets_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shards_bucket_offsets_broadcast_and_no_global_window(
+    spark,
+):
+    """c3 shape pin: the intra-bucket cumsum windows are partitioned
+    by the hash-prefix bucket, the bucket-offset join is a
+    BroadcastHashJoin against the tiny bucket table, and the only
+    unpartitioned window is the driver-scale bucket cumsum (its input
+    is the ≤16^prefix_chars-row aggregate, never corpus rows)."""
+    from sparkt.functions.sampling import shuffle_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 91 + 3).alias("sz")
+    )
+    out = shuffle_shards(
+        df, "doc_id", "sz", seed="p", shard_size=512, prefix_chars=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus-side window is bucket-partitioned
+    assert "windowspecdefinition(__bucket" in plan
+    # the single unpartitioned window consumes the bucket AGGREGATE
+    # (HashAggregate feeds the SinglePartition exchange), not raw rows
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_pl1_pipeline_dedup_uses_window_group_limit(spark):
+    """pl1 composition pin: exact dedup inside the chained pipeline
+    plans as WindowGroupLimit (partial top-1 per fingerprint BEFORE
+    the fp shuffle) and the quality filter reaches the parquet scan's
+    DataFilters — the stages fuse instead of materializing."""
+    from sparkt.queries.pipeline import pl1_preprocess_pipeline
+
+    plan = (
+        pl1_preprocess_pipeline(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
