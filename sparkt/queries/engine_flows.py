@@ -850,7 +850,61 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------------------------ m15
+def m15_stream_shards(spark, sf_dir):
+    """Streaming shard sink (sparkt.streaming.incremental.
+    stream_shard_sink): continuous ingestion packed into a fixed
+    number of hash shards. The gate drains the corpus in TWO separate
+    sink invocations (even doc_ids land first, odd ones arrive as a
+    later file drop the checkpoint picks up alone), proving
+    batch-split invariance for real: the union of all batch dirs
+    carries exactly the static md5-shard assignment the oracle
+    computes, independent of how ingestion was split."""
+    from pyspark.sql import functions as F
+
+    from sparkt.streaming.incremental import stream_shard_sink
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    work = tempfile.mkdtemp(prefix="sparkt_m15_")
+    src = os.path.join(work, "src")
+    tgt = os.path.join(work, "target")
+    cp = os.path.join(work, "checkpoint")
+    docs = spark.read.parquet(src_parquet).select(
+        "doc_id", "lang", "n_chars"
+    )
+    with _low_shuffle(spark):
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+        stream_shard_sink(
+            spark, src, tgt, cp, id_col="doc_id",
+            n_shards=8, seed="m15",
+        )
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream_shard_sink(
+            spark, src, tgt, cp, id_col="doc_id",
+            n_shards=8, seed="m15",
+        )
+    out = spark.read.parquet(tgt)
+    return out.select(
+        "doc_id",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("batch").cast("bigint").alias("batch"),
+    ).orderBy("doc_id")
+
+
+M15_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5('m15|' || CAST(doc_id AS VARCHAR)),
+                            1, 4))::BIGINT % 8 AS BIGINT) AS shard_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS batch
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "m15_stream_shards": m15_stream_shards,
     "m14_stream_upsert": m14_stream_upsert,
     "m13_stream_static_join": m13_stream_static_join,
     "m12_microbatch": m12_microbatch,
@@ -868,6 +922,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "m15_stream_shards": M15_SQL,
     "m14_stream_upsert": M14_SQL,
     "m13_stream_static_join": M13_SQL,
     "m12_microbatch": M12_SQL,

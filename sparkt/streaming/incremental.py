@@ -248,3 +248,81 @@ def run_windowed_stream(
 def ensure_dir(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def shard_assignment(id_col, n_shards: int = 16, seed: str = "shard"):
+    """Deterministic per-row shard id: first 4 hex chars of the seeded
+    md5 modulo ``n_shards`` — a PURE row function (no cumulative
+    state), so it is identical for any micro-batch split, any retry,
+    and any engine (the DuckDB oracle reproduces it exactly)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), id_col.cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("bigint") % n_shards
+    ).alias("shard_id")
+
+
+def stream_shard_sink(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "shard",
+    schema=None,
+    transform=None,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming shard writer — continuous ingestion packed into a
+    FIXED NUMBER of hash shards (the streaming complement of
+    ``sampling.shuffle_shards``: size-packed shards need the global
+    cumulative offset, a property of the whole corpus, so the batch
+    operator owns them; an unbounded stream gets hash shards, whose
+    assignment is a pure row function and therefore batch-split
+    invariant BY CONSTRUCTION — the final shard contents equal the
+    static assignment no matter how the stream was micro-batched,
+    which is exactly what the m15 oracle pins).
+
+    Exactly-once without a transactional sink: each micro-batch writes
+    ``batch=<id>/shard_id=<s>/`` with ``mode=overwrite`` — a crashed
+    and replayed batch OVERWRITES its own directory instead of
+    appending duplicates (the standard idempotent-foreachBatch
+    pattern); the checkpoint guarantees each input file lands in
+    exactly one batch id. Readers load the whole tree (both levels are
+    hive-style partitions, so shard pruning pushes down) or one
+    ``shard_id=s`` slice across batches.
+
+    At scale: ``repartition(shard_id)`` keeps files-per-(batch,shard)
+    at O(1); shard count is fixed, so downstream consumers address a
+    stable layout while ingestion runs forever.
+    """
+    from sparkt.sources import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    stream = _open_file_stream(spark, source_dir, schema, fmt)
+    if transform is not None:
+        stream = transform(stream)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = batch_df.withColumn(
+            "shard_id", shard_assignment(F.col(id_col), n_shards, seed)
+        )
+        (
+            assigned.repartition("shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(os.path.join(target_path, f"batch={batch_id}"))
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

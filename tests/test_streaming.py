@@ -181,3 +181,43 @@ def test_stream_upsert_multi_batch_converges(spark, tmp_path):
 
     entries = [e for e in _os.listdir(tgt) if not e.startswith(".")]
     assert "current" in entries and len(entries) == 2
+
+
+def test_stream_shard_sink_replay_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint and re-draining the whole source must
+    OVERWRITE each batch directory, not duplicate rows — the
+    idempotent-foreachBatch contract of stream_shard_sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkt.streaming.incremental import stream_shard_sink
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    cp1 = str(tmp_path / "cp1")
+    cp2 = str(tmp_path / "cp2")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.parquet(src)
+
+    stream_shard_sink(
+        spark, src, tgt, cp1, id_col="doc_id", n_shards=4, seed="t"
+    )
+    first = sorted(
+        (r["doc_id"], r["shard_id"])
+        for r in spark.read.parquet(tgt).collect()
+    )
+    assert len(first) == 100
+    # fresh checkpoint = the whole source replays into the same
+    # batch ids; overwrite keeps the target exact
+    stream_shard_sink(
+        spark, src, tgt, cp2, id_col="doc_id", n_shards=4, seed="t"
+    )
+    again = sorted(
+        (r["doc_id"], r["shard_id"])
+        for r in spark.read.parquet(tgt).collect()
+    )
+    assert again == first
+    # hive-layout: both levels are k=v partition dirs
+    assert any(d.startswith("batch=") for d in os.listdir(tgt))
