@@ -146,8 +146,67 @@ def bind_macros(
 # static AST extraction (parse phase)
 # --------------------------------------------------------------------------
 
+#: call names the static-complete checker accepts (the dbt-extractor
+#: contract: reference ``core/dbt/parser/models.py:378`` falls back to
+#: full Jinja whenever anything outside this surface appears)
+_STATIC_CALLS = frozenset({"ref", "source", "config"})
+
+
+def _static_const_ok(n) -> bool:
+    """True if ``n`` is a constant expression (scalar / list / dict of
+    constants) — the only value shapes the static extractor can read."""
+    if isinstance(n, j2nodes.Const):
+        return True
+    if isinstance(n, j2nodes.List):
+        return all(_static_const_ok(i) for i in n.items)
+    if isinstance(n, j2nodes.Dict):
+        return all(
+            isinstance(p.key, j2nodes.Const) and _static_const_ok(p.value)
+            for p in n.items
+        )
+    return False
+
+
+def _static_node_ok(n) -> bool:
+    """True if the AST node is fully covered by static extraction:
+    literal text, or a bare ``{{ ref/source/config(...) }}`` output
+    whose arguments are all constants. Anything else (control flow,
+    filters, macros, ``var()``, attribute access, dynamic args) means
+    the render can observe things the AST walk cannot."""
+    if isinstance(n, j2nodes.Template):
+        return all(_static_node_ok(c) for c in n.body)
+    if isinstance(n, j2nodes.Output):
+        return all(_static_node_ok(c) for c in n.nodes)
+    if isinstance(n, j2nodes.TemplateData):
+        return True
+    if isinstance(n, j2nodes.Call):
+        name = getattr(n.node, "name", None)
+        if name not in _STATIC_CALLS:
+            return False
+        if n.dyn_args is not None or n.dyn_kwargs is not None:
+            return False
+        if name == "config":
+            return not n.args and all(
+                _static_const_ok(kw.value) for kw in n.kwargs
+            )
+        # ref()/source(): positional constant strings only
+        return (
+            not n.kwargs
+            and bool(n.args)
+            and all(isinstance(a, j2nodes.Const) for a in n.args)
+        )
+    return False
+
+
 def extract_statically(env: jinja2.Environment, source: str):
-    """Walk the Jinja AST for ref()/source()/config() calls."""
+    """Walk the Jinja AST for ref()/source()/config() calls.
+
+    Returns ``(refs, sources, config, complete)``. ``complete=True``
+    means the template consists ONLY of literal SQL plus those calls
+    with constant arguments, so the extraction is provably equal to
+    what a parse-phase render would collect and the caller may skip the
+    render entirely — the reference's stable static parser
+    (``core/dbt/parser/models.py:378-398``, dbt-extractor contract)."""
     refs: list[str] = []
     sources: list[tuple[str, str]] = []
     config: dict[str, Any] = {}
@@ -180,7 +239,7 @@ def extract_statically(env: jinja2.Environment, source: str):
                     }
                 if v is not None:
                     config[kw.key] = v
-    return refs, sources, config
+    return refs, sources, config, _static_node_ok(ast)
 
 
 # --------------------------------------------------------------------------

@@ -56,6 +56,11 @@ class ManifestLoader:
         #: models parsed via the skip-Jinja static fast path this load
         #: (reference experimental parser's sampling stat)
         self.static_parsed = 0
+        #: jinja models whose AST extraction was provably complete
+        #: (only ref/source/config with constant args), so the
+        #: parse-phase render was skipped — the reference's stable
+        #: static parser path (core/dbt/parser/models.py:378-398)
+        self.static_extracted = 0
         #: files whose parse actually ran this load (cache misses);
         #: the file-level partial-parsing tests pin this
         self.files_reparsed = 0
@@ -416,25 +421,36 @@ class ManifestLoader:
             self.static_parsed += 1
             all_refs, all_sources, config = [], [], {}
         else:
-            refs, sources, static_config = ctx_mod.extract_statically(
-                self.env, raw
+            refs, sources, static_config, complete = (
+                ctx_mod.extract_statically(self.env, raw)
             )
-            # parse-phase render for dynamic config()/ref() the AST
-            # missed
-            pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
-                self.project.vars, self.cli_vars
-            )
-            ctx_mod.bind_macros(self.macro_templates, pctx)
-            try:
-                self.env.from_string(raw).render(**pctx)
-            except Exception:
-                # runtime-only constructs may fail at parse; AST
-                # capture stands
-                pass
-            config = dict(static_config)
-            config.update(collector.collected)
-            all_refs = list(dict.fromkeys(refs + r_refs))
-            all_sources = list(dict.fromkeys(sources + r_srcs))
+            if complete:
+                # stable static parser (reference core/dbt/parser/
+                # models.py:378-398, the dbt-extractor contract): the
+                # template is ONLY literal SQL + ref/source/config with
+                # constant args, so AST extraction provably equals what
+                # a render would collect — skip the parse-phase render
+                self.static_extracted += 1
+                config = dict(static_config)
+                all_refs = list(dict.fromkeys(refs))
+                all_sources = list(dict.fromkeys(sources))
+            else:
+                # parse-phase render for dynamic config()/ref() the AST
+                # missed
+                pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
+                    self.project.vars, self.cli_vars
+                )
+                ctx_mod.bind_macros(self.macro_templates, pctx)
+                try:
+                    self.env.from_string(raw).render(**pctx)
+                except Exception:
+                    # runtime-only constructs may fail at parse; AST
+                    # capture stands
+                    pass
+                config = dict(static_config)
+                config.update(collector.collected)
+                all_refs = list(dict.fromkeys(refs + r_refs))
+                all_sources = list(dict.fromkeys(sources + r_srcs))
         node = ParsedNode(
             unique_id=f"{resource_type}.{project.name}.{name}",
             name=name,

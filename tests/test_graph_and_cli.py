@@ -676,11 +676,65 @@ def test_static_parse_fast_path(make_project, spark):
     }
     runner = make_project(files, schema="t_static")
     assert runner.loader.static_parsed == 1
+    # jinja.sql is ONLY ref/source/config with constant args, so the
+    # stable static parser covers it without a parse-phase render
+    assert runner.loader.static_extracted == 1
     pure = runner.manifest.nodes["model.sp.pure"]
     assert pure.refs == [] and pure.config.get("materialized") is None
+    jj = runner.manifest.nodes["model.sp.jinja"]
+    assert jj.refs == ["raw"]
+    assert jj.config.get("materialized") == "table"
     assert runner.seed().ok
     assert runner.run().ok
     assert spark.table("t_static.pure").first()["x"] == 1
     assert spark.table("t_static.jinja").first()["n"] == 2
     # compile pass-through: compiled == raw for the static model
     assert pure.compiled_code.strip() == files["models/pure.sql"].strip()
+
+
+def test_static_extractor_completeness_gate(make_project, spark):
+    """The stable static parser only claims a model when EVERY jinja
+    construct is a constant-arg ref/source/config (dbt-extractor
+    contract, reference core/dbt/parser/models.py:378-398); anything
+    dynamic — control flow, var(), macro calls, non-const args —
+    falls back to the parse-phase render, and both paths extract the
+    same refs/config."""
+    files = {
+        "dbt_project.yml": (
+            "name: sx\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "vars:\n  mat: table\n"
+        ),
+        "seeds/raw.csv": "id,v\n1,10\n2,20\n",
+        # static-complete: multiple calls, list/dict config values
+        "models/stat.sql": (
+            "{{ config(materialized='table', tags=['a','b'],"
+            " meta={'k': 1}) }}\n"
+            "select * from {{ ref('raw') }}"
+        ),
+        # dynamic config value -> must fall back and still resolve
+        "models/dynvar.sql": (
+            "{{ config(materialized=var('mat')) }}\n"
+            "select * from {{ ref('raw') }}"
+        ),
+        # control flow -> fallback
+        "models/ctrl.sql": (
+            "select * from {{ ref('raw') }}\n"
+            "{% if true %}where id > 0{% endif %}"
+        ),
+    }
+    runner = make_project(files, schema="t_staticx")
+    assert runner.loader.static_extracted == 1  # stat.sql only
+    man = runner.manifest.nodes
+    stat = man["model.sx.stat"]
+    assert stat.refs == ["raw"]
+    assert stat.config["materialized"] == "table"
+    assert stat.config["tags"] == ["a", "b"]
+    assert stat.config["meta"] == {"k": 1}
+    # the fallback render still captures the dynamic config/refs
+    dyn = man["model.sx.dynvar"]
+    assert dyn.config["materialized"] == "table"
+    assert dyn.refs == ["raw"]
+    assert man["model.sx.ctrl"].refs == ["raw"]
+    assert runner.seed().ok and runner.run().ok
+    assert spark.table("t_staticx.stat").count() == 2
+    assert spark.table("t_staticx.ctrl").count() == 2
