@@ -549,3 +549,182 @@ def kmeans_fit(
         cents = nxt
     assert all(len(c) == dim for c in cents)
     return cents
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ)
+# ---------------------------------------------------------------------------
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential zip_with/aggregate fold (array
+    order — bit-reproducible against an oracle that folds the same
+    way)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codebooks(
+    dim: int, m: int, n_codes: int
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace PQ codebooks from md5 (no RNG state
+    to ship; a production IVF-PQ would k-means these per subspace the
+    same way :func:`kmeans_fit` trains the coarse quantizer). Values
+    land on the 1e-3 grid so the literals parse bit-identically in
+    Spark and the DuckDB oracle."""
+    import hashlib
+
+    sub = dim // m
+    books = []
+    for j in range(m):
+        book = []
+        for c in range(n_codes):
+            vec = []
+            for d in range(sub):
+                h = int(
+                    hashlib.md5(f"pq{j}|{c}|{d}".encode()).hexdigest()[:8],
+                    16,
+                )
+                vec.append(((h % 2001) - 1000) / 1000.0)
+            book.append(vec)
+        books.append(book)
+    return books
+
+
+def _argmin_code(dists: Column) -> Column:
+    """First occurrence of the minimum = lowest-index tie-break (same
+    contract as :func:`kmeans_assign`; DuckDB mirror is
+    ``list_position(d, list_min(d)) - 1``)."""
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Product-quantization encode: each ``dim``-float vector becomes
+    ``m`` small integer codes (argmin-L2 sub-quantizer per subspace) —
+    a PURE PROJECTION, no join, no shuffle, no Python.
+
+    This is the memory scale path for ANN corpora beyond
+    :func:`quantize_int8`'s 4×: at dim=64/m=8 the stored row shrinks
+    from 256 B of floats to 8 code bytes (32×), so a 100 TB embedding
+    corpus's searchable index fits in ~3 TB of executor memory and the
+    ADC scan in :func:`ivfpq_topk` reads 32× fewer bytes."""
+    sub = dim // m
+    books = _pq_codebooks(dim, m, n_codes)
+    codes = []
+    for j, book in enumerate(books):
+        sv = F.slice(F.col(vec), j * sub + 1, sub)
+        dists = F.transform(
+            _const_matrix(book), lambda c, _sv=sv: _l2sq(_sv, c)
+        )
+        codes.append(_argmin_code(dists))
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
+    return df.select(*cols, F.array(*codes).alias("codes"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbours (the FAISS IVFPQ
+    architecture, re-expressed Spark-first): the corpus is coarsely
+    partitioned into ``n_cells`` argmin-L2 cells and stored ONLY as
+    ``m``-byte PQ codes; each query probes its ``n_probe`` nearest
+    cells and scores candidates by asymmetric distance (ADC) — the sum
+    over subspaces of ||q_sub - codebook[code]||², i.e. exact query
+    side vs quantized corpus side.
+
+    100 TB shape: the probe is an EQUIJOIN on cell id (queries
+    broadcast, corpus cluster-pruned by cell — never a cartesian scan),
+    and the per-candidate score is ``m`` literal-matrix lookups + an
+    8-float fold, all inside whole-stage codegen over rows 32× smaller
+    than the raw vectors. No residual encoding (FAISS
+    ``by_residual=false``): codes quantize the raw vector, which keeps
+    the codebooks cell-independent and the oracle exact."""
+    sub = dim // m
+    cents = _pseudo_centroids(dim, n_cells)
+    books = _pq_codebooks(dim, m, n_codes)
+    enc = pq_encode(
+        corpus.select(
+            F.col(corpus_id),
+            F.col(vec),
+            kmeans_assign(F.col(vec), cents).alias("cell"),
+        ),
+        id_col=corpus_id,
+        vec=vec,
+        dim=dim,
+        m=m,
+        n_codes=n_codes,
+        keep=["cell"],
+    )
+    # query probe list: the n_probe nearest coarse cells, argmin-L2
+    # with lowest-index tie-break, second cell found by masking the
+    # first (mirrors the s4 oracle idiom, min instead of max)
+    cdists = F.transform(
+        _const_matrix(cents), lambda c: _l2sq(F.col(vec), c)
+    )
+    q0 = queries.select(
+        F.col(query_id), F.col(vec).alias("qv"), cdists.alias("cd")
+    )
+    probed = q0.withColumn(
+        "c1", (F.array_position(F.col("cd"), F.array_min("cd")) - 1)
+    )
+    masked = F.transform(
+        F.col("cd"),
+        lambda x, i: F.when(i == F.col("c1"), F.lit(float("inf")))
+        .otherwise(x),
+    )
+    probes = [F.col("c1").cast("int")]
+    if n_probe >= 2:
+        probed = probed.withColumn(
+            "c2",
+            (F.array_position(masked, F.array_min(masked)) - 1),
+        )
+        probes.append(F.col("c2").cast("int"))
+    q = probed.select(
+        F.col(query_id), "qv",
+        F.explode(F.array(*probes)).alias("cell"),
+    )
+    adc = F.lit(0.0).cast("double")
+    for j, book in enumerate(books):
+        cent = F.element_at(
+            _const_matrix(book), F.col("codes").getItem(j) + 1
+        )
+        adc = adc + _l2sq(F.slice(F.col("qv"), j * sub + 1, sub), cent)
+    cand = (
+        broadcast(q)
+        .join(enc, "cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc("adc"), F.asc(corpus_id)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(F.col("adc"), 4).alias("adc_r"),
+            "rank",
+        )
+    )
