@@ -174,9 +174,11 @@ def main():
     import json
 
     sf_base = os.path.basename(os.path.normpath(sf_dir))
-    if not only:
-        # full sweeps only: a filtered spot-check must not clobber the
-        # full-registry times file
+    if not only and not driver_conf:
+        # full TUNED sweeps only: a filtered spot-check must not
+        # clobber the full-registry times file, and a --driver-conf
+        # divergence run (default session, no AQE) must not record
+        # untuned timings as the budget reference
         try:
             with open(
                 os.path.join(REPO_ROOT, f"gate_times_{sf_base}.json"),
@@ -188,6 +190,10 @@ def main():
                 )
         except OSError:
             pass
+    if driver_conf:
+        # budgets were recorded on the tuned session; enforcing them
+        # against an untuned run would only produce spurious trips
+        no_budget = True
     if not no_budget and os.path.exists(BUDGET_FILE):
         with open(BUDGET_FILE) as f:
             budgets = json.load(f).get(sf_base, {})

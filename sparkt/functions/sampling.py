@@ -318,8 +318,28 @@ def shuffle_shards(
     globally, because the bucket IS the key prefix — at 100 TB this is
     one shuffle on a uniform key and constant-size driver state.
 
-    Returns (id, size, shuffle_key, global_start, shard_id).
+    Returns (id, size, shuffle_key, global_start, shard_id). The plan
+    references a persisted narrow intermediate that lives until the
+    caller releases it — use ``write_shards`` (which unpersists after
+    its action) or unpersist ``result._sparkt_persisted`` yourself.
     """
+    out, base = _shuffle_shards(
+        df, id_col, size_col, seed, shard_size, prefix_chars
+    )
+    out._sparkt_persisted = base
+    return out
+
+
+def _shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    seed: str,
+    shard_size: int,
+    prefix_chars: int,
+):
+    """Impl of ``shuffle_shards`` returning ``(result, persisted_base)``
+    so the caller owning the action can unpersist the intermediate."""
     key = F.md5(
         F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
     ).alias("shuffle_key")
@@ -359,7 +379,7 @@ def shuffle_shards(
     gs = (
         F.col("__boff") + F.sum("__sz").over(w_intra) - F.col("__sz")
     ).alias("global_start")
-    return base.join(F.broadcast(bucket_offsets), "__bucket").select(
+    out = base.join(F.broadcast(bucket_offsets), "__bucket").select(
         F.col(id_col),
         F.col("__sz").alias("size"),
         "shuffle_key",
@@ -368,6 +388,7 @@ def shuffle_shards(
         "shard_id",
         F.floor(F.col("global_start") / shard_size).cast("bigint"),
     )
+    return out, base
 
 
 def write_shards(
@@ -393,8 +414,8 @@ def write_shards(
     import json as _json
     import os as _os
 
-    assigned = shuffle_shards(
-        df, id_col, size_col, seed=seed, shard_size=shard_size
+    assigned, base = _shuffle_shards(
+        df, id_col, size_col, seed, shard_size, 3
     )
     # one computation feeds both the write and the manifest stats — an
     # unpersisted plan would run the whole shuffle pipeline twice
@@ -423,6 +444,7 @@ def write_shards(
         )
     finally:
         assigned.unpersist()
+        base.unpersist()
     manifest = {
         "seed": seed,
         "shard_size": shard_size,

@@ -167,6 +167,44 @@ def _static_const_ok(n) -> bool:
     return False
 
 
+#: sentinel for "this AST node is not a constant the extractor can read"
+_NOT_CONST = object()
+
+
+def _const_value(n):
+    """Recursively read the Python value of a constant AST node.
+
+    Walks EXACTLY the shapes ``_static_const_ok`` accepts (scalar Const,
+    List of constants, Dict with Const keys and constant values) and
+    returns ``_NOT_CONST`` for anything else — so extraction depth and
+    the completeness guard can never disagree (the round-7 regression:
+    a nested list-in-dict passed the guard but extracted as ``None``).
+    Reference contract: dbt-extractor returns "cannot be extracted" for
+    shapes it can't read, never a corrupted value
+    (``core/dbt/parser/models.py:378-398``)."""
+    if isinstance(n, j2nodes.Const):
+        return n.value
+    if isinstance(n, j2nodes.List):
+        out = []
+        for i in n.items:
+            v = _const_value(i)
+            if v is _NOT_CONST:
+                return _NOT_CONST
+            out.append(v)
+        return out
+    if isinstance(n, j2nodes.Dict):
+        out = {}
+        for p in n.items:
+            if not isinstance(p.key, j2nodes.Const):
+                return _NOT_CONST
+            v = _const_value(p.value)
+            if v is _NOT_CONST:
+                return _NOT_CONST
+            out[p.key.value] = v
+        return out
+    return _NOT_CONST
+
+
 def _static_node_ok(n) -> bool:
     """True if the AST node is fully covered by static extraction:
     literal text, or a bare ``{{ ref/source/config(...) }}`` output
@@ -230,14 +268,8 @@ def extract_statically(env: jinja2.Environment, source: str):
                 sources.append((args[0], args[1]))
         elif name == "config":
             for kw in call.kwargs:
-                v = const(kw.value)
-                if v is None and isinstance(kw.value, j2nodes.List):
-                    v = [const(i) for i in kw.value.items]
-                if v is None and isinstance(kw.value, j2nodes.Dict):
-                    v = {
-                        const(p.key): const(p.value) for p in kw.value.items
-                    }
-                if v is not None:
+                v = _const_value(kw.value)
+                if v is not _NOT_CONST:
                     config[kw.key] = v
     return refs, sources, config, _static_node_ok(ast)
 

@@ -366,15 +366,18 @@ class ManifestLoader:
         import hashlib
 
         hashes: dict[str, str] = {}
-        all_paths = (
-            self.project.model_paths
-            + self.project.seed_paths
-            + self.project.snapshot_paths
-            + self.project.test_paths
-            + self.project.macro_paths
-            + self.project.analysis_paths
-        )
         for proj in self.all_projects:
+            # each package's OWN path lists: a package declaring
+            # non-default model-paths etc. must still have its files
+            # hashed, or edits there serve stale cached parses
+            all_paths = (
+                proj.model_paths
+                + proj.seed_paths
+                + proj.snapshot_paths
+                + proj.test_paths
+                + proj.macro_paths
+                + proj.analysis_paths
+            )
             for full, rel in _walk(
                 proj.project_root, all_paths,
                 (".sql", ".py", ".csv", ".yml", ".yaml"),

@@ -711,6 +711,17 @@ def test_static_extractor_completeness_gate(make_project, spark):
             " meta={'k': 1}) }}\n"
             "select * from {{ ref('raw') }}"
         ),
+        # static-complete NESTED shapes: list-in-dict (grants) and
+        # dict-in-list (constraints) — the round-7 regression silently
+        # extracted these as None when the render was skipped
+        "models/nested.sql": (
+            "{{ config(materialized='table',"
+            " grants={'select': ['reporter', 'bi_role']},"
+            " meta={'owners': ['a', 'b'], 'depth': {'k': [1, 2]}},"
+            " constraints=[{'type': 'primary_key',"
+            " 'columns': ['id']}]) }}\n"
+            "select * from {{ ref('raw') }}"
+        ),
         # dynamic config value -> must fall back and still resolve
         "models/dynvar.sql": (
             "{{ config(materialized=var('mat')) }}\n"
@@ -723,13 +734,23 @@ def test_static_extractor_completeness_gate(make_project, spark):
         ),
     }
     runner = make_project(files, schema="t_staticx")
-    assert runner.loader.static_extracted == 1  # stat.sql only
+    assert runner.loader.static_extracted == 2  # stat.sql + nested.sql
     man = runner.manifest.nodes
     stat = man["model.sx.stat"]
     assert stat.refs == ["raw"]
     assert stat.config["materialized"] == "table"
     assert stat.config["tags"] == ["a", "b"]
     assert stat.config["meta"] == {"k": 1}
+    nested = man["model.sx.nested"]
+    assert nested.refs == ["raw"]
+    assert nested.config["grants"] == {"select": ["reporter", "bi_role"]}
+    assert nested.config["meta"] == {
+        "owners": ["a", "b"],
+        "depth": {"k": [1, 2]},
+    }
+    assert nested.config["constraints"] == [
+        {"type": "primary_key", "columns": ["id"]}
+    ]
     # the fallback render still captures the dynamic config/refs
     dyn = man["model.sx.dynvar"]
     assert dyn.config["materialized"] == "table"

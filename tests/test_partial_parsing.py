@@ -136,3 +136,30 @@ def test_cache_snapshot_is_pre_patch(tmp_path):
     _write(root, "models/schema.yml", "version: 2\n")
     manifest = ManifestLoader(load_project(root)).load()
     assert manifest.nodes["model.pp.m_0"].description == ""
+
+
+def test_package_custom_paths_edit_invalidates_cache(tmp_path):
+    """A package declaring NON-default path lists (model-paths:
+    [custom]) must have its files hashed with the package's OWN paths,
+    not the root project's — otherwise edits there never change the
+    hash map and both cache tiers serve stale parses (ADVICE r7)."""
+    root = str(tmp_path / "app")
+    pkg = str(tmp_path / "pkg")
+    _write(pkg, "dbt_project.yml",
+           "name: cpk\nmodel-paths: [custom_models]\n")
+    _write(pkg, "custom_models/pmod.sql", "select 1 as v")
+    _write(root, "dbt_project.yml", "name: pp\nmodel-paths: [models]\n")
+    _write(root, "packages.yml", f"packages:\n  - local: {pkg}\n")
+    _write(root, "models/uses.sql",
+           "select v from {{ ref('cpk', 'pmod') }}")
+
+    cold = ManifestLoader(load_project(root))
+    m1 = cold.load()
+    assert m1.nodes["model.cpk.pmod"].raw_code.strip() == "select 1 as v"
+
+    # edit the package model in its custom path: the warm load must
+    # see the change (whole-manifest cache miss + file re-parse)
+    _write(pkg, "custom_models/pmod.sql", "select 2 as v")
+    warm = ManifestLoader(load_project(root))
+    m2 = warm.load()
+    assert m2.nodes["model.cpk.pmod"].raw_code.strip() == "select 2 as v"
