@@ -66,6 +66,41 @@ def check_budgets(
     return out
 
 
+def rotation_stale_error(repo_root: str = REPO_ROOT) -> str | None:
+    """Return an error string when ROTATION.json predates the newest
+    driver correctness artifact (VERDICT r8 ask #1: the r8 driver
+    re-ran r7's exact 50-gate set because rotation was never
+    regenerated, silently starving 37 gates of official rows for two
+    rounds). The stamp is the ``_round`` key update_rotation.py
+    embeds; a missing stamp on a repo that has artifacts is equally
+    stale."""
+    import glob
+    import json
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    if not rounds:
+        return None
+    newest = max(rounds)
+    rot_path = os.path.join(repo_root, "ROTATION.json")
+    try:
+        with open(rot_path) as f:
+            stamp = json.load(f).get("_round", -1)
+    except (OSError, ValueError):
+        stamp = -1
+    if stamp < newest:
+        return (
+            f"ROTATION.json is stale (stamp {stamp} < newest artifact "
+            f"round {newest}): run `python scripts/update_rotation.py` "
+            f"so the registry order reflects the latest driver rows"
+        )
+    return None
+
+
 def normalize(df):
     """pandas DataFrame → canonical sorted-rows/sorted-cols list of
     stringified tuples (mirrors an order-insensitive value hash)."""
@@ -94,6 +129,11 @@ def main():
         argv.remove("--no-budget")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+
+    stale = rotation_stale_error()
+    if stale:
+        print(f"FAIL  {stale}")
+        sys.exit(1)
 
     import duckdb
 

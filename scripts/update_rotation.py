@@ -39,11 +39,13 @@ def main() -> int:
     from sparkt.queries import QUERIES
 
     last_rowed: dict[str, int] = {}
+    max_round = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
         with open(path) as f:
             rows = json.load(f)
         for gate, row in rows.items():
@@ -59,10 +61,19 @@ def main() -> int:
             continue
         out[g] = 0
 
+    # staleness stamp (VERDICT r8 ask #1): record the newest artifact
+    # round this rotation was generated against, so check_oracles.py
+    # can refuse to sweep when a new CORRECTNESS_r*.json landed but
+    # this script was never re-run (r8's driver silently re-ran r7's
+    # exact 50-gate set because of exactly that omission). A stamp
+    # survives git-checkout mtime resets; an mtime check would not.
+    out["_round"] = max_round
+
     dest = os.path.join(REPO, "ROTATION.json")
     with open(dest, "w") as f:
         json.dump(dict(sorted(out.items())), f, indent=1)
         f.write("\n")
+    out.pop("_round")
     stale = [g for g, r in out.items() if r == 0]
     print(f"{len(out)} gates; {len(stale)} need a fresh row: {sorted(stale)}")
     return 0

@@ -84,3 +84,45 @@ def test_committed_budget_file_covers_every_gate():
             "— re-run scripts/check_oracles.py at that SF and fold "
             "gate_times into GATE_BUDGETS.json"
         )
+
+
+def test_rotation_staleness_guard(tmp_path):
+    """VERDICT r8 ask #1: the sweep must refuse to run when a new
+    CORRECTNESS artifact landed but ROTATION.json was never
+    regenerated (that omission made the r8 driver re-run r7's exact
+    50-gate set, starving 37 gates of official rows)."""
+    from check_oracles import rotation_stale_error
+
+    repo = tmp_path
+    (repo / "CORRECTNESS_r07.json").write_text("{}")
+    (repo / "CORRECTNESS_r08.json").write_text("{}")
+
+    # stale stamp → error naming the regeneration command
+    (repo / "ROTATION.json").write_text(json.dumps({"_round": 7, "q1": 7}))
+    err = rotation_stale_error(str(repo))
+    assert err and "update_rotation" in err and "stamp 7" in err
+
+    # pre-stamp rotation file (no _round key) is equally stale
+    (repo / "ROTATION.json").write_text(json.dumps({"q1": 7}))
+    assert rotation_stale_error(str(repo))
+
+    # missing rotation file while artifacts exist is stale
+    (repo / "ROTATION.json").unlink()
+    assert rotation_stale_error(str(repo))
+
+    # current stamp → clean
+    (repo / "ROTATION.json").write_text(json.dumps({"_round": 8, "q1": 8}))
+    assert rotation_stale_error(str(repo)) is None
+
+    # no artifacts at all (fresh clone) → nothing to be stale against
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert rotation_stale_error(str(empty)) is None
+
+
+def test_committed_rotation_is_current():
+    """The repo's own ROTATION.json must never be stale at commit
+    time — this is the in-tree tripwire for the r8 process defect."""
+    from check_oracles import REPO_ROOT, rotation_stale_error
+
+    assert rotation_stale_error(REPO_ROOT) is None
