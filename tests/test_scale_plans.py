@@ -235,11 +235,12 @@ def test_rank_quantile_buckets_offsets_broadcast(spark):
 def test_shuffle_shards_bucket_offsets_broadcast_and_no_global_window(
     spark,
 ):
-    """c3 shape pin: the intra-bucket cumsum windows are partitioned
-    by the hash-prefix bucket, the bucket-offset join is a
-    BroadcastHashJoin against the tiny bucket table, and the only
-    unpartitioned window is the driver-scale bucket cumsum (its input
-    is the ≤16^prefix_chars-row aggregate, never corpus rows)."""
+    """c3 shape pin, default (leak-free) variant: the intra-bucket
+    cumsum window is partitioned by the hash-prefix bucket, the
+    bucket-offset join is a BroadcastHashJoin against the eagerly
+    computed literal offset table, and the final plan has NO
+    single-partition stage at all (the only global step — the
+    ≤16^prefix_chars-row bucket cumsum — ran on the driver)."""
     from sparkt.functions.sampling import shuffle_shards
 
     df = spark.range(500).select(
@@ -253,9 +254,49 @@ def test_shuffle_shards_bucket_offsets_broadcast_and_no_global_window(
     assert "SortMergeJoin" not in plan
     # the corpus-side window is bucket-partitioned
     assert "windowspecdefinition(__bucket" in plan
-    # the single unpartitioned window consumes the bucket AGGREGATE
-    # (HashAggregate feeds the SinglePartition exchange), not raw rows
-    assert plan.count("Exchange SinglePartition") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_shuffle_shards_scope_single_pass_plan_and_release(spark):
+    """Scoped (single-upstream-pass) variant: inside the ``with`` the
+    narrow base is persisted (InMemoryTableScan in the plan) and the
+    only SinglePartition exchange feeds on the bucket AGGREGATE; on
+    exit the cache is released — no persistent RDD residue."""
+    from sparkt.functions.sampling import shuffle_shards_scope
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 5).alias("sz")
+    )
+    with shuffle_shards_scope(
+        df, "doc_id", "sz", seed="p", shard_size=256, prefix_chars=2
+    ) as out:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert plan.count("Exchange SinglePartition") == 1
+        assert out.count() == 300
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_gate_callers_leave_no_cache_residue(spark):
+    """VERDICT r8 #2: composing the shard gates in a long-lived
+    session must not pin anything — run c3 and pl1 end-to-end
+    (action included) and assert the session's persistent-RDD map is
+    unchanged."""
+    from sparkt.queries.pipeline import (
+        c3_shuffle_shards,
+        pl1_preprocess_pipeline,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    assert c3_shuffle_shards(spark, "/root/testdata/sf0.001").count() > 0
+    assert (
+        pl1_preprocess_pipeline(spark, "/root/testdata/sf0.001").count()
+        > 0
+    )
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_pl1_pipeline_dedup_uses_window_group_limit(spark):
