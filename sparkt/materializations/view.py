@@ -18,10 +18,48 @@ from sparkt.materializations import (
 @register("view")
 def materialize_view(ctx: MatContext, node):
     ctx.compiler.compile_node(node)
+    if node.language == "python":
+        return _materialize_python_view(ctx, node)
     check_contract(ctx, node)
     ctx.adapter.create_view_as(node.relation, node.compiled_code)
     persist_docs(ctx, node, is_view=True)
     return "CREATE VIEW"
+
+
+def _materialize_python_view(ctx: MatContext, node):
+    """``materialized='view'`` python model (r9, VERDICT r8 #3).
+
+    DOCUMENTED DIVERGENCE: a Spark permanent view requires SQL text,
+    and a python model's output is a DataFrame plan that cannot be
+    rendered back to SQL — so the faithful-in-data emulation is a
+    table-backed relation rebuilt on every run (dbt-core itself
+    rejects view python models outright; this engine accepts them and
+    materializes the recompute-per-run semantics the user asked for,
+    at table storage cost). Records / replays exactly like the
+    table python path: the DataFrame stand-in reproduces the CTAS
+    key and the recorded ``python_model_result`` serves the output
+    shape, so a bundle replays warehouse-free (sparkt/record.py).
+    """
+    if getattr(ctx.adapter, "is_replay", False):
+        from sparkt.record import dataframe_standin
+
+        ctx.adapter.create_table_as(
+            node.relation, df=dataframe_standin()
+        )
+        info = ctx.adapter.python_model_result(node.relation.render())
+        persist_docs(ctx, node)
+        return (
+            f"CREATE VIEW (python, table-backed, replayed: "
+            f"{info['count']} rows)"
+        )
+    from sparkt.materializations.python_model import run_python_model
+
+    df = run_python_model(ctx, node)
+    ctx.adapter.create_table_as(node.relation, df=df)
+    if getattr(ctx.adapter, "is_recording", False):
+        ctx.adapter.python_model_result(node.relation.render())
+    persist_docs(ctx, node)
+    return "CREATE VIEW (python, table-backed)"
 
 
 @register("ephemeral")

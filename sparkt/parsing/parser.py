@@ -569,7 +569,10 @@ class ManifestLoader:
         )
         merged = self.project.config_for_path("model", rel)
         merged.update(config)
-        merged.setdefault("materialized", "table")  # python models can't be views
+        # default table (dbt-core's only python materializations are
+        # table/incremental); an EXPLICIT materialized='view' is
+        # accepted and table-backed (materializations/view.py r9)
+        merged.setdefault("materialized", "table")
         node.config = merged
         node.tags = list(merged.get("tags", []) or [])
         return node

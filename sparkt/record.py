@@ -28,9 +28,16 @@ python models additionally record ``python_model_source`` (the source
 DataFrame's schema) so replay drives on_schema_change/strategy SQL
 generation identically — the generated statements reference the temp
 view by name only, so their recorded keys reproduce without a session
-(r7; reference ``tests/functional/record/``). Documented limit (lite
-scope): ``sql_df`` (live DataFrame handoff) is forwarded in record
-mode but refuses in replay.
+(r7; reference ``tests/functional/record/``). Ad-hoc ``sql_df`` calls
+replay too (r9): record mode materializes the result set into the
+bundle (schema + rows, the ``create_seed`` tradeoff — support-bundle
+capture collects what it records) and replay serves a session-free
+``ReplayDataFrame`` covering the read-only DataFrame surface;
+transformations are not replayable (the bundle holds rows, not a
+plan) and raise ``ReplayMismatch`` naming the limitation.
+View-materialized python models record/replay exactly like the table
+path (they are table-backed by necessity — Spark permanent views
+require SQL text; see ``materializations/view.py``).
 """
 
 from __future__ import annotations
@@ -75,6 +82,10 @@ RECORDED_METHODS = (
     "create_seed",
     "python_model_result",
     "python_model_source",
+    # ad-hoc DataFrame handoff (r9): record mode materializes the
+    # result set (schema + rows) into the bundle; replay serves a
+    # session-free ReplayDataFrame over the recorded rows
+    "sql_df",
 )
 
 
@@ -132,6 +143,89 @@ class _ReplayRow:
         return f"ReplayRow({self.asDict()})"
 
 
+class ReplayDataFrame:
+    """Session-free stand-in for an ad-hoc ``sql_df`` result during
+    replay: serves the RECORDED result set through the read-only
+    DataFrame surface a bundle consumer actually uses (``columns`` /
+    ``dtypes`` / ``count`` / ``collect`` / ``take`` / ``first`` /
+    ``head`` / ``limit`` / ``toPandas`` / ``show``). Transformations
+    (select/filter/join/...) are NOT replayable — the bundle holds
+    rows, not a logical plan — so any other attribute raises
+    ``ReplayMismatch`` naming the limitation instead of silently
+    diverging."""
+
+    is_replay_standin = True
+
+    def __init__(self, columns: list, rows: list):
+        # columns: [[name, simple_type], ...]; rows: [{name: value}]
+        self._colspec = [list(c) for c in columns]
+        self._rows = rows
+
+    @property
+    def columns(self):
+        return [c[0] for c in self._colspec]
+
+    @property
+    def dtypes(self):
+        return [tuple(c) for c in self._colspec]
+
+    def count(self) -> int:
+        return len(self._rows)
+
+    def collect(self):
+        cols = self.columns
+        return [
+            _ReplayRow(cols, [r.get(c) for c in cols])
+            for r in self._rows
+        ]
+
+    def take(self, num: int):
+        return self.collect()[:num]
+
+    def first(self):
+        rows = self.collect()
+        return rows[0] if rows else None
+
+    def head(self, n=None):
+        if n is None:
+            return self.first()
+        return self.take(n)
+
+    def limit(self, num: int) -> "ReplayDataFrame":
+        return ReplayDataFrame(self._colspec, self._rows[:num])
+
+    def isEmpty(self) -> bool:  # noqa: N802 — DataFrame parity
+        return not self._rows
+
+    def toPandas(self):  # noqa: N802 — DataFrame parity
+        import pandas as pd
+
+        return pd.DataFrame(
+            [[r.get(c) for c in self.columns] for r in self._rows],
+            columns=self.columns,
+        )
+
+    def show(self, n: int = 20, truncate=True, vertical=False):
+        cols = self.columns
+        print(" | ".join(cols))
+        for r in self._rows[:n]:
+            print(" | ".join(str(r.get(c)) for c in cols))
+
+    def __getattr__(self, name):
+        raise ReplayMismatch(
+            f"replay: DataFrame.{name} is not replayable — the "
+            "recording holds the sql_df RESULT SET (rows + schema), "
+            "not a logical plan; only the read-only surface "
+            "(columns/dtypes/count/collect/take/first/head/limit/"
+            "toPandas/show) is served"
+        )
+
+    def __repr__(self):
+        return (
+            f"ReplayDataFrame[{', '.join(f'{n}: {t}' for n, t in self.dtypes)}]"
+        )
+
+
 def _simple(v):
     """JSON-safe canonical form of a call parameter."""
     from sparkt.relation import Relation
@@ -159,6 +253,18 @@ def _key(method: str, args, kwargs) -> str:
 def _ser_result(method: str, result):
     from sparkt.relation import Relation
 
+    if method == "sql_df":
+        # materialize the ad-hoc DataFrame into the bundle (the
+        # create_seed tradeoff: support-bundle capture collects what
+        # it records); record mode still hands the LIVE df back to
+        # the caller — only the bundle copy is row-materialized
+        return {
+            "columns": [
+                [f.name, f.dataType.simpleString()]
+                for f in result.schema.fields
+            ],
+            "rows": [r.asDict(recursive=True) for r in result.collect()],
+        }
     if method == "execute":
         status, res = result
         return {
@@ -187,6 +293,8 @@ def _deser_result(method: str, raw):
     from sparkt.adapter import ExecuteResult
     from sparkt.relation import Relation
 
+    if method == "sql_df":
+        return ReplayDataFrame(raw["columns"], raw["rows"])
     if method == "execute":
         cols = raw["column_names"]
         return raw["status"], ExecuteResult(
@@ -404,8 +512,3 @@ class ReplayAdapter:
     def defer_catalog_saves(self):
         yield
 
-    def sql_df(self, sql: str):
-        raise ReplayMismatch(
-            "replay: sql_df hands over a live DataFrame and cannot be "
-            "served from a recording"
-        )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 FILES = {
     "dbt_project.yml": "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n",
     "seeds/raw.csv": "id,v\n1,10\n2,20\n",
@@ -511,4 +513,92 @@ def test_replay_covers_incremental_python_model(
     }
     inc2 = next(r for r in res2.results if "py_inc" in r.unique_id)
     assert inc2.message == inc.message
+    assert replaying.adapter.remaining() == 0
+
+
+def test_replay_covers_view_python_model_and_adhoc_sql_df(
+    make_project, spark, tmp_path
+):
+    """r8 documented residuals, closed in r9 (VERDICT r8 #3): a
+    jaffle-shaped run whose middle model is a VIEW-materialized
+    python model replays warehouse-free (it is table-backed by
+    necessity — Spark permanent views need SQL text — and its
+    record/replay path mirrors the table python path), and an ad-hoc
+    ``sql_df`` recorded during the session is served back as a
+    session-free ReplayDataFrame with the recorded rows."""
+    files = {
+        "dbt_project.yml": (
+            "name: rr\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        "seeds/raw_orders.csv": (
+            "order_id,customer,amount\n1,ann,10\n2,bob,25\n3,ann,5\n"
+        ),
+        "models/stg_orders.sql": (
+            "select order_id, customer, amount from {{ ref('raw_orders') }}"
+        ),
+        "models/py_totals.py": (
+            "def model(dbt, session):\n"
+            "    dbt.config(materialized='view')\n"
+            "    df = dbt.ref('stg_orders')\n"
+            "    return df.groupBy('customer').sum('amount')"
+            ".withColumnRenamed('sum(amount)', 'total')\n"
+        ),
+        "models/top_spender.sql": (
+            "{{ config(materialized='table') }}\n"
+            "select customer, total from {{ ref('py_totals') }} "
+            "order by total desc limit 1"
+        ),
+    }
+    runner = make_project(files, schema="t_rr_pyview")
+    from sparkt.record import ReplayDataFrame, ReplayMismatch
+    from sparkt.runner import Runner
+
+    rec = str(tmp_path / "recording.jsonl")
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_pyview"}, record=rec,
+    )
+    assert recording.seed().ok
+    res = recording.run()
+    assert res.ok, [r.message for r in res.results]
+    pv = next(r for r in res.results if "py_totals" in r.unique_id)
+    assert pv.message == "CREATE VIEW (python, table-backed)"
+    # ad-hoc support-engineer query captured into the same bundle;
+    # record mode hands back the LIVE DataFrame
+    live = recording.adapter.sql_df(
+        "select customer, total from t_rr_pyview.py_totals "
+        "order by customer"
+    )
+    live_rows = [tuple(r) for r in live.collect()]
+    assert live_rows == [("ann", 15), ("bob", 25)]
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_pyview"}, replay=rec,
+    )
+    assert replaying.seed().ok
+    res2 = replaying.run()
+    assert res2.ok, [r.message for r in res2.results]
+    pv2 = next(r for r in res2.results if "py_totals" in r.unique_id)
+    assert pv2.message == (
+        "CREATE VIEW (python, table-backed, replayed: 2 rows)"
+    )
+    # the ad-hoc query replays session-free with the recorded rows
+    served = replaying.adapter.sql_df(
+        "select customer, total from t_rr_pyview.py_totals "
+        "order by customer"
+    )
+    assert isinstance(served, ReplayDataFrame)
+    assert served.columns == ["customer", "total"]
+    assert served.count() == 2
+    assert [tuple(r) for r in served.collect()] == live_rows
+    assert served.limit(1).toPandas().to_dict("records") == [
+        {"customer": "ann", "total": 15}
+    ]
+    # transformations are not replayable — fail loudly, not silently
+    with pytest.raises(ReplayMismatch):
+        served.filter("total > 10")
+    # a SECOND, un-recorded ad-hoc query diverges
+    with pytest.raises(ReplayMismatch):
+        replaying.adapter.sql_df("select 1")
     assert replaying.adapter.remaining() == 0
