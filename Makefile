@@ -6,7 +6,10 @@
 #   make verify      - everything below (the pre-round-end gate)
 #   make test        - pytest suite
 #   make oracles     - full registry vs DuckDB under driver conf,
-#                      BOTH sf0.01 and sf0.1
+#                      sf0.01 and sf0.1, PLUS an sf0.001 drift sweep
+#                      (no budgets — that SF has no recorded times;
+#                      VERDICT r8 ask #4: off-SF sweeps have been the
+#                      highest-yield bug-finder here)
 #   make plan-lint   - forbidden-physical-plan scan
 #   make bench       - headline suite at sf0.1 (one JSON line)
 
@@ -22,6 +25,7 @@ test:
 oracles:
 	$(PY) scripts/check_oracles.py --driver-conf /root/testdata/sf0.01
 	$(PY) scripts/check_oracles.py --driver-conf /root/testdata/sf0.1
+	$(PY) scripts/check_oracles.py --driver-conf --no-budget /root/testdata/sf0.001
 
 plan-lint:
 	$(PY) scripts/plan_lint.py

@@ -725,10 +725,12 @@ class SparkAdapter:
         sandbox has no delta runtime, so execution is cluster-only; the
         emitted statement is pinned by a golden test and plain-parquet
         clones fall back to CTAS in ``Runner.clone``."""
-        self.execute(
+        from sparkt.sqlcheck import check_shallow_clone
+
+        self.execute(check_shallow_clone(
             f"CREATE OR REPLACE TABLE {target.render()} "
             f"SHALLOW CLONE {source_name}"
-        )
+        ))
         self._record(target, kind="table", cloned_from=source_name)
 
     @staticmethod
@@ -778,7 +780,12 @@ class SparkAdapter:
                 for c in upd_cols
             )
         )
-        return (
+        from sparkt.sqlcheck import check_merge_into
+
+        # grammar-validated at emit time (sparkt/sqlcheck.py): the
+        # statement cannot execute in this sandbox, so a malformed
+        # emission must fail HERE, not on the user's cluster
+        return check_merge_into(
             f"MERGE INTO {target.render()} AS DBT_INTERNAL_DEST\n"
             f"USING ({source_sql}) AS DBT_INTERNAL_SOURCE\n"
             f"ON {on}\n"
@@ -799,11 +806,13 @@ class SparkAdapter:
         the new version. Dispatched when ``file_format`` is
         delta/iceberg — only changed files rewrite, vs the whole-
         relation versioned-path rewrite used on plain parquet."""
+        from sparkt.sqlcheck import check_merge_into
+
         cols = ", ".join(f"`{c}`" for c in insert_cols)
         vals = ", ".join(
             f"DBT_INTERNAL_SOURCE.`{c}`" for c in insert_cols
         )
-        return (
+        return check_merge_into(
             f"MERGE INTO {target.render()} AS DBT_INTERNAL_DEST\n"
             f"USING ({staging_sql}) AS DBT_INTERNAL_SOURCE\n"
             "ON DBT_INTERNAL_SOURCE.dbt_scd_id = "

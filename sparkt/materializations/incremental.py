@@ -636,11 +636,16 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
                         f"FROM ({src_sql}) __mb_ins",
                     )
                 elif file_format in ("delta", "iceberg"):
-                    # file-level window replace, no table rewrite
-                    ctx.adapter.execute(
+                    from sparkt.sqlcheck import check_replace_where
+
+                    # file-level window replace, no table rewrite;
+                    # grammar-validated at emit time (sqlcheck.py) —
+                    # the statement can't execute in this sandbox, so
+                    # a malformed emission must fail here
+                    ctx.adapter.execute(check_replace_where(
                         f"INSERT INTO {rel.render()} "
                         f"REPLACE WHERE {window} {src_sql}"
-                    )
+                    ))
                 else:
                     cols = ", ".join(
                         bt(c) for c, _ in

@@ -14,9 +14,27 @@ from dataclasses import dataclass, replace
 
 _IDENT_RE = re.compile(r"^[a-z_][a-z0-9_]*$")
 
+#: Spark's ANSI-mode reserved words (ANSI compliance doc, "Reserved
+#: keywords") — ANSI mode is the DEFAULT in Spark 4, so a bare
+#: ``order``/``select`` identifier in generated SQL is a syntax error
+#: on a stock cluster (r9: found by driving sqlcheck.py over
+#: reserved-word relation names)
+_ANSI_RESERVED = frozenset("""
+    all and any array as at authorization between both case cast
+    check collate column constraint create cross current_date
+    current_time current_timestamp current_user distinct else end
+    escape except exists external extract false fetch filter for
+    foreign from full grant group grouping having in inner intersect
+    interval into is join lateral leading left like natural not null
+    offset on only or order outer overlaps partition position primary
+    references right select session_user some table then time to
+    trailing true union unique unknown user using when where window
+    with
+""".split())
+
 
 def _quote(part: str) -> str:
-    if _IDENT_RE.match(part):
+    if _IDENT_RE.match(part) and part not in _ANSI_RESERVED:
         return part
     return "`" + part.replace("`", "``") + "`"
 

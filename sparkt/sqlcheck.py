@@ -1,0 +1,506 @@
+"""Grammar-level (BNF) validator for the ACID-table-format statements
+this engine EMITS but cannot execute in-sandbox (no Delta/Iceberg
+runtime — README "Known environment blocker"): ``MERGE INTO``,
+``INSERT INTO ... REPLACE WHERE`` and ``CREATE OR REPLACE TABLE ...
+SHALLOW CLONE``. A malformed emission (unterminated quoting, empty
+column list, column/value arity mismatch, misplaced predicate, an
+unquoted reserved word used as an identifier) must not hide behind
+"the statement never executes here" (VERDICT r8 ask #5) — the
+dispatch layer validates every statement it emits, and the golden
+tests drive the validator over reserved-word identifiers and
+multi-column keys.
+
+Scope and rigor:
+
+- The statement grammars below mirror the public Delta Lake /
+  Apache Iceberg SQL references for these commands; ``MERGE INTO``
+  is additionally part of vanilla Spark's grammar, and the test
+  layer cross-checks our acceptance against Spark's own parser.
+- Scalar expressions (ON conditions, WHEN guards, REPLACE WHERE
+  predicates, incremental_predicates) are parsed with a real
+  recursive-descent expression grammar — precedence, IN/IS/LIKE/
+  BETWEEN, CASE, EXISTS, function calls, subqueries.
+- Embedded SELECTs (the USING source, the trailing select of
+  REPLACE WHERE) are validated structurally: fully tokenized (so
+  quoting errors can't hide inside them) and paren-balanced, but not
+  grammar-parsed — they come from the compiler, which vanilla Spark
+  executes and tests elsewhere.
+- Unquoted identifiers must not be reserved words. Spark/Delta
+  accept some of these in non-ANSI mode, but every identifier this
+  engine emits is backquoted, so an unquoted ``order`` in a
+  generated statement is a quoting bug, which is exactly what this
+  check exists to catch.
+
+Reference behavior pinned by the golden layer:
+``/root/reference/tests/functional/simple_snapshot/fixtures.py``,
+``/root/reference/tests/functional/incremental_schema_tests/``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sparkt.exceptions import CompilationError
+
+
+class MalformedStatement(CompilationError):
+    """An emitted table-format statement failed the grammar check."""
+
+
+# keywords that may not appear as UNQUOTED identifiers (the engine
+# backquotes every identifier it emits; hitting one of these bare in
+# an identifier position means a quoting bug)
+RESERVED = frozenset("""
+    all and as between by case create cross delete distinct else end
+    exists false from full group having in inner insert into is join
+    like matched merge not null on or order outer replace
+    select set shallow clone table then true union update using
+    values when where with
+""".split())
+# deliberately NOT in the set: left/right (legitimate string
+# functions in user predicates), and the join-only modifiers appear
+# solely inside opaque subquery regions this grammar never parses
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<bq>`(?:[^`]|``)*`)             # backquoted identifier
+  | (?P<str>'(?:[^']|'')*')            # single-quoted string
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|<>|!=|\|\||->|[(),.*=<>+\-/%])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(sql: str) -> list[tuple[str, str, int]]:
+    """→ [(kind, text, pos)]; raises on anything untokenizable —
+    which is how unterminated quotes/backquotes surface."""
+    out = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise MalformedStatement(
+                f"sqlcheck: untokenizable input at offset {pos}: "
+                f"{sql[pos:pos + 30]!r} (unterminated quote/backquote "
+                "or illegal character)"
+            )
+        if m.lastgroup != "ws":
+            out.append((m.lastgroup, m.group(), pos))
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = _tokenize(sql)
+        self.i = 0
+
+    # ------------------------------------------------------ plumbing
+    def peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else ("eof", "", -1)
+
+    def at_kw(self, *words: str) -> bool:
+        k, t, _ = self.peek()
+        return k == "word" and t.lower() in words
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def fail(self, msg: str):
+        k, t, p = self.peek()
+        raise MalformedStatement(
+            f"sqlcheck: {msg} at token {t!r} (offset {p}) in: "
+            f"{self.sql[:120]!r}..."
+        )
+
+    def expect_kw(self, *words: str):
+        for w in words:
+            if not self.at_kw(w):
+                self.fail(f"expected keyword {w.upper()}")
+            self.next()
+
+    def expect_op(self, op: str):
+        k, t, _ = self.peek()
+        if k != "op" or t != op:
+            self.fail(f"expected {op!r}")
+        self.next()
+
+    def expect_eof(self):
+        if self.peek()[0] != "eof":
+            self.fail("trailing tokens after complete statement")
+
+    # --------------------------------------------------- identifiers
+    def identifier(self) -> str:
+        k, t, _ = self.peek()
+        if k == "bq":
+            self.next()
+            return t
+        if k == "word":
+            if t.lower() in RESERVED:
+                self.fail(
+                    f"reserved word {t!r} used as an unquoted "
+                    "identifier (the emitter must backquote it)"
+                )
+            self.next()
+            return t
+        self.fail("expected identifier")
+
+    def qualified_name(self) -> None:
+        self.identifier()
+        while self.peek()[:2] == ("op", "."):
+            self.next()
+            self.identifier()
+
+    def alias(self) -> None:
+        if self.at_kw("as"):
+            self.next()
+            self.identifier()
+
+    # ----------------------------------------- opaque balanced region
+    def balanced_region(self) -> int:
+        """Consume tokens up to (not including) the first ')' at the
+        current paren depth, or EOF; returns how many tokens were
+        consumed. The region is already fully tokenized (quoting
+        sanity holds); this enforces paren balance."""
+        n = 0
+        depth = 0
+        while True:
+            k, t, _ = self.peek()
+            if k == "eof":
+                if depth > 0:
+                    self.fail("unbalanced parentheses")
+                return n
+            if (k, t) == ("op", "("):
+                depth += 1
+            elif (k, t) == ("op", ")"):
+                if depth == 0:
+                    return n
+                depth -= 1
+            self.next()
+            n += 1
+
+    def subquery_parens(self) -> None:
+        """'(' SELECT|WITH ... balanced ... ')' — or a parenthesized
+        relation name, which Spark's grammar also accepts as a source
+        (``relationPrimary: '(' relation ')'``)."""
+        self.expect_op("(")
+        if self.at_kw("select", "with", "table"):
+            if self.balanced_region() == 0:
+                self.fail("empty subquery")
+        else:
+            self.qualified_name()
+        self.expect_op(")")
+
+    # ------------------------------------------------- expressions
+    # or := and (OR and)* ; and := not (AND not)* ; not := NOT* cmp
+    def expr(self) -> None:
+        self._and()
+        while self.at_kw("or"):
+            self.next()
+            self._and()
+
+    def _and(self) -> None:
+        self._not()
+        while self.at_kw("and"):
+            self.next()
+            self._not()
+
+    def _not(self) -> None:
+        while self.at_kw("not"):
+            self.next()
+        self._cmp()
+
+    def _cmp(self) -> None:
+        self._add()
+        k, t, _ = self.peek()
+        if k == "op" and t in ("=", "<", ">", "<=", ">=", "<>", "!="):
+            self.next()
+            self._add()
+            return
+        if self.at_kw("is"):
+            self.next()
+            if self.at_kw("not"):
+                self.next()
+            if not (self.at_kw("null") or self.at_kw("true")
+                    or self.at_kw("false")):
+                self.fail("expected NULL/TRUE/FALSE after IS")
+            self.next()
+            return
+        negated = False
+        if self.at_kw("not"):
+            self.next()
+            negated = True
+        if self.at_kw("in"):
+            self.next()
+            self.expect_op("(")
+            if self.at_kw("select", "with"):
+                self.balanced_region()
+            else:
+                self.expr()
+                while self.peek()[:2] == ("op", ","):
+                    self.next()
+                    self.expr()
+            self.expect_op(")")
+            return
+        if self.at_kw("like"):
+            self.next()
+            self._add()
+            return
+        if self.at_kw("between"):
+            self.next()
+            self._add()
+            self.expect_kw("and")
+            self._add()
+            return
+        if negated:
+            self.fail("expected IN/LIKE/BETWEEN after NOT")
+
+    def _add(self) -> None:
+        self._mul()
+        while True:
+            k, t, _ = self.peek()
+            if k == "op" and t in ("+", "-", "||"):
+                self.next()
+                self._mul()
+            else:
+                return
+
+    def _mul(self) -> None:
+        self._primary()
+        while True:
+            k, t, _ = self.peek()
+            if k == "op" and t in ("*", "/", "%"):
+                self.next()
+                self._primary()
+            else:
+                return
+
+    def _primary(self) -> None:
+        k, t, _ = self.peek()
+        if k in ("str", "num"):
+            self.next()
+            return
+        if k == "op" and t in ("-", "+"):
+            self.next()
+            self._primary()
+            return
+        if k == "op" and t == "(":
+            self.next()
+            if self.at_kw("select", "with"):
+                self.balanced_region()
+            else:
+                self.expr()
+                # row constructor / arg list, e.g. (a, b) in expr pos
+                while self.peek()[:2] == ("op", ","):
+                    self.next()
+                    self.expr()
+            self.expect_op(")")
+            return
+        if self.at_kw("null", "true", "false"):
+            self.next()
+            return
+        if self.at_kw("case"):
+            self.next()
+            if not self.at_kw("when"):
+                self.expr()  # simple CASE operand
+            while self.at_kw("when"):
+                self.next()
+                self.expr()
+                self.expect_kw("then")
+                self.expr()
+            if self.at_kw("else"):
+                self.next()
+                self.expr()
+            self.expect_kw("end")
+            return
+        if self.at_kw("exists"):
+            self.next()
+            self.subquery_parens()
+            return
+        if self.at_kw("timestamp", "date", "interval"):
+            # typed literal: TIMESTAMP '...', DATE '...', INTERVAL
+            # '..' unit — a bare word here is the interval unit
+            self.next()
+            kk, tt, _ = self.peek()
+            if kk == "str" or kk == "num":
+                self.next()
+                while self.peek()[0] == "word" and not self.at_kw(
+                    *RESERVED
+                ):
+                    self.next()  # interval units: 1 DAY, '2' HOUR ...
+                return
+            self.fail("expected literal after type keyword")
+        if k in ("word", "bq"):
+            # column ref or function call; CAST(x AS t) allowed
+            is_cast = k == "word" and t.lower() == "cast"
+            self.identifier() if not is_cast else self.next()
+            while self.peek()[:2] == ("op", "."):
+                self.next()
+                self.identifier()
+            if self.peek()[:2] == ("op", "("):
+                self.next()
+                if self.peek()[:2] == ("op", "*"):
+                    self.next()  # count(*)
+                elif self.peek()[:2] != ("op", ")"):
+                    if self.at_kw("distinct"):
+                        self.next()
+                    self.expr()
+                    if is_cast:
+                        self.expect_kw("as")
+                        self.identifier()
+                        # parameterized types: decimal(10, 2)
+                        if self.peek()[:2] == ("op", "("):
+                            self.next()
+                            self.balanced_region()
+                            self.expect_op(")")
+                    while self.peek()[:2] == ("op", ","):
+                        self.next()
+                        self.expr()
+                self.expect_op(")")
+            return
+        self.fail("expected expression")
+
+
+# ---------------------------------------------------------------- API
+def check_merge_into(sql: str) -> str:
+    """merge := MERGE INTO table alias? USING (subquery|table) alias?
+    ON expr when_clause+ ; when_clause := WHEN MATCHED (AND expr)?
+    THEN (UPDATE SET (* | col=expr,...) | DELETE) | WHEN NOT MATCHED
+    (AND expr)? THEN INSERT (* | (cols) VALUES (exprs))  — with
+    column/value arity enforced. Returns ``sql`` so emitters can
+    validate-and-return in one expression."""
+    p = _Parser(sql)
+    p.expect_kw("merge", "into")
+    p.qualified_name()
+    p.alias()
+    p.expect_kw("using")
+    if p.peek()[:2] == ("op", "("):
+        p.subquery_parens()
+    else:
+        p.qualified_name()
+    p.alias()
+    p.expect_kw("on")
+    p.expr()
+    n_clauses = 0
+    while p.at_kw("when"):
+        n_clauses += 1
+        p.next()
+        if p.at_kw("not"):
+            p.next()
+            p.expect_kw("matched")
+            if p.at_kw("by"):
+                p.next()
+                p.expect_kw("target")
+            if p.at_kw("and"):
+                p.next()
+                p.expr()
+            p.expect_kw("then", "insert")
+            if p.peek()[:2] == ("op", "*"):
+                p.next()
+            else:
+                p.expect_op("(")
+                cols = 1
+                p.identifier()
+                while p.peek()[:2] == ("op", ","):
+                    p.next()
+                    p.identifier()
+                    cols += 1
+                p.expect_op(")")
+                p.expect_kw("values")
+                p.expect_op("(")
+                vals = 1
+                p.expr()
+                while p.peek()[:2] == ("op", ","):
+                    p.next()
+                    p.expr()
+                    vals += 1
+                p.expect_op(")")
+                if cols != vals:
+                    raise MalformedStatement(
+                        f"sqlcheck: INSERT arity mismatch — {cols} "
+                        f"columns vs {vals} values in: {sql[:120]!r}"
+                    )
+        elif p.at_kw("matched"):
+            p.next()
+            if p.at_kw("and"):
+                p.next()
+                p.expr()
+            p.expect_kw("then")
+            if p.at_kw("delete"):
+                p.next()
+            else:
+                p.expect_kw("update", "set")
+                if p.peek()[:2] == ("op", "*"):
+                    p.next()
+                else:
+                    p.qualified_name()
+                    p.expect_op("=")
+                    p.expr()
+                    while p.peek()[:2] == ("op", ","):
+                        p.next()
+                        p.qualified_name()
+                        p.expect_op("=")
+                        p.expr()
+        else:
+            p.fail("expected MATCHED or NOT MATCHED")
+    if n_clauses == 0:
+        raise MalformedStatement(
+            f"sqlcheck: MERGE with no WHEN clause: {sql[:120]!r}"
+        )
+    p.expect_eof()
+    return sql
+
+
+def check_replace_where(sql: str) -> str:
+    """replace_where := INSERT INTO table REPLACE WHERE expr select —
+    the predicate is grammar-parsed (it must terminate exactly where
+    the payload SELECT begins; a predicate that swallows the SELECT
+    or a SELECT that leaks into the predicate both fail), the payload
+    select is tokenized + paren-balanced."""
+    p = _Parser(sql)
+    p.expect_kw("insert", "into")
+    p.qualified_name()
+    p.expect_kw("replace", "where")
+    p.expr()
+    if not p.at_kw("select", "with", "table") and p.peek()[:2] != (
+        "op", "(",
+    ):
+        p.fail("expected the payload SELECT after the REPLACE WHERE "
+               "predicate")
+    if p.balanced_region() == 0:
+        p.fail("empty payload select")
+    p.expect_eof()
+    return sql
+
+
+def check_shallow_clone(sql: str) -> str:
+    """clone := CREATE OR REPLACE TABLE table SHALLOW CLONE table"""
+    p = _Parser(sql)
+    p.expect_kw("create", "or", "replace", "table")
+    p.qualified_name()
+    p.expect_kw("shallow", "clone")
+    p.qualified_name()
+    p.expect_eof()
+    return sql
+
+
+def check_table_format_sql(sql: str) -> str:
+    """Dispatch on the statement head; raises MalformedStatement for
+    the three families, passes anything else through unchecked."""
+    head = sql.lstrip().lower()
+    if head.startswith("merge into"):
+        return check_merge_into(sql)
+    if head.startswith("insert into") and " replace where " in head:
+        return check_replace_where(sql)
+    if head.startswith("create or replace table") and (
+        "shallow clone" in head
+    ):
+        return check_shallow_clone(sql)
+    return sql
