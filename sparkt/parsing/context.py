@@ -267,10 +267,16 @@ def extract_statically(env: jinja2.Environment, source: str):
             if len(args) == 2 and all(a is not None for a in args):
                 sources.append((args[0], args[1]))
         elif name == "config":
+            from sparkt.project import merge_config_call
+
             for kw in call.kwargs:
                 v = _const_value(kw.value)
                 if v is not _NOT_CONST:
-                    config[kw.key] = v
+                    # per-field merge behavior: repeated config()
+                    # calls APPEND tags/hooks and dict-merge meta
+                    # (reference experimental_parser corpus), so the
+                    # static path and the render path agree
+                    merge_config_call(config, {kw.key: v})
     return refs, sources, config, _static_node_ok(ast)
 
 
@@ -353,9 +359,11 @@ class ParseConfigCollector:
         self.collected: dict[str, Any] = {}
 
     def __call__(self, *args, **kwargs):
+        from sparkt.project import merge_config_call
+
         if args and isinstance(args[0], dict):
-            self.collected.update(args[0])
-        self.collected.update(kwargs)
+            merge_config_call(self.collected, args[0])
+        merge_config_call(self.collected, kwargs)
         return ""
 
     def get(self, name, default=None):

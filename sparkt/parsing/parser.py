@@ -21,7 +21,12 @@ from sparkt.exceptions import ParsingError
 from sparkt.manifest import Manifest, ParsedNode
 from sparkt.parsing import context as ctx_mod
 from sparkt.parsing.macros import BUILTIN_MACRO_SOURCES
-from sparkt.project import Project, normalize_config_keys
+from sparkt.project import (
+    Project,
+    _listify,
+    merge_config_call,
+    normalize_config_keys,
+)
 
 SNAPSHOT_BLOCK_RE = re.compile(
     r"{%-?\s*snapshot\s+(\w+)\s*-?%}(.*?){%-?\s*endsnapshot\s*-?%}", re.S
@@ -466,9 +471,12 @@ class ManifestLoader:
         )
         proj_cfg = project.config_for_path(resource_type, rel_path)
         merged = dict(proj_cfg)
-        merged.update(config)  # in-file config() wins over project tree
+        # in-file config() merges over the project tree with dbt's
+        # per-field behavior (tags/hooks append, meta dict-merges,
+        # scalars clobber) — reference context_config._add_config_call
+        merge_config_call(merged, config)
         node.config = merged
-        node.tags = list(merged.get("tags", []) or [])
+        node.tags = _listify(merged.get("tags"))
         return node
 
     def _cached_file(self, full: str, build) -> list[ParsedNode]:
@@ -568,13 +576,13 @@ class ManifestLoader:
             sources=list(dict.fromkeys(sources)),
         )
         merged = self.project.config_for_path("model", rel)
-        merged.update(config)
+        merge_config_call(merged, config)
         # default table (dbt-core's only python materializations are
         # table/incremental); an EXPLICIT materialized='view' is
         # accepted and table-backed (materializations/view.py r9)
         merged.setdefault("materialized", "table")
         node.config = merged
-        node.tags = list(merged.get("tags", []) or [])
+        node.tags = _listify(merged.get("tags"))
         return node
 
     # -------------------------------------------------------------- seeds
@@ -937,7 +945,7 @@ class ManifestLoader:
             m = re.match(r"ref\(['\"](\w+)['\"]\)", kwargs["to"])
             if m:
                 node.refs.append(m.group(1))
-        node.tags = list(config.get("tags", []) or [])
+        node.tags = _listify(config.get("tags"))
         self.manifest.nodes[node.unique_id] = node
 
     def _add_exposure(self, exp: dict, project: Project | None = None) -> None:

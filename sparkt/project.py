@@ -96,9 +96,13 @@ class Project:
         out: dict[str, Any] = {}
 
         def take(level: dict) -> None:
-            for k, v in level.items():
-                if k.startswith("+"):
-                    out[_HOOK_ALIASES.get(k[1:], k[1:])] = v
+            # each cascade level merges with dbt's per-field behavior
+            # (tags/hooks append down the tree, meta dict-merges,
+            # scalars clobber) — see merge_config_call
+            merge_config_call(
+                out,
+                {k[1:]: v for k, v in level.items() if k.startswith("+")},
+            )
 
         take(tree)
         level = tree
@@ -132,6 +136,52 @@ def _listify(v) -> list[str]:
     if v is None:
         return []
     return v if isinstance(v, list) else [v]
+
+
+# dbt's per-field config merge behavior (public dbt-common
+# ``BaseConfig.mergebehavior`` + the field metadata in the reference's
+# ``core/dbt/artifacts/resources/v1/config.py:55-125``): repeated
+# ``config()`` calls and the project-tree → in-file cascade APPEND
+# these list keys and UPDATE these dict keys instead of clobbering —
+# ``{{ config(tags='hello') }} {{ config(tags='world') }}`` yields
+# ``['hello', 'world']`` (pinned by the reference's own
+# ``tests/functional/experimental_parser`` corpus).
+_MERGE_APPEND = frozenset({"pre_hook", "post_hook", "tags", "packages"})
+_MERGE_UPDATE = frozenset(
+    {"meta", "quoting", "column_types", "docs", "contract"}
+)
+
+
+def merge_config_call(dst: dict, opts: dict) -> dict:
+    """Merge one ``config(...)`` call (or one cascade level) into
+    ``dst`` with dbt's per-field behavior, mirroring the reference's
+    ``context_config._add_config_call``: append-keys listify and
+    extend; update-keys dict-merge; ``grants`` does dict-key-append
+    (a ``+select`` key extends the role list, a bare key replaces
+    it); everything else clobbers. Returns ``dst``."""
+    for k, v in opts.items():
+        k = _HOOK_ALIASES.get(k, k)
+        if k in _MERGE_APPEND:
+            cur = dst.get(k)
+            cur = list(cur) if isinstance(cur, list) else _listify(cur)
+            dst[k] = cur + _listify(v)
+        elif k in _MERGE_UPDATE and isinstance(v, dict):
+            cur = dst.get(k)
+            merged = dict(cur) if isinstance(cur, dict) else {}
+            merged.update(v)
+            dst[k] = merged
+        elif k == "grants" and isinstance(v, dict):
+            cur = dict(dst.get(k) or {})
+            for gk, gv in v.items():
+                if gk.startswith("+"):
+                    base = gk[1:]
+                    cur[base] = list(cur.get(base) or []) + _listify(gv)
+                else:
+                    cur[gk] = _listify(gv)
+            dst[k] = cur
+        else:
+            dst[k] = v
+    return dst
 
 
 def load_project(project_root: str, overrides: dict | None = None) -> Project:

@@ -6,6 +6,7 @@ task/runnable.py:319-340)."""
 from __future__ import annotations
 
 import networkx as nx
+import pytest
 
 FILES = {
     "dbt_project.yml": """
@@ -759,3 +760,162 @@ def test_static_extractor_completeness_gate(make_project, spark):
     assert runner.seed().ok and runner.run().ok
     assert spark.table("t_staticx.stat").count() == 2
     assert spark.table("t_staticx.ctrl").count() == 2
+
+
+# --------------------------------------------------------------------
+# static parser vs the reference's own fixture corpus (VERDICT r8 #6)
+# --------------------------------------------------------------------
+
+# real config(...) headers ported verbatim from the reference's
+# functional-test fixtures; (name, template, static_expected,
+# expected_config, render_vars)
+_REF_CORPUS = [
+    # tests/functional/experimental_parser/test_all_experimental_parser.py
+    # basic__model_a_sql — the reference's OWN static-parser pin:
+    # repeated config() calls append tags and last-win scalars
+    (
+        "exp_parser_basic",
+        "{{ config(tags='hello', x=False) }}\n"
+        "{{ config(tags='world', x=True) }}\n"
+        "select * from {{ ref('model_b') }}\n"
+        "cross join {{ source('my_src', 'my_tbl') }}\n"
+        "where false\n",
+        True,
+        {"tags": ["hello", "world"], "x": True},
+        None,
+    ),
+    # tests/functional/incremental_schema_tests/fixtures.py:61-69 —
+    # multi-line header; body has {% set %}/{% if is_incremental() %}
+    # so the whole template must FALL BACK, but both paths agree
+    (
+        "incremental_sync_all",
+        "{{\n    config(\n        materialized='incremental',\n"
+        "        unique_key='id',\n"
+        "        on_schema_change='sync_all_columns'\n\n    )\n}}\n"
+        "WITH source_data AS (SELECT * FROM {{ ref('model_a') }} )\n"
+        "{% set string_type = 'varchar(10)' %}\n"
+        "{% if is_incremental() %}\n"
+        "SELECT id, cast(field1 as {{string_type}}) as field1\n"
+        "FROM source_data WHERE id NOT IN (SELECT id from {{ this }})\n"
+        "{% else %}\n"
+        "SELECT id, cast(field1 as {{string_type}}) as field1\n"
+        "FROM source_data where id <= 3\n"
+        "{% endif %}\n",
+        False,
+        {"materialized": "incremental", "unique_key": "id",
+         "on_schema_change": "sync_all_columns"},
+        None,
+    ),
+    # tests/functional/incremental_schema_tests/fixtures.py:115-118
+    (
+        "multiline_table",
+        "{{\n    config(materialized='table')\n}}\n"
+        "select * from {{ ref('model_a') }}\n",
+        True,
+        {"materialized": "table"},
+        None,
+    ),
+    # tests/functional/docs fixture shape (node_color)
+    (
+        "docs_node_color",
+        "{{ config(materialized='view', docs={\"show\": True, "
+        "\"node_color\": \"red\"}) }}\nselect 1 as id\n",
+        True,
+        {"materialized": "view",
+         "docs": {"show": True, "node_color": "red"}},
+        None,
+    ),
+    ("enabled_false",
+     "{{ config(enabled=false) }}\nselect 1 as id\n",
+     True, {"enabled": False}, None),
+    # tests/functional/schema_tests severity-threshold header
+    ("warn_error_if",
+     "{{ config(warn_if = '>0', error_if =\"> 10\") }}\n"
+     "select 1 as id\n",
+     True, {"warn_if": ">0", "error_if": "> 10"}, None),
+    ("custom_schema",
+     "{{ config(schema='custom') }}\nselect 1 as id\n",
+     True, {"schema": "custom"}, None),
+    ("alias_override",
+     "{{ config(alias='override_alias') }}\nselect 1 as id\n",
+     True, {"alias": "override_alias"}, None),
+    # tests/functional/store_test_failures_tests fixture shape
+    ("store_failures_as",
+     "{{ config(store_failures_as=\"ephemeral\", "
+     "store_failures=False) }}\nselect 1 as id\n",
+     True,
+     {"store_failures_as": "ephemeral", "store_failures": False},
+     None),
+    # snapshot-style check strategy header
+    ("check_cols",
+     "{{ config(strategy='check', check_cols=['color']) }}\n"
+     "select 1 as id\n",
+     True, {"strategy": "check", "check_cols": ["color"]}, None),
+    # tests/functional/context_methods shape: var() forces fallback
+    ("var_materialized",
+     "{{ config(materialized=var('materialized')) }}\n"
+     "select 1 as id\n",
+     False, {"materialized": "view"}, {"materialized": "view"}),
+    ("tag_list",
+     "{{ config(tags = ['data_test_tag']) }}\nselect 1 as id\n",
+     True, {"tags": ["data_test_tag"]}, None),
+    # tests/functional/list fixture model2 (meta with list values)
+    ("meta_owners",
+     "{{ config(meta={\"owners\": [\"team1\", \"team2\"]})}} "
+     "select 1 as fun",
+     True, {"meta": {"owners": ["team1", "team2"]}}, None),
+    # grants dict-key-append: a '+select' key EXTENDS the role list
+    ("grants_key_append",
+     "{{ config(grants={'select': ['a']}) }}\n"
+     "{{ config(grants={'+select': ['b']}) }}\nselect 1 as id\n",
+     True, {"grants": {"select": ["a", "b"]}}, None),
+    ("enabled_in_table",
+     "{{ config(materialized='table', enabled=False) }}\n"
+     "select 1 as id\n",
+     True, {"materialized": "table", "enabled": False}, None),
+]
+
+
+@pytest.mark.parametrize(
+    "name,src,static_expected,expected_cfg,render_vars",
+    _REF_CORPUS, ids=[c[0] for c in _REF_CORPUS],
+)
+def test_static_extractor_matches_render_on_reference_corpus(
+    name, src, static_expected, expected_cfg, render_vars
+):
+    """Corpus-driven equality gate (VERDICT r8 ask #6): for real
+    config() headers taken from the reference's own functional
+    fixtures, the static AST extraction must either (a) claim the
+    template complete AND equal the full parse-phase render's
+    collected config, or (b) fall back — and in both cases the value
+    the parser would land on equals the reference-expected config.
+    The r7 bug class (guard and extractor disagreeing about
+    extraction depth) is exactly what this catches."""
+    import jinja2
+
+    from sparkt.parsing import context as ctx_mod
+
+    env = ctx_mod.build_environment()
+    refs, sources, static_cfg, complete = ctx_mod.extract_statically(
+        env, src
+    )
+    assert complete is static_expected
+
+    pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
+        {}, render_vars or {}
+    )
+    env.from_string(src).render(**pctx)
+    rendered_cfg = collector.collected
+
+    if complete:
+        # the static claim must be PROVABLY equal to what the render
+        # would have collected — this is the skip-the-render contract
+        assert static_cfg == rendered_cfg
+        assert refs == r_refs
+        assert sources == r_srcs
+    # the value the parser lands on (static, backfilled by the render
+    # on fallback — parser._parse_sql_node) matches the reference
+    landed = dict(static_cfg)
+    landed.update(rendered_cfg)
+    assert landed == expected_cfg
+    assert rendered_cfg == expected_cfg
