@@ -132,6 +132,7 @@ class SparkAdapter:
         self._catalog.pop(key, None)  # re-insert to keep dependency order
         self._catalog[key] = entry
         self._save_catalog()
+        self._fire_cache("add_relation", key)
         # keep the lazy per-schema listing (see _cached_relation_type)
         # in sync with the real object type: views record "view",
         # everything else is a table unless the caller says otherwise
@@ -141,9 +142,22 @@ class SparkAdapter:
             t = obj_type or ("view" if entry.get("kind") == "view" else "table")
             listing[relation.identifier] = t
 
+    def _fire_cache(self, action: str, ref_key: str,
+                    ref_key_2: str = "") -> None:
+        events = getattr(self, "events", None)
+        if events is not None:
+            from sparkt.events import CacheAction
+
+            events.fire(CacheAction(
+                action=action, ref_key=ref_key, ref_key_2=ref_key_2,
+            ))
+
     def _unrecord(self, relation: Relation) -> None:
         self._catalog.pop(f"{relation.schema}.{relation.identifier}", None)
         self._save_catalog()
+        self._fire_cache(
+            "drop_relation", f"{relation.schema}.{relation.identifier}"
+        )
         listing = getattr(self, "_listing", {}).get(relation.schema)
         if listing is not None:
             listing.pop(relation.identifier, None)
@@ -339,15 +353,29 @@ class SparkAdapter:
 
     def execute(self, sql: str, fetch: bool = False) -> tuple[str, ExecuteResult]:
         """Run one SQL statement; optionally fetch rows to the driver."""
+        events = getattr(self, "events", None)
+        if events is not None:
+            from sparkt.events import SQLQuery
+
+            events.fire(SQLQuery(conn_name="spark", sql=sql))
+        t0 = time.time()
         df = self.spark.sql(self._commented(sql))
         if fetch:
             rows = df.collect()
-            return "OK", ExecuteResult(
+            result = "OK", ExecuteResult(
                 column_names=list(df.columns), rows=rows, rows_affected=len(rows)
             )
-        # Non-fetch DQL still needs an action for side-effect-free SQL;
-        # DDL/DML in Spark executes eagerly inside .sql().
-        return "OK", ExecuteResult(column_names=list(df.columns))
+        else:
+            # Non-fetch DQL still needs an action for side-effect-free
+            # SQL; DDL/DML in Spark executes eagerly inside .sql().
+            result = "OK", ExecuteResult(column_names=list(df.columns))
+        if events is not None:
+            from sparkt.events import SQLQueryStatus
+
+            events.fire(SQLQueryStatus(
+                status="OK", elapsed=time.time() - t0,
+            ))
+        return result
 
     def sql_df(self, sql: str) -> DataFrame:
         return self.spark.sql(self._commented(sql))
@@ -944,6 +972,11 @@ class SparkAdapter:
         with self._ddl_lock:
             self.spark.sql(
                 f"ALTER TABLE {from_rel.render()} RENAME TO {to_rel.render()}"
+            )
+            self._fire_cache(
+                "rename_relation",
+                f"{from_rel.schema}.{from_rel.identifier}",
+                f"{to_rel.schema}.{to_rel.identifier}",
             )
             listings = getattr(self, "_listing", {})
             src = listings.get(from_rel.schema)

@@ -194,6 +194,215 @@ class CommandCompleted(Event):
 
 
 @dataclass
+class LogTestResult(Event):
+    """Q007 (reference ``LogTestResult``, dynamic-level; rendered at
+    the result's own severity by the console layer)."""
+
+    CODE = "Q007"
+    name: str = ""
+    status: str = ""
+    index: int = 0
+    total: int = 0
+    num_failures: int = 0
+    execution_time: float = 0.0
+
+    def message(self) -> str:
+        if self.status == "error":
+            info = "ERROR"
+        elif self.status == "pass":
+            info = "PASS"
+        elif self.status == "warn":
+            info = f"WARN {self.num_failures}"
+        else:
+            info = f"FAIL {self.num_failures}"
+        return (
+            f"{self.index} of {self.total} {info} {self.name} "
+            f"[{self.status.upper()} in {self.execution_time:.2f}s]"
+        )
+
+
+@dataclass
+class LogSnapshotResult(Event):
+    CODE = "Q015"
+    description: str = ""
+    status: str = ""
+    index: int = 0
+    total: int = 0
+    execution_time: float = 0.0
+
+    def message(self) -> str:
+        info = (
+            "ERROR snapshotting" if self.status == "error"
+            else "OK snapshotted"
+        )
+        return (
+            f"{self.index} of {self.total} {info} {self.description} "
+            f"[{self.status.upper()} in {self.execution_time:.2f}s]"
+        )
+
+
+@dataclass
+class LogSeedResult(Event):
+    CODE = "Q016"
+    schema: str = ""
+    relation: str = ""
+    status: str = ""
+    index: int = 0
+    total: int = 0
+    execution_time: float = 0.0
+
+    def message(self) -> str:
+        info = "ERROR loading" if self.status == "error" else "OK loaded"
+        return (
+            f"{self.index} of {self.total} {info} seed file "
+            f"{self.schema}.{self.relation} "
+            f"[{self.status.upper()} in {self.execution_time:.2f}s]"
+        )
+
+
+@dataclass
+class LogFreshnessResult(Event):
+    CODE = "Q018"
+    source_name: str = ""
+    table_name: str = ""
+    status: str = ""
+    index: int = 0
+    total: int = 0
+
+    def message(self) -> str:
+        info = {
+            "runtime error": "ERROR", "error": "ERROR STALE",
+            "warn": "WARN",
+        }.get(self.status, "PASS")
+        return (
+            f"{self.index} of {self.total} {info} freshness of "
+            f"{self.source_name}.{self.table_name}"
+        )
+
+
+@dataclass
+class NodeCompiling(Event):
+    CODE = "Q030"
+    LEVEL = "debug"
+    unique_id: str = ""
+
+    def message(self) -> str:
+        return f"Began compiling node {self.unique_id}"
+
+
+@dataclass
+class NodeExecuting(Event):
+    CODE = "Q031"
+    LEVEL = "debug"
+    unique_id: str = ""
+
+    def message(self) -> str:
+        return f"Began executing node {self.unique_id}"
+
+
+@dataclass
+class LogHookStartLine(Event):
+    CODE = "Q032"
+    statement: str = ""
+    index: int = 0
+    total: int = 0
+
+    def message(self) -> str:
+        return (
+            f"{self.index} of {self.total} START hook: "
+            f"{self.statement} [RUN]"
+        )
+
+
+@dataclass
+class LogHookEndLine(Event):
+    CODE = "Q033"
+    statement: str = ""
+    status: str = ""
+    index: int = 0
+    total: int = 0
+    execution_time: float = 0.0
+
+    def message(self) -> str:
+        return (
+            f"{self.index} of {self.total} OK hook: {self.statement} "
+            f"[{self.status.upper()} in {self.execution_time:.2f}s]"
+        )
+
+
+@dataclass
+class FoundStats(Event):
+    CODE = "W006"
+    stat_line: str = ""
+
+    def message(self) -> str:
+        return f"Found {self.stat_line}"
+
+
+@dataclass
+class TimingInfoCollected(Event):
+    CODE = "Z010"
+    LEVEL = "debug"
+    unique_id: str = ""
+    name: str = ""
+    started_at: str = ""
+    completed_at: str = ""
+
+    def message(self) -> str:
+        return (
+            f"Timing info for {self.unique_id} ({self.name}): "
+            f"{self.started_at} => {self.completed_at}"
+        )
+
+
+# ------------------------------------------------------------------
+# adapter event family: the reference delegates these to the external
+# dbt-adapters package; codes mirror that public project's
+# events/types.py (SQLQuery E016, SQLQueryStatus E017, CacheAction
+# E022) so a log consumer keyed on dbt's codes reads ours unchanged
+# ------------------------------------------------------------------
+
+@dataclass
+class SQLQuery(Event):
+    CODE = "E016"
+    LEVEL = "debug"
+    conn_name: str = ""
+    sql: str = ""
+
+    def message(self) -> str:
+        return f'On "{self.conn_name}": {self.sql}'
+
+
+@dataclass
+class SQLQueryStatus(Event):
+    CODE = "E017"
+    LEVEL = "debug"
+    status: str = ""
+    elapsed: float = 0.0
+
+    def message(self) -> str:
+        return f"SQL status: {self.status} in {self.elapsed:.3f} seconds"
+
+
+@dataclass
+class CacheAction(Event):
+    CODE = "E022"
+    LEVEL = "debug"
+    action: str = ""
+    ref_key: str = ""
+    ref_key_2: str = ""
+
+    def message(self) -> str:
+        if self.action == "rename_relation":
+            return (
+                f"Renaming relation {self.ref_key} to {self.ref_key_2}"
+            )
+        if self.action == "drop_relation":
+            return f"Dropping relation {self.ref_key}"
+        return f"Adding relation {self.ref_key}"
+
+
+@dataclass
 class NoNodesForSelectionCriteria(Event):
     CODE = "M030"
     LEVEL = "warn"

@@ -23,6 +23,7 @@ from queue import Empty
 import networkx as nx
 
 from sparkt.adapter import SparkAdapter
+from sparkt import events as EV
 from sparkt.compilation import Compiler
 from sparkt.graph.linker import link_graph
 from sparkt.graph.queue import GraphQueue
@@ -208,6 +209,14 @@ class Runner:
         from sparkt import deprecations
 
         deprecations.set_event_manager(self.events)
+        # adapter event family (SQLQuery/SQLQueryStatus/CacheAction —
+        # public dbt-adapters codes): hand the live adapter the event
+        # manager. Through a RecordingAdapter proxy the inner adapter
+        # does the firing; ReplayAdapter stays silent (no warehouse,
+        # nothing executes)
+        inner = getattr(self.adapter, "_inner", self.adapter)
+        if not getattr(inner, "is_replay", False):
+            inner.events = self.events
 
     # ------------------------------------------------------------ sources
     def register_sources(self) -> None:
@@ -282,7 +291,18 @@ class Runner:
                     extra_ctes=[],
                 )
             if rendered.strip():
+                index = hooks.index(hook_sql) + 1
+                self.events.fire(EV.LogHookStartLine(
+                    statement=rendered.strip()[:60],
+                    index=index, total=len(hooks),
+                ))
+                t0 = time.time()
                 self.adapter.execute(rendered)
+                self.events.fire(EV.LogHookEndLine(
+                    statement=rendered.strip()[:60], status="success",
+                    index=index, total=len(hooks),
+                    execution_time=time.time() - t0,
+                ))
 
     def _write_compiled(self, node: ParsedNode) -> None:
         if node.compiled_code is None:
@@ -296,6 +316,10 @@ class Runner:
     # ---------------------------------------------------------- execution
     def _execute_node(self, ctx: MatContext, node: ParsedNode) -> RunResult:
         start = time.time()
+        # Q030/Q031 lifecycle pair (the materializations compile then
+        # execute inside mat_fn, so both fire here at entry)
+        self.events.fire(EV.NodeCompiling(unique_id=node.unique_id))
+        self.events.fire(EV.NodeExecuting(unique_id=node.unique_id))
 
         def timing():
             # one "execute" TimingInfo spanning the materialization
@@ -365,6 +389,38 @@ class Runner:
             )
         finally:
             ctx.adapter.set_query_header(None)
+
+    def _fire_result_line(
+        self, node: ParsedNode, res, index: int, total: int
+    ) -> None:
+        """Resource-typed result line (reference Q007/Q012/Q015/Q016):
+        a log consumer keys test/seed/snapshot outcomes on their own
+        codes, not the model code."""
+        rt = node.resource_type
+        if rt == "test":
+            self.events.fire(EV.LogTestResult(
+                name=node.name, status=res.status, index=index,
+                total=total, num_failures=res.failures or 0,
+                execution_time=res.execution_time,
+            ))
+        elif rt == "seed":
+            self.events.fire(EV.LogSeedResult(
+                schema=self.project.schema, relation=node.name,
+                status=res.status, index=index, total=total,
+                execution_time=res.execution_time,
+            ))
+        elif rt == "snapshot":
+            self.events.fire(EV.LogSnapshotResult(
+                description=node.unique_id, status=res.status,
+                index=index, total=total,
+                execution_time=res.execution_time,
+            ))
+        else:
+            self.events.fire(EV.LogModelResult(
+                description=node.unique_id, status=res.status,
+                index=index, total=total,
+                execution_time=res.execution_time,
+            ))
 
     def _query_comment_for(self, node: ParsedNode) -> str:
         """Render the project's query-comment for one node. Default
@@ -625,6 +681,17 @@ class Runner:
             "which": which, "select": select, "exclude": exclude,
             "threads": n_threads, "full_refresh": full_refresh,
         }))
+        by_type: dict[str, int] = {}
+        for n in self.manifest.nodes.values():
+            by_type[n.resource_type] = by_type.get(n.resource_type, 0) + 1
+        self.events.fire(EV.FoundStats(stat_line=(
+            f"{by_type.get('model', 0)} models, "
+            f"{by_type.get('seed', 0)} seeds, "
+            f"{by_type.get('snapshot', 0)} snapshots, "
+            f"{by_type.get('test', 0)} data tests, "
+            f"{len(self.manifest.sources)} sources, "
+            f"{by_type.get('unit_test', 0)} unit tests"
+        )))
         self.events.fire(EV.ConcurrencyLine(
             num_threads=n_threads, target_name=self.project.schema,
         ))
@@ -686,11 +753,13 @@ class Runner:
                             unique_id=uid, status=res.status,
                             execution_time=res.execution_time,
                         ))
-                        self.events.fire(EV.LogModelResult(
-                            description=uid, status=res.status,
-                            index=index, total=total,
-                            execution_time=res.execution_time,
-                        ))
+                        for t in res.timing:
+                            self.events.fire(EV.TimingInfoCollected(
+                                unique_id=uid, name=t.get("name", ""),
+                                started_at=t.get("started_at", ""),
+                                completed_at=t.get("completed_at", ""),
+                            ))
+                        self._fire_result_line(node, res, index, total)
                         if res.status == "error" and res.message:
                             self.events.fire(EV.RunResultError(
                                 msg=res.message.splitlines()[0],
@@ -1120,6 +1189,10 @@ class Runner:
                 {"unique_id": node.unique_id, "max_loaded_at_age_s": age,
                  "max_loaded_at": max_loaded_at, "status": status}
             )
+            self.events.fire(EV.LogFreshnessResult(
+                source_name=node.source_name, table_name=node.name,
+                status=status, index=len(out), total=len(checked),
+            ))
 
             def time_obj(th):
                 if not th:

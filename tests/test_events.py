@@ -343,3 +343,117 @@ def test_warn_error_options_scalar_strings():
     assert not o.includes("FooWarningX")
     o = WarnErrorOptions.from_yaml('{"silence": "Quiet"}')
     assert o.silenced("Quiet") and not o.silenced("Q")
+
+
+def test_run_lifecycle_event_tail(make_project, spark):
+    """r9 (VERDICT r8 ask #7): the run-lifecycle codes a log consumer
+    keys on next — typed result lines per resource (Q007 test, Q016
+    seed, Q015 snapshot), compile/execute markers (Q030/Q031), hook
+    lines (Q032/Q033), per-node timing (Z010), manifest stats (W006),
+    and the adapter family with public dbt-adapters codes (E016 SQL
+    query, E017 status, E022 cache action)."""
+    files = dict(FILES)
+    files["models/b.sql"] = (
+        "{{ config(materialized='table', "
+        "pre_hook='select 1 as pre_probe') }}\n"
+        "select sum(v) as s from {{ ref('a') }}"
+    )
+    files["models/schema.yml"] = (
+        "version: 2\nmodels:\n  - name: a\n    columns:\n"
+        "      - name: id\n        data_tests: [not_null]\n"
+    )
+    files["snapshots/snap.sql"] = (
+        "{% snapshot raw_snap %}\n"
+        "{{ config(unique_key='id', strategy='check', "
+        "check_cols='all', target_schema='t_events_tail') }}\n"
+        "select * from {{ ref('raw') }}\n"
+        "{% endsnapshot %}\n"
+    )
+    files["dbt_project.yml"] += "snapshot-paths: [snapshots]\n"
+    runner = make_project(files, schema="t_events_tail")
+    assert runner.seed().ok
+    assert runner.build().ok
+    assert runner.snapshot().ok
+    events = _read_log(runner)
+    by_code = {}
+    for e in events:
+        by_code.setdefault(e["info"]["code"], []).append(e)
+
+    # W006: manifest stats line
+    stat = by_code["W006"][0]["data"]["stat_line"]
+    assert "2 models" in stat and "1 seeds" in stat
+    assert "1 data tests" in stat and "1 snapshots" in stat
+
+    # Q016: the seed result rides its own code with schema.relation
+    seed = by_code["Q016"][0]["data"]
+    assert seed["relation"] == "raw" and seed["status"] == "success"
+    assert seed["schema"] == "t_events_tail"
+
+    # Q007: the test result with pass status + num_failures
+    t = by_code["Q007"][0]["data"]
+    assert t["status"] == "pass" and t["num_failures"] == 0
+    assert "not_null" in t["name"]
+
+    # Q015: snapshot result
+    snap = by_code["Q015"][0]["data"]
+    assert snap["status"] == "success"
+    assert "raw_snap" in snap["description"]
+
+    # Q030/Q031 compile/execute markers for every executed node
+    compiling = {e["data"]["unique_id"] for e in by_code["Q030"]}
+    executing = {e["data"]["unique_id"] for e in by_code["Q031"]}
+    assert "model.ev.b" in compiling and "model.ev.b" in executing
+
+    # Q032/Q033 hook lines around the model's pre_hook
+    assert any(
+        "pre_probe" in e["data"]["statement"] for e in by_code["Q032"]
+    )
+    hook_end = next(
+        e["data"] for e in by_code["Q033"]
+        if "pre_probe" in e["data"]["statement"]
+    )
+    assert hook_end["status"] == "success"
+
+    # Z010 timing info per finished node
+    z = [e["data"] for e in by_code["Z010"]]
+    b_timing = next(d for d in z if d["unique_id"] == "model.ev.b")
+    assert b_timing["name"] == "execute"
+    assert b_timing["started_at"] and b_timing["completed_at"]
+
+    # adapter family: SQL statements + cache actions (debug level)
+    assert any(
+        "pre_probe" in e["data"]["sql"] for e in by_code["E016"]
+    )
+    assert all(e["data"]["elapsed"] >= 0 for e in by_code["E017"])
+    cache = [e["data"] for e in by_code["E022"]]
+    assert any(
+        c["action"] == "add_relation" and c["ref_key"].endswith(".b")
+        for c in cache
+    )
+
+
+def test_freshness_emits_q018(make_project, spark):
+    files = {
+        "dbt_project.yml": (
+            "name: ev\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        "seeds/raw.csv": "id,ts\n1,2024-01-01 00:00:00\n",
+        "models/schema.yml": (
+            "version: 2\nsources:\n  - name: ext\n"
+            "    schema: t_events_fresh\n    tables:\n"
+            "      - name: raw\n        loaded_at_field: ts\n"
+            "        freshness:\n"
+            "          warn_after: {count: 1, period: hour}\n"
+        ),
+    }
+    runner = make_project(files, schema="t_events_fresh")
+    assert runner.seed().ok
+    runner.source_freshness()
+    events = _read_log(runner)
+    q018 = [
+        e["data"] for e in events if e["info"]["code"] == "Q018"
+    ]
+    assert q018 and q018[0]["source_name"] == "ext"
+    assert q018[0]["table_name"] == "raw"
+    # the 2024 timestamp is long past warn_after: 1 hour
+    assert q018[0]["status"] == "warn"
