@@ -15,7 +15,12 @@
 
 PY ?= python
 
-.PHONY: verify test oracles plan-lint bench
+.PHONY: verify test oracles plan-lint bench rotation
+
+# run at round start, right after the driver writes CORRECTNESS_r*.json
+# (check_oracles refuses to sweep while ROTATION.json is stale)
+rotation:
+	$(PY) scripts/update_rotation.py
 
 verify: test oracles plan-lint
 
