@@ -471,6 +471,13 @@ class ManifestLoader:
         )
         proj_cfg = project.config_for_path(resource_type, rel_path)
         merged = dict(proj_cfg)
+        if project is not self.project:
+            # ROOT project configures dependency packages (reference
+            # root-over-package precedence): its tree for this package
+            # merges over the package's own tree
+            merge_config_call(merged, self.project.config_for_path(
+                resource_type, rel_path, package=project.name,
+            ))
         # in-file config() merges over the project tree with dbt's
         # per-field behavior (tags/hooks append, meta dict-merges,
         # scalars clobber) — reference context_config._add_config_call

@@ -81,12 +81,18 @@ class Project:
     def warehouse_dir(self) -> str:
         return os.path.join(self.target_dir, "warehouse")
 
-    def config_for_path(self, kind: str, rel_path: str) -> dict[str, Any]:
+    def config_for_path(
+        self, kind: str, rel_path: str, package: str | None = None
+    ) -> dict[str, Any]:
         """Resolve the project-file config tree for a resource path —
         the ``models: {subdir: {+materialized: table}}`` cascade
         (reference: project-level configs merged in
         ``core/dbt/config/project.py``). ``+``-prefixed keys apply at
-        that level; nesting follows directories."""
+        that level; nesting follows directories. ``package`` resolves
+        THIS project's tree for a resource living in another package
+        (the root project configuring a dependency: top-level +keys
+        apply to every package, ``models: {<package>: {...}}`` scopes
+        deeper levels — reference root-over-package precedence)."""
         tree = {
             "model": self.models_config,
             "seed": self.seeds_config,
@@ -106,6 +112,20 @@ class Project:
 
         take(tree)
         level = tree
+        # dbt's canonical tree nests under the PACKAGE name first
+        # (``models: {my_project: {staging: {+tags: ...}}}``); this
+        # level was silently skipped before r9, so project-scoped
+        # configs in the standard layout never applied. A tree without
+        # the package level (directories at the top) keeps working.
+        pkg = package or self.name
+        if isinstance(tree.get(pkg), dict):
+            level = tree[pkg]
+            take(level)
+        elif package is not None:
+            # resolving for a foreign package: only the top-level
+            # +defaults apply when the tree has no entry for it —
+            # this project's own directory levels must not leak in
+            return out
         parts = rel_path.split(os.sep)
         for part in parts[:-1]:
             nxt = level.get(part)

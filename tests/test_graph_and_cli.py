@@ -919,3 +919,38 @@ def test_static_extractor_matches_render_on_reference_corpus(
     landed.update(rendered_cfg)
     assert landed == expected_cfg
     assert rendered_cfg == expected_cfg
+
+
+def test_config_tags_append_through_cascade(make_project):
+    """dbt MergeBehavior end-to-end (r9): project-tree +tags, an
+    in-file config(tags=...) and a REPEATED config call all APPEND
+    (never clobber), scalars listify, and tag: selection sees the
+    union; meta dict-merges key-wise across the same cascade."""
+    files = {
+        "dbt_project.yml": (
+            "name: tg\nmodel-paths: [models]\n"
+            "models:\n  tg:\n    +tags: project_tag\n"
+            "    +meta: {tier: bronze, owner: data}\n"
+            "    marts:\n      +tags: [marts_tag]\n"
+        ),
+        "models/marts/m.sql": (
+            "{{ config(tags='file_tag', meta={'owner': 'bi'}) }}\n"
+            "{{ config(tags=['late_tag']) }}\n"
+            "select 1 as id\n"
+        ),
+    }
+    runner = make_project(files, schema="t_tagmerge")
+    node = runner.manifest.nodes["model.tg.m"]
+    assert node.tags == [
+        "project_tag", "marts_tag", "file_tag", "late_tag"
+    ]
+    # meta: dict-merge — file key wins, project-only keys survive
+    assert node.config["meta"] == {"tier": "bronze", "owner": "bi"}
+    from sparkt.graph.linker import link_graph
+    from sparkt.graph.selector import select_nodes
+
+    g = link_graph(runner.manifest)
+    for t in ("project_tag", "marts_tag", "file_tag", "late_tag"):
+        assert select_nodes(g, runner.manifest, f"tag:{t}") == {
+            "model.tg.m"
+        }

@@ -328,3 +328,49 @@ sources:
     n = spark.table("t_srcovr.pkg_model").first()["n"]
     # customer table at sf0.001 has 1500 rows (region would be 5)
     assert n > 100
+
+
+def test_root_project_configures_package_models(make_project, spark):
+    """Root-over-package config precedence (r9, reference
+    core/dbt/config precedence): the ROOT dbt_project.yml's
+    ``models: {<package>: {...}}`` tree applies to the dependency's
+    models — scalars override the package's own tree, tags append —
+    and bare top-level +defaults apply to every package."""
+    files = {
+        "dbt_project.yml": (
+            "name: rootp\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+            "packages-install-path: sub\n"
+            "models:\n"
+            "  +meta: {env: ci}\n"
+            "  dep_pkg:\n"
+            "    +materialized: table\n"
+            "    +tags: [from_root]\n"
+        ),
+        "packages.yml": "packages:\n  - local: sub/dep_pkg\n",
+        "seeds/raw.csv": "id\n1\n2\n",
+        "models/own.sql": "select * from {{ ref('raw') }}",
+        "sub/dep_pkg/dbt_project.yml": (
+            "name: dep_pkg\nmodel-paths: [models]\n"
+            "models:\n  dep_pkg:\n    +materialized: view\n"
+            "    +tags: [from_pkg]\n"
+        ),
+        "sub/dep_pkg/models/dep_model.sql": (
+            "select * from {{ ref('raw') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_rootpkg")
+    dep = runner.manifest.nodes["model.dep_pkg.dep_model"]
+    # root's scalar wins over the package's own view default
+    assert dep.config["materialized"] == "table"
+    # tags append: package tree first, then root tree
+    assert dep.tags == ["from_pkg", "from_root"]
+    # bare top-level +defaults reach the package too
+    assert dep.config["meta"] == {"env": "ci"}
+    # the root's own model is untouched by the package subtree
+    own = runner.manifest.nodes["model.rootp.own"]
+    assert "from_root" not in own.tags
+    assert own.config["meta"] == {"env": "ci"}
+    assert runner.seed().ok
+    res = runner.run()
+    assert res.ok, [r.message for r in res.results]
+    assert spark.catalog.tableExists("t_rootpkg.dep_model")
