@@ -873,6 +873,25 @@ _REF_CORPUS = [
      "{{ config(materialized='table', enabled=False) }}\n"
      "select 1 as id\n",
      True, {"materialized": "table", "enabled": False}, None),
+    # tests/functional/relation_names fixture shape: config takes ONE
+    # POSITIONAL DICT — outside the dbt-extractor surface (kwargs
+    # only), so the static path must fall back and the render collects
+    ("dict_positional_config",
+     "select 1 as id\n"
+     "{{\n  config({\n    \"unique_key\": \"col_A\",\n"
+     "    \"materialized\": \"incremental\"\n    })\n}}\n",
+     False,
+     {"unique_key": "col_A", "materialized": "incremental"}, None),
+    # tests/functional/column_quoting fixture shape: a {% set %}
+    # variable as a config VALUE — control flow forces fallback and
+    # the render resolves the quoted column name
+    ("set_var_config_value",
+     "{% set col_a = '\"col_A\"' %}\n"
+     "{{\n  config(\n    materialized = 'incremental',\n"
+     "    unique_key = col_a,\n  )\n}}\n"
+     "select {{ col_a }} from {{ ref('seed') }}\n",
+     False,
+     {"materialized": "incremental", "unique_key": '"col_A"'}, None),
 ]
 
 
