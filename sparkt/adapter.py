@@ -359,16 +359,30 @@ class SparkAdapter:
 
             events.fire(SQLQuery(conn_name="spark", sql=sql))
         t0 = time.time()
-        df = self.spark.sql(self._commented(sql))
-        if fetch:
-            rows = df.collect()
-            result = "OK", ExecuteResult(
-                column_names=list(df.columns), rows=rows, rows_affected=len(rows)
-            )
-        else:
-            # Non-fetch DQL still needs an action for side-effect-free
-            # SQL; DDL/DML in Spark executes eagerly inside .sql().
-            result = "OK", ExecuteResult(column_names=list(df.columns))
+        try:
+            df = self.spark.sql(self._commented(sql))
+            if fetch:
+                rows = df.collect()
+                result = "OK", ExecuteResult(
+                    column_names=list(df.columns), rows=rows,
+                    rows_affected=len(rows),
+                )
+            else:
+                # Non-fetch DQL still needs an action for
+                # side-effect-free SQL; DDL/DML in Spark executes
+                # eagerly inside .sql().
+                result = "OK", ExecuteResult(column_names=list(df.columns))
+        except Exception:
+            # a failed statement still terminates its E016 with a
+            # status line (dbt-adapters E016→E017 pairing holds on
+            # both outcomes)
+            if events is not None:
+                from sparkt.events import SQLQueryStatus
+
+                events.fire(SQLQueryStatus(
+                    status="ERROR", elapsed=time.time() - t0,
+                ))
+            raise
         if events is not None:
             from sparkt.events import SQLQueryStatus
 

@@ -530,6 +530,21 @@ class EventManager:
             self._fh.write(line + "\n")
             self._fh.flush()
 
+    def close(self) -> None:
+        """Release the log handle (a long-lived process constructing
+        many Runners must be able to rotate/delete dbt.log); the next
+        fire() re-opens in append mode."""
+        with self._lock:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
+
+    def __del__(self):  # best-effort: close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def promotes(self, event_name: str) -> bool:
         """True when this warning class must be raised as an error."""
         if self.warn_error_options.silenced(event_name):

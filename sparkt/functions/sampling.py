@@ -334,6 +334,18 @@ def shuffle_shards(
     callers who own the consuming action and want the single-pass
     persisted plan use ``shuffle_shards_scope`` (as ``write_shards``
     does), which releases the cache on scope exit.
+
+    CONSISTENCY REQUIREMENT: the eager bucket-sum pass and the
+    returned plan execute the upstream separately, so ``df`` must
+    yield the same rows on re-execution — deterministic transforms
+    over immutable inputs (the normal corpus case). For a
+    NONDETERMINISTIC upstream (unseeded ``sample()``, ``rand()``) or
+    a table being appended to concurrently, use
+    ``shuffle_shards_scope``: its persisted base guarantees one
+    computation feeds both sides. (This is Spark's standard
+    recompute-consistency caveat, not unique to this operator — an
+    unpersisted plan whose subtree is consumed twice has the same
+    exposure within a single job.)
     """
     base = _shuffle_base(df, id_col, size_col, seed, prefix_chars)
     sums = base.groupBy("__bucket").agg(
@@ -341,7 +353,15 @@ def shuffle_shards(
     ).collect()
     off = 0
     rows = []
-    for r in sorted(sums, key=lambda r: r["__bucket"]):
+    for r in sorted(
+        sums, key=lambda r: (r["__bucket"] is None, r["__bucket"])
+    ):
+        if r["__bucket"] is None:
+            raise ValueError(
+                f"shuffle_shards: {id_col!r} contains NULL — the "
+                "shuffle key is md5(seed|id), so every doc needs a "
+                "non-null id"
+            )
         rows.append((int(r["__bucket"]), off))
         off += int(r["__bsum"])
     offsets = df.sparkSession.createDataFrame(

@@ -546,7 +546,9 @@ class ManifestLoader:
                     with open(full) as f:
                         raw = f.read()
                     if full.endswith(".py"):
-                        return [self._parse_python_model(name, rel, raw)]
+                        return [self._parse_python_model(
+                            name, rel, raw, project=proj,
+                        )]
                     return [self._parse_sql_node(
                         "model", name, rel, raw, project=proj
                     )]
@@ -554,7 +556,9 @@ class ManifestLoader:
                 for node in self._cached_file(full, build):
                     self._add_unique(node, rel)
 
-    def _parse_python_model(self, name: str, rel: str, raw: str) -> ParsedNode:
+    def _parse_python_model(
+        self, name: str, rel: str, raw: str, project: Project | None = None,
+    ) -> ParsedNode:
         """Python models (``core/dbt/parser/models.py:32-104``): extract
         dbt.ref/dbt.source/dbt.config calls textually; the model function
         runs natively against the engine's SparkSession at execute time
@@ -571,10 +575,11 @@ class ManifestLoader:
                 config[kv.group(1)] = (
                     kv.group(2) if kv.group(2) is not None else kv.group(3)
                 )
+        project = project or self.project
         node = ParsedNode(
-            unique_id=f"model.{self.project.name}.{name}",
+            unique_id=f"model.{project.name}.{name}",
             name=name,
-            package_name=self.project.name,
+            package_name=project.name,
             resource_type="model",
             path=rel,
             raw_code=raw,
@@ -582,7 +587,12 @@ class ManifestLoader:
             refs=list(dict.fromkeys(refs)),
             sources=list(dict.fromkeys(sources)),
         )
-        merged = self.project.config_for_path("model", rel)
+        merged = project.config_for_path("model", rel)
+        if project is not self.project:
+            # root-over-package, as in _parse_sql_node
+            merge_config_call(merged, self.project.config_for_path(
+                "model", rel, package=project.name,
+            ))
         merge_config_call(merged, config)
         # default table (dbt-core's only python materializations are
         # table/incremental); an EXPLICIT materialized='view' is
@@ -601,6 +611,14 @@ class ManifestLoader:
                 name = os.path.splitext(os.path.basename(rel))[0]
 
                 def build(full=full, rel=rel, name=name, proj=proj):
+                    cfg = proj.config_for_path("seed", rel)
+                    if proj is not self.project:
+                        # root-over-package (same precedence as
+                        # _parse_sql_node): the root project's
+                        # seeds: {<package>: ...} tree applies
+                        merge_config_call(cfg, self.project.config_for_path(
+                            "seed", rel, package=proj.name,
+                        ))
                     node = ParsedNode(
                         unique_id=f"seed.{proj.name}.{name}",
                         name=name,
@@ -608,7 +626,7 @@ class ManifestLoader:
                         resource_type="seed",
                         path=rel,
                         raw_code="",  # "No SQLDefaults!" — nodes.py:774
-                        config=proj.config_for_path("seed", rel),
+                        config=cfg,
                     )
                     node.config["seed_path"] = full
                     return [node]

@@ -212,6 +212,12 @@ class ReplayDataFrame:
             print(" | ".join(str(r.get(c)) for c in cols))
 
     def __getattr__(self, name):
+        if name.startswith("_"):
+            # dunder/private probes (IPython display machinery,
+            # copy/pickle, hasattr on internals) expect a plain
+            # AttributeError; only PUBLIC DataFrame API misuse gets
+            # the loud replay error
+            raise AttributeError(name)
         raise ReplayMismatch(
             f"replay: DataFrame.{name} is not replayable — the "
             "recording holds the sql_df RESULT SET (rows + schema), "

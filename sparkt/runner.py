@@ -259,9 +259,11 @@ class Runner:
             return
         if isinstance(hooks, str):
             hooks = [hooks]
-        for hook_sql in hooks:
-            if not hook_sql:
-                continue
+        # enumerate up front: .index() on duplicate statements would
+        # report the first position for every copy, and empty entries
+        # must not leave holes in the 'i of n' sequence
+        numbered = [h for h in hooks if h]
+        for index, hook_sql in enumerate(numbered, start=1):
             if node is not None:
                 # a synthetic node (so the parent's compiled_code is
                 # not clobbered) that INHERITS the parent's identity:
@@ -291,16 +293,15 @@ class Runner:
                     extra_ctes=[],
                 )
             if rendered.strip():
-                index = hooks.index(hook_sql) + 1
                 self.events.fire(EV.LogHookStartLine(
                     statement=rendered.strip()[:60],
-                    index=index, total=len(hooks),
+                    index=index, total=len(numbered),
                 ))
                 t0 = time.time()
                 self.adapter.execute(rendered)
                 self.events.fire(EV.LogHookEndLine(
                     statement=rendered.strip()[:60], status="success",
-                    index=index, total=len(hooks),
+                    index=index, total=len(numbered),
                     execution_time=time.time() - t0,
                 ))
 
@@ -1189,10 +1190,6 @@ class Runner:
                 {"unique_id": node.unique_id, "max_loaded_at_age_s": age,
                  "max_loaded_at": max_loaded_at, "status": status}
             )
-            self.events.fire(EV.LogFreshnessResult(
-                source_name=node.source_name, table_name=node.name,
-                status=status, index=len(out), total=len(checked),
-            ))
 
             def time_obj(th):
                 if not th:
@@ -1218,6 +1215,16 @@ class Runner:
                 "thread_id": threading.current_thread().name,
                 "execution_time": time.time() - t_node,
             })
+        # Q018 result lines AFTER the loop: metadata sources with no
+        # recorded age `continue` without a result, so an in-loop
+        # total=len(checked) would leave permanent holes in the
+        # 'i of n' sequence a consumer counts on
+        for i, row in enumerate(out, start=1):
+            _, src_name, tbl = row["unique_id"].split(".", 2)
+            self.events.fire(EV.LogFreshnessResult(
+                source_name=src_name, table_name=tbl,
+                status=row["status"], index=i, total=len(out),
+            ))
         # sources.json artifact in the reference's published v3 shape
         # (FreshnessExecutionResultArtifact; consumed by the
         # source_status: selector method and external tooling)

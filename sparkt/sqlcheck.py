@@ -63,12 +63,21 @@ RESERVED = frozenset("""
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<ws>\s+)
+    (?P<ws>\s+|--[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)   # space + comments
   | (?P<bq>`(?:[^`]|``)*`)             # backquoted identifier
-  | (?P<str>'(?:[^']|'')*')            # single-quoted string
+  | (?P<str>'(?:[^'\\]|\\.|'')*')      # single-quoted string
+                                       # (backslash escapes: Spark's
+                                       # default escapedStringLiterals
+                                       # =false accepts 'don\'t')
+  | (?P<dqstr>"(?:[^"\\]|\\.|"")*")    # double-quoted: string literal
+                                       # (non-ANSI) / identifier (ANSI)
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|<>|!=|\|\||->|[(),.*=<>+\-/%])
+  | (?P<op><=|>=|<>|!=|\|\||->|[(),.*=<>+\-/%\[\]])
+  | (?P<other>[;:?@$#{}&!~^])          # legal only inside opaque
+                                       # balanced regions (user SQL);
+                                       # grammar-parsed positions
+                                       # reject these via fail()
     """,
     re.VERBOSE,
 )
@@ -139,7 +148,7 @@ class _Parser:
     # --------------------------------------------------- identifiers
     def identifier(self) -> str:
         k, t, _ = self.peek()
-        if k == "bq":
+        if k in ("bq", "dqstr"):  # dqstr: ANSI-mode quoted identifier
             self.next()
             return t
         if k == "word":
@@ -282,9 +291,24 @@ class _Parser:
             else:
                 return
 
+    def _subscripts(self) -> None:
+        """Trailing access chain on a primary: ``.field`` / ``[expr]``
+        (array subscripts and map lookups in user predicates)."""
+        while True:
+            nxt = self.peek()[:2]
+            if nxt == ("op", "."):
+                self.next()
+                self.identifier()
+            elif nxt == ("op", "["):
+                self.next()
+                self.expr()
+                self.expect_op("]")
+            else:
+                return
+
     def _primary(self) -> None:
         k, t, _ = self.peek()
-        if k in ("str", "num"):
+        if k in ("str", "dqstr", "num"):
             self.next()
             return
         if k == "op" and t in ("-", "+"):
@@ -341,9 +365,7 @@ class _Parser:
             # column ref or function call; CAST(x AS t) allowed
             is_cast = k == "word" and t.lower() == "cast"
             self.identifier() if not is_cast else self.next()
-            while self.peek()[:2] == ("op", "."):
-                self.next()
-                self.identifier()
+            self._subscripts()
             if self.peek()[:2] == ("op", "("):
                 self.next()
                 if self.peek()[:2] == ("op", "*"):
@@ -364,6 +386,7 @@ class _Parser:
                         self.next()
                         self.expr()
                 self.expect_op(")")
+                self._subscripts()  # e.g. split(s, ',')[0]
             return
         self.fail("expected expression")
 

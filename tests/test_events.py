@@ -457,3 +457,46 @@ def test_freshness_emits_q018(make_project, spark):
     assert q018[0]["table_name"] == "raw"
     # the 2024 timestamp is long past warn_after: 1 hour
     assert q018[0]["status"] == "warn"
+
+
+def test_duplicate_hooks_get_distinct_indices(make_project, spark):
+    """r9 review fix: two IDENTICAL hook statements (legal in dbt)
+    must log '1 of 2' and '2 of 2', not '1 of 2' twice; empty hook
+    entries must not leave holes in the sequence."""
+    files = dict(FILES)
+    files["models/b.sql"] = (
+        "{{ config(materialized='table', pre_hook=["
+        "'select 41 as probe', '', 'select 41 as probe']) }}\n"
+        "select sum(v) as s from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_events_dup_hooks")
+    assert runner.seed().ok
+    assert runner.run().ok
+    starts = [
+        e["data"] for e in _read_log(runner)
+        if e["info"]["code"] == "Q032"
+        and "41" in e["data"]["statement"]
+    ]
+    assert [(s["index"], s["total"]) for s in starts] == [(1, 2), (2, 2)]
+
+
+def test_failed_statement_still_emits_sql_status(make_project, spark):
+    """r9 review fix: a failing statement terminates its E016 with an
+    E017 status=ERROR line — the dbt-adapters pairing holds on both
+    outcomes."""
+    files = dict(FILES)
+    # a failing HOOK routes through adapter.execute (a failing view
+    # body goes through create_view_as, which is not an E016 site)
+    files["models/bad.sql"] = (
+        "{{ config(pre_hook='select boom from no_such_table') }}\n"
+        "select * from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_events_sqlerr")
+    assert runner.seed().ok
+    res = runner.run()
+    assert not res.ok
+    events = _read_log(runner)
+    assert any(
+        e["info"]["code"] == "E017" and e["data"]["status"] == "ERROR"
+        for e in events
+    )

@@ -187,3 +187,45 @@ def test_non_table_format_sql_passes_through():
     assert check_table_format_sql(
         "INSERT INTO s.t SELECT * FROM u"
     ) == "INSERT INTO s.t SELECT * FROM u"
+
+
+def test_validator_accepts_real_world_compiled_sql():
+    """r9 review fix: embedded user SQL (the USING subquery / payload
+    select) legitimately contains line+block comments with
+    apostrophes, double-quoted strings, array subscripts and
+    parameter-marker characters — the tokenizer must not reject any
+    of them."""
+    rel = Relation(schema="s", identifier="t")
+    sources = [
+        "select * from u -- don't include archived rows\nwhere ok",
+        'select * from u where region = "EMEA"',
+        "select ids[0] as id, v from u /* block 'comment' */",
+        "select 'don\\'t' as w, m['k'] as mk from u",
+        "select x from u where y = :param and z = ?",
+    ]
+    for src in sources:
+        sql = SparkAdapter.merge_into_sql(rel, src, ["id"], ["id", "v"])
+        assert check_merge_into(sql) == sql
+    # subscripts inside grammar-parsed predicates too
+    for p in [
+        "DBT_INTERNAL_DEST.tags[0] = 'gold'",
+        "DBT_INTERNAL_DEST.meta['tier'] IS NOT NULL",
+        'DBT_INTERNAL_DEST."Quoted Col" = 1',
+    ]:
+        sql = SparkAdapter.merge_into_sql(
+            rel, "SELECT 1", ["id"], ["id"], predicates=[p]
+        )
+        assert check_merge_into(sql) == sql
+
+
+def test_validator_rejects_predicate_ending_in_line_comment():
+    """A predicate that ends with a line comment swallows the
+    emitter's closing paren (and the next WHEN clause) — a genuine
+    malformed emission Spark would also reject; it must fail at emit
+    time, not on the user's cluster."""
+    with pytest.raises(MalformedStatement):
+        SparkAdapter.merge_into_sql(
+            Relation(schema="s", identifier="t"), "SELECT 1",
+            ["id"], ["id"],
+            predicates=["DBT_INTERNAL_DEST.x = 1 -- trailing comment"],
+        )

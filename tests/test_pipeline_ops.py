@@ -1319,3 +1319,18 @@ def test_bpe_tokenizer_parity_on_fixed_merges(spark):
     assert [(c["chunk_idx"], c["n_tokens"]) for c in chunks] == [
         (0, 4), (1, 2)
     ]
+
+
+def test_shuffle_shards_null_id_fails_loudly(spark):
+    """r9 review fix: a NULL id makes the md5 shuffle key NULL; the
+    default (eager-offsets) plan must raise a clear error instead of
+    crashing on int(None) or silently mis-bucketing."""
+    import pytest as _pytest
+
+    from sparkt.functions.sampling import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "doc_id int, sz int"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        shuffle_shards(df, "doc_id", "sz", seed="n", shard_size=64)

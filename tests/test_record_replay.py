@@ -602,3 +602,21 @@ def test_replay_covers_view_python_model_and_adhoc_sql_df(
     with pytest.raises(ReplayMismatch):
         replaying.adapter.sql_df("select 1")
     assert replaying.adapter.remaining() == 0
+
+
+def test_replay_dataframe_tolerates_attribute_probing():
+    """r9 review fix: underscore/dunder probes (IPython display
+    machinery, hasattr on internals) get a plain AttributeError;
+    only PUBLIC DataFrame API misuse raises the loud ReplayMismatch."""
+    from sparkt.record import ReplayDataFrame, ReplayMismatch
+
+    df = ReplayDataFrame([["a", "int"]], [{"a": 1}])
+    assert getattr(df, "_repr_html_", None) is None
+    assert getattr(
+        df, "_ipython_canary_method_should_not_exist_", None
+    ) is None
+    assert not hasattr(df, "_anything_private")
+    with pytest.raises(ReplayMismatch):
+        df.filter("a > 0")
+    with pytest.raises(ReplayMismatch):
+        hasattr(df, "toJSON")  # public-surface probing stays loud
