@@ -157,6 +157,12 @@ def _static_const_ok(n) -> bool:
     constants) — the only value shapes the static extractor can read."""
     if isinstance(n, j2nodes.Const):
         return True
+    if isinstance(n, (j2nodes.Neg, j2nodes.Pos)):
+        # negative/positive numeric literals parse as unary nodes
+        # (config(threshold=-1); found by the r9 hypothesis property)
+        return isinstance(n.node, j2nodes.Const) and isinstance(
+            n.node.value, (int, float)
+        ) and not isinstance(n.node.value, bool)
     if isinstance(n, j2nodes.List):
         return all(_static_const_ok(i) for i in n.items)
     if isinstance(n, j2nodes.Dict):
@@ -184,6 +190,14 @@ def _const_value(n):
     (``core/dbt/parser/models.py:378-398``)."""
     if isinstance(n, j2nodes.Const):
         return n.value
+    if isinstance(n, (j2nodes.Neg, j2nodes.Pos)):
+        if isinstance(n.node, j2nodes.Const) and isinstance(
+            n.node.value, (int, float)
+        ) and not isinstance(n.node.value, bool):
+            return -n.node.value if isinstance(n, j2nodes.Neg) else (
+                +n.node.value
+            )
+        return _NOT_CONST
     if isinstance(n, j2nodes.List):
         out = []
         for i in n.items:

@@ -214,3 +214,85 @@ def test_bloom_never_false_negative(spark, keys, m_bits, k):
     bloom = bloom_build(df, "v", m_bits=m_bits, k_hashes=k)
     probed = bloom_probe(df, "id", "v", bloom, m_bits=m_bits, k_hashes=k)
     assert probed.filter("NOT maybe_member").count() == 0
+
+
+# ---------------------------------------------------------------------
+# static extractor == parse-phase render (r9, the guard/extractor
+# equality contract behind the reference-corpus gate)
+# ---------------------------------------------------------------------
+
+_const = st.recursive(
+    st.one_of(
+        st.integers(-1000, 1000),
+        st.booleans(),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"),
+                whitelist_characters=" _-",
+            ),
+            max_size=12,
+        ),
+    ),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3),
+        st.dictionaries(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1,
+                max_size=8,
+            ),
+            inner, max_size=3,
+        ),
+    ),
+    max_leaves=8,
+)
+
+_key = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=10
+).filter(lambda k: k not in ("tags", "pre_hook", "post_hook",
+                             "packages", "grants", "meta", "quoting",
+                             "column_types", "docs", "contract"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cfgs=st.lists(
+        st.dictionaries(_key, _const, min_size=1, max_size=3),
+        min_size=1, max_size=3,
+    ),
+    tag_calls=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=2),
+        max_size=2,
+    ),
+)
+def test_static_extraction_equals_render_for_const_configs(
+    cfgs, tag_calls
+):
+    """For ANY template made of constant-kwarg config() calls (plus
+    appended tags calls), the static AST extraction must claim
+    completeness AND produce exactly the config the parse-phase
+    render would collect — the contract that lets the parser skip
+    the render (the r7 bug class was a depth disagreement here)."""
+    import jinja2
+
+    from sparkt.parsing import context as ctx_mod
+
+    def lit(v):
+        # jinja-source literal for a python constant
+        return repr(v)
+
+    parts = []
+    for cfg in cfgs:
+        kwargs = ", ".join(f"{k}={lit(v)}" for k, v in cfg.items())
+        parts.append("{{ config(%s) }}" % kwargs)
+    for tags in tag_calls:
+        parts.append("{{ config(tags=%s) }}" % lit(tags))
+    src = "\n".join(parts) + "\nselect 1 as id"
+
+    env = ctx_mod.build_environment()
+    refs, sources, static_cfg, complete = ctx_mod.extract_statically(
+        env, src
+    )
+    assert complete, src
+    pctx, collector, r_refs, r_srcs = ctx_mod.parse_context({}, {})
+    env.from_string(src).render(**pctx)
+    assert static_cfg == collector.collected, src
