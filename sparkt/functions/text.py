@@ -470,6 +470,94 @@ def trigram_familiarity(df, text_col: str, id_col: str):
     )
 
 
+# ----------------------------------------------- word-bigram LM score
+def word_bigrams(text: Column) -> Column:
+    """Array of space-joined word bigrams over the lowercased a-z/space
+    normalization of ``text`` (same feature-space normalization as
+    :func:`char_trigrams`). Words are the non-empty space splits; a
+    document with < 2 words yields an empty array (explicit guard —
+    Spark's ``sequence(1, 0)`` would otherwise count DOWN)."""
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower(text), "[^a-z ]", ""), " +", " "
+    )
+    ws = F.filter(F.split(s, " "), lambda w: w != F.lit(""))
+    return _bigrams_of(ws)
+
+
+def _bigrams_of(ws: Column) -> Column:
+    """Bigram array from a words array. Callers on the hot path pass a
+    materialized column reference, NOT an inline expression — the
+    array subtree appears 4× below, and Catalyst duplicates non-cheap
+    subtrees wholesale (measured: inlining the normalize+split chain
+    here cost ~7 s of analysis/codegen per cold query at sf0.001)."""
+    n = F.size(ws)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        )
+    )
+
+
+def bigram_lm_table(df, text_col: str, id_col: str):
+    """Corpus-fit word-bigram language-model score per document — the
+    distributed shape of CCNet/KenLM perplexity filtering (public
+    design: Wenzek et al. 2019; Heafield 2011) with the corpus itself
+    as the training set. Pass 1 fits the model (bigram counts +
+    bigram-prefix context counts); pass 2 scores every document.
+
+    Returns one row per document:
+      ``doc, n_bigrams, bc_sum, ctx_sum, avg_logp``
+    where ``bc_sum``/``ctx_sum`` are the integer sums of corpus bigram
+    and context counts over the document's bigrams (exact in every
+    engine — the oracle compares these), and ``avg_logp`` is the mean
+    MLE log-probability ``avg(ln(bc/ctx))`` (≤ 0; higher = more
+    corpus-typical). ``avg_logp`` is ln-based and therefore carries
+    engine-specific last-ulp noise — downstream filters should
+    threshold it, not hash it (same doctrine as tfidf_top_terms).
+
+    Scale shape: explode → two map-side-combined count shuffles (bigram
+    vocab can reach |V|² so the bc join is a plain shuffle equijoin;
+    the unigram-prefix context table is bounded by word vocab and
+    BROADCASTS) → one per-doc aggregate. A 100 TB corpus scans twice
+    and never does all-pairs work.
+    """
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", ""),
+        " +", " ",
+    )
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(F.split(s, " "), lambda w: w != F.lit("")).alias("__ws"),
+    )
+    bg = words.select(
+        "doc", F.explode(_bigrams_of(F.col("__ws"))).alias("bg")
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    # context counts come from a WINDOW over the aggregated vocab
+    # table (sum of bc across bigrams sharing a prefix), not a third
+    # pass over the corpus: the corpus explodes exactly twice (fit +
+    # probe), and the window shuffles only |bigram types| rows. The
+    # probe is then a single equijoin carrying both counts.
+    vocab = (
+        bg.groupBy("bg", "w1")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .withColumn("cc", F.sum("bc").over(Window.partitionBy("w1")))
+    )
+    return (
+        bg.select("doc", "bg")
+        .join(vocab.select("bg", "bc", "cc"), "bg")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bc").alias("bc_sum"),
+            F.sum("cc").alias("ctx_sum"),
+            F.avg(F.log(F.col("bc") / F.col("cc"))).alias("avg_logp"),
+        )
+    )
+
+
 # ------------------------------------------------- sequence packing
 def pack_offsets(
     df,

@@ -1267,6 +1267,51 @@ ORDER BY t.doc
 """
 
 
+# ----------------------------------------------------------------- t11
+def t11_bigram_lm(spark, sf_dir):
+    """Corpus-fit word-bigram LM scoring (CCNet/KenLM-style perplexity
+    filter shape — sparkt.functions.text.bigram_lm_table): pass 1 fits
+    bigram + context counts over the corpus, pass 2 scores every doc.
+    The oracle compares the exact integer count sums; the ln-based
+    avg_logp column is deliberately excluded from the hash (same
+    doctrine as t6: ln last-ulp differs across engines)."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        TX.bigram_lm_table(docs, "text", "doc_id")
+        .select("doc", "n_bigrams", "bc_sum", "ctx_sum")
+        .orderBy("doc")
+    )
+
+
+T11_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                        ' +', ' ', 'g') AS s
+  FROM documents),
+w AS (
+  SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS ws
+  FROM norm),
+bg AS (
+  SELECT doc_id AS doc,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM w WHERE len(ws) >= 2),
+bgf AS (SELECT bg, count(*) AS bc FROM bg GROUP BY bg),
+ctxf AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cc
+         FROM bg GROUP BY 1)
+SELECT b.doc,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(f.bc) AS BIGINT) AS bc_sum,
+       CAST(sum(c.cc) AS BIGINT) AS ctx_sum
+FROM bg b
+JOIN bgf f USING (bg)
+JOIN ctxf c ON split_part(b.bg, ' ', 1) = c.w1
+GROUP BY b.doc
+ORDER BY b.doc
+"""
+
+
 # ----------------------------------------------------------------- mm2
 def mm2_frame_sample(spark, sf_dir):
     """Video frame sampling through real Arrow mapInPandas plumbing
@@ -1871,6 +1916,7 @@ QUERIES = {
     "c1_doc_chunks": c1_doc_chunks,
     "t8_hashed_classifier": t8_hashed_classifier,
     "t9_trigram_familiarity": t9_trigram_familiarity,
+    "t11_bigram_lm": t11_bigram_lm,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -1914,6 +1960,7 @@ ORACLES = {
     "c1_doc_chunks": C1_SQL,
     "t8_hashed_classifier": T8_SQL,
     "t9_trigram_familiarity": T9_SQL,
+    "t11_bigram_lm": T11_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

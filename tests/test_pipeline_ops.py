@@ -628,6 +628,51 @@ def test_trigram_familiarity_matches_counter(spark):
             assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
 
 
+def test_bigram_lm_matches_counter(spark):
+    """bigram_lm_table equals the naive Counter formulation: integer
+    count sums exactly; avg_logp = mean(ln(bc/ctx)) to float tolerance;
+    <2-word docs drop out (no bigrams)."""
+    import math
+    import re
+    from collections import Counter
+
+    from sparkt.functions.text import bigram_lm_table
+
+    rows = [(1, "the cat sat"), (2, "the cat ran!"), (3, "cat"), (4, "")]
+
+    def bgs(text):
+        ws = [w for w in
+              re.sub(" +", " ", re.sub("[^a-z ]", "", text.lower())).split(" ")
+              if w]
+        return [f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)]
+
+    bc = Counter()
+    for _, t in rows:
+        bc.update(bgs(t))
+    cc = Counter()
+    for b, n in bc.items():
+        cc[b.split(" ")[0]] += n
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc"]: r
+           for r in bigram_lm_table(df, "text", "doc_id").collect()}
+    for doc_id, t in rows:
+        bs = bgs(t)
+        if not bs:
+            assert doc_id not in got  # docs 3, 4
+            continue
+        r = got[doc_id]
+        assert (r["n_bigrams"], r["bc_sum"], r["ctx_sum"]) == (
+            len(bs),
+            sum(bc[b] for b in bs),
+            sum(cc[b.split(" ")[0]] for b in bs),
+        )
+        want = sum(math.log(bc[b] / cc[b.split(" ")[0]]) for b in bs) / len(bs)
+        assert abs(r["avg_logp"] - want) < 1e-9
+    # "the cat" appears twice, "cat sat"/"cat ran" once each: doc 1's
+    # score must beat doc 2's only via identical prefixes -> equal here
+    assert got[1]["avg_logp"] == got[2]["avg_logp"]
+
+
 def test_sample_video_frames_deterministic_stub(spark):
     """Frame expansion matches the documented stub: duration from the
     first two md5 digest bytes, one frame per stride, hash chain."""

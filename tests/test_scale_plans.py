@@ -164,6 +164,25 @@ def test_trigram_familiarity_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bigram_lm_no_third_scan(spark):
+    """t11's context-count table rolls up FROM the bigram frequency
+    table — the optimized plan must contain exactly TWO explode
+    (Generate) sites over the corpus, not three, and no nested-loop
+    join anywhere."""
+    from sparkt.functions.text import bigram_lm_table
+
+    df = spark.createDataFrame(
+        [(i, "some words appear here repeatedly") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        bigram_lm_table(df, "text", "doc_id")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Generate explode") == 2
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_span_duplicates_single_fingerprint_shuffle(spark):
     """d10: the chunk explosion is partition-local; the only shuffles
     are the fingerprint aggregate's (<= 2 Exchanges for the distinct
