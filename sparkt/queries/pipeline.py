@@ -1379,6 +1379,82 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------------------- d13
+# deterministic messy-URL corpus shared VERBATIM by gate and oracle —
+# CASE/||/CAST(... AS STRING) parse identically in Spark SQL and
+# DuckDB, so both sides canonicalize the exact same inputs: mixed-case
+# scheme+www, default port on http AND https (only http's may drop),
+# trailing slash, tracking params in different positions, fragment
+_D13_URL = """
+CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https'
+     ELSE 'http' END
+|| '://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+|| source || '.example.com'
+|| CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+|| '/page/' || CAST(doc_id % 40 AS STRING)
+|| CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+        WHEN doc_id % 3 = 1 THEN '?a=1&b=2&utm_campaign=x' ELSE '' END
+|| CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+"""
+
+
+def d13_url_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup (sparkt.functions.dedup.url_dedup):
+    canonicalize (case, www, default port, trailing slash, tracking
+    params, fragment) then one hash-groupBy on the canonical string —
+    the same scale shape as exact dedup, over a deterministic
+    messy-URL corpus built from doc_id/source."""
+    docs = T(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", F.expr(_D13_URL).alias("url"))
+    return D.url_dedup(urls, "url", "doc_id").orderBy("canonical_url")
+
+
+D13_SQL = f"""
+WITH raw AS (SELECT doc_id, {_D13_URL} AS url FROM documents),
+defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+  FROM defrag),
+norm AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' THEN
+                regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                               ':80$', '')
+              WHEN scheme = 'https' THEN
+                regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                               ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                        '/+$', '') AS path,
+         coalesce(regexp_extract(rest, '\\?(.*)$', 1), '') AS q
+  FROM parts),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+  FROM (SELECT *,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(q, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[a-z]+|gclid|fbclid|ref)='))),
+                 '&'), '') AS qs
+        FROM norm))
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_dupes,
+       min(doc_id) AS rep_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
 # ------------------------------------------------------------------ f1
 def f1_fuzzy_join(spark, sf_dir):
     """Blocked fuzzy self-join (record linkage): near-identical part
@@ -1906,6 +1982,7 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
 
 QUERIES = {
     "d11_incremental_dedup": d11_incremental_dedup,
+    "d13_url_dedup": d13_url_dedup,
     "s7_hard_negatives": s7_hard_negatives,
     "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
@@ -1950,6 +2027,7 @@ QUERIES = {
 
 ORACLES = {
     "d11_incremental_dedup": D11_SQL,
+    "d13_url_dedup": D13_SQL,
     "s7_hard_negatives": S7_SQL,
     "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,

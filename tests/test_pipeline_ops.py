@@ -628,6 +628,34 @@ def test_trigram_familiarity_matches_counter(spark):
             assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
 
 
+def test_canonicalize_url_edge_cases(spark):
+    """Canonicalization rules one by one: case, www, scheme-specific
+    default ports, trailing slash, tracking-param strip + sort,
+    fragment, and the non-URL fallback."""
+    from sparkt.functions.dedup import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?b=2&utm_source=x&a=1#f",
+         "http://ex.com/A/b?a=1&b=2"),
+        ("https://ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:80/p", "https://ex.com:80/p"),  # non-default kept
+        ("http://ex.com", "http://ex.com"),
+        ("http://ex.com/", "http://ex.com"),
+        ("http://ex.com/?utm_campaign=x&gclid=1&fbclid=2&ref=r",
+         "http://ex.com"),
+        ("ftp://Ex.com:21/f/", "ftp://ex.com:21/f"),
+        ("  Not A Url  ", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
+    )
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonicalize_url(F.col("url"))
+                              .alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
 def test_bigram_lm_matches_counter(spark):
     """bigram_lm_table equals the naive Counter formulation: integer
     count sums exactly; avg_logp = mean(ln(bc/ctx)) to float tolerance;
