@@ -74,13 +74,7 @@ def stratified_sample(
     shuffle, no per-group state (contrast ``df.sampleBy``, whose
     Bernoulli draw depends on partition layout and seed plumbing).
     """
-    h32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("bigint")
+    h32 = _u32(id_col, salt)
     cutoff = None
     for stratum, frac in fractions.items():
         cond = F.col(strata_col) == stratum
@@ -89,6 +83,78 @@ def stratified_sample(
     default = F.lit(int(default_fraction * (1 << 32)))
     cutoff = default if cutoff is None else cutoff.otherwise(default)
     return df.filter(h32 < cutoff)
+
+
+def _u32(id_col: str, salt: str) -> Column:
+    """Deterministic 32-bit uniform from a salted md5 of the id —
+    bit-identical in Spark and DuckDB (shared with stratified_sample's
+    survival rule)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    scale: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Probability-proportional-to-size (πps) Bernoulli sampling:
+    each row survives independently with P = min(1, weight/scale) —
+    the importance-sampling step of a training-data pipeline (e.g.
+    sample documents proportional to length or quality weight).
+
+    INTEGER-EXACT survival rule: keep iff ``u32 · scale < w · 2³²``
+    (all BIGINT arithmetic; no float rounding anywhere, so every
+    engine agrees on the exact survivor set — safe up to scale·2³² <
+    2⁶³, i.e. scale < ~2·10⁹). Pure per-row filter: no shuffle, no
+    global state, stable under reruns and repartitioning —
+    embarrassingly parallel at 100 TB.
+    """
+    u = _u32(id_col, salt)
+    return df.filter(
+        u * F.lit(int(scale))
+        < F.col(weight_col).cast("bigint") * F.lit(1 << 32)
+    )
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "wres",
+) -> DataFrame:
+    """Exact-k weighted sampling without replacement — the
+    Efraimidis–Spirakis A-Res scheme (public design: Inf. Proc.
+    Letters 97(5), 2006): draw u ~ U(0,1) per row, rank by
+    ``u^(1/w)`` descending, keep the top k. Implemented in log space
+    (``ln(u)/w``, monotone-equivalent) with a deterministic md5 u.
+
+    u = (u32 + 0.5)/2³² lies strictly inside (0,1) and is EXACT in a
+    double, so the only float op is the final ln/divide — fine for
+    selection (keys are well separated for md5 draws) but do not hash
+    ``__wkey`` across engines.
+
+    Scale shape: ``orderBy(key desc).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge at
+    the driver; no global sort, no single-partition window.
+    """
+    u = (_u32(id_col, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
 
 
 def domain_quota(

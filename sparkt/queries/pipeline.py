@@ -1039,6 +1039,33 @@ ORDER BY lang
 """
 
 
+# ------------------------------------------------------------------ p7
+def p7_weighted_sample(spark, sf_dir):
+    """πps weighted Bernoulli sampling
+    (sparkt.functions.sampling.weighted_bernoulli_sample): each doc
+    survives with P = min(1, n_chars/500) under an INTEGER-EXACT
+    md5-u32 rule — the survivor set is bit-identical in every engine
+    (no float comparisons). Long docs (≥500 chars) always survive;
+    the rest proportionally to length."""
+    from sparkt.functions import sampling as SA
+
+    docs = T(spark, sf_dir, "documents")
+    kept = SA.weighted_bernoulli_sample(
+        docs, "n_chars", "doc_id", scale=500
+    )
+    return kept.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+P7_SQL = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                           1, 8))::UBIGINT AS BIGINT) * 500
+      < CAST(n_chars AS BIGINT) * 4294967296
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ d9
 def d9_dup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the d5 jaccard
@@ -1983,6 +2010,7 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
 QUERIES = {
     "d11_incremental_dedup": d11_incremental_dedup,
     "d13_url_dedup": d13_url_dedup,
+    "p7_weighted_sample": p7_weighted_sample,
     "s7_hard_negatives": s7_hard_negatives,
     "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
@@ -2028,6 +2056,7 @@ QUERIES = {
 ORACLES = {
     "d11_incremental_dedup": D11_SQL,
     "d13_url_dedup": D13_SQL,
+    "p7_weighted_sample": P7_SQL,
     "s7_hard_negatives": S7_SQL,
     "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,

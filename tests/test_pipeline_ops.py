@@ -628,6 +628,47 @@ def test_trigram_familiarity_matches_counter(spark):
             assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
 
 
+def test_weighted_reservoir_topk_matches_reference(spark):
+    """A-Res exact-k weighted sampling equals the single-machine
+    reference (same md5 u, same log-space key), and the plan is a
+    TakeOrderedAndProject — never a global sort."""
+    import hashlib
+    import math
+
+    from sparkt.functions.sampling import weighted_reservoir_topk
+
+    rows = [(i, (i * 37) % 97 + 3) for i in range(200)]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2 ** 32) / w
+
+    want = [r[0] for r in sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_reservoir_topk(df, "w", "doc_id", k=10)
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+
+
+def test_weighted_bernoulli_is_monotone_in_weight(spark):
+    """πps: survival of a fixed id is monotone in its weight (same u,
+    higher cutoff), and weight >= scale always survives."""
+    from sparkt.functions.sampling import weighted_bernoulli_sample
+
+    base = [(i, w) for i in range(50) for w in (1, 250, 500)]
+    df = spark.createDataFrame(base, ["doc_id", "w"])
+    kept = {(r["doc_id"], r["w"]) for r in weighted_bernoulli_sample(
+        df, "w", "doc_id", scale=500).collect()}
+    for i in range(50):
+        assert (i, 500) in kept  # w == scale -> P = 1
+        if (i, 1) in kept:
+            assert (i, 250) in kept  # monotone
+    # and it actually samples: the w=1 stratum survives ~1/500 rarely
+    assert sum((i, 1) in kept for i in range(50)) <= 2
+
+
 def test_canonicalize_url_edge_cases(spark):
     """Canonicalization rules one by one: case, www, scheme-specific
     default ports, trailing slash, tracking-param strip + sort,
