@@ -293,6 +293,73 @@ def rank_quantile_buckets(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    stage_col: str,
+    id_col: str,
+    seed: str = "curriculum",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Curriculum data ordering: a global 0-based training position
+    that visits stages in ascending order (easy → hard) with a
+    uniform deterministic shuffle WITHIN each stage — the standard
+    curriculum-learning layout (stage from any upstream difficulty
+    signal: quality bucket, length tercile, perplexity band).
+
+    The global ordering is ``(stage, md5(seed|id), id)``; the position
+    is computed WITHOUT a global single-partition window (the naive
+    ``row_number() over (order by ...)`` pulls the whole corpus
+    through one task). Two-phase prefix sum, the pack_offsets /
+    shuffle_shards pattern:
+
+    1. cell = (stage, 16^prefix_chars-way bucket from the shuffle
+       key's hex prefix); per-cell counts — one map-side-combined
+       groupBy producing |stages|·256 rows;
+    2. exclusive cumsum over the tiny cell table in (stage, bucket)
+       order (driver-cheap window);
+    3. broadcast the offsets back; position = cell offset +
+       intra-cell ``row_number() over (shuffle_key, id)`` − 1 —
+       every task handles one cell, ~n/(stages·256) rows.
+
+    Bucket-from-hex-prefix is monotone in the key, so cell-major
+    order equals the single-window ordering EXACTLY (same argument
+    as shuffle_shards; pinned by the parity test).
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    ).alias("__ckey")
+    base = df.select(F.col(stage_col), F.col(id_col), key).withColumn(
+        "__bucket",
+        F.conv(F.substring("__ckey", 1, prefix_chars), 16, 10)
+        .cast("bigint"),
+    )
+    counts = base.groupBy(stage_col, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_cells = (
+        Window.orderBy(F.asc(stage_col), F.asc("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_cells), F.lit(0))
+    )
+    w_local = Window.partitionBy(stage_col, "__bucket").orderBy(
+        "__ckey", id_col
+    )
+    return (
+        base.join(
+            F.broadcast(offsets.select(stage_col, "__bucket", "__off")),
+            [stage_col, "__bucket"],
+        )
+        .withColumn(
+            "curriculum_pos",
+            (F.col("__off") + F.row_number().over(w_local) - 1)
+            .cast("bigint"),
+        )
+        .select(id_col, stage_col, "curriculum_pos")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     domain_col: str,

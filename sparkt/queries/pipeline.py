@@ -1066,6 +1066,46 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ c4
+def c4_curriculum(spark, sf_dir):
+    """Curriculum data ordering
+    (sparkt.functions.sampling.curriculum_order): global training
+    position visiting difficulty stages in order (length terciles
+    here: short docs first) with a deterministic md5 shuffle within
+    each stage — computed by the two-phase prefix-sum, never a global
+    single-partition window. The oracle is the naive single-window
+    formulation, which the two-phase plan must equal exactly."""
+    from sparkt.functions import sampling as SA
+
+    docs = T(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 350, 1)
+        .otherwise(2)
+        .alias("stage"),
+    )
+    return SA.curriculum_order(staged, "stage", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+C4_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 350 THEN 1 ELSE 2 END AS stage
+  FROM documents)
+SELECT doc_id, stage,
+       CAST(row_number() OVER (
+              ORDER BY stage,
+                       md5('curriculum|' || CAST(doc_id AS VARCHAR)),
+                       doc_id) - 1 AS BIGINT) AS curriculum_pos
+FROM s
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ d9
 def d9_dup_clusters(spark, sf_dir):
     """Pairs → clusters: connected components over the d5 jaccard
@@ -2011,6 +2051,7 @@ QUERIES = {
     "d11_incremental_dedup": d11_incremental_dedup,
     "d13_url_dedup": d13_url_dedup,
     "p7_weighted_sample": p7_weighted_sample,
+    "c4_curriculum": c4_curriculum,
     "s7_hard_negatives": s7_hard_negatives,
     "f1_fuzzy_join": f1_fuzzy_join,
     "p4_domain_cap": p4_domain_cap,
@@ -2057,6 +2098,7 @@ ORACLES = {
     "d11_incremental_dedup": D11_SQL,
     "d13_url_dedup": D13_SQL,
     "p7_weighted_sample": P7_SQL,
+    "c4_curriculum": C4_SQL,
     "s7_hard_negatives": S7_SQL,
     "f1_fuzzy_join": F1_SQL,
     "p4_domain_cap": P4_SQL,

@@ -628,6 +628,28 @@ def test_trigram_familiarity_matches_counter(spark):
             assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
 
 
+def test_curriculum_order_equals_single_window(spark):
+    """Two-phase curriculum position == naive global row_number over
+    (stage, md5 key, id), bit-exact, positions are a 0..n-1
+    permutation, and stages never interleave."""
+    import hashlib
+
+    from sparkt.functions.sampling import curriculum_order
+
+    rows = [(i, i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "stage"])
+    got = {r["doc_id"]: (r["stage"], r["curriculum_pos"])
+           for r in curriculum_order(df, "stage", "doc_id").collect()}
+
+    def k(i):
+        return hashlib.md5(f"curriculum|{i}".encode()).hexdigest()
+
+    want_order = sorted(rows, key=lambda r: (r[1], k(r[0]), r[0]))
+    for pos, (i, stage) in enumerate(want_order):
+        assert got[i] == (stage, pos)
+    assert sorted(p for _, p in got.values()) == list(range(300))
+
+
 def test_weighted_reservoir_topk_matches_reference(spark):
     """A-Res exact-k weighted sampling equals the single-machine
     reference (same md5 u, same log-space key), and the plan is a

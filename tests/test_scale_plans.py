@@ -183,6 +183,28 @@ def test_bigram_lm_no_third_scan(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_curriculum_order_no_global_window(spark):
+    """c4: the corpus-side window must be partitioned by (stage,
+    bucket) — the only unpartitioned window runs over the tiny cell
+    table (after its aggregate), never over the input rows."""
+    from sparkt.functions.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], ["doc_id", "stage"]
+    )
+    plan = (
+        curriculum_order(df, "stage", "doc_id")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # every Window line either carries a partition spec over the
+    # corpus key or sits above the Aggregate (cell table)
+    for line in plan.splitlines():
+        ls = line.strip()
+        if ls.startswith("Window ["):
+            assert ("windowspecdefinition(stage" in ls
+                    or "__cnt" in ls), ls
+
+
 def test_span_duplicates_single_fingerprint_shuffle(spark):
     """d10: the chunk explosion is partition-local; the only shuffles
     are the fingerprint aggregate's (<= 2 Exchanges for the distinct
