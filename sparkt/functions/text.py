@@ -558,6 +558,50 @@ def bigram_lm_table(df, text_col: str, id_col: str):
     )
 
 
+# --------------------------------------------- char stats / gibberish
+def char_stats(text: Column) -> dict[str, Column]:
+    """Character-distribution statistics for gibberish/junk filtering
+    (the C4/Gopher-style "remove binary junk and low-diversity text"
+    signals): total length, distinct-character count, max single-char
+    frequency, Shannon character entropy (nats), and an integer-exact
+    low-diversity flag (≤ 10 distinct chars, or one char ≥ ¼ of a
+    ≥ 20-char doc).
+
+    SHUFFLE-FREE: the histogram comes from a higher-order transform
+    over the doc's DISTINCT characters (count via
+    ``len − len(replace(s, c, ''))``) — O(alphabet · len) codegen per
+    row, no explode of one row per character (which at 100 TB of text
+    would be 10¹⁴ shuffle rows). ``entropy`` is ln-based — threshold
+    it, never hash it across engines (t6/t11 doctrine); the integer
+    columns are oracle-exact.
+    """
+    n = F.length(text)
+    chars = F.filter(
+        F.array_distinct(F.split(text, "")), lambda c: c != F.lit("")
+    )
+    freqs = F.transform(
+        chars, lambda c: n - F.length(F.replace(text, c, F.lit("")))
+    )
+    nd = n.cast("double")
+    entropy = -F.aggregate(
+        freqs,
+        F.lit(0.0),
+        lambda acc, x: acc + (x / nd) * F.log(x / nd),
+    )
+    max_freq = F.coalesce(F.array_max(freqs), F.lit(0)).cast("int")
+    n_distinct = F.size(chars)
+    return {
+        "n_len": n.cast("int"),
+        "n_distinct_chars": n_distinct.cast("int"),
+        "max_char_freq": max_freq,
+        "entropy": F.when(n > 0, entropy).otherwise(F.lit(0.0)),
+        "low_diversity": (
+            (n_distinct <= 10)
+            | ((max_freq * 4 >= n) & (n >= 20))
+        ).cast("int"),
+    }
+
+
 # ------------------------------------------------- sequence packing
 def pack_offsets(
     df,

@@ -1379,6 +1379,50 @@ ORDER BY b.doc
 """
 
 
+# ----------------------------------------------------------------- t12
+def t12_char_stats(spark, sf_dir):
+    """Character-distribution gibberish signals
+    (sparkt.functions.text.char_stats): distinct-char count, max
+    single-char frequency, integer-exact low-diversity flag — all
+    from a shuffle-free HOF histogram over each doc's distinct chars
+    (no per-character explode). The ln-based entropy column is
+    threshold-only and excluded from the oracle hash."""
+    docs = T(spark, sf_dir, "documents")
+    st = TX.char_stats(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        st["n_len"].alias("n_len"),
+        st["n_distinct_chars"].alias("n_distinct_chars"),
+        st["max_char_freq"].alias("max_char_freq"),
+        st["low_diversity"].alias("low_diversity"),
+    ).orderBy("doc")
+
+
+T12_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         length(text) AS n_len,
+         list_filter(list_distinct(string_split(text, '')),
+                     x -> x <> '') AS chars
+  FROM documents),
+f AS (
+  SELECT doc_id, n_len, len(chars) AS n_distinct_chars,
+         coalesce(list_max(list_transform(chars,
+           x -> n_len - length(replace(text, x, '')))), 0)
+           AS max_char_freq
+  FROM c JOIN documents USING (doc_id))
+SELECT doc_id AS doc,
+       CAST(n_len AS INT) AS n_len,
+       CAST(n_distinct_chars AS INT) AS n_distinct_chars,
+       CAST(max_char_freq AS INT) AS max_char_freq,
+       CAST(CASE WHEN n_distinct_chars <= 10
+                 OR (max_char_freq * 4 >= n_len AND n_len >= 20)
+            THEN 1 ELSE 0 END AS INT) AS low_diversity
+FROM f
+ORDER BY doc
+"""
+
+
 # ----------------------------------------------------------------- mm2
 def mm2_frame_sample(spark, sf_dir):
     """Video frame sampling through real Arrow mapInPandas plumbing
@@ -2063,6 +2107,7 @@ QUERIES = {
     "t8_hashed_classifier": t8_hashed_classifier,
     "t9_trigram_familiarity": t9_trigram_familiarity,
     "t11_bigram_lm": t11_bigram_lm,
+    "t12_char_stats": t12_char_stats,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2110,6 +2155,7 @@ ORACLES = {
     "t8_hashed_classifier": T8_SQL,
     "t9_trigram_familiarity": T9_SQL,
     "t11_bigram_lm": T11_SQL,
+    "t12_char_stats": T12_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

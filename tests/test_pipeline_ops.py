@@ -628,6 +628,37 @@ def test_trigram_familiarity_matches_counter(spark):
             assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
 
 
+def test_char_stats_matches_python(spark):
+    """char_stats equals a Counter reference: histogram integers
+    exact, entropy to float tolerance, plan shuffle-free."""
+    import math
+    from collections import Counter
+
+    from sparkt.functions.text import char_stats
+
+    rows = [(1, "aaaaabbbbbcccccddddd"), (2, "abcdefghijkl"),
+            (3, "aaaaaaaaaaaaaaaaaaaa"), (4, ""), (5, "ab")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    st = char_stats(F.col("text"))
+    out = df.select("doc_id", *[v.alias(k) for k, v in st.items()])
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i, t in rows:
+        c = Counter(t)
+        r = got[i]
+        assert r["n_len"] == len(t)
+        assert r["n_distinct_chars"] == len(c)
+        assert r["max_char_freq"] == (max(c.values()) if c else 0)
+        want_h = -sum((v / len(t)) * math.log(v / len(t))
+                      for v in c.values()) if t else 0.0
+        assert abs(r["entropy"] - want_h) < 1e-9
+    assert got[3]["low_diversity"] == 1  # one char dominates
+    assert got[1]["low_diversity"] == 1  # 4 distinct chars <= 10
+    assert got[4]["low_diversity"] == 1  # empty: 0 distinct
+    assert got[2]["low_diversity"] == 0  # 12 distinct chars > 10, short
+    assert "Exchange" not in out._jdf.queryExecution()\
+        .executedPlan().toString()
+
+
 def test_curriculum_order_equals_single_window(spark):
     """Two-phase curriculum position == naive global row_number over
     (stage, md5 key, id), bit-exact, positions are a 0..n-1
