@@ -1,0 +1,73 @@
+"""Lexical search indexing: distributed inverted-index construction.
+
+The lexical complement of the embedding-based ANN operators
+(similarity.py) — posting lists are the substrate of BM25/keyword
+retrieval over a corpus, and building them at 100 TB is a skew
+problem: a stop-term's posting list ("the") is billions of documents.
+
+Scale design: one (term, doc) shuffle for term frequencies, a bounded
+two-phase top-cap for posting lists (no task ever materializes an
+uncapped mega-term list), and a small per-term stats aggregate that
+keeps EXACT document frequencies independent of the cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkt.functions.text import tokens
+from sparkt.sources import spread
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 1,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Build an inverted index: one row per term with its EXACT
+    document frequency / total term frequency and a doc-id-ordered
+    posting list capped at ``max_postings`` (the head of the posting
+    list — lowest ids first — as keyword-retrieval seeds).
+
+    Returns ``term, df, total_tf, postings`` (``postings`` an
+    ascending ``array<id>``, ``size <= max_postings``).
+
+    SKEW-SAFE CAP (the domain_quota two-phase top-N argument): a plain
+    ``collect_list(doc) over term`` materializes a stop-term's full
+    posting list in ONE task — billions of entries at 100 TB. Phase 1
+    ranks within (term, id mod 16) so every task keeps at most
+    ``max_postings`` per sub-bucket; phase 2 ranks the ≤ 16·cap
+    survivors per term. Keeping each sub-bucket's top-cap is a
+    superset of the global top-cap, so the capped list EXACTLY equals
+    the naive formulation. ``df``/``total_tf`` aggregate the UNCAPPED
+    tf table (a count shuffle, map-side combined) so frequencies stay
+    exact regardless of the cap.
+    """
+    tok = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    sub = F.pmod(F.col("doc"), F.lit(16))
+    w1 = Window.partitionBy("term", sub).orderBy(F.asc("doc"))
+    w2 = Window.partitionBy("term").orderBy(F.asc("doc"))
+    capped = (
+        tf.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= max_postings)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= max_postings)
+    )
+    postings = capped.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc")).alias("postings")
+    )
+    out = stats.join(postings, "term")
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out

@@ -1423,6 +1423,44 @@ ORDER BY doc
 """
 
 
+# ----------------------------------------------------------------- t13
+def t13_inverted_index(spark, sf_dir):
+    """Inverted-index construction
+    (sparkt.functions.index.inverted_index): exact per-term df /
+    total_tf plus a doc-id-ordered posting list capped at 20 via the
+    skew-safe two-phase top-N (no task ever holds an uncapped
+    stop-term list). Posting arrays are md5'd over their joined
+    string so the oracle hash is array-representation-independent."""
+    from sparkt.functions.index import inverted_index
+
+    docs = T(spark, sf_dir, "documents")
+    ix = inverted_index(docs, "text", "doc_id", max_postings=20)
+    return ix.select(
+        "term",
+        "df",
+        "total_tf",
+        F.size("postings").alias("n_postings"),
+        F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
+    ).orderBy("term")
+
+
+T13_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest({_DK_TOKENS}) AS term FROM documents),
+tf AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc),
+stats AS (SELECT term, count(*) AS df, sum(tf) AS total_tf
+          FROM tf GROUP BY term),
+p AS (SELECT term, list_sort(list(doc)) AS pl FROM tf GROUP BY term)
+SELECT s.term,
+       CAST(s.df AS BIGINT) AS df,
+       CAST(s.total_tf AS BIGINT) AS total_tf,
+       CAST(least(len(pl), 20) AS INT) AS n_postings,
+       md5(array_to_string(pl[1:20], ',')) AS postings_md5
+FROM stats s JOIN p USING (term)
+ORDER BY s.term
+"""
+
+
 # ----------------------------------------------------------------- mm2
 def mm2_frame_sample(spark, sf_dir):
     """Video frame sampling through real Arrow mapInPandas plumbing
@@ -2108,6 +2146,7 @@ QUERIES = {
     "t9_trigram_familiarity": t9_trigram_familiarity,
     "t11_bigram_lm": t11_bigram_lm,
     "t12_char_stats": t12_char_stats,
+    "t13_inverted_index": t13_inverted_index,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2156,6 +2195,7 @@ ORACLES = {
     "t9_trigram_familiarity": T9_SQL,
     "t11_bigram_lm": T11_SQL,
     "t12_char_stats": T12_SQL,
+    "t13_inverted_index": T13_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

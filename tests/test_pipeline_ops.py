@@ -628,6 +628,37 @@ def test_trigram_familiarity_matches_counter(spark):
             assert got[doc_id] == (len(ts), sum(corpus[x] for x in ts))
 
 
+def test_inverted_index_matches_reference(spark):
+    """Two-phase capped posting lists == naive Python reference;
+    df/total_tf stay exact (uncapped) and min_df filters terms."""
+    from collections import Counter, defaultdict
+
+    from sparkt.functions.index import inverted_index
+
+    rows = [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["term"]: r for r in
+           inverted_index(df, "text", "doc_id", max_postings=5).collect()}
+
+    post = defaultdict(list)
+    tf = Counter()
+    for i, t in rows:
+        c = Counter(t.strip().split())
+        for term, n in c.items():
+            post[term].append(i)
+            tf[term] += n
+    for term, docs in post.items():
+        r = got[term]
+        assert r["df"] == len(docs)          # exact, despite cap
+        assert r["total_tf"] == tf[term]
+        assert r["postings"] == sorted(docs)[:5]
+    # min_df drops gamma-less vocabulary if threshold exceeds its df
+    high = inverted_index(df, "text", "doc_id", min_df=30,
+                          max_postings=5)
+    kept = {r["term"] for r in high.collect()}
+    assert kept == {"alpha", "beta"}  # gamma df ~ 26 of 40
+
+
 def test_char_stats_matches_python(spark):
     """char_stats equals a Counter reference: histogram integers
     exact, entropy to float tolerance, plan shuffle-free."""
