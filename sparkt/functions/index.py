@@ -71,3 +71,73 @@ def inverted_index(
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return out
+
+
+def bm25_match(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    qtext_col: str = "qtext",
+    qid_col: str = "qid",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval (public formula: Robertson/Sparck Jones,
+    TREC-3): score every (query, document) pair sharing at least one
+    term. Returns per pair the INTEGER match evidence — ``n_matched``
+    distinct matching terms, ``sum_tf`` total matching occurrences,
+    ``doc_len`` — plus the float ``bm25`` score (idf · saturated tf).
+    The integers are engine-exact; the score is ln/avgdl-based —
+    rank/threshold it, never hash it (t6/t11 doctrine).
+
+    Scale shape: the corpus side is the t13 tf table (one exploded
+    count shuffle) plus a per-doc length projection; ``queries`` is
+    the SMALL side and BROADCASTS (a query workload is ~10³-10⁶ rows
+    against 10¹⁰ docs), so the probe is a map-side join on term — the
+    only large shuffle after it is the (qid, doc) aggregate. Corpus
+    constants (N, avgdl) ride a 1-row broadcast cross join, never a
+    driver collect.
+    """
+    from pyspark.sql.functions import broadcast
+
+    tok = spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(tokens(F.col(qtext_col))))
+        .alias("term"),
+    )
+    joined = (
+        tf.join(broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc")
+        .crossJoin(broadcast(consts))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + F.lit(1.0)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
+    )
+    return (
+        joined.withColumn("__s", idf * sat)
+        .groupBy("qid", "doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("tf").alias("sum_tf"),
+            F.max("doc_len").alias("doc_len"),
+            F.sum("__s").alias("bm25"),
+        )
+    )

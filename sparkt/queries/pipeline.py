@@ -1461,6 +1461,49 @@ ORDER BY s.term
 """
 
 
+# ----------------------------------------------------------------- t14
+def t14_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (sparkt.functions.index.bm25_match):
+    every (query, doc) pair sharing a term, with integer match
+    evidence (n_matched / sum_tf / doc_len) oracle-hashed and the
+    ln-based bm25 score threshold-only (t6/t11 doctrine). The query
+    workload broadcasts; the corpus side is the t13 tf table."""
+    from sparkt.functions.index import bm25_match
+
+    docs = T(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [("q1", "table scan join"),
+         ("q2", "stream window vector"),
+         ("q3", "customer order value")],
+        ["qid", "qtext"],
+    )
+    out = bm25_match(docs, queries, "text", "doc_id")
+    return out.select(
+        "qid", "doc", "n_matched", "sum_tf", "doc_len"
+    ).orderBy("qid", "doc")
+
+
+T14_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest({_DK_TOKENS}) AS term FROM documents),
+tf AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc),
+dl AS (SELECT doc, count(*) AS doc_len FROM tok GROUP BY doc),
+q AS (SELECT * FROM (VALUES
+        ('q1', 'table'), ('q1', 'scan'), ('q1', 'join'),
+        ('q2', 'stream'), ('q2', 'window'), ('q2', 'vector'),
+        ('q3', 'customer'), ('q3', 'order'), ('q3', 'value'))
+      AS t(qid, term)),
+j AS (SELECT q.qid, tf.doc, tf.tf FROM tf JOIN q USING (term))
+SELECT j.qid, j.doc,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(j.tf) AS BIGINT) AS sum_tf,
+       CAST(max(dl.doc_len) AS BIGINT) AS doc_len
+FROM j JOIN dl USING (doc)
+GROUP BY j.qid, j.doc
+ORDER BY j.qid, j.doc
+"""
+
+
 # ----------------------------------------------------------------- mm2
 def mm2_frame_sample(spark, sf_dir):
     """Video frame sampling through real Arrow mapInPandas plumbing
@@ -2147,6 +2190,7 @@ QUERIES = {
     "t11_bigram_lm": t11_bigram_lm,
     "t12_char_stats": t12_char_stats,
     "t13_inverted_index": t13_inverted_index,
+    "t14_bm25": t14_bm25,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2196,6 +2240,7 @@ ORACLES = {
     "t11_bigram_lm": T11_SQL,
     "t12_char_stats": T12_SQL,
     "t13_inverted_index": T13_SQL,
+    "t14_bm25": T14_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

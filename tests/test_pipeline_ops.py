@@ -659,6 +659,56 @@ def test_inverted_index_matches_reference(spark):
     assert kept == {"alpha", "beta"}  # gamma df ~ 26 of 40
 
 
+def test_bm25_matches_python_reference(spark):
+    """bm25_match equals the textbook single-machine BM25 (same idf
+    variant) to float tolerance; integer evidence exact; the query
+    side joins as a broadcast."""
+    import math
+    from collections import Counter
+
+    from sparkt.functions.index import bm25_match
+
+    docs = [(1, "red fox jumps"), (2, "red red dog"), (3, "blue fox"),
+            (4, "green tree tall tree")]
+    qs = [("qa", "red fox"), ("qb", "tree")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame(qs, ["qid", "qtext"])
+    out = bm25_match(ddf, qdf, "text", "doc_id")
+    got = {(r["qid"], r["doc"]): r for r in out.collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = Counter()
+    for v in toks.values():
+        dfreq.update(set(v))
+
+    def bm25(qid, i):
+        tf = Counter(toks[i])
+        s = 0.0
+        m = 0
+        for term in set(dict(qs)[qid].split()):
+            if tf[term] == 0:
+                continue
+            m += 1
+            idf = math.log((n - dfreq[term] + 0.5)
+                           / (dfreq[term] + 0.5) + 1.0)
+            s += idf * (tf[term] * 2.2) / (
+                tf[term] + 1.2 * (1 - 0.75 + 0.75 * len(toks[i]) / avgdl))
+        return m, s
+
+    expect_pairs = {("qa", 1), ("qa", 2), ("qa", 3), ("qb", 4)}
+    assert set(got) == expect_pairs
+    for qid, i in expect_pairs:
+        m, s = bm25(qid, i)
+        r = got[(qid, i)]
+        assert r["n_matched"] == m
+        assert r["doc_len"] == len(toks[i])
+        assert abs(r["bm25"] - s) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_char_stats_matches_python(spark):
     """char_stats equals a Counter reference: histogram integers
     exact, entropy to float tolerance, plan shuffle-free."""
