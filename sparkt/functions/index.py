@@ -96,8 +96,8 @@ def bm25_match(
     the SMALL side and BROADCASTS (a query workload is ~10³-10⁶ rows
     against 10¹⁰ docs), so the probe is a map-side join on term — the
     only large shuffle after it is the (qid, doc) aggregate. Corpus
-    constants (N, avgdl) ride a 1-row broadcast cross join, never a
-    driver collect.
+    constants (N, avgdl) ride a 1-row broadcast hash join
+    (``join_scalars``), never a driver collect.
     """
     from pyspark.sql.functions import broadcast
 
@@ -117,11 +117,13 @@ def bm25_match(
         F.explode(F.array_distinct(tokens(F.col(qtext_col))))
         .alias("term"),
     )
-    joined = (
+    from sparkt.functions import join_scalars
+
+    joined = join_scalars(
         tf.join(broadcast(qterms), "term")
         .join(dfreq, "term")
-        .join(dl, "doc")
-        .crossJoin(broadcast(consts))
+        .join(dl, "doc"),
+        consts,
     )
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -558,6 +558,77 @@ def bigram_lm_table(df, text_col: str, id_col: str):
     )
 
 
+def collocations(df, text_col: str, min_count: int = 5):
+    """PMI collocation mining — corpus-level phrase detection (public
+    design: the word2vec phrase-join scoring of Mikolov et al. 2013;
+    PMI from Church & Hanks 1990). Adjacent word pairs that co-occur
+    far more often than their unigram frequencies predict are phrases
+    ("new york", "machine learning") worth joining into single tokens
+    before LM tokenizer training.
+
+    Returns one row per surviving bigram type:
+      ``w1, w2, pair_count, c1, c2, pmi``
+    where the counts are exact integers (engine-exact — the oracle
+    compares these) and ``pmi = ln(pair_count · N / (c1 · c2))`` is
+    ln-based and carries engine last-ulp noise — rank/threshold it,
+    never hash it (tfidf/bigram_lm doctrine). Normalization is the
+    shared a-z/space feature space of :func:`word_bigrams`.
+
+    Scale shape: the corpus explodes exactly twice (pair counts +
+    unigram counts), both map-side-combined count shuffles whose
+    output is VOCABULARY-sized, not corpus-sized. ``min_count``
+    prunes the pair table BEFORE any join (Zipf tail: most bigram
+    types are hapax — at 100 TB this drops ~90% of rows). The unigram
+    table is bounded by word vocab and BROADCASTS (same argument as
+    bigram_lm_table's context table); the corpus token total rides a
+    1-row broadcast cross join, never a driver collect.
+    """
+    from sparkt.sources import spread
+
+    s = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", ""),
+        " +", " ",
+    )
+    words = spread(df).select(
+        F.filter(F.split(s, " "), lambda w: w != F.lit("")).alias("__ws")
+    )
+    pairs = words.select(F.explode(_bigrams_of(F.col("__ws"))).alias("bg"))
+    pc = (
+        pairs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+            "pair_count",
+        )
+    )
+    uni = (
+        words.select(F.explode("__ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from sparkt.functions import join_scalars
+
+    tot = uni.agg(F.sum("c").alias("__n"))
+    out = join_scalars(
+        pc.join(
+            F.broadcast(uni.select(F.col("word").alias("w1"),
+                                   F.col("c").alias("c1"))), "w1")
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"),
+                                   F.col("c").alias("c2"))), "w2"),
+        tot,
+    )
+    return out.select(
+        "w1", "w2", "pair_count", "c1", "c2",
+        F.log(
+            F.col("pair_count") * F.col("__n")
+            / (F.col("c1") * F.col("c2"))
+        ).alias("pmi"),
+    )
+
+
 # --------------------------------------------- char stats / gibberish
 def char_stats(text: Column) -> dict[str, Column]:
     """Character-distribution statistics for gibberish/junk filtering

@@ -1504,6 +1504,50 @@ ORDER BY j.qid, j.doc
 """
 
 
+# ----------------------------------------------------------------- t15
+def t15_collocations(spark, sf_dir):
+    """PMI collocation mining (sparkt.functions.text.collocations):
+    adjacent word pairs co-occurring above their unigram expectation —
+    phrase candidates for tokenizer pre-joining. The oracle compares
+    the exact integer evidence (pair_count, c1, c2); the ln-based pmi
+    column is threshold-only and excluded from the hash (t6/t11
+    doctrine)."""
+    docs = T(spark, sf_dir, "documents")
+    out = TX.collocations(docs, "text", min_count=20)
+    return out.select(
+        "w1", "w2", "pair_count", "c1", "c2"
+    ).orderBy("w1", "w2")
+
+
+T15_SQL = """
+WITH ws AS (
+  SELECT list_filter(
+    string_split(regexp_replace(regexp_replace(lower(text), '[^a-z ]',
+                                               '', 'g'),
+                                ' +', ' ', 'g'), ' '),
+    w -> w <> '') AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> struct_pack(w1 := w[i],
+                                                w2 := w[i + 1]))) AS p
+  FROM ws WHERE len(w) >= 2),
+uni AS (
+  SELECT u.w AS word, count(*) AS c
+  FROM (SELECT unnest(w) AS w FROM ws) u GROUP BY 1),
+pc AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS pair_count
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 20)
+SELECT pc.w1, pc.w2,
+       CAST(pc.pair_count AS BIGINT) AS pair_count,
+       CAST(u1.c AS BIGINT) AS c1,
+       CAST(u2.c AS BIGINT) AS c2
+FROM pc JOIN uni u1 ON pc.w1 = u1.word
+        JOIN uni u2 ON pc.w2 = u2.word
+ORDER BY pc.w1, pc.w2
+"""
+
+
 # ----------------------------------------------------------------- mm2
 def mm2_frame_sample(spark, sf_dir):
     """Video frame sampling through real Arrow mapInPandas plumbing
@@ -2191,6 +2235,7 @@ QUERIES = {
     "t12_char_stats": t12_char_stats,
     "t13_inverted_index": t13_inverted_index,
     "t14_bm25": t14_bm25,
+    "t15_collocations": t15_collocations,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2241,6 +2286,7 @@ ORACLES = {
     "t12_char_stats": T12_SQL,
     "t13_inverted_index": T13_SQL,
     "t14_bm25": T14_SQL,
+    "t15_collocations": T15_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

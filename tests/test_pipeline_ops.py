@@ -709,6 +709,44 @@ def test_bm25_matches_python_reference(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_collocations_matches_python_reference(spark):
+    """collocations equals a Counter reference: pair/unigram counts
+    exact, PMI to float tolerance; min_count prunes before the joins;
+    the unigram vocab joins as a broadcast."""
+    import math
+    from collections import Counter
+
+    from sparkt.functions.text import collocations
+
+    docs = [(1, "new york city and new york state"),
+            (2, "the new york subway"),
+            (3, "a new day in new york"),
+            (4, "york new is not a phrase")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = collocations(ddf, "text", min_count=2)
+    got = {(r["w1"], r["w2"]): r for r in out.collect()}
+
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for _, t in docs:
+        ws = t.split()
+        uni.update(ws)
+        pairs.update(zip(ws, ws[1:]))
+    n = sum(uni.values())
+    expect = {p: c for p, c in pairs.items() if c >= 2}
+
+    assert set(got) == set(expect)
+    assert ("new", "york") in got and got[("new", "york")]["pair_count"] == 4
+    for (w1, w2), c in expect.items():
+        r = got[(w1, w2)]
+        assert r["pair_count"] == c
+        assert r["c1"] == uni[w1] and r["c2"] == uni[w2]
+        pmi = math.log(c * n / (uni[w1] * uni[w2]))
+        assert abs(r["pmi"] - pmi) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_char_stats_matches_python(spark):
     """char_stats equals a Counter reference: histogram integers
     exact, entropy to float tolerance, plan shuffle-free."""
