@@ -1548,6 +1548,59 @@ ORDER BY pc.w1, pc.w2
 """
 
 
+# ----------------------------------------------------------------- pr1
+def pr1_profile(spark, sf_dir):
+    """Per-column table profiling (sparkt.functions.profile
+    .profile_table): null/distinct/min/max for every documents column
+    in ONE aggregate pass, long format. The gate runs the exact
+    distinct path (engine-comparable); approx=True is the 100 TB path
+    (pytest-pinned within HLL bounds)."""
+    from sparkt.functions.profile import profile_table
+
+    docs = T(spark, sf_dir, "documents")
+    return profile_table(docs).orderBy("column")
+
+
+PR1_SQL = """
+WITH p AS (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         count(DISTINCT doc_id) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_value,
+         CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'text', count(*),
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT text),
+         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'lang', count(*),
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT lang),
+         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*),
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT source),
+         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*),
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT n_chars),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+  FROM documents)
+SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       min_value, max_value
+FROM p ORDER BY "column"
+"""
+
+
 # ----------------------------------------------------------------- mm2
 def mm2_frame_sample(spark, sf_dir):
     """Video frame sampling through real Arrow mapInPandas plumbing
@@ -2236,6 +2289,7 @@ QUERIES = {
     "t13_inverted_index": t13_inverted_index,
     "t14_bm25": t14_bm25,
     "t15_collocations": t15_collocations,
+    "pr1_profile": pr1_profile,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2287,6 +2341,7 @@ ORACLES = {
     "t13_inverted_index": T13_SQL,
     "t14_bm25": T14_SQL,
     "t15_collocations": T15_SQL,
+    "pr1_profile": PR1_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

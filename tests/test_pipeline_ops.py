@@ -747,6 +747,38 @@ def test_collocations_matches_python_reference(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_profile_table_exact_and_approx(spark):
+    """profile_table: exact stats equal a Python reference (nulls,
+    distincts, native-type min/max cast AFTER comparing — '9' > '10'
+    lexicographically but 9 < 10 numerically); the approx path lands
+    within HLL++ bounds and its plan has no Expand."""
+    from sparkt.functions.profile import profile_table
+
+    rows = [(1, "b", None), (2, "a", 5.0), (2, "a", 7.0),
+            (10, None, 5.0), (9, "c", None)]
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    got = {r["column"]: r for r in profile_table(df).collect()}
+
+    assert set(got) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 5 for r in got.values())
+    k = got["k"]
+    assert (k["n_nulls"], k["n_distinct"]) == (0, 4)
+    assert (k["min_value"], k["max_value"]) == ("1", "10")  # numeric min/max
+    s = got["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 3)
+    assert (s["min_value"], s["max_value"]) == ("a", "c")
+    v = got["v"]
+    assert (v["n_nulls"], v["n_distinct"]) == (2, 2)
+
+    approx = profile_table(df, approx=True)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # HLL path: no per-column row expansion
+    ag = {r["column"]: r for r in approx.collect()}
+    for c in ("k", "s", "v"):
+        exact_nd = got[c]["n_distinct"]
+        assert abs(ag[c]["n_distinct"] - exact_nd) <= max(1, exact_nd * 0.05)
+
+
 def test_char_stats_matches_python(spark):
     """char_stats equals a Counter reference: histogram integers
     exact, entropy to float tolerance, plan shuffle-free."""
