@@ -30,6 +30,10 @@ ALLOWED = {
     # a label-mismatch filter; the corpus-scale path feeds candidates
     # from ivf_topk(centroids=kmeans_fit(...)) instead (PLANS.md s7)
     "s7_hard_negatives": "BroadcastNestedLoopJoin",
+    # margin mining runs TWO cosine_topk passes (forward + backward) —
+    # the same deliberate brute-force verification shape as s1, with
+    # the same ivf_topk candidate feed as the corpus-scale path
+    "s8_margin_pairs": "BroadcastNestedLoopJoin",
 }
 
 # Engine flows (m1..m9) execute real projects — not compile-only. Match

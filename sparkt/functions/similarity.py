@@ -152,6 +152,63 @@ def hard_negatives(
     )
 
 
+def margin_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Margin-criterion pair mining (public recipe: Artetxe & Schwenk
+    2019, the LASER bitext-mining score): align items across two
+    collections (two languages, two snapshots, two modalities) by the
+    RATIO of a pair's cosine to the mean cosine of each side's k
+    nearest neighbors — absolute cosine thresholds fail because "hub"
+    vectors are close to everything; the margin normalizes that out.
+
+      margin(x, y) = cos(x, y) / ((mean_kNN(x) + mean_kNN(y)) / 2)
+
+    Returns the best right-side match per left item ("max" strategy)
+    with ``margin >= threshold``: ``left_id, right_id, cos, margin``
+    (both rounded at 4dp — the established cross-engine float
+    contract of :func:`cosine_topk`).
+
+    Scale shape: two :func:`cosine_topk` passes (forward + backward —
+    each a broadcast-query × one-corpus-scan at gate scale; at corpus
+    scale feed both from :func:`ivf_topk` candidates, which also
+    yield the kNN means) + vocabulary-sized mean aggregates + one
+    equijoin on each side's id. No step is quadratic in the corpus.
+    """
+    fwd = cosine_topk(
+        left, right, k=k, query_id=left_id, corpus_id=right_id, vec=vec
+    )
+    bwd = cosine_topk(
+        right, left, k=k, query_id=right_id, corpus_id=left_id, vec=vec
+    )
+    lmean = fwd.groupBy(left_id).agg(F.avg("cos").alias("__lm"))
+    rmean = bwd.groupBy(right_id).agg(F.avg("cos").alias("__rm"))
+    cand = (
+        fwd.join(lmean, left_id)
+        .join(rmean, right_id)
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos") / ((F.col("__lm") + F.col("__rm")) / 2), 4
+            ),
+        )
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.desc("margin"), F.asc(right_id)
+    )
+    return (
+        cand.withColumn("__mrank", F.row_number().over(w))
+        .filter((F.col("__mrank") == 1) & (F.col("margin") >= threshold))
+        .select(left_id, right_id, "cos", "margin")
+    )
+
+
 def _plane_weights(p: int, dim: int) -> list[float]:
     """Plane p's weights: md5(p|d) hex → integer in [-500, 500] —
     fully reproducible on any engine, no RNG state to ship. The ONE

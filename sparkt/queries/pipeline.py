@@ -1548,6 +1548,76 @@ ORDER BY pc.w1, pc.w2
 """
 
 
+# ------------------------------------------------------------------ s8
+def s8_margin_pairs(spark, sf_dir):
+    """Margin-criterion pair mining (sparkt.functions.similarity
+    .margin_pairs — LASER bitext-mining score, Artetxe & Schwenk
+    2019): best cross-collection match per left item by the ratio of
+    pair cosine to the mean of both sides' kNN cosines. Left = even
+    labels (vec_id < 40), right = odd labels — two disjoint
+    'languages' carved from the embeddings table."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(
+        (F.col("label") % 2 == 0) & (F.col("vec_id") < 40)
+    ).select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("right_id"), "embedding"
+    )
+    return S.margin_pairs(left, right, k=4, threshold=0.98).orderBy(
+        "left_id"
+    )
+
+
+S8_SQL = """
+WITH l AS (SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv
+           FROM embeddings WHERE label % 2 = 0 AND vec_id < 40),
+r AS (SELECT vec_id AS right_id, embedding::DOUBLE[] AS rv
+      FROM embeddings WHERE label % 2 = 1),
+fwd AS (
+  SELECT * FROM (
+    SELECT left_id, right_id,
+           round(list_dot_product(lv, rv)
+                 / greatest(sqrt(list_dot_product(lv, lv))
+                            * sqrt(list_dot_product(rv, rv)), 1e-12),
+                 4) AS cos,
+           row_number() OVER (PARTITION BY left_id
+                              ORDER BY round(list_dot_product(lv, rv)
+                 / greatest(sqrt(list_dot_product(lv, lv))
+                            * sqrt(list_dot_product(rv, rv)), 1e-12), 4)
+                              DESC, right_id ASC) AS rank
+    FROM l, r WHERE left_id != right_id)
+  WHERE rank <= 4),
+bwd AS (
+  SELECT * FROM (
+    SELECT right_id, left_id,
+           round(list_dot_product(rv, lv)
+                 / greatest(sqrt(list_dot_product(rv, rv))
+                            * sqrt(list_dot_product(lv, lv)), 1e-12),
+                 4) AS cos,
+           row_number() OVER (PARTITION BY right_id
+                              ORDER BY round(list_dot_product(rv, lv)
+                 / greatest(sqrt(list_dot_product(rv, rv))
+                            * sqrt(list_dot_product(lv, lv)), 1e-12), 4)
+                              DESC, left_id ASC) AS rank
+    FROM r, l WHERE left_id != right_id)
+  WHERE rank <= 4),
+lm AS (SELECT left_id, avg(cos) AS lmean FROM fwd GROUP BY left_id),
+rm AS (SELECT right_id, avg(cos) AS rmean FROM bwd GROUP BY right_id),
+cand AS (
+  SELECT f.left_id, f.right_id, f.cos,
+         round(f.cos / ((lm.lmean + rm.rmean) / 2), 4) AS margin
+  FROM fwd f JOIN lm USING (left_id) JOIN rm USING (right_id))
+SELECT left_id, right_id, cos, margin FROM (
+  SELECT *, row_number() OVER (PARTITION BY left_id
+                               ORDER BY margin DESC, right_id ASC) AS mr
+  FROM cand)
+WHERE mr = 1 AND margin >= 0.98
+ORDER BY left_id
+"""
+
+
 # ----------------------------------------------------------------- pr1
 def pr1_profile(spark, sf_dir):
     """Per-column table profiling (sparkt.functions.profile
@@ -2290,6 +2360,7 @@ QUERIES = {
     "t14_bm25": t14_bm25,
     "t15_collocations": t15_collocations,
     "pr1_profile": pr1_profile,
+    "s8_margin_pairs": s8_margin_pairs,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2342,6 +2413,7 @@ ORACLES = {
     "t14_bm25": T14_SQL,
     "t15_collocations": T15_SQL,
     "pr1_profile": PR1_SQL,
+    "s8_margin_pairs": S8_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

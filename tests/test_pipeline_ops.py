@@ -1241,6 +1241,56 @@ def test_hard_negatives_excludes_same_label(spark):
     }
 
 
+def test_margin_pairs_matches_numpy_reference(spark):
+    """margin_pairs equals a numpy implementation of the LASER margin
+    ('max' strategy): same best match per left item, margin to 4dp,
+    and a raised threshold prunes low-margin pairs."""
+    import numpy as np
+
+    from sparkt.functions.similarity import margin_pairs
+
+    rng = [(i, [float((i * 13 + d * 7) % 11) + 0.5 for d in range(6)])
+           for i in range(24)]
+    left = [(i, v) for i, v in rng if i < 6]
+    right = [(i, v) for i, v in rng if i >= 6]
+    ldf = spark.createDataFrame(left, ["left_id", "embedding"])
+    rdf = spark.createDataFrame(right, ["right_id", "embedding"])
+    k = 3
+    got = {r["left_id"]: r for r in
+           margin_pairs(ldf, rdf, k=k, threshold=0.0).collect()}
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return round(
+            float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b),
+                              1e-12)), 4)
+
+    lmean = {}
+    fwd = {}
+    for li, lv in left:
+        sims = sorted(((cos(lv, rv), -ri) for ri, rv in right),
+                      reverse=True)[:k]
+        lmean[li] = sum(s for s, _ in sims) / k
+        fwd[li] = [(-ri, s) for s, ri in sims]
+    rmean = {}
+    for ri, rv in right:
+        sims = sorted((cos(rv, lv) for _, lv in left), reverse=True)[:k]
+        rmean[ri] = sum(sims) / k
+    assert set(got) == set(lmean)
+    for li in lmean:
+        best = max(
+            ((ri, s, round(s / ((lmean[li] + rmean[ri]) / 2), 4))
+             for ri, s in fwd[li]),
+            key=lambda t: (t[2], -t[0]),
+        )
+        r = got[li]
+        assert (r["right_id"], r["cos"]) == (best[0], best[1])
+        assert abs(r["margin"] - best[2]) < 1e-9
+
+    high = margin_pairs(ldf, rdf, k=k, threshold=100.0).collect()
+    assert high == []
+
+
 def test_incremental_dedup_against_seen(spark):
     from sparkt.functions.dedup import exact_dedup, incremental_dedup
 
