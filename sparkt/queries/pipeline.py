@@ -1548,6 +1548,45 @@ ORDER BY pc.w1, pc.w2
 """
 
 
+# ----------------------------------------------------------------- ft1
+def ft1_decay_features(spark, sf_dir):
+    """Point-in-time feature engineering (sparkt.functions.features
+    .decay_features): per-user trailing 1/7/30-day event counts, 7-day
+    value sums and a half-life-decayed activity score, all as of
+    max(ts), in ONE conditional-aggregate pass (the reference time is
+    a scalar subquery — no collect). Counts hash exactly; sums/decay
+    follow the q1 round contract."""
+    from sparkt.functions.features import decay_features
+
+    ev = T(spark, sf_dir, "events")
+    out = decay_features(
+        ev, "user_id", "ts", value_col="value",
+        windows_days=(1, 7, 30), half_life_days=7.0,
+    )
+    return out.select(
+        "user_id", "n_1d", "n_7d", "n_30d", "v_7d", "decay"
+    ).orderBy("user_id")
+
+
+FT1_SQL = """
+WITH ref AS (SELECT max(ts) AS r FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN ts >= r - INTERVAL 1 DAY THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_1d,
+       CAST(sum(CASE WHEN ts >= r - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_7d,
+       CAST(sum(CASE WHEN ts >= r - INTERVAL 30 DAY THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_30d,
+       round(sum(CASE WHEN ts >= r - INTERVAL 7 DAY THEN value
+                      ELSE 0.0 END), 2) AS v_7d,
+       round(sum(exp(-0.6931471805599453 * (epoch(r) - epoch(ts))
+                     / 604800.0)), 4) AS decay
+FROM events, ref
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # ------------------------------------------------------------------ s8
 def s8_margin_pairs(spark, sf_dir):
     """Margin-criterion pair mining (sparkt.functions.similarity
@@ -2361,6 +2400,7 @@ QUERIES = {
     "t15_collocations": t15_collocations,
     "pr1_profile": pr1_profile,
     "s8_margin_pairs": s8_margin_pairs,
+    "ft1_decay_features": ft1_decay_features,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2414,6 +2454,7 @@ ORACLES = {
     "t15_collocations": T15_SQL,
     "pr1_profile": PR1_SQL,
     "s8_margin_pairs": S8_SQL,
+    "ft1_decay_features": FT1_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

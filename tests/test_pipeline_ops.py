@@ -1291,6 +1291,46 @@ def test_margin_pairs_matches_numpy_reference(spark):
     assert high == []
 
 
+def test_decay_features_matches_python(spark):
+    """decay_features equals a Python reference: window boundary
+    inclusive (ts == ref - window counts), decay halves per half-life,
+    and the plan is one aggregate with a reused scalar subquery (no
+    join, no collect)."""
+    import datetime as dt
+    import math
+
+    from sparkt.functions.features import decay_features
+
+    ref = dt.datetime(2024, 3, 31, 12, 0, 0)
+    rows = [
+        # (user, ts, value): u1 has events at ref, ref-1d (boundary,
+        # IN the 1d window), ref-8d (out of 7d, in 30d)
+        (1, ref, 10.0),
+        (1, ref - dt.timedelta(days=1), 20.0),
+        (1, ref - dt.timedelta(days=8), 40.0),
+        (2, ref - dt.timedelta(days=14), 5.0),  # exactly 2 half-lives
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {r["user_id"]: r for r in decay_features(
+        df, "user_id", "ts", value_col="value",
+        windows_days=(1, 7, 30), half_life_days=7.0,
+    ).collect()}
+
+    u1 = got[1]
+    assert (u1["n_1d"], u1["n_7d"], u1["n_30d"]) == (2, 2, 3)
+    assert (u1["v_1d"], u1["v_7d"], u1["v_30d"]) == (30.0, 30.0, 70.0)
+    expect = 1.0 + 0.5 ** (1 / 7) + 0.5 ** (8 / 7)
+    assert abs(u1["decay"] - round(expect, 4)) < 1e-9
+    u2 = got[2]
+    assert (u2["n_1d"], u2["n_7d"], u2["n_30d"]) == (0, 0, 1)
+    assert u2["decay"] == 0.25  # exactly two half-lives old
+
+    out = decay_features(df, "user_id", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # ref rides a scalar subquery: the one
+    assert "Subquery" in plan  # projected __ref feeds every window
+
+
 def test_incremental_dedup_against_seen(spark):
     from sparkt.functions.dedup import exact_dedup, incremental_dedup
 
