@@ -1548,6 +1548,45 @@ ORDER BY pc.w1, pc.w2
 """
 
 
+# ------------------------------------------------------------------ s9
+def s9_pca_cov(spark, sf_dir):
+    """The distributed half of PCA (sparkt.functions.pca
+    .covariance_table): single-pass upper-triangle covariance of the
+    first 16 embedding dims — per-row moment explode + map-side
+    combined groupBy, output d(d+1)/2 rows regardless of corpus size.
+    The driver-side eigh + codegen projection (pca_fit/pca_project)
+    are pytest-pinned vs numpy (eigendecomposition is not
+    SQL-expressible)."""
+    from sparkt.functions.pca import covariance_table
+
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return covariance_table(emb, "embedding", dim=16).orderBy("i", "j")
+
+
+def _s9_sql() -> str:
+    """The oracle mirrors covariance_table's exact formula
+    (avg(xy) − avg(x)·avg(y), round 4) per upper-triangle (i, j)
+    pair: 136 aggregates over a DuckDB-materialized CTE (no row
+    explode on the oracle side)."""
+    parts = [
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round(avg(v[{i}] * v[{j}]) - avg(v[{i}]) * avg(v[{j}]), 7)"
+        f" + 0.0 AS cov FROM x"
+        for i in range(1, 17)
+        for j in range(i, 17)
+    ]
+    return (
+        "WITH x AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY i, j"
+    )
+
+
+S9_SQL = _s9_sql()
+
+
 # ----------------------------------------------------------------- ft1
 def ft1_decay_features(spark, sf_dir):
     """Point-in-time feature engineering (sparkt.functions.features
@@ -2401,6 +2440,7 @@ QUERIES = {
     "pr1_profile": pr1_profile,
     "s8_margin_pairs": s8_margin_pairs,
     "ft1_decay_features": ft1_decay_features,
+    "s9_pca_cov": s9_pca_cov,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2455,6 +2495,7 @@ ORACLES = {
     "pr1_profile": PR1_SQL,
     "s8_margin_pairs": S8_SQL,
     "ft1_decay_features": FT1_SQL,
+    "s9_pca_cov": S9_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

@@ -1331,6 +1331,54 @@ def test_decay_features_matches_python(spark):
     assert "Subquery" in plan  # projected __ref feeds every window
 
 
+def test_pca_fit_project_matches_numpy(spark):
+    """pca_fit equals numpy PCA (eigh of the population covariance, up
+    to the shared sign convention); pca_project scores match the numpy
+    projection; the projection plan is a shuffle-free narrow
+    projection (no UDF, no Exchange)."""
+    import numpy as np
+
+    from sparkt.functions.pca import covariance_table, pca_fit, pca_project
+
+    rng = np.random.RandomState(7)
+    # anisotropic data so eigenvalues separate cleanly
+    base = rng.randn(200, 3) * np.array([5.0, 2.0, 0.3])
+    mix = np.array([[1.0, 0.2, 0.1], [0.0, 1.0, 0.3], [0.0, 0.0, 1.0]])
+    data = base @ mix
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        ["vec_id", "embedding"],
+    )
+
+    model = pca_fit(df, "embedding", dim=3, k=2)
+    cov_np = np.cov(data, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov_np)
+    order = np.argsort(vals)[::-1][:2]
+    for ci, idx in enumerate(order):
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(model["components"][ci], v, atol=1e-9)
+        assert abs(model["variance"][ci] - vals[idx]) < 1e-9
+    assert np.allclose(model["mean"], data.mean(axis=0), atol=1e-12)
+
+    out = pca_project(df, "embedding", model)
+    got = {r["vec_id"]: r["pca"] for r in out.collect()}
+    W = np.array(model["components"])
+    expect = (data - data.mean(axis=0)) @ W.T
+    for i in range(len(data)):
+        assert np.allclose(got[i], expect[i], atol=1e-9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    # the oracle-facing covariance table agrees with numpy at 7dp
+    ct = {(r["i"], r["j"]): r["cov"]
+          for r in covariance_table(df, "embedding", dim=3).collect()}
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(ct[(i + 1, j + 1)] - round(cov_np[i, j], 7)) < 1e-9
+
+
 def test_incremental_dedup_against_seen(spark):
     from sparkt.functions.dedup import exact_dedup, incremental_dedup
 
