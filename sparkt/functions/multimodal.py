@@ -214,3 +214,68 @@ def sample_video_frames(df: DataFrame, stride_ms: int = 5000) -> DataFrame:
             )
 
     return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("start_ms", IntegerType()),
+        StructField("end_ms", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+#: the stub probe's sample-rate universe (indexable by a digest nibble)
+AUDIO_RATES = (16000, 22050, 44100, 48000)
+
+
+def segment_audio(df: DataFrame, window_ms: int = 10000) -> DataFrame:
+    """Audio segmentation through the REAL Arrow ``mapInPandas``
+    plumbing: each (item_id, content) row expands to fixed
+    ``window_ms`` segments across the clip, the last one partial —
+    the pre-transcription / pre-embedding chunking step of an audio
+    pipeline. Emits per segment the typed metadata a downstream
+    worker needs: start/end, probed sample rate, exact sample count.
+
+    The container probe is STUBBED deterministically (no soundfile/
+    ffmpeg here): duration_ms = md5-digest hex chars [4:8) (0–65535),
+    sample_rate = AUDIO_RATES[digest nibble 8 mod 4], so an exact SQL
+    oracle exists. A real cluster swaps the probe lambda for
+    soundfile/ffprobe; the Spark plumbing — schema, Arrow batching,
+    expansion inside the Python worker so segment rows never shuffle —
+    is production shape (same contract as :func:`sample_video_frames`).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, starts, ends, rates, samples = [], [], [], [], [], []
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                d = hashlib.md5(bytes(content)).hexdigest()
+                duration_ms = int(d[4:8], 16)
+                rate = AUDIO_RATES[int(d[8], 16) % 4]
+                n_seg = (duration_ms + window_ms - 1) // window_ms
+                for k in range(n_seg):
+                    start = k * window_ms
+                    end = min((k + 1) * window_ms, duration_ms)
+                    ids.append(item_id)
+                    idxs.append(k)
+                    starts.append(start)
+                    ends.append(end)
+                    rates.append(rate)
+                    samples.append((end - start) * rate // 1000)
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "seg_idx": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int32"),
+                    "end_ms": pd.Series(ends, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(samples, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_SEGMENT_SCHEMA)

@@ -937,6 +937,54 @@ ORDER BY item_id
 """
 
 
+# ----------------------------------------------------------------- mm3
+def mm3_audio_segments(spark, sf_dir):
+    """Audio segmentation through the real Arrow mapInPandas plumbing
+    (sparkt.functions.multimodal.segment_audio): fixed 10 s windows
+    over each clip's stub-probed duration with exact per-segment
+    sample counts — payload is the utf-8 text bytes so the DuckDB
+    oracle reproduces the md5-derived probe exactly."""
+    from sparkt.functions import multimodal as MM
+
+    docs = T(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.segment_audio(items, window_ms=10000).orderBy(
+        "item_id", "seg_idx"
+    )
+
+
+_DK_DUR = (
+    f"({_DK_HEXNIB.format(p=5)} * 4096 + {_DK_HEXNIB.format(p=6)} * 256 "
+    f"+ {_DK_HEXNIB.format(p=7)} * 16 + {_DK_HEXNIB.format(p=8)})"
+)
+MM3_SQL = f"""
+WITH probe AS (
+  SELECT doc_id AS item_id,
+         {_DK_DUR} AS duration_ms,
+         CASE ({_DK_HEXNIB.format(p=9)} % 4)
+           WHEN 0 THEN 16000 WHEN 1 THEN 22050
+           WHEN 2 THEN 44100 ELSE 48000 END AS sample_rate
+  FROM documents),
+segs AS (
+  SELECT item_id, duration_ms, sample_rate,
+         unnest(generate_series(
+           0, CAST(ceil(duration_ms / 10000.0) AS INT) - 1)) AS seg_idx
+  FROM probe WHERE duration_ms > 0)
+SELECT item_id,
+       CAST(seg_idx AS INT) AS seg_idx,
+       CAST(seg_idx * 10000 AS INT) AS start_ms,
+       CAST(least((seg_idx + 1) * 10000, duration_ms) AS INT) AS end_ms,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST((least((seg_idx + 1) * 10000, duration_ms) - seg_idx * 10000)
+            * sample_rate // 1000 AS BIGINT) AS n_samples
+FROM segs
+ORDER BY item_id, seg_idx
+"""
+
+
 # ------------------------------------------------------------------ c1
 def c1_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (window=50, stride=40): the
@@ -2441,6 +2489,7 @@ QUERIES = {
     "s8_margin_pairs": s8_margin_pairs,
     "ft1_decay_features": ft1_decay_features,
     "s9_pca_cov": s9_pca_cov,
+    "mm3_audio_segments": mm3_audio_segments,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2496,6 +2545,7 @@ ORACLES = {
     "s8_margin_pairs": S8_SQL,
     "ft1_decay_features": FT1_SQL,
     "s9_pca_cov": S9_SQL,
+    "mm3_audio_segments": MM3_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

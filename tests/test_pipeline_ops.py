@@ -1379,6 +1379,39 @@ def test_pca_fit_project_matches_numpy(spark):
             assert abs(ct[(i + 1, j + 1)] - round(cov_np[i, j], 7)) < 1e-9
 
 
+def test_segment_audio_matches_python(spark):
+    """segment_audio: windows tile the stub-probed duration with a
+    partial last segment, sample counts are (ms × rate) // 1000, and a
+    zero-duration clip yields no rows."""
+    import hashlib
+
+    from sparkt.functions.multimodal import AUDIO_RATES, segment_audio
+
+    payloads = [(i, f"clip-{i}".encode()) for i in range(12)]
+    df = spark.createDataFrame(payloads, ["item_id", "content"])
+    got = {}
+    for r in segment_audio(df, window_ms=7000).collect():
+        got.setdefault(r["item_id"], []).append(r)
+
+    n_expected = 0
+    for i, content in payloads:
+        d = hashlib.md5(content).hexdigest()
+        duration = int(d[4:8], 16)
+        rate = AUDIO_RATES[int(d[8], 16) % 4]
+        n_seg = (duration + 6999) // 7000
+        n_expected += n_seg
+        segs = sorted(got.get(i, []), key=lambda r: r["seg_idx"])
+        assert len(segs) == n_seg
+        for k, r in enumerate(segs):
+            end = min((k + 1) * 7000, duration)
+            assert (r["start_ms"], r["end_ms"]) == (k * 7000, end)
+            assert r["sample_rate"] == rate
+            assert r["n_samples"] == (end - k * 7000) * rate // 1000
+        if segs:
+            assert segs[-1]["end_ms"] == duration  # partial tail
+    assert sum(len(v) for v in got.values()) == n_expected
+
+
 def test_incremental_dedup_against_seen(spark):
     from sparkt.functions.dedup import exact_dedup, incremental_dedup
 
