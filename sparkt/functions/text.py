@@ -629,6 +629,35 @@ def collocations(df, text_col: str, min_count: int = 5):
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Pipeline step-0 text normalization, entirely in codegen (one
+    narrow projection, no shuffle, no UDF):
+
+    1. strip C0/C1 control characters (keep \\t \\n — they are
+       whitespace and fall to step 3),
+    2. fold common unicode punctuation to ASCII (curly quotes,
+       en/em-dash, ellipsis, NBSP — the characters that fragment
+       tokenizer vocab; a ``translate`` table + one ellipsis regex,
+       not a per-char loop),
+    3. collapse runs of whitespace to one space and trim.
+
+    Deterministic and DuckDB-expressible (same regex/translate
+    semantics), so normalized-text operators stay oracle-checkable.
+    Full NFKC lives in ICU, which neither engine ships by default —
+    this is the deliberately-portable subset, not a stub.
+    """
+    folded = F.translate(
+        text,
+        "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0",
+        "''" + '"' + '"' + "-- ",
+    )
+    folded = F.regexp_replace(folded, "\u2026", "...")
+    stripped = F.regexp_replace(
+        folded, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", ""
+    )
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
 # --------------------------------------------- char stats / gibberish
 def char_stats(text: Column) -> dict[str, Column]:
     """Character-distribution statistics for gibberish/junk filtering

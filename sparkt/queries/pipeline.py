@@ -937,6 +937,59 @@ ORDER BY item_id
 """
 
 
+# ----------------------------------------------------------------- t16
+def t16_normalize(spark, sf_dir):
+    """Step-0 text normalization (sparkt.functions.text
+    .normalize_text): control-char strip, unicode-punctuation fold,
+    whitespace collapse — pure codegen, no shuffle. The corpus is
+    clean ASCII, so the gate first INJECTS deterministic noise (tab
+    padding, NBSP-for-space, trailing ellipsis + BEL) identically in
+    both engines and verifies the normalizer restores a canonical
+    form (md5 + length compared)."""
+    docs = T(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("\t "),
+        F.translate(F.col("text"), " ", "\u00a0"),
+        F.lit(" \u2026\u0007"),
+    )
+    norm = TX.normalize_text(noisy)
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.length(norm).alias("n_len"),
+        F.md5(norm).alias("h"),
+    ).orderBy("doc")
+
+
+T16_SQL = """
+WITH noisy AS (
+  SELECT doc_id,
+         chr(9) || ' ' || replace(text, ' ', chr(160))
+         || ' ' || chr(8230) || chr(7) AS s
+  FROM documents),
+folded AS (
+  SELECT doc_id,
+         regexp_replace(
+           translate(s,
+                     chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                     || chr(8211) || chr(8212) || chr(160),
+                     chr(39) || chr(39) || chr(34) || chr(34) || '-- '),
+           chr(8230), '...', 'g') AS s
+  FROM noisy),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(s, '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]',
+                          '', 'g'),
+           '\\s+', ' ', 'g')) AS s
+  FROM folded)
+SELECT doc_id AS doc,
+       CAST(length(s) AS INT) AS n_len,
+       md5(s) AS h
+FROM norm
+ORDER BY doc
+"""
+
+
 # ----------------------------------------------------------------- mm3
 def mm3_audio_segments(spark, sf_dir):
     """Audio segmentation through the real Arrow mapInPandas plumbing
@@ -2490,6 +2543,7 @@ QUERIES = {
     "ft1_decay_features": ft1_decay_features,
     "s9_pca_cov": s9_pca_cov,
     "mm3_audio_segments": mm3_audio_segments,
+    "t16_normalize": t16_normalize,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2546,6 +2600,7 @@ ORACLES = {
     "ft1_decay_features": FT1_SQL,
     "s9_pca_cov": S9_SQL,
     "mm3_audio_segments": MM3_SQL,
+    "t16_normalize": T16_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

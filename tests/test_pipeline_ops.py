@@ -1379,6 +1379,33 @@ def test_pca_fit_project_matches_numpy(spark):
             assert abs(ct[(i + 1, j + 1)] - round(cov_np[i, j], 7)) < 1e-9
 
 
+def test_normalize_text_semantics(spark):
+    """normalize_text: curly quotes/dashes/NBSP fold to ASCII,
+    ellipsis expands, C0/C1 controls are stripped, whitespace runs
+    collapse, and the plan is a shuffle-free narrow projection."""
+    from sparkt.functions.text import normalize_text
+
+    cases = [
+        (1, "‘quoted’ “text”"),
+        (2, "a–b—c"),
+        (3, "wait… what"),
+        (4, "bell\x07 and\x00 nul"),
+        (5, "  spaced out\t\n text  "),
+        (6, "tabs\tand\nnewlines stay   collapsed"),
+    ]
+    df = spark.createDataFrame(cases, ["i", "t"])
+    out = df.select("i", normalize_text(F.col("t")).alias("n"))
+    got = {r["i"]: r["n"] for r in out.collect()}
+    assert got[1] == "'quoted' \"text\""
+    assert got[2] == "a-b-c"
+    assert got[3] == "wait... what"
+    assert got[4] == "bell and nul"
+    assert got[5] == "spaced out text"
+    assert got[6] == "tabs and newlines stay collapsed"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_segment_audio_matches_python(spark):
     """segment_audio: windows tile the stub-probed duration with a
     partial last segment, sample counts are (ms × rate) // 1000, and a
