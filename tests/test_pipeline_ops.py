@@ -1378,6 +1378,13 @@ def test_pca_fit_project_matches_numpy(spark):
         for j in range(i, 3):
             assert abs(ct[(i + 1, j + 1)] - round(cov_np[i, j], 7)) < 1e-9
 
+    # the high-dim Arrow moment path fits the SAME model (BLAS
+    # partials vs codegen explode — float-tolerance equivalent)
+    am = pca_fit(df, "embedding", dim=3, k=2, engine="arrow")
+    assert np.allclose(am["mean"], model["mean"], atol=1e-9)
+    assert np.allclose(am["components"], model["components"], atol=1e-7)
+    assert np.allclose(am["variance"], model["variance"], atol=1e-9)
+
 
 def test_normalize_text_semantics(spark):
     """normalize_text: curly quotes/dashes/NBSP fold to ASCII,
