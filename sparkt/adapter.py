@@ -878,6 +878,30 @@ class SparkAdapter:
                     total += os.path.getsize(os.path.join(root, f))
         return n_files, total
 
+    def table_stats(self, relation: Relation) -> dict | None:
+        """Catalog statistics for ``docs generate`` (the reference's
+        catalog carries adapter-provided stats — ``core/dbt/task/docs/
+        generate.py`` folds whatever the adapter returns into
+        ``CatalogTable.stats``; the Spark adapter convention is
+        ``bytes`` + ``rows`` parsed from table metadata). Here the
+        warehouse is parquet-on-disk: bytes come from the file listing
+        and rows from the parquet footers (a metadata-only count — no
+        data scan), so stats cost O(files), not O(rows).
+
+        Returns ``{"bytes": int, "rows": int}`` or None for views /
+        location-less relations."""
+        entry = self._catalog.get(f"{relation.schema}.{relation.identifier}")
+        if not entry or entry.get("kind") != "table":
+            return None
+        location = entry.get("location")
+        if not location:
+            return None
+        n_files, n_bytes = self._location_stats(location)
+        if not n_files:
+            return None
+        rows = self.spark.read.parquet(location).count()
+        return {"bytes": n_bytes, "rows": int(rows)}
+
     def optimize_table(
         self,
         relation: Relation | str,

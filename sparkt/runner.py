@@ -966,6 +966,37 @@ class Runner:
                 return df
         raise ValueError(f"no saved query named '{name}'")
 
+    def _catalog_stats(self, rel) -> dict:
+        """CatalogTable.stats: the Spark-adapter ``bytes``/``rows``
+        convention behind the standard ``has_stats`` sentinel (catalog
+        v1 stat items: id/label/value/include/description). Views and
+        stat-less relations get the reference's has_stats=False row."""
+        stats = None
+        try:
+            stats = self.adapter.table_stats(rel)
+        except Exception:
+            stats = None
+        out = {
+            "has_stats": {
+                "id": "has_stats",
+                "label": "Has Stats?",
+                "value": stats is not None,
+                "include": False,
+                "description":
+                    "Indicates whether there are statistics for this table",
+            },
+        }
+        if stats is not None:
+            out["bytes"] = {
+                "id": "bytes", "label": "Size", "value": stats["bytes"],
+                "include": True, "description": "Size of the table in bytes",
+            }
+            out["rows"] = {
+                "id": "rows", "label": "Rows", "value": stats["rows"],
+                "include": True, "description": "Number of rows in the table",
+            }
+        return out
+
     def docs_generate(self, empty_catalog: bool = False) -> dict:
         """Catalog artifact from the live catalog (``core/dbt/task/docs/
         generate.py:215-366``) → target/catalog.json. ``empty_catalog``
@@ -1002,16 +1033,7 @@ class Runner:
                                "description") or None}
                     for i, (name, dtype) in enumerate(cols)
                 },
-                "stats": {
-                    "has_stats": {
-                        "id": "has_stats",
-                        "label": "Has Stats?",
-                        "value": False,
-                        "include": False,
-                        "description":
-                            "Indicates whether there are statistics for this table",
-                    },
-                },
+                "stats": self._catalog_stats(rel),
                 "unique_id": uid,
             }
             (sources if node.resource_type == "source" else nodes)[uid] = entry

@@ -321,6 +321,12 @@ def test_docs_generate(make_project, spark):
     assert "model.st.b" in cat["nodes"]
     cols = cat["nodes"]["model.st.b"]["columns"]
     assert "s" in cols
+    # table-materialized nodes carry REAL adapter stats (the Spark
+    # bytes/rows convention): b is `select sum(v)...` -> exactly 1 row
+    stats = cat["nodes"]["model.st.b"]["stats"]
+    assert stats["has_stats"]["value"] is True
+    assert stats["rows"]["value"] == 1
+    assert stats["bytes"]["value"] > 0
     assert os.path.exists(
         os.path.join(runner.project.target_dir, "catalog.json")
     )
