@@ -497,10 +497,22 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 20,
     strict: bool = True,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the step after
     every pair generator (minhash/jaccard/winnowing): pairs → clusters,
     so one canonical doc per cluster survives.
+
+    ADAPTIVE EXECUTION: the deduplicated edge table is materialized
+    first (it must be, to truncate lineage for the loop), so its count
+    is free — and when it is at most ``driver_threshold`` edges
+    (default 1M ≈ a few MB: model-scale, the k-means-collect policy)
+    the components are solved in one driver-side union-find pass
+    instead of log-n distributed rounds, each of which costs two full
+    Spark jobs of fixed latency. A 100 TB corpus whose pair stage
+    emits billions of edges takes the distributed path automatically;
+    ``driver_threshold=0`` forces it (the d9 gate pins it that way).
+    Both paths produce identical labels (pytest-pinned).
 
     Alternating large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -538,6 +550,43 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
     )
+
+    if edges.count() <= driver_threshold:  # count on materialized edges: free
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = edges.collect()
+        for r in rows:
+            ra, rb = _find(r["u"]), _find(r["v"])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # smaller id stays root -> root == min
+        utype = edges.schema["u"].dataType
+        schema = StructType(
+            [StructField("doc", utype), StructField("cluster", utype)]
+        )
+        members = sorted({x for r in rows for x in (r["u"], r["v"])})
+        labels_df = pairs.sparkSession.createDataFrame(
+            [(x, _find(x)) for x in members], schema
+        )
+        singles = (
+            pairs.select(F.col(id_a).alias("doc"))
+            .union(pairs.select(F.col(id_b).alias("doc")))
+            .distinct()
+            .join(F.broadcast(labels_df.select("doc")), "doc", "left_anti")
+            .select("doc", F.col("doc").alias("cluster"))
+        )
+        return labels_df.union(singles)
 
     def _signature(e: DataFrame) -> tuple:
         # decimal(38,0) accumulator: a plain bigint sum of 64-bit hashes

@@ -1216,7 +1216,10 @@ def d9_dup_clusters(spark, sf_dir):
     recursive CTE transitive closure."""
     docs = T(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
-    return D.duplicate_clusters(pairs).orderBy("doc")
+    # driver_threshold=0: this gate exists to pin the DISTRIBUTED star
+    # contraction against the oracle (sd1/pl2 exercise the adaptive
+    # driver union-find default)
+    return D.duplicate_clusters(pairs, driver_threshold=0).orderBy("doc")
 
 
 def _d9_sql():
@@ -1293,6 +1296,93 @@ SELECT cluster AS representative,
 FROM labels
 GROUP BY cluster
 ORDER BY representative
+"""
+
+
+# ----------------------------------------------------------------- pl2
+def pl2_vector_pipeline(spark, sf_dir):
+    """End-to-end VECTOR curation pipeline (the embedding-side
+    companion to pl1's text pipeline), composed from the library
+    operators: int8 quantization (similarity.quantize_int8 — the 4×
+    memory representation an ANN index stores) → cosine near-dup
+    pairs over the DEQUANTIZED vectors (cosine_neardup_pairs,
+    full-probe IVF-cell equijoin — provably brute-force-identical,
+    never all-pairs at scale) → connected components
+    (dedup.duplicate_clusters, O(log n) star contraction) → min-id
+    survivor per cluster → per-label kept/total curation stats.
+
+    100 TB shape: one codegen quantize projection, a bucketed
+    candidate equijoin, log-round contraction, and one anti-join +
+    two map-side-combined counts. Exact integers end-to-end — the
+    oracle replays the identical dequantize → pair → closure →
+    survivor chain in SQL."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = S.quantize_int8(emb)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    ).localCheckpoint()
+    # ^ materialize the compressed representation ONCE (what an ANN
+    # index build does anyway): the pair join's norm + 8-way cell
+    # assignment would otherwise each re-inline the whole quantize
+    # transform chain — Catalyst duplicates non-cheap subtrees
+    # wholesale, and the analysis/codegen blowup dominated the gate
+    # (35 s -> measured after this change in GATE_BUDGETS)
+    pairs = S.cosine_neardup_pairs(deq, "vec_id", "embedding", 0.35)
+    clusters = D.duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("vec_id")
+    )
+    kept = emb.join(drop, "vec_id", "left_anti")
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    kepts = kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kepts, "label", "left")
+        .select(
+            "label", "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+PL2_SQL = """
+WITH RECURSIVE
+e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+sc AS (SELECT vec_id, label, v0,
+              greatest(list_max(list_transform(v0, x -> abs(x))) / 127,
+                       1e-12) AS scale
+       FROM e0),
+deq AS (SELECT vec_id,
+               list_transform(v0, x -> CAST(floor(x / scale + 0.5) AS INT)
+                                       * scale) AS v
+        FROM sc),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM deq a JOIN deq b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+dropped AS (SELECT node FROM lab WHERE node != cluster)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN vec_id IN (SELECT node FROM dropped)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM e0
+GROUP BY label
+ORDER BY label
 """
 
 
@@ -2544,6 +2634,7 @@ QUERIES = {
     "s9_pca_cov": s9_pca_cov,
     "mm3_audio_segments": mm3_audio_segments,
     "t16_normalize": t16_normalize,
+    "pl2_vector_pipeline": pl2_vector_pipeline,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2601,6 +2692,7 @@ ORACLES = {
     "s9_pca_cov": S9_SQL,
     "mm3_audio_segments": MM3_SQL,
     "t16_normalize": T16_SQL,
+    "pl2_vector_pipeline": PL2_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

@@ -503,7 +503,8 @@ def test_duplicate_clusters_long_chain_converges(spark):
         [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
     )
     out = {r["doc"]: r["cluster"]
-           for r in duplicate_clusters(pairs, max_iter=10).collect()}
+           for r in duplicate_clusters(
+               pairs, max_iter=10, driver_threshold=0).collect()}
     assert set(out) == set(range(65))
     assert set(out.values()) == {0}
 
@@ -521,10 +522,11 @@ def test_duplicate_clusters_raises_unconverged(spark):
         [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, max_iter=1).collect()
+        duplicate_clusters(pairs, max_iter=1, driver_threshold=0).collect()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = duplicate_clusters(pairs, max_iter=1, strict=False).collect()
+        out = duplicate_clusters(
+            pairs, max_iter=1, strict=False, driver_threshold=0).collect()
     assert any("did not converge" in str(x.message) for x in w)
     assert len(out) > 0
 
@@ -567,9 +569,16 @@ def test_duplicate_clusters_matches_networkx(spark):
             expected[n] = root
 
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    # BOTH execution paths must equal networkx AND each other: the
+    # adaptive driver union-find (default, model-scale edge sets) and
+    # the distributed star contraction (forced via driver_threshold=0)
     got = {r["doc"]: r["cluster"]
            for r in duplicate_clusters(pairs).collect()}
     assert got == expected
+    dist = {r["doc"]: r["cluster"]
+            for r in duplicate_clusters(
+                pairs, driver_threshold=0).collect()}
+    assert dist == expected
 
 
 def test_hashed_classifier_exact_and_shuffle_free(spark):
