@@ -112,3 +112,63 @@ def two_phase_sum(
         .agg(F.sum(value_col).alias("__ps"))
     )
     return partial.groupBy(*keys).agg(F.sum("__ps").alias("total"))
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 10,
+    skew_factor: float = 4.0,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics — the measurement step before
+    reaching for :func:`salted_join` / AQE tuning: the ``top_n``
+    heaviest keys of a prospective shuffle with their exact row count,
+    corpus share (per-mille, integer — engine-exact), and a
+    ``is_skewed`` flag (count > ``skew_factor`` × the mean key load).
+    One look at this table answers "will this join/groupBy key melt a
+    reducer at 100 TB, and how many salts do I need".
+
+    Scale shape: ONE map-side-combined count shuffle on the key (the
+    same shuffle the diagnosed operation would do, minus the payload),
+    a scalar-subquery total (no collect), and the two-phase top-N over
+    the aggregated key table (the inverted_index cap argument: phase 1
+    keeps ≤ top_n per hash sub-bucket, so no task ever sorts the full
+    billion-key table; phase 2 ranks the ≤ 64·top_n survivors —
+    keeping each sub-bucket's top-N is a superset of the global
+    top-N, so the result EXACTLY equals the naive global window).
+    Deterministic tie-break (count desc, key asc).
+    """
+    from pyspark.sql import Window
+
+    from sparkt.functions import join_scalars
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    sub = F.pmod(F.xxhash64(*keys), F.lit(64))
+    order = [F.desc("n_rows")] + [F.asc(k) for k in keys]
+    w1 = Window.partitionBy(sub).orderBy(*order)
+    w2 = Window.orderBy(*order)
+    return (
+        join_scalars(
+            counts.withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= top_n),
+            totals,
+        )
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= top_n)
+        .select(
+            *keys,
+            "n_rows",
+            F.floor(F.col("n_rows") * 1000 / F.col("__total"))
+            .cast("int").alias("share_permille"),
+            (
+                F.col("n_rows")
+                > F.lit(skew_factor) * F.col("__total") / F.col("__n_keys")
+            ).alias("is_skewed"),
+            F.col("__rk").alias("rank"),
+        )
+    )

@@ -1299,6 +1299,37 @@ ORDER BY representative
 """
 
 
+# ------------------------------------------------------------------ p8
+def p8_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostics (sparkt.functions.skew
+    .key_skew_report): top-10 heaviest lineitem supplier keys with
+    exact counts, per-mille share and the salted-join trigger flag —
+    the measurement step before salting/AQE tuning. Two-phase top-N,
+    scalar-subquery totals, no collect."""
+    from sparkt.functions.skew import key_skew_report
+
+    li = T(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_suppkey", top_n=10).orderBy("rank")
+
+
+P8_SQL = """
+WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c),
+r AS (SELECT l_suppkey, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, l_suppkey ASC)
+               AS rank
+      FROM c)
+SELECT l_suppkey,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(floor(n_rows * 1000 / total) AS INT) AS share_permille,
+       n_rows > 4.0 * total / n_keys AS is_skewed,
+       CAST(rank AS INT) AS rank
+FROM r, t
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
 # ----------------------------------------------------------------- pl2
 def pl2_vector_pipeline(spark, sf_dir):
     """End-to-end VECTOR curation pipeline (the embedding-side
@@ -2635,6 +2666,7 @@ QUERIES = {
     "mm3_audio_segments": mm3_audio_segments,
     "t16_normalize": t16_normalize,
     "pl2_vector_pipeline": pl2_vector_pipeline,
+    "p8_skew_report": p8_skew_report,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2693,6 +2725,7 @@ ORACLES = {
     "mm3_audio_segments": MM3_SQL,
     "t16_normalize": T16_SQL,
     "pl2_vector_pipeline": PL2_SQL,
+    "p8_skew_report": P8_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

@@ -1395,6 +1395,32 @@ def test_pca_fit_project_matches_numpy(spark):
     assert np.allclose(am["variance"], model["variance"], atol=1e-9)
 
 
+def test_key_skew_report_matches_python(spark):
+    """key_skew_report equals a Counter reference: exact counts,
+    floor per-mille share, skew flag at factor × mean key load, and
+    the two-phase cap equals the naive global top-N."""
+    from collections import Counter
+
+    from sparkt.functions.skew import key_skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 12 + [
+        (f"k{i}",) for i in range(28)
+    ]
+    df = spark.createDataFrame(rows, ["k"])
+    got = key_skew_report(df, "k", top_n=3, skew_factor=4.0).collect()
+
+    counts = Counter(k for (k,) in rows)
+    total = sum(counts.values())
+    mean = total / len(counts)
+    expect = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert [(r["k"], r["n_rows"]) for r in got] == expect
+    for r in got:
+        assert r["share_permille"] == int(r["n_rows"] * 1000 / total)
+        assert r["is_skewed"] == (r["n_rows"] > 4.0 * mean)
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert got[0]["is_skewed"] and not got[2]["is_skewed"]
+
+
 def test_normalize_text_semantics(spark):
     """normalize_text: curly quotes/dashes/NBSP fold to ASCII,
     ellipsis expands, C0/C1 controls are stripped, whitespace runs
