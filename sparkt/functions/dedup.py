@@ -842,3 +842,46 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
             F.min(id_col).alias("rep_id"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the data-versioning
+    primitive behind "what changed since the last crawl/training mix"
+    (the dataset-lineage question every reproducible-data pipeline has
+    to answer): per document id, ``added`` (only in new), ``removed``
+    (only in old), ``changed`` (both, content fingerprint differs) or
+    ``unchanged``.
+
+    Content identity is the whitespace-normalized md5
+    (``text.fingerprint``) — the same key exact_dedup uses, so a diff
+    of ``unchanged`` really means byte-equivalent-after-normalization,
+    engine-portable for the oracle.
+
+    Scale shape: two narrow (id, fp) projections and ONE full-outer
+    equijoin on the id — co-partitioned if both snapshots are bucketed
+    by id (the natural layout for versioned corpora); no step carries
+    document text past the fingerprint projection.
+
+    Returns ``(<id_col>, status)`` for every id in either snapshot.
+    """
+    from sparkt.functions.text import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp_old")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp_new")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col),
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") == F.col("__fp_new"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -1299,6 +1299,64 @@ ORDER BY representative
 """
 
 
+# ----------------------------------------------------------------- d14
+def d14_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (sparkt.functions.dedup.corpus_diff):
+    added/removed/changed/unchanged per doc between two snapshots
+    carved deterministically from documents (old = ids % 10 != 0,
+    new = ids % 9 != 0 with ids % 7 == 0 content-updated — same
+    construction in both engines). One full-outer equijoin over
+    narrow (id, fingerprint) projections; gate reduces to per-status
+    counts + the md5 of each status's sorted id list."""
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 9 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" UPDATED")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    diff = D.corpus_diff(old, new, "doc_id", "text")
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id")))
+            )).alias("ids_md5"),
+        )
+        .orderBy("status")
+    )
+
+
+D14_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 10 != 0),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' UPDATED'
+                ELSE text END)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 9 != 0),
+diff AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+         CASE WHEN old.fp IS NULL THEN 'added'
+              WHEN new.fp IS NULL THEN 'removed'
+              WHEN old.fp = new.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old FULL OUTER JOIN new USING (doc_id))
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+FROM diff
+GROUP BY status
+ORDER BY status
+"""
+
+
 # ------------------------------------------------------------------ p8
 def p8_skew_report(spark, sf_dir):
     """Shuffle-key skew diagnostics (sparkt.functions.skew
@@ -2667,6 +2725,7 @@ QUERIES = {
     "t16_normalize": t16_normalize,
     "pl2_vector_pipeline": pl2_vector_pipeline,
     "p8_skew_report": p8_skew_report,
+    "d14_corpus_diff": d14_corpus_diff,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2726,6 +2785,7 @@ ORACLES = {
     "t16_normalize": T16_SQL,
     "pl2_vector_pipeline": PL2_SQL,
     "p8_skew_report": P8_SQL,
+    "d14_corpus_diff": D14_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

@@ -1395,6 +1395,29 @@ def test_pca_fit_project_matches_numpy(spark):
     assert np.allclose(am["variance"], model["variance"], atol=1e-9)
 
 
+def test_corpus_diff_statuses(spark):
+    """corpus_diff: added/removed/changed/unchanged per id; content
+    identity is the whitespace-normalized fingerprint, so a pure
+    whitespace change is 'unchanged'."""
+    from sparkt.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta"), (4, "kept")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha   beta"),   # whitespace-only -> unchanged
+         (2, "gamma prime"),    # changed
+         (4, "kept"),           # unchanged
+         (9, "brand new")],     # added; 3 removed
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 9: "added"}
+
+
 def test_key_skew_report_matches_python(spark):
     """key_skew_report equals a Counter reference: exact counts,
     floor per-mille share, skew flag at factor × mean key load, and
