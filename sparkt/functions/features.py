@@ -79,3 +79,63 @@ def decay_features(
         ).alias("decay")
     )
     return base.groupBy(key_col).agg(*aggs)
+
+
+def funnel_stages(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis — how deep each entity progressed
+    through ``steps`` (view → click → purchase), the product-analytics
+    primitive behind conversion reporting. Stage k is reached iff the
+    entity has a STRICTLY time-increasing event subsequence matching
+    ``steps[:k]``, taken greedily (earliest qualifying event per step —
+    the standard funnel semantics, equal to the iterative
+    min-ts-after-previous formulation the oracle runs).
+
+    Scale shape: one groupBy on the entity key collecting its sorted
+    (ts, type) event list, then a single codegen ``aggregate`` HOF scan
+    — no joins, no per-step passes (an n-step funnel in SQL costs n
+    self-joins; here it is one shuffle regardless of n). Assumes
+    per-entity history fits a task (the collect_list contract shared
+    with sessionization); unbounded keys should be pre-sessionized.
+
+    Returns ``(<key_col>, stage)`` with ``0 <= stage <= len(steps)``.
+    """
+    n = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    seq = F.sort_array(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t"))
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("st"),
+        F.lit(None).cast("timestamp").alias("lt"),
+    )
+
+    def advance(acc, e):
+        # least() keeps element_at in-bounds when the funnel already
+        # completed (ANSI mode raises on index past the array)
+        want = F.element_at(
+            steps_lit, F.least(acc["st"] + 1, F.lit(n))
+        )
+        ok = (
+            (acc["st"] < n)
+            & (e["t"] == want)
+            & (acc["lt"].isNull() | (e["ts"] > acc["lt"]))
+        )
+        return F.when(
+            ok,
+            F.struct(
+                (acc["st"] + 1).cast("int").alias("st"),
+                e["ts"].alias("lt"),
+            ),
+        ).otherwise(acc)
+
+    return events.groupBy(key_col).agg(
+        F.aggregate(seq, init, advance)["st"].alias("stage")
+    )

@@ -1299,6 +1299,47 @@ ORDER BY representative
 """
 
 
+# ----------------------------------------------------------------- ft2
+def ft2_funnel(spark, sf_dir):
+    """Ordered funnel analysis (sparkt.functions.features
+    .funnel_stages): per user, the deepest view → click → purchase
+    stage reached via a strictly time-increasing greedy subsequence —
+    ONE shuffle + a codegen aggregate scan regardless of funnel depth.
+    The oracle runs the equivalent (and at scale, n-join) iterative
+    min-ts-after-previous formulation."""
+    from sparkt.functions.features import funnel_stages
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+FT2_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (SELECT user_id, min(ts) AS ts FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts
+       FROM events e JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.ts
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts
+       FROM events e JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+ORDER BY u.user_id
+"""
+
+
 # ----------------------------------------------------------------- d14
 def d14_corpus_diff(spark, sf_dir):
     """Corpus snapshot diff (sparkt.functions.dedup.corpus_diff):
@@ -2726,6 +2767,7 @@ QUERIES = {
     "pl2_vector_pipeline": pl2_vector_pipeline,
     "p8_skew_report": p8_skew_report,
     "d14_corpus_diff": d14_corpus_diff,
+    "ft2_funnel": ft2_funnel,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2786,6 +2828,7 @@ ORACLES = {
     "pl2_vector_pipeline": PL2_SQL,
     "p8_skew_report": P8_SQL,
     "d14_corpus_diff": D14_SQL,
+    "ft2_funnel": FT2_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

@@ -1395,6 +1395,40 @@ def test_pca_fit_project_matches_numpy(spark):
     assert np.allclose(am["variance"], model["variance"], atol=1e-9)
 
 
+def test_funnel_stages_semantics(spark):
+    """funnel_stages: greedy strictly-increasing subsequence matching —
+    out-of-order steps don't count, same-timestamp consecutive steps
+    don't count, repeats are fine, depth caps at len(steps)."""
+    import datetime as dt
+
+    from sparkt.functions.features import funnel_stages
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: full funnel in order -> 3
+        (1, at(0), "view"), (1, at(1), "click"), (1, at(2), "purchase"),
+        # u2: purchase BEFORE click -> stops at view+click... purchase
+        # at t0 precedes click, so stage 2
+        (2, at(0), "purchase"), (2, at(1), "view"), (2, at(2), "click"),
+        # u3: click and view same timestamp -> click not strictly after
+        (3, at(0), "view"), (3, at(0), "click"),
+        # u4: noise events only -> 0
+        (4, at(0), "error"), (4, at(1), "signup"),
+        # u5: repeats; the SECOND click is after view -> full funnel
+        (5, at(0), "click"), (5, at(1), "view"), (5, at(2), "click"),
+        (5, at(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
 def test_corpus_diff_statuses(spark):
     """corpus_diff: added/removed/changed/unchanged per id; content
     identity is the whitespace-normalized fingerprint, so a pure
