@@ -139,3 +139,59 @@ def funnel_stages(
     return events.groupBy(key_col).agg(
         F.aggregate(seq, init, advance)["st"].alias("stage")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    anchor_filter=None,
+) -> DataFrame:
+    """Cohort retention — the companion report to :func:`funnel_stages`:
+    group entities by the week of their anchor event (first event, or
+    first event matching ``anchor_filter`` — e.g. ``F.col("event_type")
+    == "signup"``), then count how many are active in each subsequent
+    week. The classic retention-triangle input.
+
+    Returns ``cohort_week (date), week_offset, n_cohort, n_active``
+    with ``week_offset >= 0`` (activity before the anchor is not
+    retention) and exact integer counts.
+
+    Scale shape: one groupBy-min for anchors, one equijoin on the
+    entity key (co-partitioned with the anchor aggregate's output
+    partitioning — AQE reuses the exchange), a distinct on
+    (entity, cohort, week) and two map-side-combined counts. Weeks are
+    ``date_trunc('week')`` Mondays — identical across engines.
+    """
+    src = events.filter(anchor_filter) if anchor_filter is not None else events
+    anchors = (
+        src.groupBy(key_col)
+        .agg(F.min(ts_col).alias("__t0"))
+        .withColumn("__cohort", F.date_trunc("week", F.col("__t0")))
+    )
+    acts = (
+        events.join(anchors, key_col)
+        .filter(F.col(ts_col) >= F.col("__t0"))
+        .select(
+            F.col(key_col),
+            F.col("__cohort"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col(ts_col)), F.col("__cohort")
+                ) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = anchors.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        acts.groupBy("__cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "__cohort")
+        .select(
+            F.col("__cohort").cast("date").alias("cohort_week"),
+            "week_offset", "n_cohort", "n_active",
+        )
+    )

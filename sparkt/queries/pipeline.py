@@ -1299,6 +1299,50 @@ ORDER BY representative
 """
 
 
+# ----------------------------------------------------------------- ft3
+def ft3_retention(spark, sf_dir):
+    """Cohort retention (sparkt.functions.features.cohort_retention):
+    signup-week cohorts × weekly activity — the retention-triangle
+    input, exact integer counts. Anchor = first 'signup' event per
+    user; week = date_trunc Monday in both engines."""
+    from sparkt.functions.features import cohort_retention
+
+    ev = T(spark, sf_dir, "events")
+    out = cohort_retention(
+        ev, "user_id", "ts",
+        anchor_filter=F.col("event_type") == "signup",
+    )
+    # ISO-string the week: pandas renders a DuckDB DATE as a datetime,
+    # so a raw date column can never hash-match across engines
+    return out.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "n_cohort", "n_active",
+    ).orderBy("cohort_week", "week_offset")
+
+
+FT3_SQL = """
+WITH anchors AS (
+  SELECT user_id, min(ts) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+coh AS (SELECT user_id, t0, date_trunc('week', t0) AS cohort
+        FROM anchors),
+acts AS (
+  SELECT DISTINCT e.user_id, c.cohort,
+         CAST(date_diff('day', c.cohort, date_trunc('week', e.ts)) / 7
+              AS INT) AS week_offset
+  FROM events e JOIN coh c ON e.user_id = c.user_id
+  WHERE e.ts >= c.t0),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM coh GROUP BY cohort)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week,
+       a.week_offset,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM acts a JOIN sizes s ON a.cohort = s.cohort
+GROUP BY a.cohort, a.week_offset, s.n_cohort
+ORDER BY cohort_week, week_offset
+"""
+
+
 # ----------------------------------------------------------------- ft2
 def ft2_funnel(spark, sf_dir):
     """Ordered funnel analysis (sparkt.functions.features
@@ -2768,6 +2812,7 @@ QUERIES = {
     "p8_skew_report": p8_skew_report,
     "d14_corpus_diff": d14_corpus_diff,
     "ft2_funnel": ft2_funnel,
+    "ft3_retention": ft3_retention,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2829,6 +2874,7 @@ ORACLES = {
     "p8_skew_report": P8_SQL,
     "d14_corpus_diff": D14_SQL,
     "ft2_funnel": FT2_SQL,
+    "ft3_retention": FT3_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

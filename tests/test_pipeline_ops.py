@@ -1395,6 +1395,35 @@ def test_pca_fit_project_matches_numpy(spark):
     assert np.allclose(am["variance"], model["variance"], atol=1e-9)
 
 
+def test_cohort_retention_semantics(spark):
+    """cohort_retention: anchor = first matching event; pre-anchor
+    activity excluded; weeks are Mondays; counts exact."""
+    import datetime as dt
+
+    from sparkt.functions.features import cohort_retention
+
+    mon = dt.datetime(2024, 4, 1, 10, 0)  # a Monday
+    rows = [
+        # u1 signs up week 0, active weeks 0 and 2
+        (1, mon, "signup"),
+        (1, mon + dt.timedelta(days=15), "click"),
+        # u2 signs up week 0 too; activity BEFORE signup ignored
+        (2, mon - dt.timedelta(days=3), "view"),
+        (2, mon + dt.timedelta(days=1), "signup"),
+        # u3 never signs up -> no cohort
+        (3, mon, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {(r["cohort_week"], r["week_offset"]):
+           (r["n_cohort"], r["n_active"])
+           for r in cohort_retention(
+               df, "user_id", "ts",
+               anchor_filter=F.col("event_type") == "signup",
+           ).collect()}
+    wk0 = dt.date(2024, 4, 1)
+    assert got == {(wk0, 0): (2, 2), (wk0, 2): (2, 1)}
+
+
 def test_funnel_stages_semantics(spark):
     """funnel_stages: greedy strictly-increasing subsequence matching —
     out-of-order steps don't count, same-timestamp consecutive steps
