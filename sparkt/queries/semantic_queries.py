@@ -50,6 +50,20 @@ _METRIC_SPECS = [
         "type_params": {"measure": "cents"},
     },
     {
+        "name": "cents_per_event",
+        "type": "ratio",
+        "type_params": {"numerator": "cents",
+                        "denominator": "n_events"},
+    },
+    {
+        "name": "cents_per_event_x10",
+        "type": "derived",
+        "type_params": {
+            "expr": "cents_per_event * 10",
+            "metrics": [{"name": "cents_per_event"}],
+        },
+    },
+    {
         "name": "cum_cents",
         "type": "cumulative",
         "type_params": {"measure": "cents"},
@@ -161,12 +175,53 @@ FROM m WHERE is_base = 1
 """
 
 
+# ----------------------------------------------------------------- sm3
+def sm3_ratio_derived_metric(spark, sf_dir):
+    """Ratio + derived metrics (the remaining two of the reference's
+    five metric types — metric.py RatioTypeParams/derived expr): cents
+    per event at (day, event_type) grain, and a derived expression
+    over the ratio metric. Both compile to one grouped aggregate —
+    one shuffle, arithmetic in the projection. Floats follow the q1
+    contract (round 6)."""
+    _events_view(spark, sf_dir)
+    sql = _layer().compile_query(
+        ["cents_per_event", "cents_per_event_x10"],
+        ["metric_time__day", "event_type"],
+    )
+    df = spark.sql(sql)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "metric_time_day", "event_type",
+        F.round("cents_per_event", 6).alias("cents_per_event"),
+        F.round("cents_per_event_x10", 6).alias("cents_per_event_x10"),
+    ).orderBy("metric_time_day", "event_type")
+
+
+SM3_SQL = """
+WITH g AS (
+  SELECT date_trunc('day', ts) AS metric_time_day, event_type,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents,
+         count(event_id) AS n_events
+  FROM events
+  GROUP BY 1, 2)
+SELECT metric_time_day, event_type,
+       round(CAST(cents AS DOUBLE) / n_events, 6) AS cents_per_event,
+       round(CAST(cents AS DOUBLE) / n_events * 10, 6)
+         AS cents_per_event_x10
+FROM g
+ORDER BY metric_time_day, event_type
+"""
+
+
 QUERIES = {
     "sm1_cumulative_metric": sm1_cumulative_metric,
     "sm2_conversion_metric": sm2_conversion_metric,
+    "sm3_ratio_derived_metric": sm3_ratio_derived_metric,
 }
 
 ORACLES = {
     "sm1_cumulative_metric": SM1_SQL,
     "sm2_conversion_metric": SM2_SQL,
+    "sm3_ratio_derived_metric": SM3_SQL,
 }
