@@ -296,3 +296,66 @@ def test_static_extraction_equals_render_for_const_configs(
     pctx, collector, r_refs, r_srcs = ctx_mod.parse_context({}, {})
     env.from_string(src).render(**pctx)
     assert static_cfg == collector.collected, src
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=30, deadline=None)
+def test_normalize_text_idempotent_and_canonical(spark, s):
+    """normalize_text is idempotent (a second pass is a no-op) and its
+    output never contains control chars, folded unicode punctuation,
+    runs of whitespace, or leading/trailing space — over ARBITRARY
+    unicode input, not just the gate corpus."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.text import normalize_text
+
+    df = spark.createDataFrame([(s,)], "t string")
+    out = df.select(
+        normalize_text(F.col("t")).alias("n1"),
+        normalize_text(normalize_text(F.col("t"))).alias("n2"),
+    ).first()
+    assert out["n1"] == out["n2"]  # idempotent
+    n = out["n1"]
+    assert not re.search("[\x00-\x08\x0b-\x1f\x7f-\x9f]", n)
+    assert not re.search("[‘’“”–— …]", n)
+    assert "  " not in n and n == n.strip()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30),
+                  st.sampled_from(["a", "b", "c", "x"])),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_funnel_stages_matches_greedy_reference(spark, evs):
+    """funnel_stages equals the greedy strictly-increasing subsequence
+    scan over arbitrary event interleavings (multiple users, ties,
+    noise types)."""
+    import datetime as dt
+
+    from sparkt.functions.features import funnel_stages
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [(u, t0 + dt.timedelta(minutes=m), t) for u, m, t in evs]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["a", "b", "c"]
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(
+        df, "user_id", "ts", "event_type", steps).collect()}
+
+    expect: dict = {}
+    per_user: dict = {}
+    for u, m, t in evs:
+        per_user.setdefault(u, []).append((m, t))
+    for u, seq in per_user.items():
+        stage, last = 0, None
+        for m, t in sorted(seq):
+            if (stage < 3 and t == steps[stage]
+                    and (last is None or m > last)):
+                stage += 1
+                last = m
+        expect[u] = stage
+    assert got == expect
