@@ -1299,6 +1299,46 @@ ORDER BY representative
 """
 
 
+# ----------------------------------------------------------------- ft4
+def ft4_anomalies(spark, sf_dir):
+    """Robust daily-volume anomaly flags (sparkt.functions.features
+    .count_anomalies): per event_type, days whose count deviates from
+    the type's median by a modified z-score (median/MAD, Iglewicz &
+    Hoaglin) above 3.5. Counts exact; median/MAD of integer counts
+    interpolate identically across engines (round 6)."""
+    from sparkt.functions.features import count_anomalies
+
+    ev = T(spark, sf_dir, "events")
+    out = count_anomalies(ev, "ts", "event_type", z_threshold=3.5)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n", "med", "mad", "is_anomaly",
+    ).orderBy("event_type", "day")
+
+
+FT4_SQL = """
+WITH g AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+med AS (SELECT grp, quantile_cont(n, 0.5) AS med FROM g GROUP BY grp),
+dev AS (
+  SELECT g.grp, g.day, g.n, med.med, abs(g.n - med.med) AS ad
+  FROM g JOIN med USING (grp)),
+mad AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY grp)
+SELECT dev.grp AS event_type,
+       strftime(dev.day, '%Y-%m-%d') AS day,
+       CAST(dev.n AS BIGINT) AS n,
+       round(dev.med, 6) AS med,
+       round(mad.mad, 6) AS mad,
+       CASE WHEN mad.mad = 0 THEN dev.ad > 0
+            ELSE 0.6745 * dev.ad / mad.mad > 3.5 END AS is_anomaly
+FROM dev JOIN mad USING (grp)
+ORDER BY event_type, day
+"""
+
+
 # ----------------------------------------------------------------- ft3
 def ft3_retention(spark, sf_dir):
     """Cohort retention (sparkt.functions.features.cohort_retention):
@@ -2813,6 +2853,7 @@ QUERIES = {
     "d14_corpus_diff": d14_corpus_diff,
     "ft2_funnel": ft2_funnel,
     "ft3_retention": ft3_retention,
+    "ft4_anomalies": ft4_anomalies,
     "mm2_frame_sample": mm2_frame_sample,
     "d10_span_dupes": d10_span_dupes,
     "s5_quantize_int8": s5_quantize_int8,
@@ -2875,6 +2916,7 @@ ORACLES = {
     "d14_corpus_diff": D14_SQL,
     "ft2_funnel": FT2_SQL,
     "ft3_retention": FT3_SQL,
+    "ft4_anomalies": FT4_SQL,
     "mm2_frame_sample": MM2_SQL,
     "d10_span_dupes": D10_SQL,
     "s5_quantize_int8": S5_SQL,

@@ -1395,6 +1395,44 @@ def test_pca_fit_project_matches_numpy(spark):
     assert np.allclose(am["variance"], model["variance"], atol=1e-9)
 
 
+def test_count_anomalies_median_mad(spark):
+    """count_anomalies: a single spiked day flags, steady days don't;
+    MAD==0 degenerates to any-deviation; values match a numpy
+    median/MAD reference."""
+    import datetime as dt
+
+    import numpy as np
+
+    from sparkt.functions.features import count_anomalies
+
+    d0 = dt.datetime(2024, 7, 1)
+    rows = []
+    # type 'a': counts 5,6,7,5,40 (spike on day 4; MAD = 1, so the
+    # small 5/6/7 wobble stays under the 3.5 modified-z threshold)
+    for day, c in enumerate([5, 6, 7, 5, 40]):
+        rows += [("a", d0 + dt.timedelta(days=day, minutes=m))
+                 for m in range(c)]
+    # type 'b': constant 3/day -> MAD 0, no deviation, no flags
+    for day in range(4):
+        rows += [("b", d0 + dt.timedelta(days=day, minutes=m))
+                 for m in range(3)]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {(r["event_type"], r["day"].day): r for r in
+           count_anomalies(df, "ts", "event_type").collect()}
+
+    a_counts = np.array([5, 6, 7, 5, 40])
+    med = float(np.median(a_counts))
+    mad = float(np.median(np.abs(a_counts - med)))
+    spiked = got[("a", 5)]
+    assert spiked["n"] == 40 and spiked["is_anomaly"]
+    assert abs(spiked["med"] - med) < 1e-9
+    assert abs(spiked["mad"] - mad) < 1e-9
+    assert not any(r["is_anomaly"] for (t, _), r in got.items()
+                   if t == "a" and r["n"] != 40)
+    assert all(not r["is_anomaly"] and r["mad"] == 0.0
+               for (t, _), r in got.items() if t == "b")
+
+
 def test_cohort_retention_semantics(spark):
     """cohort_retention: anchor = first matching event; pre-anchor
     activity excluded; weeks are Mondays; counts exact."""
