@@ -359,3 +359,26 @@ def test_funnel_stages_matches_greedy_reference(spark, evs):
                 last = m
         expect[u] = stage
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=80),
+    st.integers(1, 6),
+)
+@settings(max_examples=20, deadline=None)
+def test_key_skew_report_two_phase_equals_naive(spark, keys, top_n):
+    """The two-phase heavy-hitter cap (per-hash-bucket top-N then
+    global top-N) equals the naive single-window formulation on
+    arbitrary key multisets — the superset argument, pinned."""
+    from collections import Counter
+
+    from sparkt.functions.skew import key_skew_report
+
+    df = spark.createDataFrame([(f"k{v}",) for v in keys], ["k"])
+    got = [(r["k"], r["n_rows"], r["rank"]) for r in
+           key_skew_report(df, "k", top_n=top_n)
+           .orderBy("rank").collect()]
+
+    counts = Counter(f"k{v}" for v in keys)
+    naive = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:top_n]
+    assert got == [(k, c, i + 1) for i, (k, c) in enumerate(naive)]
