@@ -65,3 +65,52 @@ def profile_table(
         for c in cols
     ])
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def profile_values(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-column frequent-value profile — the value-distribution half
+    of :func:`profile_table` (what a catalog's "common values" panel
+    and a skew-aware planner both want): the ``top_k`` most frequent
+    values of each profiled column with exact counts, long format
+    ``column, value, n_rows, rank`` (values cast to string for a
+    uniform schema; NULLs profiled as a real group).
+
+    Scale shape: ONE unpivot projection (k columns → (column, value)
+    pairs via an inline array — a stack, not k scans), one
+    map-side-combined count shuffle, then the established two-phase
+    top-N cap per column (≤ top_k survivors per 64-way hash sub-bucket
+    before the per-column rank — no task sorts a full value
+    distribution). Deterministic tie-break (count desc, value asc,
+    NULL last).
+    """
+    from pyspark.sql import Window
+
+    cols = list(columns) if columns else list(df.columns)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in cols
+    ])
+    counts = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    sub = F.pmod(F.xxhash64("column", "value"), F.lit(64))
+    order = [F.desc("n_rows"), F.asc_nulls_last("value")]
+    w1 = Window.partitionBy("column", sub).orderBy(*order)
+    w2 = Window.partitionBy("column").orderBy(*order)
+    return (
+        counts.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= top_k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= top_k)
+        .select("column", "value", "n_rows", "rank")
+    )

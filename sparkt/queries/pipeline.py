@@ -2031,6 +2031,39 @@ ORDER BY user_id
 """
 
 
+# ----------------------------------------------------------------- pr2
+def pr2_profile_values(spark, sf_dir):
+    """Per-column frequent-value profile (sparkt.functions.profile
+    .profile_values): top-3 values of lang and source with exact
+    counts — one unpivot projection, one count shuffle, two-phase
+    per-column top-N (no task sorts a full value distribution)."""
+    from sparkt.functions.profile import profile_values
+
+    docs = T(spark, sf_dir, "documents")
+    return profile_values(docs, ["lang", "source"], top_k=3).orderBy(
+        "column", "rank"
+    )
+
+
+PR2_SQL = """
+WITH pairs AS (
+  SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+  FROM documents
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+c AS (SELECT "column", value, count(*) AS n_rows
+      FROM pairs GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY "column"
+        ORDER BY n_rows DESC, value ASC NULLS LAST) AS rank
+      FROM c)
+SELECT "column", value, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+ORDER BY "column", rank
+"""
+
+
 # ------------------------------------------------------------------ s8
 def s8_margin_pairs(spark, sf_dir):
     """Margin-criterion pair mining (sparkt.functions.similarity
@@ -2843,6 +2876,7 @@ QUERIES = {
     "t14_bm25": t14_bm25,
     "t15_collocations": t15_collocations,
     "pr1_profile": pr1_profile,
+    "pr2_profile_values": pr2_profile_values,
     "s8_margin_pairs": s8_margin_pairs,
     "ft1_decay_features": ft1_decay_features,
     "s9_pca_cov": s9_pca_cov,
@@ -2906,6 +2940,7 @@ ORACLES = {
     "t14_bm25": T14_SQL,
     "t15_collocations": T15_SQL,
     "pr1_profile": PR1_SQL,
+    "pr2_profile_values": PR2_SQL,
     "s8_margin_pairs": S8_SQL,
     "ft1_decay_features": FT1_SQL,
     "s9_pca_cov": S9_SQL,

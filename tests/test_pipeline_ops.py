@@ -756,6 +756,33 @@ def test_collocations_matches_python_reference(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_profile_values_matches_counter(spark):
+    """profile_values equals a Counter reference: exact counts, rank
+    ties broken by value asc, NULL profiled as a group and sorted
+    last among ties, two-phase cap == naive top-k."""
+    from collections import Counter
+
+    from sparkt.functions.profile import profile_values
+
+    rows = [("a", None), ("a", 1), ("b", 1), ("a", 2), ("c", 1),
+            ("b", 2), ("a", 3)]
+    df = spark.createDataFrame(rows, ["s", "v"])
+    got = [(r["column"], r["value"], r["n_rows"], r["rank"])
+           for r in profile_values(df, ["s", "v"], top_k=2)
+           .orderBy("column", "rank").collect()]
+
+    expect = []
+    for c, vals in (("s", [r[0] for r in rows]),
+                    ("v", [r[1] for r in rows])):
+        cnt = Counter(str(x) if x is not None else None for x in vals)
+        top = sorted(
+            cnt.items(),
+            key=lambda t: (-t[1], t[0] is None, t[0] or ""),
+        )[:2]
+        expect += [(c, v, n, i + 1) for i, (v, n) in enumerate(top)]
+    assert got == expect
+
+
 def test_profile_table_exact_and_approx(spark):
     """profile_table: exact stats equal a Python reference (nulls,
     distincts, native-type min/max cast AFTER comparing — '9' > '10'
