@@ -105,6 +105,12 @@ def funnel_stages(
 
     Returns ``(<key_col>, stage)`` with ``0 <= stage <= len(steps)``.
     """
+    if not steps:
+        # element_at(steps_lit, 0) below would raise under ANSI mode
+        # (Column & does not short-circuit), so guard before planning
+        return events.select(key_col).distinct().withColumn(
+            "stage", F.lit(0).cast("int")
+        )
     n = len(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
     seq = F.sort_array(

@@ -55,7 +55,10 @@ def inverted_index(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
     )
-    sub = F.pmod(F.col("doc"), F.lit(16))
+    # xxhash64 bucketing is type-agnostic (string doc ids are common);
+    # pmod(doc, 16) would implicit-cast and raise under ANSI mode.
+    # The two-phase superset argument is independent of the bucket fn.
+    sub = F.pmod(F.xxhash64("doc"), F.lit(16))
     w1 = Window.partitionBy("term", sub).orderBy(F.asc("doc"))
     w2 = Window.partitionBy("term").orderBy(F.asc("doc"))
     capped = (

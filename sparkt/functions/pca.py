@@ -32,8 +32,8 @@ from sparkt.sources import spread
 def covariance_table(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Upper-triangle population covariance of the first ``dim``
     vector components, exactly ``avg(x_i·x_j) − avg(x_i)·avg(x_j)``
-    (the formula the DuckDB oracle mirrors verbatim), rounded at 4dp
-    per the cross-engine float contract.
+    (the formula the DuckDB oracle mirrors verbatim), rounded at 7dp
+    (see the float-contract note below for why not the 4dp default).
 
     Returns ``i, j, cov`` with ``1 <= i <= j <= dim`` — d(d+1)/2 rows,
     independent of corpus size.

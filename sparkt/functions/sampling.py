@@ -112,15 +112,21 @@ def weighted_bernoulli_sample(
 
     INTEGER-EXACT survival rule: keep iff ``u32 · scale < w · 2³²``
     (all BIGINT arithmetic; no float rounding anywhere, so every
-    engine agrees on the exact survivor set — safe up to scale·2³² <
-    2⁶³, i.e. scale < ~2·10⁹). Pure per-row filter: no shuffle, no
-    global state, stable under reruns and repartitioning —
-    embarrassingly parallel at 100 TB.
+    engine agrees on the exact survivor set). Both sides must stay
+    under 2⁶³: scale < ~2·10⁹ bounds the left, and the weight is
+    CLAMPED to ``scale`` before the multiply — P saturates at 1 for
+    w >= scale, so the clamp is semantics-preserving and keeps
+    byte-size-class weights (>= 2³¹) from overflowing bigint under
+    ANSI mode. Pure per-row filter: no shuffle, no global state,
+    stable under reruns and repartitioning — embarrassingly parallel
+    at 100 TB.
     """
     u = _u32(id_col, salt)
+    w_clamped = F.least(
+        F.col(weight_col).cast("bigint"), F.lit(int(scale))
+    )
     return df.filter(
-        u * F.lit(int(scale))
-        < F.col(weight_col).cast("bigint") * F.lit(1 << 32)
+        u * F.lit(int(scale)) < w_clamped * F.lit(1 << 32)
     )
 
 

@@ -67,9 +67,16 @@ def cosine_topk(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
+    self_exclude: bool = True,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (excluding self).
-    Deterministic: rank by (rounded cosine desc, corpus_id asc)."""
+    """Exact top-k cosine neighbors per query.
+    Deterministic: rank by (rounded cosine desc, corpus_id asc).
+
+    ``self_exclude`` (default True) drops pairs whose ids are equal —
+    correct when queries and corpus are the SAME collection. Pass
+    False when the two sides are independent collections whose id
+    spaces may overlap (two languages both 0-based, two snapshots):
+    there an id collision is a coincidence, not a self-match."""
     # norms precomputed per ROW: computing them inside the join would
     # re-evaluate the HOF aggregate once per PAIR (measured ~2x bench
     # cost on the brute-force path)
@@ -81,15 +88,13 @@ def cosine_topk(
         F.col(corpus_id), F.col(vec).alias("cv"),
         norm(F.col(vec)).alias("cn"),
     )
-    scored = (
-        broadcast(q)
-        .crossJoin(c)
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .withColumn(
-            "cos",
-            _safe_cos(dot(F.col("qv"), F.col("cv")),
-                      F.col("qn"), F.col("cn")),
-        )
+    scored = broadcast(q).crossJoin(c)
+    if self_exclude:
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    scored = scored.withColumn(
+        "cos",
+        _safe_cos(dot(F.col("qv"), F.col("cv")),
+                  F.col("qn"), F.col("cn")),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cos"), F.asc(corpus_id)
@@ -180,12 +185,18 @@ def margin_pairs(
     scale feed both from :func:`ivf_topk` candidates, which also
     yield the kNN means) + vocabulary-sized mean aggregates + one
     equijoin on each side's id. No step is quadratic in the corpus.
+
+    The two collections are INDEPENDENT, so ``self_exclude=False``:
+    a left id that happens to equal a right id (both sides 0-based is
+    the common case) is a legitimate candidate pair, not a self-match.
     """
     fwd = cosine_topk(
-        left, right, k=k, query_id=left_id, corpus_id=right_id, vec=vec
+        left, right, k=k, query_id=left_id, corpus_id=right_id,
+        vec=vec, self_exclude=False,
     )
     bwd = cosine_topk(
-        right, left, k=k, query_id=right_id, corpus_id=left_id, vec=vec
+        right, left, k=k, query_id=right_id, corpus_id=left_id,
+        vec=vec, self_exclude=False,
     )
     lmean = fwd.groupBy(left_id).agg(F.avg("cos").alias("__lm"))
     rmean = bwd.groupBy(right_id).agg(F.avg("cos").alias("__rm"))

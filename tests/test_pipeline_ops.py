@@ -2043,3 +2043,70 @@ def test_shuffle_shards_null_id_fails_loudly(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         shuffle_shards(df, "doc_id", "sz", seed="n", shard_size=64)
+
+
+def test_margin_pairs_keeps_colliding_ids(spark):
+    """ADVICE r9 (medium): margin_pairs aligns two INDEPENDENT
+    collections, so a left id that numerically equals a right id must
+    stay a candidate. Both sides 0-based here; the pre-fix code
+    silently dropped every diagonal pair from candidates AND kNN
+    means."""
+    from sparkt.functions.similarity import margin_pairs
+
+    # identical collections with identical 0-based ids: the best match
+    # for left i is right i (cos = 1.0), which collides by id
+    vecs = [(i, [float((i * 7 + d * 3) % 5) + 1.0 for d in range(4)])
+            for i in range(5)]
+    ldf = spark.createDataFrame(vecs, ["left_id", "embedding"])
+    rdf = spark.createDataFrame(vecs, ["right_id", "embedding"])
+    got = {r["left_id"]: r for r in
+           margin_pairs(ldf, rdf, k=2, threshold=0.0).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, r in got.items():
+        assert r["right_id"] == i and r["cos"] == 1.0
+
+
+def test_funnel_stages_empty_steps(spark):
+    """ADVICE r9 (low): an empty funnel must return stage 0 per
+    entity, not raise INVALID_ARRAY_INDEX under ANSI mode (Column &
+    does not short-circuit element_at(steps, 0))."""
+    from sparkt.functions.features import funnel_stages
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view"),
+         (2, "2024-01-01 00:01:00", "click")],
+        "user_id int, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(
+        df, "user_id", "ts", "event_type", []).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_weighted_bernoulli_huge_weight_no_overflow(spark):
+    """ADVICE r9 (low): a weight >= 2^31 (byte sizes of large files)
+    must not overflow w * 2^32 under ANSI mode; P saturates at 1, so
+    every such row survives."""
+    from sparkt.functions.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(i, (1 << 31) + i) for i in range(8)], "doc_id int, w long"
+    )
+    kept = weighted_bernoulli_sample(df, "w", "doc_id", scale=1000).count()
+    assert kept == 8
+
+
+def test_inverted_index_string_doc_ids(spark):
+    """ADVICE r9 (low): the phase-1 sub-bucket must be type-agnostic
+    (xxhash64), not pmod(doc, 16) which ANSI-fails on string ids.
+    Capped postings still exactly equal the naive head of the sorted
+    posting list."""
+    from sparkt.functions.index import inverted_index
+
+    rows = [(f"doc-{i:03d}", "alpha beta " + ("alpha " * (i % 3)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["term"]: r for r in
+           inverted_index(df, "text", "doc_id", max_postings=5).collect()}
+    assert got["alpha"]["df"] == 30
+    assert got["alpha"]["postings"] == [f"doc-{i:03d}" for i in range(5)]
+    assert got["beta"]["df"] == 30
