@@ -1,0 +1,80 @@
+"""Retrieval-quality evaluation over ranked runs + relevance labels.
+
+The measurement half of the retrieval stack (:mod:`sparkt.functions
+.similarity` produces dense runs, :mod:`sparkt.functions.index` lexical
+ones): given a ranked run and a qrels table, compute per-query
+recall@k / precision@k / MRR — the standard TREC-style diagnostics a
+training-data pipeline runs after every embedding or chunking change.
+
+Beyond-reference operator; formulas are the published IR definitions
+(Voorhees 1999 for MRR; recall/precision@k as in every TREC track).
+
+Float contract: every metric here is a SINGLE division of integers
+(or 1/rank), computed in one expression — no float aggregation, so
+cross-engine determinism needs only the display rounding (4dp ratios,
+6dp MRR).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    doc_id: str = "corpus_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval metrics of ``run`` against ``qrels``.
+
+    ``run``: ranked results — ``(query_id, doc_id, rank_col)`` with
+    rank 1 = best (extra columns ignored). ``qrels``: the relevant
+    ``(query_id, doc_id)`` pairs (duplicates tolerated).
+
+    Returns one row per query WITH RELEVANT DOCS: integer evidence
+    ``n_rel, n_ret, n_rel_ret, first_rel_rank`` (first_rel_rank 0 when
+    nothing relevant was retrieved) plus ``recall_at_k``,
+    ``precision_at_k`` (4dp) and ``mrr`` (6dp, 0.0 when no hit —
+    the standard convention, and it keeps the output null-free).
+
+    Scale shape: one equijoin of the top-k slice against the distinct
+    qrels on (query, doc) — both sides are |Q|·k / |qrels|-sized, tiny
+    next to the corpus that produced the run — then one groupBy per
+    query. No step touches the corpus itself.
+    """
+    rel = qrels.select(
+        F.col(query_id).alias("__q"), F.col(doc_id).alias("__d")
+    ).distinct()
+    nrel = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
+    topk = run.select(
+        F.col(query_id).alias("__q"),
+        F.col(doc_id).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    ).filter(F.col("__r") <= k)
+    marked = topk.join(rel.withColumn("__rel", F.lit(1)), ["__q", "__d"],
+                       "left")
+    perq = marked.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.sum(F.coalesce(F.col("__rel"), F.lit(0))).alias("n_rel_ret"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__r")))
+        .alias("__first"),
+    )
+    out = nrel.join(perq, "__q", "left")
+    n_rel_ret = F.coalesce(F.col("n_rel_ret"), F.lit(0))
+    return out.select(
+        F.col("__q").alias(query_id),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.coalesce(F.col("n_ret"), F.lit(0)).cast("long").alias("n_ret"),
+        n_rel_ret.cast("long").alias("n_rel_ret"),
+        F.coalesce(F.col("__first"), F.lit(0)).cast("long")
+        .alias("first_rel_rank"),
+        F.round(n_rel_ret / F.col("n_rel"), 4).alias("recall_at_k"),
+        F.round(n_rel_ret / F.lit(float(k)), 4).alias("precision_at_k"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("__first"), 6), F.lit(0.0)
+        ).alias("mrr"),
+    )

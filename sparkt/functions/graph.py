@@ -1,0 +1,91 @@
+"""Graph structure operators over edge tables.
+
+Triangle counting measures the local density of a similarity graph —
+the standard diagnostic for LSH candidate-pair quality (a clique of
+near-duplicates is triangle-rich; hash-collision noise is
+triangle-free) and the building block of clustering-coefficient
+features. The connected-components / label-propagation family lives in
+:mod:`sparkt.functions.dedup` (``duplicate_clusters``).
+
+Beyond-reference operator (the reference engine ships no graph
+primitives); the algorithm is the published degree-oriented
+compact-forward method (Latapy 2008; Suri & Vassilvitskii 2011 for the
+MapReduce orientation bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact per-vertex triangle counts of an undirected graph.
+
+    Returns ``node, deg, triangles`` — one row per vertex of the
+    deduplicated edge set, ``deg`` its undirected degree, ``triangles``
+    the number of triangles it participates in (0 included).
+
+    DEGREE-ORIENTED, NOT id-ORIENTED (the 100 TB argument): every
+    edge is directed from its lower ``(deg, id)`` endpoint to the
+    higher, making the oriented graph a DAG under a total order — each
+    triangle has exactly ONE source vertex, so the wedge self-join
+    emits it exactly once and no dedup pass is needed. The wedge
+    fan-out per vertex is its ORIENTED out-degree, which is O(sqrt(m))
+    on ANY graph (Suri & Vassilvitskii 2011) — a power-law hub with
+    10^7 neighbors contributes 10^14 wedges under id-orientation but
+    only ~m wedges here. Total work is two equijoins (wedge build +
+    edge close), both shuffles on plain keys; the result is
+    orientation-independent, so an id-ordered SQL oracle reproduces
+    it exactly.
+
+    The canonical edge set and the oriented edge set are each
+    MATERIALIZED once (localCheckpoint — the pl2 doctrine): the edge
+    list is referenced 4x downstream (degrees, wedge sides, closing
+    join) and Catalyst re-inlines non-cheap subtrees wholesale, so
+    without this an expensive upstream (an LSH candidate generator)
+    would run once per reference.
+    """
+    a, b = F.least(src, dst), F.greatest(src, dst)
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("__da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("__db")), "b")
+    )
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = j.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    # wedge at x: x->y, y->z (both oriented), closed by oriented x->z
+    w1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = w1.join(w2, "y").join(closing, ["x", "z"])
+    cnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(cnt, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+    )

@@ -146,3 +146,76 @@ def bm25_match(
             F.sum("__s").alias("bm25"),
         )
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    k: int = 60,
+    query_id: str = "qid",
+    doc_id: str = "doc",
+    rank_col: str = "rank",
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval runs (public
+    formula: Cormack, Clarke & Buettcher, SIGIR 2009) — the standard
+    way to combine a lexical run (:func:`bm25_match`) with a dense one
+    (:func:`sparkt.functions.similarity.cosine_topk`) without score
+    calibration:
+
+        rrf(q, d) = sum over runs of 1 / (k + rank_i(q, d))
+
+    with a run missing the pair contributing 0. Returns ``query_id,
+    doc_id, rank_0..rank_{N-1}, rrf, fused_rank`` (fused_rank by
+    ``rrf desc, doc asc``; ``topn`` keeps the head per query).
+
+    Float contract: the score is ONE fixed-shape arithmetic expression
+    over the pivoted per-run rank columns — never a float SUM whose
+    addend order the engine picks — so any engine that evaluates the
+    same expression reproduces it bit-for-bit (rounded 6dp for
+    display).
+
+    Scale shape: the inputs are top-k-sized (|Q|·k rows per run, the
+    corpus is already gone), so the whole fusion is one union + one
+    groupBy on (query, doc) + one per-query window. A pair appearing
+    twice in one run keeps its BEST (min) rank.
+    """
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    tagged = [
+        r.select(
+            F.col(query_id).alias("__q"),
+            F.col(doc_id).alias("__d"),
+            F.col(rank_col).alias("__r"),
+            F.lit(i).alias("__run"),
+        )
+        for i, r in enumerate(runs)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    piv = u.groupBy("__q", "__d").agg(
+        *[
+            F.min(F.when(F.col("__run") == i, F.col("__r")))
+            .alias(f"rank_{i}")
+            for i in range(len(runs))
+        ]
+    )
+    score = None
+    for i in range(len(runs)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    piv = piv.withColumn("rrf", F.round(score, 6))
+    w = Window.partitionBy("__q").orderBy(F.desc("rrf"), F.asc("__d"))
+    out = piv.withColumn("fused_rank", F.row_number().over(w))
+    if topn is not None:
+        out = out.filter(F.col("fused_rank") <= topn)
+    return out.select(
+        F.col("__q").alias(query_id),
+        F.col("__d").alias(doc_id),
+        *[f"rank_{i}" for i in range(len(runs))],
+        "rrf",
+        "fused_rank",
+    )

@@ -697,3 +697,50 @@ def write_shards(
     with open(_os.path.join(out_dir, "manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1)
     return manifest
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    splits: dict[str, float],
+    salt: str = "csplit",
+) -> DataFrame:
+    """Leakage-safe dataset split: assign train/val/test by hashing
+    the CLUSTER id instead of the row id, so every member of a
+    duplicate cluster lands in the SAME split. Splitting dedup-related
+    rows across train and eval is the classic contamination bug the
+    dedup literature warns about (near-duplicates of training docs in
+    the test set inflate eval); hashing the cluster key makes it
+    structurally impossible. ``cluster_col`` is whatever keys the
+    duplicate group — an exact-dedup fingerprint (md5 of normalized
+    text), a :func:`sparkt.functions.dedup.duplicate_clusters` root,
+    or a SemDeDup representative.
+
+    ``splits`` maps name -> fraction in iteration order; fractions
+    must sum to 1 (±1e-9). The assignment rule is the INTEGER-EXACT
+    _u32 ladder shared with :func:`stratified_sample`: split i gets
+    u32 in [floor(cum_{i-1}·2³²), floor(cum_i·2³²)), the last split
+    absorbing the rounding tail — every engine agrees on the exact
+    boundary row. Pure per-row expression: no shuffle, no state,
+    embarrassingly parallel at 100 TB.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    u = _u32(cluster_col, salt)
+    names = list(splits)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += splits[name]
+        bound = F.lit(int(cum * (1 << 32)))
+        expr = (
+            F.when(u < bound, name)
+            if expr is None
+            else expr.when(u < bound, name)
+        )
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

@@ -503,6 +503,29 @@ def _s4_sql() -> str:
         _pseudo_centroids,
     )
 
+    return (
+        _ann_cte_body()
+        + """
+SELECT query_id, corpus_id, cos, rank, method FROM lsh_k
+UNION ALL
+SELECT query_id, corpus_id, cos, rank, method FROM ivf_k
+ORDER BY method, query_id, rank
+"""
+    )
+
+
+def _ann_cte_body() -> str:
+    """The WITH-clause shared by the ANN-family oracles (s4, s10, ev1):
+    sign-LSH buckets + IVF 2-probe cells over embeddings, queries
+    vec_id < 10, k = 5 — ending open after the ``ivf_k`` CTE so
+    callers can append their own CTEs / final SELECT. Constants come
+    from the SAME helpers the Spark operators use (see ``_s4_sql``'s
+    lockstep + float-boundary notes)."""
+    from sparkt.functions.similarity import (
+        _plane_weights,
+        _pseudo_centroids,
+    )
+
     dim, n_planes, n_cells, k = 64, 4, 8, 5
     cents = _pseudo_centroids(dim, n_cells)
 
@@ -568,12 +591,7 @@ ivf_k AS (
                  / greatest(q.nrm * c.nrm, 1e-12), 4) AS cos
     FROM qcells q JOIN cells c USING (cell)
     WHERE q.vec_id != c.vec_id)
-  QUALIFY rank <= {k})
-SELECT query_id, corpus_id, cos, rank, method FROM lsh_k
-UNION ALL
-SELECT query_id, corpus_id, cos, rank, method FROM ivf_k
-ORDER BY method, query_id, rank
-"""
+  QUALIFY rank <= {k})"""
 
 
 # ------------------------------------------------------------------ d6
@@ -2855,6 +2873,220 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- s10
+def s10_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval fusion (sparkt.functions.index.rrf_fuse):
+    RRF-combine the two lint-clean ANN runs of s4 (sign-LSH bucketed
+    top-k + IVF 2-probe top-k) into one ranking — the standard
+    multi-retriever recipe (Cormack et al. 2009). The score is a fixed
+    two-term expression over pivoted ranks (never a float-sum
+    aggregate), so the oracle reproduces it exactly; fused_rank orders
+    by the ROUNDED score in both engines."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    lsh = S.lsh_bucketed_topk(queries, corpus, dim=64, k=5, n_planes=4)
+    ivf = S.ivf_topk(queries, corpus, dim=64, k=5, n_cells=8, n_probe=2)
+    from sparkt.functions.index import rrf_fuse
+
+    return rrf_fuse(
+        [lsh, ivf], k=60, query_id="query_id", doc_id="corpus_id"
+    ).orderBy("query_id", "fused_rank")
+
+
+def _s10_sql() -> str:
+    return (
+        _ann_cte_body()
+        + """,
+runs AS (
+  SELECT query_id, corpus_id, rank, 0 AS run FROM lsh_k
+  UNION ALL
+  SELECT query_id, corpus_id, rank, 1 AS run FROM ivf_k),
+piv AS (
+  SELECT query_id, corpus_id,
+         min(CASE WHEN run = 0 THEN rank END) AS r0,
+         min(CASE WHEN run = 1 THEN rank END) AS r1
+  FROM runs GROUP BY 1, 2),
+sc AS (
+  SELECT query_id, corpus_id, r0, r1,
+         round(coalesce(1.0 / (60.0 + r0), 0.0)
+               + coalesce(1.0 / (60.0 + r1), 0.0), 6) AS rrf
+  FROM piv)
+SELECT query_id, corpus_id,
+       CAST(r0 AS INT) AS rank_0, CAST(r1 AS INT) AS rank_1, rrf,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, corpus_id ASC)
+            AS INT) AS fused_rank
+FROM sc
+ORDER BY query_id, fused_rank
+"""
+    )
+
+
+# ----------------------------------------------------------------- ev1
+def ev1_retrieval_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation (sparkt.functions.evaluate
+    .retrieval_metrics): recall@5 / precision@5 / MRR of the sign-LSH
+    ANN run against label-match ground truth (a corpus item is
+    relevant to a query iff their labels agree) — the TREC-style
+    measurement loop a pipeline runs after every embedding change.
+    Integer evidence hashes exactly; each float metric is a single
+    integer division (4dp) or 1/rank (6dp), never a float sum."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    run = S.lsh_bucketed_topk(
+        queries.drop("label"), corpus.drop("label"),
+        dim=64, k=5, n_planes=4,
+    )
+    qrels = (
+        queries.select("query_id", "label")
+        .join(corpus.select("corpus_id", "label"), "label")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+    )
+    from sparkt.functions.evaluate import retrieval_metrics
+
+    return retrieval_metrics(
+        run, qrels, k=5, query_id="query_id", doc_id="corpus_id"
+    ).orderBy("query_id")
+
+
+def _ev1_sql() -> str:
+    return (
+        _ann_cte_body()
+        + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+qrels AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+  FROM lab q JOIN lab c ON q.label = c.label AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10),
+nrel AS (
+  SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+marked AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN g.corpus_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM lsh_k r LEFT JOIN qrels g USING (query_id, corpus_id)),
+perq AS (
+  SELECT query_id, count(*) AS n_ret, sum(rel) AS n_rel_ret,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+  FROM marked GROUP BY 1)
+SELECT n.query_id,
+       CAST(n.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(p.n_ret, 0) AS BIGINT) AS n_ret,
+       CAST(coalesce(p.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+       CAST(coalesce(p.first_rel, 0) AS BIGINT) AS first_rel_rank,
+       round(coalesce(p.n_rel_ret, 0) / n.n_rel, 4) AS recall_at_k,
+       round(coalesce(p.n_rel_ret, 0) / 5.0, 4) AS precision_at_k,
+       coalesce(round(1.0 / p.first_rel, 6), 0.0) AS mrr
+FROM nrel n LEFT JOIN perq p USING (query_id)
+ORDER BY n.query_id
+"""
+    )
+
+
+# ------------------------------------------------------------------ p9
+def p9_cluster_split(spark, sf_dir):
+    """Leakage-safe dataset split (sparkt.functions.sampling
+    .cluster_safe_split): assign train/val/test by hashing the
+    exact-dedup FINGERPRINT (md5 of text) instead of the doc id, so
+    identical documents can never straddle train and eval — the
+    contamination guard from the dedup literature. Pure per-row
+    expression; the integer-exact _u32 ladder is shared with p3."""
+    from sparkt.functions import sampling as SA
+
+    docs = T(spark, sf_dir, "documents")
+    clustered = docs.withColumn("fp", F.md5(F.col("text")))
+    out = SA.cluster_safe_split(
+        clustered, "fp", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "fp", "split").orderBy("doc_id")
+
+
+def _p9_sql() -> str:
+    b = []
+    cum = 0.0
+    for frac in (0.8, 0.1):
+        cum += frac
+        b.append(int(cum * (1 << 32)))
+    return f"""
+WITH u AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(('0x' || substr(md5('csplit:' || md5(text)), 1, 8))::UBIGINT
+              AS BIGINT) AS u32
+  FROM documents)
+SELECT doc_id, fp,
+       CASE WHEN u32 < {b[0]} THEN 'train'
+            WHEN u32 < {b[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ g1
+def g1_triangles(spark, sf_dir):
+    """Per-vertex triangle counts (sparkt.functions.graph
+    .triangle_count) of the MinHash candidate-pair graph (d3's edges)
+    — the density diagnostic separating real near-dup cliques from
+    hash-collision noise. Degree-oriented compact-forward on the Spark
+    side (O(sqrt(m)) wedge fan-out per vertex); the oracle's id-ordered
+    3-way join is orientation-independent so the counts agree
+    exactly."""
+    from sparkt.functions.graph import triangle_count
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", n_hashes=8, n_bands=4
+    )
+    return triangle_count(pairs, "id_a", "id_b").orderBy("node")
+
+
+G1_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         [{", ".join(_dk_minhash(i) for i in range(8))}] AS sig
+  FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+e AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+cnt AS (
+  SELECT node, count(*) AS triangles
+  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY node)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN cnt c USING (node)
+ORDER BY node
+"""
+
+
 QUERIES = {
     "d11_incremental_dedup": d11_incremental_dedup,
     "d13_url_dedup": d13_url_dedup,
@@ -2878,6 +3110,10 @@ QUERIES = {
     "pr1_profile": pr1_profile,
     "pr2_profile_values": pr2_profile_values,
     "s8_margin_pairs": s8_margin_pairs,
+    "s10_rrf_fusion": s10_rrf_fusion,
+    "ev1_retrieval_metrics": ev1_retrieval_metrics,
+    "p9_cluster_split": p9_cluster_split,
+    "g1_triangles": g1_triangles,
     "ft1_decay_features": ft1_decay_features,
     "s9_pca_cov": s9_pca_cov,
     "mm3_audio_segments": mm3_audio_segments,
@@ -2942,6 +3178,10 @@ ORACLES = {
     "pr1_profile": PR1_SQL,
     "pr2_profile_values": PR2_SQL,
     "s8_margin_pairs": S8_SQL,
+    "s10_rrf_fusion": _s10_sql(),
+    "ev1_retrieval_metrics": _ev1_sql(),
+    "p9_cluster_split": _p9_sql(),
+    "g1_triangles": G1_SQL,
     "ft1_decay_features": FT1_SQL,
     "s9_pca_cov": S9_SQL,
     "mm3_audio_segments": MM3_SQL,

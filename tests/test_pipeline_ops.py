@@ -2110,3 +2110,126 @@ def test_inverted_index_string_doc_ids(spark):
     assert got["alpha"]["df"] == 30
     assert got["alpha"]["postings"] == [f"doc-{i:03d}" for i in range(5)]
     assert got["beta"]["df"] == 30
+
+
+def test_triangle_count_matches_networkx(spark):
+    """triangle_count equals networkx per-vertex triangle counts on a
+    messy edge list (duplicates, reversed duplicates, self-loops,
+    isolated-from-triangles vertices)."""
+    import networkx as nx
+
+    from sparkt.functions.graph import triangle_count
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3),
+             (2, 1), (3, 2),          # reversed/duplicate edges
+             (6, 6),                  # self-loop (dropped)
+             (7, 8),                  # triangle-free component
+             (1, 4)]                  # closes (1,3,4)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: (r["deg"], r["triangles"])
+           for r in triangle_count(df).collect()}
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b in edges if a != b)
+    tri = nx.triangles(g)
+    assert got == {n: (g.degree(n), tri[n]) for n in g.nodes}
+
+
+def test_triangle_count_hub_graph(spark):
+    """Degree-orientation sanity on a star-plus-rim graph: a hub with
+    many spokes must count exactly the rim-closed triangles."""
+    import networkx as nx
+
+    from sparkt.functions.graph import triangle_count
+
+    hub = [(0, i) for i in range(1, 21)]
+    rim = [(i, i + 1) for i in range(1, 20, 2)]  # close 10 triangles
+    df = spark.createDataFrame(hub + rim, "src int, dst int")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    g = nx.Graph(hub + rim)
+    tri = nx.triangles(g)
+    assert got == dict(tri)
+    assert got[0] == 10
+
+
+def test_rrf_fuse_matches_python(spark):
+    """rrf_fuse equals the published formula on runs with partial
+    overlap; a duplicated pair keeps its best rank; topn trims."""
+    from sparkt.functions.index import rrf_fuse
+
+    run_a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3), ("q", 12, 5)],
+        "qid string, doc int, rank int",
+    )  # (q,12) duplicated -> min rank 3
+    run_b = spark.createDataFrame(
+        [("q", 11, 1), ("q", 13, 2)], "qid string, doc int, rank int"
+    )
+    got = {r["doc"]: r for r in rrf_fuse([run_a, run_b], k=60).collect()}
+    exp = {
+        10: (1, None, round(1 / 61, 6)),
+        11: (2, 1, round(1 / 62 + 1 / 61, 6)),
+        12: (3, None, round(1 / 63, 6)),
+        13: (None, 2, round(1 / 62, 6)),
+    }
+    for doc, (r0, r1, score) in exp.items():
+        row = got[doc]
+        assert (row["rank_0"], row["rank_1"]) == (r0, r1)
+        assert abs(row["rrf"] - score) < 1e-9
+    # fused order: 11 (two hits) > 10 > 12 > 13? 1/61 vs 1/62: 10 > 13 > 12
+    order = [r["doc"] for r in sorted(got.values(),
+                                      key=lambda r: r["fused_rank"])]
+    assert order == [11, 10, 13, 12]
+    top2 = rrf_fuse([run_a, run_b], k=60, topn=2).collect()
+    assert sorted(r["doc"] for r in top2) == [10, 11]
+
+
+def test_retrieval_metrics_matches_python(spark):
+    """retrieval_metrics: recall/precision/MRR per query, including a
+    query with zero hits in the top-k (mrr = 0, first_rel_rank = 0)
+    and qrels duplicates (deduped)."""
+    from sparkt.functions.evaluate import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3),
+         ("b", 4, 1), ("b", 5, 2),
+         ("c", 6, 1)],
+        "query_id string, corpus_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("a", 2), ("a", 2), ("a", 9),      # dup pair; 9 unretrieved
+         ("b", 7),                          # no hit for b
+         ("c", 6), ("c", 8)],
+        "query_id string, corpus_id int",
+    )
+    got = {r["query_id"]: r for r in
+           retrieval_metrics(run, qrels, k=3).collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_rel"], a["n_ret"], a["n_rel_ret"],
+            a["first_rel_rank"]) == (2, 3, 1, 2)
+    assert (a["recall_at_k"], a["precision_at_k"], a["mrr"]) == (
+        0.5, round(1 / 3, 4), 0.5)
+    assert (b["n_rel"], b["n_rel_ret"], b["first_rel_rank"],
+            b["mrr"]) == (1, 0, 0, 0.0)
+    assert (c["n_rel"], c["n_rel_ret"], c["mrr"]) == (2, 1, 1.0)
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """cluster_safe_split: every member of a cluster gets the SAME
+    split, fractions are respected (binomial-loose), and bad
+    fractions raise."""
+    import pytest as _pytest
+
+    from sparkt.functions.sampling import cluster_safe_split
+
+    rows = [(i, f"c{i % 50}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, cluster string")
+    out = cluster_safe_split(
+        df, "cluster", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    n_train = sum(1 for r in out if r["split"] == "train")
+    assert 200 <= n_train <= 400  # 50 clusters x 8 rows, loose binomial
+    with _pytest.raises(ValueError, match="sum to 1"):
+        cluster_safe_split(df, "cluster", {"train": 0.5, "val": 0.1})
