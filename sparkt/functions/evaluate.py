@@ -38,8 +38,12 @@ def retrieval_metrics(
     Returns one row per query WITH RELEVANT DOCS: integer evidence
     ``n_rel, n_ret, n_rel_ret, first_rel_rank`` (first_rel_rank 0 when
     nothing relevant was retrieved) plus ``recall_at_k``,
-    ``precision_at_k`` (4dp) and ``mrr`` (6dp, 0.0 when no hit —
-    the standard convention, and it keeps the output null-free).
+    ``precision_at_k`` (4dp), ``mrr`` (6dp, 0.0 when no hit — the
+    standard convention, and it keeps the output null-free), and
+    ``ndcg_at_k`` (binary-gain nDCG, Järvelin & Kekäläinen 2002).
+    nDCG is a log2-based FLOAT SUM — rank/threshold it, never hash it
+    across engines (the t6/t11 doctrine); every other column is
+    hash-exact.
 
     Scale shape: one equijoin of the top-k slice against the distinct
     qrels on (query, doc) — both sides are |Q|·k / |qrels|-sized, tiny
@@ -62,6 +66,10 @@ def retrieval_metrics(
         F.sum(F.coalesce(F.col("__rel"), F.lit(0))).alias("n_rel_ret"),
         F.min(F.when(F.col("__rel") == 1, F.col("__r")))
         .alias("__first"),
+        F.sum(
+            F.when(F.col("__rel") == 1,
+                   F.lit(1.0) / F.log2(F.col("__r") + F.lit(1.0)))
+        ).alias("__dcg"),
     )
     out = nrel.join(perq, "__q", "left")
     n_rel_ret = F.coalesce(F.col("n_rel_ret"), F.lit(0))
@@ -77,4 +85,20 @@ def retrieval_metrics(
         F.coalesce(
             F.round(F.lit(1.0) / F.col("__first"), 6), F.lit(0.0)
         ).alias("mrr"),
+        F.coalesce(
+            F.round(
+                F.col("__dcg")
+                / F.aggregate(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+                ),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("ndcg_at_k"),
     )

@@ -23,9 +23,13 @@ def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Exact per-vertex triangle counts of an undirected graph.
 
-    Returns ``node, deg, triangles`` — one row per vertex of the
-    deduplicated edge set, ``deg`` its undirected degree, ``triangles``
-    the number of triangles it participates in (0 included).
+    Returns ``node, deg, triangles, clustering_coeff`` — one row per
+    vertex of the deduplicated edge set, ``deg`` its undirected
+    degree, ``triangles`` the number of triangles it participates in
+    (0 included), and the local clustering coefficient
+    ``2·triangles / (deg·(deg−1))`` (Watts & Strogatz 1998; 0 for
+    deg < 2), rounded 4dp — a single expression over the two exact
+    integers, so it stays cross-engine deterministic.
 
     DEGREE-ORIENTED, NOT id-ORIENTED (the 100 TB argument): every
     edge is directed from its lower ``(deg, id)`` endpoint to the
@@ -84,8 +88,17 @@ def triangle_count(edges: DataFrame, src: str = "src",
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+    tri_n = F.coalesce(F.col("triangles"), F.lit(0))
     return deg.join(cnt, "node", "left").select(
         "node",
         "deg",
-        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        tri_n.alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * tri_n / (F.col("deg") * (F.col("deg") - 1)), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
     )

@@ -2934,8 +2934,10 @@ def ev1_retrieval_metrics(spark, sf_dir):
     ANN run against label-match ground truth (a corpus item is
     relevant to a query iff their labels agree) — the TREC-style
     measurement loop a pipeline runs after every embedding change.
-    Integer evidence hashes exactly; each float metric is a single
-    integer division (4dp) or 1/rank (6dp), never a float sum."""
+    Integer evidence hashes exactly; each hashed float metric is a
+    single integer division (4dp) or 1/rank (6dp). The log2-based
+    ndcg_at_k column is threshold-only (t6/t11 doctrine) and is
+    EXCLUDED from the gate SELECT; pytest pins it vs python."""
     emb = T(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -2957,9 +2959,13 @@ def ev1_retrieval_metrics(spark, sf_dir):
     )
     from sparkt.functions.evaluate import retrieval_metrics
 
-    return retrieval_metrics(
-        run, qrels, k=5, query_id="query_id", doc_id="corpus_id"
-    ).orderBy("query_id")
+    return (
+        retrieval_metrics(
+            run, qrels, k=5, query_id="query_id", doc_id="corpus_id"
+        )
+        .drop("ndcg_at_k")
+        .orderBy("query_id")
+    )
 
 
 def _ev1_sql() -> str:
@@ -3081,7 +3087,11 @@ cnt AS (
         UNION ALL SELECT z FROM tri)
   GROUP BY node)
 SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
-       CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+       CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(c.triangles, 0)
+                       / (d.deg * (d.deg - 1)), 4)
+            ELSE 0.0 END AS clustering_coeff
 FROM deg d LEFT JOIN cnt c USING (node)
 ORDER BY node
 """

@@ -2132,6 +2132,11 @@ def test_triangle_count_matches_networkx(spark):
     g.add_edges_from((a, b) for a, b in edges if a != b)
     tri = nx.triangles(g)
     assert got == {n: (g.degree(n), tri[n]) for n in g.nodes}
+    # local clustering coefficient vs networkx (4dp contract)
+    cc = {r["node"]: r["clustering_coeff"]
+          for r in triangle_count(df).collect()}
+    nxcc = nx.clustering(g)
+    assert all(abs(cc[n] - round(nxcc[n], 4)) < 1e-9 for n in g.nodes)
 
 
 def test_triangle_count_hub_graph(spark):
@@ -2210,6 +2215,15 @@ def test_retrieval_metrics_matches_python(spark):
     assert (b["n_rel"], b["n_rel_ret"], b["first_rel_rank"],
             b["mrr"]) == (1, 0, 0, 0.0)
     assert (c["n_rel"], c["n_rel_ret"], c["mrr"]) == (2, 1, 1.0)
+    # binary-gain nDCG vs python (log2-based, threshold-only column)
+    import math
+
+    def dcg(ranks):
+        return sum(1.0 / math.log2(r + 1) for r in ranks)
+
+    assert abs(a["ndcg_at_k"] - round(dcg([2]) / dcg([1, 2]), 6)) < 1e-9
+    assert b["ndcg_at_k"] == 0.0
+    assert abs(c["ndcg_at_k"] - round(dcg([1]) / dcg([1, 2]), 6)) < 1e-9
 
 
 def test_cluster_safe_split_no_leakage(spark):
