@@ -774,3 +774,37 @@ def pack_offsets(
         ).cast("bigint").alias("last_bin"),
         (F.col("global_start") % ctx).alias("start_offset"),
     )
+
+
+def strip_html(text: Column) -> Column:
+    """HTML-to-text extraction, entirely in codegen (one narrow
+    projection, no shuffle, no UDF) — the step-0 of a web-crawl
+    pipeline before any quality/dedup operator sees the text:
+
+    1. drop ``<script>``/``<style>`` ELEMENTS wholesale (their
+       contents are code, not text; case-insensitive, dot-matches-
+       newline, non-greedy) and comments ``<!-- -->``,
+    2. replace every remaining tag with a space (so ``a</p><p>b``
+       doesn't fuse into ``ab``),
+    3. decode the high-frequency entities (&amp; &lt; &gt; &quot;
+       &#39; &nbsp;) — the portable subset; full entity tables are a
+       lookup join, not a regex,
+    4. collapse whitespace and trim.
+
+    Deterministic and DuckDB-expressible (RE2 and Java regex agree on
+    every construct used: ``(?is)``, non-greedy ``.*?``, char
+    classes; script/style are SEPARATE patterns because RE2 has no
+    backreferences), so stripped-text operators stay oracle-checkable.
+    Malformed markup degrades gracefully: an unclosed ``<`` strips to
+    the next ``>`` or survives as text — same in both engines.
+    """
+    s = F.regexp_replace(text, "(?is)<script\\b.*?</script\\s*>", " ")
+    s = F.regexp_replace(s, "(?is)<style\\b.*?</style\\s*>", " ")
+    s = F.regexp_replace(s, "(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, "\\s+", " "))

@@ -2873,6 +2873,70 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- t17
+def t17_strip_html(spark, sf_dir):
+    """HTML-to-text extraction (sparkt.functions.text.strip_html):
+    script/style/comment elements dropped, tags to spaces, common
+    entities decoded, whitespace collapsed — pure codegen narrow
+    projection. The corpus is plain text, so the gate first WRAPS it
+    in deterministic markup (head with style+script, body with
+    per-doc attribute, entity-encoded ampersand seam) identically in
+    both engines and verifies extraction recovers the canonical form
+    (md5 + length compared, t16 pattern)."""
+    docs = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{x:1}</style>"
+              "<script>if(1<2){a=\"&amp;\";}</script></head>"
+              "<body><!-- id:"),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><p class=\"d\">"),
+        F.col("text"),
+        F.lit("</p><p>tail &amp; fin</p></body></html>"),
+    )
+    ext = TX.strip_html(html)
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.length(ext).alias("n_len"),
+        F.md5(ext).alias("h"),
+    ).orderBy("doc")
+
+
+T17_SQL = """
+WITH html AS (
+  SELECT doc_id,
+         '<html><head><style>p{x:1}</style>'
+         || '<script>if(1<2){a="&amp;";}</script></head>'
+         || '<body><!-- id:' || CAST(doc_id AS VARCHAR)
+         || ' --><p class="d">' || text
+         || '</p><p>tail &amp; fin</p></body></html>' AS s
+  FROM documents),
+noscript AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, '(?is)<script\\b.*?</script\\s*>', ' ',
+                            'g'),
+             '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS s
+  FROM html),
+notags AS (
+  SELECT doc_id, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s
+  FROM noscript),
+decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(
+           s, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+  FROM notags),
+clean AS (
+  SELECT doc_id, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s
+  FROM decoded)
+SELECT doc_id AS doc, CAST(length(s) AS INT) AS n_len, md5(s) AS h
+FROM clean
+ORDER BY doc
+"""
+
+
 # ----------------------------------------------------------------- s10
 def s10_rrf_fusion(spark, sf_dir):
     """Hybrid-retrieval fusion (sparkt.functions.index.rrf_fuse):
@@ -3120,6 +3184,7 @@ QUERIES = {
     "pr1_profile": pr1_profile,
     "pr2_profile_values": pr2_profile_values,
     "s8_margin_pairs": s8_margin_pairs,
+    "t17_strip_html": t17_strip_html,
     "s10_rrf_fusion": s10_rrf_fusion,
     "ev1_retrieval_metrics": ev1_retrieval_metrics,
     "p9_cluster_split": p9_cluster_split,
@@ -3188,6 +3253,7 @@ ORACLES = {
     "pr1_profile": PR1_SQL,
     "pr2_profile_values": PR2_SQL,
     "s8_margin_pairs": S8_SQL,
+    "t17_strip_html": T17_SQL,
     "s10_rrf_fusion": _s10_sql(),
     "ev1_retrieval_metrics": _ev1_sql(),
     "p9_cluster_split": _p9_sql(),

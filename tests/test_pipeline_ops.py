@@ -2247,3 +2247,31 @@ def test_cluster_safe_split_no_leakage(spark):
     assert 200 <= n_train <= 400  # 50 clusters x 8 rows, loose binomial
     with _pytest.raises(ValueError, match="sum to 1"):
         cluster_safe_split(df, "cluster", {"train": 0.5, "val": 0.1})
+
+
+def test_strip_html_semantics(spark):
+    """strip_html: element-wise script/style drop (case-insensitive,
+    tags inside code don't terminate early), comment removal, tag→
+    space seam, entity decode with &amp; LAST (double-encoded text
+    stays single-encoded), graceful malformed markup."""
+    from sparkt.functions.text import strip_html
+
+    rows = [
+        (1, '<SCRIPT type="t">if(a<b){x="</p>";}</script>kept'),
+        (2, '<style media="x">p>a{}</style>kept'),
+        (3, 'a</p><p>b'),                    # seam: no word fusion
+        (4, 'x &amp;lt; y'),                 # decodes to 'x &lt; y'
+        (5, '<!-- <p>gone</p> -->kept'),
+        (6, 'broken <never closed'),
+        (7, '  lots\t of\n space  '),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", strip_html(F.col("text")).alias("t")).collect()}
+    assert got[1] == "kept"
+    assert got[2] == "kept"
+    assert got[3] == "a b"
+    assert got[4] == "x &lt; y"
+    assert got[5] == "kept"
+    assert got[6] == "broken <never closed"
+    assert got[7] == "lots of space"
