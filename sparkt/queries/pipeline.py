@@ -2873,6 +2873,168 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- pl3
+def pl3_retrieval_pipeline(spark, sf_dir):
+    """End-to-end RETRIEVAL pipeline in one Catalyst dataflow: HTML
+    extraction (text.strip_html over a deterministic tags-only wrap,
+    so the recovered text is the whitespace-canonical corpus) → BM25
+    candidate generation (index.bm25_match, 3-query workload) → two
+    rankings over the SAME candidates (lexical evidence
+    n_matched/sum_tf vs a doc-length static prior — the classic
+    query-dependent + query-independent signal pair) → reciprocal-rank
+    fusion (index.rrf_fuse, top-10) → TREC metrics
+    (evaluate.retrieval_metrics) against exact AND-match ground truth
+    (docs containing ALL query terms).
+
+    100 TB shape: the candidate table is localCheckpointed ONCE (the
+    pl2 re-inlining doctrine — it feeds both rankings AND the qrels,
+    and its upstream is the full tokenize/tf pipeline); everything
+    downstream is |Q|·k-sized. Every float in the gate output is a
+    single division; ndcg is dropped (threshold-only doctrine)."""
+    from sparkt.functions.evaluate import retrieval_metrics
+    from sparkt.functions.index import bm25_match, rrf_fuse
+
+    docs = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{x:1}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- end --></body></html>"),
+    )
+    clean = docs.select(
+        "doc_id", TX.strip_html(html).alias("text")
+    )
+    queries = spark.createDataFrame(
+        [("q1", "table scan join"),
+         ("q2", "stream window vector"),
+         ("q3", "customer order value")],
+        ["qid", "qtext"],
+    )
+    cand = bm25_match(clean, queries, "text", "doc_id").localCheckpoint()
+    wa = Window.partitionBy("qid").orderBy(
+        F.desc("n_matched"), F.desc("sum_tf"), F.asc("doc")
+    )
+    wb = Window.partitionBy("qid").orderBy(
+        F.desc("doc_len"), F.asc("doc")
+    )
+    run_a = (
+        cand.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc", "rank")
+    )
+    run_b = (
+        cand.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc", "rank")
+    )
+    fused = rrf_fuse(
+        [run_a, run_b], k=60, query_id="qid", doc_id="doc", topn=10
+    )
+    qrels = cand.filter(F.col("n_matched") == 3).select("qid", "doc")
+    return (
+        retrieval_metrics(
+            fused.withColumn("rank", F.col("fused_rank")),
+            qrels, k=10, query_id="qid", doc_id="doc",
+        )
+        .drop("ndcg_at_k")
+        .orderBy("qid")
+    )
+
+
+PL3_SQL = f"""
+WITH html AS (
+  SELECT doc_id,
+         '<html><head><style>p{{x:1}}</style></head><body><p>'
+         || text || '</p><!-- end --></body></html>' AS s
+  FROM documents),
+clean AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(s, '(?is)<script\\b.*?</script\\s*>', ' ',
+                              'g'),
+               '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]*>', ' ', 'g')) AS pre
+  FROM html),
+cleant AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             pre, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS text
+  FROM clean),
+tok AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM cleant),
+tf AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY term, doc),
+dl AS (SELECT doc, count(*) AS doc_len FROM tok GROUP BY doc),
+q AS (SELECT * FROM (VALUES
+        ('q1', 'table'), ('q1', 'scan'), ('q1', 'join'),
+        ('q2', 'stream'), ('q2', 'window'), ('q2', 'vector'),
+        ('q3', 'customer'), ('q3', 'order'), ('q3', 'value'))
+      AS t(qid, term)),
+j AS (SELECT q.qid, tf.doc, tf.tf FROM tf JOIN q USING (term)),
+cand AS (
+  SELECT j.qid, j.doc,
+         count(*) AS n_matched, sum(j.tf) AS sum_tf,
+         max(dl.doc_len) AS doc_len
+  FROM j JOIN dl USING (doc)
+  GROUP BY j.qid, j.doc),
+run_a AS (
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_matched DESC, sum_tf DESC,
+                                     doc ASC) AS rank
+  FROM cand QUALIFY rank <= 10),
+run_b AS (
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY doc_len DESC, doc ASC) AS rank
+  FROM cand QUALIFY rank <= 10),
+runs AS (
+  SELECT qid, doc, rank, 0 AS run FROM run_a
+  UNION ALL SELECT qid, doc, rank, 1 AS run FROM run_b),
+piv AS (
+  SELECT qid, doc,
+         min(CASE WHEN run = 0 THEN rank END) AS r0,
+         min(CASE WHEN run = 1 THEN rank END) AS r1
+  FROM runs GROUP BY 1, 2),
+sc AS (
+  SELECT qid, doc,
+         round(coalesce(1.0 / (60.0 + r0), 0.0)
+               + coalesce(1.0 / (60.0 + r1), 0.0), 6) AS rrf
+  FROM piv),
+fused AS (
+  SELECT qid, doc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rrf DESC, doc ASC) AS rank
+  FROM sc QUALIFY rank <= 10),
+qrels AS (SELECT qid, doc FROM cand WHERE n_matched = 3),
+nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY 1),
+marked AS (
+  SELECT f.qid, f.rank,
+         CASE WHEN g.doc IS NULL THEN 0 ELSE 1 END AS rel
+  FROM fused f LEFT JOIN qrels g USING (qid, doc)),
+perq AS (
+  SELECT qid, count(*) AS n_ret, sum(rel) AS n_rel_ret,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+  FROM marked GROUP BY 1)
+SELECT n.qid,
+       CAST(n.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(p.n_ret, 0) AS BIGINT) AS n_ret,
+       CAST(coalesce(p.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+       CAST(coalesce(p.first_rel, 0) AS BIGINT) AS first_rel_rank,
+       round(coalesce(p.n_rel_ret, 0) / n.n_rel, 4) AS recall_at_k,
+       round(coalesce(p.n_rel_ret, 0) / 10.0, 4) AS precision_at_k,
+       coalesce(round(1.0 / p.first_rel, 6), 0.0) AS mrr
+FROM nrel n LEFT JOIN perq p USING (qid)
+ORDER BY n.qid
+"""
+
+
 # ----------------------------------------------------------------- t17
 def t17_strip_html(spark, sf_dir):
     """HTML-to-text extraction (sparkt.functions.text.strip_html):
@@ -3185,6 +3347,7 @@ QUERIES = {
     "pr2_profile_values": pr2_profile_values,
     "s8_margin_pairs": s8_margin_pairs,
     "t17_strip_html": t17_strip_html,
+    "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s10_rrf_fusion": s10_rrf_fusion,
     "ev1_retrieval_metrics": ev1_retrieval_metrics,
     "p9_cluster_split": p9_cluster_split,
@@ -3254,6 +3417,7 @@ ORACLES = {
     "pr2_profile_values": PR2_SQL,
     "s8_margin_pairs": S8_SQL,
     "t17_strip_html": T17_SQL,
+    "pl3_retrieval_pipeline": PL3_SQL,
     "s10_rrf_fusion": _s10_sql(),
     "ev1_retrieval_metrics": _ev1_sql(),
     "p9_cluster_split": _p9_sql(),

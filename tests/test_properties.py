@@ -382,3 +382,108 @@ def test_key_skew_report_two_phase_equals_naive(spark, keys, top_n):
     counts = Counter(f"k{v}" for v in keys)
     naive = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:top_n]
     assert got == [(k, c, i + 1) for i, (k, c) in enumerate(naive)]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0, max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_triangle_count_matches_networkx_random(spark, edges):
+    """triangle_count equals networkx on arbitrary multigraph edge
+    lists (duplicates, reversals, self-loops) — per-vertex triangles
+    AND 4dp clustering coefficient."""
+    import networkx as nx
+
+    from sparkt.functions.graph import triangle_count
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(None, None)],
+        "src int, dst int",
+    )
+    got = {r["node"]: (r["deg"], r["triangles"], r["clustering_coeff"])
+           for r in triangle_count(df).collect()}
+    g = nx.Graph(list(simple))
+    tri, cc = nx.triangles(g), nx.clustering(g)
+    assert set(got) == set(g.nodes)
+    for n in g.nodes:
+        assert got[n][:2] == (g.degree(n), tri[n])
+        assert abs(got[n][2] - round(cc[n], 4)) < 1e-9
+
+
+@given(
+    st.lists(  # two runs: (doc, in_run_a, in_run_b) over distinct docs
+        st.tuples(st.integers(0, 30), st.booleans(), st.booleans()),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_rrf_fuse_matches_formula_random(spark, docs):
+    """rrf_fuse equals the published formula for arbitrary two-run
+    overlap patterns; fused ranking is (rrf desc, doc asc)."""
+    from sparkt.functions.index import rrf_fuse
+
+    run_a = [(d, r + 1) for r, (d, _, _) in enumerate(
+        [t for t in docs if t[1]])]
+    run_b = [(d, r + 1) for r, (d, _, _) in enumerate(
+        [t for t in docs if t[2]])]
+    if not run_a and not run_b:
+        return
+    mk = lambda rows: spark.createDataFrame(
+        [("q", d, r) for d, r in rows] or [("q", None, None)],
+        "qid string, doc int, rank int",
+    ).filter("doc is not null")
+    got = {r["doc"]: r for r in
+           rrf_fuse([mk(run_a), mk(run_b)], k=60).collect()}
+    ra, rb = dict(run_a), dict(run_b)
+    exp = {}
+    for d in set(ra) | set(rb):
+        s = (1.0 / (60.0 + ra[d]) if d in ra else 0.0) + (
+            1.0 / (60.0 + rb[d]) if d in rb else 0.0)
+        exp[d] = round(s, 6)
+    assert {d: r["rrf"] for d, r in got.items()} == exp
+    order = [r["doc"] for r in sorted(
+        got.values(), key=lambda r: r["fused_rank"])]
+    assert order == sorted(exp, key=lambda d: (-exp[d], d))
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+             min_size=1, max_size=30),
+    st.sampled_from([
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        {"train": 1.0},
+        {"a": 0.5, "b": 0.5},
+    ]),
+)
+@settings(max_examples=20, deadline=None)
+def test_cluster_safe_split_matches_u32_ladder(spark, clusters, splits):
+    """cluster_safe_split equals a python reimplementation of the
+    cumulative u32 ladder (same md5 arithmetic, same float cum-sum,
+    last split absorbs the tail)."""
+    import hashlib
+
+    from sparkt.functions.sampling import cluster_safe_split
+
+    rows = [(i, c) for i, c in enumerate(clusters)]
+    df = spark.createDataFrame(rows, "doc_id int, cluster string")
+    got = {r["doc_id"]: r["split"]
+           for r in cluster_safe_split(df, "cluster", splits).collect()}
+
+    names = list(splits)
+    bounds = []
+    cum = 0.0
+    for n in names[:-1]:
+        cum += splits[n]
+        bounds.append(int(cum * (1 << 32)))
+    for i, c in rows:
+        u = int(hashlib.md5(f"csplit:{c}".encode()).hexdigest()[:8], 16)
+        pick = names[-1]
+        for n, b in zip(names, bounds):
+            if u < b:
+                pick = n
+                break
+        assert got[i] == pick
