@@ -796,3 +796,63 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Mislabel-candidate mining (the distance heuristic behind
+    confident-learning-style label auditing, Northcutt et al. 2021):
+    per label, the ``k`` vectors FARTHEST from their own label
+    centroid — the examples most likely mislabeled, noisy, or
+    boundary cases, surfaced for human review or relabeling.
+
+    Returns ``label, <id_col>, dist, rank`` (rank 1 = farthest;
+    deterministic tie-break on id). ``dist`` is the euclidean
+    distance to the label centroid, rounded 4dp — the s3 float
+    doctrine: per-dim sums are float aggregates whose ordering error
+    is ~1e-13 relative, absorbed by the 4dp round.
+
+    Scale shape: ONE groupBy(label) computing the 64 dim-sums (the
+    centroid model — label-count-sized, broadcasts back), a codegen
+    distance projection, then the skew-safe TWO-PHASE top-N
+    (domain_quota argument): phase 1 ranks within (label, 16-way
+    xxhash64 sub-bucket) so no task ever sorts a mega-label's full
+    vector set, phase 2 ranks the <= 16·k survivors — exactly equal
+    to the single-window formulation.
+    """
+    sums = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at(vec, d + 1)).alias(f"__s{d}")
+            for d in range(dim)
+        ],
+    )
+    j = df.select(label_col, id_col, vec).join(
+        broadcast(sums), label_col
+    )
+    sq = None
+    for d in range(dim):
+        diff = F.element_at(vec, d + 1) - F.col(f"__s{d}") / F.col("__n")
+        term = diff * diff
+        sq = term if sq is None else sq + term
+    scored = j.withColumn("dist", F.round(F.sqrt(sq), 4))
+    sub = F.pmod(F.xxhash64(id_col), F.lit(16))
+    w1 = Window.partitionBy(label_col, sub).orderBy(
+        F.desc("dist"), F.asc(id_col)
+    )
+    w2 = Window.partitionBy(label_col).orderBy(
+        F.desc("dist"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(label_col, id_col, "dist", "rank")
+    )

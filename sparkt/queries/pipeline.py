@@ -2873,6 +2873,46 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- s11
+def s11_centroid_outliers(spark, sf_dir):
+    """Mislabel-candidate mining (sparkt.functions.similarity
+    .centroid_outliers): per label, the 3 vectors farthest from their
+    own label centroid — the confident-learning-style label audit.
+    One groupBy(label) for the 64 dim-sums (the broadcastable
+    centroid model), codegen distance projection, skew-safe two-phase
+    top-N; dist rounds 4dp per the s3 float doctrine."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.centroid_outliers(emb, dim=64, k=3).orderBy(
+        "label", "rank"
+    )
+
+
+_DK_S11_DIST = " + ".join(
+    f"(embedding[{d + 1}]::DOUBLE - s{d} / n)"
+    f" * (embedding[{d + 1}]::DOUBLE - s{d} / n)"
+    for d in range(64)
+)
+S11_SQL = f"""
+WITH s AS (
+  SELECT label, count(*) AS n, {_DK_DIM_SUMS}
+  FROM embeddings GROUP BY label),
+d AS (
+  SELECT e.label, e.vec_id,
+         round(sqrt({_DK_S11_DIST}), 4) AS dist
+  FROM embeddings e JOIN s USING (label)),
+r AS (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id ASC) AS rank
+  FROM d QUALIFY rank <= 3)
+SELECT label, vec_id, dist, CAST(rank AS INT) AS rank
+FROM r
+ORDER BY label, rank
+"""
+
+
 # ----------------------------------------------------------------- pl3
 def pl3_retrieval_pipeline(spark, sf_dir):
     """End-to-end RETRIEVAL pipeline in one Catalyst dataflow: HTML
@@ -3348,6 +3388,7 @@ QUERIES = {
     "s8_margin_pairs": s8_margin_pairs,
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
+    "s11_centroid_outliers": s11_centroid_outliers,
     "s10_rrf_fusion": s10_rrf_fusion,
     "ev1_retrieval_metrics": ev1_retrieval_metrics,
     "p9_cluster_split": p9_cluster_split,
@@ -3418,6 +3459,7 @@ ORACLES = {
     "s8_margin_pairs": S8_SQL,
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
+    "s11_centroid_outliers": S11_SQL,
     "s10_rrf_fusion": _s10_sql(),
     "ev1_retrieval_metrics": _ev1_sql(),
     "p9_cluster_split": _p9_sql(),

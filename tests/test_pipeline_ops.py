@@ -2275,3 +2275,31 @@ def test_strip_html_semantics(spark):
     assert got[5] == "kept"
     assert got[6] == "broken <never closed"
     assert got[7] == "lots of space"
+
+
+def test_centroid_outliers_matches_numpy(spark):
+    """centroid_outliers equals a numpy reference: per-label centroid,
+    euclidean distance rounded 4dp, top-k by (dist desc, id asc); the
+    two-phase top-N equals the naive single-window formulation."""
+    import numpy as np
+
+    from sparkt.functions.similarity import centroid_outliers
+
+    dim, k = 6, 2
+    rows = [(i, i % 3, [float((i * 17 + d * 5) % 13) for d in range(dim)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {(r["label"], r["vec_id"], r["dist"], r["rank"])
+           for r in centroid_outliers(df, dim=dim, k=k).collect()}
+
+    exp = []
+    for lab in (0, 1, 2):
+        mem = [(i, np.array(v)) for i, l, v in rows if l == lab]
+        c = np.mean([v for _, v in mem], axis=0)
+        scored = sorted(
+            ((round(float(np.linalg.norm(v - c)), 4), i) for i, v in mem),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        exp.extend((lab, i, d, r + 1)
+                   for r, (d, i) in enumerate(scored))
+    assert got == set(exp)
