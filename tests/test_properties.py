@@ -487,3 +487,45 @@ def test_cluster_safe_split_matches_u32_ladder(spark, clusters, splits):
                 pick = n
                 break
         assert got[i] == pick
+
+
+@given(
+    st.lists(  # run: distinct docs with ranks 1..n; qrels: subset flags
+        st.tuples(st.integers(0, 25), st.booleans()),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 12),
+)
+@settings(max_examples=25, deadline=None)
+def test_retrieval_metrics_invariants_random(spark, docs, k):
+    """retrieval_metrics invariants on random runs/qrels: counts
+    bounded (n_rel_ret <= min(n_ret, n_rel)), recall/precision in
+    [0,1], mrr = 1/first_rel_rank exactly, first hit inside top-k."""
+    from sparkt.functions.evaluate import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [("q", d, r + 1) for r, (d, _) in enumerate(docs)],
+        "query_id string, corpus_id int, rank int",
+    )
+    rel = [d for d, flag in docs if flag] or [docs[0][0]]
+    qrels = spark.createDataFrame(
+        [("q", d) for d in rel], "query_id string, corpus_id int"
+    )
+    rows = retrieval_metrics(run, qrels, k=k).collect()
+    assert len(rows) == 1
+    m = rows[0]
+    assert m["n_rel"] == len(rel)
+    assert m["n_ret"] == min(k, len(docs))
+    assert m["n_rel_ret"] <= min(m["n_ret"], m["n_rel"])
+    assert 0.0 <= m["recall_at_k"] <= 1.0
+    assert 0.0 <= m["precision_at_k"] <= 1.0
+    ranks = {d: r + 1 for r, (d, _) in enumerate(docs)}
+    in_k = sorted(ranks[d] for d in rel if d in ranks and ranks[d] <= k)
+    if in_k:
+        assert m["first_rel_rank"] == in_k[0]
+        assert abs(m["mrr"] - round(1.0 / in_k[0], 6)) < 1e-9
+        assert m["n_rel_ret"] == len(in_k)
+        assert m["ndcg_at_k"] > 0.0
+    else:
+        assert (m["first_rel_rank"], m["mrr"], m["ndcg_at_k"]) == (
+            0, 0.0, 0.0)

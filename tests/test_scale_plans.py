@@ -354,3 +354,38 @@ def test_pl1_pipeline_dedup_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_outliers_plan_broadcast_and_two_phase(spark):
+    """s11 plan pins: the centroid model joins back via BROADCAST
+    (never a shuffle of the corpus on label), and the per-label top-N
+    is two-phase — no single-partition exchange, and the phase-1
+    window partitions on the sub-bucket."""
+    from sparkt.functions.similarity import centroid_outliers
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i + d) for d in range(4)])
+         for i in range(60)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = centroid_outliers(df, dim=4, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "pmod(xxhash64" in plan
+    got = {(r["label"], r["rank"]) for r in out.collect()}
+    assert got == {(l, r) for l in (0, 1, 2) for r in (1, 2)}
+
+
+def test_pl3_candidates_checkpoint_breaks_reinlining(spark):
+    """pl3 doctrine pin: after the candidate localCheckpoint, the
+    fused ranking's plan reads the checkpointed RDD — the upstream
+    strip/tokenize/tf pipeline appears ZERO times in the downstream
+    plan (no parquet scan of documents past the checkpoint)."""
+    from sparkt.queries.pipeline import pl3_retrieval_pipeline
+
+    out = pl3_retrieval_pipeline(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+    assert out.count() == 3
