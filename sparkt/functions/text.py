@@ -808,3 +808,87 @@ def strip_html(text: Column) -> Column:
     ):
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
+def readability_stats(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease inputs + score (Flesch 1948; the quality
+    feature education-filtered corpora key on), entirely in codegen:
+
+    - ``n_words``: whitespace tokens,
+    - ``n_sentences``: ``[.!?]+`` runs (min 1),
+    - ``n_syllables``: vowel-group count over the lowercased text —
+      the standard portable heuristic (``[aeiouy]+`` runs; word
+      boundaries split groups for free since spaces aren't vowels),
+    - ``flesch``: ``206.835 − 1.015·(words/sents) − 84.6·(syll/words)``
+      rounded 4dp — one fixed-shape expression over three exact
+      integers, so it is engine-deterministic (NOT the ln-sum class).
+
+    All counts floor at 1 so empty/degenerate docs score instead of
+    ANSI-dividing by zero.
+    """
+    n_words = F.greatest(F.size(tokens(text)), F.lit(1))
+    n_sents = F.greatest(F.regexp_count(text, F.lit("[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(text), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words),
+        4,
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sents,
+        "n_syllables": n_syll,
+        "flesch": flesch,
+    }
+
+
+def content_lines(
+    text: Column,
+    min_tokens: int = 5,
+    min_stop_frac: float = 0.2,
+) -> Column:
+    """jusText-style boilerplate line filter (Pomikálek 2011 shape):
+    keep the lines that read like natural language — at least
+    ``min_tokens`` tokens AND a stopword fraction of at least
+    ``min_stop_frac`` (nav bars, footers, and link lists are short
+    and stopword-poor; prose is neither). Returns the array of
+    surviving lines in document order.
+
+    Pure codegen HOF chain (split → per-line token/stopword struct,
+    computed ONCE per line → filter → extract): no shuffle, no UDF,
+    no explode — the document never leaves its row. The stopword
+    fraction compares INTEGER-EXACTLY (``n_stop·q >= p·n_tokens``
+    with p/q the exact rational of ``min_stop_frac``), so every
+    engine keeps the identical line set.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(min_stop_frac).limit_denominator(10000)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+
+    def line_stats(line):
+        toks = F.filter(
+            F.split(F.lower(F.trim(line)), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+        return F.struct(
+            line.alias("l"),
+            F.size(toks).alias("n"),
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(stop, t))
+            ).alias("ns"),
+        )
+
+    staged = F.transform(F.split(text, "\n"), line_stats)
+    kept = F.filter(
+        staged,
+        lambda s: (s["n"] >= F.lit(int(min_tokens)))
+        & (
+            s["ns"] * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * s["n"]
+        ),
+    )
+    return F.transform(kept, lambda s: s["l"])

@@ -2873,6 +2873,97 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- t18
+def t18_readability(spark, sf_dir):
+    """Readability scoring (sparkt.functions.text.readability_stats):
+    Flesch reading-ease per doc from exact word/sentence/vowel-group
+    counts — the quality feature education-filtered corpora key on.
+    The score is ONE fixed-shape expression over three hashed
+    integers (not the ln-sum class), so it hash-matches."""
+    docs = T(spark, sf_dir, "documents")
+    r = TX.readability_stats(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        *[v.alias(k) for k, v in r.items()],
+    ).orderBy("doc")
+
+
+T18_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                  1) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                  1) AS sy
+  FROM documents)
+SELECT doc_id AS doc,
+       CAST(w AS INT) AS n_words,
+       CAST(s AS INT) AS n_sentences,
+       CAST(sy AS INT) AS n_syllables,
+       round(206.835 - 1.015 * (w::DOUBLE / s)
+             - 84.6 * (sy::DOUBLE / w), 4) AS flesch
+FROM c
+ORDER BY doc
+"""
+
+
+# ----------------------------------------------------------------- t19
+def t19_boilerplate(spark, sf_dir):
+    """Boilerplate line filtering (sparkt.functions.text
+    .content_lines, jusText shape): nav/footer lines die, prose
+    survives. The corpus is single-line, so the gate injects a
+    deterministic page frame (nav header, copyright footer, one
+    stopword-dense prose line) identically in both engines and
+    verifies the surviving line set (md5 of the rejoined content)."""
+    docs = T(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Home | About | Login\n"),
+        F.col("text"),
+        F.lit("\nCopyright 2024\n"
+              "all of it is for the best and it is that good"),
+    )
+    cl = TX.content_lines(page)
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.split(page, "\n")).alias("n_lines"),
+        F.size(cl).alias("n_content"),
+        F.md5(F.concat_ws("\n", cl)).alias("h"),
+    ).orderBy("doc")
+
+
+_DK_T19_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(l)), '\\s+'), "
+    "t -> t <> '')"
+)
+_DK_T19_STOP = (
+    "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for']"
+)
+T19_SQL = f"""
+WITH page AS (
+  SELECT doc_id,
+         'Home | About | Login' || chr(10) || text || chr(10)
+         || 'Copyright 2024' || chr(10)
+         || 'all of it is for the best and it is that good' AS s
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         string_split(s, chr(10)) AS lines,
+         list_filter(string_split(s, chr(10)), l ->
+           len({_DK_T19_TOKS}) >= 5
+           AND len(list_filter({_DK_T19_TOKS},
+                               t -> list_contains({_DK_T19_STOP}, t)))
+               * 5 >= len({_DK_T19_TOKS})) AS content
+  FROM page)
+SELECT doc_id AS doc,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(content) AS INT) AS n_content,
+       md5(array_to_string(content, chr(10))) AS h
+FROM c
+ORDER BY doc
+"""
+
+
 # ----------------------------------------------------------------- s11
 def s11_centroid_outliers(spark, sf_dir):
     """Mislabel-candidate mining (sparkt.functions.similarity
@@ -3389,6 +3480,8 @@ QUERIES = {
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
+    "t18_readability": t18_readability,
+    "t19_boilerplate": t19_boilerplate,
     "s10_rrf_fusion": s10_rrf_fusion,
     "ev1_retrieval_metrics": ev1_retrieval_metrics,
     "p9_cluster_split": p9_cluster_split,
@@ -3460,6 +3553,8 @@ ORACLES = {
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
     "s11_centroid_outliers": S11_SQL,
+    "t18_readability": T18_SQL,
+    "t19_boilerplate": T19_SQL,
     "s10_rrf_fusion": _s10_sql(),
     "ev1_retrieval_metrics": _ev1_sql(),
     "p9_cluster_split": _p9_sql(),

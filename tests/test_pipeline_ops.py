@@ -2303,3 +2303,47 @@ def test_centroid_outliers_matches_numpy(spark):
         exp.extend((lab, i, d, r + 1)
                    for r, (d, i) in enumerate(scored))
     assert got == set(exp)
+
+
+def test_readability_stats_matches_python(spark):
+    """readability_stats equals the documented formula on texts with
+    known counts; degenerate text floors at 1 everywhere."""
+    from sparkt.functions.text import readability_stats
+
+    rows = [(1, "The cat sat. The dog ran! Did it?"),
+            (2, ""),
+            (3, "xyz qrs")]  # no vowels -> syllables floor 1
+    df = spark.createDataFrame(rows, "i int, text string")
+    r = readability_stats(F.col("text"))
+    got = {x["i"]: x for x in df.select(
+        "i", *[v.alias(k) for k, v in r.items()]).collect()}
+    a = got[1]
+    assert (a["n_words"], a["n_sentences"]) == (8, 3)
+    # vowel groups: e,a,a,e,o,a,i,i = 8
+    assert a["n_syllables"] == 8
+    assert a["flesch"] == round(
+        206.835 - 1.015 * (8 / 3) - 84.6 * (8 / 8), 4)
+    assert (got[2]["n_words"], got[2]["n_sentences"],
+            got[2]["n_syllables"]) == (1, 1, 1)
+    assert got[3]["n_syllables"] == 1
+
+
+def test_content_lines_justext_semantics(spark):
+    """content_lines: short lines die, stopword-poor lines die,
+    stopword-dense prose of >= min_tokens survives; fraction compare
+    is integer-exact at the boundary (exactly 1/5 survives)."""
+    from sparkt.functions.text import content_lines
+
+    text = "\n".join([
+        "Home | About | Login",                   # stopword-poor
+        "the quick brown fox jumps over dogs hi wow tree",  # 1/10 < 1/5
+        "cats like the warm mats for a nap",      # 3/8 passes
+        "for it",                                 # too short
+        "alpha beta gamma delta the",             # exactly 1/5 passes
+    ])
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(content_lines(F.col("text")).alias("c")).collect()
+    assert got[0]["c"] == [
+        "cats like the warm mats for a nap",
+        "alpha beta gamma delta the",
+    ]
