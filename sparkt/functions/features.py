@@ -20,7 +20,7 @@ carry the oracle hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkt.functions import join_scalars
@@ -253,4 +253,77 @@ def count_anomalies(
                 0.6745 * F.col("__ad") / F.col("mad") > z_threshold
             ).alias("is_anomaly"),
         )
+    )
+
+
+def attribution(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conv_type: str = "purchase",
+) -> DataFrame:
+    """First- and last-touch revenue attribution — the marketing
+    analytics primitive (the shape of the dbt attribution packages):
+    each conversion's value is credited to the FIRST touch event in
+    the entity's history before it (brand discovery) and, separately,
+    to the LAST touch before it (closing channel). Conversions with
+    no preceding touch credit the ``(none)`` channel.
+
+    Returns ``model ('first'|'last'), touch_type, n_conversions,
+    total_value`` (value summed then rounded 2dp — the q1 float
+    contract).
+
+    ONE per-entity ordered window pass: each touch encodes to a
+    sortable ``zero-padded-epoch-micros|type`` key; running ``min`` /
+    ``max`` over rows-unbounded-preceding carry the first/last touch
+    to every row, so no self-join, no as-of join, and conversion
+    count per entity doesn't change the plan. Per-entity history
+    sorts within one task (the sessionization contract); the final
+    aggregate is map-side combined over the tiny (model × type)
+    grain.
+    """
+    is_touch = F.col(type_col).isin(*touch_types)
+    tkey = F.when(
+        is_touch,
+        F.concat(
+            F.lpad(
+                F.unix_micros(F.col(ts_col)).cast("string"), 16, "0"
+            ),
+            F.lit("|"),
+            F.col(type_col),
+        ),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(type_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conv = (
+        events.withColumn("__lastk", F.max(tkey).over(w))
+        .withColumn("__firstk", F.min(tkey).over(w))
+        .filter(F.col(type_col) == conv_type)
+    )
+
+    def touch_of(col):
+        return F.coalesce(
+            F.element_at(F.split(F.col(col), r"\|"), 2), F.lit("(none)")
+        )
+
+    models = conv.select(
+        F.lit("last").alias("model"),
+        touch_of("__lastk").alias("touch_type"),
+        F.col(value_col).alias("__v"),
+    ).unionByName(
+        conv.select(
+            F.lit("first").alias("model"),
+            touch_of("__firstk").alias("touch_type"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    return models.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("__v"), 2).alias("total_value"),
     )

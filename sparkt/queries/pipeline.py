@@ -2873,6 +2873,54 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- ft5
+def ft5_attribution(spark, sf_dir):
+    """First/last-touch revenue attribution (sparkt.functions.features
+    .attribution — the dbt attribution-package shape): each purchase's
+    value credited to the first and the last click/view before it,
+    '(none)' when untouched. One per-user ordered window pass carrying
+    an encoded epoch-micros|type touch key; conversion counts are
+    exact, value sums round 2dp (q1 contract)."""
+    from sparkt.functions.features import attribution
+
+    ev = T(spark, sf_dir, "events")
+    return attribution(
+        ev, "user_id", "ts", "event_type", "value"
+    ).orderBy("model", "touch_type")
+
+
+FT5_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                   || '|' || event_type END AS tkey
+  FROM events),
+r AS (
+  SELECT user_id, ts, event_type, value,
+         max(tkey) OVER w AS lastk,
+         min(tkey) OVER w AS firstk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+c AS (SELECT * FROM r WHERE event_type = 'purchase'),
+m AS (
+  SELECT 'last' AS model,
+         coalesce(string_split(lastk, '|')[2], '(none)') AS touch_type,
+         value FROM c
+  UNION ALL
+  SELECT 'first',
+         coalesce(string_split(firstk, '|')[2], '(none)'),
+         value FROM c)
+SELECT model, touch_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       round(sum(value), 2) AS total_value
+FROM m
+GROUP BY model, touch_type
+ORDER BY model, touch_type
+"""
+
+
 # ----------------------------------------------------------------- t18
 def t18_readability(spark, sf_dir):
     """Readability scoring (sparkt.functions.text.readability_stats):
@@ -3480,6 +3528,7 @@ QUERIES = {
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
+    "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
     "s10_rrf_fusion": s10_rrf_fusion,
@@ -3553,6 +3602,7 @@ ORACLES = {
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
     "s11_centroid_outliers": S11_SQL,
+    "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,
     "s10_rrf_fusion": _s10_sql(),

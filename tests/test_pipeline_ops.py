@@ -2347,3 +2347,39 @@ def test_content_lines_justext_semantics(spark):
         "cats like the warm mats for a nap",
         "alpha beta gamma delta the",
     ]
+
+
+def test_attribution_matches_python(spark):
+    """attribution: last-touch = most recent prior touch, first-touch
+    = earliest prior touch, '(none)' when untouched; value sums 2dp."""
+    import datetime as dt
+
+    from sparkt.functions.features import attribution
+
+    t0 = dt.datetime(2024, 6, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # user 1: view@1, click@2, buy@3 (last=click, first=view),
+        #         view@4, buy@5 (last=view, first=view)
+        (1, m(1), "view", 0.0), (1, m(2), "click", 0.0),
+        (1, m(3), "purchase", 10.0),
+        (1, m(4), "view", 0.0), (1, m(5), "purchase", 2.5),
+        # user 2: buy with no touches -> (none)
+        (2, m(1), "signup", 0.0), (2, m(2), "purchase", 7.0),
+        # user 3: click only, no purchase -> contributes nothing
+        (3, m(1), "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, value double"
+    )
+    got = {(r["model"], r["touch_type"]):
+           (r["n_conversions"], r["total_value"])
+           for r in attribution(
+               df, "user_id", "ts", "event_type", "value").collect()}
+    assert got == {
+        ("last", "click"): (1, 10.0),
+        ("last", "view"): (1, 2.5),
+        ("last", "(none)"): (1, 7.0),
+        ("first", "view"): (2, 12.5),
+        ("first", "(none)"): (1, 7.0),
+    }
