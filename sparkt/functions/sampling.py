@@ -744,3 +744,74 @@ def cluster_safe_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", split)
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_tokens_col: str,
+    budget: int,
+    coarse: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Greedy quality-first data selection under a token budget — the
+    corpus-curation step "keep the best documents until N tokens":
+    order by (score DESC, id ASC) and keep each document iff the
+    INCLUSIVE running token total is still ``<= budget`` (the prefix
+    rule — deterministic and engine-portable; it stops at the first
+    overflowing document rather than knapsack-skipping past it).
+
+    Returns the kept rows: ``<id>, <score>, n_tokens, cum_tokens``.
+
+    SKEW-SAFE TWO-PHASE PREFIX SUM (default): a plain ``sum() over
+    (order by score)`` is a single-partition global window. This is
+    the :func:`rank_quantile_buckets` two-phase machinery with COUNT
+    generalized to SUM: phase 1 buckets rows by the coarse monotone
+    score grid and runs the token cumsum only within (cell) — small,
+    parallel windows; phase 2 adds the cell's exclusive prefix token
+    total (a <= ``coarse``-row aggregate, broadcast back). Equal
+    scores share a grid cell, so cell offset + local running sum
+    EXACTLY equals the single-window formulation (``two_phase=False``
+    gives the naive reference, pinned equal by pytest). NULL scores
+    sort last (the rank_quantile_buckets null branch).
+    """
+    s = F.col(score_col)
+    n = F.col(n_tokens_col).cast("long")
+    if two_phase:
+        clamped = F.greatest(
+            F.least(
+                F.floor((s - F.lit(lo)) / F.lit(hi - lo) * coarse),
+                F.lit(coarse - 1),
+            ),
+            F.lit(0),
+        ).cast("long")
+        cell = F.when(s.isNull(), F.lit(-1)).otherwise(clamped)
+        wd = df.withColumn("__cell", cell).withColumn("__n", n)
+        sums = wd.groupBy("__cell").agg(F.sum("__n").alias("__csum"))
+        w_off = Window.orderBy(F.desc("__cell")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = sums.withColumn(
+            "__off", F.coalesce(F.sum("__csum").over(w_off), F.lit(0))
+        )
+        w_local = Window.partitionBy("__cell").orderBy(
+            F.desc(score_col), F.asc(id_col)
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = (F.col("__off") + F.sum("__n").over(w_local)).alias(
+            "cum_tokens"
+        )
+        out = wd.join(
+            F.broadcast(offsets.select("__cell", "__off")), "__cell"
+        ).select(id_col, score_col, F.col("__n").alias("n_tokens"), cum)
+    else:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = df.select(
+            id_col, score_col, n.alias("n_tokens"),
+            F.sum(n).over(w).alias("cum_tokens"),
+        )
+    return out.filter(F.col("cum_tokens") <= int(budget))

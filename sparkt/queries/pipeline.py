@@ -2873,6 +2873,60 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ------------------------------------------------------------------ c5
+def c5_budget_select(spark, sf_dir):
+    """Token-budget data selection (sparkt.functions.sampling
+    .budget_select): keep the highest-quality documents (the p5/t2
+    floor-quantized quality score) while the inclusive running token
+    total stays within a 15k-token budget — the prefix rule, computed with the
+    skew-safe two-phase prefix sum over the coarse score grid (no
+    global single-partition window). The oracle runs the naive
+    single-window cumsum, which the two-phase result provably
+    equals."""
+    from sparkt.functions.sampling import budget_select
+
+    docs = T(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    pre = docs.select("doc_id", "text", toks.alias("__toks"))
+    nt = F.size("__toks")
+    alpha = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    stop = F.size(
+        F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS))
+    ) / F.greatest(nt, F.lit(1))
+    length_term = F.least(nt / F.lit(100.0), F.lit(1.0))
+    q = F.floor(
+        (0.4 * length_term + 0.3 * alpha + 0.3 * stop) * 1_000_000
+    ) / 1_000_000
+    scored = pre.select(
+        "doc_id", q.alias("q"), nt.alias("__ntok")
+    )
+    return budget_select(
+        scored, "doc_id", "q", "__ntok", budget=15000
+    ).orderBy("doc_id")
+
+
+C5_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_DK_QUALITY} AS q,
+         len({_DK_TOKENS}) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, q, n,
+         sum(n) OVER (ORDER BY q DESC, doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM s)
+SELECT doc_id, q,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum <= 15000
+ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------- ft5
 def ft5_attribution(spark, sf_dir):
     """First/last-touch revenue attribution (sparkt.functions.features
@@ -3528,6 +3582,7 @@ QUERIES = {
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
+    "c5_budget_select": c5_budget_select,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -3602,6 +3657,7 @@ ORACLES = {
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
     "s11_centroid_outliers": S11_SQL,
+    "c5_budget_select": C5_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

@@ -529,3 +529,35 @@ def test_retrieval_metrics_invariants_random(spark, docs, k):
     else:
         assert (m["first_rel_rank"], m["mrr"], m["ndcg_at_k"]) == (
             0, 0.0, 0.0)
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 1, allow_nan=False, width=16),
+                  st.integers(1, 50)),
+        min_size=1, max_size=40,
+    ),
+    st.integers(10, 400),
+)
+@settings(max_examples=20, deadline=None)
+def test_budget_select_two_phase_equals_naive(spark, rows, budget):
+    """budget_select's two-phase prefix sum equals the naive
+    single-window formulation for arbitrary score/token mixes
+    (duplicate scores share a grid cell) and any budget."""
+    from sparkt.functions.sampling import budget_select
+
+    data = [(i, float(s), n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id int, q double, n int")
+    fast = {(r["id"], r["cum_tokens"]) for r in budget_select(
+        df, "id", "q", "n", budget).collect()}
+    naive = {(r["id"], r["cum_tokens"]) for r in budget_select(
+        df, "id", "q", "n", budget, two_phase=False).collect()}
+    assert fast == naive
+    # prefix rule vs python
+    order = sorted(data, key=lambda t: (-t[1], t[0]))
+    cum, exp = 0, set()
+    for i, _, n in order:
+        cum += n
+        if cum <= budget:
+            exp.add((i, cum))
+    assert fast == exp
