@@ -885,3 +885,65 @@ def corpus_diff(
         .otherwise("changed")
         .alias("status"),
     )
+
+
+def lsh_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """LSH parameter calibration report: for every MinHash candidate
+    pair, compare the BAND EVIDENCE (n_shared_bands) against the
+    EXACT k-shingle Jaccard, bucketed into deciles — the QA table
+    that answers "are my (n_hashes, n_bands) settings catching real
+    near-dups or hash noise?" before a corpus-scale dedup run.
+    A healthy setting concentrates high-band pairs in high-Jaccard
+    deciles; mass in decile 0-2 at max bands means the banding is
+    too permissive.
+
+    Returns ``n_shared_bands, jaccard_decile, n_pairs`` (decile =
+    ``floor(10·|A∩B| / |A∪B|)``, integer-exact; 10 only when the sets
+    are identical).
+
+    Scale shape: the exact Jaccard is computed ONLY for candidate
+    pairs (the banded equijoin's output — never all-pairs); each
+    side's distinct-shingle array rides the id join, bounded by
+    document size. The final aggregate is a tiny (bands × 11) grain.
+    """
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, n_hashes=n_hashes, n_bands=n_bands
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), k).alias("__sh"),
+    )
+    j = (
+        pairs.join(
+            sh.select(F.col("__id").alias("id_a"),
+                      F.col("__sh").alias("__sa")), "id_a"
+        )
+        .join(
+            sh.select(F.col("__id").alias("id_b"),
+                      F.col("__sh").alias("__sb")), "id_b"
+        )
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__sa", "__sb"))
+        )
+        .withColumn(
+            "__union",
+            F.size("__sa") + F.size("__sb") - F.col("__inter"),
+        )
+        .withColumn(
+            "jaccard_decile",
+            F.floor(
+                F.lit(10) * F.col("__inter")
+                / F.greatest(F.col("__union"), F.lit(1))
+            ).cast("int"),
+        )
+    )
+    return j.groupBy("n_shared_bands", "jaccard_decile").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

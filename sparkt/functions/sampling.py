@@ -815,3 +815,69 @@ def budget_select(
             F.sum(n).over(w).alias("cum_tokens"),
         )
     return out.filter(F.col("cum_tokens") <= int(budget))
+
+
+def apply_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    target_weights: dict[str, float],
+    budget_tokens: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """APPLY a target domain mixture under a token budget — the
+    execution step to :func:`mixture_weights`' planning step: domain
+    ``d`` receives ``quota_d = budget·w_d/Σw`` tokens, and each of
+    its rows survives independently with ``P = min(1, quota_d/T_d)``
+    (``T_d`` = the domain's total tokens), so the EXPECTED post-mix
+    token mass matches the target proportions. Domains absent from
+    ``target_weights`` are dropped.
+
+    Survival uses the established deterministic-hash thinning (the
+    p3/p7 mechanism — rerun-stable, partition-independent): the
+    per-domain threshold precomputes as ``floor(min(1, quota/T)·2³²)``
+    so the per-row test is a pure integer compare — no ``u32·T``
+    product that could overflow at corpus scale, and the only
+    non-integer math is one double division per DOMAIN, identical in
+    every engine.
+
+    Scale shape: one map-side-combined groupBy(domain) for ``T_d``
+    (domain-count-sized, broadcast back), then a shuffle-free per-row
+    filter. Exact-count selection would need a per-domain global
+    sort; Bernoulli thinning is the corpus-scale trade.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    total = sum(target_weights.values())
+    quota = {
+        d: budget_tokens * w / total for d, w in target_weights.items()
+    }
+    toks = df.groupBy(domain_col).agg(
+        F.sum(F.col(n_tokens_col).cast("long")).alias("__T")
+    )
+    qexpr = None
+    for d, q in quota.items():
+        cond = F.col(domain_col) == d
+        qexpr = (
+            F.when(cond, F.lit(q))
+            if qexpr is None
+            else qexpr.when(cond, F.lit(q))
+        )
+    # least()/greatest() SKIP nulls (the rank_quantile_buckets ANSI
+    # lesson): least(1.0, NULL) is 1.0, which would keep every
+    # unlisted domain — gate the null explicitly
+    thr = F.when(
+        qexpr.isNotNull(),
+        F.floor(
+            F.least(F.lit(1.0), qexpr / F.col("__T"))
+            * F.lit(float(1 << 32))
+        ),
+    )
+    u = _u32(id_col, salt)
+    return (
+        df.join(F.broadcast(toks), domain_col)
+        .withColumn("__thr", thr)
+        .filter(F.col("__thr").isNotNull() & (u < F.col("__thr")))
+        .drop("__T", "__thr")
+    )

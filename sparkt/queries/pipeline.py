@@ -2873,6 +2873,106 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- p10
+def p10_apply_mixture(spark, sf_dir):
+    """Mixture application (sparkt.functions.sampling.apply_mixture):
+    thin three source domains to a 3:1:1 token mixture under a
+    2000-token budget via the integer-exact per-domain u32 threshold
+    (floor(min(1, quota/T)·2³²) — one double division per DOMAIN,
+    identical in both engines). Gate reports surviving per-domain
+    doc/token counts (exact integers)."""
+    from sparkt.functions.sampling import apply_mixture
+
+    docs = T(spark, sf_dir, "documents")
+    nt = F.size(TX.tokens(F.col("text")))
+    scored = docs.select("doc_id", "source", nt.alias("__ntok"))
+    kept = apply_mixture(
+        scored, "source", "doc_id", "__ntok",
+        {"src0": 3.0, "src1": 1.0, "src2": 1.0}, budget_tokens=2000,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+P10_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DK_TOKENS}) AS n FROM documents),
+tot AS (SELECT source, sum(n) AS T FROM t GROUP BY 1),
+j AS (
+  SELECT t.doc_id, t.source, t.n, tot.T,
+         CASE t.source WHEN 'src0' THEN 1200.0
+                       WHEN 'src1' THEN 400.0
+                       WHEN 'src2' THEN 400.0 END AS q
+  FROM t JOIN tot USING (source)),
+k AS (
+  SELECT * FROM j
+  WHERE q IS NOT NULL
+    AND CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::UBIGINT AS BIGINT)
+        < floor(least(1.0, q / T) * 4294967296.0))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM k
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ----------------------------------------------------------------- d15
+def d15_lsh_calibration(spark, sf_dir):
+    """LSH parameter calibration (sparkt.functions.dedup
+    .lsh_calibration): band evidence vs exact 3-shingle Jaccard
+    deciles for every MinHash candidate pair — the QA table for
+    (n_hashes, n_bands) tuning. Exact Jaccard computed only for the
+    banded equijoin's candidates; output is a (bands × deciles)
+    integer grain."""
+    docs = T(spark, sf_dir, "documents")
+    return D.lsh_calibration(
+        docs, "text", "doc_id", n_hashes=8, n_bands=4
+    ).orderBy("n_shared_bands", "jaccard_decile")
+
+
+D15_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         [{", ".join(_dk_minhash(i) for i in range(8))}] AS sig
+  FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         count(*) AS n_shared_bands
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id, {_DK_SHINGLES_K3} AS s FROM documents),
+j AS (
+  SELECT p.n_shared_bands,
+         CAST(floor(10.0 * len(list_intersect(a.s, b.s))
+                    / greatest(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)), 1))
+              AS INT) AS jaccard_decile
+  FROM pairs p JOIN sh a ON p.id_a = a.doc_id
+               JOIN sh b ON p.id_b = b.doc_id)
+SELECT n_shared_bands, jaccard_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM j
+GROUP BY 1, 2
+ORDER BY n_shared_bands, jaccard_decile
+"""
+
+
 # ------------------------------------------------------------------ c5
 def c5_budget_select(spark, sf_dir):
     """Token-budget data selection (sparkt.functions.sampling
@@ -3583,6 +3683,8 @@ QUERIES = {
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
     "c5_budget_select": c5_budget_select,
+    "d15_lsh_calibration": d15_lsh_calibration,
+    "p10_apply_mixture": p10_apply_mixture,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -3658,6 +3760,8 @@ ORACLES = {
     "pl3_retrieval_pipeline": PL3_SQL,
     "s11_centroid_outliers": S11_SQL,
     "c5_budget_select": C5_SQL,
+    "d15_lsh_calibration": D15_SQL,
+    "p10_apply_mixture": P10_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

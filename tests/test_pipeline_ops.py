@@ -2383,3 +2383,51 @@ def test_attribution_matches_python(spark):
         ("first", "view"): (2, 12.5),
         ("first", "(none)"): (1, 7.0),
     }
+
+
+def test_lsh_calibration_matches_python(spark):
+    """lsh_calibration: band counts from the d3 pair semantics, exact
+    Jaccard deciles from python set arithmetic, identical twins land
+    in (max_bands, decile 10)."""
+    from sparkt.functions.dedup import lsh_calibration
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # twin of 1
+        (3, "alpha beta gamma delta epsilon different"),  # near-dup
+        (4, "completely other words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["n_shared_bands"], r["jaccard_decile"]): r["n_pairs"]
+           for r in lsh_calibration(df, "text", "doc_id").collect()}
+    # the twin pair MUST share all 4 bands at decile 10
+    assert got.get((4, 10)) == 1
+    # every reported pair count is >= 1 and deciles are in range
+    assert all(0 <= d <= 10 for (_, d) in got)
+    assert sum(got.values()) >= 1
+
+
+def test_apply_mixture_semantics(spark):
+    """apply_mixture: unlisted domains are DROPPED (the least()-null
+    trap pin), quota >= domain total keeps everything, tiny quota
+    thins, and the survivor set is salt-deterministic."""
+    from sparkt.functions.sampling import apply_mixture
+
+    rows = [(i, "a" if i < 20 else ("b" if i < 40 else "c"), 10)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, dom string, nt int")
+    kept = apply_mixture(
+        df, "dom", "doc_id", "nt", {"a": 1.0, "b": 1.0}, 400
+    ).collect()
+    doms = {r["dom"] for r in kept}
+    assert "c" not in doms                       # unlisted -> dropped
+    a = [r for r in kept if r["dom"] == "a"]
+    assert len(a) == 20                          # quota 200 = total 200
+    b1 = {r["doc_id"] for r in kept if r["dom"] == "b"}
+    again = {r["doc_id"] for r in apply_mixture(
+        df, "dom", "doc_id", "nt", {"a": 1.0, "b": 1.0}, 400).collect()
+        if r["dom"] == "b"}
+    assert b1 == again                           # deterministic
+    thin = apply_mixture(
+        df, "dom", "doc_id", "nt", {"b": 1.0}, 20).collect()
+    assert 0 <= len(thin) <= 6                   # P = 0.1 of 20 rows
