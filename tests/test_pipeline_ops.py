@@ -2431,3 +2431,16 @@ def test_apply_mixture_semantics(spark):
     thin = apply_mixture(
         df, "dom", "doc_id", "nt", {"b": 1.0}, 20).collect()
     assert 0 <= len(thin) <= 6                   # P = 0.1 of 20 rows
+
+
+def test_gate_registry_consistency():
+    """Every gate has BOTH a queries() entry and an oracle, keys match
+    exactly, and every oracle is a non-empty SELECT/WITH statement —
+    the driver contract the correctness artifact depends on."""
+    from sparkt.queries import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES)
+    for name, sql in ORACLES.items():
+        assert callable(QUERIES[name]), name
+        body = sql.strip().lower()
+        assert body.startswith(("select", "with")), name
