@@ -327,3 +327,56 @@ def attribution(
         F.count(F.lit(1)).alias("n_conversions"),
         F.round(F.sum("__v"), 2).alias("total_value"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Set co-occurrence mining — support counts for item pairs
+    sharing a group: market-basket pairs (parts per order), entity
+    co-mentions (terms per document), co-engagement (items per user).
+    The support-counting step of association mining, and the set
+    generalization of :func:`sparkt.functions.text.collocations`'
+    ADJACENT pairs.
+
+    Returns ``item_a, item_b, support`` with ``item_a < item_b``
+    (exact integers; duplicate (group, item) rows collapse first so
+    support counts GROUPS, not row multiplicity).
+
+    Scale shape: one distinct, one self-equijoin on the group key,
+    one map-side-combined count. The self-join is quadratic IN THE
+    GROUP — a mega-group (a crawler user with 10^6 items) emits 10^12
+    pairs, so ``max_group_size`` drops oversized groups BEFORE the
+    join (the d5 stop-shingle cap argument: at corpus scale always
+    set it; excluded groups are knowably degenerate for association
+    mining anyway).
+    """
+    items = df.select(group_col, item_col).distinct()
+    if max_group_size is not None:
+        sizes = items.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("__gsz")
+        )
+        items = (
+            items.join(sizes, group_col)
+            .filter(F.col("__gsz") <= int(max_group_size))
+            .drop("__gsz")
+        )
+    left = items.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("item_a")
+    )
+    right = items.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("item_b")
+    )
+    pairs = left.join(right, "__g").filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    out = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    if min_count > 1:
+        out = out.filter(F.col("support") >= min_count)
+    return out

@@ -2873,6 +2873,43 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- ft6
+def ft6_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (sparkt.functions.features
+    .cooccurrence_pairs): support counts for part pairs sharing an
+    order — the association-mining support step. Group-size cap (the
+    d5 stop-shingle argument) keeps a mega-basket from going
+    quadratic; top-100 by (support desc, ids) via
+    TakeOrderedAndProject."""
+    from sparkt.functions.features import cooccurrence_pairs
+
+    li = T(spark, sf_dir, "lineitem")
+    pairs = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", max_group_size=10
+    )
+    return pairs.orderBy(
+        F.desc("support"), "item_a", "item_b"
+    ).limit(100)
+
+
+FT6_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+ok AS (
+  SELECT g FROM items GROUP BY g HAVING count(*) <= 10),
+it AS (SELECT items.* FROM items JOIN ok USING (g)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM it a JOIN it b ON a.g = b.g AND a.item < b.item
+  GROUP BY 1, 2)
+SELECT item_a, item_b, support
+FROM pairs
+ORDER BY support DESC, item_a, item_b
+LIMIT 100
+"""
+
+
 # ----------------------------------------------------------------- p10
 def p10_apply_mixture(spark, sf_dir):
     """Mixture application (sparkt.functions.sampling.apply_mixture):
@@ -3685,6 +3722,7 @@ QUERIES = {
     "c5_budget_select": c5_budget_select,
     "d15_lsh_calibration": d15_lsh_calibration,
     "p10_apply_mixture": p10_apply_mixture,
+    "ft6_basket_pairs": ft6_basket_pairs,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -3762,6 +3800,7 @@ ORACLES = {
     "c5_budget_select": C5_SQL,
     "d15_lsh_calibration": D15_SQL,
     "p10_apply_mixture": P10_SQL,
+    "ft6_basket_pairs": FT6_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

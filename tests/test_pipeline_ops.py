@@ -2444,3 +2444,31 @@ def test_gate_registry_consistency():
         assert callable(QUERIES[name]), name
         body = sql.strip().lower()
         assert body.startswith(("select", "with")), name
+
+
+def test_cooccurrence_pairs_matches_python(spark):
+    """cooccurrence_pairs: support counts groups (duplicates collapse),
+    ordering a < b, min_count prunes, max_group_size drops oversized
+    groups BEFORE pairing."""
+    from itertools import combinations
+
+    from sparkt.functions.features import cooccurrence_pairs
+
+    rows = [("g1", 1), ("g1", 2), ("g1", 3), ("g1", 2),   # dup (g1,2)
+            ("g2", 2), ("g2", 3),
+            ("g3", 1), ("g3", 2),
+            ("big", 10), ("big", 11), ("big", 12), ("big", 13)]
+    df = spark.createDataFrame(rows, "g string, item int")
+    got = {(r["item_a"], r["item_b"]): r["support"]
+           for r in cooccurrence_pairs(
+               df, "g", "item", max_group_size=3).collect()}
+    exp = {}
+    for g in ("g1", "g2", "g3"):
+        members = sorted({i for gg, i in rows if gg == g})
+        for a, b in combinations(members, 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert got == exp
+    assert (10, 11) not in got                  # big group dropped
+    pruned = {(r["item_a"], r["item_b"]) for r in cooccurrence_pairs(
+        df, "g", "item", min_count=2, max_group_size=3).collect()}
+    assert pruned == {(1, 2), (2, 3)}  # both appear in two groups
