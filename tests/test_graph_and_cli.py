@@ -892,6 +892,48 @@ _REF_CORPUS = [
      "select {{ col_a }} from {{ ref('seed') }}\n",
      False,
      {"materialized": "incremental", "unique_key": '"col_A"'}, None),
+    # tests/functional/adapter/hooks/fixtures.py shape: jinja INSIDE
+    # the hook string literal is NOT re-parsed at config time — the
+    # static path must capture the raw string, braces and all
+    # (hooks have APPEND merge behavior, so a scalar hook LISTIFIES —
+    # the reference's parsed config carries pre-hook as a list)
+    ("hook_embedded_jinja",
+     '{{ config(pre_hook="insert into {{ this }} values (1)") }}\n'
+     "select 1 as id\n",
+     True,
+     {"pre_hook": ["insert into {{ this }} values (1)"]}, None),
+    # docs-generate fixtures: persist_docs nested dict
+    ("persist_docs_dict",
+     "{{ config(materialized='table', "
+     "persist_docs={\"relation\": True, \"columns\": True}) }}\n"
+     "select 1 as id\n",
+     True,
+     {"materialized": "table",
+      "persist_docs": {"relation": True, "columns": True}}, None),
+    # dbt 1.9 microbatch header (ints + strings mixed)
+    ("microbatch_full",
+     "{{ config(materialized='incremental', "
+     "incremental_strategy='microbatch', event_time='ts', "
+     "batch_size='day', lookback=3, begin='2024-01-01') }}\n"
+     "select 1 as id, now() as ts\n",
+     True,
+     {"materialized": "incremental",
+      "incremental_strategy": "microbatch", "event_time": "ts",
+      "batch_size": "day", "lookback": 3, "begin": "2024-01-01"},
+     None),
+    # contracts fixtures: contract config is a nested dict
+    ("contract_enforced",
+     "{{ config(materialized='table', "
+     "contract={'enforced': True}) }}\nselect 1 as id\n",
+     True,
+     {"materialized": "table", "contract": {"enforced": True}}, None),
+    # context_methods shape: env_var() in a config VALUE is outside
+    # the dbt-extractor const surface -> fallback; render resolves
+    # the default
+    ("env_var_default_schema",
+     "{{ config(schema=env_var('SPARKT_NO_SUCH_VAR', 'fallback_s')) }}"
+     "\nselect 1 as id\n",
+     False, {"schema": "fallback_s"}, None),
 ]
 
 
