@@ -380,3 +380,119 @@ def cooccurrence_pairs(
     if min_count > 1:
         out = out.filter(F.col("support") >= min_count)
     return out
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    max_gap_minutes: float | None = 30.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Path analysis — first-order transition counts between
+    consecutive event types per entity (the Markov-chain input behind
+    "what do users do after X" product analytics). A transition
+    counts only when the gap to the next event is within
+    ``max_gap_minutes`` (session semantics, same gap contract as
+    sessionization; ``None`` disables the gap cut).
+
+    Returns ``src_type, dst_type, n_transitions`` (exact integers)
+    plus ``avg_gap_s`` (mean seconds between the pair, rounded 4dp —
+    the q1 avg contract).
+
+    ONE per-entity ordered window pass (``lead`` over (ts, type)) —
+    no self-join; the count aggregate is map-side combined over the
+    (src × dst) grain. Per-entity history sorts in one task (the
+    sessionization contract).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(type_col)
+    )
+    nxt_t = F.lead(type_col).over(w)
+    nxt_ts = F.lead(ts_col).over(w)
+    gap_s = nxt_ts.cast("double") - F.col(ts_col).cast("double")
+    pairs = events.select(
+        F.col(type_col).alias("src_type"),
+        nxt_t.alias("dst_type"),
+        gap_s.alias("__gap"),
+    ).filter(F.col("dst_type").isNotNull())
+    if max_gap_minutes is not None:
+        pairs = pairs.filter(
+            F.col("__gap") <= F.lit(float(max_gap_minutes) * 60.0)
+        )
+    return pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.avg("__gap"), 4).alias("avg_gap_s"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    conv_type_filter=None,
+    quantiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Recency / Frequency / Monetary — the classic
+    customer-value coding): per entity, score each dimension 1..q by
+    rank quantile (q = best: most recent last event, most events,
+    highest spend) and emit the concatenated segment code.
+
+    Returns ``<key>, last_ts, n_events, monetary, r_code, f_code,
+    m_code, rfm`` (monetary rounded 2dp BEFORE ranking so rank
+    tie-breaks never sit on a float-sum boundary; codes are exact
+    integers; ``rfm`` is the 'RFM' digit string).
+
+    Scale shape: one map-side-combined groupBy per entity, then three
+    skew-safe two-phase quantile rankings via
+    :func:`sparkt.functions.sampling.rank_quantile_buckets` (coarse
+    score grid — no whole-population single-task sort) joined back on
+    the entity key. Cuts are rank-based (``ceil(n·k/q)``), so both
+    engines derive codes from the same integers.
+    """
+    from sparkt.functions.sampling import rank_quantile_buckets
+
+    src = (
+        events.filter(conv_type_filter)
+        if conv_type_filter is not None
+        else events
+    )
+    per = src.groupBy(key_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("monetary"),
+    ).withColumn("__part", F.lit("all"))
+    cuts = tuple(k / quantiles for k in range(1, quantiles))
+    labels = tuple(str(quantiles - k) for k in range(quantiles))
+    scored = (
+        per.withColumn("__r_ts", F.col("last_ts").cast("double"))
+        .withColumn("__f", F.col("n_events").cast("double"))
+        .withColumn("__m", F.col("monetary").cast("double"))
+    )
+    # grid bounds only balance the two-phase work (values outside
+    # clamp to the edge cells; correctness never depends on them) —
+    # epoch seconds / per-entity counts / 2dp spend sums
+    out = per
+    for score, name, lo, hi in (
+        ("__r_ts", "r_code", 1.0e9, 2.2e9),
+        ("__f", "f_code", 0.0, 1000.0),
+        ("__m", "m_code", 0.0, 1.0e5),
+    ):
+        b = rank_quantile_buckets(
+            scored, "__part", score, key_col,
+            cuts=cuts, labels=labels, lo=lo, hi=hi,
+        ).select(
+            F.col(key_col), F.col("bucket").cast("int").alias(name)
+        )
+        out = out.join(b, key_col)
+    return out.select(
+        key_col, "last_ts", "n_events", "monetary",
+        "r_code", "f_code", "m_code",
+        F.concat(
+            F.col("r_code").cast("string"),
+            F.col("f_code").cast("string"),
+            F.col("m_code").cast("string"),
+        ).alias("rfm"),
+    )

@@ -287,12 +287,19 @@ def rank_quantile_buckets(
         ).withColumn(
             "__n", F.count(F.lit(1)).over(Window.partitionBy(part_col))
         )
-    c1 = F.ceil(F.col("__n") * F.lit(cuts[0])).cast("long")
-    c2 = F.ceil(F.col("__n") * F.lit(cuts[1])).cast("long")
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(labels) == len(cuts) + 1")
+    bucket = None
+    for i, c in enumerate(cuts):
+        th = F.ceil(F.col("__n") * F.lit(c)).cast("long")
+        cond = F.col("rank") <= th
+        bucket = (
+            F.when(cond, labels[i])
+            if bucket is None
+            else bucket.when(cond, labels[i])
+        )
     bucket = (
-        F.when(F.col("rank") <= c1, labels[0])
-        .when(F.col("rank") <= c2, labels[1])
-        .otherwise(labels[2])
+        F.lit(labels[-1]) if bucket is None else bucket.otherwise(labels[-1])
     )
     return ranked.select(
         part_col, id_col, score_col, "rank", bucket.alias("bucket")

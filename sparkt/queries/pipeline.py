@@ -2873,6 +2873,101 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- ft8
+def ft8_rfm(spark, sf_dir):
+    """RFM segmentation (sparkt.functions.features.rfm_segments):
+    recency/frequency/monetary quintile codes per purchasing user —
+    the classic customer-value coding. Monetary rounds 2dp BEFORE
+    ranking (no float-sum rank boundary); codes derive from
+    rank-based cuts (ceil(n·k/5)) so both engines compute them from
+    the same integers; last_ts hashes as epoch micros."""
+    from sparkt.functions.features import rfm_segments
+
+    ev = T(spark, sf_dir, "events")
+    out = rfm_segments(
+        ev, "user_id", "ts", "value",
+        conv_type_filter=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("last_ts").alias("last_ts_us"),
+        "n_events", "monetary",
+        "r_code", "f_code", "m_code", "rfm",
+    ).orderBy("user_id")
+
+
+FT8_SQL = """
+WITH per AS (
+  SELECT user_id, max(ts) AS last_ts,
+         count(*) AS n_events, round(sum(value), 2) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+r AS (
+  SELECT per.*,
+         count(*) OVER () AS n,
+         row_number() OVER (ORDER BY last_ts DESC, user_id ASC) AS rr,
+         row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS fr,
+         row_number() OVER (ORDER BY monetary DESC, user_id ASC) AS mr
+  FROM per),
+coded AS (
+  SELECT user_id, last_ts, n_events, monetary,
+         CASE WHEN rr <= ceil(n * 0.2) THEN 5
+              WHEN rr <= ceil(n * 0.4) THEN 4
+              WHEN rr <= ceil(n * 0.6) THEN 3
+              WHEN rr <= ceil(n * 0.8) THEN 2 ELSE 1 END AS r_code,
+         CASE WHEN fr <= ceil(n * 0.2) THEN 5
+              WHEN fr <= ceil(n * 0.4) THEN 4
+              WHEN fr <= ceil(n * 0.6) THEN 3
+              WHEN fr <= ceil(n * 0.8) THEN 2 ELSE 1 END AS f_code,
+         CASE WHEN mr <= ceil(n * 0.2) THEN 5
+              WHEN mr <= ceil(n * 0.4) THEN 4
+              WHEN mr <= ceil(n * 0.6) THEN 3
+              WHEN mr <= ceil(n * 0.8) THEN 2 ELSE 1 END AS m_code
+  FROM r)
+SELECT user_id,
+       CAST(epoch_us(last_ts) AS BIGINT) AS last_ts_us,
+       CAST(n_events AS BIGINT) AS n_events, monetary,
+       CAST(r_code AS INT) AS r_code,
+       CAST(f_code AS INT) AS f_code,
+       CAST(m_code AS INT) AS m_code,
+       CAST(r_code AS VARCHAR) || CAST(f_code AS VARCHAR)
+         || CAST(m_code AS VARCHAR) AS rfm
+FROM coded
+ORDER BY user_id
+"""
+
+
+# ----------------------------------------------------------------- ft7
+def ft7_event_transitions(spark, sf_dir):
+    """Path analysis (sparkt.functions.features.event_transitions):
+    per-user consecutive event-type transition counts within a 30-min
+    gap — the Markov-chain input of product analytics. One lead()
+    window pass, map-side-combined (src x dst) aggregate; avg gap
+    rounds 4dp (q1 avg contract)."""
+    from sparkt.functions.features import event_transitions
+
+    ev = T(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", max_gap_minutes=30.0
+    ).orderBy("src_type", "dst_type")
+
+
+FT7_SQL = """
+WITH nxt AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER w AS dst_type,
+         epoch(lead(ts) OVER w) - epoch(ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type))
+SELECT src_type, dst_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(avg(gap), 4) AS avg_gap_s
+FROM nxt
+WHERE dst_type IS NOT NULL AND gap <= 1800.0
+GROUP BY src_type, dst_type
+ORDER BY src_type, dst_type
+"""
+
+
 # ----------------------------------------------------------------- ft6
 def ft6_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence (sparkt.functions.features
@@ -3723,6 +3818,8 @@ QUERIES = {
     "d15_lsh_calibration": d15_lsh_calibration,
     "p10_apply_mixture": p10_apply_mixture,
     "ft6_basket_pairs": ft6_basket_pairs,
+    "ft7_event_transitions": ft7_event_transitions,
+    "ft8_rfm": ft8_rfm,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -3801,6 +3898,8 @@ ORACLES = {
     "d15_lsh_calibration": D15_SQL,
     "p10_apply_mixture": P10_SQL,
     "ft6_basket_pairs": FT6_SQL,
+    "ft7_event_transitions": FT7_SQL,
+    "ft8_rfm": FT8_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

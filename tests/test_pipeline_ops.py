@@ -2472,3 +2472,74 @@ def test_cooccurrence_pairs_matches_python(spark):
     pruned = {(r["item_a"], r["item_b"]) for r in cooccurrence_pairs(
         df, "g", "item", min_count=2, max_group_size=3).collect()}
     assert pruned == {(1, 2), (2, 3)}  # both appear in two groups
+
+
+def test_event_transitions_matches_python(spark):
+    """event_transitions: lead-pair counts within the gap; pairs
+    crossing the gap cut or entity boundary don't count."""
+    import datetime as dt
+
+    from sparkt.functions.features import event_transitions
+
+    t0 = dt.datetime(2024, 6, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [(1, m(0), "view"), (1, m(5), "click"), (1, m(10), "buy"),
+            (1, m(100), "view"),            # 90-min gap: no transition
+            (2, m(0), "view"), (2, m(1), "view"),
+            (3, m(0), "click")]             # singleton: nothing
+    df = spark.createDataFrame(rows, "u int, ts timestamp, t string")
+    got = {(r["src_type"], r["dst_type"]):
+           (r["n_transitions"], r["avg_gap_s"])
+           for r in event_transitions(df, "u", "ts", "t").collect()}
+    assert got == {
+        ("view", "click"): (1, 300.0),
+        ("click", "buy"): (1, 300.0),
+        ("view", "view"): (1, 60.0),
+    }
+
+
+def test_rfm_segments_matches_python(spark):
+    """rfm_segments: quintile codes equal a python rank-cut reference
+    (rank by score desc, id asc; code k iff rank <= ceil(n*k/5))."""
+    import datetime as dt
+    import math
+
+    from sparkt.functions.features import rfm_segments
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(1, 16):
+        for k in range(u % 4 + 1):
+            rows.append((u, t0 + dt.timedelta(days=u % 7, minutes=k),
+                         "purchase", float(u) * 3 + k))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, value double"
+    )
+    got = {r["user_id"]: (r["r_code"], r["f_code"], r["m_code"], r["rfm"])
+           for r in rfm_segments(df, "user_id", "ts", "value").collect()}
+
+    per = {}
+    for u, ts, _, v in rows:
+        lt, n, mv = per.get(u, (ts, 0, 0.0))
+        per[u] = (max(lt, ts), n + 1, round(mv + v, 10))
+    per = {u: (lt, n, round(mv, 2)) for u, (lt, n, mv) in per.items()}
+    n = len(per)
+
+    def codes(scores):
+        order = sorted(per, key=lambda u: (-scores[u], u))
+        out = {}
+        for rank, u in enumerate(order, 1):
+            for k, lab in ((0.2, 5), (0.4, 4), (0.6, 3), (0.8, 2)):
+                if rank <= math.ceil(n * k):
+                    out[u] = lab
+                    break
+            else:
+                out[u] = 1
+        return out
+
+    rc = codes({u: per[u][0].timestamp() for u in per})
+    fc = codes({u: per[u][1] for u in per})
+    mc = codes({u: per[u][2] for u in per})
+    for u in per:
+        assert got[u] == (rc[u], fc[u], mc[u],
+                          f"{rc[u]}{fc[u]}{mc[u]}")
