@@ -279,3 +279,45 @@ def segment_audio(df: DataFrame, window_ms: int = 10000) -> DataFrame:
             )
 
     return df.mapInPandas(batches, AUDIO_SEGMENT_SCHEMA)
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per binary item — the
+    content-based image near-dup key (public recipe: resize to a tiny
+    grayscale grid, threshold each pixel against the mean, pack the
+    bits). Identical/visually-near images share a hash, so dedup is a
+    hash-bucket equijoin — the image analogue of the text MinHash
+    bucket join (hamming-1 multi-probe = also joining each hash with
+    one bit flipped, the documented extension).
+
+    DECODE STUB (this container has no image codecs): the "16-pixel
+    grayscale thumbnail" is the md5 digest of the payload — 16
+    deterministic bytes, so the DuckDB oracle reproduces the hash
+    exactly; swap the digest for a PIL ``resize((4,4)).convert('L')``
+    on a real cluster. The thresholding math (mean of 16 bytes is
+    exact in a double — /16 is a power-of-two divide) and bit packing
+    are the real algorithm.
+
+    Input ``(item_id, content binary, ...)``; returns ``item_id,
+    ahash`` (4 lowercase hex chars). Arrow ``mapInPandas``,
+    embarrassingly parallel, bytes never shuffle.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def ah(b):
+                px = list(hashlib.md5(bytes(b)).digest())
+                mean = sum(px) / 16.0
+                bits = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        bits |= 1 << (15 - i)
+                return format(bits, "04x")
+
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"],
+                 "ahash": pdf["content"].map(ah)}
+            )
+
+    return df.mapInPandas(batches, "item_id long, ahash string")

@@ -2873,6 +2873,54 @@ def _s6_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     )
 
 
+# ----------------------------------------------------------------- mm4
+def mm4_perceptual_hash(spark, sf_dir):
+    """Perceptual-hash image dedup keys (sparkt.functions.multimodal
+    .perceptual_hash): aHash over the deterministic stub thumbnail
+    (md5 digest bytes — the mm1 decode-stub contract) through REAL
+    Arrow mapInPandas plumbing, then bucket sizes via one hash
+    groupBy — the content-based near-dup join shape. The oracle
+    re-derives the 16 'pixels', the exact /16 mean threshold, and the
+    bit packing from md5 hex nibbles in SQL."""
+    from sparkt.functions import multimodal as MM
+
+    docs = T(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    hashed = MM.perceptual_hash(items)
+    sizes = hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    return hashed.join(sizes, "ahash").select(
+        "item_id", "ahash", "n_bucket"
+    ).orderBy("item_id")
+
+
+def _mm4_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+    bytes_ = [
+        f"({nib.format(p=2 * i + 1)} * 16 + {nib.format(p=2 * i + 2)})"
+        for i in range(16)
+    ]
+    mean = "((" + " + ".join(bytes_) + ") / 16.0)"
+    bits = " + ".join(
+        f"(CASE WHEN {b} > {mean} THEN {1 << (15 - i)} ELSE 0 END)"
+        for i, b in enumerate(bytes_)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id AS item_id,
+         lpad(lower(to_hex({bits})), 4, '0') AS ahash
+  FROM documents),
+s AS (SELECT ahash, count(*) AS n_bucket FROM h GROUP BY ahash)
+SELECT h.item_id, h.ahash, CAST(s.n_bucket AS BIGINT) AS n_bucket
+FROM h JOIN s USING (ahash)
+ORDER BY h.item_id
+"""
+
+
 # ----------------------------------------------------------------- ft8
 def ft8_rfm(spark, sf_dir):
     """RFM segmentation (sparkt.functions.features.rfm_segments):
@@ -3820,6 +3868,7 @@ QUERIES = {
     "ft6_basket_pairs": ft6_basket_pairs,
     "ft7_event_transitions": ft7_event_transitions,
     "ft8_rfm": ft8_rfm,
+    "mm4_perceptual_hash": mm4_perceptual_hash,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -3900,6 +3949,7 @@ ORACLES = {
     "ft6_basket_pairs": FT6_SQL,
     "ft7_event_transitions": FT7_SQL,
     "ft8_rfm": FT8_SQL,
+    "mm4_perceptual_hash": _mm4_sql(),
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

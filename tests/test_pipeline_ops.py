@@ -2543,3 +2543,27 @@ def test_rfm_segments_matches_python(spark):
     for u in per:
         assert got[u] == (rc[u], fc[u], mc[u],
                           f"{rc[u]}{fc[u]}{mc[u]}")
+
+
+def test_perceptual_hash_matches_python(spark):
+    """perceptual_hash: aHash bits equal a python reference over the
+    stub thumbnail (md5 digest bytes, exact /16 mean, MSB-first
+    packing); identical payloads share the hash."""
+    import hashlib
+
+    from sparkt.functions.multimodal import perceptual_hash
+
+    rows = [(1, b"hello world"), (2, b"hello world"), (3, b"other")]
+    df = spark.createDataFrame(rows, "item_id long, content binary")
+    got = {r["item_id"]: r["ahash"]
+           for r in perceptual_hash(df).collect()}
+
+    def ref(b):
+        px = list(hashlib.md5(b).digest())
+        mean = sum(px) / 16.0
+        return format(sum(1 << (15 - i) for i, p in enumerate(px)
+                          if p > mean), "04x")
+
+    assert got == {i: ref(b) for i, b in rows}
+    assert got[1] == got[2] != got[3]
+    assert all(len(h) == 4 for h in got.values())
