@@ -33,7 +33,12 @@ def retrieval_metrics(
 
     ``run``: ranked results — ``(query_id, doc_id, rank_col)`` with
     rank 1 = best (extra columns ignored). ``qrels``: the relevant
-    ``(query_id, doc_id)`` pairs (duplicates tolerated).
+    ``(query_id, doc_id)`` pairs (duplicates tolerated). Duplicate
+    (query, doc) rows in the run's top-k slice are also tolerated:
+    they collapse to the best (min) rank before counting, so n_ret /
+    n_rel_ret count DISTINCT retrieved docs — the TREC convention
+    (trec_eval dedupes runs) and what keeps a doc retrieved twice
+    from double-counting (ADVICE r10).
 
     Returns one row per query WITH RELEVANT DOCS: integer evidence
     ``n_rel, n_ret, n_rel_ret, first_rel_rank`` (first_rel_rank 0 when
@@ -54,11 +59,16 @@ def retrieval_metrics(
         F.col(query_id).alias("__q"), F.col(doc_id).alias("__d")
     ).distinct()
     nrel = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
-    topk = run.select(
-        F.col(query_id).alias("__q"),
-        F.col(doc_id).alias("__d"),
-        F.col(rank_col).alias("__r"),
-    ).filter(F.col("__r") <= k)
+    topk = (
+        run.select(
+            F.col(query_id).alias("__q"),
+            F.col(doc_id).alias("__d"),
+            F.col(rank_col).alias("__r"),
+        )
+        .filter(F.col("__r") <= k)
+        .groupBy("__q", "__d")
+        .agg(F.min("__r").alias("__r"))
+    )
     marked = topk.join(rel.withColumn("__rel", F.lit(1)), ["__q", "__d"],
                        "left")
     perq = marked.groupBy("__q").agg(

@@ -267,39 +267,53 @@ def attribution(
 ) -> DataFrame:
     """First- and last-touch revenue attribution — the marketing
     analytics primitive (the shape of the dbt attribution packages):
-    each conversion's value is credited to the FIRST touch event in
-    the entity's history before it (brand discovery) and, separately,
-    to the LAST touch before it (closing channel). Conversions with
-    no preceding touch credit the ``(none)`` channel.
+    each conversion's value is credited to the FIRST touch event
+    STRICTLY BEFORE it in the entity's history (brand discovery) and,
+    separately, to the LAST touch strictly before it (closing
+    channel). Conversions with no strictly-earlier touch credit the
+    ``(none)`` channel.
+
+    Tie rule (pinned by test): a touch at EXACTLY the conversion's
+    timestamp never gets credit — the window frame is a RANGE frame
+    over epoch-micros ending 1 µs before the conversion, so the rule
+    is time-based and independent of type-name ordering. Two touches
+    at the same earlier micro-second tie-break on the type string
+    inside the encoded key (max picks the lexicographically larger
+    type for last-touch, min the smaller for first-touch).
 
     Returns ``model ('first'|'last'), touch_type, n_conversions,
     total_value`` (value summed then rounded 2dp — the q1 float
     contract).
 
     ONE per-entity ordered window pass: each touch encodes to a
-    sortable ``zero-padded-epoch-micros|type`` key; running ``min`` /
-    ``max`` over rows-unbounded-preceding carry the first/last touch
-    to every row, so no self-join, no as-of join, and conversion
-    count per entity doesn't change the plan. Per-entity history
-    sorts within one task (the sessionization contract); the final
-    aggregate is map-side combined over the tiny (model × type)
-    grain.
+    sortable ``zero-padded-biased-epoch-micros|type`` key (micros
+    biased by +2^62 so pre-1970 timestamps stay lexicographically
+    ordered, padded to 20 digits so any |micros| < 2^62 — roughly
+    ±146,000 years — never truncates); running ``min`` / ``max`` over
+    range-unbounded-preceding-to-(-1 µs) carry the first/last
+    strictly-earlier touch to every row, so no self-join, no as-of
+    join, and conversion count per entity doesn't change the plan.
+    Per-entity history sorts within one task (the sessionization
+    contract); the final aggregate is map-side combined over the tiny
+    (model × type) grain.
     """
     is_touch = F.col(type_col).isin(*touch_types)
+    # bias epoch micros into a non-negative range before zero-padding:
+    # a raw negative micros value would put its '-' sign first and
+    # break lexicographic ordering (ADVICE r10).
+    biased = F.unix_micros(F.col(ts_col)) + F.lit(1 << 62)
     tkey = F.when(
         is_touch,
         F.concat(
-            F.lpad(
-                F.unix_micros(F.col(ts_col)).cast("string"), 16, "0"
-            ),
+            F.lpad(biased.cast("string"), 20, "0"),
             F.lit("|"),
             F.col(type_col),
         ),
     )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col(type_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     conv = (
         events.withColumn("__lastk", F.max(tkey).over(w))
@@ -399,7 +413,9 @@ def event_transitions(
 
     Returns ``src_type, dst_type, n_transitions`` (exact integers)
     plus ``avg_gap_s`` (mean seconds between the pair, rounded 4dp —
-    the q1 avg contract).
+    the q1 avg contract). With ``value_col`` set, adds ``sum_value``
+    — the SOURCE event's value summed per transition, rounded 2dp
+    (q1 sum contract): "how much value flows along each edge".
 
     ONE per-entity ordered window pass (``lead`` over (ts, type)) —
     no self-join; the count aggregate is map-side combined over the
@@ -412,19 +428,25 @@ def event_transitions(
     nxt_t = F.lead(type_col).over(w)
     nxt_ts = F.lead(ts_col).over(w)
     gap_s = nxt_ts.cast("double") - F.col(ts_col).cast("double")
-    pairs = events.select(
+    cols = [
         F.col(type_col).alias("src_type"),
         nxt_t.alias("dst_type"),
         gap_s.alias("__gap"),
-    ).filter(F.col("dst_type").isNotNull())
+    ]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("__v"))
+    pairs = events.select(*cols).filter(F.col("dst_type").isNotNull())
     if max_gap_minutes is not None:
         pairs = pairs.filter(
             F.col("__gap") <= F.lit(float(max_gap_minutes) * 60.0)
         )
-    return pairs.groupBy("src_type", "dst_type").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_transitions"),
         F.round(F.avg("__gap"), 4).alias("avg_gap_s"),
-    )
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum("__v"), 2).alias("sum_value"))
+    return pairs.groupBy("src_type", "dst_type").agg(*aggs)
 
 
 def rfm_segments(

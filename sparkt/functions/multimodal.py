@@ -299,10 +299,17 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
     are the real algorithm.
 
     Input ``(item_id, content binary, ...)``; returns ``item_id,
-    ahash`` (4 lowercase hex chars). Arrow ``mapInPandas``,
-    embarrassingly parallel, bytes never shuffle.
+    ahash`` (4 lowercase hex chars). ``item_id`` keeps the INPUT
+    column's type (long, string, UUID-as-string, …) — the output
+    schema is derived from ``df.schema``, like the sibling mm
+    operators (ADVICE r10). Arrow ``mapInPandas``, embarrassingly
+    parallel, bytes never shuffle.
     """
     import hashlib
+
+    out_schema = StructType(
+        [df.schema["item_id"], StructField("ahash", StringType())]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -320,4 +327,4 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
                  "ahash": pdf["content"].map(ah)}
             )
 
-    return df.mapInPandas(batches, "item_id long, ahash string")
+    return df.mapInPandas(batches, out_schema)

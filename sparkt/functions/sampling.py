@@ -731,11 +731,11 @@ def cluster_safe_split(
     boundary row. Pure per-row expression: no shuffle, no state,
     embarrassingly parallel at 100 TB.
     """
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    if not splits:
-        raise ValueError("splits must be non-empty")
     u = _u32(cluster_col, salt)
     names = list(splits)
     cum = 0.0

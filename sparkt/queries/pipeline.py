@@ -2990,12 +2990,13 @@ def ft7_event_transitions(spark, sf_dir):
     per-user consecutive event-type transition counts within a 30-min
     gap — the Markov-chain input of product analytics. One lead()
     window pass, map-side-combined (src x dst) aggregate; avg gap
-    rounds 4dp (q1 avg contract)."""
+    rounds 4dp, source-value flow sums round 2dp (q1 contracts)."""
     from sparkt.functions.features import event_transitions
 
     ev = T(spark, sf_dir, "events")
     return event_transitions(
-        ev, "user_id", "ts", "event_type", max_gap_minutes=30.0
+        ev, "user_id", "ts", "event_type",
+        max_gap_minutes=30.0, value_col="value",
     ).orderBy("src_type", "dst_type")
 
 
@@ -3003,12 +3004,14 @@ FT7_SQL = """
 WITH nxt AS (
   SELECT event_type AS src_type,
          lead(event_type) OVER w AS dst_type,
-         epoch(lead(ts) OVER w) - epoch(ts) AS gap
+         epoch(lead(ts) OVER w) - epoch(ts) AS gap,
+         value AS v
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type))
 SELECT src_type, dst_type,
        CAST(count(*) AS BIGINT) AS n_transitions,
-       round(avg(gap), 4) AS avg_gap_s
+       round(avg(gap), 4) AS avg_gap_s,
+       round(sum(v), 2) AS sum_value
 FROM nxt
 WHERE dst_type IS NOT NULL AND gap <= 1800.0
 GROUP BY src_type, dst_type
@@ -3211,10 +3214,12 @@ ORDER BY doc_id
 def ft5_attribution(spark, sf_dir):
     """First/last-touch revenue attribution (sparkt.functions.features
     .attribution — the dbt attribution-package shape): each purchase's
-    value credited to the first and the last click/view before it,
-    '(none)' when untouched. One per-user ordered window pass carrying
-    an encoded epoch-micros|type touch key; conversion counts are
-    exact, value sums round 2dp (q1 contract)."""
+    value credited to the first and the last click/view STRICTLY
+    before it (RANGE frame over epoch-micros — a touch at exactly the
+    conversion's timestamp never counts), '(none)' when untouched.
+    One per-user ordered window pass carrying an encoded
+    biased-epoch-micros|type touch key; conversion counts are exact,
+    value sums round 2dp (q1 contract)."""
     from sparkt.functions.features import attribution
 
     ev = T(spark, sf_dir, "events")
@@ -3226,8 +3231,10 @@ def ft5_attribution(spark, sf_dir):
 FT5_SQL = """
 WITH e AS (
   SELECT user_id, ts, event_type, value,
+         CAST(epoch_us(ts) AS BIGINT) AS us,
          CASE WHEN event_type IN ('click', 'view')
-              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+              THEN lpad(CAST(CAST(epoch_us(ts) AS BIGINT)
+                             + 4611686018427387904 AS VARCHAR), 20, '0')
                    || '|' || event_type END AS tkey
   FROM events),
 r AS (
@@ -3235,8 +3242,8 @@ r AS (
          max(tkey) OVER w AS lastk,
          min(tkey) OVER w AS firstk
   FROM e
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
 c AS (SELECT * FROM r WHERE event_type = 'purchase'),
 m AS (
   SELECT 'last' AS model,

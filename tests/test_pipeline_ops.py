@@ -2567,3 +2567,123 @@ def test_perceptual_hash_matches_python(spark):
     assert got == {i: ref(b) for i, b in rows}
     assert got[1] == got[2] != got[3]
     assert all(len(h) == 4 for h in got.values())
+
+
+def test_attribution_same_timestamp_and_pre_epoch(spark):
+    """attribution tie rule (VERDICT r10 #2): a touch at EXACTLY the
+    conversion's timestamp never gets credit (strictly-before RANGE
+    frame), independent of type-name alphabetical order; and the
+    biased 20-digit key keeps pre-1970 touches ordered (ADVICE r10 —
+    a raw negative epoch's '-' sign used to break the zero-pad)."""
+    import datetime as dt
+
+    from sparkt.functions.features import attribution
+
+    t0 = dt.datetime(2024, 6, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # user 1: click strictly before, view at EXACT conversion ts
+        # ('view' > 'purchase' alphabetically — the old masked case)
+        (1, m(1), "click", 0.0), (1, m(2), "view", 0.0),
+        (1, m(2), "purchase", 10.0),
+        # user 2: only touch is AT the conversion ts and its type
+        # sorts BEFORE 'purchase' ('click' < 'purchase') — the case
+        # the old rows-frame wrongly credited. Must be (none) now.
+        (2, m(3), "click", 0.0), (2, m(3), "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, value double"
+    )
+    got = {(r["model"], r["touch_type"]):
+           (r["n_conversions"], r["total_value"])
+           for r in attribution(
+               df, "user_id", "ts", "event_type", "value").collect()}
+    assert got == {
+        # the view AT m(2) is excluded -> last strictly-before = click
+        ("last", "click"): (1, 10.0),
+        ("first", "click"): (1, 10.0),
+        ("last", "(none)"): (1, 5.0),
+        ("first", "(none)"): (1, 5.0),
+    }
+
+    # pre-1970 timestamps: first-touch must be the EARLIER (more
+    # negative) one — broken under unbiased lexicographic padding.
+    old = dt.datetime(1969, 1, 1)
+    rows2 = [
+        (9, old, "view", 0.0),
+        (9, old + dt.timedelta(days=1), "click", 0.0),
+        (9, dt.datetime(2024, 1, 1), "purchase", 3.0),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "user_id int, ts timestamp, event_type string, value double"
+    )
+    got2 = {(r["model"], r["touch_type"]) for r in attribution(
+        df2, "user_id", "ts", "event_type", "value").collect()}
+    assert ("first", "view") in got2 and ("last", "click") in got2
+
+
+def test_event_transitions_value_flow(spark):
+    """event_transitions value_col (ADVICE r10): the SOURCE event's
+    value sums per transition edge, rounded 2dp; omitted -> no
+    sum_value column."""
+    import datetime as dt
+
+    from sparkt.functions.features import event_transitions
+
+    t0 = dt.datetime(2024, 6, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [(1, m(0), "view", 1.25), (1, m(5), "click", 2.0),
+            (1, m(10), "buy", 9.0),
+            (2, m(0), "view", 0.5), (2, m(1), "click", 4.0)]
+    df = spark.createDataFrame(
+        rows, "u int, ts timestamp, t string, v double")
+    out = event_transitions(df, "u", "ts", "t", value_col="v")
+    got = {(r["src_type"], r["dst_type"]):
+           (r["n_transitions"], r["sum_value"])
+           for r in out.collect()}
+    assert got == {("view", "click"): (2, 1.75),
+                   ("click", "buy"): (1, 2.0)}
+    assert "sum_value" not in event_transitions(df, "u", "ts", "t").columns
+
+
+def test_cluster_safe_split_empty_dict_message(spark):
+    """cluster_safe_split (ADVICE r10): an empty splits dict raises
+    the non-empty message, not the confusing sum-to-1 one."""
+    import pytest as _pytest
+
+    from sparkt.functions.sampling import cluster_safe_split
+
+    df = spark.createDataFrame([(1, "c")], "doc_id int, cluster string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        cluster_safe_split(df, "cluster", {})
+
+
+def test_perceptual_hash_string_ids(spark):
+    """perceptual_hash (ADVICE r10): item_id keeps the INPUT type —
+    string/UUID ids flow through instead of failing an Arrow cast."""
+    from sparkt.functions.multimodal import perceptual_hash
+
+    rows = [("doc-a", b"hello world"), ("doc-b", b"other")]
+    df = spark.createDataFrame(rows, "item_id string, content binary")
+    out = perceptual_hash(df)
+    assert dict(out.dtypes)["item_id"] == "string"
+    got = {r["item_id"]: r["ahash"] for r in out.collect()}
+    assert set(got) == {"doc-a", "doc-b"}
+    assert all(len(h) == 4 for h in got.values())
+
+
+def test_retrieval_metrics_duplicate_run_rows(spark):
+    """retrieval_metrics (ADVICE r10): duplicate (query, doc) rows in
+    the top-k collapse to min rank — n_ret/n_rel_ret count DISTINCT
+    docs (trec_eval convention), no double counting."""
+    from sparkt.functions.evaluate import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 2), ("a", 2, 3), ("a", 2, 3)],
+        "query_id string, corpus_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "query_id string, corpus_id int")
+    r = retrieval_metrics(run, qrels, k=3).collect()[0]
+    assert (r["n_ret"], r["n_rel_ret"], r["first_rel_rank"]) == (2, 2, 1)
+    assert (r["recall_at_k"], r["mrr"]) == (1.0, 1.0)
