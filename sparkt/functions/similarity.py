@@ -688,12 +688,17 @@ def pq_encode(
     ADC scan in :func:`ivfpq_topk` reads 32× fewer bytes."""
     sub = dim // m
     books = _pq_codebooks(dim, m, n_codes)
+
+    # closure factory, NOT `lambda c, _sv=sv`: a two-param lambda makes
+    # F.transform pass (element, index) and the INDEX silently replaces
+    # the default — the bug the s12 gate caught on first execution.
+    def _dist_to(sv):
+        return lambda c: _l2sq(sv, c)
+
     codes = []
     for j, book in enumerate(books):
         sv = F.slice(F.col(vec), j * sub + 1, sub)
-        dists = F.transform(
-            _const_matrix(book), lambda c, _sv=sv: _l2sq(_sv, c)
-        )
+        dists = F.transform(_const_matrix(book), _dist_to(sv))
         codes.append(_argmin_code(dists))
     cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
     return df.select(*cols, F.array(*codes).alias("codes"))

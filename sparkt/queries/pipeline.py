@@ -594,6 +594,141 @@ ivf_k AS (
   QUALIFY rank <= {k})"""
 
 
+# ----------------------------------------------------------------- s12
+def s12_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbours (sparkt.functions
+    .similarity.ivfpq_topk — the FAISS IVFPQ architecture,
+    re-expressed Spark-first, VERDICT r10 ask #2): corpus rows live
+    only as m=8 PQ codes (32x smaller than the raw floats), each
+    query probes its 2 nearest coarse cells by an EQUIJOIN on cell id
+    and scores candidates by asymmetric distance (exact query side vs
+    quantized corpus side).
+
+    Hash-green oracle (``_s12_sql``): centroids and codebooks are
+    md5-deterministic literals shared with the Spark operator, and
+    every distance is an UNROLLED fixed-shape sum whose left-assoc
+    addition order equals Spark's sequential aggregate fold — so the
+    ADC values are bit-identical across engines (stronger than s4's
+    1e-13 boundary note: there is no boundary here)."""
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return S.ivfpq_topk(
+        queries, corpus, dim=64, k=5, m=8, n_codes=16,
+        n_cells=8, n_probe=2,
+    ).orderBy("query_id", "rank")
+
+
+def _s12_sql() -> str:
+    """DuckDB exact emulation of IVF-PQ: same md5 centroid/codebook
+    literals as the Spark operator (``similarity._pseudo_centroids`` /
+    ``_pq_codebooks``), argmin via first-position-of-min (lowest-index
+    tie-break, the kmeans_assign contract), cell mask via +infinity,
+    and every squared-L2 unrolled so the addition order matches
+    Spark's sequential fold term-for-term — ADC parity is bit-exact,
+    no float-boundary risk."""
+    from sparkt.functions.similarity import (
+        _pq_codebooks,
+        _pseudo_centroids,
+    )
+
+    dim, m, n_codes, n_cells, k = 64, 8, 16, 8, 5
+    sub = dim // m
+    cents = _pseudo_centroids(dim, n_cells)
+    books = _pq_codebooks(dim, m, n_codes)
+
+    def arr(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+    def l2(vexpr, vals, off):
+        # unrolled ((t1+t2)+t3)... — left-assoc equals the fold
+        return " + ".join(
+            f"({vexpr}[{off + i + 1}] - {float(vals[i])!r})"
+            f" * ({vexpr}[{off + i + 1}] - {float(vals[i])!r})"
+            for i in range(len(vals))
+        )
+
+    cds = ", ".join(l2("v", c, 0) for c in cents)
+    ds_cols = ",\n         ".join(
+        "["
+        + ", ".join(l2("v", books[j][c], j * sub)
+                    for c in range(n_codes))
+        + f"] AS ds{j}"
+        for j in range(m)
+    )
+    codes = ", ".join(
+        f"list_position(ds{j}, list_min(ds{j})) - 1" for j in range(m)
+    )
+    bsel = ",\n         ".join(
+        "[" + ", ".join(arr(books[j][c]) for c in range(n_codes))
+        + f"][c.codes[{j + 1}] + 1] AS b{j}"
+        for j in range(m)
+    )
+    adc_terms = " + ".join(
+        "("
+        + " + ".join(
+            f"(qv[{j * sub + i + 1}] - b{j}[{i + 1}])"
+            f" * (qv[{j * sub + i + 1}] - b{j}[{i + 1}])"
+            for i in range(sub)
+        )
+        + ")"
+        for j in range(m)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cd AS (
+  SELECT vec_id, v, [{cds}] AS cds FROM e),
+cells AS (
+  SELECT vec_id, v, cds,
+         list_position(cds, list_min(cds)) - 1 AS cell FROM cd),
+ds AS (
+  SELECT vec_id, cell,
+         {ds_cols}
+  FROM cells),
+enc AS (
+  SELECT vec_id, cell, [{codes}] AS codes FROM ds),
+q1 AS (
+  SELECT vec_id, v AS qv, cds,
+         list_position(cds, list_min(cds)) - 1 AS c1
+  FROM cells WHERE vec_id < 10),
+q2 AS (
+  SELECT vec_id, qv, c1,
+         list_position(msk, list_min(msk)) - 1 AS c2
+  FROM (
+    SELECT vec_id, qv, c1,
+           list_transform(range({n_cells}),
+                          i -> CASE WHEN i = c1 THEN 'infinity'::DOUBLE
+                                    ELSE cds[i + 1] END) AS msk
+    FROM q1)),
+qc AS (
+  SELECT vec_id, qv, c1 AS cell FROM q2
+  UNION ALL
+  SELECT vec_id, qv, c2 AS cell FROM q2),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, q.qv,
+         {bsel}
+  FROM qc q JOIN enc c USING (cell)
+  WHERE q.vec_id != c.vec_id),
+scored AS (
+  SELECT query_id, corpus_id,
+         0.0 + {adc_terms} AS adc
+  FROM cand),
+ranked AS (
+  SELECT query_id, corpus_id, round(adc, 4) AS adc_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, corpus_id ASC) AS rank
+  FROM scored)
+SELECT query_id, corpus_id, adc_r, rank
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------------------------ d6
 def d6_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — random
@@ -3869,6 +4004,7 @@ QUERIES = {
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
+    "s12_ivfpq": s12_ivfpq,
     "c5_budget_select": c5_budget_select,
     "d15_lsh_calibration": d15_lsh_calibration,
     "p10_apply_mixture": p10_apply_mixture,
@@ -3950,6 +4086,7 @@ ORACLES = {
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
     "s11_centroid_outliers": S11_SQL,
+    "s12_ivfpq": _s12_sql(),
     "c5_budget_select": C5_SQL,
     "d15_lsh_calibration": D15_SQL,
     "p10_apply_mixture": P10_SQL,

