@@ -328,3 +328,56 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def perceptual_neardup_pairs(
+    df: DataFrame, multi_probe: bool = True
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash bucket equijoin
+    with hamming-1 MULTI-PROBE — the mm4 recall extension (VERDICT
+    r10 ask #4): each item's 16-bit aHash expands to itself plus its
+    16 one-bit flips (17 probe keys), and probes equijoin against
+    exact hashes, so every pair within hamming distance 1 is found
+    WITHOUT any pairwise hamming scan. The 17× key expansion is the
+    image analogue of LSH banding (multi-probe LSH, Lv et al. 2007);
+    ``multi_probe=False`` degrades to the exact-bucket join (hamming
+    0 only).
+
+    Returns ``id_a, id_b, hamming`` (0 or 1; ``id_a < id_b``; exact
+    integers — hash-green across engines).
+
+    100 TB shape: one Arrow-projection hash pass (bytes never leave
+    the scan), a 17×-row probe explode of (id, 16-bit int) pairs —
+    tiny rows — and one integer equijoin; each qualifying pair is
+    discovered at most twice (a-probe×b and b-probe×a) and deduped by
+    an exact groupBy. Never all-pairs; a mega-bucket is bounded by
+    the hash grain, the same argument as the d3 banded join.
+    """
+    h = perceptual_hash(df).withColumn(
+        "hv", F.conv("ahash", 16, 10).cast("int")
+    )
+    flips = [F.col("hv")]
+    if multi_probe:
+        flips += [
+            F.col("hv").bitwiseXOR(F.lit(1 << b)) for b in range(16)
+        ]
+    left = h.select(
+        F.col("item_id").alias("id_a"),
+        F.col("hv").alias("hv_a"),
+        F.explode(F.array(*flips)).alias("probe"),
+    )
+    right = h.select(
+        F.col("item_id").alias("id_b"), F.col("hv").alias("probe")
+    )
+    return (
+        left.join(right, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("hv_a").bitwiseXOR(F.col("probe"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -3056,6 +3056,54 @@ ORDER BY h.item_id
 """
 
 
+# ----------------------------------------------------------------- mm5
+def mm5_ahash_neardup(spark, sf_dir):
+    """Hamming-1 multi-probe image near-dup pairs (sparkt.functions
+    .multimodal.perceptual_neardup_pairs — the mm4 recall extension):
+    every aHash expands to 17 probe keys (itself + 16 one-bit flips)
+    and probes equijoin exact hashes, so hamming<=1 pairs surface
+    without a pairwise scan. The oracle re-derives the 16-bit hash
+    from md5 nibbles (the mm4 idiom) and enumerates the SAME probe
+    set; hamming tags and ids are exact integers."""
+    from sparkt.functions import multimodal as MM
+
+    docs = T(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.perceptual_neardup_pairs(items).orderBy("id_a", "id_b")
+
+
+def _mm5_sql() -> str:
+    nib = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+    bytes_ = [
+        f"({nib.format(p=2 * i + 1)} * 16 + {nib.format(p=2 * i + 2)})"
+        for i in range(16)
+    ]
+    mean = "((" + " + ".join(bytes_) + ") / 16.0)"
+    bits = " + ".join(
+        f"(CASE WHEN {b} > {mean} THEN {1 << (15 - i)} ELSE 0 END)"
+        for i, b in enumerate(bytes_)
+    )
+    flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(16)])
+    return f"""
+WITH h AS (
+  SELECT doc_id AS item_id, ({bits}) AS hv FROM documents),
+p AS (
+  SELECT item_id, hv, xor(hv, f) AS probe
+  FROM h, unnest([{flips}]) AS t(f)),
+pairs AS (
+  SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b,
+         bit_count(xor(a.hv, b.hv)) AS hamming
+  FROM p a JOIN h b ON a.probe = b.hv
+  WHERE a.item_id < b.item_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs
+ORDER BY id_a, id_b
+"""
+
+
 # ----------------------------------------------------------------- ft8
 def ft8_rfm(spark, sf_dir):
     """RFM segmentation (sparkt.functions.features.rfm_segments):
@@ -4012,6 +4060,7 @@ QUERIES = {
     "ft7_event_transitions": ft7_event_transitions,
     "ft8_rfm": ft8_rfm,
     "mm4_perceptual_hash": mm4_perceptual_hash,
+    "mm5_ahash_neardup": mm5_ahash_neardup,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -4094,6 +4143,7 @@ ORACLES = {
     "ft7_event_transitions": FT7_SQL,
     "ft8_rfm": FT8_SQL,
     "mm4_perceptual_hash": _mm4_sql(),
+    "mm5_ahash_neardup": _mm5_sql(),
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,
