@@ -2792,3 +2792,46 @@ def test_perceptual_neardup_multiprobe(spark):
     assert (6, 117) not in exact         # exact-bucket join misses it
     assert exact == {(41, 77): 0}
     assert all(h <= 1 for h in multi.values())
+
+
+def test_lsh_tune_matches_closed_form():
+    """lsh_tune (VERDICT r10 ask #5): returned params satisfy the
+    S-curve constraints, are the CHEAPEST satisfying config (verified
+    by exhaustive re-search), and the formula matches an independent
+    python evaluation; infeasible targets raise."""
+    import pytest as _pytest
+
+    from sparkt.functions.dedup import (
+        lsh_candidate_probability,
+        lsh_tune,
+    )
+
+    def curve(s, b, r):
+        return 1.0 - (1.0 - s**r) ** b
+
+    assert lsh_candidate_probability(0.8, 4, 2) == curve(0.8, 4, 2)
+
+    got = lsh_tune(0.8, target_recall=0.9)
+    b, r = got["n_bands"], got["rows_per_band"]
+    assert got["n_hashes"] == b * r <= 32
+    assert curve(0.8, b, r) >= 0.9
+    assert got["recall_at_target"] == curve(0.8, b, r)
+    assert got["threshold"] == (1.0 / b) ** (1.0 / r)
+    # exhaustive minimality: no cheaper (b*r, fp) config satisfies
+    cheaper = [
+        (bb * rr, curve(0.4, bb, rr))
+        for bb in range(1, 33)
+        for rr in range(1, 32 // bb + 1)
+        if curve(0.8, bb, rr) >= 0.9
+    ]
+    assert min(cheaper) == (got["n_hashes"], got["fp_at_reject"])
+
+    # reject constraint: fp at reject_s bounded
+    got2 = lsh_tune(0.8, target_recall=0.9, reject_s=0.3, max_fp=0.2)
+    assert curve(0.3, got2["n_bands"], got2["rows_per_band"]) <= 0.2
+    assert curve(0.8, got2["n_bands"], got2["rows_per_band"]) >= 0.9
+
+    with _pytest.raises(ValueError, match="no \\(bands, rows\\)"):
+        lsh_tune(0.5, target_recall=0.999, reject_s=0.45, max_fp=0.001)
+    with _pytest.raises(ValueError, match="target_s"):
+        lsh_tune(1.5)
