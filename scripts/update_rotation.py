@@ -76,6 +76,29 @@ def main() -> int:
     out.pop("_round")
     stale = [g for g, r in out.items() if r == 0]
     print(f"{len(out)} gates; {len(stale)} need a fresh row: {sorted(stale)}")
+
+    # Audit-trail invariant (VERDICT r10 #1): every registered gate
+    # must hold a green row within the union of the last
+    # ceil(N_gates / 50) official artifacts. Gates at 0 are new (or
+    # --reset) and sort to the FRONT of the next artifact run, so
+    # they are exempt; everything else fails loudly here instead of
+    # silently aging out of the audit window.
+    import math
+
+    max_age = math.ceil(len(out) / 50)
+    overdue = {
+        g: max_round - r
+        for g, r in out.items()
+        if r > 0 and max_round - r > max_age
+    }
+    if overdue:
+        print(
+            f"INVARIANT VIOLATED: {len(overdue)} gates older than "
+            f"ceil({len(out)}/50) = {max_age} rounds: "
+            f"{dict(sorted(overdue.items()))}",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

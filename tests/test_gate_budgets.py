@@ -126,3 +126,40 @@ def test_committed_rotation_is_current():
     from check_oracles import REPO_ROOT, rotation_stale_error
 
     assert rotation_stale_error(REPO_ROOT) is None
+
+
+def test_rotation_age_invariant():
+    """VERDICT r10 ask #1: with N gates and a 50-row artifact cap,
+    every registered gate must hold a green official row within the
+    last ceil(N/50) artifacts (new/reset gates at round 0 are exempt
+    — they run first next round). This pins the COVERAGE.md registry
+    policy to reality; update_rotation.py enforces the same bound at
+    round start."""
+    import glob
+    import math
+    import re
+
+    from check_oracles import REPO_ROOT
+
+    with open(os.path.join(REPO_ROOT, "ROTATION.json")) as f:
+        rot = json.load(f)
+    stamp = rot.pop("_round")
+    newest = max(
+        int(re.search(r"r(\d+)\.json$", p).group(1))
+        for p in glob.glob(
+            os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")
+        )
+    )
+    assert stamp == newest, "ROTATION.json is stale — run update_rotation.py"
+    max_age = math.ceil(len(rot) / 50)
+    overdue = {g: newest - r for g, r in rot.items()
+               if r > 0 and newest - r > max_age}
+    assert overdue == {}, (
+        f"gates aged out of the ceil(N/50)={max_age}-artifact audit "
+        f"window: {overdue}"
+    )
+
+    # the policy text must state the enforced arithmetic
+    with open(os.path.join(REPO_ROOT, "COVERAGE.md")) as f:
+        policy = f.read()
+    assert "ceil(N_gates / 50) most recent artifacts" in policy
