@@ -127,6 +127,24 @@ def main():
     no_budget = "--no-budget" in argv
     if no_budget:
         argv.remove("--no-budget")
+    # --spark-only: run and TIME the Spark side, skip the DuckDB
+    # compare. For off-SF scale sweeps (sf1): a handful of oracles
+    # are deliberately brute-force verification SQL (sd1's all-pairs
+    # cosine) that is exhaustive at sf0.01 but hopeless at 10x — the
+    # Spark plan is what scale-testing measures, and the recorded
+    # time has always been Spark-side only.
+    spark_only = "--spark-only" in argv
+    if spark_only:
+        argv.remove("--spark-only")
+    # --times-out PATH: write the per-gate times of THIS run (even a
+    # filtered one) to an explicit file — used by the off-SF scale
+    # sweeps (gate_times_sf1.json) where the full-registry default
+    # write rule doesn't apply.
+    times_out = None
+    if "--times-out" in argv:
+        i = argv.index("--times-out")
+        times_out = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -181,6 +199,10 @@ def main():
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         times[name] = time.time() - t0
+        if spark_only:
+            print(f"spark {name}: {len(sdf)} rows (compare skipped) "
+                  f"[{times[name]:.1f}s]")
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) "
                   f"[{times[name]:.1f}s]")
@@ -214,6 +236,11 @@ def main():
     import json
 
     sf_base = os.path.basename(os.path.normpath(sf_dir))
+    if times_out:
+        with open(times_out, "w") as f:
+            json.dump({k: round(v, 3) for k, v in times.items()},
+                      f, indent=1, sort_keys=True)
+            f.write("\n")
     if not only and not driver_conf:
         # full TUNED sweeps only: a filtered spot-check must not
         # clobber the full-registry times file, and a --driver-conf

@@ -771,6 +771,30 @@ def incremental_dedup(
 TRACKING_PARAM_RE = "^(utm_[a-z]+|gclid|fbclid|ref)="
 
 
+# RFC 3986 §2.3 unreserved characters: percent-escapes of THESE (and
+# only these) are semantically transparent and safe to decode during
+# normalization; reserved escapes (%2F, %3F, %23, …) carry syntax and
+# must stay encoded. Shared with the DuckDB oracle generator so both
+# engines run the identical decode chain.
+UNRESERVED_CHARS = (
+    [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(d) for d in range(10)]
+    + ["-", ".", "_", "~"]
+)
+
+
+def _pct_decode_unreserved(col: Column) -> Column:
+    """RFC 3986 §6.2.2.2 percent-decoding of unreserved characters:
+    66 chained constant ``regexp_replace`` calls (hex digits either
+    case via ``(?i)``) — pure codegen, no UDF. ``%25`` is never
+    decoded, so no new escape sequences can form and one pass is a
+    fixpoint."""
+    for ch in UNRESERVED_CHARS:
+        col = F.regexp_replace(col, f"(?i)%{ord(ch):02x}", ch)
+    return col
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of a URL for crawl-level deduplication (the
     standard web-pipeline normalizations, all regex-expressible so the
@@ -781,18 +805,19 @@ def canonicalize_url(url: Column) -> Column:
     - default port dropped (``:80`` for http, ``:443`` for https);
     - trailing slash(es) stripped from the path;
     - tracking query params dropped (:data:`TRACKING_PARAM_RE`),
-      remaining params sorted.
+      remaining params sorted;
+    - percent-escapes of UNRESERVED characters decoded
+      (RFC 3986 §6.2.2.2 — ``%41`` → ``A``, ``%7e`` → ``~``; reserved
+      escapes like ``%2F`` keep their syntax and stay encoded).
 
-    Percent-decoding of unreserved characters is NOT applied (would
-    need a per-byte decode table; documented divergence from full
-    RFC 3986 normalization). Inputs without a ``scheme://`` prefix
-    fall back to ``lower(trim(url))``.
+    Inputs without a ``scheme://`` prefix fall back to
+    ``lower(trim(url))``.
 
     Pure per-row codegen expression — at 100 TB this is free relative
     to the scan, and :func:`url_dedup` adds the one hash-groupBy
     shuffle exact dedup costs.
     """
-    u = F.regexp_replace(url, "#.*$", "")
+    u = _pct_decode_unreserved(F.regexp_replace(url, "#.*$", ""))
     scheme = F.lower(
         F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
@@ -1044,3 +1069,60 @@ def lsh_tune(
         "fp_at_reject": fp,
         "threshold": (1.0 / b) ** (1.0 / r),
     }
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Text near-duplicate pairs by SimHash bucket equijoin with
+    hamming-1 multi-probe — the text twin of :func:`sparkt.functions
+    .multimodal.perceptual_neardup_pairs` (multi-probe LSH, Lv et al.
+    2007): each document's 16-bit :func:`simhash16` expands to itself
+    plus its 16 one-bit flips, and probes equijoin against exact
+    hashes, so every pair within hamming distance 1 surfaces without
+    a pairwise hamming scan. ``multi_probe=False`` degrades to the
+    exact-bucket join (hamming 0 only).
+
+    Returns ``id_a, id_b, hamming`` (0 or 1; ``id_a < id_b``; exact
+    integers). SimHash hamming distance tracks cosine similarity of
+    token frequency vectors (Charikar 2002), so hamming ≤ 1 on 16
+    bits is a strong near-dup signal at this width.
+
+    100 TB shape: one codegen hash projection, a 17× probe explode of
+    (id, 16-bit int) rows, one integer equijoin, one exact dedup
+    groupBy — never all-pairs (the d3 banded-join argument).
+    """
+    h = df.select(
+        F.col(id_col).alias("__id"),
+        F.conv(simhash16(F.col(text_col)), 2, 10)
+        .cast("int")
+        .alias("hv"),
+    )
+    flips = [F.col("hv")]
+    if multi_probe:
+        flips += [
+            F.col("hv").bitwiseXOR(F.lit(1 << b)) for b in range(16)
+        ]
+    left = h.select(
+        F.col("__id").alias("id_a"),
+        F.col("hv").alias("hv_a"),
+        F.explode(F.array(*flips)).alias("probe"),
+    )
+    right = h.select(
+        F.col("__id").alias("id_b"), F.col("hv").alias("probe")
+    )
+    return (
+        left.join(right, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("hv_a").bitwiseXOR(F.col("probe")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )

@@ -112,3 +112,46 @@ def retrieval_metrics(
             F.lit(0.0),
         ).alias("ndcg_at_k"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier calibration report — the reliability-diagram table
+    (DeGroot & Fienberg 1983; Guo et al. 2017's ECE inputs): bin the
+    predicted score into ``n_bins`` equal-width bins over [0, 1] and
+    compare each bin's mean score (confidence) against its positive
+    fraction (accuracy). The quality-classifier QA step a training
+    pipeline runs before trusting scores as sampling weights (the
+    t8 hashed-classifier / p5 quality-bucket consumers).
+
+    Returns ``bin, n, n_pos, frac_pos, avg_score, gap`` — counts
+    exact; ``frac_pos`` a single integer division (4dp);
+    ``avg_score`` a float mean (4dp, the q1 avg contract); ``gap`` =
+    the difference of the two ALREADY-ROUNDED values (deterministic
+    given hash-exact operands). The scalar ECE = Σ|gap|·n/N is a
+    float sum over bins — derive it downstream and treat it as
+    threshold-only (the t6/t11 doctrine).
+
+    Bin assignment ``least(floor(score·n_bins), n_bins-1)`` is
+    IEEE-deterministic when the score itself is a fixed-shape
+    expression (a ratio of integers): both engines compute the same
+    product and floor. One map-side-combined groupBy over an
+    ``n_bins`` grain — embarrassingly scalable.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    lab = F.col(label_col).cast("long")
+    out = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lab).alias("n_pos"),
+        F.round(F.sum(lab) / F.count(F.lit(1)), 4).alias("frac_pos"),
+        F.round(F.avg(score_col), 4).alias("avg_score"),
+    )
+    return out.withColumn(
+        "gap", F.round(F.col("avg_score") - F.col("frac_pos"), 4)
+    )

@@ -892,3 +892,43 @@ def content_lines(
         ),
     )
     return F.transform(kept, lambda s: s["l"])
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Sentence segmentation statistics per document — the
+    sentence-level quality features (avg/max sentence length) the
+    Gopher/C4-style filters threshold on, and the denominator for
+    per-sentence dedup. Sentences split on ``[.!?]+`` runs; empty
+    segments (leading punctuation, trailing terminator) drop.
+
+    Returns ``<id>, n_sentences, n_words, avg_sentence_words (4dp —
+    one integer division, cross-engine exact), max_sentence_words``.
+
+    Pure codegen HOF chain (split → filter → transform → aggregate):
+    the document never leaves its row, no explode, no shuffle before
+    the final narrow projection — the t19 shape.
+    """
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    wc = F.transform(
+        sents, lambda s: F.size(F.split(F.trim(s), r"\s+"))
+    )
+    n_sent = F.size(wc)
+    n_words = F.aggregate(
+        wc, F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        F.round(
+            n_words.cast("double") / F.greatest(n_sent, F.lit(1)), 4
+        ).alias("avg_sentence_words"),
+        F.coalesce(F.array_max(wc), F.lit(0)).alias(
+            "max_sentence_words"
+        ),
+    )

@@ -2420,6 +2420,7 @@ CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'https'
 || source || '.example.com'
 || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
 || '/page/' || CAST(doc_id % 40 AS STRING)
+|| CASE WHEN doc_id % 11 = 0 THEN '%2Fp%41ge%7e' ELSE '' END
 || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
 || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
         WHEN doc_id % 3 = 1 THEN '?a=1&b=2&utm_campaign=x' ELSE '' END
@@ -2438,9 +2439,25 @@ def d13_url_dedup(spark, sf_dir):
     return D.url_dedup(urls, "url", "doc_id").orderBy("canonical_url")
 
 
+def _pct_decode_sql(expr: str) -> str:
+    """DuckDB mirror of ``dedup._pct_decode_unreserved`` — the SAME
+    66-char chain (char list imported, lockstep guaranteed); DuckDB
+    regexp_replace needs the explicit 'g' option (first-match-only by
+    default, unlike Spark)."""
+    from sparkt.functions.dedup import UNRESERVED_CHARS
+
+    for ch in UNRESERVED_CHARS:
+        expr = (
+            f"regexp_replace({expr}, '(?i)%{ord(ch):02x}', "
+            f"'{ch}', 'g')"
+        )
+    return expr
+
+
 D13_SQL = f"""
 WITH raw AS (SELECT doc_id, {_D13_URL} AS url FROM documents),
-defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+defrag AS (SELECT doc_id,
+  {_pct_decode_sql("regexp_replace(url, '#.*$', '')")} AS u FROM raw),
 parts AS (
   SELECT doc_id,
          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -3098,6 +3115,140 @@ pairs AS (
          bit_count(xor(a.hv, b.hv)) AS hamming
   FROM p a JOIN h b ON a.probe = b.hv
   WHERE a.item_id < b.item_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs
+ORDER BY id_a, id_b
+"""
+
+
+# ----------------------------------------------------------------- t20
+# deterministic sentence-punctuation wrapper shared VERBATIM by gate
+# and oracle (the t17/_D13_URL pattern — the synthetic corpus has no
+# punctuation): plain replace() substitutes ALL occurrences,
+# left-to-right non-overlapping, identically in Spark SQL and DuckDB
+_T20_TEXT = "replace(replace(text, ' the ', '. '), ' a ', '! ')"
+
+
+def t20_sentence_stats(spark, sf_dir):
+    """Sentence segmentation stats (sparkt.functions.text
+    .sentence_stats): per-doc sentence count, word totals, avg and
+    max words per sentence — the Gopher/C4 sentence-level quality
+    features. Pure codegen HOF chain (split → filter → transform →
+    aggregate), no explode; avg is one integer division (exact)."""
+    from sparkt.functions.text import sentence_stats
+
+    docs = T(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", F.expr(_T20_TEXT).alias("text"))
+    return sentence_stats(wrapped, "text", "doc_id").orderBy("doc_id")
+
+
+T20_SQL = f"""
+WITH w AS (SELECT doc_id, {_T20_TEXT} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(t, '[.!?]+'),
+                     x -> trim(x) <> '') AS sents
+  FROM w),
+wc AS (
+  SELECT doc_id,
+         list_transform(sents,
+            x -> len(regexp_split_to_array(trim(x), '\\s+'))) AS wcs
+  FROM s)
+SELECT doc_id,
+       CAST(len(wcs) AS INT) AS n_sentences,
+       CAST(coalesce(list_sum(wcs), 0) AS INT) AS n_words,
+       round(CAST(coalesce(list_sum(wcs), 0) AS DOUBLE)
+             / greatest(len(wcs), 1), 4) AS avg_sentence_words,
+       CAST(coalesce(list_max(wcs), 0) AS INT) AS max_sentence_words
+FROM wc
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------- ev2
+def ev2_calibration(spark, sf_dir):
+    """Classifier calibration report (sparkt.functions.evaluate
+    .calibration_report): reliability-diagram table of a
+    distinct-token-ratio score against the lang='en' label. Bin
+    assignment floors a fixed-shape integer-ratio product (IEEE-
+    deterministic both engines); counts exact, frac_pos a single
+    division (4dp), avg_score the q1 avg contract (4dp), gap a
+    difference of already-rounded values."""
+    from sparkt.functions.evaluate import calibration_report
+    from sparkt.functions.text import tokens as _tokens
+
+    docs = T(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = docs.select(
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_report(
+        scored, "score", "label", n_bins=10
+    ).orderBy("bin")
+
+
+EV2_SQL = f"""
+WITH s AS (
+  SELECT len(list_distinct({_DK_TOKENS})) / len({_DK_TOKENS}) AS score,
+         (lang = 'en') AS label
+  FROM documents),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score,
+         CASE WHEN label THEN 1 ELSE 0 END AS lab
+  FROM s)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(lab) AS BIGINT) AS n_pos,
+       round(sum(lab) / count(*), 4) AS frac_pos,
+       round(avg(score), 4) AS avg_score,
+       round(round(avg(score), 4)
+             - round(sum(lab) / count(*), 4), 4) AS gap
+FROM b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+# ----------------------------------------------------------------- d16
+def d16_simhash_probe(spark, sf_dir):
+    """SimHash hamming-1 multi-probe near-dup pairs (sparkt.functions
+    .dedup.simhash_neardup_pairs — the text twin of mm5): 17 probe
+    keys per 16-bit simhash, integer equijoin, exact hamming tags.
+    doc_id < 500 (the d7 bound): the synthetic corpus's shared
+    vocabulary concentrates simhash buckets, so the full sf0.1 table
+    yields ~10^5-10^6 pairs — a DATA artifact the bound keeps out of
+    the compare path while every code path still runs."""
+    from sparkt.functions.dedup import simhash_neardup_pairs
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_neardup_pairs(docs, "text", "doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _d16_sql() -> str:
+    flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(16)])
+    # hv as plain integer arithmetic: bit j (MSB-first) contributes
+    # 2^(15-j) when the d4 vote says '1' — same value as the Spark
+    # side's conv(simhash16, 2, 10)
+    hv = " + ".join(
+        f"(CASE WHEN ({_DK_SIMBIT.format(toks=_DK_TOKENS, j=j + 1)}) "
+        f"= '1' THEN {1 << (15 - j)} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, CAST({hv} AS INT) AS hv
+  FROM documents WHERE doc_id < 500),
+p AS (
+  SELECT doc_id, hv, xor(hv, f) AS probe
+  FROM h, unnest([{flips}]) AS t(f)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.hv, b.hv)) AS hamming
+  FROM p a JOIN h b ON a.probe = b.hv
+  WHERE a.doc_id < b.doc_id)
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
 FROM pairs
 ORDER BY id_a, id_b
@@ -4061,6 +4212,9 @@ QUERIES = {
     "ft8_rfm": ft8_rfm,
     "mm4_perceptual_hash": mm4_perceptual_hash,
     "mm5_ahash_neardup": mm5_ahash_neardup,
+    "t20_sentence_stats": t20_sentence_stats,
+    "ev2_calibration": ev2_calibration,
+    "d16_simhash_probe": d16_simhash_probe,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -4144,6 +4298,9 @@ ORACLES = {
     "ft8_rfm": FT8_SQL,
     "mm4_perceptual_hash": _mm4_sql(),
     "mm5_ahash_neardup": _mm5_sql(),
+    "t20_sentence_stats": T20_SQL,
+    "ev2_calibration": EV2_SQL,
+    "d16_simhash_probe": _d16_sql(),
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

@@ -926,6 +926,12 @@ def test_canonicalize_url_edge_cases(spark):
          "http://ex.com"),
         ("ftp://Ex.com:21/f/", "ftp://ex.com:21/f"),
         ("  Not A Url  ", "not a url"),
+        # RFC 3986 unreserved percent-decoding (ADVICE-tail closed
+        # r11): %41/%7e (either hex case) decode, reserved %2F stays,
+        # %2541 un-escapes only the OUTER %25... never (no re-scan).
+        ("http://ex.com/%41b%7e?x=%631", "http://ex.com/Ab~?x=c1"),
+        ("http://ex.com/a%2Fb", "http://ex.com/a%2Fb"),
+        ("http://ex.com/%2541", "http://ex.com/%2541"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
@@ -2835,3 +2841,93 @@ def test_lsh_tune_matches_closed_form():
         lsh_tune(0.5, target_recall=0.999, reject_s=0.45, max_fp=0.001)
     with _pytest.raises(ValueError, match="target_s"):
         lsh_tune(1.5)
+
+
+def test_sentence_stats_matches_python(spark):
+    """sentence_stats: [.!?]+ segmentation, empty segments drop, avg
+    = one integer division, singletons and trailing terminators."""
+    import re
+
+    from sparkt.functions.text import sentence_stats
+
+    rows = [
+        (1, "one two. three four five! six?"),
+        (2, "no terminator here"),
+        (3, "!. leading and doubled.. ok."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_sentences"], r["n_words"],
+                         r["avg_sentence_words"], r["max_sentence_words"])
+           for r in sentence_stats(df, "text", "doc_id").collect()}
+
+    def ref(t):
+        sents = [s for s in re.split(r"[.!?]+", t) if s.strip()]
+        wcs = [len(re.split(r"\s+", s.strip())) for s in sents]
+        return (len(wcs), sum(wcs),
+                round(sum(wcs) / max(len(wcs), 1), 4),
+                max(wcs, default=0))
+
+    assert got == {i: ref(t) for i, t in rows}
+
+
+def test_calibration_report_matches_python(spark):
+    """calibration_report: equal-width bins with the top edge closed
+    (score 1.0 -> bin 9), counts/frac exact, gap from rounded
+    operands."""
+    from sparkt.functions.evaluate import calibration_report
+
+    rows = [(0.05, 0), (0.08, 1), (0.55, 1), (0.58, 1),
+            (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: (r["n"], r["n_pos"], r["frac_pos"],
+                      r["avg_score"], r["gap"])
+           for r in calibration_report(df, "score", "label").collect()}
+    assert got[0] == (2, 1, 0.5, round((0.05 + 0.08) / 2, 4),
+                      round(round((0.05 + 0.08) / 2, 4) - 0.5, 4))
+    assert got[5] == (2, 2, 1.0, round((0.55 + 0.58) / 2, 4),
+                      round(round((0.55 + 0.58) / 2, 4) - 1.0, 4))
+    assert got[9] == (2, 2, 1.0, round((0.95 + 1.0) / 2, 4),
+                      round(round((0.95 + 1.0) / 2, 4) - 1.0, 4))
+    assert set(got) == {0, 5, 9}
+
+
+def test_simhash_neardup_multiprobe(spark):
+    """simhash_neardup_pairs: hamming tags match a python simhash
+    reference; hamming-1 pairs appear only under multi_probe; nothing
+    beyond hamming 1."""
+    import hashlib
+
+    from sparkt.functions.dedup import simhash_neardup_pairs
+
+    def sim16(text):
+        toks = text.lower().strip().split()
+        bits = 0
+        for j in range(16):
+            vote = sum(
+                1 if hashlib.md5(t.encode()).hexdigest()[j] in
+                "89abcdef" else -1 for t in toks)
+            if vote > 0:
+                bits |= 1 << (15 - j)
+        return bits
+
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),       # twin of 1 (h=0)
+            (3, "alpha beta gamma epsilon"),
+            (4, "completely different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = {i: sim16(t) for i, t in rows}
+
+    def hamming(a, b):
+        return bin(hs[a] ^ hs[b]).count("1")
+
+    expected_multi = {(a, b): hamming(a, b)
+                      for a in hs for b in hs
+                      if a < b and hamming(a, b) <= 1}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(df, "text", "doc_id").collect()}
+    assert got == expected_multi
+    assert got[(1, 2)] == 0
+    exact = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_neardup_pairs(
+                 df, "text", "doc_id", multi_probe=False).collect()}
+    assert exact == {p: h for p, h in expected_multi.items() if h == 0}
