@@ -1126,3 +1126,64 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT pairs — Broder 1997's asymmetric companion
+    to resemblance: ``C(A,B) = |A∩B| / |A|``. Containment catches the
+    near-SUPERSET relations symmetric Jaccard structurally misses — a
+    short document quoted inside a long one scores Jaccard ≈
+    |A|/|B| ≈ 0 but containment ≈ 1, the boilerplate/quotation dedup
+    case in web-corpus curation.
+
+    Returns one row per unordered candidate pair (``id_a < id_b``):
+    ``id_a, id_b, inter, c_a, c_b`` (containment of each side, 6dp —
+    single integer divisions, cross-engine exact), filtered to
+    ``greatest(c_a, c_b) >= threshold``.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared posting
+    list, one equijoin, map-side-combined aggregate);
+    ``max_shingle_freq`` is the stop-shingle cap — essential at
+    corpus scale.
+    """
+    ex = shingle_table(df, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        ex = ex.join(
+            freq.filter(F.col("df_") <= max_shingle_freq).select("sh"),
+            "sh",
+        )
+        ex = ex.drop("sz").withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        )
+        ex = ex.persist()
+    inter = (
+        ex.alias("l")
+        .join(
+            ex.alias("r"),
+            (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(F.col("l.doc").alias("id_a"),
+                 F.col("r.doc").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min(F.col("l.sz")).alias("sz_a"),
+            F.min(F.col("r.sz")).alias("sz_b"),
+        )
+    )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("c_a"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("c_b"),
+    )
+    return out.filter(F.greatest("c_a", "c_b") >= threshold)

@@ -155,3 +155,65 @@ def calibration_report(
     return out.withColumn(
         "gap", F.round(F.col("avg_score") - F.col("frac_pos"), 4)
     )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 over (label, prediction)
+    pairs — the multi-class classifier scorecard (standard
+    definitions; the per-class table behind sklearn's report). The QA
+    step after every lang-id / quality-classifier change, next to
+    :func:`calibration_report`'s probability view.
+
+    Returns one row per class (union of observed labels and
+    predictions): integer evidence ``n_true (support), n_pred, tp``
+    plus ``precision`` = tp/n_pred, ``recall`` = tp/n_true (4dp,
+    single integer divisions — cross-engine exact; 0.0 when the
+    denominator is 0) and ``f1`` = 2PR/(P+R) computed from the
+    ALREADY-ROUNDED precision/recall (deterministic given hash-exact
+    operands; 0.0 when P+R = 0).
+
+    Scale shape: three map-side-combined groupBys over the class
+    grain (support, predicted, true-positive) + two tiny outer joins
+    on the class key — the corpus is touched once per count, and the
+    reduce side is |classes| rows at any scale.
+    """
+    lab = F.col(label_col).alias("cls")
+    support = df.groupBy(lab).agg(F.count(F.lit(1)).alias("n_true"))
+    pred = df.groupBy(F.col(pred_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        df.filter(F.col(label_col) == F.col(pred_col))
+        .groupBy(lab)
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    out = (
+        support.join(pred, "cls", "full_outer")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.round(F.col("tp") / F.col("n_pred"), 4)
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.round(F.col("tp") / F.col("n_true"), 4)
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn("precision", prec).withColumn("recall", rec)
+    return out.withColumn(
+        "f1",
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            F.round(
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -3255,6 +3255,107 @@ ORDER BY id_a, id_b
 """
 
 
+# ----------------------------------------------------------------- d17
+def d17_containment(spark, sf_dir):
+    """Shingle containment pairs (sparkt.functions.dedup
+    .containment_pairs — Broder 1997's asymmetric companion to d5's
+    Jaccard): C(A,B) = inter/|A| catches near-superset (quotation /
+    boilerplate) relations symmetric Jaccard misses. Same posting-
+    list equijoin + map-side aggregate as d5; divisions single and
+    6dp. Threshold 0.5 on the max-side containment."""
+    from sparkt.functions.dedup import containment_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+D17_SQL = f"""
+WITH ex AS (
+  SELECT DISTINCT doc_id AS doc, s.sh
+  FROM documents, unnest({_DK_SHINGLES_K3}) AS s(sh)),
+sizes AS (SELECT doc, count(*) AS sz FROM ex GROUP BY doc),
+inter AS (
+  SELECT l.doc AS id_a, r.doc AS id_b, count(*) AS inter
+  FROM ex l JOIN ex r ON l.sh = r.sh AND l.doc < r.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter,
+       round(inter * 1.0 / sa.sz, 6) AS c_a,
+       round(inter * 1.0 / sb.sz, 6) AS c_b
+FROM inter
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE greatest(round(inter * 1.0 / sa.sz, 6),
+               round(inter * 1.0 / sb.sz, 6)) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ----------------------------------------------------------------- ev3
+def ev3_class_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 (sparkt.functions.evaluate
+    .classification_report) of the t3 n-gram language identifier
+    against the documents table's true lang — the lang-id confusion
+    scorecard. Counts exact; precision/recall single divisions (4dp);
+    F1 from the rounded operands."""
+    from sparkt.functions.evaluate import classification_report
+
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("label"),
+        TX.lang_id(F.col("text")).alias("pred"),
+    )
+    return classification_report(scored, "label", "pred").orderBy("cls")
+
+
+EV3_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
+  FROM documents),
+p AS (
+  SELECT lang AS label,
+         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS pred
+  FROM scored),
+sup AS (SELECT label AS cls, count(*) AS n_true FROM p GROUP BY 1),
+prd AS (SELECT pred AS cls, count(*) AS n_pred FROM p GROUP BY 1),
+tp AS (SELECT label AS cls, count(*) AS tp FROM p
+       WHERE label = pred GROUP BY 1),
+m AS (
+  SELECT coalesce(sup.cls, prd.cls) AS cls,
+         coalesce(n_true, 0) AS n_true,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp, 0) AS tp
+  FROM sup FULL OUTER JOIN prd ON sup.cls = prd.cls
+  LEFT JOIN tp ON coalesce(sup.cls, prd.cls) = tp.cls),
+pr AS (
+  SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+         CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         CASE WHEN n_pred > 0 THEN round(tp * 1.0 / n_pred, 4)
+              ELSE 0.0 END AS "precision",
+         CASE WHEN n_true > 0 THEN round(tp * 1.0 / n_true, 4)
+              ELSE 0.0 END AS "recall"
+  FROM m)
+SELECT cls, n_true, n_pred, tp, "precision", "recall",
+       CASE WHEN "precision" + "recall" > 0
+            THEN round(2 * "precision" * "recall"
+                       / ("precision" + "recall"), 4)
+            ELSE 0.0 END AS f1
+FROM pr
+ORDER BY cls
+"""
+
+
 # ----------------------------------------------------------------- ft8
 def ft8_rfm(spark, sf_dir):
     """RFM segmentation (sparkt.functions.features.rfm_segments):
@@ -4215,6 +4316,8 @@ QUERIES = {
     "t20_sentence_stats": t20_sentence_stats,
     "ev2_calibration": ev2_calibration,
     "d16_simhash_probe": d16_simhash_probe,
+    "d17_containment": d17_containment,
+    "ev3_class_metrics": ev3_class_metrics,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -4301,6 +4404,8 @@ ORACLES = {
     "t20_sentence_stats": T20_SQL,
     "ev2_calibration": EV2_SQL,
     "d16_simhash_probe": _d16_sql(),
+    "d17_containment": D17_SQL,
+    "ev3_class_metrics": EV3_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

@@ -2931,3 +2931,59 @@ def test_simhash_neardup_multiprobe(spark):
              for r in simhash_neardup_pairs(
                  df, "text", "doc_id", multi_probe=False).collect()}
     assert exact == {p: h for p, h in expected_multi.items() if h == 0}
+
+
+def test_containment_pairs_matches_python(spark):
+    """containment_pairs: C(A,B) = inter/|A| catches a short doc
+    quoted inside a long one (Jaccard small, containment 1.0); the
+    symmetric near-dup still passes; unrelated docs don't pair."""
+    from sparkt.functions.dedup import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, quoted),                                   # the quote
+        (2, quoted + " plus lots of extra words around the quote "
+            "making this document much longer than the original"),
+        (3, "alpha beta gamma delta epsilon zeta"),    # near-dup of 1
+        (4, "totally unrelated content entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["c_a"], r["c_b"])
+           for r in containment_pairs(
+               df, "text", "doc_id", k=3, threshold=0.9).collect()}
+
+    def sh(t, k=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + k])
+                for i in range(max(len(toks) - k, 0) + 1)}
+
+    a, b = sh(rows[0][1]), sh(rows[1][1])
+    inter = len(a & b)
+    assert got[(1, 2)] == (inter, round(inter / len(a), 6),
+                           round(inter / len(b), 6))
+    assert got[(1, 2)][1] == 1.0          # fully contained
+    assert got[(1, 2)][2] < 0.5           # Jaccard-side would miss it
+    assert (1, 3) in got                  # symmetric near-dup kept
+    assert all(4 not in p for p in got)
+
+
+def test_classification_report_matches_python(spark):
+    """classification_report: per-class support/predicted/tp counts,
+    single-division precision/recall, rounded-operand F1, classes
+    only ever predicted (zero support) or never predicted (zero
+    precision denominator) don't divide by zero."""
+    from sparkt.functions.evaluate import classification_report
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "b"), ("b", "c"),
+            ("d", "d")]   # 'c' never a label; 'd' perfect
+    df = spark.createDataFrame(rows, "label string, pred string")
+    got = {r["cls"]: (r["n_true"], r["n_pred"], r["tp"],
+                      r["precision"], r["recall"], r["f1"])
+           for r in classification_report(df, "label", "pred").collect()}
+    p_a, r_a = round(2 / 2, 4), round(2 / 3, 4)
+    assert got["a"] == (3, 2, 2, p_a, r_a,
+                        round(2 * p_a * r_a / (p_a + r_a), 4))
+    assert got["b"] == (2, 2, 1, 0.5, 0.5, 0.5)
+    assert got["c"] == (0, 1, 0, 0.0, 0.0, 0.0)
+    assert got["d"] == (1, 1, 1, 1.0, 1.0, 1.0)
