@@ -217,3 +217,57 @@ def classification_report(
             ),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) between
+    two label columns — the label-quality QA a pipeline runs before
+    trusting human or model annotations as training targets:
+    ``κ = (p_o − p_e) / (1 − p_e)`` with observed agreement ``p_o``
+    and chance agreement ``p_e = Σ_c (n_aᶜ/n)(n_bᶜ/n)``.
+
+    Returns ONE row: ``n, n_agree`` (exact), ``po`` (single integer
+    division, 4dp), ``pe``, and ``kappa`` (4dp). EVERY float here is
+    deterministic to the bit: the pe numerator sums INTEGER-VALUED
+    doubles (marginal products, total ≪ 2⁵³ — exact regardless of
+    accumulation order), so pe and κ reduce to fixed-shape divisions
+    of exact values. κ = 0.0 when pe = 1 (full chance agreement makes
+    it undefined; 0 is the fixed-point convention).
+
+    Scale shape: two class-grain groupBys + one |classes|-row join
+    for the marginals, one map-side-combined count for agreement —
+    the corpus is scanned twice, the reduce side is |classes| rows.
+    """
+    from sparkt.functions import join_scalars
+
+    tot = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col(rater_a) == F.col(rater_b)).cast("long")
+        ).alias("n_agree"),
+    )
+    ma = df.groupBy(F.col(rater_a).alias("cls")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = df.groupBy(F.col(rater_b).alias("cls")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pe_tab = (
+        ma.join(mb, "cls")
+        .agg(F.sum(F.col("na").cast("double") * F.col("nb"))
+             .alias("__pe_num"))
+    )
+    out = join_scalars(tot, pe_tab)
+    po = F.col("n_agree") / F.col("n")
+    pe = F.col("__pe_num") / (F.col("n") * F.col("n").cast("double"))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.when(pe >= 1.0, F.lit(0.0))
+        .otherwise(F.round((po - pe) / (1 - pe), 4))
+        .alias("kappa"),
+    )

@@ -3356,6 +3356,63 @@ ORDER BY cls
 """
 
 
+# ----------------------------------------------------------------- ev4
+def ev4_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (sparkt.functions.evaluate.cohens_kappa) between
+    the documents table's true lang and the t3 n-gram lang-id
+    prediction — the chance-corrected scalar companion to ev3's
+    per-class table. Every float is bit-deterministic: pe's numerator
+    sums integer-valued doubles (exact at any accumulation order),
+    so po/pe/kappa are fixed-shape divisions of exact values."""
+    from sparkt.functions.evaluate import cohens_kappa
+
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("label"),
+        TX.lang_id(F.col("text")).alias("pred"),
+    )
+    return cohens_kappa(scored, "label", "pred")
+
+
+EV4_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
+  FROM documents),
+p AS (
+  SELECT lang AS label,
+         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS pred
+  FROM scored),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM p),
+ma AS (SELECT label AS cls, count(*) AS na FROM p GROUP BY 1),
+mb AS (SELECT pred AS cls, count(*) AS nb FROM p GROUP BY 1),
+pe_num AS (
+  SELECT sum(CAST(na AS DOUBLE) * nb) AS pe_num
+  FROM ma JOIN mb USING (cls))
+SELECT n, n_agree,
+       round(n_agree / n, 4) AS po,
+       round(pe_num / (n * CAST(n AS DOUBLE)), 4) AS pe,
+       CASE WHEN pe_num / (n * CAST(n AS DOUBLE)) >= 1.0 THEN 0.0
+            ELSE round((n_agree / n - pe_num / (n * CAST(n AS DOUBLE)))
+                       / (1 - pe_num / (n * CAST(n AS DOUBLE))), 4)
+       END AS kappa
+FROM tot, pe_num
+"""
+
+
 # ----------------------------------------------------------------- ft8
 def ft8_rfm(spark, sf_dir):
     """RFM segmentation (sparkt.functions.features.rfm_segments):
@@ -4318,6 +4375,7 @@ QUERIES = {
     "d16_simhash_probe": d16_simhash_probe,
     "d17_containment": d17_containment,
     "ev3_class_metrics": ev3_class_metrics,
+    "ev4_cohens_kappa": ev4_cohens_kappa,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -4406,6 +4464,7 @@ ORACLES = {
     "d16_simhash_probe": _d16_sql(),
     "d17_containment": D17_SQL,
     "ev3_class_metrics": EV3_SQL,
+    "ev4_cohens_kappa": EV4_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

@@ -2987,3 +2987,27 @@ def test_classification_report_matches_python(spark):
     assert got["b"] == (2, 2, 1, 0.5, 0.5, 0.5)
     assert got["c"] == (0, 1, 0, 0.0, 0.0, 0.0)
     assert got["d"] == (1, 1, 1, 1.0, 1.0, 1.0)
+
+
+def test_cohens_kappa_matches_python(spark):
+    """cohens_kappa vs the closed-form reference: po/pe/kappa from
+    exact marginal counts; full agreement = 1.0; the pe numerator is
+    an exact integer-valued-double sum (order-independent)."""
+    from sparkt.functions.evaluate import cohens_kappa
+
+    rows = [("a", "a"), ("a", "a"), ("a", "b"),
+            ("b", "b"), ("b", "a"), ("b", "b")]
+    df = spark.createDataFrame(rows, "r1 string, r2 string")
+    r = cohens_kappa(df, "r1", "r2").collect()[0]
+    n = len(rows)
+    po = sum(1 for a, b in rows if a == b) / n
+    from collections import Counter
+    ca, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    pe = sum(ca[c] * cb[c] for c in ca) / (n * n)
+    assert (r["n"], r["n_agree"]) == (6, 4)
+    assert r["po"] == round(po, 4) and r["pe"] == round(pe, 4)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 4)
+
+    same = spark.createDataFrame([("x", "x")] * 4, "r1 string, r2 string")
+    rs = cohens_kappa(same, "r1", "r2").collect()[0]
+    assert (rs["po"], rs["pe"], rs["kappa"]) == (1.0, 1.0, 0.0)
