@@ -3011,3 +3011,34 @@ def test_cohens_kappa_matches_python(spark):
     same = spark.createDataFrame([("x", "x")] * 4, "r1 string, r2 string")
     rs = cohens_kappa(same, "r1", "r2").collect()[0]
     assert (rs["po"], rs["pe"], rs["kappa"]) == (1.0, 1.0, 0.0)
+
+
+def test_multiprobe_completeness_bruteforce(spark):
+    """Completeness property of the 17-key multi-probe: over 80
+    seeded-random payloads, perceptual_neardup_pairs equals the
+    brute-force all-pairs hamming<=1 set EXACTLY (no missed pair, no
+    extra pair) — the guarantee that makes the equijoin a safe
+    substitute for a pairwise scan."""
+    import hashlib
+    import random
+
+    from sparkt.functions.multimodal import perceptual_neardup_pairs
+
+    rng = random.Random(11)
+    payloads = [bytes(rng.randrange(256) for _ in range(8))
+                for _ in range(80)]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "item_id long, content binary")
+
+    def ah(b):
+        px = list(hashlib.md5(b).digest())
+        mean = sum(px) / 16.0
+        return sum(1 << (15 - i) for i, p in enumerate(px) if p > mean)
+
+    hs = [ah(p) for p in payloads]
+    brute = {(a, b): bin(hs[a] ^ hs[b]).count("1")
+             for a in range(80) for b in range(a + 1, 80)
+             if bin(hs[a] ^ hs[b]).count("1") <= 1}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in perceptual_neardup_pairs(df).collect()}
+    assert got == brute
