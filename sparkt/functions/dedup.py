@@ -1091,15 +1091,17 @@ def simhash_neardup_pairs(
     token frequency vectors (Charikar 2002), so hamming ≤ 1 on 16
     bits is a strong near-dup signal at this width.
 
-    100 TB shape: one codegen hash projection, a 17× probe explode of
-    (id, 16-bit int) rows, one integer equijoin, one exact dedup
-    groupBy — never all-pairs (the d3 banded-join argument).
+    100 TB shape: hashes come from :func:`simhash_table` (explode →
+    groupBy bit votes — ONE md5 per token; the inline
+    :func:`simhash16` HOF column re-evaluates the token split per
+    bit vote, the measured minhash_table re-inlining trap), then a
+    17× probe explode of (id, 16-bit int) rows, one integer equijoin,
+    one exact dedup groupBy — never all-pairs (the d3 banded-join
+    argument).
     """
-    h = df.select(
-        F.col(id_col).alias("__id"),
-        F.conv(simhash16(F.col(text_col)), 2, 10)
-        .cast("int")
-        .alias("hv"),
+    h = simhash_table(df, text_col, id_col).select(
+        F.col("doc").alias("__id"),
+        F.conv("simhash", 2, 10).cast("int").alias("hv"),
     )
     flips = [F.col("hv")]
     if multi_probe:
