@@ -518,3 +518,55 @@ def rfm_segments(
             F.col("m_code").cast("string"),
         ).alias("rfm"),
     )
+
+
+def active_users(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling active-user engagement (DAU / WAU and stickiness —
+    the DAU/WAU ratio, the standard product-engagement KPI): per
+    calendar day, the count of entities active THAT day and the
+    distinct count active in the trailing ``window_days`` window.
+
+    Returns ``day (ISO string — the cross-engine date contract),
+    dau, wau`` (exact integers) and ``stickiness`` = dau/wau (4dp,
+    single integer division). Only days with activity appear
+    (trailing windows over silent days have no DAU row to anchor);
+    early days cover partial windows — the standard convention.
+
+    Scale shape — NO sliding distinct-over-window state: dedupe to
+    (entity, day) once (one shuffle), then each active day EXPLODES
+    to the ``window_days`` target days it contributes to (a bounded
+    ×7 row expansion of tiny pairs) and one exact distinct count per
+    target day. Both aggregates shuffle on (day[, entity]) — bounded
+    by |entities × days|, never by raw event volume.
+    """
+    daily = events.select(
+        F.to_date(F.col(ts_col)).alias("__day"),
+        F.col(key_col).alias("__k"),
+    ).distinct()
+    dau = daily.groupBy("__day").agg(F.count(F.lit(1)).alias("dau"))
+    targets = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.date_add(F.col("__day"), window_days - 1),
+            )
+        ).alias("__day"),
+        "__k",
+    )
+    wau = targets.groupBy("__day").agg(
+        F.countDistinct("__k").alias("wau")
+    )
+    return (
+        dau.join(wau, "__day")
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

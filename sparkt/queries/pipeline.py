@@ -3413,6 +3413,40 @@ FROM tot, pe_num
 """
 
 
+# ----------------------------------------------------------------- ft9
+def ft9_active_users(spark, sf_dir):
+    """Rolling DAU/WAU engagement (sparkt.functions.features
+    .active_users): per day, entities active that day and distinct
+    entities active in the trailing 7 days, plus stickiness = dau/wau
+    (single integer division, 4dp). No sliding distinct-window state:
+    (entity, day) dedupes once, each active day explodes to the 7
+    target days it contributes to, one exact distinct per day. Days
+    ISO-stringified (the cross-engine date contract)."""
+    from sparkt.functions.features import active_users
+
+    ev = T(spark, sf_dir, "events")
+    return active_users(ev, "user_id", "ts", window_days=7).orderBy(
+        "day"
+    )
+
+
+FT9_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        FROM daily GROUP BY day),
+t AS (
+  SELECT user_id, day + CAST(s.i AS INT) AS day
+  FROM daily, unnest(range(7)) AS s(i)),
+wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM t GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau,
+       round(dau / wau, 4) AS stickiness
+FROM dau d JOIN wau USING (day)
+ORDER BY day
+"""
+
+
 # ----------------------------------------------------------------- ft8
 def ft8_rfm(spark, sf_dir):
     """RFM segmentation (sparkt.functions.features.rfm_segments):
@@ -4376,6 +4410,7 @@ QUERIES = {
     "d17_containment": d17_containment,
     "ev3_class_metrics": ev3_class_metrics,
     "ev4_cohens_kappa": ev4_cohens_kappa,
+    "ft9_active_users": ft9_active_users,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
     "t19_boilerplate": t19_boilerplate,
@@ -4465,6 +4500,7 @@ ORACLES = {
     "d17_containment": D17_SQL,
     "ev3_class_metrics": EV3_SQL,
     "ev4_cohens_kappa": EV4_SQL,
+    "ft9_active_users": FT9_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,
     "t19_boilerplate": T19_SQL,

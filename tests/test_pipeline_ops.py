@@ -3042,3 +3042,29 @@ def test_multiprobe_completeness_bruteforce(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in perceptual_neardup_pairs(df).collect()}
     assert got == brute
+
+
+def test_active_users_matches_python(spark):
+    """active_users: DAU = distinct entities per day, WAU = distinct
+    entities over the trailing 7 days, stickiness = dau/wau; a user
+    active 6 days ago still counts toward today's WAU, 7 days ago
+    does not."""
+    import datetime as dt
+
+    from sparkt.functions.features import active_users
+
+    d0 = dt.datetime(2024, 6, 1, 12)
+    rows = [
+        (1, d0), (2, d0), (1, d0 + dt.timedelta(hours=1)),  # day 0
+        (1, d0 + dt.timedelta(days=6)),                     # day 6
+        (3, d0 + dt.timedelta(days=7)),                     # day 7
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {r["day"]: (r["dau"], r["wau"], r["stickiness"])
+           for r in active_users(df, "user_id", "ts").collect()}
+    # day 6's trailing window covers day 0 -> users {1, 2}
+    assert got["2024-06-01"] == (2, 2, 1.0)
+    assert got["2024-06-07"] == (1, 2, 0.5)
+    # day 7: day 0 fell out of the window; users {1 (day 6), 3}
+    assert got["2024-06-08"] == (1, 2, 0.5)
+    assert set(got) == {"2024-06-01", "2024-06-07", "2024-06-08"}
