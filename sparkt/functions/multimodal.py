@@ -287,8 +287,9 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
     grayscale grid, threshold each pixel against the mean, pack the
     bits). Identical/visually-near images share a hash, so dedup is a
     hash-bucket equijoin — the image analogue of the text MinHash
-    bucket join (hamming-1 multi-probe = also joining each hash with
-    one bit flipped, the documented extension).
+    bucket join. Hamming-1 multi-probe recall lives in
+    :func:`perceptual_neardup_pairs` (each hash joins its 16 one-bit
+    flips too — implemented r11, gate mm5).
 
     DECODE STUB (this container has no image codecs): the "16-pixel
     grayscale thumbnail" is the md5 digest of the payload — 16
