@@ -325,6 +325,162 @@ def simhash16(text: Column) -> Column:
     return F.concat(*bits)
 
 
+# ------------------------------------------------- 64-bit simhash
+# hex chars whose bit w (MSB-first within the nibble, w = 0..3) is
+# set — bit j of a 64-bit md5-derived hash lives in nibble j // 4 at
+# within-nibble position j % 4, so membership in HEX_BIT[j % 4] IS
+# the bit test, with no arithmetic (portable: the DuckDB oracle uses
+# the same IN lists)
+HEX_BIT = [
+    [c for c in "0123456789abcdef" if (int(c, 16) >> (3 - w)) & 1]
+    for w in range(4)
+]
+
+
+def simhash_table64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc 64-bit SimHash (Charikar 2002) as a 64-char bit
+    string — the scale replacement for the 16-bit
+    :func:`simhash_table` key (VERDICT r11 #1: a 16-bit hash is a
+    fixed 65,536-value join space that saturates; 64 bits keep
+    random-pair collisions negligible at corpus scale).
+
+    Same explode → groupBy shape as :func:`simhash_table` (ONE md5
+    per token, one shuffle on doc id — the measured HOF-re-inlining
+    fix), but all 64 bits of the md5 prefix vote: bit ``j`` is the
+    within-nibble bit ``j % 4`` of hex nibble ``j // 4``. Returns
+    ``(doc, simhash)``.
+    """
+    ex = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    votes = ex.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", j // 4 + 1, 1).isin(*HEX_BIT[j % 4]),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    return votes.select(
+        "doc",
+        F.concat(
+            *[F.when(F.col(f"v{j}") > 0, "1").otherwise("0") for j in range(64)]
+        ).alias("simhash"),
+    )
+
+
+def band_bounds(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Partition ``n_bits`` into ``n_bands`` contiguous (start, width)
+    bands, widest first — the pigeonhole split: any pair within
+    hamming distance ``n_bands - 1`` agrees EXACTLY on >= 1 band."""
+    base, rem = divmod(n_bits, n_bands)
+    bounds, start = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def hamming_banded_pairs(
+    df: DataFrame,
+    bits_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """All pairs within hamming distance ``k`` over a wide bit-string
+    hash column, by PIGEONHOLE BANDING (the PartEnum argument: split
+    the hash into ``k + 1`` disjoint bands; <= k differing bits leave
+    >= 1 band identical, so a per-band equijoin finds every
+    qualifying pair with zero recall loss) — the scale replacement
+    for the 16-bit one-bit-flip multi-probe (VERDICT r11 #1), whose
+    fixed 65,536-value join key saturates at corpus size.
+
+    Bands are as wide as possible (``n_bits // (k+1)``, e.g. 32 bits
+    at k=1, 16 at k=3), so the join-key space GROWS with hash width
+    instead of being fixed: random-pair band collisions are
+    ~ n² / 2^width per band. Candidates are verified with exact
+    ``bit_count`` hamming over all bands (bands partition the hash,
+    so the band-xor popcounts sum to the full hamming distance).
+
+    Input: ``(id_col, bits_col)`` where ``bits_col`` is an
+    ``n_bits``-char '0'/'1' string (:func:`simhash_table64`,
+    ``perceptual_hash64``). Returns ``id_a, id_b, hamming``
+    (``id_a < id_b``, hamming <= k, exact integers).
+
+    100 TB shape: (k+1)× probe explode of (id, band_idx, band_val)
+    rows, one integer-pair equijoin, exact-dedup groupBy — never
+    all-pairs; each qualifying pair is found once per agreeing band
+    and deduped by DISTINCT.
+    """
+    nb = k + 1
+    bounds = band_bounds(n_bits, nb)
+    bands = df.select(
+        F.col(id_col).alias("__id"),
+        *[
+            F.conv(F.substring(bits_col, s + 1, w), 2, 10)
+            .cast("long")
+            .alias(f"b{i}")
+            for i, (s, w) in enumerate(bounds)
+        ],
+    )
+    left = bands.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(nb)],
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(nb)])).alias(
+            "band_idx", "probe"
+        ),
+    )
+    right = bands.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(nb)],
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(nb)])).alias(
+            "band_idx", "probe"
+        ),
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))
+            )
+            for i in range(nb)
+        ),
+        F.lit(0),
+    )
+    return (
+        left.join(right, ["band_idx", "probe"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", ham.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
+def simhash_neardup_pairs64(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Text near-duplicate pairs within hamming distance ``k`` on the
+    64-bit SimHash — :func:`simhash_table64` hashes +
+    :func:`hamming_banded_pairs` pigeonhole banding. Supersedes the
+    16-bit :func:`simhash_neardup_pairs` at corpus scale (VERDICT
+    r11 #1): the 16-bit key space saturates (bucket population grows
+    linearly with the corpus), while the banded 64-bit join key space
+    is 2^16..2^32 per band and collision rates stay data-driven.
+
+    Returns ``id_a, id_b, hamming`` (exact integers, id_a < id_b).
+    """
+    return hamming_banded_pairs(
+        simhash_table64(df, text_col, id_col), "simhash", "doc", k=k
+    )
+
+
 # ---------------------------------------------------------- winnowing
 def winnow_table(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4

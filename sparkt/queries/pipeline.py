@@ -3075,13 +3075,18 @@ ORDER BY h.item_id
 
 # ----------------------------------------------------------------- mm5
 def mm5_ahash_neardup(spark, sf_dir):
-    """Hamming-1 multi-probe image near-dup pairs (sparkt.functions
-    .multimodal.perceptual_neardup_pairs — the mm4 recall extension):
-    every aHash expands to 17 probe keys (itself + 16 one-bit flips)
-    and probes equijoin exact hashes, so hamming<=1 pairs surface
-    without a pairwise scan. The oracle re-derives the 16-bit hash
-    from md5 nibbles (the mm4 idiom) and enumerates the SAME probe
-    set; hamming tags and ids are exact integers."""
+    """Image near-dup pairs within hamming<=3 on the 64-BIT
+    perceptual hash with pigeonhole banding (sparkt.functions
+    .multimodal.perceptual_neardup_pairs64 — VERDICT r11 #1: the
+    16-bit key's fixed 65,536-value space saturated at corpus scale;
+    banded 64-bit keys collide at data-driven rates). Input plants
+    deterministic exact-dup payloads (every 10th doc re-enters with
+    item_id + 1,000,000), so the gate pins both recall (all 50
+    planted pairs at hamming 0) and the saturation fix itself: the
+    16-bit hash paired ~50 ACCIDENTAL random collisions at 500 docs,
+    the 64-bit hash pairs none. The oracle re-derives the 64 stub
+    pixels (4 salted md5 digests), enumerates the SAME 4 bands, and
+    verifies with bit_count; hamming tags and ids exact integers."""
     from sparkt.functions import multimodal as MM
 
     docs = T(spark, sf_dir, "documents")
@@ -3089,36 +3094,71 @@ def mm5_ahash_neardup(spark, sf_dir):
         F.col("doc_id").alias("item_id"),
         F.col("text").cast("binary").alias("content"),
     )
-    return MM.perceptual_neardup_pairs(items).orderBy("id_a", "id_b")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("item_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.perceptual_neardup_pairs64(
+        items.unionAll(dups), k=3
+    ).orderBy("id_a", "id_b")
+
+
+def _banded_pairs_sql(id_: str, ham_max: int = 3) -> str:
+    """Shared oracle tail for the 64-bit banded near-dup gates: 4-way
+    band probe explode of a CTE ``hb(id, b0..b3)``, per-band
+    equijoin, exact bit_count verify over all 4 bands (bands
+    partition the 64 bits, so the xor popcounts sum to the full
+    hamming distance) — the same pigeonhole plan
+    hamming_banded_pairs builds in Spark."""
+    ham = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
+    return f"""
+p AS (
+  SELECT {id_}, b0, b1, b2, b3, t.i,
+         CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1
+                  WHEN 2 THEN b2 ELSE b3 END AS probe
+  FROM hb, unnest([0, 1, 2, 3]) AS t(i)),
+pairs AS (
+  SELECT DISTINCT a.{id_} AS id_a, b.{id_} AS id_b,
+         {ham} AS hamming
+  FROM p a JOIN p b
+    ON a.i = b.i AND a.probe = b.probe AND a.{id_} < b.{id_})
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs
+WHERE hamming <= {ham_max}
+ORDER BY id_a, id_b
+"""
 
 
 def _mm5_sql() -> str:
-    nib = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
-    bytes_ = [
-        f"({nib.format(p=2 * i + 1)} * 16 + {nib.format(p=2 * i + 2)})"
-        for i in range(16)
-    ]
-    mean = "((" + " + ".join(bytes_) + ") / 16.0)"
-    bits = " + ".join(
-        f"(CASE WHEN {b} > {mean} THEN {1 << (15 - i)} ELSE 0 END)"
-        for i, b in enumerate(bytes_)
+    nib = (
+        "(strpos('0123456789abcdef', "
+        "substr(md5(text || '{s}'), {p}, 1)) - 1)"
     )
-    flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(16)])
+    px = [
+        f"({nib.format(s=j // 16, p=2 * (j % 16) + 1)} * 16 + "
+        f"{nib.format(s=j // 16, p=2 * (j % 16) + 2)}) AS p{j}"
+        for j in range(64)
+    ]
+    mean = "(" + " + ".join(f"p{j}" for j in range(64)) + ") / 64.0"
+    bands = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN p{16 * b + r} > mean THEN {1 << (15 - r)} "
+            "ELSE 0 END)"
+            for r in range(16)
+        )
+        + f") AS b{b}"
+        for b in range(4)
+    )
     return f"""
-WITH h AS (
-  SELECT doc_id AS item_id, ({bits}) AS hv FROM documents),
-p AS (
-  SELECT item_id, hv, xor(hv, f) AS probe
-  FROM h, unnest([{flips}]) AS t(f)),
-pairs AS (
-  SELECT DISTINCT a.item_id AS id_a, b.item_id AS id_b,
-         bit_count(xor(a.hv, b.hv)) AS hamming
-  FROM p a JOIN h b ON a.probe = b.hv
-  WHERE a.item_id < b.item_id)
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-FROM pairs
-ORDER BY id_a, id_b
-"""
+WITH base AS (
+  SELECT doc_id AS item_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+bs AS (SELECT item_id, {", ".join(px)} FROM base),
+m AS (SELECT *, {mean} AS mean FROM bs),
+hb AS (SELECT item_id, {bands} FROM m),
+{_banded_pairs_sql("item_id")}"""
 
 
 # ----------------------------------------------------------------- t20
@@ -3212,47 +3252,53 @@ ORDER BY bin
 
 # ----------------------------------------------------------------- d16
 def d16_simhash_probe(spark, sf_dir):
-    """SimHash hamming-1 multi-probe near-dup pairs (sparkt.functions
-    .dedup.simhash_neardup_pairs — the text twin of mm5): 17 probe
-    keys per 16-bit simhash, integer equijoin, exact hamming tags.
-    doc_id < 500 (the d7 bound): the synthetic corpus's shared
-    vocabulary concentrates simhash buckets, so the full sf0.1 table
-    yields ~10^5-10^6 pairs — a DATA artifact the bound keeps out of
-    the compare path while every code path still runs."""
-    from sparkt.functions.dedup import simhash_neardup_pairs
+    """Text near-dup pairs within hamming<=3 on the 64-BIT SimHash
+    with pigeonhole banding (sparkt.functions.dedup
+    .simhash_neardup_pairs64 — the text twin of mm5; VERDICT r11 #1:
+    the 16-bit key saturated, 4,325 mostly-accidental pairs at 500
+    docs; the 64-bit banded path finds ~12 GENUINE near-dups at the
+    same corpus). 4 probe keys per doc (one per 16-bit band),
+    integer equijoin, exact bit_count hamming over all bands.
+    doc_id < 500 (the d7 bound) keeps the sf0.1 row count in the
+    compare path's budget while every code path still runs."""
+    from sparkt.functions.dedup import simhash_neardup_pairs64
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_neardup_pairs(docs, "text", "doc_id").orderBy(
+    return simhash_neardup_pairs64(docs, "text", "doc_id", k=3).orderBy(
         "id_a", "id_b"
     )
 
 
 def _d16_sql() -> str:
-    flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(16)])
-    # hv as plain integer arithmetic: bit j (MSB-first) contributes
-    # 2^(15-j) when the d4 vote says '1' — same value as the Spark
-    # side's conv(simhash16, 2, 10)
-    hv = " + ".join(
-        f"(CASE WHEN ({_DK_SIMBIT.format(toks=_DK_TOKENS, j=j + 1)}) "
-        f"= '1' THEN {1 << (15 - j)} ELSE 0 END)"
-        for j in range(16)
+    # one md5 per token (the simhash_table64 explode → groupBy shape);
+    # vote j tests within-nibble bit j % 4 of hex nibble j // 4 via
+    # the same HEX_BIT membership lists the Spark side uses
+    from sparkt.functions.dedup import HEX_BIT
+
+    sets = [", ".join(f"'{c}'" for c in s) for s in HEX_BIT]
+    votes = ", ".join(
+        f"sum(CASE WHEN substring(h, {j // 4 + 1}, 1) IN "
+        f"({sets[j % 4]}) THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    bands = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{16 * b + r} > 0 THEN {1 << (15 - r)} "
+            "ELSE 0 END)"
+            for r in range(16)
+        )
+        + f") AS b{b}"
+        for b in range(4)
     )
     return f"""
-WITH h AS (
-  SELECT doc_id, CAST({hv} AS INT) AS hv
-  FROM documents WHERE doc_id < 500),
-p AS (
-  SELECT doc_id, hv, xor(hv, f) AS probe
-  FROM h, unnest([{flips}]) AS t(f)),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         bit_count(xor(a.hv, b.hv)) AS hamming
-  FROM p a JOIN h b ON a.probe = b.hv
-  WHERE a.doc_id < b.doc_id)
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-FROM pairs
-ORDER BY id_a, id_b
-"""
+WITH tok AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 500) d,
+       unnest({_DK_TOKENS}) AS t(tok)),
+v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+hb AS (SELECT doc_id, {bands} FROM v),
+{_banded_pairs_sql("doc_id")}"""
 
 
 # ----------------------------------------------------------------- d17

@@ -3068,3 +3068,171 @@ def test_active_users_matches_python(spark):
     # day 7: day 0 fell out of the window; users {1 (day 6), 3}
     assert got["2024-06-08"] == (1, 2, 0.5)
     assert set(got) == {"2024-06-01", "2024-06-07", "2024-06-08"}
+
+
+# ------------------------------------------------- 64-bit banded near-dup
+def _sim64_ref(text):
+    """Python reference of sparkt.functions.dedup.simhash_table64."""
+    import hashlib
+
+    toks = text.lower().strip().split()
+    bits = 0
+    for j in range(64):
+        vote = 0
+        for t in toks:
+            nib = int(hashlib.md5(t.encode()).hexdigest()[j // 4], 16)
+            vote += 1 if (nib >> (3 - j % 4)) & 1 else -1
+        if vote > 0:
+            bits |= 1 << (63 - j)
+    return bits
+
+
+def test_hamming_banded_pairs_complete(spark):
+    """hamming_banded_pairs: pigeonhole banding is EXACT (zero recall
+    loss) — for crafted 64-bit hashes with known pairwise distances,
+    the banded join equals brute-force hamming filtering at every
+    k in 1..3, including a pair whose differing bits all fall inside
+    ONE band (caught because the other k bands agree) and a pair at
+    distance k+1 (excluded by the bit_count verify even though a
+    band collides)."""
+    from sparkt.functions.dedup import hamming_banded_pairs
+
+    base = int("10" * 32, 2)
+    rows = [
+        (1, base),
+        (2, base),                        # h=0
+        (3, base ^ 1),                    # h=1 (last band)
+        (4, base ^ 0b11),                 # h=2, both flips in band 3
+        (5, base ^ ((1 << 63) | (1 << 40) | 1)),  # h=3, spread
+        (6, base ^ 0b1111),               # h=4 from base (one band)
+    ]
+    df = spark.createDataFrame(
+        [(i, format(h, "064b")) for i, h in rows], "doc_id long, bits string"
+    )
+    hs = dict(rows)
+    for k in (1, 2, 3):
+        expected = {
+            (a, b): bin(hs[a] ^ hs[b]).count("1")
+            for a in hs
+            for b in hs
+            if a < b and bin(hs[a] ^ hs[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_banded_pairs(
+                df, "bits", "doc_id", k=k
+            ).collect()
+        }
+        assert got == expected, f"k={k}"
+    # sanity on the crafted geometry: (4,6) is distance 2 within one
+    # band, (1,6) is distance 4 — visible at k>=2 / never
+    assert bin(hs[4] ^ hs[6]).count("1") == 2
+    assert bin(hs[1] ^ hs[6]).count("1") == 4
+
+
+def test_simhash64_neardup_matches_python(spark):
+    """simhash_neardup_pairs64 equals brute-force hamming over the
+    python 64-bit simhash reference at k=1..3; the twin pair tags
+    hamming 0."""
+    from sparkt.functions.dedup import simhash_neardup_pairs64
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),    # twin of 1 (h=0)
+        (3, "alpha beta gamma epsilon"),
+        (4, "alpha beta gamma epsilonish"),
+        (5, "completely different words here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = {i: _sim64_ref(t) for i, t in rows}
+    for k in (1, 3):
+        expected = {
+            (a, b): bin(hs[a] ^ hs[b]).count("1")
+            for a in hs
+            for b in hs
+            if a < b and bin(hs[a] ^ hs[b]).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_neardup_pairs64(
+                df, "text", "doc_id", k=k
+            ).collect()
+        }
+        assert got == expected, f"k={k}"
+    assert bin(hs[1] ^ hs[2]).count("1") == 0
+
+
+def test_perceptual64_neardup_matches_python(spark):
+    """perceptual_neardup_pairs64 equals brute-force hamming over the
+    python 64-bit aHash reference (4 salted md5 digests as the 8x8
+    stub thumbnail); only planted exact-dup payloads pair — 64 random
+    bits collide at ~n²/2^62 for k=3, unlike the 16-bit hash where
+    500 docs already produced ~50 accidental pairs."""
+    import hashlib
+
+    from sparkt.functions.multimodal import perceptual_neardup_pairs64
+
+    def ah64(b):
+        px = []
+        for s in (b"0", b"1", b"2", b"3"):
+            px += list(hashlib.md5(b + s).digest())
+        mean = sum(px) / 64.0
+        bits = 0
+        for i, p in enumerate(px):
+            if p > mean:
+                bits |= 1 << (63 - i)
+        return bits
+
+    payloads = [(i, f"payload number {i}".encode()) for i in range(40)]
+    payloads += [(100 + i, f"payload number {i}".encode()) for i in range(4)]
+    df = spark.createDataFrame(
+        payloads, "item_id long, content binary"
+    )
+    hs = {i: ah64(bytes(b)) for i, b in payloads}
+    expected = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in perceptual_neardup_pairs64(df, k=3).collect()
+    }
+    assert got == expected
+    assert expected == {(i, 100 + i): 0 for i in range(4)}
+
+
+def test_banded_key_space_grows_with_corpus(spark):
+    """The saturation fix, asserted: the 64-bit banded join key count
+    GROWS with the corpus (sf0.1 has 10x the docs of sf0.001 and must
+    show several-fold more distinct (band_idx, band_val) keys), while
+    the legacy 16-bit simhash key space stays inside its fixed 65,536
+    ceiling — the r11 scale-killer this round removes."""
+    import pyspark.sql.functions as F
+
+    from sparkt.functions.dedup import band_bounds, simhash_table64
+
+    def n_keys(sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        h = simhash_table64(docs, "text", "doc_id")
+        nb = 4
+        bands = h.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.conv(F.substring("simhash", s + 1, w), 2, 10)
+                        .cast("long")
+                        for s, w in band_bounds(64, nb)
+                    ]
+                )
+            ).alias("band_idx", "band_val")
+        )
+        return bands.distinct().count(), docs.count()
+
+    small_keys, small_docs = n_keys("/root/testdata/sf0.001")
+    big_keys, big_docs = n_keys("/root/testdata/sf0.1")
+    assert big_docs >= 10 * small_docs
+    assert big_keys > 3 * small_keys
+    # 16-bit ceiling: 4 probe positions x 65,536 values
+    assert big_keys > 0 and small_keys <= 4 * 65536
