@@ -748,33 +748,44 @@ def ivfpq_topk(
         n_codes=n_codes,
         keep=["cell"],
     )
-    # query probe list: the n_probe nearest coarse cells, argmin-L2
-    # with lowest-index tie-break, second cell found by masking the
-    # first (mirrors the s4 oracle idiom, min instead of max)
+    # query probe list: the n_probe nearest coarse cells by iterated
+    # argmin-L2 with lowest-index tie-break — round p masks the p-1
+    # already-selected cells to +inf and takes the argmin of the rest
+    # (mirrors the s4 oracle idiom, min instead of max). Closure
+    # FACTORY per round, never a multi-param lambda with defaults
+    # (the s12 transform-arity trap).
+    if not 1 <= n_probe <= n_cells:
+        raise ValueError(
+            f"n_probe must be in 1..n_cells={n_cells}, got {n_probe}"
+        )
     cdists = F.transform(
         _const_matrix(cents), lambda c: _l2sq(F.col(vec), c)
     )
-    q0 = queries.select(
+    probed = queries.select(
         F.col(query_id), F.col(vec).alias("qv"), cdists.alias("cd")
     )
-    probed = q0.withColumn(
-        "c1", (F.array_position(F.col("cd"), F.array_min("cd")) - 1)
-    )
-    masked = F.transform(
-        F.col("cd"),
-        lambda x, i: F.when(i == F.col("c1"), F.lit(float("inf")))
-        .otherwise(x),
-    )
-    probes = [F.col("c1").cast("int")]
-    if n_probe >= 2:
+
+    def _mask_prev(p: int):
+        def fn(x: Column, i: Column) -> Column:
+            cond = F.lit(False)
+            for t in range(1, p):
+                cond = cond | (i == F.col(f"c{t}"))
+            return F.when(cond, F.lit(float("inf"))).otherwise(x)
+
+        return fn
+
+    for p in range(1, n_probe + 1):
+        masked = F.transform(F.col("cd"), _mask_prev(p))
         probed = probed.withColumn(
-            "c2",
+            f"c{p}",
             (F.array_position(masked, F.array_min(masked)) - 1),
         )
-        probes.append(F.col("c2").cast("int"))
     q = probed.select(
         F.col(query_id), "qv",
-        F.explode(F.array(*probes)).alias("cell"),
+        F.explode(
+            F.array(*[F.col(f"c{p}").cast("int")
+                      for p in range(1, n_probe + 1)])
+        ).alias("cell"),
     )
     adc = F.lit(0.0).cast("double")
     for j, book in enumerate(books):

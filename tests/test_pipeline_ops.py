@@ -3236,3 +3236,75 @@ def test_banded_key_space_grows_with_corpus(spark):
     assert big_keys > 3 * small_keys
     # 16-bit ceiling: 4 probe positions x 65,536 values
     assert big_keys > 0 and small_keys <= 4 * 65536
+
+
+def test_ivfpq_n_probe_generalized(spark):
+    """ivfpq_topk probes ANY n_probe cells (ADVICE r11: the old code
+    silently capped at 2): probing all n_cells equals exhaustive ADC
+    scoring (every corpus vector is a candidate), recall is monotone
+    in n_probe, and out-of-range n_probe raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sparkt.functions.similarity import (
+        _pq_codebooks,
+        _pseudo_centroids,
+        ivfpq_topk,
+    )
+
+    dim, m, n_codes, n_cells, k = 16, 4, 8, 4, 3
+    sub = dim // m
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(30, dim)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+
+    books = np.array(_pq_codebooks(dim, m, n_codes))
+
+    def np_codes(v):
+        return [
+            int(np.argmin(((v[j * sub:(j + 1) * sub] - books[j]) ** 2)
+                          .sum(axis=1)))
+            for j in range(m)
+        ]
+
+    # n_probe = n_cells == exhaustive ADC top-k over the whole corpus
+    expected = {}
+    for qi in range(4):
+        cand = []
+        for ci in range(30):
+            if ci == qi:
+                continue
+            adc = sum(
+                ((vecs[qi][j * sub:(j + 1) * sub]
+                  - books[j][np_codes(vecs[ci])[j]]) ** 2).sum()
+                for j in range(m)
+            )
+            cand.append((round(float(adc), 10), ci))
+        cand.sort()
+        expected[qi] = [ci for _, ci in cand[:k]]
+    out = ivfpq_topk(queries, corpus, dim=dim, k=k, m=m,
+                     n_codes=n_codes, n_cells=n_cells, n_probe=n_cells)
+    got = {}
+    for r in out.orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert got == expected
+
+    # candidate coverage is monotone in n_probe (recall can only grow)
+    def n_cand(n_probe):
+        return (
+            ivfpq_topk(queries, corpus, dim=dim, k=30, m=m,
+                       n_codes=n_codes, n_cells=n_cells,
+                       n_probe=n_probe).count()
+        )
+
+    c1, c3, c4 = n_cand(1), n_cand(3), n_cand(4)
+    assert c1 <= c3 <= c4
+
+    for bad in (0, n_cells + 1):
+        with _pytest.raises(ValueError):
+            ivfpq_topk(queries, corpus, dim=dim, k=k, m=m,
+                       n_codes=n_codes, n_cells=n_cells, n_probe=bad)
