@@ -1318,10 +1318,15 @@ def containment_pairs(
             freq.filter(F.col("df_") <= max_shingle_freq).select("sh"),
             "sh",
         )
+        # sz must be recomputed AFTER the cap (containment denominators
+        # are the capped set sizes). No per-call persist (ADVICE r11:
+        # it was never released): the l/r self-join subtrees are
+        # plan-identical, so the window's doc-shuffle exchange is
+        # reused (ReusedExchange), and the upstream posting list is
+        # shingle_table's documented shared cache.
         ex = ex.drop("sz").withColumn(
             "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
         )
-        ex = ex.persist()
     inter = (
         ex.alias("l")
         .join(
