@@ -889,6 +889,74 @@ def span_duplicates(
     )
 
 
+def sentence_span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_span_freq: int = 1000,
+) -> DataFrame:
+    """Cross-document repeated SENTENCE-SPAN detection — C4's own
+    curation step (Raffel et al. 2020 dedupe any three-sentence span
+    occurring more than once in the corpus), at sentence grain where
+    :func:`span_duplicates` works at token grain.
+
+    Sentences come from the same ``[.!?]+`` splitter as
+    ``sentence_stats`` (trimmed, empties dropped); every run of ``k``
+    consecutive sentences fingerprints as the md5 of the
+    newline-joined span, and a fingerprint groupBy surfaces spans
+    seen in >= 2 distinct documents — never all-pairs. Removing the
+    span elsewhere is a fingerprint semi-join back against this
+    table, exactly the d10 consumption pattern.
+
+    Returns one row per cross-document span: ``span_md5, n_docs,
+    n_occ, keep_doc`` (smallest doc id — the canonical keeper).
+    ``max_span_freq`` is the stop-span cap (d5's stop-shingle
+    argument): a boilerplate span in millions of docs would otherwise
+    explode one reducer key at 100 TB.
+
+    Scale shape: per-row HOF chain (split → filter → transform →
+    slice/md5 — no token ever leaves its row), ONE explode of ~1 row
+    per sentence, ONE groupBy shuffle on the 16-byte fingerprint.
+    Docs with < k sentences emit nothing (guarded: Spark's
+    ``sequence(1, n)`` with n < 1 would generate DESCENDING, so the
+    window list is gated on size >= k).
+    """
+    sents = F.transform(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        ),
+        lambda s: F.trim(s),
+    )
+    pre = spread(df).select(
+        F.col(id_col).alias("doc"), sents.alias("__sents")
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("__sents") - (k - 1)),
+        lambda i: F.md5(F.array_join(F.slice("__sents", i, k), "\n")),
+    )
+    ex = pre.select(
+        "doc",
+        F.explode(
+            F.when(F.size("__sents") >= k, win).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("span_md5"),
+    )
+    return (
+        ex.groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc").alias("keep_doc"),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("n_occ") <= max_span_freq)
+        )
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_fps: DataFrame,

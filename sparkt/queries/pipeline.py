@@ -3346,6 +3346,50 @@ ORDER BY id_a, id_b
 """
 
 
+# ----------------------------------------------------------------- d18
+def d18_sentence_spans(spark, sf_dir):
+    """Cross-document repeated sentence-span detection (sparkt
+    .functions.dedup.sentence_span_dedup — the C4 curation step:
+    dedupe any three-sentence span occurring in >= 2 docs; VERDICT
+    r11 #4). Sentences from the t20 punctuation wrapper (the corpus
+    has no punctuation; the deterministic replace() is shared
+    VERBATIM with the oracle), k=3 windows, md5 fingerprints, one
+    groupBy — never all-pairs. Counts and ids exact integers, the
+    fingerprint an md5 hex string both engines derive identically."""
+    from sparkt.functions.dedup import sentence_span_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", F.expr(_T20_TEXT).alias("text"))
+    return sentence_span_dedup(
+        wrapped, "text", "doc_id", k=3
+    ).orderBy("span_md5")
+
+
+D18_SQL = f"""
+WITH w AS (SELECT doc_id, {_T20_TEXT} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(t, '[.!?]+'),
+                       x -> trim(x) <> ''),
+           x -> trim(x)) AS sents
+  FROM w),
+f AS (
+  SELECT doc_id,
+         md5(array_to_string(sents[i:i+2], chr(10))) AS span_md5
+  FROM s, unnest(generate_series(1, len(sents) - 2)) AS g(i)
+  WHERE len(sents) >= 3)
+SELECT span_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       min(doc_id) AS keep_doc
+FROM f
+GROUP BY span_md5
+HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 1000
+ORDER BY span_md5
+"""
+
+
 # ----------------------------------------------------------------- ev3
 def ev3_class_metrics(spark, sf_dir):
     """Per-class precision/recall/F1 (sparkt.functions.evaluate
@@ -3464,6 +3508,85 @@ SELECT n, n_agree,
                        / (1 - pe_num / (n * CAST(n AS DOUBLE))), 4)
        END AS kappa
 FROM tot, pe_num
+"""
+
+
+# ----------------------------------------------------------------- ev5
+def ev5_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa multi-rater agreement (sparkt.functions.evaluate
+    .fleiss_kappa — the 3+-annotator generalization of ev4; VERDICT
+    r11 #5) between three deterministic annotators of each document's
+    language: the true lang, the t3 n-gram lang-id, and a lazy
+    CJK-or-English rater (realistic weak annotator). Long-format via
+    stack(); all floats fixed-shape divisions of exact integers (the
+    ev4 pe doctrine), so the row hashes bit-identically."""
+    from pyspark.sql.types import StringType
+
+    from sparkt.functions.evaluate import fleiss_kappa
+    from sparkt.functions.text import CJK_RANGE
+
+    docs = T(spark, sf_dir, "documents")
+    cjk = F.length(F.regexp_replace("text", f"[^{CJK_RANGE}]", ""))
+    lazy = F.when(
+        cjk / F.greatest(F.length("text"), F.lit(1)) > 0.3, "zh"
+    ).otherwise("en")
+    wide = docs.select(
+        "doc_id",
+        F.col("lang").alias("r1"),
+        TX.lang_id(F.col("text")).alias("r2"),
+        lazy.cast(StringType()).alias("r3"),
+    )
+    ratings = wide.selectExpr(
+        "doc_id",
+        "stack(3, 'r1', r1, 'r2', r2, 'r3', r3) AS (rater, label)",
+    )
+    return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
+
+
+EV5_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
+  FROM documents),
+p AS (
+  SELECT doc_id, lang AS r1,
+         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS r2,
+         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              ELSE 'en' END AS r3
+  FROM scored),
+long AS (
+  SELECT doc_id, r1 AS label FROM p
+  UNION ALL SELECT doc_id, r2 FROM p
+  UNION ALL SELECT doc_id, r3 FROM p),
+nij AS (SELECT doc_id, label, count(*) AS nij FROM long GROUP BY 1, 2),
+items AS (
+  SELECT doc_id, sum(nij) AS n_i, sum(nij * nij) AS s2_i
+  FROM nij GROUP BY 1 HAVING sum(nij) = 3),
+stats AS (SELECT count(*) AS n_items, sum(s2_i) AS s2 FROM items),
+cj AS (
+  SELECT label, sum(nij) AS c_j
+  FROM nij JOIN items USING (doc_id) GROUP BY label),
+c2t AS (SELECT sum(CAST(c_j AS DOUBLE) * c_j) AS c2 FROM cj)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(3 AS INT) AS n_raters,
+       round((s2 - n_items * 3.0) / (n_items * 3.0 * 2), 4) AS p_bar,
+       round(c2 / (n_items * 3.0 * n_items * 3.0), 4) AS p_e,
+       CASE WHEN c2 / (n_items * 3.0 * n_items * 3.0) >= 1.0 THEN 0.0
+            ELSE round(
+              ((s2 - n_items * 3.0) / (n_items * 3.0 * 2)
+               - c2 / (n_items * 3.0 * n_items * 3.0))
+              / (1 - c2 / (n_items * 3.0 * n_items * 3.0)), 4)
+       END AS kappa
+FROM stats, c2t
 """
 
 
@@ -4462,8 +4585,10 @@ QUERIES = {
     "ev2_calibration": ev2_calibration,
     "d16_simhash_probe": d16_simhash_probe,
     "d17_containment": d17_containment,
+    "d18_sentence_spans": d18_sentence_spans,
     "ev3_class_metrics": ev3_class_metrics,
     "ev4_cohens_kappa": ev4_cohens_kappa,
+    "ev5_fleiss_kappa": ev5_fleiss_kappa,
     "ft9_active_users": ft9_active_users,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
@@ -4552,8 +4677,10 @@ ORACLES = {
     "ev2_calibration": EV2_SQL,
     "d16_simhash_probe": _d16_sql(),
     "d17_containment": D17_SQL,
+    "d18_sentence_spans": D18_SQL,
     "ev3_class_metrics": EV3_SQL,
     "ev4_cohens_kappa": EV4_SQL,
+    "ev5_fleiss_kappa": EV5_SQL,
     "ft9_active_users": FT9_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,

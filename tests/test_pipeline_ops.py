@@ -3357,3 +3357,73 @@ def test_containment_max_shingle_freq(spark):
     pairs(max_shingle_freq=2)
     n_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert n_after <= n_before
+
+
+def test_sentence_span_dedup(spark):
+    """sentence_span_dedup (the C4 three-sentence-span rule): a
+    boilerplate paragraph shared by two docs is caught (keep_doc =
+    smaller id), a unique paragraph isn't, sub-k-sentence docs emit
+    nothing, and the intra-doc repeat alone doesn't qualify
+    (n_docs >= 2 is cross-document)."""
+    from sparkt.functions.dedup import sentence_span_dedup
+
+    boiler = ("Subscribe to our newsletter. Follow us on social. "
+              "All rights reserved.")
+    rows = [
+        (1, "Unique opening line. Another fresh thought. " + boiler),
+        (2, boiler + " Completely different body here. More text. End."),
+        (3, "One sentence only."),
+        (4, "Repeat me. Repeat me. Repeat me. Repeat me."),
+        (5, "Totally unique. Three sentence doc. Nothing shared."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["span_md5"]: (r["n_docs"], r["n_occ"], r["keep_doc"])
+           for r in sentence_span_dedup(df, "text", "doc_id", k=3)
+           .collect()}
+    # exactly one cross-document span: the boilerplate triple
+    assert len(got) == 1
+    (n_docs, n_occ, keep) = next(iter(got.values()))
+    assert (n_docs, n_occ, keep) == (2, 2, 1)
+    # doc 4's intra-doc repeated span exists but is single-doc;
+    # lowering to n_docs>=2 cross-doc only — verify it would have
+    # fingerprinted by checking k=1 intra-doc repeats stay excluded
+    got1 = {r["span_md5"] for r in sentence_span_dedup(
+        df, "text", "doc_id", k=1).collect()}
+    import hashlib
+    rep = hashlib.md5(b"Repeat me").hexdigest()
+    assert rep not in got1  # 4 occurrences but one doc -> excluded
+
+
+def test_fleiss_kappa_closed_form(spark):
+    """fleiss_kappa vs the hand-computed closed form (Fleiss 1971):
+    4 complete items x 3 raters -> p_bar = 14/24, p_e = 62/144,
+    kappa = (po-pe)/(1-pe); the incomplete item (2 ratings) drops;
+    unanimous ratings give kappa close to chance-corrected 1; < 2
+    raters raises."""
+    import pytest as _pytest
+
+    from sparkt.functions.evaluate import fleiss_kappa
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "a"),
+        (2, "a"), (2, "a"), (2, "b"),
+        (3, "b"), (3, "b"), (3, "b"),
+        (4, "a"), (4, "b"), (4, "c"),
+        (5, "a"), (5, "a"),            # incomplete -> dropped
+    ]
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = fleiss_kappa(df, "item", "label", n_raters=3).collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (4, 3)
+    assert r["p_bar"] == round(14 / 24, 4)
+    assert r["p_e"] == round(62 / 144, 4)
+    po, pe = 14 / 24, 62 / 144
+    assert r["kappa"] == round((po - pe) / (1 - pe), 4)
+
+    # all-unanimous, single category -> p_e = 1 -> convention 0.0
+    uni = spark.createDataFrame(
+        [(i, "x") for i in range(3) for _ in range(3)],
+        "item long, label string")
+    assert fleiss_kappa(uni, "item", "label", 3).collect()[0]["kappa"] == 0.0
+
+    with _pytest.raises(ValueError):
+        fleiss_kappa(df, "item", "label", n_raters=1)
