@@ -9,11 +9,20 @@ Replication rules (all copies deterministic, copy 0 == sf0.1 rows):
 - every entity key (custkey, orderkey, partkey, suppkey, user_id,
   event_id, doc_id, vec_id) is offset by copy * STRIDE so uniqueness
   and referential integrity hold within and across copies.
-- documents: copy i > 0 suffixes every whitespace token with the copy
-  index, so cross-copy shingle overlap is ZERO (a naive 10x of exact
-  twins would inflate LSH candidate pairs quadratically — a DATA
-  artifact, not a plan property) while WITHIN-copy near-dup structure
-  is preserved exactly.
+- documents: copy i > 0 suffixes every whitespace token with
+  '\u00a7' + the copy index ('\u00a7' never occurs in the corpus, so a
+  copy-0 token that happens to end in a digit cannot collide with a
+  copy-i suffixed token — ADVICE r11), making cross-copy shingle
+  overlap ZERO (a naive 10x of exact twins would inflate LSH candidate
+  pairs quadratically — a DATA artifact, not a plan property) while
+  WITHIN-copy near-dup structure is preserved exactly. n_chars is
+  recomputed as length(text) for copies > 0 so length-weighted gates
+  see consistent data (ADVICE r11: copies grew but kept the original
+  n_chars).
+- part: copy i > 0 suffixes p_name with '\u00a7' + the copy digit x3
+  (cross-copy levenshtein >= 3 > the fuzzy-join gate's threshold, so
+  replicated exact-twin names don't quadratically inflate the blocked
+  fuzzy join — found r12).
 - embeddings: copy i flips the sign of a deterministic md5-chosen
   half of the dimensions, so cross-copy cosine decorrelates while
   norms and within-copy geometry are preserved.
@@ -85,9 +94,21 @@ def main() -> int:
         f"SELECT s_suppkey + {i * STRIDE} AS s_suppkey, s_name, "
         f"s_nationkey, s_acctbal FROM {src('supplier')}"
     ))
+    # p_name decorrelates across copies with '\u00a7' + the copy
+    # digit repeated 3x: levenshtein between any two copies' names is
+    # >= 3 (> the f1 gate's max_distance=2), so the brand-blocked
+    # fuzzy join doesn't explode quadratically on cross-copy exact
+    # twins (found r12: identical replicated names made f1 emit 23M
+    # rows at sf1 — a DATA artifact, the same twin-inflation class
+    # the documents rule already guards). Within-copy pairwise
+    # distances are preserved exactly (a shared constant suffix).
     gen("part", lambda i: (
-        f"SELECT p_partkey + {i * STRIDE} AS p_partkey, p_name, "
-        f"p_brand, p_type, p_size, p_retailprice FROM {src('part')}"
+        f"SELECT p_partkey + {i * STRIDE} AS p_partkey, "
+        + ("p_name"
+           if i == 0
+           else f"p_name || '\u00a7{str(i) * 3}'")
+        + f" AS p_name, p_brand, p_type, p_size, p_retailprice "
+        f"FROM {src('part')}"
     ))
     gen("orders", lambda i: (
         f"SELECT o_orderkey + {i * STRIDE} AS o_orderkey, "
@@ -115,10 +136,14 @@ def main() -> int:
             if i == 0
             else (
                 "list_aggregate(list_transform(string_split(text, ' '),"
-                f" w -> w || '{i}'), 'string_agg', ' ')"
+                f" w -> w || '\u00a7{i}'), 'string_agg', ' ')"
             )
         )
-        + f" AS text, lang, source, n_chars FROM {src('documents')}"
+        + " AS text, lang, source, "
+        + ("n_chars" if i == 0 else "length("
+           "list_aggregate(list_transform(string_split(text, ' '),"
+           f" w -> w || '\u00a7{i}'), 'string_agg', ' ')) AS n_chars")
+        + f" FROM {src('documents')}"
     ))
 
     def emb_select(i: int) -> str:
