@@ -889,6 +889,92 @@ def span_duplicates(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Lexical near-duplicate pairs by TF-IDF COSINE over sparse
+    shingle vectors — the classic bag-of-ngrams similarity (Salton's
+    vector space model) sitting between d5's set-Jaccard (ignores
+    term frequency) and sd1's dense-embedding cosine (needs an
+    encoder): repeated shingles weigh in, rare shingles dominate.
+
+    Weights are the rational ``tf / df`` (t6's doctrine: exact IEEE
+    doubles in every engine, unlike ln-idf whose last ulp differs);
+    cosine = Σ w_a·w_b / (||a||·||b||), rounded 4dp (sums over
+    a doc's ~10²-term vector — the s3/s11 float-sum class).
+    ``max_df`` drops corpus-wide stop-shingles from the VECTORS
+    (norms included — standard stop-word removal precedes
+    vectorization), the d17 cap argument.
+
+    Returns ``id_a, id_b, cosine`` (id_a < id_b, cosine >=
+    threshold).
+
+    100 TB shape: sparse posting-list self-join — only docs sharing
+    a shingle ever meet (never all-pairs), the dot product is one
+    map-side-combined aggregate on (id_a, id_b), norms join back at
+    pair grain. The weights relation feeds three consumers (norms +
+    both join sides); A/B at sf0.1 (r12): localCheckpoint'ing it is
+    within noise of lazy (2.9-3.1 s vs 3.2 s warm) because exchange
+    reuse already covers the plan-identical self-join sides — kept
+    lazy (no materialization residue). Re-check if the upstream ever
+    grows a UDF/vector stage (the pl2 re-inlining precedent).
+    """
+    pre = spread(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size("__toks") - k, F.lit(0))
+        ),
+        lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
+    )
+    ex = pre.select("doc", F.explode(sh).alias("sh"))
+    tf = ex.groupBy("doc", "sh").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("dfv"))
+    if max_df is not None:
+        dft = dft.filter(F.col("dfv") <= max_df)
+    w = tf.join(dft, "sh").select(
+        "doc", "sh", (F.col("tf") / F.col("dfv")).alias("w")
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    dots = (
+        w.alias("l")
+        .join(
+            w.alias("r"),
+            (F.col("l.sh") == F.col("r.sh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(
+            F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b")
+        )
+        .agg(F.sum(F.col("l.w") * F.col("r.w")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc").alias("id_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc").alias("id_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def sentence_span_dedup(
     df: DataFrame,
     text_col: str,

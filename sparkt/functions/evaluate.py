@@ -341,3 +341,85 @@ def fleiss_kappa(
         .otherwise(F.round((p_bar - p_e) / (1 - p_e), 4))
         .alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str, label_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) over long-format ratings
+    ``(item, label)`` — the agreement coefficient that, unlike
+    :func:`fleiss_kappa`, tolerates MISSING ratings: items keep
+    whatever raters they have (any m_i >= 2 is pairable; m_i = 1
+    drops), the standard choice for crowdsourced label QA where
+    annotator counts vary per item.
+
+    Coincidence-matrix formulation folded to per-item algebra:
+    ``D_o = Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1) / n`` and
+    ``D_e = (n² − Σ_c n_c²)/(n(n−1))``, ``α = 1 − D_o/D_e`` computed
+    as the fixed-shape ``1 − (n−1)·Σ_i(...) / (n² − Σ_c n_c²)``.
+
+    Float determinism: every term is integer except the per-item
+    ``/(m_i − 1)``. With a CONSTANT rater count per item (the gate's
+    case, m_i = 3) each term is an exact dyadic rational (x/2), so
+    sums are exact at any accumulation order; with varying m_i the
+    D_o sum is order-sensitive in the last ulp — rounded 4dp, the
+    s3/s11 float-sum class. α = 0.0 when D_e = 0 (no expected
+    disagreement — single observed category).
+
+    Returns ONE row: ``n_items, n_vals`` (exact), ``d_o, d_e, alpha``
+    (4dp; α from unrounded operands).
+
+    Scale shape: identical to fleiss_kappa — (item, label) groupBy,
+    item-grain groupBy, |labels|-row aggregate, scalar-subquery
+    assembly (no BNLJ).
+    """
+    from sparkt.functions import join_scalars
+
+    nij = df.groupBy(
+        F.col(item_col).alias("__item"),
+        F.col(label_col).alias("__label"),
+    ).agg(F.count(F.lit(1)).alias("__nij"))
+    items = (
+        nij.groupBy("__item")
+        .agg(
+            F.sum("__nij").alias("__m"),
+            F.sum(F.col("__nij") * F.col("__nij")).alias("__s2"),
+        )
+        .filter(F.col("__m") >= 2)
+    )
+    do_tab = items.agg(
+        F.count(F.lit(1)).alias("__n_items"),
+        F.sum("__m").alias("__n"),
+        F.sum(
+            (
+                F.col("__m").cast("double") * F.col("__m")
+                - F.col("__s2")
+            )
+            / (F.col("__m") - F.lit(1.0))
+        ).alias("__do_num"),
+    )
+    c2 = (
+        nij.join(items.select("__item"), "__item")
+        .groupBy("__label")
+        .agg(F.sum("__nij").alias("__n_c"))
+        .agg(
+            F.sum(F.col("__n_c").cast("double") * F.col("__n_c"))
+            .alias("__c2")
+        )
+    )
+    out = join_scalars(do_tab, c2)
+    n = F.col("__n").cast("double")
+    d_o = F.col("__do_num") / n
+    d_e = (n * n - F.col("__c2")) / (n * (n - 1))
+    alpha = F.lit(1.0) - ((n - 1) * F.col("__do_num")) / (
+        n * n - F.col("__c2")
+    )
+    return out.select(
+        F.col("__n_items").cast("long").alias("n_items"),
+        F.col("__n").cast("long").alias("n_vals"),
+        F.round(d_o, 4).alias("d_o"),
+        F.round(d_e, 4).alias("d_e"),
+        F.when(n * n - F.col("__c2") <= 0.0, F.lit(0.0))
+        .otherwise(F.round(alpha, 4))
+        .alias("alpha"),
+    )

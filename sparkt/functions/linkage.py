@@ -19,6 +19,7 @@ dedup/similarity.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -79,4 +80,130 @@ def fuzzy_join(
         pairs.withColumn("distance", dist)
         .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )
+
+
+def _jaro(a: str, b: str) -> float:
+    """Textbook Jaro similarity (Jaro 1989) — the exact algorithm
+    DuckDB's ``jaro_similarity`` implements (match window
+    ``max(|a|,|b|)//2 - 1``, greedy left-to-right matching,
+    half-transpositions), so the oracle reproduces scores
+    bit-for-bit-before-rounding."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        # DuckDB scores ('','') as 0.0, not the textbook 1.0 — the
+        # oracle convention wins (3000-sample property test pins it)
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = i - window if i > window else 0
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(a: str, b: str, p: float = 0.1,
+                  boost_threshold: float = 0.7) -> float:
+    """Winkler's prefix boost (Winkler 1990): applied only when the
+    Jaro score exceeds 0.7, common prefix capped at 4 — the DuckDB
+    ``jaro_winkler_similarity`` convention (verified: martha/marhta
+    0.961111, dixon/dicksonx 0.813333)."""
+    jar = _jaro(a, b)
+    if jar > boost_threshold:
+        l = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            l += 1
+        jar = jar + l * p * (1.0 - jar)
+    return jar
+
+
+def jaro_winkler_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.9,
+    self_pairs: bool = False,
+    max_block_freq: int | None = None,
+) -> DataFrame:
+    """Blocked Jaro-Winkler similarity join — the name-matching
+    comparator of classic record-linkage stacks (Winkler's Census
+    deduplication), complementing :func:`fuzzy_join`'s edit
+    distance: JW rewards shared prefixes and tolerates
+    transpositions, the right metric for person/product names where
+    levenshtein over-penalizes swapped tokens.
+
+    Same scale shape as :func:`fuzzy_join`: candidates ONLY from the
+    blocking-key equijoin (never a cross join), optional
+    ``max_block_freq`` mega-block guard. The JW score itself is an
+    Arrow-batched pandas UDF (the matching-window algorithm is
+    imperative — no builtin expresses it; the UDF runs only on
+    blocked candidates, after pruning, which is the documented
+    justified-UDF case) returning ``jw`` rounded to 4dp.
+
+    Returns ``id_a, id_b, text_a, text_b, jw`` with ``jw >=
+    threshold``; ``self_pairs=True`` keeps each unordered pair once.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if not block_cols:
+        raise ValueError(
+            "jaro_winkler_join requires at least one blocking column"
+        )
+    l = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        *block_cols,
+    )
+    r = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        *block_cols,
+    )
+    if max_block_freq is not None:
+        sizes = r.groupBy(*block_cols).agg(
+            F.count("*").alias("__block_n")
+        ).filter(F.col("__block_n") <= max_block_freq).drop("__block_n")
+        r = r.join(broadcast(sizes), block_cols, "left_semi")
+    pairs = l.join(r, on=list(block_cols))
+    if self_pairs:
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+
+    @pandas_udf("double")
+    def _jw_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler(a, b) for a, b in zip(ta, tb)],
+            dtype="float64",
+        )
+
+    return (
+        pairs.withColumn(
+            "jw", F.round(_jw_udf(F.col("text_a"), F.col("text_b")), 4)
+        )
+        .filter(F.col("jw") >= threshold)
+        .select("id_a", "id_b", "text_a", "text_b", "jw")
     )

@@ -888,3 +888,86 @@ def apply_mixture(
         .filter(F.col("__thr").isNotNull() & (u < F.col("__thr")))
         .drop("__T", "__thr")
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR data-selection log-importance-weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed-bigram
+    distribution is — ``log w(x) = Σ_f c_f(x) · (ln p̂_target(f) −
+    ln p̂_raw(f))`` over ``n_buckets`` hashed bigram features with
+    Laplace-smoothed bag-of-ngram estimates. Selecting the top
+    weights (or threshold > 0 = "more target-like than raw-like")
+    is the paper's importance-resampling step.
+
+    ``target_col`` is a boolean column marking the in-domain docs
+    (the target distribution is estimated from them; raw = ALL
+    rows). Feature hash: first 4 hex nibbles of md5(bigram) mod
+    ``n_buckets`` — the t8 portable idiom, identical in the DuckDB
+    oracle.
+
+    Returns ``(<id>, n_feats, logw)``. ``logw`` is ln-BASED —
+    threshold-only downstream per the cross-engine float doctrine
+    (select on ``logw > 0`` / rank on it; never hash-compare it):
+    ln(exact rational) can differ in the last ulp between engines.
+    ``logw == 0.0`` is exact on both engines for docs with zero
+    features, so the > 0 selection boundary is stable.
+
+    100 TB shape: one bigram explode + TWO map-side-combined
+    aggregates at bucket grain (256 rows — the distribution tables
+    are broadcast literals for the rejoin), one doc-grain aggregate.
+    The target estimate is a filtered re-aggregate of the SAME
+    exploded relation, not a second scan.
+    """
+    from sparkt.functions.text import bigram_array, tokens
+
+    from sparkt.sources import spread
+
+    ex = spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.col(target_col).alias("__tgt"),
+        F.explode(bigram_array(tokens(F.col(text_col)))).alias("bg"),
+    ).select(
+        "doc",
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 4), 16, 10)
+            .cast("int")
+            % n_buckets
+        ).alias("f"),
+    )
+    dist = ex.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.col("__tgt").cast("long")).alias("c_t"),
+    )
+    totals = dist.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    from sparkt.functions import join_scalars
+
+    ratio = join_scalars(dist, totals).select(
+        "f",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("n_t") + n_buckets))
+            - F.log((F.col("c_r") + 1) / (F.col("n_r") + n_buckets))
+        ).alias("__lr"),
+    )
+    per_doc = ex.groupBy("doc", "f").agg(
+        F.count(F.lit(1)).alias("c_f")
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    return (
+        per_doc.join(_bc(ratio), "f")
+        .groupBy("doc")
+        .agg(
+            F.sum("c_f").cast("long").alias("n_feats"),
+            F.sum(F.col("c_f") * F.col("__lr")).alias("logw"),
+        )
+    )

@@ -2530,6 +2530,43 @@ ORDER BY id_a, id_b
 """
 
 
+# ----------------------------------------------------------------- f2
+def f2_jaro_winkler(spark, sf_dir):
+    """Blocked Jaro-Winkler name-matching join (sparkt.functions
+    .linkage.jaro_winkler_join — Winkler's Census comparator, the
+    prefix-weighted complement to f1's edit distance). Candidates
+    only from the p_brand equijoin; the Arrow-batched pairwise UDF
+    implements the exact DuckDB jaro_winkler_similarity algorithm
+    (3000-sample property test pins parity, incl. the ('','')=0.0
+    convention), rounded 4dp. p_partkey < 2000 (the d7/d16 bound):
+    the synthetic part table has only 64 distinct names, so the full
+    sf0.1 table yields ~156k mostly-exact-twin pairs — a DATA
+    artifact the bound keeps out of the compare path while every
+    code path still runs."""
+    from sparkt.functions.linkage import jaro_winkler_join
+
+    part = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 2000)
+    return (
+        jaro_winkler_join(
+            part, part, "p_partkey", "p_name", ["p_brand"],
+            threshold=0.95, self_pairs=True,
+        )
+        .select("id_a", "id_b", "jw")
+        .orderBy("id_a", "id_b")
+    )
+
+
+F2_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 2000 AND b.p_partkey < 2000
+  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------------------ p4
 def p4_domain_cap(spark, sf_dir):
     """Per-domain quota (Common-Crawl-style: keep ≤15 docs per source,
@@ -3390,6 +3427,46 @@ ORDER BY span_md5
 """
 
 
+# ----------------------------------------------------------------- d19
+def d19_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs over sparse k=3-shingle vectors
+    (sparkt.functions.dedup.tfidf_cosine_pairs — the vector-space
+    lexical similarity between d5's set-Jaccard and sd1's embedding
+    cosine). Rational tf/df weights (t6 doctrine — no ln-idf);
+    posting-list self-join, never all-pairs; cosine 4dp (the s3/s11
+    ~10²-double float-sum class), threshold 0.5."""
+    from sparkt.functions.dedup import tfidf_cosine_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+D19_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, array_to_string({_DK_TOKENS}[i+1:i+3], ' ') AS sh
+  FROM documents,
+       unnest(generate_series(0, greatest(len({_DK_TOKENS}) - 3, 0)))
+         AS g(i)),
+tf AS (SELECT doc, sh, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT sh, count(*) AS dfv FROM tf GROUP BY 1),
+w AS (SELECT doc, sh, tf * 1.0 / dfv AS w FROM tf JOIN dft USING (sh)),
+norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc),
+dots AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.doc = id_a
+JOIN norms nb ON nb.doc = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 # ----------------------------------------------------------------- ev3
 def ev3_class_metrics(spark, sf_dir):
     """Per-class precision/recall/F1 (sparkt.functions.evaluate
@@ -3587,6 +3664,99 @@ SELECT CAST(n_items AS BIGINT) AS n_items,
               / (1 - c2 / (n_items * 3.0 * n_items * 3.0)), 4)
        END AS kappa
 FROM stats, c2t
+"""
+
+
+# ----------------------------------------------------------------- ev6
+def ev6_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha, nominal (sparkt.functions.evaluate
+    .krippendorff_alpha) over the ev5 annotator trio WITH
+    deterministic missing ratings — the capability Fleiss lacks:
+    rater 3 skips doc_id % 7 == 0 (m=2 items) and docs
+    doc_id % 31 == 0 keep only rater 1 (m=1, unpairable, dropped).
+    Per-item disagreement terms are x/1 or x/2 — dyadic rationals,
+    exact at any accumulation order — so d_o/d_e/alpha hash
+    bit-identically (the ev5 doctrine extended to mixed m_i)."""
+    from pyspark.sql.types import StringType
+
+    from sparkt.functions.evaluate import krippendorff_alpha
+    from sparkt.functions.text import CJK_RANGE
+
+    docs = T(spark, sf_dir, "documents")
+    cjk = F.length(F.regexp_replace("text", f"[^{CJK_RANGE}]", ""))
+    lazy = F.when(
+        cjk / F.greatest(F.length("text"), F.lit(1)) > 0.3, "zh"
+    ).otherwise("en")
+    wide = docs.select(
+        "doc_id",
+        F.col("lang").alias("r1"),
+        TX.lang_id(F.col("text")).alias("r2"),
+        lazy.cast(StringType()).alias("r3"),
+    )
+    ratings = wide.selectExpr(
+        "doc_id",
+        "stack(3, 'r1', r1, 'r2', r2, 'r3', r3) AS (rater, label)",
+    ).filter(
+        ~(
+            (F.col("rater") == "r3") & (F.col("doc_id") % 7 == 0)
+        )
+        & ~(
+            (F.col("rater") != "r1") & (F.col("doc_id") % 31 == 0)
+        )
+    )
+    return krippendorff_alpha(ratings, "doc_id", "label")
+
+
+EV6_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
+         greatest(length(text), 1) AS n_chars,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
+         len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
+  FROM documents),
+p AS (
+  SELECT doc_id, lang AS r1,
+         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS r2,
+         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
+              ELSE 'en' END AS r3
+  FROM scored),
+long AS (
+  SELECT doc_id, 'r1' AS rater, r1 AS label FROM p
+  UNION ALL SELECT doc_id, 'r2', r2 FROM p
+  UNION ALL SELECT doc_id, 'r3', r3 FROM p),
+fl AS (
+  SELECT doc_id, label FROM long
+  WHERE NOT (rater = 'r3' AND doc_id % 7 = 0)
+    AND NOT (rater <> 'r1' AND doc_id % 31 = 0)),
+nij AS (SELECT doc_id, label, count(*) AS nij FROM fl GROUP BY 1, 2),
+items AS (
+  SELECT doc_id, sum(nij) AS m, sum(nij * nij) AS s2
+  FROM nij GROUP BY 1 HAVING sum(nij) >= 2),
+dot AS (
+  SELECT count(*) AS n_items, sum(m) AS n,
+         sum((CAST(m AS DOUBLE) * m - s2) / (m - 1.0)) AS do_num
+  FROM items),
+c2t AS (
+  SELECT sum(CAST(n_c AS DOUBLE) * n_c) AS c2
+  FROM (SELECT label, sum(nij) AS n_c
+        FROM nij JOIN items USING (doc_id) GROUP BY label))
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n AS BIGINT) AS n_vals,
+       round(do_num / n, 4) AS d_o,
+       round((CAST(n AS DOUBLE) * n - c2)
+             / (CAST(n AS DOUBLE) * (n - 1)), 4) AS d_e,
+       CASE WHEN CAST(n AS DOUBLE) * n - c2 <= 0.0 THEN 0.0
+            ELSE round(1.0 - ((n - 1.0) * do_num)
+                       / (CAST(n AS DOUBLE) * n - c2), 4)
+       END AS alpha
+FROM dot, c2t
 """
 
 
@@ -3808,6 +3978,68 @@ SELECT source,
 FROM k
 GROUP BY source
 ORDER BY source
+"""
+
+
+# ----------------------------------------------------------------- p11
+def p11_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (sparkt.functions
+    .sampling.dsir_logweights — Xie et al. 2023): hashed-bigram
+    Laplace bag-of-ngrams, target = lang='en' docs, raw = corpus;
+    docs kept where log w > 0 ("more target-like than raw-like").
+    logw itself is ln-based and EXCLUDED from the SELECT per the
+    float doctrine (threshold-only); the compared columns (doc_id,
+    n_feats) are exact integers. Feature hash = t8's md5-nibble
+    idiom, bit-identical in the oracle."""
+    from sparkt.functions.sampling import dsir_logweights
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_tgt")
+    )
+    w = dsir_logweights(docs, "text", "doc_id", "is_tgt",
+                        n_buckets=256)
+    return (
+        w.filter(F.col("logw") > 0)
+        .select(F.col("doc").alias("doc_id"), "n_feats")
+        .orderBy("doc_id")
+    )
+
+
+_P11_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(bg), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(bg), 4, 1)) - 1)) % 256"
+)
+P11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt, {_DK_TOKENS} AS t
+  FROM documents),
+ex AS (
+  SELECT doc_id, tgt, {_P11_BUCKET} AS f
+  FROM (
+    SELECT doc_id, tgt, u.bg
+    FROM toks,
+         unnest(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1])) AS u(bg))),
+dist AS (
+  SELECT f, count(*) AS c_r,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t
+  FROM ex GROUP BY f),
+tot AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM dist),
+ratio AS (
+  SELECT f, ln((c_t + 1) / (n_t + 256.0))
+            - ln((c_r + 1) / (n_r + 256.0)) AS lr
+  FROM dist, tot),
+per_doc AS (
+  SELECT doc_id, f, count(*) AS c_f FROM ex GROUP BY 1, 2),
+w AS (
+  SELECT doc_id, sum(c_f) AS n_feats, sum(c_f * lr) AS logw
+  FROM per_doc JOIN ratio USING (f) GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats
+FROM w WHERE logw > 0
+ORDER BY doc_id
 """
 
 
@@ -4553,6 +4785,7 @@ QUERIES = {
     "c4_curriculum": c4_curriculum,
     "s7_hard_negatives": s7_hard_negatives,
     "f1_fuzzy_join": f1_fuzzy_join,
+    "f2_jaro_winkler": f2_jaro_winkler,
     "p4_domain_cap": p4_domain_cap,
     "c2_pack_offsets": c2_pack_offsets,
     "c3_shuffle_shards": c3_shuffle_shards,
@@ -4576,6 +4809,7 @@ QUERIES = {
     "c5_budget_select": c5_budget_select,
     "d15_lsh_calibration": d15_lsh_calibration,
     "p10_apply_mixture": p10_apply_mixture,
+    "p11_dsir_select": p11_dsir_select,
     "ft6_basket_pairs": ft6_basket_pairs,
     "ft7_event_transitions": ft7_event_transitions,
     "ft8_rfm": ft8_rfm,
@@ -4586,9 +4820,11 @@ QUERIES = {
     "d16_simhash_probe": d16_simhash_probe,
     "d17_containment": d17_containment,
     "d18_sentence_spans": d18_sentence_spans,
+    "d19_tfidf_cosine": d19_tfidf_cosine,
     "ev3_class_metrics": ev3_class_metrics,
     "ev4_cohens_kappa": ev4_cohens_kappa,
     "ev5_fleiss_kappa": ev5_fleiss_kappa,
+    "ev6_krippendorff": ev6_krippendorff,
     "ft9_active_users": ft9_active_users,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
@@ -4645,6 +4881,7 @@ ORACLES = {
     "c4_curriculum": C4_SQL,
     "s7_hard_negatives": S7_SQL,
     "f1_fuzzy_join": F1_SQL,
+    "f2_jaro_winkler": F2_SQL,
     "p4_domain_cap": P4_SQL,
     "c2_pack_offsets": C2_SQL,
     "c3_shuffle_shards": C3_SQL,
@@ -4668,6 +4905,7 @@ ORACLES = {
     "c5_budget_select": C5_SQL,
     "d15_lsh_calibration": D15_SQL,
     "p10_apply_mixture": P10_SQL,
+    "p11_dsir_select": P11_SQL,
     "ft6_basket_pairs": FT6_SQL,
     "ft7_event_transitions": FT7_SQL,
     "ft8_rfm": FT8_SQL,
@@ -4678,9 +4916,11 @@ ORACLES = {
     "d16_simhash_probe": _d16_sql(),
     "d17_containment": D17_SQL,
     "d18_sentence_spans": D18_SQL,
+    "d19_tfidf_cosine": D19_SQL,
     "ev3_class_metrics": EV3_SQL,
     "ev4_cohens_kappa": EV4_SQL,
     "ev5_fleiss_kappa": EV5_SQL,
+    "ev6_krippendorff": EV6_SQL,
     "ft9_active_users": FT9_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,

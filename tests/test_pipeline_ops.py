@@ -3427,3 +3427,198 @@ def test_fleiss_kappa_closed_form(spark):
 
     with _pytest.raises(ValueError):
         fleiss_kappa(df, "item", "label", n_raters=1)
+
+
+def test_jaro_winkler_join(spark):
+    """jaro_winkler_join: textbook values (martha/marhta 0.9611,
+    dixon/dicksonx 0.8133), DuckDB parity on a random-string sample
+    (incl. the ('','')=0.0 convention), blocking excludes
+    cross-block pairs, threshold filters."""
+    import random
+    import string
+
+    import duckdb
+
+    from sparkt.functions.linkage import (
+        _jaro_winkler,
+        jaro_winkler_join,
+    )
+
+    con = duckdb.connect()
+    random.seed(7)
+    for _ in range(500):
+        a = "".join(random.choices(string.ascii_lowercase[:6],
+                                   k=random.randint(0, 10)))
+        b = "".join(random.choices(string.ascii_lowercase[:6],
+                                   k=random.randint(0, 10)))
+        ref = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler(a, b) == ref, (a, b)
+    assert round(_jaro_winkler("martha", "marhta"), 4) == 0.9611
+    assert round(_jaro_winkler("dixon", "dicksonx"), 4) == 0.8133
+    assert _jaro_winkler("", "") == 0.0
+
+    rows = [
+        (1, "martha", "g1"),
+        (2, "marhta", "g1"),
+        (3, "martha", "g2"),   # exact twin of 1 but other block
+        (4, "zzzzzz", "g1"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string, grp string")
+    got = {(r["id_a"], r["id_b"]): r["jw"]
+           for r in jaro_winkler_join(
+               df, df, "pid", "name", ["grp"],
+               threshold=0.9, self_pairs=True).collect()}
+    assert got == {(1, 2): 0.9611}
+
+
+def test_tfidf_cosine_pairs(spark):
+    """tfidf_cosine_pairs vs a numpy vector-space reference
+    (tf/df weights, k=2 shingles): exact twins hit cosine 1.0, the
+    near-dup scores match to 4dp, unrelated docs fall under the
+    threshold, and max_df drops stop-shingles from the vectors
+    (norms included)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from sparkt.functions.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),      # twin of 1
+        (3, "alpha beta gamma delta zeta"),          # near-dup
+        (4, "totally different words here now"),
+    ]
+    k = 2
+
+    def shingles(t):
+        toks = t.lower().strip().split()
+        n = max(len(toks) - k, 0)
+        return [" ".join(toks[i:i + k]) for i in range(n + 1)]
+
+    tf = {i: Counter(shingles(t)) for i, t in rows}
+    dfv = Counter()
+    for c in tf.values():
+        for s in set(c):
+            dfv[s] += 1
+
+    def vec(i):
+        return {s: tf[i][s] / dfv[s] for s in tf[i]}
+
+    def cos(a, b):
+        va, vb = vec(a), vec(b)
+        dot = sum(va[s] * vb[s] for s in va if s in vb)
+        na = np.sqrt(sum(x * x for x in va.values()))
+        nb = np.sqrt(sum(x * x for x in vb.values()))
+        return round(dot / (na * nb), 4)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in tfidf_cosine_pairs(
+               df, "text", "doc_id", k=k, threshold=0.3).collect()}
+    expected = {(a, b): cos(a, b)
+                for a in tf for b in tf
+                if a < b and cos(a, b) >= 0.3}
+    assert got == expected
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got
+    # max_df=2 drops the shared alpha..delta shingles (df=3) from
+    # the vectors; the twin pair survives on its full identical
+    # vector, the near-dup loses its shared support
+    capped = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in tfidf_cosine_pairs(
+                  df, "text", "doc_id", k=k, threshold=0.3,
+                  max_df=2).collect()}
+    assert capped[(1, 2)] == 1.0
+    assert (1, 3) not in capped and (2, 3) not in capped
+
+
+def test_krippendorff_alpha_closed_form(spark):
+    """krippendorff_alpha vs the hand-computed coincidence-matrix
+    closed form with VARYING raters per item (the capability Fleiss
+    lacks): a 2/2/3-rating layout gives D_o = 4/7, D_e = 20/42,
+    alpha = -0.2; the single-rating item drops; unanimous two-
+    category data scores 1.0; a single observed category hits the
+    D_e = 0 convention (0.0)."""
+    from sparkt.functions.evaluate import krippendorff_alpha
+
+    rows = [
+        (1, "a"), (1, "a"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "a"), (3, "b"),
+        (4, "b"),                       # unpairable -> dropped
+    ]
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert (r["n_items"], r["n_vals"]) == (3, 7)
+    assert r["d_o"] == round(4 / 7, 4)
+    assert r["d_e"] == round(20 / 42, 4)
+    assert r["alpha"] == -0.2
+
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")],
+        "item long, label string")
+    assert krippendorff_alpha(
+        perfect, "item", "label").collect()[0]["alpha"] == 1.0
+
+    mono = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (2, "x")],
+        "item long, label string")
+    assert krippendorff_alpha(
+        mono, "item", "label").collect()[0]["alpha"] == 0.0
+
+
+def test_dsir_logweights(spark):
+    """dsir_logweights vs a python reference (hashed-bigram Laplace
+    bag-of-ngrams, Xie et al. 2023): log-weights match to 1e-9,
+    target-like docs score > 0, off-domain docs < 0, and a doc with
+    no bigrams is absent (no phantom zero-feature rows)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from sparkt.functions.sampling import dsir_logweights
+
+    B = 16
+    rows = [
+        (1, "the quick brown fox jumps", True),
+        (2, "the quick brown dog runs", True),
+        (3, "quick brown fox leaps high", False),
+        (4, "stock market closes sharply lower", False),
+        (5, "single", False),                      # no bigrams
+    ]
+
+    def feats(t):
+        toks = t.lower().strip().split()
+        bgs = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        return [int(hashlib.md5(b.encode()).hexdigest()[:4], 16) % B
+                for b in bgs]
+
+    c_r, c_t = Counter(), Counter()
+    for _, t, tgt in rows:
+        for f in feats(t):
+            c_r[f] += 1
+            if tgt:
+                c_t[f] += 1
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+
+    def logw(t):
+        return sum(
+            math.log((c_t[f] + 1) / (n_t + B))
+            - math.log((c_r[f] + 1) / (n_r + B))
+            for f in feats(t)
+        )
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_tgt boolean")
+    got = {r["doc"]: (r["n_feats"], r["logw"])
+           for r in dsir_logweights(
+               df, "text", "doc_id", "is_tgt", n_buckets=B).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for i, t, _ in rows[:4]:
+        assert got[i][0] == len(feats(t))
+        assert abs(got[i][1] - logw(t)) < 1e-9, i
+    assert got[1][1] > 0 and got[2][1] > 0   # in-domain
+    assert got[4][1] < 0                      # off-domain
