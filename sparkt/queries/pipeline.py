@@ -4778,6 +4778,62 @@ ORDER BY node
 """
 
 
+# ----------------------------------------------------------------- g2
+def g2_pagerank(spark, sf_dir):
+    """Fixed-3-iteration PageRank (sparkt.functions.graph.pagerank)
+    over the g1 MinHash candidate-pair graph — the link-authority
+    quality prior; on a similarity graph high rank marks
+    template/boilerplate hubs. The oracle unrolls the SAME three
+    power-method levels from uniform; ranks rounded 7dp (the
+    covariance-class float contract — per-node sums over ~degree
+    doubles)."""
+    from sparkt.functions.graph import pagerank
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", n_hashes=8, n_bands=4
+    )
+    return pagerank(pairs, "id_a", "id_b").orderBy("node")
+
+
+def _g2_iter(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT e.v AS node,
+         (1 - 0.85) / max(nn.n) + 0.85 * sum(p.r / d.deg) AS r
+  FROM eb e
+  JOIN {prev} p ON p.node = e.u
+  JOIN deg d ON d.u = e.u, nn
+  GROUP BY e.v)"""
+
+
+G2_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id,
+         [{", ".join(_dk_minhash(i) for i in range(8))}] AS sig
+  FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_idx,
+         md5(sig[2*b+1] || '|' || sig[2*b+2]) AS band_key
+  FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+e AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+eb AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u, count(*) AS deg FROM eb GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT u AS node, 1.0 / max(nn.n) AS r FROM deg, nn GROUP BY u),
+{_g2_iter("r0", "r1")},
+{_g2_iter("r1", "r2")},
+{_g2_iter("r2", "r3")}
+SELECT node, round(r, 7) AS rank FROM r3 ORDER BY node
+"""
+
+
 QUERIES = {
     "d11_incremental_dedup": d11_incremental_dedup,
     "d13_url_dedup": d13_url_dedup,
@@ -4833,6 +4889,7 @@ QUERIES = {
     "ev1_retrieval_metrics": ev1_retrieval_metrics,
     "p9_cluster_split": p9_cluster_split,
     "g1_triangles": g1_triangles,
+    "g2_pagerank": g2_pagerank,
     "ft1_decay_features": ft1_decay_features,
     "s9_pca_cov": s9_pca_cov,
     "mm3_audio_segments": mm3_audio_segments,
@@ -4929,6 +4986,7 @@ ORACLES = {
     "ev1_retrieval_metrics": _ev1_sql(),
     "p9_cluster_split": _p9_sql(),
     "g1_triangles": G1_SQL,
+    "g2_pagerank": G2_SQL,
     "ft1_decay_features": FT1_SQL,
     "s9_pca_cov": S9_SQL,
     "mm3_audio_segments": MM3_SQL,

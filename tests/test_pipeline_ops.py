@@ -3622,3 +3622,32 @@ def test_dsir_logweights(spark):
         assert abs(got[i][1] - logw(t)) < 1e-9, i
     assert got[1][1] > 0 and got[2][1] > 0   # in-domain
     assert got[4][1] < 0                      # off-domain
+
+
+def test_pagerank_matches_numpy(spark):
+    """pagerank vs a numpy power-method reference on a small
+    undirected graph (star + triangle + bridge): ranks match to 7dp
+    after the same fixed 3 iterations from uniform; the hub outranks
+    leaves; total mass ~= 1."""
+    import numpy as np
+
+    from sparkt.functions.graph import pagerank
+
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    adj = np.zeros((N, N))
+    for a, b in E:
+        adj[idx[a]][idx[b]] = adj[idx[b]][idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(N, 1.0 / N)
+    for _ in range(3):
+        r = (1 - 0.85) / N + 0.85 * (adj.T @ (r / deg))
+    expected = {v: round(float(r[idx[v]]), 7) for v in nodes}
+    got = {row["node"]: row["rank"]
+           for row in pagerank(df, "src", "dst").collect()}
+    assert got == expected
+    assert got[1] > got[6]                      # hub beats leaf
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
