@@ -1401,13 +1401,21 @@ def simhash_neardup_pairs(
     token frequency vectors (Charikar 2002), so hamming ≤ 1 on 16
     bits is a strong near-dup signal at this width.
 
-    100 TB shape: hashes come from :func:`simhash_table` (explode →
-    groupBy bit votes — ONE md5 per token; the inline
-    :func:`simhash16` HOF column re-evaluates the token split per
-    bit vote, the measured minhash_table re-inlining trap), then a
-    17× probe explode of (id, 16-bit int) rows, one integer equijoin,
-    one exact dedup groupBy — never all-pairs (the d3 banded-join
-    argument).
+    SCALE CEILING (VERDICT r11 #1): the join key is a FIXED
+    65,536-value space, so bucket population grows linearly with the
+    corpus and the pair stage degenerates toward all-pairs
+    (~N²/2^16) once N exceeds the hash space — unlike d3's band keys
+    whose cardinality scales with content. Fine for small/medium
+    corpora and pinned tests; at corpus scale use
+    :func:`simhash_neardup_pairs64` (64-bit hash + pigeonhole
+    banding, the d16 gate's path since r12).
+
+    Plan shape: hashes from :func:`simhash_table` (explode → groupBy
+    bit votes — ONE md5 per token; the inline :func:`simhash16` HOF
+    column re-evaluates the token split per bit vote, the measured
+    minhash_table re-inlining trap), then a 17× probe explode of
+    (id, 16-bit int) rows, one integer equijoin, one exact dedup
+    groupBy.
     """
     h = simhash_table(df, text_col, id_col).select(
         F.col("doc").alias("__id"),
