@@ -88,7 +88,14 @@ def _jaro(a: str, b: str) -> float:
     DuckDB's ``jaro_similarity`` implements (match window
     ``max(|a|,|b|)//2 - 1``, greedy left-to-right matching,
     half-transpositions), so the oracle reproduces scores
-    bit-for-bit-before-rounding."""
+    bit-for-bit-before-rounding.
+
+    UNIT DIVERGENCE (found by the r12 unicode property probe):
+    DuckDB compares UTF-8 BYTES; this implementation compares
+    CODE POINTS — the linguistically correct unit (a multi-byte
+    char is one edit, prefix boost counts characters). The two
+    coincide exactly on ASCII (2000-sample pin), which is the f2
+    gate's data; non-ASCII parity tests must byte-encode first."""
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         # DuckDB scores ('','') as 0.0, not the textbook 1.0 — the

@@ -561,3 +561,46 @@ def test_budget_select_two_phase_equals_naive(spark, rows, budget):
         if cum <= budget:
             exp.add((i, cum))
     assert fast == exp
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcdef", max_size=12),
+    st.text(alphabet="abcdef", max_size=12),
+)
+def test_jaro_winkler_ascii_parity_vs_duckdb(a, b):
+    """_jaro_winkler == DuckDB's jaro_winkler_similarity on ASCII —
+    the f2 oracle contract (hypothesis-explored; the fixed-sample
+    pin lives in test_pipeline_ops)."""
+    import duckdb
+
+    from sparkt.functions.linkage import _jaro_winkler
+
+    ref = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert _jaro_winkler(a, b) == ref
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="ab€漢é", max_size=8),
+    st.text(alphabet="ab€漢é", max_size=8),
+)
+def test_jaro_winkler_unicode_unit_divergence(a, b):
+    """The documented unit divergence (r12 probe): DuckDB compares
+    UTF-8 BYTES, our operator compares CODE POINTS. Byte-encoding
+    the inputs reproduces DuckDB exactly; and on any non-ASCII
+    self-comparison our unit choice still scores identity 1.0."""
+    import duckdb
+
+    from sparkt.functions.linkage import _jaro_winkler
+
+    ref = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    as_bytes = (a.encode("utf-8").decode("latin-1"),
+                b.encode("utf-8").decode("latin-1"))
+    assert _jaro_winkler(*as_bytes) == ref
+    if a:
+        assert _jaro_winkler(a, a) == 1.0
