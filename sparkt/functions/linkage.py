@@ -45,6 +45,11 @@ def fuzzy_join(
     name, 'unknown', ...) would otherwise dominate the join. Dropped
     blocks mean dropped candidate pairs; choose the cap from block
     statistics, and log what was dropped in pipelines that care.
+
+    Unit note (the r12 jaro probe generalizes): Spark's
+    ``levenshtein`` counts CODE POINTS, DuckDB's counts UTF-8 BYTES
+    (lev('漢','字') = 1 vs 3). Identical on ASCII — the f1 gate's
+    data; non-ASCII oracle comparisons must byte-encode first.
     """
     if not block_cols:
         raise ValueError(
