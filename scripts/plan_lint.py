@@ -34,6 +34,11 @@ ALLOWED = {
     # the same deliberate brute-force verification shape as s1, with
     # the same ivf_topk candidate feed as the corpus-scale path
     "s8_margin_pairs": "BroadcastNestedLoopJoin",
+    # MMR's candidate generation IS s1's brute-force cosine_topk
+    # (broadcast 10-query set × one corpus scan); the selection loop
+    # itself is per-query bounded. Corpus-scale path: feed candidates
+    # from ivfpq_topk/lsh_bucketed_topk instead (PLANS.md s13)
+    "s13_mmr_rerank": "BroadcastNestedLoopJoin",
 }
 
 # Engine flows (m1..m9) execute real projects — not compile-only. Match

@@ -872,3 +872,136 @@ def centroid_outliers(
         .filter(F.col("rank") <= k)
         .select(label_col, id_col, "dist", "rank")
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware top-k every retrieval pipeline puts
+    between ANN recall and the context window: greedily pick the
+    candidate maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s)``, so near-duplicate hits don't crowd out coverage.
+
+    Determinism contract: relevance AND candidate-candidate
+    similarities are Spark-computed cosines rounded 4dp BEFORE any
+    comparison (the s1 cross-engine contract), ties break to the
+    lowest corpus_id, and λ should be dyadic (default 0.5) so
+    ``1 − λ`` is exact in every engine — under that contract the
+    greedy argmax sequence is bit-reproducible and the DuckDB oracle
+    unrolls the same k selection levels.
+
+    Returns ``(query_id, corpus_id, mmr, mmr_rank)``. ``mmr`` is
+    deliberately UNROUNDED: it is a fixed-shape expression
+    (λ·rel − (1−λ)·pen) over already-4dp-rounded cosines, so it is
+    bit-identical across engines — while rounding it AGAIN would
+    land on exact .xxxx5 decimal boundaries (λ=0.5 halves a 4dp
+    value) where engines disagree on half-rounding. Queries with
+    fewer than k candidates emit what they have.
+
+    100 TB shape: candidate generation is :func:`cosine_topk`
+    (broadcast queries, the documented brute-force baseline — swap
+    in ivfpq_topk/ann at scale); candidate-candidate sims are a
+    per-query self-join of n_candidates rows (n² = 400 tiny rows per
+    query, norms precomputed per row — the measured 2x trap); the
+    greedy loop runs in a cogrouped ``applyInPandas`` over ONE
+    query's candidates at a time (bounded n_candidates rows — pure
+    argmax bookkeeping over already-rounded doubles, the justified-
+    UDF case; no vector math in Python).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cand = cosine_topk(
+        queries, corpus, k=n_candidates,
+        query_id=query_id, corpus_id=corpus_id, vec=vec,
+    ).select(query_id, corpus_id, F.col("cos").alias("rel"))
+    ce = cand.join(
+        corpus.select(F.col(corpus_id), F.col(vec).alias("__v")),
+        corpus_id,
+    ).select(
+        query_id, corpus_id, "__v", norm(F.col("__v")).alias("__n")
+    )
+    l = ce.select(
+        F.col(query_id),
+        F.col(corpus_id).alias("id_a"),
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    ).alias("sl")
+    r = ce.select(
+        F.col(query_id).alias("__q2"),
+        F.col(corpus_id).alias("id_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    ).alias("sr")
+    sims = (
+        l.join(r, F.col(f"sl.{query_id}") == F.col("sr.__q2"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            # fresh key name: sims shares cand's lineage, and cogroup
+            # grouping on the same attribute in both plans trips
+            # Spark's ambiguous-self-join analysis
+            F.col(f"sl.{query_id}").alias("__q"),
+            "id_a", "id_b",
+            _safe_cos(dot(F.col("va"), F.col("vb")),
+                      F.col("na"), F.col("nb")).alias("sim"),
+        )
+    )
+    out_schema = StructType([
+        cand.schema[query_id], cand.schema[corpus_id],
+        StructField("mmr", DoubleType()),
+        StructField("mmr_rank", IntegerType()),
+    ])
+    one_minus = 1.0 - lam
+
+    def select_fn(cands: pd.DataFrame, sp: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype="object") for c in out_schema}
+            )
+        qv = cands[query_id].iloc[0]
+        sim = {}
+        for a, b, s in zip(sp["id_a"], sp["id_b"], sp["sim"]):
+            sim[(a, b)] = sim[(b, a)] = s
+        remaining = sorted(
+            zip(cands[corpus_id], cands["rel"]), key=lambda t: t[0]
+        )
+        selected, rows = [], []
+        while remaining and len(selected) < k:
+            best = None
+            for cid, rel in remaining:
+                pen = max(
+                    (sim.get((cid, s), 0.0) for s in selected),
+                    default=0.0,
+                )
+                # NO second rounding: 0.5*(4dp value) lands on an
+                # exact .xxxx5 boundary half the time and engines
+                # round halves differently (found by the s13 gate's
+                # first run). The score is a FIXED-SHAPE op over
+                # already-4dp inputs — bit-identical unrounded.
+                score = lam * rel - one_minus * pen
+                if best is None or score > best[0]:
+                    best = (score, cid, rel)
+            _, bcid, _ = best
+            selected.append(bcid)
+            rows.append((qv, bcid, best[0], len(selected)))
+            remaining = [t for t in remaining if t[0] != bcid]
+        return pd.DataFrame(
+            rows, columns=[query_id, corpus_id, "mmr", "mmr_rank"]
+        )
+
+    return (
+        cand.groupBy(query_id)
+        .cogroup(sims.groupBy("__q"))
+        .applyInPandas(select_fn, out_schema)
+    )

@@ -405,6 +405,98 @@ ORDER BY query_id, rank
 """
 
 
+# ----------------------------------------------------------------- s13
+def s13_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (sparkt.functions.similarity
+    .mmr_rerank — Carbonell & Goldstein 1998): top-20 cosine
+    candidates per query (vec_id < 10, the s1 bound), greedy k=5
+    selection maximizing 0.5·rel − 0.5·max-sim-to-selected. All
+    comparisons run over 4dp-rounded cosines with lowest-id
+    tie-break and a dyadic λ, so the greedy sequence is
+    bit-reproducible; the oracle unrolls the same 5 selection
+    levels."""
+    from sparkt.functions.similarity import mmr_rerank
+
+    emb = T(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return mmr_rerank(
+        queries, corpus, k=5, n_candidates=20, lam=0.5
+    ).orderBy("query_id", "mmr_rank")
+
+
+def _s13_sql(k: int = 5) -> str:
+    cos = ("round(list_dot_product({a}, {b}) / (sqrt(list_dot_product"
+           "({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)")
+    levels = []
+    for t in range(2, k + 1):
+        levels.append(f"""
+rem{t} AS (
+  SELECT c.query_id, c.corpus_id, c.rel
+  FROM cand c LEFT JOIN selu{t - 1} s
+    ON s.query_id = c.query_id AND s.corpus_id = c.corpus_id
+  WHERE s.corpus_id IS NULL),
+pen{t} AS (
+  SELECT r.query_id, r.corpus_id, r.rel, max(sm.sim) AS pen
+  FROM rem{t} r
+  JOIN selu{t - 1} s ON s.query_id = r.query_id
+  JOIN sims sm ON sm.query_id = r.query_id
+   AND sm.id_a = least(r.corpus_id, s.corpus_id)
+   AND sm.id_b = greatest(r.corpus_id, s.corpus_id)
+  GROUP BY 1, 2, 3),
+sel{t} AS (
+  SELECT query_id, corpus_id, mmr, {t} AS mmr_rank FROM (
+    SELECT query_id, corpus_id,
+           0.5 * rel - 0.5 * pen AS mmr,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY 0.5 * rel - 0.5 * pen DESC,
+                      corpus_id ASC) AS rn
+    FROM pen{t}) WHERE rn = 1),
+selu{t} AS (
+  SELECT * FROM selu{t - 1}
+  UNION ALL SELECT query_id, corpus_id FROM sel{t})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, k + 1)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, corpus_id, {cos.format(a="qv", b="cv")} AS rel
+  FROM q, c WHERE query_id != corpus_id),
+cand AS (
+  SELECT query_id, corpus_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rel DESC, corpus_id ASC) AS rn FROM scored)
+  WHERE rn <= 20),
+cande AS (
+  SELECT cd.query_id, cd.corpus_id, cd.rel, c.cv
+  FROM cand cd JOIN c USING (corpus_id)),
+sims AS (
+  SELECT a.query_id, a.corpus_id AS id_a, b.corpus_id AS id_b,
+         {cos.format(a="a.cv", b="b.cv")} AS sim
+  FROM cande a JOIN cande b
+    ON a.query_id = b.query_id AND a.corpus_id < b.corpus_id),
+sel1 AS (
+  SELECT query_id, corpus_id, 0.5 * rel AS mmr,
+         1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rel DESC, corpus_id ASC) AS rn FROM cand)
+  WHERE rn = 1),
+selu1 AS (SELECT query_id, corpus_id FROM sel1),
+{",".join(levels)}
+SELECT query_id, corpus_id, mmr, CAST(mmr_rank AS INT) AS mmr_rank
+FROM ({union})
+ORDER BY query_id, mmr_rank
+"""
+
+
 # ------------------------------------------------------------------ s7
 def s7_hard_negatives(spark, sf_dir):
     """Contrastive-training hard negatives: per query, the top-3
@@ -4862,6 +4954,7 @@ QUERIES = {
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
     "s12_ivfpq": s12_ivfpq,
+    "s13_mmr_rerank": s13_mmr_rerank,
     "c5_budget_select": c5_budget_select,
     "d15_lsh_calibration": d15_lsh_calibration,
     "p10_apply_mixture": p10_apply_mixture,
@@ -4959,6 +5052,7 @@ ORACLES = {
     "pl3_retrieval_pipeline": PL3_SQL,
     "s11_centroid_outliers": S11_SQL,
     "s12_ivfpq": _s12_sql(),
+    "s13_mmr_rerank": _s13_sql(),
     "c5_budget_select": C5_SQL,
     "d15_lsh_calibration": D15_SQL,
     "p10_apply_mixture": P10_SQL,

@@ -3651,3 +3651,63 @@ def test_pagerank_matches_numpy(spark):
     assert got == expected
     assert got[1] > got[6]                      # hub beats leaf
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_mmr_rerank_matches_python(spark):
+    """mmr_rerank vs a python greedy-MMR reference over numpy
+    cosines rounded 4dp (the determinism contract): rank 1 is the
+    pure-relevance argmax, near-duplicate candidates are penalized
+    below diverse ones, ties break to the lowest corpus_id, and a
+    query with < k candidates emits what it has."""
+    import numpy as np
+
+    from sparkt.functions.similarity import mmr_rerank
+
+    rng = np.random.RandomState(5)
+    base = rng.uniform(-1, 1, size=8).round(3)
+    vecs = {
+        0: base,                                    # query
+        1: base + rng.uniform(-0.05, 0.05, 8).round(3),   # very close
+        2: base + rng.uniform(-0.06, 0.06, 8).round(3),   # near-dup of 1
+        3: rng.uniform(-1, 1, 8).round(3),               # diverse
+        4: rng.uniform(-1, 1, 8).round(3),               # diverse
+    }
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+
+    def cos(a, b):
+        return round(float(
+            np.dot(vecs[a], vecs[b])
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))), 4)
+
+    k, lam = 3, 0.5
+    rel = {c: cos(0, c) for c in (1, 2, 3, 4)}
+    selected, expect = [], []
+    remaining = sorted(rel)
+    while remaining and len(selected) < k:
+        best = None
+        for c in remaining:
+            pen = max((cos(c, s) for s in selected), default=0.0)
+            score = lam * rel[c] - (1 - lam) * pen
+            if best is None or score > best[0]:
+                best = (score, c)
+        selected.append(best[1])
+        expect.append((best[1], best[0], len(selected)))
+        remaining.remove(best[1])
+
+    got = [(r["corpus_id"], r["mmr"], r["mmr_rank"])
+           for r in mmr_rerank(queries, corpus, k=k, n_candidates=4,
+                               lam=lam)
+           .orderBy("mmr_rank").collect()]
+    assert got == expect
+    assert got[0][0] == max(rel, key=lambda c: (rel[c], -c))
+    # the near-dup pair (1,2) must not occupy ranks 1 AND 2
+    assert {got[0][0], got[1][0]} != {1, 2}
+
+    # fewer candidates than k -> emit all
+    small = mmr_rerank(queries, corpus.filter(F.col("corpus_id") <= 1),
+                       k=5, n_candidates=5, lam=lam).collect()
+    assert len(small) == 1
