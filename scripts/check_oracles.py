@@ -145,7 +145,11 @@ def main():
         i = argv.index("--times-out")
         times_out = argv[i + 1]
         del argv[i:i + 2]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    # abspath: engine-flow gates (m1/m2/m4/m5/m11/m12) chdir into
+    # scratch project dirs, so a RELATIVE sf_dir resolves against the
+    # project and every source read dies with UNABLE_TO_INFER_SCHEMA
+    # (found by the r12 sf1 full-registry sweep)
+    sf_dir = os.path.abspath(argv[0]) if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
     stale = rotation_stale_error()
