@@ -4135,6 +4135,41 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------------------- p12
+def p12_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering keys (sparkt.functions.layout
+    .zorder_key — the OPTIMIZE ZORDER data-skipping layout as a
+    plain column expression): customer and floored-price dimensions
+    (mod 2^12) interleave to a 24-bit key; writing range-partitioned
+    + sorted on it gives min-max pruning on BOTH columns. Pure
+    integer shift/mask — bit-exact in the oracle; floor() explicit
+    on the price (Spark's int cast truncates, DuckDB's rounds — the
+    known cast trap)."""
+    from sparkt.functions.layout import zorder_key
+
+    orders = T(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 4096
+    y = F.floor(F.col("o_totalprice")).cast("long") % 4096
+    return orders.select(
+        "o_orderkey", zorder_key([x, y], bits=12).alias("zkey")
+    ).orderBy("o_orderkey")
+
+
+def _p12_sql(bits: int = 12) -> str:
+    terms = []
+    for d, src in enumerate(
+        ["(o_custkey % 4096)",
+         "(CAST(floor(o_totalprice) AS BIGINT) % 4096)"]
+    ):
+        for j in range(bits):
+            terms.append(f"((({src} >> {j}) & 1) << {j * 2 + d})")
+    return f"""
+SELECT o_orderkey, CAST({" | ".join(terms)} AS BIGINT) AS zkey
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 # ----------------------------------------------------------------- d15
 def d15_lsh_calibration(spark, sf_dir):
     """LSH parameter calibration (sparkt.functions.dedup
@@ -4959,6 +4994,7 @@ QUERIES = {
     "d15_lsh_calibration": d15_lsh_calibration,
     "p10_apply_mixture": p10_apply_mixture,
     "p11_dsir_select": p11_dsir_select,
+    "p12_zorder": p12_zorder,
     "ft6_basket_pairs": ft6_basket_pairs,
     "ft7_event_transitions": ft7_event_transitions,
     "ft8_rfm": ft8_rfm,
@@ -5057,6 +5093,7 @@ ORACLES = {
     "d15_lsh_calibration": D15_SQL,
     "p10_apply_mixture": P10_SQL,
     "p11_dsir_select": P11_SQL,
+    "p12_zorder": _p12_sql(),
     "ft6_basket_pairs": FT6_SQL,
     "ft7_event_transitions": FT7_SQL,
     "ft8_rfm": FT8_SQL,
