@@ -3398,10 +3398,12 @@ def d16_simhash_probe(spark, sf_dir):
     )
 
 
-def _d16_sql() -> str:
-    # one md5 per token (the simhash_table64 explode → groupBy shape);
-    # vote j tests within-nibble bit j % 4 of hex nibble j // 4 via
-    # the same HEX_BIT membership lists the Spark side uses
+def _simhash64_pairs_body(where: str) -> str:
+    """Shared 64-bit banded simhash pair CTE chain (through
+    ``pairs``): one md5 per token (the simhash_table64 explode →
+    groupBy shape); vote j tests within-nibble bit j % 4 of hex
+    nibble j // 4 via the same HEX_BIT membership lists the Spark
+    side uses. Used by d16 (bounded) and pl4 (full corpus)."""
     from sparkt.functions.dedup import HEX_BIT
 
     sets = [", ".join(f"'{c}'" for c in s) for s in HEX_BIT]
@@ -3420,14 +3422,33 @@ def _d16_sql() -> str:
         + f") AS b{b}"
         for b in range(4)
     )
-    return f"""
-WITH tok AS (
+    ham = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
+    return f"""tok AS (
   SELECT doc_id, md5(t.tok) AS h
-  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 500) d,
+  FROM (SELECT doc_id, text FROM documents {where}) d,
        unnest({_DK_TOKENS}) AS t(tok)),
 v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
 hb AS (SELECT doc_id, {bands} FROM v),
-{_banded_pairs_sql("doc_id")}"""
+p AS (
+  SELECT doc_id, b0, b1, b2, b3, t.i,
+         CASE t.i WHEN 0 THEN b0 WHEN 1 THEN b1
+                  WHEN 2 THEN b2 ELSE b3 END AS probe
+  FROM hb, unnest([0, 1, 2, 3]) AS t(i)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         {ham} AS hamming
+  FROM p a JOIN p b
+    ON a.i = b.i AND a.probe = b.probe AND a.doc_id < b.doc_id)"""
+
+
+def _d16_sql() -> str:
+    return f"""
+WITH {_simhash64_pairs_body("WHERE doc_id < 500")}
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs
+WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
 
 
 # ----------------------------------------------------------------- d17
@@ -4617,6 +4638,53 @@ ORDER BY n.qid
 """
 
 
+# ----------------------------------------------------------------- pl4
+def pl4_dedup_removal(spark, sf_dir):
+    """End-to-end near-dup REMOVAL pipeline over the r12 64-bit
+    banded path: simhash_neardup_pairs64 (full corpus, k=3) →
+    duplicate_clusters (O(log n) star contraction) → the removal
+    decision log (every doc losing to its cluster's min-id
+    representative) — the text twin of sd1's SemDeDup shape,
+    exercising the marquee banded operators WITHOUT the d16 doc
+    bound. The oracle re-derives the same pairs and closes them with
+    a recursive CTE (the d9 pattern). Exact integers only."""
+    from sparkt.functions.dedup import (
+        duplicate_clusters,
+        simhash_neardup_pairs64,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs64(docs, "text", "doc_id", k=3)
+    clusters = duplicate_clusters(pairs)
+    return (
+        clusters.filter(F.col("doc") != F.col("cluster"))
+        .select(
+            F.col("doc").alias("removed_doc"),
+            F.col("cluster").alias("kept_doc"),
+        )
+        .orderBy("removed_doc")
+    )
+
+
+def _pl4_sql() -> str:
+    return f"""
+WITH RECURSIVE {_simhash64_pairs_body("")},
+hpairs AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+edges AS (SELECT id_a AS src, id_b AS dst FROM hpairs
+          UNION SELECT id_b, id_a FROM hpairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.dst)
+SELECT node AS removed_doc, min(r) AS kept_doc
+FROM reach GROUP BY node
+HAVING node != min(r)
+ORDER BY removed_doc
+"""
+
+
 # ----------------------------------------------------------------- t17
 def t17_strip_html(spark, sf_dir):
     """HTML-to-text extraction (sparkt.functions.text.strip_html):
@@ -4987,6 +5055,7 @@ QUERIES = {
     "s8_margin_pairs": s8_margin_pairs,
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
+    "pl4_dedup_removal": pl4_dedup_removal,
     "s11_centroid_outliers": s11_centroid_outliers,
     "s12_ivfpq": s12_ivfpq,
     "s13_mmr_rerank": s13_mmr_rerank,
@@ -5086,6 +5155,7 @@ ORACLES = {
     "s8_margin_pairs": S8_SQL,
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
+    "pl4_dedup_removal": _pl4_sql(),
     "s11_centroid_outliers": S11_SQL,
     "s12_ivfpq": _s12_sql(),
     "s13_mmr_rerank": _s13_sql(),

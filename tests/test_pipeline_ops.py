@@ -3761,3 +3761,36 @@ def test_zorder_key_and_layout(spark):
         zorder_key([F.col("x")])
     with _pytest.raises(ValueError):
         zorder_key([F.col("x"), F.col("y")], bits=32)
+
+
+def test_pl4_dedup_removal_semantics(spark):
+    """The pl4 removal-log contract on a crafted corpus: twins and a
+    hamming-chained triple collapse to their min-id representative,
+    the representative itself is never in the log, and unrelated
+    docs don't appear."""
+    from sparkt.functions.dedup import (
+        duplicate_clusters,
+        simhash_neardup_pairs64,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # twin of 1
+        (7, "alpha beta gamma epsilon"),         # near 1/2
+        (9, "completely different words here entirely now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_neardup_pairs64(df, "text", "doc_id", k=3)
+    log = {
+        (r["doc"], r["cluster"])
+        for r in duplicate_clusters(pairs)
+        .filter(F.col("doc") != F.col("cluster")).collect()
+    }
+    linked = {(a, b) for a, b in
+              ((r["id_a"], r["id_b"]) for r in pairs.collect())}
+    # twins always pair; whatever component forms, every non-min
+    # member is logged against the component min and 9 never appears
+    assert (1, 2) in linked
+    assert (2, 1) in log
+    assert all(kept < doc for doc, kept in log)
+    assert not any(doc == 9 or kept == 9 for doc, kept in log)
