@@ -137,7 +137,13 @@ def pagerank(
     the g1/triangle_count re-inlining lesson); each step is one
     equijoin on the current rank vector (|nodes| rows, the small
     side) + one map-side-combined groupBy. n_iter is a constant
-    (default 3), so plan depth is bounded.
+    (default 3), so plan depth is bounded. Known residual cost
+    (plan-audited r12): a localCheckpoint reports
+    UnknownPartitioning, so Catalyst re-exchanges the edge list once
+    per iteration — at sandbox scale noise, at true corpus scale
+    pre-bucket the adjacency by ``u`` (bucketed table write) or
+    persist() it (accepting the cache residue the dedup module
+    documents) so the per-iteration exchange disappears.
     """
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     both = und.unionAll(
