@@ -1005,3 +1005,69 @@ def mmr_rerank(
         .cogroup(sims.groupBy("__q"))
         .applyInPandas(select_fn, out_schema)
     )
+
+
+# ------------------------------------------- random projection (JL)
+def rp_signs(dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the sparse random projection,
+    derived from md5 (no RNG state — the lsh_bucketed_topk hyperplane
+    doctrine): sign(j, i) = +1 iff the low bit of
+    md5("rp:{j}:{i}") is set. Shared verbatim by the DuckDB oracle,
+    so projections are reproducible across engines and sessions."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest(), 16) & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    dim: int,
+    out_dim: int = 16,
+    prefix: str = "r",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column
+    to ``out_dim`` dimensions with a deterministic ±1 sign matrix
+    (Achlioptas 2003: database-friendly projections — ±1 entries
+    preserve pairwise distances in expectation with variance 1/k, no
+    Gaussian sampling needed). The standard dimensionality cut in
+    front of ANN indexing / clustering: at 100 TB, projecting 768-d
+    float32 vectors to 64-d before IVF/LSH cuts every downstream
+    shuffle and distance evaluation ~12× while keeping neighbour
+    ordering approximately intact (the JL lemma bound).
+
+    Output column ``{prefix}{j}`` = (Σ_i x_i · s_ji) / sqrt(out_dim),
+    rounded 6dp. Determinism (the s12 doctrine): products of exact
+    float32 values widened to double by ±1.0 literals, summed by
+    Spark's sequential ``aggregate`` fold — the oracle unrolls the
+    same left-assoc sum term-for-term, so the doubles are
+    bit-identical before rounding; 1/sqrt(16) = 0.25 is exact.
+
+    100 TB shape: a narrow per-row projection — zero shuffles, zero
+    Python; the sign matrix rides into whole-stage codegen as
+    ``out_dim`` constant arrays (via ``_const_array`` — one from_json
+    node each, not dim·out_dim literal nodes).
+    """
+    import math
+
+    signs = rp_signs(dim, out_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    emb = F.col(emb_col).cast("array<double>")
+    return df.select(
+        F.col(id_col),
+        *[
+            F.round(
+                dot(emb, _const_array(signs[j])) * F.lit(scale), 6
+            ).alias(f"{prefix}{j}")
+            for j in range(out_dim)
+        ],
+    )

@@ -932,3 +932,94 @@ def sentence_stats(
             "max_sentence_words"
         ),
     )
+
+
+# ------------------------------------------------- lexical diversity
+def diversity_stats(text: Column) -> dict[str, Column]:
+    """Lexical-diversity quality signals: type–token ratio and the
+    Gini–Simpson index over the document's unigram distribution —
+    the low-diversity detectors (SEO keyword stuffing, template spam,
+    generation loops) that complement :func:`repetition_table`'s
+    adjacency-based signals (Rae et al. 2021 §A1.1 filter by exactly
+    this family).
+
+    Returned columns:
+
+    - ``n_tokens`` / ``n_distinct`` — exact integers.
+    - ``ttr`` — type–token ratio ``n_distinct / n_tokens``,
+      floor-quantized to 6dp (the t2 doctrine: round()'s half-way
+      handling differs between Spark and DuckDB on exact .xxxxxx5
+      decimals, which a rational like Σc²/n² CAN hit; floor of the
+      same IEEE double is engine-identical).
+    - ``simpson`` — Gini–Simpson ``1 − Σ (c/n)²`` computed as the
+      RATIONAL ``1 − Σc² / n²`` (floor 6dp): both operands exact
+      integers, so the double is engine-independent (the t6 tf/df
+      doctrine — no ln in the hashed columns).
+    - ``token_entropy`` — Shannon entropy in bits,
+      ``log2(n) − (Σ c·log2 c)/n``. THRESHOLD-ONLY (the t12/t14
+      doctrine: ln's last ulp differs across engines — exclude from
+      oracle hashes, compare by threshold or drop).
+
+    Scale shape (the repetition_table rewrite doctrine): one
+    run-length ``aggregate`` HOF scan over the SORTED token array
+    computes Σc², the distinct count, and Σ c·log2 c incrementally
+    ((r+1)² − r² = 2r+1; the entropy delta is the two-term log
+    difference) — ONE narrow codegen projection, zero shuffles, zero
+    Python, no per-token explode. A 100 TB corpus scores at scan
+    speed.
+    """
+    toks = F.array_sort(tokens(text))
+    n = F.size(toks)
+    scan = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("s2"),
+            F.lit(0).cast("long").alias("nd"),
+            F.lit(0.0).alias("sce"),
+            F.lit(False).alias("started"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc.started & (x == acc.prev), acc.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (
+                acc.s2
+                + F.when(
+                    acc.started & (x == acc.prev), 2 * acc.run + 1
+                ).otherwise(F.lit(1))
+            ).alias("s2"),
+            (
+                acc.nd
+                + F.when(acc.started & (x == acc.prev), 0).otherwise(1)
+            ).alias("nd"),
+            (
+                acc.sce
+                + F.when(
+                    acc.started & (x == acc.prev),
+                    (acc.run + 1) * F.log2(acc.run + 1)
+                    - acc.run * F.log2(acc.run),
+                ).otherwise(F.lit(0.0))
+            ).alias("sce"),
+            F.lit(True).alias("started"),
+        ),
+        lambda acc: F.struct(
+            acc.s2.alias("s2"), acc.nd.alias("nd"), acc.sce.alias("sce")
+        ),
+    )
+    nn = F.greatest(n, F.lit(1)).cast("double")
+
+    def q6(c):
+        return F.floor(c * 1_000_000) / 1_000_000
+
+    return {
+        "n_tokens": n.cast("long"),
+        "n_distinct": scan["nd"],
+        "ttr": q6(scan["nd"] / nn),
+        "simpson": q6(F.lit(1.0) - scan["s2"] / (nn * nn)),
+        "token_entropy": F.round(
+            F.log2(nn) - scan["sce"] / nn, 4
+        ),
+    }

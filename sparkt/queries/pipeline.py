@@ -5029,6 +5029,96 @@ SELECT node, round(r, 7) AS rank FROM r3 ORDER BY node
 """
 
 
+# ----------------------------------------------------------------- t21
+def t21_diversity(spark, sf_dir):
+    """Lexical-diversity quality signals
+    (sparkt.functions.text.diversity_stats): type–token ratio and
+    Gini–Simpson index over each doc's unigram distribution — the
+    keyword-stuffing / generation-loop detectors complementing t2's
+    adjacency-based repetition signals. All hashed columns are
+    rational (Σc² and n are exact integers; floor-quantized 6dp per
+    the t2 doctrine); the ln-based token_entropy column is
+    threshold-only and EXCLUDED from the hash (t12/t14 doctrine).
+
+    Scale: one shuffle-free run-length HOF scan per doc (scan
+    speed at 100 TB, like t2)."""
+    docs = T(spark, sf_dir, "documents")
+    st = TX.diversity_stats(F.col("text"))
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        st["n_tokens"].alias("n_tokens"),
+        st["n_distinct"].alias("n_distinct"),
+        st["ttr"].alias("ttr"),
+        st["simpson"].alias("simpson"),
+    ).orderBy("doc")
+
+
+T21_SQL = f"""
+WITH t AS (SELECT doc_id AS doc, {_DK_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc, unnest(toks) AS tok FROM t),
+tc AS (SELECT doc, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+st AS (SELECT doc,
+              CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(c * c) AS BIGINT) AS s2
+       FROM tc GROUP BY doc)
+SELECT doc,
+       n AS n_tokens,
+       nd AS n_distinct,
+       floor(nd / greatest(n, 1) * 1000000) / 1000000 AS ttr,
+       floor((1.0 - s2 / (greatest(n, 1) * greatest(n, 1)))
+             * 1000000) / 1000000 AS simpson
+FROM st
+ORDER BY doc
+"""
+
+
+# ----------------------------------------------------------------- s14
+def s14_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection
+    (sparkt.functions.similarity.random_projection — Achlioptas 2003):
+    64-d float32 embeddings down to 16-d with an md5-derived sign
+    matrix shared verbatim with the oracle. Every output is a
+    left-assoc double fold the oracle unrolls term-for-term (the s12
+    bit-identical doctrine — no float-boundary risk), scaled by the
+    exact dyadic 1/sqrt(16) = 0.25.
+
+    Scale: narrow per-row projection, zero shuffles, zero Python —
+    the dimensionality cut in front of ANN/clustering at 100 TB."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.random_projection(
+        emb, "embedding", "vec_id", dim=64, out_dim=16
+    ).orderBy("vec_id")
+
+
+def _s14_sql() -> str:
+    """DuckDB exact emulation: the SAME md5 sign matrix
+    (similarity.rp_signs), each output dim an UNROLLED left-assoc
+    sum ((t1+t2)+t3)... matching Spark's sequential aggregate fold,
+    times 0.25, rounded 6dp — operands bit-identical, so rounding
+    agrees regardless of half-way convention."""
+    from sparkt.functions.similarity import rp_signs
+
+    signs = rp_signs(64, 16)
+    cols = ",\n       ".join(
+        # the leading 0.0 replays Spark's fold INIT term too, so even
+        # a -0.0 first product normalizes identically in both engines
+        "round((0.0 + "
+        + " + ".join(
+            f"v[{i + 1}] * {signs[j][i]!r}" for i in range(64)
+        )
+        + f") * 0.25, 6) AS r{j}"
+        for j in range(16)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       {cols}
+FROM e
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "d11_incremental_dedup": d11_incremental_dedup,
     "d13_url_dedup": d13_url_dedup,
@@ -5079,6 +5169,8 @@ QUERIES = {
     "ev4_cohens_kappa": ev4_cohens_kappa,
     "ev5_fleiss_kappa": ev5_fleiss_kappa,
     "ev6_krippendorff": ev6_krippendorff,
+    "t21_diversity": t21_diversity,
+    "s14_random_projection": s14_random_projection,
     "ft9_active_users": ft9_active_users,
     "ft5_attribution": ft5_attribution,
     "t18_readability": t18_readability,
@@ -5179,6 +5271,8 @@ ORACLES = {
     "ev4_cohens_kappa": EV4_SQL,
     "ev5_fleiss_kappa": EV5_SQL,
     "ev6_krippendorff": EV6_SQL,
+    "t21_diversity": T21_SQL,
+    "s14_random_projection": _s14_sql(),
     "ft9_active_users": FT9_SQL,
     "ft5_attribution": FT5_SQL,
     "t18_readability": T18_SQL,

@@ -3794,3 +3794,79 @@ def test_pl4_dedup_removal_semantics(spark):
     assert (2, 1) in log
     assert all(kept < doc for doc, kept in log)
     assert not any(doc == 9 or kept == 9 for doc, kept in log)
+
+
+def test_diversity_stats_hand_computed(spark):
+    """diversity_stats vs hand counts: 'a b b c c c' -> n=6, nd=3,
+    ttr=floor6(1/2), simpson=floor6(1-14/36), entropy=log2 6 -
+    (2*1 + 3*log2 3)/6; empty text is the phantom-[''] contract
+    (n=1, nd=1, simpson=0); single repeated token -> simpson 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.text import diversity_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, ""), (3, "a a a a")],
+        ["doc_id", "text"],
+    )
+    st = diversity_stats(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in st.items()]
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct"]) == (6, 3)
+    assert r1["ttr"] == math.floor(3 / 6 * 1e6) / 1e6
+    assert r1["simpson"] == math.floor((1 - 14 / 36) * 1e6) / 1e6
+    assert r1["token_entropy"] == round(
+        math.log2(6) - (2 * 1 + 3 * math.log2(3)) / 6, 4
+    )
+    assert (out[2]["n_tokens"], out[2]["n_distinct"]) == (1, 1)
+    assert out[2]["simpson"] == 0.0
+    assert out[3]["ttr"] == 0.25 and out[3]["simpson"] == 0.0
+    assert out[3]["token_entropy"] == 0.0
+
+
+def test_random_projection_jl_properties(spark):
+    """random_projection: exact vs numpy (same md5 sign matrix,
+    left-assoc fold replayed with float64 accumulation), plus the JL
+    distance-preservation property — median pairwise-distance ratio
+    within [0.6, 1.4] at 64->16 on unit-ish vectors (the lemma's
+    expectation is 1; a wrong sign matrix or a dropped scale factor
+    lands far outside)."""
+    import numpy as np
+
+    from sparkt.functions.similarity import random_projection, rp_signs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    pdf = emb.orderBy("vec_id").toPandas()
+    out = (
+        random_projection(emb, "embedding", "vec_id", dim=64, out_dim=16)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    S = np.array(rp_signs(64, 16))
+    X = np.stack(
+        [np.array(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    want = X @ S.T / 4.0
+    got = out[[f"r{j}" for j in range(16)]].to_numpy()
+    assert np.allclose(got, want, atol=5e-7)  # 6dp rounding only
+
+    # JL: pairwise L2 ratios concentrate around 1
+    d_hi = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    d_lo = np.linalg.norm(want[:, None] - want[None, :], axis=2)
+    iu = np.triu_indices(len(X), k=1)
+    ratios = d_lo[iu] / d_hi[iu]
+    assert 0.6 < np.median(ratios) < 1.4
+
+    # sign matrix is deterministic and balanced-ish
+    assert rp_signs(64, 16) == rp_signs(64, 16)
+    flat = [s for row in S.tolist() for s in row]
+    assert 0.35 < flat.count(1.0) / len(flat) < 0.65
