@@ -129,21 +129,22 @@ def main() -> int:
         f"user_id + {i * STRIDE} AS user_id, event_type, value, "
         f"props FROM {src('events')}"
     ))
+    # the suffixed text is the most expensive per-row expression in
+    # the build \u2014 compute it ONCE in a subquery and take length()
+    # outside (r12 review: the old inline form evaluated it twice)
     gen("documents", lambda i: (
-        f"SELECT doc_id + {i * STRIDE} AS doc_id, "
-        + (
-            "text"
-            if i == 0
-            else (
-                "list_aggregate(list_transform(string_split(text, ' '),"
-                f" w -> w || '\u00a7{i}'), 'string_agg', ' ')"
-            )
+        f"SELECT doc_id + {i * STRIDE} AS doc_id, text, lang, "
+        "source, n_chars "
+        f"FROM {src('documents')}"
+        if i == 0
+        else (
+            "SELECT doc_id, text, lang, source, "
+            "length(text) AS n_chars FROM ("
+            f"SELECT doc_id + {i * STRIDE} AS doc_id, "
+            "list_aggregate(list_transform(string_split(text, ' '),"
+            f" w -> w || '\u00a7{i}'), 'string_agg', ' ') AS text, "
+            f"lang, source FROM {src('documents')})"
         )
-        + " AS text, lang, source, "
-        + ("n_chars" if i == 0 else "length("
-           "list_aggregate(list_transform(string_split(text, ' '),"
-           f" w -> w || '\u00a7{i}'), 'string_agg', ' ')) AS n_chars")
-        + f" FROM {src('documents')}"
     ))
 
     def emb_select(i: int) -> str:

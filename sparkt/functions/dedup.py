@@ -418,7 +418,16 @@ def hamming_banded_pairs(
     all-pairs; each qualifying pair is found once per agreeing band
     and deduped by DISTINCT.
     """
-    nb = k + 1
+    if k < 0:
+        raise ValueError(f"hamming distance bound must be >= 0, got {k}")
+    # >= k+1 bands for the pigeonhole recall guarantee, AND enough
+    # bands that every width is <= 63 bits: conv(x, 2, 10) of a
+    # 64-bit band can exceed Long.MAX and cast('long') NULLs the join
+    # key (silently dropping exact-dup pairs at k=0, found by the r12
+    # review). Extra bands only WIDEN the candidate set — recall is
+    # still exact because the bit_count verify filters on true
+    # hamming; a 63-bit band peaks at exactly Long.MAX.
+    nb = max(k + 1, -(-n_bits // 63))
     bounds = band_bounds(n_bits, nb)
     bands = df.select(
         F.col(id_col).alias("__id"),
@@ -927,12 +936,19 @@ def tfidf_cosine_pairs(
     pre = spread(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
     )
-    sh = F.transform(
-        F.sequence(
-            F.lit(0), F.greatest(F.size("__toks") - k, F.lit(0))
+    # docs with < k tokens get NO vector (standard shingling): the
+    # old greatest(size-k, 0) fallback emitted ONE truncated shingle,
+    # so every empty/whitespace doc carried the identical '' shingle
+    # and all blank docs paired pairwise at cosine 1.0 — both a
+    # spurious-verdict and a quadratic hot-key problem at corpus
+    # scale (r12 review finding)
+    sh = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - k),
+            lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
         ),
-        lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     ex = pre.select("doc", F.explode(sh).alias("sh"))
     tf = ex.groupBy("doc", "sh").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("dfv"))

@@ -51,9 +51,43 @@ def fuzzy_join(
     (lev('漢','字') = 1 vs 3). Identical on ASCII — the f1 gate's
     data; non-ASCII oracle comparisons must byte-encode first.
     """
+    pairs = _blocked_pairs(
+        left, right, id_col, text_col, block_cols, self_pairs,
+        max_block_freq,
+    )
+    # |len(a)-len(b)| lower-bounds edit distance: cheap pre-filter
+    # inside codegen before the DP kicks in; the thresholded
+    # levenshtein early-exits at max_distance (returns -1 beyond)
+    pairs = pairs.filter(
+        F.abs(F.length("text_a") - F.length("text_b")) <= max_distance
+    )
+    dist = F.levenshtein("text_a", "text_b", max_distance)
+    return (
+        pairs.withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )
+
+
+def _blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    self_pairs: bool,
+    max_block_freq: int | None,
+) -> DataFrame:
+    """Shared candidate-generation scaffold for the blocked
+    comparators (:func:`fuzzy_join`, :func:`jaro_winkler_join`):
+    project to (id, text, blocks), apply the RIGHT-side mega-block
+    guard, equijoin on the blocking keys, and keep each unordered
+    pair once for self-joins. One implementation so a future guard
+    change (e.g. capping the left side too) lands in every
+    comparator at once."""
     if not block_cols:
         raise ValueError(
-            "fuzzy_join requires at least one blocking column — an "
+            "blocked join requires at least one blocking column — an "
             "unblocked fuzzy join is an all-pairs cross join at scale"
         )
     l = left.select(
@@ -74,18 +108,7 @@ def fuzzy_join(
     pairs = l.join(r, on=list(block_cols))
     if self_pairs:
         pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
-    # |len(a)-len(b)| lower-bounds edit distance: cheap pre-filter
-    # inside codegen before the DP kicks in; the thresholded
-    # levenshtein early-exits at max_distance (returns -1 beyond)
-    pairs = pairs.filter(
-        F.abs(F.length("text_a") - F.length("text_b")) <= max_distance
-    )
-    dist = F.levenshtein("text_a", "text_b", max_distance)
-    return (
-        pairs.withColumn("distance", dist)
-        .filter(F.col("distance") >= 0)
-        .select("id_a", "id_b", "text_a", "text_b", "distance")
-    )
+    return pairs
 
 
 def _jaro(a: str, b: str) -> float:
@@ -182,28 +205,16 @@ def jaro_winkler_join(
     """
     from pyspark.sql.functions import pandas_udf
 
-    if not block_cols:
-        raise ValueError(
-            "jaro_winkler_join requires at least one blocking column"
-        )
-    l = left.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
-        *block_cols,
+    pairs = _blocked_pairs(
+        left, right, id_col, text_col, block_cols, self_pairs,
+        max_block_freq,
     )
-    r = right.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("text_b"),
-        *block_cols,
+    # NULL texts: fuzzy_join's builtin levenshtein returns NULL and
+    # the pair silently drops; match that contract here (a NULL
+    # reaching the UDF would len(None)-crash the executor instead)
+    pairs = pairs.filter(
+        F.col("text_a").isNotNull() & F.col("text_b").isNotNull()
     )
-    if max_block_freq is not None:
-        sizes = r.groupBy(*block_cols).agg(
-            F.count("*").alias("__block_n")
-        ).filter(F.col("__block_n") <= max_block_freq).drop("__block_n")
-        r = r.join(broadcast(sizes), block_cols, "left_semi")
-    pairs = l.join(r, on=list(block_cols))
-    if self_pairs:
-        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
 
     @pandas_udf("double")
     def _jw_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:

@@ -963,11 +963,22 @@ def dsir_logweights(
     )
     from pyspark.sql.functions import broadcast as _bc
 
-    return (
+    scored = (
         per_doc.join(_bc(ratio), "f")
         .groupBy("doc")
         .agg(
             F.sum("c_f").cast("long").alias("n_feats"),
             F.sum(F.col("c_f") * F.col("__lr")).alias("logw"),
         )
+    )
+    # zero-feature docs (< 2 tokens -> no bigrams) vanish from the
+    # explode; left-join them back at logw = 0.0 so the returned
+    # relation covers the FULL corpus as documented (r12 review: a
+    # caller partitioning selected-vs-rejected must not silently
+    # lose docs). One doc-grain join against the input keys.
+    ids = spread(df).select(F.col(id_col).alias("doc"))
+    return ids.join(scored, "doc", "left").select(
+        "doc",
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
     )

@@ -3558,10 +3558,12 @@ def d19_tfidf_cosine(spark, sf_dir):
 
 D19_SQL = f"""
 WITH tok AS (
+  -- docs with < 3 tokens carry no vector (mirrors the Spark-side
+  -- short-doc guard: no truncated shingles)
   SELECT doc_id AS doc, array_to_string({_DK_TOKENS}[i+1:i+3], ' ') AS sh
   FROM documents,
-       unnest(generate_series(0, greatest(len({_DK_TOKENS}) - 3, 0)))
-         AS g(i)),
+       unnest(generate_series(0, len({_DK_TOKENS}) - 3)) AS g(i)
+  WHERE len({_DK_TOKENS}) >= 3),
 tf AS (SELECT doc, sh, count(*) AS tf FROM tok GROUP BY 1, 2),
 dft AS (SELECT sh, count(*) AS dfv FROM tf GROUP BY 1),
 w AS (SELECT doc, sh, tf * 1.0 / dfv AS w FROM tf JOIN dft USING (sh)),
@@ -3702,17 +3704,16 @@ FROM tot, pe_num
 
 
 # ----------------------------------------------------------------- ev5
-def ev5_fleiss_kappa(spark, sf_dir):
-    """Fleiss' kappa multi-rater agreement (sparkt.functions.evaluate
-    .fleiss_kappa — the 3+-annotator generalization of ev4; VERDICT
-    r11 #5) between three deterministic annotators of each document's
-    language: the true lang, the t3 n-gram lang-id, and a lazy
-    CJK-or-English rater (realistic weak annotator). Long-format via
-    stack(); all floats fixed-shape divisions of exact integers (the
-    ev4 pe doctrine), so the row hashes bit-identically."""
+def _ev_rater_trio(spark, sf_dir):
+    """Long-format ratings (doc_id, rater, label) from the shared
+    deterministic annotator trio the agreement gates score: the true
+    lang (r1), the t3 n-gram lang-id (r2), and a lazy CJK-or-English
+    rater (r3 — a realistic weak annotator). One construction for
+    ev5 AND ev6 (r12 review: the duplicated build risked gate/oracle
+    desync on any threshold change); `_EV_RATERS_CTES` is its SQL
+    twin."""
     from pyspark.sql.types import StringType
 
-    from sparkt.functions.evaluate import fleiss_kappa
     from sparkt.functions.text import CJK_RANGE
 
     docs = T(spark, sf_dir, "documents")
@@ -3726,15 +3727,27 @@ def ev5_fleiss_kappa(spark, sf_dir):
         TX.lang_id(F.col("text")).alias("r2"),
         lazy.cast(StringType()).alias("r3"),
     )
-    ratings = wide.selectExpr(
+    return wide.selectExpr(
         "doc_id",
         "stack(3, 'r1', r1, 'r2', r2, 'r3', r3) AS (rater, label)",
     )
+
+
+def ev5_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa multi-rater agreement (sparkt.functions.evaluate
+    .fleiss_kappa — the 3+-annotator generalization of ev4; VERDICT
+    r11 #5) between the `_ev_rater_trio` annotators. All floats are
+    fixed-shape divisions of exact integers (the ev4 pe doctrine),
+    so the row hashes bit-identically."""
+    from sparkt.functions.evaluate import fleiss_kappa
+
+    ratings = _ev_rater_trio(spark, sf_dir)
     return fleiss_kappa(ratings, "doc_id", "label", n_raters=3)
 
 
-EV5_SQL = f"""
-WITH scored AS (
+# SQL twin of `_ev_rater_trio` — the scored/p/long CTE prefix shared
+# by the agreement oracles (one definition, no gate/oracle drift)
+_EV_RATERS_CTES = f"""scored AS (
   SELECT doc_id, lang,
          length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
          greatest(length(text), 1) AS n_chars,
@@ -3754,9 +3767,13 @@ p AS (
               ELSE 'en' END AS r3
   FROM scored),
 long AS (
-  SELECT doc_id, r1 AS label FROM p
-  UNION ALL SELECT doc_id, r2 FROM p
-  UNION ALL SELECT doc_id, r3 FROM p),
+  SELECT doc_id, 'r1' AS rater, r1 AS label FROM p
+  UNION ALL SELECT doc_id, 'r2', r2 FROM p
+  UNION ALL SELECT doc_id, 'r3', r3 FROM p)"""
+
+
+EV5_SQL = f"""
+WITH {_EV_RATERS_CTES},
 nij AS (SELECT doc_id, label, count(*) AS nij FROM long GROUP BY 1, 2),
 items AS (
   SELECT doc_id, sum(nij) AS n_i, sum(nij * nij) AS s2_i
@@ -3790,26 +3807,9 @@ def ev6_krippendorff(spark, sf_dir):
     Per-item disagreement terms are x/1 or x/2 — dyadic rationals,
     exact at any accumulation order — so d_o/d_e/alpha hash
     bit-identically (the ev5 doctrine extended to mixed m_i)."""
-    from pyspark.sql.types import StringType
-
     from sparkt.functions.evaluate import krippendorff_alpha
-    from sparkt.functions.text import CJK_RANGE
 
-    docs = T(spark, sf_dir, "documents")
-    cjk = F.length(F.regexp_replace("text", f"[^{CJK_RANGE}]", ""))
-    lazy = F.when(
-        cjk / F.greatest(F.length("text"), F.lit(1)) > 0.3, "zh"
-    ).otherwise("en")
-    wide = docs.select(
-        "doc_id",
-        F.col("lang").alias("r1"),
-        TX.lang_id(F.col("text")).alias("r2"),
-        lazy.cast(StringType()).alias("r3"),
-    )
-    ratings = wide.selectExpr(
-        "doc_id",
-        "stack(3, 'r1', r1, 'r2', r2, 'r3', r3) AS (rater, label)",
-    ).filter(
+    ratings = _ev_rater_trio(spark, sf_dir).filter(
         ~(
             (F.col("rater") == "r3") & (F.col("doc_id") % 7 == 0)
         )
@@ -3821,29 +3821,7 @@ def ev6_krippendorff(spark, sf_dir):
 
 
 EV6_SQL = f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
-         greatest(length(text), 1) AS n_chars,
-         len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
-         len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
-         len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
-         len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
-  FROM documents),
-p AS (
-  SELECT doc_id, lang AS r1,
-         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
-              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-              WHEN de >= fr AND de >= es THEN 'de'
-              WHEN fr >= es THEN 'fr'
-              ELSE 'es' END AS r2,
-         CASE WHEN cjk * 1.0 / n_chars > 0.3 THEN 'zh'
-              ELSE 'en' END AS r3
-  FROM scored),
-long AS (
-  SELECT doc_id, 'r1' AS rater, r1 AS label FROM p
-  UNION ALL SELECT doc_id, 'r2', r2 FROM p
-  UNION ALL SELECT doc_id, 'r3', r3 FROM p),
+WITH {_EV_RATERS_CTES},
 fl AS (
   SELECT doc_id, label FROM long
   WHERE NOT (rater = 'r3' AND doc_id % 7 = 0)

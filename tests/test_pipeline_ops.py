@@ -3574,7 +3574,9 @@ def test_dsir_logweights(spark):
     """dsir_logweights vs a python reference (hashed-bigram Laplace
     bag-of-ngrams, Xie et al. 2023): log-weights match to 1e-9,
     target-like docs score > 0, off-domain docs < 0, and a doc with
-    no bigrams is absent (no phantom zero-feature rows)."""
+    no bigrams appears at exactly logw = 0.0 (the documented
+    full-corpus contract — r12 review fix; a selected-vs-rejected
+    partition must not silently lose docs)."""
     import hashlib
     import math
     from collections import Counter
@@ -3616,12 +3618,13 @@ def test_dsir_logweights(spark):
     got = {r["doc"]: (r["n_feats"], r["logw"])
            for r in dsir_logweights(
                df, "text", "doc_id", "is_tgt", n_buckets=B).collect()}
-    assert set(got) == {1, 2, 3, 4}
+    assert set(got) == {1, 2, 3, 4, 5}
     for i, t, _ in rows[:4]:
         assert got[i][0] == len(feats(t))
         assert abs(got[i][1] - logw(t)) < 1e-9, i
     assert got[1][1] > 0 and got[2][1] > 0   # in-domain
     assert got[4][1] < 0                      # off-domain
+    assert got[5] == (0, 0.0)                 # zero-feature doc kept
 
 
 def test_pagerank_matches_numpy(spark):
@@ -3870,3 +3873,63 @@ def test_random_projection_jl_properties(spark):
     assert rp_signs(64, 16) == rp_signs(64, 16)
     flat = [s for row in S.tolist() for s in row]
     assert 0.35 < flat.count(1.0) / len(flat) < 0.65
+
+
+def test_tfidf_cosine_short_docs_have_no_vector(spark):
+    """Docs with fewer than k tokens carry NO shingle vector (r12
+    review fix: the old truncated-shingle fallback gave every blank
+    doc the identical '' shingle, pairing all blank docs at cosine
+    1.0 — a spurious-verdict and quadratic-hot-key bug)."""
+    from sparkt.functions.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (1, ""), (2, ""), (3, "   "),            # blank docs
+        (4, "one two"), (5, "one two"),          # < k=3 tokens
+        (6, "alpha beta gamma delta"),
+        (7, "alpha beta gamma delta"),           # real twin pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in tfidf_cosine_pairs(
+               df, "text", "doc_id", k=3, threshold=0.1).collect()}
+    assert got == {(6, 7)}
+
+
+def test_hamming_banded_pairs_k0_msb(spark):
+    """k=0 (exact duplicates) with MSB-set 64-bit hashes: a single
+    64-bit band would overflow conv->long and NULL the join key
+    (r12 review fix: band widths are now capped at 63 bits by
+    raising the band count; extra bands only widen candidates, the
+    bit_count verify keeps recall exact). Negative k raises."""
+    import pytest as _pytest
+
+    from sparkt.functions.dedup import hamming_banded_pairs
+
+    h = "1" + "0" * 62 + "1"
+    df = spark.createDataFrame(
+        [(1, h), (2, h), (3, "0" * 64)], "id long, bits string")
+    out = hamming_banded_pairs(df, "bits", "id", k=0).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["hamming"]) == (1, 2, 0)
+
+    with _pytest.raises(ValueError):
+        hamming_banded_pairs(df, "bits", "id", k=-1)
+
+
+def test_jaro_winkler_join_null_text(spark):
+    """NULL texts drop silently (the fuzzy_join levenshtein
+    contract) instead of len(None)-crashing the pairwise UDF
+    (r12 review fix)."""
+    from sparkt.functions.linkage import jaro_winkler_join
+
+    rows = [
+        (1, "martha", "b1"), (2, "marhta", "b1"),
+        (3, None, "b1"), (4, "marta", "b1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = jaro_winkler_join(
+        df, df, "id", "name", ["blk"], threshold=0.8, self_pairs=True
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in ids                 # the classic pair survives
+    assert all(3 not in p for p in ids)  # NULL rows never pair
