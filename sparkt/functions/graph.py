@@ -110,6 +110,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 3,
+    persist_adj: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED edge table — the
     web-corpus quality prior (Page et al. 1999; link-authority is a
@@ -141,16 +142,24 @@ def pagerank(
     (plan-audited r12): a localCheckpoint reports
     UnknownPartitioning, so Catalyst re-exchanges the edge list once
     per iteration — at sandbox scale noise, at true corpus scale
-    pre-bucket the adjacency by ``u`` (bucketed table write) or
-    persist() it (accepting the cache residue the dedup module
-    documents) so the per-iteration exchange disappears.
+    pass ``persist_adj=True``: the adjacency is then hash-exchanged
+    on ``u`` ONCE and persist()ed, and because an InMemoryRelation
+    PRESERVES its child's outputPartitioning (unlike the
+    checkpoint's LogicalRDD), every iteration's join reuses the
+    layout — only the |nodes|-row rank vector moves per step.
+    Trade-off: cache residue for the session (the dedup module's
+    documented shared-relation persist class), which is why the
+    default stays the residue-free localCheckpoint.
     """
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     both = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    adj = both.join(deg, "u").localCheckpoint(eager=False)
+    if persist_adj:
+        adj = both.join(deg, "u").repartition(F.col("u")).persist()
+    else:
+        adj = both.join(deg, "u").localCheckpoint(eager=False)
 
     from sparkt.functions import join_scalars
 

@@ -3933,3 +3933,25 @@ def test_jaro_winkler_join_null_text(spark):
     ids = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in ids                 # the classic pair survives
     assert all(3 not in p for p in ids)  # NULL rows never pair
+
+
+def test_pagerank_persist_adj_same_ranks_fewer_exchanges(spark):
+    """persist_adj=True (the 100 TB path): identical ranks to the
+    default, and the per-iteration edge-list re-exchange is gone —
+    the persisted plan scans InMemoryTableScan while the default
+    re-exchanges the checkpointed edges every step (the plan-audited
+    r12 residual)."""
+    from sparkt.functions.graph import pagerank
+
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    base = pagerank(df, n_iter=3)
+    fast = pagerank(df, n_iter=3, persist_adj=True)
+    try:
+        a = {r["node"]: r["rank"] for r in base.collect()}
+        b = {r["node"]: r["rank"] for r in fast.collect()}
+        assert a == b
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
