@@ -309,8 +309,25 @@ class Compiler:
             cache = self._rel_name_cache = {}
         names = cache.get(node.unique_id)
         if names is None:
+            # snapshots: the reference sets node.schema =
+            # config.target_schema VERBATIM at parse time
+            # (core/dbt/parser/snapshots.py:39 — no
+            # generate_schema_name pass), so refs and the snapshot
+            # write resolve identically. Previously the writer
+            # overrode the schema while refs went through the macro
+            # path — the two never agreed when either schema config
+            # was set (r12 core review #1).
+            tgt = (
+                node.config.get("target_schema")
+                if node.resource_type == "snapshot"
+                else None
+            )
             names = cache[node.unique_id] = (
-                self.generate_schema_name(node.config.get("schema"), node),
+                str(tgt).strip()
+                if tgt
+                else self.generate_schema_name(
+                    node.config.get("schema"), node
+                ),
                 self.generate_alias_name(node.config.get("alias"), node),
             )
         return Relation(

@@ -35,6 +35,17 @@ def _norm(t: str) -> str:
 def enforce_contract(node, df_schema) -> None:
     """Assert the model's analyzed schema matches its declared columns
     (names, order-insensitive; types when declared)."""
+    enforce_contract_columns(
+        node,
+        {f.name: f.dataType.simpleString() for f in df_schema.fields},
+    )
+
+
+def enforce_contract_columns(node, actual: dict) -> None:
+    """:func:`enforce_contract` over a ``{name: simpleString-type}``
+    mapping — the shape ``DESCRIBE QUERY`` rows give, so the check can
+    run through the ADAPTER surface (record/replay covered) without a
+    live SparkSession."""
     contract = node.config.get("contract") or {}
     if not contract.get("enforced"):
         return
@@ -42,7 +53,6 @@ def enforce_contract(node, df_schema) -> None:
         name: (spec or {}).get("data_type")
         for name, spec in node.columns.items()
     }
-    actual = {f.name: f.dataType.simpleString() for f in df_schema.fields}
     problems = []
     for name, dtype in declared.items():
         if name not in actual:
@@ -128,7 +138,7 @@ def _gather_constraints(node) -> list[tuple[str, str, str | None]]:
     return out
 
 
-def enforce_constraints(node, spark) -> None:
+def enforce_constraints(node, adapter) -> None:
     """Data-level constraint enforcement (reference column-level
     ``constraints`` on contract-enforced models, dbt-common
     ``ConstraintType``; behavior pinned by
@@ -153,9 +163,17 @@ def enforce_constraints(node, spark) -> None:
     aggs = ", ".join(
         f"{expr} as c{i}" for i, (_l, expr) in enumerate(enforced)
     )
-    row = spark.sql(
-        f"select {aggs} from ({node.compiled_code}) __sparkt_constraints"
-    ).first()
+    # through the ADAPTER (not a bare spark.sql): replay mode has no
+    # SparkSession, and a direct session touch is itself a divergence
+    # (the incremental path's DESCRIBE QUERY doctrine; r12 core
+    # review #4)
+    _, res = adapter.execute(
+        f"select {aggs} from ({node.compiled_code}) __sparkt_constraints",
+        fetch=True,
+    )
+    if not len(res):  # an aggregate select always yields one row
+        return
+    row = res.rows[0]
     problems = [
         f"{label}: {row[f'c{i}']} violating row(s)"
         for i, (label, _e) in enumerate(enforced)

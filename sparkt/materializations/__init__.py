@@ -52,11 +52,22 @@ def check_contract(ctx: "MatContext", node: ParsedNode) -> None:
     """Contract enforcement hook (sparkt/contracts.py): analysis-only
     schema check, no data read."""
     if (node.config.get("contract") or {}).get("enforced"):
-        from sparkt.contracts import enforce_constraints, enforce_contract
+        from sparkt.contracts import (
+            enforce_constraints,
+            enforce_contract_columns,
+        )
 
-        schema = ctx.spark.sql(node.compiled_code).schema
-        enforce_contract(node, schema)
-        enforce_constraints(node, ctx.spark)
+        # through the ADAPTER, not a bare ctx.spark.sql: replay mode
+        # runs with spark = None and a session touch is itself a
+        # divergence (the incremental path's DESCRIBE QUERY doctrine;
+        # r12 core review #4)
+        _, res = ctx.adapter.execute(
+            f"DESCRIBE QUERY {node.compiled_code}", fetch=True
+        )
+        enforce_contract_columns(
+            node, {r["col_name"]: r["data_type"] for r in res}
+        )
+        enforce_constraints(node, ctx.adapter)
 
 
 def persist_docs(ctx: "MatContext", node: ParsedNode, rel=None,

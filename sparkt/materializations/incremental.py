@@ -43,8 +43,9 @@ from sparkt.materializations.table import _partition_by
 
 def _source_df(ctx, node):
     if node.language == "python":
-        ctx.extras["is_incremental"] = True
-        return run_python_model(ctx, node)
+        # incremental-run path only (first builds call
+        # run_python_model directly with the False default)
+        return run_python_model(ctx, node, is_incremental=True)
     return ctx.spark.sql(node.compiled_code)
 
 

@@ -27,9 +27,10 @@ class _DbtConfig:
 
 
 class _DbtObject:
-    def __init__(self, ctx, node):
+    def __init__(self, ctx, node, is_incremental=False):
         self._ctx = ctx
         self._node = node
+        self._is_incremental = bool(is_incremental)
         self.config = _DbtConfig(node.config)
 
     def ref(self, *args):
@@ -58,10 +59,16 @@ class _DbtObject:
         return self._ctx.compiler.relation_for(self._node)
 
     def is_incremental(self):
-        return bool(self._ctx.extras.get("is_incremental", False))
+        # per-call state, NOT ctx.extras: the runner shares ONE
+        # MatContext across all nodes and threads, so a flag written
+        # there by the first incremental python model would leak
+        # dbt.is_incremental() == True into every later python model
+        # — including a full-refresh CTAS, whose delta-only source
+        # would then silently drop all history (r12 core review #2)
+        return self._is_incremental
 
 
-def run_python_model(ctx, node) -> Any:
+def run_python_model(ctx, node, is_incremental: bool = False) -> Any:
     """Exec the model file, call ``model(dbt, session)``, return its
     DataFrame (pandas results are converted)."""
     namespace: dict[str, Any] = {}
@@ -69,7 +76,7 @@ def run_python_model(ctx, node) -> Any:
     fn = namespace.get("model")
     if fn is None:
         raise ExecutionError(f"{node.unique_id}: no model(dbt, session) function")
-    result = fn(_DbtObject(ctx, node), ctx.spark)
+    result = fn(_DbtObject(ctx, node, is_incremental), ctx.spark)
     if result is None:
         raise ExecutionError(f"{node.unique_id}: model() returned None")
     try:

@@ -47,8 +47,10 @@ def materialize_snapshot(ctx: MatContext, node):
     uk = unique_key_list(node)
     if not uk:
         raise ExecutionError(f"{node.unique_id}: snapshot requires unique_key")
-    target_schema = cfg.get("target_schema") or ctx.project.schema
-    rel = ctx.compiler.relation_for(node).incorporate(schema=target_schema)
+    # relation_for owns the schema choice (target_schema verbatim,
+    # else the generate_schema_name path) so refs to this snapshot
+    # resolve to the SAME relation the write lands in
+    rel = ctx.compiler.relation_for(node)
     node.relation = rel
 
     batch_ts = ctx.extras.get("batch_ts") or datetime.now(timezone.utc)

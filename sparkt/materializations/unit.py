@@ -62,10 +62,17 @@ def _fixture_df(ctx: MatContext, base_relation: str | None, rows: list[dict]):
         literal_rows = []
         for r in rows:
             literal_rows.append({k: v for k, v in r.items() if k in cols})
+        # a StructType, not a DDL string: reserved-word or
+        # special-character column names (`order`, `select-id`) would
+        # fail the DDL parser (r12 core review #10)
+        from pyspark.sql.types import StringType, StructField, StructType
+
         raw = ctx.spark.createDataFrame(
             [tuple(str(r.get(c)) if r.get(c) is not None else None for c in cols)
              for r in literal_rows],
-            schema=", ".join(f"{c} string" for c in cols),
+            schema=StructType(
+                [StructField(c, StringType()) for c in cols]
+            ),
         )
         casted = raw.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
@@ -78,8 +85,19 @@ def _fixture_df(ctx: MatContext, base_relation: str | None, rows: list[dict]):
             "take a schema from — give the fixture at least one row, "
             "use a sql-format fixture, or build the model first"
         )
-    return ctx.spark.createDataFrame([tuple(r.values()) for r in rows],
-                                     schema=list(rows[0].keys()))
+    # column order comes from first appearance across ALL rows, and
+    # every row is materialized per-column with r.get: dict rows whose
+    # key order differs were silently column-misaligned under the old
+    # tuple(r.values()) zip, and sparse rows crashed (r12 core review
+    # #3; the base_relation path above always did this correctly)
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    return ctx.spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], schema=cols
+    )
 
 
 @register("unit")
@@ -170,10 +188,14 @@ def materialize_unit(ctx: MatContext, node):
     else:
         expect_cols = actual.columns
     actual_proj = actual.select(*expect_cols)
+    from pyspark.sql.types import StringType, StructField, StructType
+
     expected_raw = ctx.spark.createDataFrame(
         [tuple(str(r.get(c)) if r.get(c) is not None else None for c in expect_cols)
          for r in expect_rows],
-        schema=", ".join(f"{c} string" for c in expect_cols),
+        schema=StructType(
+            [StructField(c, StringType()) for c in expect_cols]
+        ),
     ) if expect_rows else actual_proj.limit(0)
     expected = expected_raw.select(
         *[

@@ -1119,3 +1119,35 @@ def test_microbatch_marker_cleared_before_first_write(
         ).collect()
     }
     assert "sparkt.microbatch.complete" in props
+
+
+def test_python_is_incremental_does_not_leak(make_project, spark):
+    """dbt.is_incremental() is per-call state, not run-global: after
+    an incremental python model's second run flips it True, a table
+    python model running later in the SAME run must still see False
+    (r12 core review #2 — the shared-extras flag leaked True into
+    every later python model, so a full-refresh CTAS gated on
+    is_incremental() would silently build only the delta)."""
+    files = {
+        "dbt_project.yml": "name: leak\nmodel-paths: [models]\n",
+        # alphabetical + dependency order puts a_inc before z_table
+        "models/a_inc.py": (
+            "def model(dbt, session):\n"
+            "    dbt.config(materialized='incremental', unique_key='id')\n"
+            "    if dbt.is_incremental():\n"
+            "        return session.sql('select 2 as id')\n"
+            "    return session.sql('select 1 as id')\n"
+        ),
+        "models/z_table.py": (
+            "def model(dbt, session):\n"
+            "    dbt.config(materialized='table')\n"
+            "    # ref forces ordering after a_inc\n"
+            "    dbt.ref('a_inc')\n"
+            "    flag = 1 if dbt.is_incremental() else 0\n"
+            "    return session.sql(f'select {flag} as leaked')\n"
+        ),
+    }
+    runner = make_project(files, schema="t_leak")
+    assert runner.run().ok           # first build: both False
+    assert runner.run(threads=1).ok  # a_inc now incremental (True)
+    assert spark.table("t_leak.z_table").collect()[0]["leaked"] == 0

@@ -620,3 +620,46 @@ def test_replay_dataframe_tolerates_attribute_probing():
         df.filter("a > 0")
     with pytest.raises(ReplayMismatch):
         hasattr(df, "toJSON")  # public-surface probing stays loud
+
+
+def test_replay_covers_contract_enforced_model(make_project, spark, tmp_path):
+    """A contract-enforced model (schema check + not_null constraint)
+    records and replays warehouse-free: both checks now route through
+    the adapter surface (r12 core review #4 — check_contract's bare
+    ctx.spark.sql crashed replay with spark=None)."""
+    rec = str(tmp_path / "recording.jsonl")
+    files = dict(FILES)
+    files["models/b.sql"] = (
+        "{{ config(materialized='table', contract={'enforced': true}) }}\n"
+        "select cast(sum(v) as bigint) as s from {{ ref('a') }}"
+    )
+    files["models/schema.yml"] = """
+version: 2
+models:
+  - name: b
+    config:
+      contract:
+        enforced: true
+    columns:
+      - name: s
+        data_type: bigint
+        constraints:
+          - type: not_null
+"""
+    runner = make_project(files, schema="t_rr_con")
+    assert runner.seed().ok
+    from sparkt.runner import Runner
+
+    recording = Runner(
+        runner.project.project_root, spark=spark,
+        project_overrides={"schema": "t_rr_con"}, record=rec,
+    )
+    res = recording.run()
+    assert res.ok, [str(r.message) for r in res.results]
+
+    replaying = Runner(
+        runner.project.project_root, spark=None,
+        project_overrides={"schema": "t_rr_con"}, replay=rec,
+    )
+    res2 = replaying.run()
+    assert res2.ok, [str(r.message) for r in res2.results]

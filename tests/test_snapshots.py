@@ -372,3 +372,41 @@ select * from {{ ref('stg_v') }}
     # idempotent re-snapshot
     assert runner.snapshot().ok
     assert spark.table("t_vtc.v_snap").count() == 2
+
+
+def test_snapshot_ref_resolves_to_target_schema(make_project, spark):
+    """A model ref()ing a snapshot with target_schema reads the SAME
+    relation the snapshot wrote (reference: SnapshotParser sets
+    node.schema = config.target_schema verbatim,
+    core/dbt/parser/snapshots.py:39). Previously the writer honored
+    target_schema while refs resolved through generate_schema_name —
+    the two diverged whenever either schema config was set (r12 core
+    review #1)."""
+    files = {
+        "dbt_project.yml": (
+            "name: snapref\nmodel-paths: [models]\n"
+            "snapshot-paths: [snapshots]\nseed-paths: [seeds]\n"
+        ),
+        "seeds/items.csv": "id,name\n1,a\n2,b\n",
+        "snapshots/items_snap.sql": (
+            "{% snapshot items_snap %}\n"
+            "{{ config(target_schema='t_snapref_hist', unique_key='id', "
+            "strategy='check', check_cols='all') }}\n"
+            "select * from {{ ref('items') }}\n"
+            "{% endsnapshot %}"
+        ),
+        "models/current_items.sql": (
+            "select id, name from {{ ref('items_snap') }} "
+            "where dbt_valid_to is null"
+        ),
+    }
+    runner = make_project(files, schema="t_snapref")
+    assert runner.seed().ok
+    assert runner.snapshot().ok
+    # snapshot landed in the verbatim target_schema
+    assert spark.catalog.tableExists("t_snapref_hist.items_snap")
+    # and the downstream ref reads it (previously: NOT_FOUND in
+    # t_snapref.items_snap)
+    res = runner.run()
+    assert res.ok, [str(r.message) for r in res.results]
+    assert spark.table("t_snapref.current_items").count() == 2

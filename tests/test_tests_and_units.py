@@ -323,3 +323,39 @@ def test_unit_test_overrides(make_project, spark):
     ut2 = by["unit_test.uo.ut_full_branch"]
     assert ut1.status == "pass", ut1.message
     assert ut2.status == "pass", ut2.message
+
+
+def test_unit_fixture_dict_key_order_and_sparse_rows(make_project, spark):
+    """Schema-inferred fixtures (upstream not built): dict rows whose
+    KEY ORDER differs must still bind values by name, and sparse rows
+    NULL-fill (r12 core review #3 — tuple(r.values()) silently
+    column-misaligned reordered rows and crashed on sparse ones).
+    The swap fixture row {a: ..., id: ...} would have put a=2/id=20
+    under the old zip; the filter then returns the WRONG rows."""
+    files = {
+        "dbt_project.yml": "name: uord\nmodel-paths: [models]\n",
+        "models/pass_through.sql": (
+            "select id, a from {{ ref('upstream') }} where a >= 10"
+        ),
+        "models/upstream.sql": "select 1 as id, 10 as a",
+        "models/schema.yml": """
+version: 2
+unit_tests:
+  - name: ut_key_order
+    model: pass_through
+    given:
+      - input: ref('upstream')
+        rows:
+          - {id: 1, a: 10}
+          - {a: 20, id: 2}
+          - {id: 3}
+    expect:
+      rows:
+        - {id: 1, a: 10}
+        - {id: 2, a: 20}
+""",
+    }
+    # upstream NOT built -> the schema-inferred path runs
+    runner = make_project(files, schema="t_uord")
+    res = runner.test()
+    assert res.ok, [str(r.message) for r in res.results]
