@@ -484,6 +484,9 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
         node.relation = (
             rel if ctx.adapter.relation_exists(rel) else None
         )
+        if node.relation is not None:
+            # reference behavior: persist_docs on every invocation
+            persist_docs(ctx, node, rel)
         return out
 
     # concurrent_batches (dbt 1.9): the initial backfill's batches are
@@ -792,6 +795,7 @@ def materialize_incremental(ctx: MatContext, node):
         ctx.adapter.insert_into(
             rel, f"({cols}) SELECT {cols} FROM ({src_sql}) __sparkt_src"
         )
+        persist_docs(ctx, node, rel)
         return "INSERT INTO (append)"
 
     if strategy == "insert_overwrite" and not schema_rewrite:
@@ -799,6 +803,7 @@ def materialize_incremental(ctx: MatContext, node):
         ctx.adapter.insert_overwrite(
             rel, f"SELECT {cols} FROM ({src_sql}) __sparkt_src"
         )
+        persist_docs(ctx, node, rel)
         return "INSERT OVERWRITE (dynamic partitions)"
 
     if strategy in ("merge", "delete+insert") and not uk:
@@ -826,9 +831,25 @@ def materialize_incremental(ctx: MatContext, node):
             exclude_columns=node.config.get("merge_exclude_columns"),
         )
         ctx.adapter.execute(merge_sql)
+        persist_docs(ctx, node, rel)
         return f"MERGE INTO ({file_format})"
 
-    # rewrite path: one set-oriented statement through the atomic swap
+    # rewrite path: one set-oriented statement through the atomic swap.
+    # The source is MATERIALIZED ONCE into a staging table first (the
+    # reference's __dbt_tmp contract — dbt's default incremental
+    # materialization stages the source before merging): the rewrite
+    # references the source twice (insert branch + anti-join keep
+    # branch) and Spark inlines CTEs wholesale, so without staging an
+    # expensive source executes twice AND a non-deterministic source
+    # (rand() sampling, LIMIT without ORDER BY) can evaluate
+    # differently in the two branches — a key present only in the
+    # second evaluation would anti-join its target row away without
+    # inserting a replacement (r12 core review #8).
+    tmp_rel = rel.incorporate(
+        identifier=rel.identifier + "__sparkt_tmp"
+    )
+    ctx.adapter.create_table_as(tmp_rel, select_sql=src_sql)
+    src_sql = f"SELECT * FROM {tmp_rel.render()}"
     if strategy in ("merge", "delete+insert"):
         # incremental_predicates (reference tests/functional/adapter/
         # incremental/test_incremental_predicates.py): target rows are
@@ -899,4 +920,9 @@ def materialize_incremental(ctx: MatContext, node):
         f"UNION ALL {keep_tgt}"
     )
     ctx.adapter.create_table_as(rel, select_sql=merged, partition_by=partition_by)
+    ctx.adapter.drop_relation(tmp_rel)
+    # persist_docs runs on EVERY invocation (reference behavior): the
+    # rewrite built a brand-new table, so comments set on the first
+    # run would otherwise silently vanish (r12 core review #7)
+    persist_docs(ctx, node, rel)
     return f"MERGE ({strategy}, rewrite)"

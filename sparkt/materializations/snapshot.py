@@ -82,8 +82,13 @@ def materialize_snapshot(ctx: MatContext, node):
     _, _res = ctx.adapter.execute(
         f"DESCRIBE QUERY {src_sql}", fetch=True
     )
-    src_cols = [r["col_name"] for r in _res]
-    data_cols = [c for c in src_cols if c not in set(meta.values())]
+    src_types = {
+        r["col_name"]: r["data_type"]
+        for r in _res
+        if r["col_name"] not in set(meta.values())
+    }
+    src_data = list(src_types)
+    data_cols = src_data
 
     if strategy == "timestamp":
         updated_at = cfg.get("updated_at")
@@ -139,12 +144,54 @@ def materialize_snapshot(ctx: MatContext, node):
         ctx.adapter.create_table_as(rel, select_sql=first)
         return "SNAPSHOT (first run)"
 
-    t_cols = ", ".join(f"t.{bt(c)}" for c in data_cols)
+    # schema evolution (dbt snapshot semantics, r12 core review #5):
+    # the rewrite's column set is the UNION of the target's data
+    # columns (history is never destroyed by a column vanishing from
+    # the source) and the source's (new columns append, NULL for
+    # history rows). Removed columns take NULL for newly inserted
+    # versions; the reference expands the target the same way
+    # (create_columns on missing) and keeps removed columns.
+    _tgt_raw = ctx.adapter.get_columns_in_relation(rel)
+    tgt_types = {
+        c: t for c, t in _tgt_raw if c not in set(meta.values())
+    }
+    data_cols = list(tgt_types) + [
+        c for c in src_data if c not in tgt_types
+    ]
+    s_cols = ", ".join(
+        f"s.{bt(c)}"
+        if c in src_types
+        else f"CAST(NULL AS {tgt_types[c]}) AS {bt(c)}"
+        for c in data_cols
+    )
+    t_cols = ", ".join(
+        f"t.{bt(c)}"
+        if c in tgt_types
+        else f"CAST(NULL AS {src_types[c]}) AS {bt(c)}"
+        for c in data_cols
+    )
+    if strategy == "check":
+        missing = [c for c in check_cols if c not in src_types]
+        if missing:
+            raise ExecutionError(
+                f"{node.unique_id}: check_cols {missing} no longer "
+                "exist in the snapshot source query"
+            )
+        # a column newly added to the source compares against NULL on
+        # the current-rows side (the expanded-target convention): a
+        # non-NULL value registers as changed and versions the row
+        changed = "(" + " OR ".join(
+            f"NOT (s.{bt(c)} <=> "
+            + (
+                f"c.{bt(c)})"
+                if c in tgt_types
+                else f"CAST(NULL AS {src_types[c]}))"
+            )
+            for c in check_cols
+        ) + ")"
     uk_eq_tch = " AND ".join(f"t.{bt(k)} <=> ch.{bt(k)}" for k in uk)
     if new_record:
-        tgt_cols = {
-            c for c, _ in ctx.adapter.get_columns_in_relation(rel)
-        }
+        tgt_cols = {c for c, _ in _tgt_raw}
         # mode enabled on a pre-existing snapshot: synthesize FALSE for
         # history rows until the rewrite lands the real column
         t_del = (
@@ -196,6 +243,17 @@ __deleted AS (
             "wired into the delta/iceberg MERGE dispatch — use the "
             "default file_format or hard_deletes='invalidate'"
         )
+    if file_format in ("delta", "iceberg") and (
+        set(src_types) != set(tgt_types)
+    ):
+        raise ExecutionError(
+            f"{node.unique_id}: the snapshot source schema changed "
+            f"(added {sorted(set(src_types) - set(tgt_types))}, "
+            f"removed {sorted(set(tgt_types) - set(src_types))}) — "
+            "schema evolution is not wired into the delta/iceberg "
+            "MERGE dispatch; ALTER the target first or use the "
+            "default file_format (whose rewrite evolves the schema)"
+        )
     if file_format in ("delta", "iceberg"):
         uk_eq_chc = " AND ".join(f"ch.{bt(k)} <=> c.{bt(k)}" for k in uk)
         ch_data = ", ".join(f"ch.{bt(c)}" for c in data_cols)
@@ -239,7 +297,13 @@ FROM __changed ch JOIN __cur c ON {uk_eq_chc}{deletes_branch}"""
         return f"SNAPSHOT (MERGE {file_format})"
 
     if new_record:
-        c_data = ", ".join(f"c.{bt(c)}" for c in data_cols)
+        # __cur is target-shaped: columns new in the source take NULL
+        c_data = ", ".join(
+            f"c.{bt(c)}"
+            if c in tgt_types
+            else f"CAST(NULL AS {src_types[c]}) AS {bt(c)}"
+            for c in data_cols
+        )
         ts_str = ts_literal.replace("timestamp'", "'")
         marker_branch = f"""
 UNION ALL

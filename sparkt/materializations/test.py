@@ -60,9 +60,14 @@ def materialize_test(ctx: MatContext, node):
     row = result.rows[0]
     failures, should_warn, should_error = row[0], row[1], row[2]
     severity = str(cfg.get("severity", "error")).lower()
+    # reference branch order (core/dbt/task/test.py:274-289): error_if
+    # is consulted ONLY under severity error; under severity warn the
+    # outcome is driven by warn_if alone (r12 core review #9 — the old
+    # `should_error and severity == 'warn'` promotion produced
+    # spurious warns whenever warn_if's threshold sat above error_if's)
     if should_error and severity == "error":
         status = "fail"
-    elif should_warn or (should_error and severity == "warn"):
+    elif should_warn:
         status = "warn"
     else:
         status = "pass"

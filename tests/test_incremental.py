@@ -1151,3 +1151,42 @@ def test_python_is_incremental_does_not_leak(make_project, spark):
     assert runner.run().ok           # first build: both False
     assert runner.run(threads=1).ok  # a_inc now incremental (True)
     assert spark.table("t_leak.z_table").collect()[0]["leaked"] == 0
+
+
+def test_incremental_rewrite_stages_source_once_and_keeps_docs(
+    make_project, spark
+):
+    """The merge rewrite stages the source into <name>__sparkt_tmp
+    exactly once (dbt's __dbt_tmp contract — the old WITH-CTE form
+    evaluated the source twice, wrong under non-determinism), drops
+    the staging table afterwards, and re-applies persist_docs so
+    catalog comments survive the rewrite (r12 core review #7/#8)."""
+    files = {
+        "dbt_project.yml": "name: stg\nmodel-paths: [models]\n",
+        "models/inc_doc.sql": (
+            "{{ config(materialized='incremental', unique_key='id', "
+            "persist_docs={'relation': true}) }}\n"
+            "select 1 as id, 'x' as v"
+        ),
+        "models/schema.yml": """
+version: 2
+models:
+  - name: inc_doc
+    description: the comment that must survive
+""",
+    }
+    runner = make_project(files, schema="t_stg")
+    assert runner.run().ok
+    assert runner.run().ok  # incremental rewrite pass
+
+    # staging table dropped
+    assert not spark.catalog.tableExists("t_stg.inc_doc__sparkt_tmp")
+    # table-level comment survived the rewrite
+    row = [
+        r for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED t_stg.inc_doc"
+        ).collect()
+        if r.col_name == "Comment"
+    ]
+    assert row and "must survive" in row[0].data_type
+    assert spark.table("t_stg.inc_doc").count() == 1

@@ -410,3 +410,58 @@ def test_snapshot_ref_resolves_to_target_schema(make_project, spark):
     res = runner.run()
     assert res.ok, [str(r.message) for r in res.results]
     assert spark.table("t_snapref.current_items").count() == 2
+
+
+def test_snapshot_schema_evolution(make_project, spark):
+    """dbt snapshot schema semantics (r12 core review #5): a column
+    REMOVED from the source keeps its full history (NULL for new
+    versions) instead of being destroyed by the rewrite; a column
+    ADDED to the source appends (NULL for history rows) instead of
+    crashing; with check_cols='all' the added column's non-NULL value
+    registers as a change."""
+    files = {
+        "dbt_project.yml": (
+            "name: sev2\nsnapshot-paths: [snapshots]\nmodel-paths: [models]\n"
+        ),
+        "models/src.sql": (
+            "select 1 as id, 'a' as name, 'x' as extra"
+        ),
+        "snapshots/ev_snap.sql": (
+            "{% snapshot ev_snap %}\n"
+            "{{ config(strategy='check', unique_key='id', "
+            "check_cols='all') }}\n"
+            "select * from {{ ref('src') }}\n"
+            "{% endsnapshot %}"
+        ),
+    }
+    runner = make_project(files, schema="t_sev2")
+    assert runner.run().ok and runner.snapshot().ok
+    root = runner.project.project_root
+
+    # drop 'extra', add 'added' (fresh Runner: the manifest is parsed
+    # at construction, so the file edit needs a re-parse)
+    from sparkt.runner import Runner
+
+    with open(os.path.join(root, "models/src.sql"), "w") as f:
+        f.write("select 1 as id, 'a' as name, 7 as added")
+    runner = Runner(root, spark=spark,
+                    project_overrides={"schema": "t_sev2"})
+    assert runner.run().ok
+    res = runner.snapshot()
+    assert res.ok, [str(r.message) for r in res.results]
+
+    t = spark.table("t_sev2.ev_snap")
+    assert {"id", "name", "extra", "added"} <= set(t.columns)
+    hist = t.filter("dbt_valid_to is not null").collect()
+    cur = t.filter("dbt_valid_to is null").collect()
+    # the original version closed (added-col NULL -> 7 is a change),
+    # its 'extra' history preserved
+    assert len(hist) == 1 and hist[0]["extra"] == "x"
+    assert hist[0]["added"] is None
+    # the new current version carries the added col, NULL for extra
+    assert len(cur) == 1 and cur[0]["added"] == 7
+    assert cur[0]["extra"] is None
+
+    # idempotence: nothing changed -> third run adds no versions
+    assert runner.snapshot().ok
+    assert spark.table("t_sev2.ev_snap").count() == 2

@@ -734,3 +734,44 @@ models:
     res = runner.run()
     assert not res.ok
     assert "primary_key" in res.results[0].message
+
+
+def test_materialized_view_policy_survives_process_restart(
+    make_project, spark
+):
+    """on_configuration_change is honored via a TBLPROPERTIES-stored
+    definition hash, so a FRESH Runner (new process in real use)
+    still detects the drift (r12 core review #6 — the old in-process
+    dict forgot the definition at exit, silently rebuilding under
+    'fail')."""
+    import os
+
+    from sparkt.runner import Runner
+
+    files = dict(FILES)
+    files["models/mvp.sql"] = (
+        "{{ config(materialized='materialized_view', "
+        "on_configuration_change='fail') }}\n"
+        "select count(*) as n from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_mvp")
+    assert runner.seed().ok
+    assert runner.run().ok
+
+    # change the definition, then run from a brand-new Runner (module
+    # state plays no part — the hash comes from the table itself)
+    with open(os.path.join(runner.project.project_root,
+                           "models/mvp.sql"), "w") as f:
+        f.write(
+            "{{ config(materialized='materialized_view', "
+            "on_configuration_change='fail') }}\n"
+            "select count(*) + 1 as n from {{ ref('a') }}"
+        )
+    runner2 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_mvp"})
+    res = runner2.run(select="mvp")
+    failed = next(r for r in res.results if "mvp" in r.unique_id)
+    assert failed.status == "error"
+    assert "on_configuration_change" in str(failed.message)
+    # and the stored MV was NOT rebuilt
+    assert spark.table("t_mvp.mvp").first()["n"] == 2

@@ -359,3 +359,26 @@ unit_tests:
     runner = make_project(files, schema="t_uord")
     res = runner.test()
     assert res.ok, [str(r.message) for r in res.results]
+
+
+def test_severity_warn_skips_error_if(make_project, spark):
+    """Reference core/dbt/task/test.py:274-289: under severity warn
+    the outcome is driven by warn_if ALONE — error_if is only
+    consulted under severity error. 5 failures with warn_if '> 10' /
+    error_if '!= 0' must PASS (the old promotion warned)."""
+    files = {
+        "dbt_project.yml": "name: sev\nmodel-paths: [models]\ntest-paths: [tests]\n",
+        "models/five_rows.sql": (
+            "select * from (select explode(sequence(1, 5)) as id)"
+        ),
+        "tests/five_failures.sql": (
+            "{{ config(severity='warn', warn_if='> 10', error_if='!= 0') }}\n"
+            "select * from {{ ref('five_rows') }}"
+        ),
+    }
+    runner = make_project(files, schema="t_sev")
+    assert runner.run().ok
+    res = runner.test()
+    assert res.ok
+    tr = next(r for r in res.results if "five_failures" in r.unique_id)
+    assert tr.status == "pass", tr.status
