@@ -67,7 +67,11 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
             return set(manifest.nodes) - state_mod.modified_nodes(manifest, state)
         return set()
     if method == "result":
-        results = state if isinstance(state, dict) else {}
+        results = (
+            state
+            if isinstance(state, dict)
+            else getattr(state, "results", None) or {}
+        )
         return {uid for uid, st in results.items() if st == value}
     if method == "source_status":
         # reference selector_methods.py SourceStatusSelectorMethod:
@@ -141,19 +145,31 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
         elif method == "version":
             ver = node.config.get("version")
             latest = node.config.get("latest_version", ver)
+
+            def _vkey(v):
+                # numeric-aware ordering: str() compared v10 < v9
+                # lexicographically, inverting old/prerelease for any
+                # version crossing a digit-count boundary (r12 runner
+                # review #5). Floats and ints order numerically;
+                # non-numeric versions fall back to string order.
+                try:
+                    return (0, float(v), "")
+                except (TypeError, ValueError):
+                    return (1, 0.0, str(v))
+
             if value == "latest":
                 ok = ver is not None and ver == latest
             elif value == "prerelease":
                 ok = (
                     ver is not None
                     and latest is not None
-                    and str(ver) > str(latest)
+                    and _vkey(ver) > _vkey(latest)
                 )
             elif value == "old":
                 ok = (
                     ver is not None
                     and latest is not None
-                    and str(ver) < str(latest)
+                    and _vkey(ver) < _vkey(latest)
                 )
             elif value == "none":
                 ok = node.resource_type == "model" and ver is None
@@ -165,8 +181,15 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
                 node.name, value
             )
         elif method.startswith("config."):
+            # loose matching like the reference's config method: bools
+            # match their conventional lowercase CLI spelling
+            # (config.enabled:true), comparison is case-insensitive,
+            # and glob patterns work as in every other method (r12
+            # runner review #6)
             key = method[len("config."):]
-            ok = str(node.config.get(key)) == value
+            got = node.config.get(key)
+            got_s = str(got).lower() if isinstance(got, bool) else str(got)
+            ok = fnmatch.fnmatch(got_s.lower(), value.lower())
         else:
             ok = False
         if ok:
@@ -178,7 +201,13 @@ def _expand_spec(graph: nx.DiGraph, manifest: Manifest, spec: str,
                  state=None) -> set[str]:
     m = _SPEC_RE.match(spec.strip())
     if not m:
-        return set()
+        # a malformed spec is a user error, not an empty selection —
+        # silently dropping one half of 'good_model ++typo' ran the
+        # wrong node set (r12 runner review #10; dbt raises too)
+        raise SelectorError(
+            f"could not parse selection spec '{spec}' — expected "
+            "[@][N+]method:value[+[N]]"
+        )
     base = _method_match(manifest, m.group("value"), state=state)
     out = set(base)
     if m.group("parents"):
@@ -319,46 +348,74 @@ def select_from_definition(
     dicts with graph-operator keys, union/intersection lists with one
     exclude, and cross-references via method: selector (cycle-guarded
     by ``_seen`` — a self/mutually-referencing selector raises)."""
-    named = named or {}
+    d, di = _definition_raw(
+        graph, manifest, definition, named or {}, state, _seen, indirect
+    )
+    # ONE incorporation pass over the whole definition tree, exactly
+    # like the CLI path (select_nodes accumulates indirect candidates
+    # across union parts before incorporating). Per-part incorporation
+    # dropped cross-part indirect tests: union: [model_a, model_b]
+    # with cautious missed a relationships test depending on both —
+    # the documented guarantee (r12 runner review #3).
+    return _incorporate_indirect(graph, manifest, d, di - d, indirect)
+
+
+def _definition_raw(
+    graph: nx.DiGraph,
+    manifest: Manifest,
+    definition,
+    named: dict,
+    state,
+    _seen: frozenset,
+    indirect: str,
+) -> tuple[set[str], set[str]]:
+    """(direct, direct∪indirect-candidates) of a selectors.yml
+    definition subtree — set algebra runs on the raw pairs; the
+    caller incorporates once at the top."""
     if isinstance(definition, str):
-        return select_nodes(
-            graph, manifest, definition, state=state, indirect=indirect
-        )
+        return _collect_select(graph, manifest, definition, state, indirect)
     if isinstance(definition, list):
         # bare list = implicit union (lenient vs reference, which
         # requires an explicit union key at root level)
-        out: set[str] = set()
+        d_out: set[str] = set()
+        di_out: set[str] = set()
         for part in definition:
-            out |= select_from_definition(
+            d, di = _definition_raw(
                 graph, manifest, part, named, state, _seen, indirect
             )
-        return out
+            d_out |= d
+            di_out |= di
+        return d_out, di_out
     if not isinstance(definition, dict):
         raise SelectorError(
             f"selector definition must be str/dict/list, got {definition!r}"
         )
     if "union" in definition or "intersection" in definition:
         key = "union" if "union" in definition else "intersection"
-        include: list[set[str]] = []
-        excluded: set[str] = set()
+        acc_d: set[str] | None = None
+        acc_di: set[str] | None = None
+        ex_d: set[str] = set()
+        ex_di: set[str] = set()
         for part in definition[key] or []:
             if isinstance(part, dict) and "exclude" in part:
                 for e in part["exclude"] or []:
-                    excluded |= select_from_definition(
+                    ed, edi = _definition_raw(
                         graph, manifest, e, named, state, _seen, indirect
                     )
+                    ex_d |= ed
+                    ex_di |= edi
             else:
-                include.append(
-                    select_from_definition(
-                        graph, manifest, part, named, state, _seen,
-                        indirect,
-                    )
+                d, di = _definition_raw(
+                    graph, manifest, part, named, state, _seen, indirect
                 )
-        if key == "union":
-            out = set().union(*include) if include else set()
-        else:
-            out = set.intersection(*include) if include else set()
-        return out - excluded
+                if key == "union":
+                    acc_d = d if acc_d is None else (acc_d | d)
+                    acc_di = di if acc_di is None else (acc_di | di)
+                else:
+                    acc_d = d if acc_d is None else (acc_d & d)
+                    acc_di = di if acc_di is None else (acc_di & di)
+        excluded = ex_d | ex_di
+        return (acc_d or set()) - excluded, (acc_di or set()) - excluded
     if definition.get("method") == "selector":
         target = definition.get("value")
         if target not in named:
@@ -368,7 +425,7 @@ def select_from_definition(
                 f"selector cycle: '{target}' references itself "
                 f"(via {sorted(_seen)})"
             )
-        return select_from_definition(
+        return _definition_raw(
             graph, manifest, named[target]["definition"], named, state,
             _seen | {target}, indirect,
         )
@@ -385,22 +442,54 @@ def select_from_definition(
             else ("+" if definition.get("children") else "")
         )
         prefix = "@" if definition.get("childrens_parents") else ""
-        base = select_nodes(
-            graph, manifest, f"{prefix}{left}{spec}{right}", state=state,
+        d, di = _collect_select(
+            graph, manifest, f"{prefix}{left}{spec}{right}", state,
             # per-criteria yaml key wins over the invocation-level mode
-            indirect=definition.get("indirect_selection", indirect),
+            definition.get("indirect_selection", indirect),
         )
         for e in definition.get("exclude") or []:
-            base -= select_from_definition(
+            ed, edi = _definition_raw(
                 graph, manifest, e, named, state, _seen, indirect
             )
-        return base
+            d -= ed | edi
+            di -= ed | edi
+        return d, di
     if len(definition) == 1:
         k, v = next(iter(definition.items()))
-        return select_nodes(
-            graph, manifest, f"{k}:{v}", state=state, indirect=indirect
+        return _collect_select(
+            graph, manifest, f"{k}:{v}", state, indirect
         )
     raise SelectorError(f"cannot parse selector definition: {definition!r}")
+
+
+def _collect_select(
+    graph: nx.DiGraph,
+    manifest: Manifest,
+    select: str | list[str],
+    state,
+    indirect: str,
+) -> tuple[set[str], set[str]]:
+    """(direct, direct∪indirect-candidate) sets of a space/comma spec
+    string — the shared core of :func:`select_nodes` and the
+    selectors.yml evaluator (both must accumulate candidates BEFORE
+    incorporation; reference ``select_nodes_recursively``)."""
+    specs = select.split() if isinstance(select, str) else list(select)
+    selected: set[str] = set()
+    indirect_nodes: set[str] = set()
+    for union_part in specs:  # space = union
+        inter_parts = union_part.split(",")  # comma = intersection
+        acc_d: set[str] | None = None
+        acc_di: set[str] | None = None
+        for part in inter_parts:
+            coll = _expand_spec(graph, manifest, part, state=state)
+            d, i = _expand_indirect(graph, manifest, coll, indirect)
+            # reference select_nodes_recursively: combine direct
+            # sets and (direct|indirect) sets separately
+            acc_d = d if acc_d is None else (acc_d & d)
+            acc_di = (d | i) if acc_di is None else (acc_di & (d | i))
+        selected |= acc_d or set()
+        indirect_nodes |= acc_di or set()
+    return selected, indirect_nodes
 
 
 def select_nodes(
@@ -416,22 +505,9 @@ def select_nodes(
         selected = set(all_ids)
         indirect_nodes: set[str] = set()
     else:
-        specs = select.split() if isinstance(select, str) else list(select)
-        selected = set()
-        indirect_nodes = set()
-        for union_part in specs:  # space = union
-            inter_parts = union_part.split(",")  # comma = intersection
-            acc_d: set[str] | None = None
-            acc_di: set[str] | None = None
-            for part in inter_parts:
-                coll = _expand_spec(graph, manifest, part, state=state)
-                d, i = _expand_indirect(graph, manifest, coll, indirect)
-                # reference select_nodes_recursively: combine direct
-                # sets and (direct|indirect) sets separately
-                acc_d = d if acc_d is None else (acc_d & d)
-                acc_di = (d | i) if acc_di is None else (acc_di & (d | i))
-            selected |= acc_d or set()
-            indirect_nodes |= acc_di or set()
+        selected, indirect_nodes = _collect_select(
+            graph, manifest, select, state, indirect
+        )
         selected = _incorporate_indirect(
             graph, manifest, selected, indirect_nodes - selected, indirect
         )

@@ -259,11 +259,7 @@ class Runner:
             return
         if isinstance(hooks, str):
             hooks = [hooks]
-        # enumerate up front: .index() on duplicate statements would
-        # report the first position for every copy, and empty entries
-        # must not leave holes in the 'i of n' sequence
-        numbered = [h for h in hooks if h]
-        for index, hook_sql in enumerate(numbered, start=1):
+        def _render(hook_sql: str) -> str:
             if node is not None:
                 # a synthetic node (so the parent's compiled_code is
                 # not clobbered) that INHERITS the parent's identity:
@@ -280,30 +276,38 @@ class Runner:
                     config=node.config,
                 )
                 hook_node.relation = node.relation
-                rendered = self.compiler.render(hook_node, extra_ctes=[])
-            else:
-                rendered = self.compiler.render(
-                    ParsedNode(
-                        unique_id=f"operation.{self.project.name}.hook",
-                        name="hook",
-                        package_name=self.project.name,
-                        resource_type="operation",
-                        raw_code=hook_sql,
-                    ),
-                    extra_ctes=[],
-                )
-            if rendered.strip():
-                self.events.fire(EV.LogHookStartLine(
-                    statement=rendered.strip()[:60],
-                    index=index, total=len(numbered),
-                ))
-                t0 = time.time()
-                self.adapter.execute(rendered)
-                self.events.fire(EV.LogHookEndLine(
-                    statement=rendered.strip()[:60], status="success",
-                    index=index, total=len(numbered),
-                    execution_time=time.time() - t0,
-                ))
+                return self.compiler.render(hook_node, extra_ctes=[])
+            return self.compiler.render(
+                ParsedNode(
+                    unique_id=f"operation.{self.project.name}.hook",
+                    name="hook",
+                    package_name=self.project.name,
+                    resource_type="operation",
+                    raw_code=hook_sql,
+                ),
+                extra_ctes=[],
+            )
+
+        # render FIRST, then number only the non-empty results: a hook
+        # whose Jinja renders to whitespace ({% if false %}...) must
+        # not consume an index, or the 'i of n' sequence has permanent
+        # holes (r12 runner review #9 — raw-empty filtering alone was
+        # not enough)
+        numbered = [
+            r for r in (_render(h) for h in hooks if h) if r.strip()
+        ]
+        for index, rendered in enumerate(numbered, start=1):
+            self.events.fire(EV.LogHookStartLine(
+                statement=rendered.strip()[:60],
+                index=index, total=len(numbered),
+            ))
+            t0 = time.time()
+            self.adapter.execute(rendered)
+            self.events.fire(EV.LogHookEndLine(
+                statement=rendered.strip()[:60], status="success",
+                index=index, total=len(numbered),
+                execution_time=time.time() - t0,
+            ))
 
     def _write_compiled(self, node: ParsedNode) -> None:
         if node.compiled_code is None:
@@ -571,6 +575,10 @@ class Runner:
                     state_manifest.freshness_current = (
                         json.load(f).get("results", [])
                     )
+        # defer is per-invocation: clear any prior run's deferral
+        # before conditionally re-arming it (r12 runner review #2)
+        self.compiler.defer_state = None
+        self.compiler.favor_state = False
         if defer:
             from sparkt.state import StateManifest
 
@@ -626,14 +634,30 @@ class Runner:
         self.compiler.selected_uids = to_run
         # upstream non-selected nodes are not executed but must not gate
         # the queue: restrict the queue graph to selected executables,
-        # preserving transitive order between them.
+        # preserving transitive order between them. ONE topological
+        # pass links each selected node to its NEAREST selected
+        # ancestors (unselected nodes forward their reach-set) — the
+        # old per-node nx.ancestors closure + transitive_reduction
+        # materialized O(n²) edges and took 40+ s of scheduler startup
+        # on a 2,000-node chain (r12 runner review #8); this is linear
+        # in practice and needs no reduction pass (a redundant
+        # transitive edge only gates, never deadlocks).
         order_graph = nx.DiGraph()
         order_graph.add_nodes_from(to_run)
-        for uid in to_run:
-            for anc in nx.ancestors(graph, uid):
-                if anc in to_run:
-                    order_graph.add_edge(anc, uid)
-        queue = GraphQueue(nx.transitive_reduction(order_graph), to_run)
+        reach: dict[str, frozenset] = {}
+        for n in nx.topological_sort(graph):
+            preds = list(graph.predecessors(n))
+            if n in to_run:
+                for p in preds:
+                    for s in reach.get(p, ()):
+                        order_graph.add_edge(s, n)
+                reach[n] = frozenset((n,))
+            else:
+                acc: set[str] = set()
+                for p in preds:
+                    acc |= reach.get(p, frozenset())
+                reach[n] = frozenset(acc)
+        queue = GraphQueue(order_graph, to_run)
 
         # the invocation timestamp rides the record/replay bundle:
         # snapshots and microbatch embed it in generated SQL, so replay
@@ -799,7 +823,20 @@ class Runner:
             for w in workers:
                 w.join()
 
-        self._run_hooks(self.project.on_run_end)
+        # an on-run-end hook failure must not discard the completed
+        # run's results: artifacts still write (a later `retry` would
+        # otherwise read the STALE previous run_results.json and rerun
+        # the wrong node set — r12 runner review #4); the failure is
+        # recorded as an error result like a failed node
+        try:
+            self._run_hooks(self.project.on_run_end)
+        except Exception as e:  # noqa: BLE001 — any hook SQL error
+            uid = f"operation.{self.project.name}.on_run_end"
+            results[uid] = RunResult(
+                unique_id=uid,
+                status="error",
+                message=f"on-run-end hook failed: {e}",
+            )
 
         rr = RunResults(
             results=[results[uid] for uid in sorted(results)],
@@ -1073,12 +1110,16 @@ class Runner:
             del self.manifest.nodes[node.unique_id]
 
     def _reset_compile_modifiers(self) -> None:
-        """A prior run(sample=.../empty=True) on this Runner must not
-        leak its event-time slice / zero-row stubs into later
-        compile/show/inline paths (execute_nodes re-sets both per
-        invocation)."""
+        """A prior run(sample=.../empty=True/defer=True) on this
+        Runner must not leak its event-time slice / zero-row stubs /
+        deferral state into later compile/show/inline paths
+        (execute_nodes re-sets all of these per invocation; the defer
+        leak made a later plain run resolve refs to the stale state
+        manifest's relations — r12 runner review #2)."""
         self.compiler.sample_bounds = None
         self.compiler.empty = False
+        self.compiler.defer_state = None
+        self.compiler.favor_state = False
 
     def compile(self, select: str | None = None) -> Manifest:
         from sparkt import deprecations as _dep
@@ -1176,20 +1217,29 @@ class Runner:
             # so it must be a property of the DATA (max ts / file
             # mtime), not re-derived from the moving clock
             if node.loaded_at_field:
-                age = self.adapter.calculate_freshness(
-                    rel, node.loaded_at_field, node.freshness.get("filter")
-                )
                 flt = node.freshness.get("filter")
                 where = f" WHERE {flt}" if flt else ""
+                # ONE scan serves both age and max_loaded_at (r12
+                # runner review #7 — two scans doubled freshness I/O
+                # and could disagree if data landed between them);
                 # adapter-routed (not bare spark.sql) so record/replay
                 # covers source-freshness (sparkt/record.py)
+                from sparkt.relation import quote_identifier as bt
+
+                f = bt(node.loaded_at_field)
                 _, fres = self.adapter.execute(
-                    f"SELECT CAST(max({node.loaded_at_field}) AS STRING)"
-                    f" AS m FROM {rel.render()}{where}", fetch=True,
+                    f"SELECT unix_timestamp(current_timestamp()) - "
+                    f"unix_timestamp(max({f})) AS age, "
+                    f"CAST(max({f}) AS STRING) AS m "
+                    f"FROM {rel.render()}{where}", fetch=True,
                 )
-                max_loaded_at = (
-                    fres.rows[0]["m"] if len(fres) else None
+                frow = fres.rows[0] if len(fres) else None
+                age = (
+                    None
+                    if frow is None or frow["age"] is None
+                    else float(frow["age"])
                 )
+                max_loaded_at = frow["m"] if frow is not None else None
             else:
                 age = meta_ages.get(f"{rel.schema}.{rel.identifier}")
                 if age is None:

@@ -24,11 +24,25 @@ class StateManifest:
 
     def __init__(self, path: str):
         self.freshness: list[dict] = []
+        #: previous run_results statuses (uid → status) for the
+        #: result:<status> selector (reference ResultSelectorMethod
+        #: reads previous_state.results the same way; r12 runner
+        #: review #1 — this was never loaded, so result: selected
+        #: nothing)
+        self.results: dict[str, str] = {}
         if os.path.isdir(path):
             fresh_path = os.path.join(path, "sources.json")
             if os.path.exists(fresh_path):
                 with open(fresh_path) as f:
                     self.freshness = json.load(f).get("results", [])
+            rr_path = os.path.join(path, "run_results.json")
+            if os.path.exists(rr_path):
+                with open(rr_path) as f:
+                    self.results = {
+                        r["unique_id"]: str(r.get("status"))
+                        for r in json.load(f).get("results", [])
+                        if r.get("unique_id")
+                    }
             path = os.path.join(path, "manifest.json")
         with open(path) as f:
             raw = json.load(f)

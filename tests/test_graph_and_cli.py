@@ -1015,3 +1015,93 @@ def test_config_tags_append_through_cascade(make_project):
         assert select_nodes(g, runner.manifest, f"tag:{t}") == {
             "model.tg.m"
         }
+
+
+def test_on_run_end_hook_failure_still_writes_artifacts(
+    make_project, spark
+):
+    """A failing on-run-end hook no longer discards the completed
+    run's results (r12 runner review #4): run_results.json is
+    written with every node result plus an error entry for the hook,
+    so a later retry reads the REAL previous run."""
+    import json
+    import os
+
+    files = {
+        "dbt_project.yml": (
+            "name: hookfail\nmodel-paths: [models]\n"
+            "on-run-end: ['select definitely_not_a_column from nowhere']\n"
+        ),
+        "models/ok_model.sql": "select 1 as id",
+    }
+    runner = make_project(files, schema="t_hookfail")
+    res = runner.run()
+    rr_path = os.path.join(
+        runner.project.target_dir, "run_results.json"
+    )
+    assert os.path.exists(rr_path)
+    rr = json.load(open(rr_path))
+    by_uid = {r["unique_id"]: r["status"] for r in rr["results"]}
+    assert by_uid["model.hookfail.ok_model"] == "success"
+    hook_entries = [u for u in by_uid if "on_run_end" in u]
+    assert hook_entries and by_uid[hook_entries[0]] == "error"
+    assert not res.ok
+
+
+def test_hook_numbering_skips_empty_renders(make_project, spark):
+    """A hook whose Jinja renders to whitespace consumes NO index:
+    the LogHookStartLine sequence is 1..n over the hooks that
+    actually run (r12 runner review #9)."""
+    import json
+    import os
+
+    files = {
+        "dbt_project.yml": "name: hooknum\nmodel-paths: [models]\n",
+        "models/hm.sql": (
+            "{{ config(pre_hook=["
+            "'{% if false %}select 1{% endif %}', "
+            "'select 2']) }}\n"
+            "select 1 as id"
+        ),
+    }
+    runner = make_project(files, schema="t_hooknum")
+    assert runner.run().ok
+    log = os.path.join(runner.project.project_root, "logs", "dbt.log")
+    starts = [
+        json.loads(line)
+        for line in open(log)
+        if '"LogHookStartLine"' in line
+    ]
+    pairs = {
+        (e["data"]["index"], e["data"]["total"]) for e in starts
+    }
+    assert pairs == {(1, 1)}, pairs
+
+
+def test_defer_state_does_not_leak_across_invocations(
+    make_project, spark, tmp_path
+):
+    """defer is per-invocation (r12 runner review #2): a plain run()
+    or inline compile after run(defer=True) must not still resolve
+    refs against the stale state manifest."""
+    import os
+    import shutil
+
+    files = {
+        "dbt_project.yml": "name: dfl\nmodel-paths: [models]\n",
+        "models/base.sql": "select 1 as id",
+        "models/top.sql": "select * from {{ ref('base') }}",
+    }
+    runner = make_project(files, schema="t_dfl")
+    assert runner.run().ok
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    shutil.copy(
+        os.path.join(runner.project.target_dir, "manifest.json"),
+        state_dir,
+    )
+    assert runner.run(select="top", defer=True, state=state_dir).ok
+    # plain invocation afterwards: deferral cleared
+    assert runner.run().ok
+    assert runner.compiler.defer_state is None
+    assert runner.compiler.favor_state is False

@@ -177,3 +177,104 @@ selectors:
     )
     assert not any(n.startswith("relationships_") for n in names)
     assert "not_null_child_model_id" in names
+
+
+def test_yaml_union_cross_part_indirect(make_project, spark):
+    """selectors.yml union parts accumulate indirect candidates
+    BEFORE incorporation, exactly like the CLI's space-union (r12
+    runner review #3): union [child_model, parent_model] under
+    cautious selects the relationships test depending on both."""
+    from sparkt.graph.selector import select_from_definition
+
+    from sparkt.graph.linker import link_graph
+
+    runner = _setup(make_project, "t_ind_yamlu")
+    manifest = runner.manifest
+    graph = link_graph(manifest, add_test_edges=False)
+    definition = {"union": [
+        {"method": "fqn", "value": "child_model"},
+        {"method": "fqn", "value": "parent_model"},
+    ]}
+    got = select_from_definition(
+        graph, manifest, definition, indirect="cautious"
+    )
+    rel = [u for u in got if "relationships_" in u]
+    assert rel, sorted(got)
+    # single part still excludes it under cautious
+    one = select_from_definition(
+        graph, manifest, {"method": "fqn", "value": "child_model"},
+        indirect="cautious",
+    )
+    assert not [u for u in one if "relationships_" in u]
+
+
+def test_result_selector_reads_run_results(make_project, spark, tmp_path):
+    """result:<status> reads the state dir's run_results.json
+    (reference ResultSelectorMethod; r12 runner review #1 — the
+    method was dead code and always selected nothing)."""
+    import json
+    import os
+
+    from sparkt.graph.selector import select_nodes
+    from sparkt.state import StateManifest
+
+    runner = _setup(make_project, "t_ind_res")
+    target = os.path.join(runner.project.project_root, "target")
+    # craft a state dir: current manifest + a run_results marking
+    # child_model errored
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    import shutil
+
+    shutil.copy(os.path.join(target, "manifest.json"), state_dir)
+    with open(os.path.join(state_dir, "run_results.json"), "w") as f:
+        json.dump({"results": [
+            {"unique_id": "model.ind.child_model", "status": "error"},
+            {"unique_id": "model.ind.parent_model", "status": "success"},
+        ]}, f)
+    from sparkt.graph.linker import link_graph
+
+    state = StateManifest(state_dir)
+    got = select_nodes(link_graph(runner.manifest), runner.manifest,
+                       "result:error", state=state)
+    # child_model selected (plus its eager-mode attached tests);
+    # the success-status parent is not
+    assert "model.ind.child_model" in got
+    assert "model.ind.parent_model" not in got
+
+
+def test_selector_version_numeric_and_config_loose(make_project, spark):
+    """version: orders numerically (version 10 > 9 — str() compare
+    inverted it) and config.<key> matches bools loosely + globs (r12
+    runner review #5/#6)."""
+    import pytest as _pytest
+
+    from sparkt.exceptions import SelectorError
+    from sparkt.graph.selector import select_nodes
+
+    from sparkt.graph.linker import link_graph
+
+    runner = _setup(make_project, "t_ind_ver")
+    manifest = runner.manifest
+    graph = link_graph(manifest)
+    child = manifest.nodes["model.ind.child_model"]
+    child.config["version"] = 10
+    child.config["latest_version"] = 9
+    child.config["full_refresh"] = True
+    try:
+        got = select_nodes(graph, manifest, "version:prerelease")
+        assert "model.ind.child_model" in got
+        assert not select_nodes(graph, manifest, "version:old") & {
+            "model.ind.child_model"
+        }
+        got = select_nodes(graph, manifest, "config.full_refresh:true")
+        assert "model.ind.child_model" in got
+        child.config["custom_key"] = "abcdef"
+        got = select_nodes(graph, manifest, "config.custom_key:ab*")
+        assert "model.ind.child_model" in got  # glob matches
+        with _pytest.raises(SelectorError):
+            select_nodes(graph, manifest, "++child_model")
+    finally:
+        for k in ("version", "latest_version", "full_refresh",
+                  "custom_key"):
+            child.config.pop(k, None)
