@@ -78,6 +78,11 @@ class ParsedNode:
     raw_code: str = ""
     language: str = "sql"  # sql | python
     config: dict[str, Any] = field(default_factory=dict)
+    # the precedence LAYERS behind config (reference config_call_dict /
+    # unrendered project-tree config): the schema-yml patch splices
+    # between them — project tree < yml < in-file config()
+    project_tree_config: dict[str, Any] | None = None
+    config_call_dict: dict[str, Any] | None = None
     tags: list[str] = field(default_factory=list)
     # name-level deps recorded at parse; resolved to unique_ids at link
     refs: list[str] = field(default_factory=list)

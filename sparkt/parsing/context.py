@@ -36,6 +36,12 @@ from sparkt.exceptions import CompilationError, MacroReturn, ParsingError
 RUN_STARTED_AT = datetime.now(timezone.utc)
 INVOCATION_ID = str(uuid.uuid4())
 
+#: env vars read through env_var() (name → raw environ value, None =
+#: unset). The parser clears this before a parse and snapshots it into
+#: both parse caches' keys — the reference's env_vars tracking for
+#: partial-parse invalidation (core/dbt/parser/read_files.py).
+ENV_VARS_READ: dict[str, str | None] = {}
+
 
 class _Modules:
     """``modules`` namespace (``core/dbt/context/base.py:46-95``)."""
@@ -275,7 +281,18 @@ def extract_statically(env: jinja2.Environment, source: str):
         if name == "ref":
             args = [const(a) for a in call.args]
             if args and args[-1] is not None:
-                refs.append(args[-1])  # ref('pkg','name') → name
+                # version pin (ref('m', v=1) / version=1) rides along
+                # as a (name, version) tuple so the DAG edge targets
+                # the PINNED version, not latest (r12 parsing review
+                # #5)
+                ver = None
+                for kw in call.kwargs:
+                    if kw.key in ("v", "version"):
+                        ver = const(kw.value)
+                if ver is not None:
+                    refs.append((args[-1], ver))
+                else:
+                    refs.append(args[-1])  # ref('pkg','name') → name
         elif name == "source":
             args = [const(a) for a in call.args]
             if len(args) == 2 and all(a is not None for a in args):
@@ -309,7 +326,13 @@ def base_context(project_vars: dict, cli_vars: dict | None = None) -> dict:
     def env_var(name, default=None):
         import os
 
-        v = os.environ.get(name, default)
+        # record the RAW environ state (None = unset) for parse-cache
+        # invalidation: the reference tracks consumed env vars the
+        # same way, else a TENANT=b rerun serves TENANT=a's cached
+        # parse (r12 parsing review #1)
+        raw = os.environ.get(name)
+        ENV_VARS_READ[name] = raw
+        v = raw if raw is not None else default
         if v is None:
             raise ParsingError(f"env_var '{name}' is not set")
         return v
@@ -395,7 +418,8 @@ def parse_context(project_vars: dict, cli_vars: dict | None = None):
     srcs: list[tuple[str, str]] = []
 
     def ref(*args, **kwargs):
-        refs.append(args[-1])
+        ver = kwargs.get("v", kwargs.get("version"))
+        refs.append((args[-1], ver) if ver is not None else args[-1])
         return f"__parse_ref__{args[-1]}"
 
     def source(source_name, table_name):

@@ -263,11 +263,16 @@ class ManifestLoader:
                     # the whole manifest (~100 ms at 2,000 models) on
                     # its way to the file-level partial path
                     stored = pickle.load(f)
+                    env_ok = all(
+                        os.environ.get(k) == v
+                        for k, v in (stored.get("env") or {}).items()
+                    )
                     if (
                         stored.get("hashes") == hashes
                         and stored.get("node_schema") == node_schema
                         and stored.get("vars")
                         == (self.project.vars, self.cli_vars)
+                        and env_ok
                     ):
                         try:
                             manifest = pickle.load(f)
@@ -323,6 +328,13 @@ class ManifestLoader:
             FileParseCache.load(fcache_path, fkey)
             if partial else FileParseCache(fcache_path, fkey)
         )
+        # env-var invalidation (r12 parsing review #1): clear the
+        # tracker so this parse records exactly the env vars IT
+        # consumes; both caches store the snapshot and compare against
+        # the live environ on their next load.
+        from sparkt.parsing import context as _ctx_mod
+
+        _ctx_mod.ENV_VARS_READ.clear()
         self._parse_models()
         self._parse_seeds()
         self._parse_snapshots()
@@ -346,7 +358,8 @@ class ManifestLoader:
                        count_invalid_names=len(spaced))
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
-        self._pcache.save(hashes)
+        env_snapshot = dict(_ctx_mod.ENV_VARS_READ)
+        self._pcache.save(hashes, env=env_snapshot)
         try:
             import pickle
 
@@ -359,6 +372,7 @@ class ManifestLoader:
                         "hashes": hashes,
                         "node_schema": node_schema,
                         "vars": (self.project.vars, self.cli_vars),
+                        "env": env_snapshot,
                     },
                     f,
                 )
@@ -403,7 +417,12 @@ class ManifestLoader:
     # ------------------------------------------------------------- macros
     def _load_macros(self) -> None:
         sources = list(BUILTIN_MACRO_SOURCES)
-        for proj in self.all_projects:
+        # PACKAGES first, the ROOT project last: bind_macros is
+        # last-write-wins per name, and dbt resolves an unqualified
+        # macro root-project-over-packages — loading root first let a
+        # dependency shipping e.g. generate_schema_name silently
+        # clobber the user's override (r12 parsing review #4)
+        for proj in self.packages + [self.project]:
             for full, rel in _walk(
                 proj.project_root, proj.macro_paths, (".sql",)
             ):
@@ -445,8 +464,17 @@ class ManifestLoader:
             else:
                 # parse-phase render for dynamic config()/ref() the AST
                 # missed
+                # a package model sees its OWN project's vars, with
+                # the root project's overriding (dbt var precedence;
+                # r12 parsing review #10 — root-only vars made a
+                # package's self-declared var('flag') parse as None)
+                if project is not self.project:
+                    pvars = dict(project.vars or {})
+                    pvars.update(self.project.vars or {})
+                else:
+                    pvars = self.project.vars
                 pctx, collector, r_refs, r_srcs = ctx_mod.parse_context(
-                    self.project.vars, self.cli_vars
+                    pvars, self.cli_vars
                 )
                 ctx_mod.bind_macros(self.macro_templates, pctx)
                 try:
@@ -478,6 +506,14 @@ class ManifestLoader:
             merge_config_call(merged, self.project.config_for_path(
                 resource_type, rel_path, package=project.name,
             ))
+        # keep the precedence LAYERS separately so the schema-yml
+        # patch can splice between them (dbt's ladder: project tree <
+        # yml < in-file config(); r12 parsing review #2 — patching
+        # merged state inverted yml vs project-tree precedence)
+        import copy as _copy
+
+        node.project_tree_config = _copy.deepcopy(merged)
+        node.config_call_dict = _copy.deepcopy(config)
         # in-file config() merges over the project tree with dbt's
         # per-field behavior (tags/hooks append, meta dict-merges,
         # scalars clobber) — reference context_config._add_config_call
@@ -567,14 +603,49 @@ class ManifestLoader:
         sources = re.findall(
             r"""dbt\.source\(\s*['"]([\w.]+)['"]\s*,\s*['"]([\w.]+)['"]\s*\)""", raw
         )
+        # AST extraction like the reference's PythonParseVisitor
+        # (core/dbt/parser/models.py): literal values keep their types
+        # — the old regex stringified everything, so enabled=False
+        # became the truthy 'False' and the disabled model still ran
+        # (r12 parsing review #3); lists/dicts (partition_by=[...])
+        # now parse too. Non-literal values are skipped (config must
+        # be static, as in dbt).
+        import ast as _ast
+
         config: dict[str, Any] = {}
-        for m in re.finditer(r"dbt\.config\(([^)]*)\)", raw):
-            for kv in re.finditer(
-                r"""(\w+)\s*=\s*(?:['"]([^'"]*)['"]|(\w+))""", m.group(1)
-            ):
-                config[kv.group(1)] = (
-                    kv.group(2) if kv.group(2) is not None else kv.group(3)
-                )
+        try:
+            tree = _ast.parse(raw)
+        except SyntaxError:
+            tree = None
+        if tree is not None:
+            for call in _ast.walk(tree):
+                if not (
+                    isinstance(call, _ast.Call)
+                    and isinstance(call.func, _ast.Attribute)
+                    and call.func.attr == "config"
+                    and isinstance(call.func.value, _ast.Name)
+                    and call.func.value.id == "dbt"
+                ):
+                    continue
+                for kw in call.keywords:
+                    if kw.arg is None:
+                        continue
+                    try:
+                        config[kw.arg] = _ast.literal_eval(kw.value)
+                    except (ValueError, SyntaxError):
+                        pass
+        else:
+            # unparseable file: legacy regex capture (strings only)
+            for m in re.finditer(r"dbt\.config\(([^)]*)\)", raw):
+                for kv in re.finditer(
+                    r"""(\w+)\s*=\s*(?:['"]([^'"]*)['"]|(\w+))""",
+                    m.group(1),
+                ):
+                    config[kv.group(1)] = (
+                        kv.group(2)
+                        if kv.group(2) is not None
+                        else kv.group(3)
+                    )
         project = project or self.project
         node = ParsedNode(
             unique_id=f"model.{project.name}.{name}",
@@ -776,6 +847,20 @@ class ManifestLoader:
         schema = src.get("schema", source_name)
         for tbl in src.get("tables", []) or []:
             uid = f"source.{source_name}.{tbl['name']}"
+            # duplicate detection like nodes get (r12 parsing review
+            # #6): the same source.table declared by a DIFFERENT
+            # package silently overwrote the first (schema/freshness/
+            # external settings vanished, walk-order-dependent).
+            # Re-declaration within one package (yml moved/partial
+            # reparse) keeps last-wins.
+            existing = self.manifest.sources.get(uid)
+            if existing is not None and existing.package_name != project.name:
+                raise ParsingError(
+                    f"duplicate source '{source_name}.{tbl['name']}' "
+                    f"declared by both '{existing.package_name}' and "
+                    f"'{project.name}' — source names are global; "
+                    "rename one or remove the duplicate declaration"
+                )
             node = ParsedNode(
                 unique_id=uid,
                 name=tbl["name"],
@@ -833,8 +918,25 @@ class ManifestLoader:
             return
         node.description = patch.get("description", node.description)
         yml_cfg = normalize_config_keys(patch.get("config", {}) or {})
-        merged = dict(yml_cfg)
-        merged.update(node.config)  # in-file config still wins
+        call = getattr(node, "config_call_dict", None)
+        if call is not None:
+            # dbt precedence ladder (reference context_config): project
+            # tree < schema-yml < in-file config(), with per-field
+            # merge behavior (tags append, meta dict-merges) at every
+            # rung — the old merged.update(node.config) clobbered yml
+            # keys with project-tree keys (r12 parsing review #2)
+            import copy as _copy
+
+            merged = _copy.deepcopy(
+                getattr(node, "project_tree_config", {}) or {}
+            )
+            merge_config_call(merged, yml_cfg)
+            merge_config_call(merged, call)
+            node.tags = _listify(merged.get("tags"))
+        else:
+            # legacy cached node without layer info: prior behavior
+            merged = dict(yml_cfg)
+            merged.update(node.config)
         node.config = merged
         if patch.get("constraints"):
             # model-level constraints ride in config (column-level ones
@@ -858,6 +960,7 @@ class ManifestLoader:
         latest = patch.get(
             "latest_version", max((v.get("v") for v in versions), default=None)
         )
+        bound: dict[str, object] = {}
         for vspec in versions:
             v = vspec.get("v")
             defined_in = vspec.get("defined_in", f"{name}_v{v}")
@@ -869,6 +972,18 @@ class ManifestLoader:
                     f"versioned model '{name}' v{v}: no file "
                     f"'{defined_in}.sql' (or '{name}.sql')"
                 )
+            # two versions binding one file would silently overwrite
+            # each other's config and break ref(name, v=N) at compile
+            # — a parse-time error like the reference's (r12 parsing
+            # review #7)
+            if node.unique_id in bound:
+                raise ParsingError(
+                    f"versioned model '{name}': versions "
+                    f"v{bound[node.unique_id]} and v{v} both bind to "
+                    f"'{node.path}' — give each version its own file "
+                    "(name_v<N>.sql or defined_in)"
+                )
+            bound[node.unique_id] = v
             node.base_name = name
             node.config["version"] = v
             node.config["latest_version"] = latest
@@ -905,13 +1020,31 @@ class ManifestLoader:
             kwargs.pop("config", None)
             config.update(nested_cfg)
         is_source = attached.resource_type == "source"
+        # node name uses the bare macro name ('dbt_utils.x' → 'x'),
+        # like the reference — a dot inside unique_id would collide
+        # with selector syntax
+        bare = test_name.rpartition(".")[2]
         parts = (
-            [test_name, "source", attached.source_name, attached.name]
+            [bare, "source", attached.source_name, attached.name]
             if is_source
-            else [test_name, attached.name]
+            else [bare, attached.name]
         ) + ([column_name] if column_name else [])
         for v in kwargs.values():
-            parts.append(re.sub(r"\W+", "_", str(v))[:30])
+            slug = re.sub(r"\W+", "_", str(v))
+            if len(slug) > 30:
+                # disambiguating hash suffix (the reference appends a
+                # content hash to long generated names): two tests
+                # whose kwarg values share the first 30 chars must not
+                # collide on unique_id — the second silently replaced
+                # the first (r12 parsing review #8)
+                import hashlib as _h
+
+                slug = (
+                    slug[:30]
+                    + "_"
+                    + _h.md5(str(v).encode()).hexdigest()[:8]
+                )
+            parts.append(slug)
         name = "_".join(parts)
         def render_kwarg(v):
             # dbt evaluates ref()/source() kwarg values as Jinja
@@ -944,7 +1077,14 @@ class ManifestLoader:
             call_args.append(f"column_name={column_name!r}")
         if kw_render:
             call_args.append(kw_render)
-        raw = "{{ test_%s(%s) }}" % (test_name, ", ".join(call_args))
+        # a package-qualified test ('dbt_utils.not_empty_string')
+        # dispatches to the package's macro: the namespace is flat
+        # (bind_macros), so the call strips the package prefix —
+        # 'test_dbt_utils.not_empty_string' rendered as an Undefined
+        # attribute access and produced an empty subquery (r12
+        # parsing review #9)
+        macro_name = test_name.rpartition(".")[2]
+        raw = "{{ test_%s(%s) }}" % (macro_name, ", ".join(call_args))
         # tests live in the package of the node they attach to
         node = ParsedNode(
             unique_id=f"test.{attached.package_name}.{name}",
@@ -1144,10 +1284,19 @@ class ManifestLoader:
         for node in self.manifest.nodes.values():
             deps: list[str] = []
             for ref_name in node.refs:
-                target = self.manifest.ref_lookup(ref_name)
+                # a (name, version) entry is a pinned ref — the DAG
+                # edge must target the pinned version, not latest
+                # (r12 parsing review #5)
+                if isinstance(ref_name, (tuple, list)):
+                    rname, rver = ref_name[0], ref_name[1]
+                else:
+                    rname, rver = ref_name, None
+                target = self.manifest.ref_lookup(rname, version=rver)
                 if target is None:
+                    vtxt = f" v{rver}" if rver is not None else ""
                     raise ParsingError(
-                        f"{node.unique_id} depends on missing ref '{ref_name}'"
+                        f"{node.unique_id} depends on missing ref "
+                        f"'{rname}'{vtxt}"
                     )
                 deps.append(target.unique_id)
             for source_name, table_name in node.sources:

@@ -59,16 +59,25 @@ class FileParseCache:
         try:
             with open(path, "rb") as f:
                 stored = pickle.load(f)
-            if stored.get("key") == key:
+            # env vars consumed by the cached parse must still hold
+            # (None = was unset); a changed env invalidates every
+            # entry — a per-file hash can't see env drift (r12
+            # parsing review #1)
+            env_ok = all(
+                os.environ.get(k) == v
+                for k, v in (stored.get("env") or {}).items()
+            )
+            if stored.get("key") == key and env_ok:
                 cache._nodes = stored.get("nodes", {})
                 cache._docs = stored.get("docs", {})
         except Exception:  # noqa: BLE001 — absent/stale/corrupt cache
             pass
         return cache
 
-    def save(self, live_files) -> None:
+    def save(self, live_files, env: dict | None = None) -> None:
         """Persist, pruning entries for files that no longer exist
-        (``live_files`` = the current walk's hash map)."""
+        (``live_files`` = the current walk's hash map). ``env`` is the
+        env-var snapshot the parse consumed (validated on load)."""
         try:
             live = set(live_files)
             os.makedirs(os.path.dirname(self.path), exist_ok=True)
@@ -76,6 +85,7 @@ class FileParseCache:
                 pickle.dump(
                     {
                         "key": self.key,
+                        "env": dict(env or {}),
                         "nodes": {
                             p: v for p, v in self._nodes.items()
                             if p in live
