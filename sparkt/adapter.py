@@ -52,6 +52,18 @@ def _sql_str(spark: SparkSession, v) -> str:
     return s.replace("'", "''")
 
 
+def _is_pure_query(sql: str) -> bool:
+    """True for statements that are lazy under ``spark.sql`` (plain
+    queries) — these need an explicit action in non-fetch execute().
+    DDL/DML keywords run eagerly and must NOT be re-executed."""
+    head = sql.lstrip().lstrip("(").split(None, 1)
+    first = head[0].upper() if head else ""
+    if first.startswith("/*"):  # leading comment block — look past it
+        after = sql.split("*/", 1)
+        return _is_pure_query(after[1]) if len(after) == 2 else False
+    return first in ("SELECT", "WITH", "VALUES", "TABLE", "FROM")
+
+
 @dataclass
 class ExecuteResult:
     """Driver-side result set (the reference's agate table analogue,
@@ -81,6 +93,9 @@ class SparkAdapter:
         ensure_runtime_conf(spark)
         self.warehouse_dir = warehouse_dir
         self._ddl_lock = threading.RLock()
+        # serializes models that carry spark_session_conf overrides
+        # (pre_model_hook → post_model_hook); see pre_model_hook
+        self._session_conf_lock = threading.RLock()
         os.makedirs(warehouse_dir, exist_ok=True)
         self._catalog_path = os.path.join(warehouse_dir, "catalog.json")
         self._catalog: dict[str, dict] = {}
@@ -239,6 +254,21 @@ class SparkAdapter:
                                 )
                         elif entry["kind"] == "view":
                             self.create_view_as(rel, entry["sql"])
+                        elif entry["kind"] == "clone":
+                            # re-emit the zero-copy clone (delta-only,
+                            # like the original statement; on a
+                            # non-delta session this fails and the
+                            # entry is dropped as stale, explicitly)
+                            from sparkt.sqlcheck import (
+                                check_shallow_clone,
+                            )
+
+                            self.create_schema(schema)
+                            self.execute(check_shallow_clone(
+                                f"CREATE OR REPLACE TABLE "
+                                f"{rel.render()} SHALLOW CLONE "
+                                f"{entry['cloned_from']}"
+                            ))
                     except Exception:  # noqa: BLE001 — retry next round
                         failed.append((key, entry))
                 if len(failed) == len(pending):  # no progress: stale
@@ -289,22 +319,47 @@ class SparkAdapter:
         """Per-node session prep hook. Spark analogue: apply per-model
         session overrides (e.g. ``spark.sql.shuffle.partitions``) from
         ``config['spark_session_conf']``; returns the previous values for
-        ``post_model_hook`` to restore."""
+        ``post_model_hook`` to restore.
+
+        Models CARRYING overrides serialize on a lock held until their
+        post hook (r12 adapter review #3): session conf is global, so
+        two concurrent overriders of the same key would snapshot each
+        other's values as 'prev' and the restore would wedge the wrong
+        default permanently. Models without overrides don't take the
+        lock (and may still observe an overrider's conf while it runs
+        — the documented shared-session limitation; isolate via
+        threads=1 or per-worker sessions)."""
+        overrides = config.get("spark_session_conf") or {}
+        if not overrides:
+            return {}
+        self._session_conf_lock.acquire()
         prev: dict[str, str] = {}
-        for k, v in (config.get("spark_session_conf") or {}).items():
-            try:
-                prev[k] = self.spark.conf.get(k)
-            except Exception:  # noqa: BLE001 — unset key
-                prev[k] = None
-            self.spark.conf.set(k, str(v))
+        try:
+            for k, v in overrides.items():
+                try:
+                    prev[k] = self.spark.conf.get(k)
+                except Exception:  # noqa: BLE001 — unset key
+                    prev[k] = None
+                self.spark.conf.set(k, str(v))
+        except BaseException:
+            self._session_conf_lock.release()
+            raise
         return prev
 
     def post_model_hook(self, config: dict, context: dict) -> None:
-        for k, v in (context or {}).items():
-            if v is None:
-                self.spark.conf.unset(k)
-            else:
-                self.spark.conf.set(k, v)
+        # keyed on the returned STATE, not config: pre returns a
+        # non-empty prev-map exactly when it applied overrides (and
+        # took the lock)
+        if not context:
+            return
+        try:
+            for k, v in context.items():
+                if v is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, v)
+        finally:
+            self._session_conf_lock.release()
 
     # ------------------------------------------------- relations cache
     def set_relations_cache(self, relations: list[Relation]) -> None:
@@ -368,9 +423,14 @@ class SparkAdapter:
                     rows_affected=len(rows),
                 )
             else:
-                # Non-fetch DQL still needs an action for
-                # side-effect-free SQL; DDL/DML in Spark executes
-                # eagerly inside .sql().
+                # DDL/DML executes eagerly inside .sql(); a pure
+                # SELECT is lazy, so a non-fetch query (a validating
+                # hook like SELECT assert_true(...)) needs an explicit
+                # action or it silently never runs (r12 adapter review
+                # #6). The noop sink executes the full query without
+                # collecting anything to the driver.
+                if _is_pure_query(sql):
+                    df.write.format("noop").mode("overwrite").save()
                 result = "OK", ExecuteResult(column_names=list(df.columns))
         except Exception:
             # a failed statement still terminates its E016 with a
@@ -431,7 +491,13 @@ class SparkAdapter:
     # -------------------------------------------------------------- catalog
     def get_relation(self, schema: str, identifier: str) -> Relation | None:
         try:
-            tbl = self.spark.catalog.getTable(f"{schema}.{identifier}")
+            # QUOTED probe (r12 adapter review #1): the DDL path quotes
+            # reserved-word names, so the catalog probe must too —
+            # unquoted getTable('s.order') parse-errors and the
+            # existing table looked permanently absent
+            tbl = self.spark.catalog.getTable(
+                f"{self.quote(schema)}.{self.quote(identifier)}"
+            )
         except Exception:
             return None
         rel_type = "view" if tbl.tableType == "VIEW" else "table"
@@ -463,9 +529,7 @@ class SparkAdapter:
     def partition_columns(self, relation: Relation) -> list[str]:
         """Partition column names of a catalog table ([] if unpartitioned)."""
         try:
-            cols = self.spark.catalog.listColumns(
-                f"{relation.schema}.{relation.identifier}"
-            )
+            cols = self.spark.catalog.listColumns(relation.render())
         except Exception:
             return []
         return [c.name for c in cols if c.isPartition]
@@ -551,9 +615,12 @@ class SparkAdapter:
                 return
             raw = relation.with_suffix("__raw")
             if not self.relation_exists(raw):
+                # user OPTIONS apply to the raw table too (r12 adapter
+                # review #8 — the ns path silently dropped e.g.
+                # mergeSchema/recursiveFileLookup)
                 self.spark.sql(
-                    f"CREATE TABLE {raw.render()} USING parquet "
-                    f"LOCATION '{_sql_str(self.spark, path)}'"
+                    f"CREATE TABLE {raw.render()} USING parquet"
+                    f"{opt_clause} LOCATION '{_sql_str(self.spark, path)}'"
                 )
             cols = [f.name for f in self.spark.table(raw.render()).schema.fields]
             exprs = ", ".join(ns_fix_exprs(cols, ns_cols))
@@ -561,8 +628,10 @@ class SparkAdapter:
                 f"CREATE OR REPLACE VIEW {relation.render()} AS "
                 f"SELECT {exprs} FROM {raw.render()}"
             )
+            # options persist so a catalog restore re-applies them
             self._record(relation, obj_type="view",
-                         kind="external", path=path, fmt="parquet")
+                         kind="external", path=path, fmt="parquet",
+                         options=options or {})
 
     def create_view_as(self, relation: Relation, select_sql: str) -> None:
         self.create_schema(relation.schema)
@@ -773,7 +842,12 @@ class SparkAdapter:
             f"CREATE OR REPLACE TABLE {target.render()} "
             f"SHALLOW CLONE {source_name}"
         ))
-        self._record(target, kind="table", cloned_from=source_name)
+        # kind='clone', not 'table' (r12 adapter review #7): a clone
+        # has no parquet LOCATION of its own, and the 'table' restore
+        # branch KeyError'd on entry['location'] — the fixpoint loop
+        # then silently dropped the clone (and its grants) from the
+        # catalog on every restart
+        self._record(target, kind="clone", cloned_from=source_name)
 
     @staticmethod
     def merge_into_sql(
@@ -973,9 +1047,10 @@ class SparkAdapter:
         }
 
     def insert_into(self, relation: Relation, select_sql: str) -> None:
-        self.spark.sql(self._commented(
-            f"INSERT INTO {relation.render()} {select_sql}"
-        ))
+        # through execute() (r12 adapter review #10): the long-running
+        # writes get the query comment AND the E016/E017 SQLQuery
+        # event pair like every other statement
+        self.execute(f"INSERT INTO {relation.render()} {select_sql}")
 
     def insert_overwrite(
         self, relation: Relation, select_sql: str
@@ -996,7 +1071,7 @@ class SparkAdapter:
         # partitionOverwriteMode=dynamic is pinned in __init__
         # (ensure_runtime_conf); under STATIC this statement would
         # replace the whole table.
-        self.spark.sql(
+        self.execute(
             f"INSERT OVERWRITE TABLE {relation.render()} {select_sql}"
         )
 
@@ -1148,13 +1223,18 @@ class SparkAdapter:
             return None
         newest = 0.0
         if os.path.isdir(path):
+            # any DATA file counts, whatever the source format — a
+            # parquet-only filter reported csv/json directory sources
+            # as having no freshness at all (r12 adapter review #9);
+            # only hidden/metadata entries (_SUCCESS, .crc) are skipped
             for dirpath, _, files in os.walk(path):
                 for fn in files:
-                    if fn.endswith(".parquet"):
-                        newest = max(
-                            newest,
-                            os.path.getmtime(os.path.join(dirpath, fn)),
-                        )
+                    if fn.startswith((".", "_")):
+                        continue
+                    newest = max(
+                        newest,
+                        os.path.getmtime(os.path.join(dirpath, fn)),
+                    )
         else:
             newest = os.path.getmtime(path)
         return None if newest == 0.0 else newest

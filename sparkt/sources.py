@@ -19,31 +19,60 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession
 
 
-@lru_cache(maxsize=512)
+def _first_parquet_file(path: str) -> str | None:
+    """First data file under ``path`` — RECURSIVE, so hive-partitioned
+    layouts (date=.../part-0.parquet) are found too (r12 adapter
+    review #4: a top-level-only listdir returned () and ns columns
+    silently stayed BIGINT)."""
+    if not os.path.isdir(path):
+        return path
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return None
+
+
 def ns_timestamp_columns(path: str) -> tuple[str, ...]:
-    """Column names with timestamp[ns] physical type (parquet footer)."""
+    """Column names with timestamp[ns] physical type (parquet footer).
+
+    Cached per (file, mtime): caching on the path alone pinned stale
+    footer metadata when a staged directory gained files later in the
+    process lifetime (r12 adapter review #5)."""
+    data_file = _first_parquet_file(path)
+    if data_file is None:
+        return ()
+    try:
+        sig = os.path.getmtime(data_file)
+    except OSError:
+        return ()
+    return _ns_cols_cached(data_file, sig)
+
+
+@lru_cache(maxsize=512)
+def _ns_cols_cached(data_file: str, _sig: float) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        inner = [
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
-        ]
-        if not inner:
-            return ()
-        path = inner[0]
-    schema = pq.read_schema(path)
+    schema = pq.read_schema(data_file)
     return tuple(
         f.name for f in schema if str(f.type).startswith("timestamp[ns")
     )
 
 
+def _bt(name: str) -> str:
+    from sparkt.relation import quote_identifier
+
+    return quote_identifier(name)
+
+
 def ns_fix_exprs(columns: list[str], ns_cols: tuple[str, ...]) -> list[str]:
+    # quoted (r12 adapter review #2): a reserved-word or
+    # special-character column name must survive the repair SQL
     return [
-        f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT)) AS {c}"
+        f"timestamp_micros(CAST({_bt(c)} DIV 1000 AS BIGINT)) AS {_bt(c)}"
         if c in ns_cols
-        else c
+        else _bt(c)
         for c in columns
     ]
 
@@ -68,7 +97,8 @@ def repair_event_time(df: DataFrame, ns_cols: tuple[str, ...] = ()) -> DataFrame
     out = df
     for c in ns_cols:
         out = out.withColumn(
-            c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+            c,
+            F.expr(f"timestamp_micros(CAST({_bt(c)} DIV 1000 AS BIGINT))"),
         )
     for f in out.schema.fields:
         if isinstance(f.dataType, TimestampNTZType):
