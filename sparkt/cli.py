@@ -464,8 +464,13 @@ def _list_cmd(name: str):
             from sparkt.graph.selector import select_nodes
 
             graph = link_graph(runner.manifest)
+            rts = set(resource_types)
             for uid in sorted(select_nodes(graph, runner.manifest,
                                            select, exclude)):
+                # --resource-type applies here too (r12 cli review
+                # #4: scripted uid output included every type)
+                if rts and uid.split(".", 1)[0] not in rts:
+                    continue
                 click.echo(uid)
             return
         keys = set(output_keys.split()) if output_keys else None
@@ -538,10 +543,6 @@ def clean(project_dir):
     project_root = os.path.realpath(proj.project_root)
     for target in proj.clean_targets:
         path = os.path.realpath(os.path.join(proj.project_root, target))
-        if path in source_paths:
-            click.echo(f"ERROR: refusing to clean source path {target}",
-                       err=True)
-            raise SystemExit(2)
         # reference clean task: clean_project_files_only — refuse any
         # target that resolves outside (or to) the project root, so
         # '..', absolute paths, and symlink escapes never rmtree the
@@ -550,6 +551,15 @@ def clean(project_dir):
             click.echo(
                 f"ERROR: refusing to clean path outside project: {target}",
                 err=True)
+            raise SystemExit(2)
+        # ancestor check, not equality (r12 cli review #3): cleaning
+        # 'src' with model-paths [src/models] would rmtree the models
+        if any(
+            sp == path or sp.startswith(path + os.sep)
+            for sp in source_paths
+        ):
+            click.echo(f"ERROR: refusing to clean source path {target}",
+                       err=True)
             raise SystemExit(2)
         click.echo(f"Checking {target}/*")
         shutil.rmtree(path, ignore_errors=True)

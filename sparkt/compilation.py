@@ -147,16 +147,47 @@ def _make_write(project, node):
     return write
 
 
+def _skip_leading_comments(sql: str) -> int:
+    """Index of the first real SQL token, past leading ``--`` line and
+    ``/* */`` block comments — a WITH behind a comment must still be
+    detected or the injection emits a double-WITH parse error (r12
+    compilation review #5; the reference uses sqlparse for this)."""
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i].isspace():
+            i += 1
+        elif sql.startswith("--", i):
+            nl = sql.find("\n", i)
+            if nl == -1:
+                return n
+            i = nl + 1
+        elif sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            if end == -1:
+                return n
+            i = end + 2
+        else:
+            break
+    return i
+
+
 def inject_ctes_into_sql(sql: str, ctes: list[tuple[str, str]]) -> str:
     """Reference ``compilation.py:540-608``."""
     if not ctes:
         return sql
     cte_text = ", ".join(f"{name} as ({body.strip().rstrip(';')})" for name, body in ctes)
-    m = _WITH_RE.match(sql)
+    start = _skip_leading_comments(sql)
+    m = _WITH_RE.match(sql[start:])
     if m:
-        idx = m.end()
+        idx = start + m.end()
         return sql[:idx] + " " + cte_text + "," + sql[idx:]
-    return f"with {cte_text} {sql}"
+    # injected WITH goes AFTER the leading comments: a '-- note'
+    # line comment would otherwise swallow the rest of the line
+    return (
+        f"{sql[:start]}with {cte_text} {sql[start:]}"
+        if start
+        else f"with {cte_text} {sql}"
+    )
 
 
 class Compiler:
@@ -337,6 +368,32 @@ class Compiler:
         )
 
     # ------------------------------------------------------------------
+    def _graph_view(self) -> dict:
+        """The ``graph`` context var, built ONCE per manifest shape:
+        rebuilding the manifest-wide dict for every node render was
+        O(N) per compile → O(N²) per invocation (r12 compilation
+        review #9). The inner per-node dicts hold LIVE references
+        (tags/config), so config mutations stay visible; only a node
+        count change (inline temp nodes) triggers a rebuild."""
+        cached = getattr(self, "_graph_view_cache", None)
+        shape = (len(self.manifest.nodes), len(self.manifest.sources))
+        if cached is not None and cached[0] == shape:
+            return cached[1]
+        view = {
+            "nodes": {
+                uid: {"name": n.name, "resource_type": n.resource_type,
+                      "tags": n.tags, "config": n.config}
+                for uid, n in self.manifest.nodes.items()
+            },
+            "sources": {
+                uid: {"name": n.name, "source_name": n.source_name}
+                for uid, n in self.manifest.sources.items()
+            },
+        }
+        self._graph_view_cache = (shape, view)
+        return view
+
+    # ------------------------------------------------------------------
     def runtime_context(
         self,
         node: ParsedNode,
@@ -450,17 +507,7 @@ class Compiler:
                 "schema": this.schema,
                 "pre_hooks": node.config.get("pre_hook", []),
                 "post_hooks": node.config.get("post_hook", []),
-                "graph": {
-                    "nodes": {
-                        uid: {"name": n.name, "resource_type": n.resource_type,
-                              "tags": n.tags, "config": n.config}
-                        for uid, n in self.manifest.nodes.items()
-                    },
-                    "sources": {
-                        uid: {"name": n.name, "source_name": n.source_name}
-                        for uid, n in self.manifest.sources.items()
-                    },
-                },
+                "graph": self._graph_view(),
                 # remaining provider-context tail (SURVEY §2.3 /
                 # reference providers.py; each cited inline):
                 # the node's raw SQL (providers.py:1365)

@@ -172,7 +172,16 @@ class SemanticLayer:
             lambda m: sm.dimensions.get(m.group(1), m.group(1)),
             metric_filter,
         )
-        return AGG_SQL[measure.agg].format(
+        tmpl = AGG_SQL.get(measure.agg)
+        if tmpl is None:
+            # the same typed error the unfiltered path raises via
+            # Measure.to_sql — a filter must not turn it into a bare
+            # KeyError (r12 semantic review #7)
+            raise CompilationError(
+                f"unsupported measure agg '{measure.agg}' "
+                f"(supported: {', '.join(sorted(AGG_SQL))})"
+            )
+        return tmpl.format(
             e=f"case when {inner} then {measure.expr} end",
             p=(0.5 if measure.percentile is None else measure.percentile),
         )
@@ -224,9 +233,24 @@ class SemanticLayer:
                             "aggregates; query them separately"
                         )
                     tok = f"\x00M{len(tokens)}\x00"
-                    sub_expr, sm_ref = self._metric_select_expr(
+                    sub_expr, sub_sm = self._metric_select_expr(
                         sub, _seen
                     )
+                    # components must share ONE semantic model: the
+                    # compiled SELECT runs against a single relation,
+                    # so a cross-model expr would reference missing
+                    # columns (or same-named wrong ones) and which
+                    # model won depended on metric-name length (r12
+                    # semantic review #2)
+                    if sm_ref is not None and sub_sm.name != sm_ref.name:
+                        raise CompilationError(
+                            f"derived metric '{metric.name}' mixes "
+                            f"metrics from semantic models "
+                            f"'{sm_ref.name}' and '{sub_sm.name}' — "
+                            "cross-model derivation is not supported; "
+                            "materialize the components first"
+                        )
+                    sm_ref = sub_sm
                     tokens[tok] = f"({sub_expr})"
                     expr = re.sub(rf"\b{re.escape(name)}\b", tok, expr)
             for tok, sql in tokens.items():
@@ -338,6 +362,20 @@ class SemanticLayer:
         part = (
             f"PARTITION BY {', '.join(o for _, o in cat)} " if cat else ""
         )
+        # the outer re-aggregation over time must honor the measure's
+        # agg: per-grain COUNTs re-aggregate by SUM, but a running MIN
+        # over per-day minima is min(), not sum() — the hardcoded sum
+        # silently returned wrong numbers for min/max measures (r12
+        # semantic review #1)
+        _REAGG = {
+            "sum": "sum", "count": "sum", "sum_boolean": "sum",
+            "min": "min", "max": "max",
+        }
+
+        def _reagg_fn(met):
+            _, measure = self._find_measure(met.measure)
+            return _REAGG[measure.agg]
+
         outer = []
         for i, met in enumerate(metrics):
             if met.type == "simple":
@@ -347,19 +385,21 @@ class SemanticLayer:
                     f"date_trunc('{met.grain_to_date}', {t_out})"
                 ]
                 outer.append(
-                    f"sum(__base_{i}) OVER (PARTITION BY "
+                    f"{_reagg_fn(met)}(__base_{i}) OVER (PARTITION BY "
                     f"{', '.join(gtd_keys)} ORDER BY {t_out} "
                     f"ROWS UNBOUNDED PRECEDING) AS {met.name}"
                 )
             elif met.window:
                 outer.append(
-                    f"sum(__base_{i}) OVER ({part}ORDER BY {t_out} "
+                    f"{_reagg_fn(met)}(__base_{i}) OVER ({part}"
+                    f"ORDER BY {t_out} "
                     f"RANGE BETWEEN {self._interval(met.window)} PRECEDING "
                     f"AND CURRENT ROW) AS {met.name}"
                 )
             else:
                 outer.append(
-                    f"sum(__base_{i}) OVER ({part}ORDER BY {t_out} "
+                    f"{_reagg_fn(met)}(__base_{i}) OVER ({part}"
+                    f"ORDER BY {t_out} "
                     f"ROWS UNBOUNDED PRECEDING) AS {met.name}"
                 )
         out_dims = [t_out] + [o for _, o in cat]
@@ -454,6 +494,12 @@ class SemanticLayer:
         """Compile a metrics query: SELECT dims..., metric_exprs...
         FROM semantic_model GROUP BY dims. Cumulative and conversion
         metrics dispatch to their dedicated SQL shapes."""
+        if not metric_names:
+            # a typed error, not an AttributeError on the never-set
+            # sm_used downstream (r12 semantic review #6)
+            raise CompilationError(
+                "metrics query needs at least one metric"
+            )
         metrics = []
         for name in metric_names:
             metric = self.metrics.get(name)

@@ -220,16 +220,10 @@ def run_windowed_stream(
     from sparkt.sources import ensure_nanos_conf
 
     ensure_nanos_conf(spark)
-    schema = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(source_dir)
-        .schema
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(source_dir)
-    )
+    # the shared infer-then-readStream helper (r12 streaming review
+    # #10 — this path had an inline parquet-only copy that could
+    # drift from stream_append/stream_upsert's)
+    stream = _open_file_stream(spark, source_dir, None, "parquet")
     if transform is not None:
         stream = transform(stream)
     agg = windowed_aggregate(stream, ts_col, window_duration,

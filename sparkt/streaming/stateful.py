@@ -145,10 +145,16 @@ def stateful_sessionize(
     inline; the trailing open session waits in state."""
     unit_seconds = {
         "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
     }
-    count, unit = gap.split()
-    gap_us = int(count) * unit_seconds[unit] * 1_000_000
+    try:
+        count, unit = gap.split()
+        gap_us = int(count) * unit_seconds[unit] * 1_000_000
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"stateful_sessionize: cannot parse gap {gap!r} — expected "
+            f"'<n> <unit>' with unit one of {sorted(unit_seconds)}"
+        ) from None
     renamed = stream.select(
         col(user_col).alias("user_id"), col(ts_col).alias("ts")
     ).withWatermark("ts", watermark)

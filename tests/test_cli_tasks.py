@@ -473,3 +473,53 @@ models:
         select="b", defer=True, defer_state=state_dir, favor_state=True
     )
     assert res.ok
+
+
+def test_clean_refuses_ancestor_of_source_path(tmp_path):
+    """clean-targets resolving to an ANCESTOR of a source path is
+    refused (r12 review: equality-only matching rmtree'd src/ while
+    model-paths was src/models)."""
+    import os
+
+    from click.testing import CliRunner
+
+    from sparkt.cli import cli
+
+    proj = str(tmp_path / "anc")
+    os.makedirs(os.path.join(proj, "src", "models"))
+    with open(os.path.join(proj, "dbt_project.yml"), "w") as f:
+        f.write(
+            "name: anc\nmodel-paths: [src/models]\n"
+            "clean-targets: [src]\n"
+        )
+    with open(os.path.join(proj, "src", "models", "m.sql"), "w") as f:
+        f.write("select 1 as id")
+    res = CliRunner().invoke(cli, ["clean", "--project-dir", proj])
+    assert res.exit_code == 2
+    assert "source path" in res.output
+    assert os.path.exists(os.path.join(proj, "src", "models", "m.sql"))
+
+
+def test_ls_unique_id_respects_resource_type(make_project, spark):
+    """--output unique_id honors --resource-type (r12 review: it
+    printed every node type)."""
+    from click.testing import CliRunner
+
+    from sparkt.cli import cli
+
+    files = {
+        "dbt_project.yml": (
+            "name: lsf\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        "models/m1.sql": "select 1 as id",
+        "seeds/s1.csv": "id\n1\n",
+    }
+    runner = make_project(files, schema="t_lsf")
+    res = CliRunner().invoke(cli, [
+        "ls", "--project-dir", runner.project.project_root,
+        "--output", "unique_id", "--resource-type", "model",
+    ])
+    assert res.exit_code == 0, res.output
+    lines = [ln for ln in res.output.splitlines() if ln.strip()]
+    assert "model.lsf.m1" in lines
+    assert all(ln.startswith("model.") for ln in lines), lines

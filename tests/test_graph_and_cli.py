@@ -1105,3 +1105,33 @@ def test_defer_state_does_not_leak_across_invocations(
     assert runner.run().ok
     assert runner.compiler.defer_state is None
     assert runner.compiler.favor_state is False
+
+
+def test_ephemeral_cte_injection_after_leading_comment(
+    make_project, spark
+):
+    """An ephemeral-ref'ing model whose compiled SQL begins with a
+    comment before its own WITH still injects the CTE into the ONE
+    WITH clause (r12 review: the regex missed the comment-shadowed
+    WITH and emitted a double-WITH parse error)."""
+    files = {
+        "dbt_project.yml": "name: cte\nmodel-paths: [models]\n",
+        "models/eph.sql": (
+            "{{ config(materialized='ephemeral') }}\nselect 1 as id"
+        ),
+        "models/uses.sql": (
+            "-- leading note\n"
+            "with base as (select * from {{ ref('eph') }})\n"
+            "select * from base"
+        ),
+        "models/uses_block.sql": (
+            "/* block\n   comment */\n"
+            "with base as (select * from {{ ref('eph') }})\n"
+            "select * from base"
+        ),
+    }
+    runner = make_project(files, schema="t_cte")
+    res = runner.run()
+    assert res.ok, [str(r.message) for r in res.results]
+    assert spark.table("t_cte.uses").count() == 1
+    assert spark.table("t_cte.uses_block").count() == 1

@@ -280,3 +280,69 @@ def test_semantic_review_fixes(make_project, spark):
         layer.compile_query(["bad_derived"], [])
     with pytest.raises(CompilationError, match="cycle"):
         layer.compile_query(["loop_a"], [])
+
+
+def test_cumulative_min_max_reaggregate_correctly(make_project, spark):
+    """The outer time window re-aggregates with the MEASURE'S agg
+    (r12 review: sum() was hardcoded — a running min over per-day
+    minima 10, 5 returned 15 instead of 5)."""
+    files = dict(CUMUL_FILES)
+    files["models/semantic.yml"] = """
+version: 2
+semantic_models:
+  - name: daily_sm
+    model: ref('fct_daily')
+    defaults: {agg_time_dimension: ds}
+    dimensions:
+      - {name: ds, type: time, expr: ds}
+      - {name: region, expr: region}
+    measures:
+      - {name: amount_min, agg: min, expr: amount}
+      - {name: amount_max, agg: max, expr: amount}
+metrics:
+  - {name: running_min, type: cumulative, type_params: {measure: amount_min}}
+  - {name: running_max, type: cumulative, type_params: {measure: amount_max}}
+"""
+    runner = make_project(files, schema="t_semmm")
+    assert runner.seed().ok and runner.run().ok
+    rows = runner.query_metrics(
+        ["running_min", "running_max"],
+        dimensions=["metric_time__day", "region"],
+    ).collect()
+    east = {str(r["metric_time_day"])[:10]: r for r in rows
+            if r["region"] == "east"}
+    # east amounts: 10, 20, 30, 40 over 4 days
+    assert east["2024-01-03"]["running_min"] == 10  # was 60 under sum
+    assert east["2024-01-03"]["running_max"] == 30
+    assert east["2024-01-05"]["running_min"] == 10
+    assert east["2024-01-05"]["running_max"] == 40
+
+
+def test_derived_cross_model_raises(make_project, spark):
+    """A derived metric mixing semantic models is a typed error
+    (r12 review: it silently compiled against whichever model's
+    metric name was longest)."""
+    from sparkt.exceptions import CompilationError
+
+    files = dict(FILES)
+    files["models/fct_other.sql"] = (
+        "{{ config(materialized='table') }}\n"
+        "select 1 as clicks"
+    )
+    files["models/semantic2.yml"] = """
+version: 2
+semantic_models:
+  - name: other_sm
+    model: ref('fct_other')
+    measures:
+      - {name: click_count, agg: sum, expr: clicks}
+metrics:
+  - {name: total_clicks, type: simple, measure: click_count}
+  - {name: bad_mix, type: derived, expr: "total_revenue + total_clicks"}
+"""
+    runner = make_project(files, schema="t_semx")
+    assert runner.seed().ok and runner.run().ok
+    with pytest.raises(CompilationError, match="mixes"):
+        runner.query_metrics(["bad_mix"])
+    with pytest.raises(CompilationError, match="at least one metric"):
+        runner.query_metrics([])
