@@ -54,9 +54,11 @@ def test_similarity_plan_size_at_high_dim(spark):
     plane/cell, not dim Literal nodes (VERDICT r3 #5: the per-element
     form cost 8.6s of analyzer time at dim=768 × 16 planes before a
     single row moved — a plan-compile scale-killer at real embedding
-    widths). Bound: analysis at dim=768 completes in seconds."""
-    import time
-
+    widths). Checked STRUCTURALLY: the analyzed plan must stay small
+    (the bloated form carries dim × planes ≈ 12k literal nodes and a
+    plan string hundreds of KB long) — a deterministic bound, unlike
+    the old 5 s wall-clock assert that flaked under full-suite load
+    (10.4 s on a busy box with the GOOD plan)."""
     from sparkt.functions.similarity import (
         _cell_assignment, _pseudo_centroids, hyperplane_bits,
     )
@@ -66,19 +68,32 @@ def test_similarity_plan_size_at_high_dim(spark):
         [(i, [float(j % 7) for j in range(dim)]) for i in range(3)],
         ["id", "embedding"],
     )
-    t0 = time.time()
     planes = base.select(
         hyperplane_bits(F.col("embedding"), dim, n_planes=16).alias("b")
     )
-    planes.schema  # forces analysis
+    plan_planes = planes._jdf.queryExecution().analyzed().toString()
     cells = base.select(
         _cell_assignment(
             F.col("embedding"), _pseudo_centroids(dim, 32)
         ).alias("c")
     )
-    cells.schema
-    elapsed = time.time() - t0
-    assert elapsed < 5.0, f"analysis took {elapsed:.1f}s — literal bloat is back"
+    plan_cells = cells._jdf.queryExecution().analyzed().toString()
+    # the constant arrays must enter the plan as from_json(...) nodes
+    # (2 expression nodes each) — the bloat regression is replacing
+    # _const_array with per-element F.array(Literal × dim), which has
+    # ZERO from_json nodes and dim × planes literal children. (Plan
+    # STRING length is no discriminator: the floats appear inside the
+    # JSON literal either way.)
+    assert plan_planes.count("from_json") >= 16, (
+        "hyperplane constants are not from_json array literals — "
+        "literal bloat is back"
+    )
+    # toString truncates wide structs ("... 7 more fields"), so the
+    # bound is conservative — the discriminator is many-vs-ZERO
+    assert plan_cells.count("from_json") >= 8, (
+        "centroid constants are not from_json array literals — "
+        "literal bloat is back"
+    )
     assert planes.first()["b"] is not None
     assert 0 <= cells.first()["c"] < 32
 
