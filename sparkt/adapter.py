@@ -55,12 +55,16 @@ def _sql_str(spark: SparkSession, v) -> str:
 def _is_pure_query(sql: str) -> bool:
     """True for statements that are lazy under ``spark.sql`` (plain
     queries) — these need an explicit action in non-fetch execute().
-    DDL/DML keywords run eagerly and must NOT be re-executed."""
-    head = sql.lstrip().lstrip("(").split(None, 1)
+    DDL/DML keywords run eagerly and must NOT be re-executed. Leading
+    ``--`` and ``/* */`` comments are skipped with the compilation
+    module's scanner (second-opinion review #3: a '-- note' line
+    before the SELECT made this return False and the validating query
+    silently never ran)."""
+    from sparkt.compilation import _skip_leading_comments
+
+    body = sql[_skip_leading_comments(sql):].lstrip().lstrip("(")
+    head = body.split(None, 1)
     first = head[0].upper() if head else ""
-    if first.startswith("/*"):  # leading comment block — look past it
-        after = sql.split("*/", 1)
-        return _is_pure_query(after[1]) if len(after) == 2 else False
     return first in ("SELECT", "WITH", "VALUES", "TABLE", "FROM")
 
 
@@ -487,6 +491,30 @@ class SparkAdapter:
 
     def list_schemas(self) -> list[str]:
         return [d.name for d in self.spark.catalog.listDatabases()]
+
+    # --------------------------------------------- durable relation meta
+    def set_relation_meta(self, relation: Relation, **meta) -> None:
+        """Annotate the DURABLE catalog entry (catalog.json) for a
+        relation — survives process restarts, unlike TBLPROPERTIES on
+        the in-memory Spark catalog, which _restore_catalog's CREATE
+        TABLE does not re-apply (second-opinion review #2: the MV
+        on_configuration_change hash must persist across CLI
+        invocations)."""
+        key = f"{relation.schema}.{relation.identifier}"
+        entry = self._catalog.get(key)
+        if entry is None:
+            return
+        entry.setdefault("meta", {}).update(meta)
+        self._save_catalog()
+
+    def get_relation_meta(self, relation: Relation) -> dict:
+        entry = (
+            self._catalog.get(
+                f"{relation.schema}.{relation.identifier}"
+            )
+            or {}
+        )
+        return dict(entry.get("meta") or {})
 
     # -------------------------------------------------------------- catalog
     def get_relation(self, schema: str, identifier: str) -> Relation | None:

@@ -376,7 +376,16 @@ class Compiler:
         (tags/config), so config mutations stay visible; only a node
         count change (inline temp nodes) triggers a rebuild."""
         cached = getattr(self, "_graph_view_cache", None)
-        shape = (len(self.manifest.nodes), len(self.manifest.sources))
+        # counts + KEY identity: a same-count swap of node dicts (a
+        # reload replacing manifest.nodes, or a rename) must rebuild —
+        # counts alone served dead unique_ids (second-opinion review
+        # #7). Key tuples are O(N) to build but dwarfed by the nested
+        # per-node dicts this cache avoids.
+        shape = (
+            id(self.manifest.nodes),
+            tuple(self.manifest.nodes),
+            tuple(self.manifest.sources),
+        )
         if cached is not None and cached[0] == shape:
             return cached[1]
         view = {

@@ -312,9 +312,16 @@ def _incorporate_indirect(
 ) -> set[str]:
     """Re-check indirect candidates against the post-set-algebra direct
     set (reference ``incorporate_indirect_nodes``,
-    ``core/dbt/graph/selector.py:276-305``)."""
-    if not indirect or mode == "eager" or mode == "empty":
+    ``core/dbt/graph/selector.py:276-305``). Under eager the reference
+    UNIONS the candidates in — this matters when a stricter
+    per-criteria ``indirect_selection`` (yaml) withheld a test that
+    the eager invocation-level incorporation should admit
+    (second-opinion review #5; in same-mode runs the candidate set is
+    empty under eager, so this is a no-op there)."""
+    if not indirect or mode == "empty":
         return direct
+    if mode == "eager":
+        return direct | indirect
     selected = set(direct)
     sel_and_parents = set(selected) | set(manifest.sources)
     if mode == "buildable":
@@ -348,8 +355,9 @@ def select_from_definition(
     dicts with graph-operator keys, union/intersection lists with one
     exclude, and cross-references via method: selector (cycle-guarded
     by ``_seen`` — a self/mutually-referencing selector raises)."""
+    named = named or {}
     d, di = _definition_raw(
-        graph, manifest, definition, named or {}, state, _seen, indirect
+        graph, manifest, definition, named, state, _seen, indirect
     )
     # ONE incorporation pass over the whole definition tree, exactly
     # like the CLI path (select_nodes accumulates indirect candidates
@@ -357,7 +365,37 @@ def select_from_definition(
     # dropped cross-part indirect tests: union: [model_a, model_b]
     # with cautious missed a relationships test depending on both —
     # the documented guarantee (r12 runner review #3).
-    return _incorporate_indirect(graph, manifest, d, di - d, indirect)
+    #
+    # LEAF definitions incorporate nothing extra (reference
+    # NodeSelector.select_nodes discards a lone criteria's indirect
+    # set): a per-criteria `indirect_selection: cautious` on a leaf
+    # must keep its withheld tests out, even under an eager
+    # invocation (pinned by test_yaml_selector_indirect_key) —
+    # composite incorporation (with the invocation mode, matching the
+    # reference's composite-spec behavior) applies only to
+    # union/intersection shapes.
+    if _is_composite_definition(definition, named):
+        return _incorporate_indirect(graph, manifest, d, di - d, indirect)
+    return d
+
+
+def _is_composite_definition(definition, named, _seen=frozenset()) -> bool:
+    if isinstance(definition, list):
+        return True
+    if isinstance(definition, str):
+        # space/comma spec strings are composite when multi-part
+        return len(definition.split()) > 1 or "," in definition
+    if isinstance(definition, dict):
+        if "union" in definition or "intersection" in definition:
+            return True
+        if definition.get("method") == "selector":
+            target = definition.get("value")
+            if target in named and target not in _seen:
+                return _is_composite_definition(
+                    named[target].get("definition"), named,
+                    _seen | {target},
+                )
+    return False
 
 
 def _definition_raw(

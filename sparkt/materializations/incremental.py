@@ -850,6 +850,23 @@ def materialize_incremental(ctx: MatContext, node):
     )
     ctx.adapter.create_table_as(tmp_rel, select_sql=src_sql)
     src_sql = f"SELECT * FROM {tmp_rel.render()}"
+    try:
+        return _incremental_rewrite(
+            ctx, node, rel, src_sql, strategy, uk, partition_by,
+            final_cols, types, schema_rewrite,
+        )
+    finally:
+        # the staging table is dropped on SUCCESS AND FAILURE
+        # (second-opinion review #6: a failed rewrite leaked
+        # <name>__sparkt_tmp into the warehouse and catalog.json,
+        # and the restore faithfully recreated it forever)
+        ctx.adapter.drop_relation(tmp_rel)
+
+
+def _incremental_rewrite(
+    ctx, node, rel, src_sql, strategy, uk, partition_by,
+    final_cols, types, schema_rewrite,
+):
     if strategy in ("merge", "delete+insert"):
         # incremental_predicates (reference tests/functional/adapter/
         # incremental/test_incremental_predicates.py): target rows are
@@ -920,7 +937,6 @@ def materialize_incremental(ctx: MatContext, node):
         f"UNION ALL {keep_tgt}"
     )
     ctx.adapter.create_table_as(rel, select_sql=merged, partition_by=partition_by)
-    ctx.adapter.drop_relation(tmp_rel)
     # persist_docs runs on EVERY invocation (reference behavior): the
     # rewrite built a brand-new table, so comments set on the first
     # run would otherwise silently vanish (r12 core review #7)

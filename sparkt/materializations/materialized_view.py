@@ -25,6 +25,15 @@ _MV_DEF_PROP = "sparkt.mv.definition_md5"
 
 
 def _stored_md5(ctx, rel) -> str | None:
+    # the DURABLE catalog annotation first (catalog.json — survives
+    # process restarts; second-opinion review #2: TBLPROPERTIES on the
+    # in-memory catalog die with the process and the restore does not
+    # re-apply them), then TBLPROPERTIES for real metastores
+    get_meta = getattr(ctx.adapter, "get_relation_meta", None)
+    if get_meta is not None:
+        v = get_meta(rel).get(_MV_DEF_PROP)
+        if v:
+            return str(v)
     try:
         _, rows = ctx.adapter.execute(
             f"SHOW TBLPROPERTIES {rel.render()}", fetch=True
@@ -54,6 +63,9 @@ def materialize_mv(ctx: MatContext, node):
             if policy == "continue":
                 return "MV UNCHANGED (configuration change ignored)"
     ctx.adapter.create_table_as(rel, select_sql=node.compiled_code)
+    set_meta = getattr(ctx.adapter, "set_relation_meta", None)
+    if set_meta is not None:
+        set_meta(rel, **{_MV_DEF_PROP: new_md5})
     try:
         ctx.adapter.execute(
             f"ALTER TABLE {rel.render()} SET TBLPROPERTIES "

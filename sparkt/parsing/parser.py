@@ -358,7 +358,17 @@ class ManifestLoader:
                        count_invalid_names=len(spaced))
         self._resolve_refs()
         self.manifest.build_parent_child_maps()
-        env_snapshot = dict(_ctx_mod.ENV_VARS_READ)
+        # merge the prior cache's env snapshot UNDER the fresh reads:
+        # cache-served files never re-rendered, so their env_var()
+        # consumption is only known from the prior snapshot — saving
+        # just the fresh tracker would forget them after one partial
+        # reparse and resurrect the staleness hole (second-opinion
+        # review #1). The prior snapshot passed env_ok at load, so its
+        # values are still current; fresh reads win on overlap.
+        env_snapshot = {
+            **self._pcache.stored_env,
+            **dict(_ctx_mod.ENV_VARS_READ),
+        }
         self._pcache.save(hashes, env=env_snapshot)
         try:
             import pickle

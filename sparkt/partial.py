@@ -52,6 +52,13 @@ class FileParseCache:
         #: full_path -> (content_hash, pickled nodes/doc)
         self._nodes: dict[str, tuple[str, bytes]] = {}
         self._docs: dict[str, tuple[str, bytes]] = {}
+        #: env snapshot of the loaded (still-valid) cache — the parser
+        #: MERGES this under the fresh tracker at save time: files
+        #: served from this cache never re-render, so their env_var()
+        #: reads are absent from the fresh tracker, and saving only
+        #: the fresh snapshot would forget them after one partial
+        #: reparse (second-opinion review #1)
+        self.stored_env: dict = {}
 
     @classmethod
     def load(cls, path: str, key: tuple) -> "FileParseCache":
@@ -70,6 +77,7 @@ class FileParseCache:
             if stored.get("key") == key and env_ok:
                 cache._nodes = stored.get("nodes", {})
                 cache._docs = stored.get("docs", {})
+                cache.stored_env = dict(stored.get("env") or {})
         except Exception:  # noqa: BLE001 — absent/stale/corrupt cache
             pass
         return cache

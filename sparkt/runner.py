@@ -288,24 +288,31 @@ class Runner:
                 extra_ctes=[],
             )
 
-        # render FIRST, then number only the non-empty results: a hook
-        # whose Jinja renders to whitespace ({% if false %}...) must
-        # not consume an index, or the 'i of n' sequence has permanent
-        # holes (r12 runner review #9 — raw-empty filtering alone was
-        # not enough)
-        numbered = [
-            r for r in (_render(h) for h in hooks if h) if r.strip()
-        ]
-        for index, rendered in enumerate(numbered, start=1):
+        # SEQUENTIAL lazy render: each hook renders right before it
+        # executes, so a later hook's render-time run_query() sees the
+        # earlier hooks' effects (an eager render-all pass broke that
+        # — second-opinion review #8). Index assignment is
+        # execute-time, so a hook whose Jinja renders to whitespace
+        # consumes no index and the fired 'i of n' sequence stays
+        # CONTIGUOUS 1..k (r12 runner review #9); total counts the
+        # declared raw hooks, which may overcount when some render
+        # empty — contiguity, not total-exactness, is the invariant.
+        raw_hooks = [h for h in hooks if h]
+        index = 0
+        for hook_sql in raw_hooks:
+            rendered = _render(hook_sql)
+            if not rendered.strip():
+                continue
+            index += 1
             self.events.fire(EV.LogHookStartLine(
                 statement=rendered.strip()[:60],
-                index=index, total=len(numbered),
+                index=index, total=len(raw_hooks),
             ))
             t0 = time.time()
             self.adapter.execute(rendered)
             self.events.fire(EV.LogHookEndLine(
                 statement=rendered.strip()[:60], status="success",
-                index=index, total=len(numbered),
+                index=index, total=len(raw_hooks),
                 execution_time=time.time() - t0,
             ))
 
@@ -1224,9 +1231,21 @@ class Runner:
                 # and could disagree if data landed between them);
                 # adapter-routed (not bare spark.sql) so record/replay
                 # covers source-freshness (sparkt/record.py)
+                import re as _re
+
                 from sparkt.relation import quote_identifier as bt
 
-                f = bt(node.loaded_at_field)
+                # quote PLAIN identifiers only: loaded_at_field may
+                # legally be an expression ('cast(etl_ts as
+                # timestamp)'), which backticks would break
+                # (second-opinion review #4)
+                f = (
+                    bt(node.loaded_at_field)
+                    if _re.fullmatch(
+                        r"[A-Za-z_][A-Za-z0-9_]*", node.loaded_at_field
+                    )
+                    else node.loaded_at_field
+                )
                 _, fres = self.adapter.execute(
                     f"SELECT unix_timestamp(current_timestamp()) - "
                     f"unix_timestamp(max({f})) AS age, "

@@ -1050,8 +1050,11 @@ def test_on_run_end_hook_failure_still_writes_artifacts(
 
 def test_hook_numbering_skips_empty_renders(make_project, spark):
     """A hook whose Jinja renders to whitespace consumes NO index:
-    the LogHookStartLine sequence is 1..n over the hooks that
-    actually run (r12 runner review #9)."""
+    the LogHookStartLine indexes are CONTIGUOUS 1..k over the hooks
+    that actually run (r12 runner review #9); total counts the
+    declared hooks. Hooks render sequentially right before
+    execution, so later hooks' render-time run_query sees earlier
+    hooks' effects."""
     import json
     import os
 
@@ -1075,7 +1078,7 @@ def test_hook_numbering_skips_empty_renders(make_project, spark):
     pairs = {
         (e["data"]["index"], e["data"]["total"]) for e in starts
     }
-    assert pairs == {(1, 1)}, pairs
+    assert pairs == {(1, 2)}, pairs  # contiguous from 1; no index=2 hole
 
 
 def test_defer_state_does_not_leak_across_invocations(
@@ -1135,3 +1138,34 @@ def test_ephemeral_cte_injection_after_leading_comment(
     assert res.ok, [str(r.message) for r in res.results]
     assert spark.table("t_cte.uses").count() == 1
     assert spark.table("t_cte.uses_block").count() == 1
+
+
+def test_hooks_render_sequentially(make_project, spark):
+    """A later hook's RENDER-TIME run_query sees the earlier hook's
+    effects (second-opinion review #8: an eager render-all pass
+    rendered hook 2 before hook 1 executed)."""
+    files = {
+        "dbt_project.yml": "name: hseq\nmodel-paths: [models]\n",
+        "models/hm.sql": (
+            "{{ config(post_hook=["
+            "'create table t_hseq.audit as select 41 as n', "
+            "\"{% set r = run_query('select n from t_hseq.audit') %}"
+            "create table t_hseq.log as select "
+            "{{ r.rows[0][0] + 1 }} as v\"]) }}\n"
+            "select 1 as id"
+        ),
+    }
+    runner = make_project(files, schema="t_hseq")
+    # idempotence across repeated test runs: the hook-created tables
+    # are plain managed tables in the SESSION warehouse (outside the
+    # engine's swap); leftover files from a prior pytest process make
+    # the bare CREATE fail with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("audit", "log"):
+        spark.sql(f"DROP TABLE IF EXISTS t_hseq.{t}")
+        shutil.rmtree(f"{wh}/t_hseq.db/{t}", ignore_errors=True)
+    res = runner.run()
+    assert res.ok, [str(r.message) for r in res.results]
+    assert spark.table("t_hseq.log").first()["v"] == 42

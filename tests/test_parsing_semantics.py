@@ -193,3 +193,36 @@ def test_duplicate_source_across_packages_raises(
     }
     with pytest.raises(ParsingError, match="duplicate source"):
         make_project(files, schema="t_sdup")
+
+
+def test_env_snapshot_survives_partial_reparse(make_project, spark):
+    """The env snapshot carries through a partial reparse of an
+    UNRELATED file (second-opinion review #1): run 2 edits only
+    model b (model a served from cache, its env_var never re-read);
+    run 3 with a changed env var must STILL invalidate."""
+    files = {
+        "dbt_project.yml": "name: envp\nmodel-paths: [models]\n",
+        "models/a.sql": (
+            "{{ config(schema=env_var('SPARKT_TEST_TENANT2', 'a')) }}\n"
+            "select 1 as id"
+        ),
+        "models/b.sql": "select 2 as id",
+    }
+    os.environ["SPARKT_TEST_TENANT2"] = "a"
+    try:
+        runner = make_project(files, schema="t_envp")
+        assert runner.run().ok
+        # run 2: touch only b.sql — a.sql comes from the per-file cache
+        with open(os.path.join(runner.project.project_root,
+                               "models", "b.sql"), "w") as f:
+            f.write("select 3 as id")
+        r2 = Runner(runner.project.project_root, spark=spark,
+                    project_overrides={"schema": "t_envp"})
+        assert r2.manifest.nodes["model.envp.a"].config["schema"] == "a"
+        # run 3: env change must invalidate even though no file changed
+        os.environ["SPARKT_TEST_TENANT2"] = "b"
+        r3 = Runner(runner.project.project_root, spark=spark,
+                    project_overrides={"schema": "t_envp"})
+        assert r3.manifest.nodes["model.envp.a"].config["schema"] == "b"
+    finally:
+        os.environ.pop("SPARKT_TEST_TENANT2", None)

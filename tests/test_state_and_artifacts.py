@@ -775,3 +775,44 @@ def test_materialized_view_policy_survives_process_restart(
     assert "on_configuration_change" in str(failed.message)
     # and the stored MV was NOT rebuilt
     assert spark.table("t_mvp.mvp").first()["n"] == 2
+
+
+def test_materialized_view_policy_survives_catalog_restore(
+    make_project, spark
+):
+    """Process-restart simulation (second-opinion review #2): the MV
+    definition hash lives in the DURABLE catalog.json, because the
+    restore path recreates tables WITHOUT TBLPROPERTIES. Drop the
+    in-memory table, let a fresh Runner restore it from catalog.json,
+    and the 'fail' policy must still detect the drift."""
+    import os
+
+    from sparkt.runner import Runner
+
+    files = dict(FILES)
+    files["models/mvr.sql"] = (
+        "{{ config(materialized='materialized_view', "
+        "on_configuration_change='fail') }}\n"
+        "select count(*) as n from {{ ref('a') }}"
+    )
+    runner = make_project(files, schema="t_mvr")
+    assert runner.seed().ok
+    assert runner.run().ok
+
+    # simulate a process restart: wipe the IN-MEMORY catalog entry;
+    # the durable catalog.json (which carries no TBLPROPERTIES on
+    # restore) is what the next Runner rebuilds from
+    spark.sql("DROP TABLE t_mvr.mvr")
+    with open(os.path.join(runner.project.project_root,
+                           "models/mvr.sql"), "w") as f:
+        f.write(
+            "{{ config(materialized='materialized_view', "
+            "on_configuration_change='fail') }}\n"
+            "select count(*) + 1 as n from {{ ref('a') }}"
+        )
+    runner2 = Runner(runner.project.project_root, spark=spark,
+                     project_overrides={"schema": "t_mvr"})
+    res = runner2.run(select="mvr")
+    failed = next(r for r in res.results if "mvr" in r.unique_id)
+    assert failed.status == "error", failed.message
+    assert "on_configuration_change" in str(failed.message)
