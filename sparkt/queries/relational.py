@@ -141,7 +141,13 @@ ORDER BY r_name, n_name
 # ----------------------------------------------------------------- q6
 def q6_revenue_forecast(spark, sf_dir):
     """Pure scan + selective filter + single agg (pushdown showcase:
-    only 4 columns reach the scan)."""
+    only 4 columns reach the scan).
+
+    Unregistered since r13: its oracle row now rides the 'forecast'
+    block of q32_stats_family (COVERAGE.md "Growth policy" — the
+    150-gate registry cap). The standalone function stays because it
+    is a bench.py headline query (stable round-over-round series) and
+    the pushdown plan-shape test imports it directly."""
     li = T(spark, sf_dir, "lineitem")
     out = li.filter(
         (F.col("l_shipdate") >= "1996-01-01")
@@ -158,13 +164,8 @@ def q6_revenue_forecast(spark, sf_dir):
     return out
 
 
-Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-       count(*) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-"""
+# (Q6_SQL folded into Q32_SQL's 'forecast' block in the r13
+# consolidation.)
 
 
 # ----------------------------------------------------------------- q7
@@ -414,40 +415,9 @@ ORDER BY src, k
 
 
 # ---------------------------------------------------------------- q14
-def q14_scalar_functions(spark, sf_dir):
-    """Scalar-function surface: string/date/hash/conditional
-    (SURVEY.md §2.5 scalar fns; md5 is the dbt_scd_id hash)."""
-    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
-    return orders.select(
-        "o_orderkey",
-        F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("tag"),
-        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
-        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.coalesce(F.col("o_orderstatus"), F.lit("?")).alias("status"),
-        F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"),
-                          F.col("o_orderstatus"))).alias("row_hash"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
-        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("bucket"),
-    ).orderBy("o_orderkey")
-
-
-Q14_SQL = """
-SELECT o_orderkey,
-       concat('order-', CAST(o_orderkey AS VARCHAR)) AS tag,
-       upper(o_orderpriority) AS prio_upper,
-       substring(o_orderpriority, 1, 1) AS prio_code,
-       year(o_orderdate) AS order_year,
-       month(o_orderdate) AS order_month,
-       coalesce(o_orderstatus, '?') AS status,
-       md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS row_hash,
-       round(o_totalprice * 1.1, 2) AS price_with_tax,
-       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
-FROM orders
-WHERE o_orderkey <= 200
-ORDER BY o_orderkey
-"""
+# (q14_scalar_functions merged into q32_stats_family's 'scalar' block
+# in r13 — COVERAGE.md "Growth policy", the proven q13/q22 src-tagged
+# union recipe.)
 
 
 # ---------------------------------------------------------------- q15
@@ -819,24 +789,8 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------- q27
-def q27_range_window(spark, sf_dir):
-    """RANGE-frame window over a timestamp ORDER BY (value-based frame
-    incl. peers — a different Catalyst window path than ROWS frames):
-    trailing-7-day order count and spend per customer."""
-    T(spark, sf_dir, "orders").createOrReplaceTempView("__q27_orders")
-    return spark.sql(Q27_SQL.replace("FROM orders", "FROM __q27_orders"))
-
-
-Q27_SQL = """
-SELECT o_custkey, o_orderkey,
-       CAST(count(*) OVER w AS BIGINT) AS n_7d,
-       round(sum(o_totalprice) OVER w, 2) AS sum_7d
-FROM orders
-WHERE o_custkey < 500
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
-             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
-ORDER BY o_custkey, o_orderkey
-"""
+# (q27_range_window merged into q33_window_family's 'range' block in
+# r13 — COVERAGE.md "Growth policy", src-tagged union recipe.)
 
 
 # ---------------------------------------------------------------- q28
@@ -1021,14 +975,40 @@ ORDER BY o_custkey
 
 # ----------------------------------------------------------------- q32
 def q32_stats_family(spark, sf_dir):
-    """Statistical aggregate family per group: corr / covariance /
-    stddev / variance / least-squares regression slope+intercept of
-    price vs quantity per return flag. All built-in JVM aggregates
-    (one map-side-combined groupBy); doubles rounded to 6 so the
-    bit-level summation-order difference vs the oracle washes out."""
+    """Statistical aggregates + pushdown scan-agg + scalar-function
+    surface in ONE src-tagged gate (r13 consolidation under the
+    150-gate registry cap, COVERAGE.md "Growth policy" — the proven
+    q13/q22 union recipe; absorbs q6_revenue_forecast and
+    q14_scalar_functions):
+
+    - 'stats' block: corr / covar / stddev / variance / regression
+      slope+intercept of price vs quantity per return flag. All
+      built-in JVM aggregates (one map-side-combined groupBy);
+      doubles rounded so summation-order differences wash out.
+    - 'forecast' block (was q6): selective filter + single agg — the
+      predicate/column-pushdown showcase (only 4 columns reach the
+      scan; the standalone function keeps the plan-shape pytest).
+    - 'scalar' block (was q14): string/date/hash/conditional scalar
+      functions (SURVEY.md §2.5; md5 is the dbt_scd_id hash).
+
+    The driver's value-hash is order-insensitive, so the union
+    verifies all three blocks exactly."""
     li = T(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    return (
+
+    def _nulls(*pairs):
+        return [F.lit(None).cast(t).alias(c) for c, t in pairs]
+
+    _STATS = [("corr_qty_price", "double"), ("covar_qty_price", "double"),
+              ("stddev_price", "double"), ("var_qty", "double"),
+              ("slope", "double"), ("intercept", "double")]
+    _SCALAR = [("tag", "string"), ("prio_upper", "string"),
+               ("prio_code", "string"), ("order_year", "int"),
+               ("order_month", "int"), ("status", "string"),
+               ("row_hash", "string"), ("price_with_tax", "double"),
+               ("bucket", "string")]
+
+    stats = (
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.corr(q, p), 6).alias("corr_qty_price"),
@@ -1041,69 +1021,179 @@ def q32_stats_family(spark, sf_dir):
             .alias("intercept"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("l_returnflag")
+        .select(
+            F.lit("stats").alias("src"),
+            F.col("l_returnflag").alias("k"),
+            "corr_qty_price", "covar_qty_price", "stddev_price",
+            "var_qty", "slope", "intercept", "n",
+            F.lit(None).cast("double").alias("revenue"),
+            *_nulls(*_SCALAR),
+        )
+    )
+
+    forecast = q6_revenue_forecast(spark, sf_dir).select(
+        F.lit("forecast").alias("src"),
+        F.lit(None).cast("string").alias("k"),
+        *_nulls(*_STATS),
+        F.col("n_rows").alias("n"),
+        "revenue",
+        *_nulls(*_SCALAR),
+    )
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    scalar = orders.select(
+        F.lit("scalar").alias("src"),
+        F.col("o_orderkey").cast("string").alias("k"),
+        *_nulls(*_STATS),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("revenue"),
+        F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("?")).alias("status"),
+        F.md5(F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                          F.col("o_orderstatus"))).alias("row_hash"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small")
+        .alias("bucket"),
+    )
+
+    return (
+        stats.unionByName(forecast).unionByName(scalar)
+        .orderBy("src", "k")
     )
 
 
 Q32_SQL = """
-SELECT l_returnflag,
+SELECT 'stats' AS src, l_returnflag AS k,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
        round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
        round(stddev_samp(l_extendedprice), 4) AS stddev_price,
        round(var_samp(l_quantity), 6) AS var_qty,
        round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-       count(*) AS n
+       count(*) AS n,
+       CAST(NULL AS DOUBLE) AS revenue,
+       CAST(NULL AS VARCHAR) AS tag, CAST(NULL AS VARCHAR) AS prio_upper,
+       CAST(NULL AS VARCHAR) AS prio_code, CAST(NULL AS INT) AS order_year,
+       CAST(NULL AS INT) AS order_month, CAST(NULL AS VARCHAR) AS status,
+       CAST(NULL AS VARCHAR) AS row_hash,
+       CAST(NULL AS DOUBLE) AS price_with_tax, CAST(NULL AS VARCHAR) AS bucket
 FROM lineitem
 GROUP BY l_returnflag
-ORDER BY l_returnflag
+UNION ALL
+SELECT 'forecast', CAST(NULL AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       count(*),
+       round(sum(l_extendedprice * l_discount), 2),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+UNION ALL
+SELECT 'scalar', CAST(o_orderkey AS VARCHAR),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       concat('order-', CAST(o_orderkey AS VARCHAR)),
+       upper(o_orderpriority),
+       substring(o_orderpriority, 1, 1),
+       CAST(year(o_orderdate) AS INT),
+       CAST(month(o_orderdate) AS INT),
+       coalesce(o_orderstatus, '?'),
+       md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)),
+       round(o_totalprice * 1.1, 2),
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY src, k
 """
 
 
 # ----------------------------------------------------------------- q33
+_Q33_RANGE_SQL = """
+SELECT 'range' AS src,
+       CAST(o_custkey AS BIGINT) AS grp,
+       o_orderkey,
+       CAST(NULL AS INT) AS quartile,
+       CAST(NULL AS DOUBLE) AS pct_rank,
+       CAST(NULL AS DOUBLE) AS cume,
+       CAST(NULL AS BIGINT) AS second_key,
+       CAST(NULL AS BIGINT) AS cheapest_key,
+       CAST(NULL AS BIGINT) AS dearest_key,
+       CAST(count(*) OVER wr AS BIGINT) AS n_7d,
+       round(sum(o_totalprice) OVER wr, 2) AS sum_7d
+FROM {src}
+WHERE o_custkey < 500
+WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def q33_window_family(spark, sf_dir):
-    """The remaining analytic-window family in one gate: ntile /
-    percent_rank / cume_dist over spend order, nth_value and
-    first/last with an explicit ROWS frame, per customer-nation
-    partition. One window sort per partition spec (Catalyst shares
-    the Exchange across same-spec functions)."""
+    """The analytic-window family in one src-tagged gate (r13: absorbs
+    q27_range_window — COVERAGE.md "Growth policy"):
+
+    - 'family' block: ntile / percent_rank / cume_dist over spend
+      order, nth_value and first/last with an explicit ROWS frame.
+      One window sort per partition spec (Catalyst shares the
+      Exchange across same-spec functions).
+    - 'range' block (was q27): RANGE-interval frame over a timestamp
+      ORDER BY (value-based frame incl. peers — a different Catalyst
+      window path than ROWS frames): trailing-7-day order count and
+      spend per customer."""
     o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
         F.col("o_totalprice"), F.col("o_orderkey")
     )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return (
-        o.select(
-            (F.col("o_custkey") % 10).alias("grp"),
-            "o_orderkey",
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
-            F.first("o_orderkey").over(wf).alias("cheapest_key"),
-            F.last("o_orderkey").over(wf).alias("dearest_key"),
-        )
-        .orderBy("grp", "o_orderkey")
+    family = o.select(
+        F.lit("family").alias("src"),
+        (F.col("o_custkey") % 10).alias("grp"),
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("dearest_key"),
+        F.lit(None).cast("long").alias("n_7d"),
+        F.lit(None).cast("double").alias("sum_7d"),
     )
+    # Spark's DataFrame rangeBetween is numeric-only; the
+    # INTERVAL-frame window goes through SQL on a temp view.
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__q33_orders")
+    rng = spark.sql(_Q33_RANGE_SQL.format(src="__q33_orders"))
+    return family.unionByName(rng).orderBy("src", "grp", "o_orderkey")
 
 
 Q33_SQL = """
 WITH o AS (SELECT * FROM orders WHERE o_custkey < 200)
-SELECT CAST(o_custkey % 10 AS BIGINT) AS grp,
+SELECT 'family' AS src,
+       CAST(o_custkey % 10 AS BIGINT) AS grp,
        o_orderkey,
        CAST(ntile(4) OVER w AS INT) AS quartile,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume,
        nth_value(o_orderkey, 2) OVER wf AS second_key,
        first_value(o_orderkey) OVER wf AS cheapest_key,
-       last_value(o_orderkey) OVER wf AS dearest_key
+       last_value(o_orderkey) OVER wf AS dearest_key,
+       CAST(NULL AS BIGINT) AS n_7d,
+       CAST(NULL AS DOUBLE) AS sum_7d
 FROM o
 WINDOW w AS (PARTITION BY o_custkey % 10
              ORDER BY o_totalprice, o_orderkey),
        wf AS (PARTITION BY o_custkey % 10
               ORDER BY o_totalprice, o_orderkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-ORDER BY grp, o_orderkey
+UNION ALL
+""" + _Q33_RANGE_SQL.format(src="orders") + """
+ORDER BY src, grp, o_orderkey
 """
 
 
@@ -1214,7 +1304,6 @@ QUERIES = {
     "q33_window_family": q33_window_family,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
-    "q6_revenue_forecast": q6_revenue_forecast,
     "q7_customer_order_ranks": q7_customer_order_ranks,
     "q8_order_gaps": q8_order_gaps,
     "q9_set_ops": q9_set_ops,
@@ -1222,7 +1311,6 @@ QUERIES = {
     "q11_distinct_counts": q11_distinct_counts,
     "q12_parts_having": q12_parts_having,
     "q13_semi_anti": q13_semi_anti,
-    "q14_scalar_functions": q14_scalar_functions,
     "q16_events_hourly": q16_events_hourly,
     "q17_sessionize": q17_sessionize,
     "q18_above_brand_avg": q18_above_brand_avg,
@@ -1234,7 +1322,6 @@ QUERIES = {
     "q24_string_agg": q24_string_agg,
     "q25_percentiles": q25_percentiles,
     "q26_correlated_sub": q26_correlated_sub,
-    "q27_range_window": q27_range_window,
     "q28_unpivot": q28_unpivot,
     "q29_nested_agg": q29_nested_agg,
     "q30_gapfill": q30_gapfill,
@@ -1247,7 +1334,6 @@ ORACLES = {
     "q33_window_family": Q33_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
-    "q6_revenue_forecast": Q6_SQL,
     "q7_customer_order_ranks": Q7_SQL,
     "q8_order_gaps": Q8_SQL,
     "q9_set_ops": Q9_SQL,
@@ -1255,7 +1341,6 @@ ORACLES = {
     "q11_distinct_counts": Q11_SQL,
     "q12_parts_having": Q12_SQL,
     "q13_semi_anti": Q13_SQL,
-    "q14_scalar_functions": Q14_SQL,
     "q16_events_hourly": Q16_SQL,
     "q17_sessionize": Q17_SQL,
     "q18_above_brand_avg": Q18_SQL,
@@ -1267,7 +1352,6 @@ ORACLES = {
     "q24_string_agg": Q24_SQL,
     "q25_percentiles": Q25_SQL,
     "q26_correlated_sub": Q26_SQL,
-    "q27_range_window": Q27_SQL,
     "q28_unpivot": Q28_SQL,
     "q29_nested_agg": Q29_SQL,
     "q30_gapfill": Q30_SQL,
