@@ -24,6 +24,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # same 13 names: t2 alone went ~0.62 s → ~1.2 s while replacing ~1.9 s
 # of separate r4 gate time. Compare r5+ headline numbers to r4 with
 # that shift in mind.
+# Contamination sentinel (VERDICT r12 #3): two of the last three
+# driver BENCH artifacts (r10, r12) were inflated by other load on the
+# shared bench box, costing a judging round each to adjudicate. A
+# fixed-size in-memory numpy sort is timed once per query sample; on a
+# clean box it runs ~0.03 s (measured r13, local[32] idle, with 8/8
+# repeats in 0.027-0.036 s after warmup). CPU contention inflates it
+# proportionally to the steal, so the artifact self-reports validity:
+# "suspect": true when the calibration median exceeds the committed
+# bound. Bound tuning (r13, measured): clean in-bench median 0.029 s;
+# 32 extra CPU hogs (2x oversubscription, mildest real contamination)
+# -> 0.064 s; 96 hogs (2.7x query-time inflation, the r12 class)
+# -> 0.096 s. 0.055 flags both while keeping ~1.9x headroom over the
+# clean median. The bound is pinned by tests/test_bench_sentinel.py.
+CALIBRATION_BOUND_S = 0.055
+_CAL_N = 2_000_000
+
+
+def _calibration_array():
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    return rng.random(_CAL_N)
+
+
+def calibration_once(base) -> float:
+    """Time one fixed-size sort; the copy is outside the timed span."""
+    import numpy as np
+
+    b = base.copy()
+    t0 = time.perf_counter()
+    np.sort(b)
+    return time.perf_counter() - t0
+
+
+def calibration_point(base) -> float:
+    """Min of 3 sorts spaced 30 ms: the Spark JVM's own background
+    bursts (GC, codegen, shuffle cleanup) deschedule this process for
+    ~0.5-1 s windows even on an idle box (measured r13: isolated sorts
+    0.027-0.040 s with sporadic 0.5-1.1 s outliers while a local[32]
+    session is live). min-of-3 across a 100 ms span filters a burst
+    edge; SUSTAINED external load — the thing the sentinel exists to
+    catch — inflates all three."""
+    vals = []
+    for i in range(3):
+        if i:
+            time.sleep(0.03)
+        vals.append(calibration_once(base))
+    return min(vals)
+
+
+def suspect_run(cal_samples, bound=CALIBRATION_BOUND_S) -> bool:
+    """True when the run looks machine-contaminated: the MEDIAN
+    calibration point over the bound means >=half the bench wall time
+    ran CPU-starved (the r10/r12 signature was sustained inflation, not
+    isolated spikes — those are filtered by min-of-3 per point)."""
+    import statistics as _st
+
+    if not cal_samples:
+        return False
+    return _st.median(cal_samples) > bound
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -84,12 +146,24 @@ def main():
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5")))
     import statistics
 
+    cal_base = _calibration_array()
+    for _ in range(3):  # first-touch page faults / CPU-governor ramp
+        calibration_once(cal_base)
+
     times: dict[str, float] = {}
+    mins: dict[str, float] = {}
     stds: dict[str, float] = {}
+    cal_samples: list[float] = []
     for name in HEADLINE:
         run(name)  # warmup, untimed
-        samples = [run(name) for _ in range(n_samples)]
+        samples = []
+        for _ in range(n_samples):
+            cal_samples.append(calibration_point(cal_base))
+            samples.append(run(name))
         times[name] = round(statistics.mean(samples), 3)
+        # min is robust to interference spikes (VERDICT r12 #3): a
+        # contaminated box inflates mean/std but rarely every sample
+        mins[name] = round(min(samples), 3)
         stds[name] = round(statistics.pstdev(samples), 3)
 
     total = round(sum(times.values()), 3)
@@ -147,9 +221,17 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_min": mins,
                 "queries_std": stds,
                 "n_samples": n_samples,
                 "sf": sf,
+                "calibration_s": {
+                    "median": round(statistics.median(cal_samples), 4),
+                    "max": round(max(cal_samples), 4),
+                    "bound": CALIBRATION_BOUND_S,
+                    "n": len(cal_samples),
+                },
+                "suspect": suspect_run(cal_samples),
                 **parse_stats,
                 **orch_stats,
             }
