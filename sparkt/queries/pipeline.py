@@ -3398,12 +3398,13 @@ def d16_simhash_probe(spark, sf_dir):
     )
 
 
-def _simhash64_pairs_body(where: str) -> str:
+def _simhash64_pairs_body(where: str, src: str = "documents") -> str:
     """Shared 64-bit banded simhash pair CTE chain (through
     ``pairs``): one md5 per token (the simhash_table64 explode →
     groupBy shape); vote j tests within-nibble bit j % 4 of hex
     nibble j // 4 via the same HEX_BIT membership lists the Spark
-    side uses. Used by d16 (bounded) and pl4 (full corpus)."""
+    side uses. Used by d16 (bounded), pl4 (full corpus) and pl5
+    (``src`` = the quality-filtered CTE)."""
     from sparkt.functions.dedup import HEX_BIT
 
     sets = [", ".join(f"'{c}'" for c in s) for s in HEX_BIT]
@@ -3425,7 +3426,7 @@ def _simhash64_pairs_body(where: str) -> str:
     ham = " + ".join(f"bit_count(xor(a.b{i}, b.b{i}))" for i in range(4))
     return f"""tok AS (
   SELECT doc_id, md5(t.tok) AS h
-  FROM (SELECT doc_id, text FROM documents {where}) d,
+  FROM (SELECT doc_id, text FROM {src} {where}) d,
        unnest({_DK_TOKENS}) AS t(tok)),
 v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
 hb AS (SELECT doc_id, {bands} FROM v),
@@ -4663,6 +4664,302 @@ ORDER BY removed_doc
 """
 
 
+# ----------------------------------------------------------------- pl5
+def pl5_curation_pipeline(spark, sf_dir):
+    """END-TO-END pretraining-curation integration gate (VERDICT r12
+    ask #5): the full curation surface chained as ONE Catalyst
+    dataflow over the documents corpus —
+
+      0. benchmark split: doc_id % 97 == 0 is the held-out eval slice
+      1. normalize_text on every doc (t16's operator)
+      2. lang-id gate: keep detected-'en' (t3's operator)
+      3. quality + repetition filter (t2's signals, floor-quantized
+         exactly like the t2 gate): quality >= 0.4,
+         dup_token_ratio <= 0.93, top_bigram_ratio <= 0.08
+      4. 64-bit banded simhash near-dup removal (pl4's core): pairs
+         at k=3 -> connected components -> drop non-representatives
+      5. 3-gram decontamination vs the benchmark slice (d8's
+         operator): >= 5% shingle overlap drops the doc
+      6. domain mixture under a 2000-token budget (p10's operator):
+         3:1:1 over dom0/dom1/dom2 = source-number % 3,
+         integer-exact deterministic-hash thinning, salt 'pl5mix'
+      7. deterministic shuffle + 512-token shard packing (c3's
+         operator, two-phase prefix sum, seed 'pl5')
+
+    Output = end-state per (domain, shard_id) doc/token counts —
+    exact integers; the oracle replays all stages in one DuckDB CTE
+    chain. Every inter-stage handoff is a lazy DataFrame, so Catalyst
+    plans stages 1–3 as a single scan-side projection under the pair
+    generator (the pl1 composition argument, now over the FULL
+    surface). The two stages with eager driver steps keep their
+    documented constant-size collects (duplicate_clusters' union-find
+    edge gate; shuffle_shards' 256-row bucket cumsum). Per-SF
+    stage-by-stage attrition is recorded by scripts/pl5_attrition.py
+    into PLANS.md (the gate output pins the END state; the script
+    pins the path)."""
+    from sparkt.functions import sampling as SP
+
+    # STAGING POINT 0: materialize the spread raw table. Without the
+    # barrier, Catalyst pushes the stage-2/3 lang-id+quality FILTER
+    # below spread()'s round-robin Exchange into the single-split
+    # parquet scan stage, serializing the HOF-heavy predicate onto one
+    # core (measured r13: 27 s of the gate's 90 s at sf0.1 was that
+    # one task). A 100 TB scan has thousands of splits, so scan-side
+    # pushdown is exactly right there — this checkpoint compensates
+    # for the one-file testdata layout, not for the plan shape.
+    docs = T(spark, sf_dir, "documents").localCheckpoint(eager=False)
+    # stages 0-1: normalize everything, then split eval slice vs corpus
+    norm = docs.select(
+        "doc_id", "source",
+        TX.normalize_text(F.col("text")).alias("text"),
+    )
+    bench = norm.filter(F.col("doc_id") % 97 == 0)
+    corpus = norm.filter(F.col("doc_id") % 97 != 0)
+
+    # stages 2-3: one narrow codegen projection (t2's expressions;
+    # column trees cached per process — the _t2_columns lesson:
+    # building this tree is ~8 s of py4j round-trips)
+    pre_cols, out_cols = _pl5_columns()
+    scored = corpus.select(*pre_cols).select(*out_cols)
+    qual = scored.filter(
+        (F.col("__lang") == "en")
+        & (F.col("__q") >= 0.4)
+        & (F.col("__dup") <= 0.93)
+        & (F.col("__bg") <= 0.08)
+    ).select("doc_id", "source", "text", "n_tokens")
+    # STAGING POINT 1 (documented): at 100 TB the filtered corpus is
+    # written to a staging table here — five downstream consumers
+    # (pair edges, shingle postings, mixture totals, shard bucket
+    # sums, the final plan) would otherwise each re-run the
+    # HOF-heavy normalize/lang-id/quality projection. localCheckpoint
+    # is the in-session equivalent (lazy: materializes on first use;
+    # measured r13: the gate went 47 s -> ~8 s at sf0.01).
+    qual = qual.localCheckpoint(eager=False)
+
+    # stage 4: banded near-dup removal (keep each cluster's min-id rep)
+    pairs = D.simhash_neardup_pairs64(qual, "text", "doc_id", k=3)
+    removed = (
+        D.duplicate_clusters(pairs)
+        .filter(F.col("doc") != F.col("cluster"))
+        .select(F.col("doc").alias("doc_id"))
+    )
+    uniq = qual.join(removed, "doc_id", "left_anti")
+
+    # stage 5: decontaminate vs the (normalized) benchmark slice
+    flagged = D.decontaminate(
+        uniq, bench, "text", "doc_id", k=3, threshold=0.05
+    ).select(F.col("doc").alias("doc_id"))
+    clean = uniq.join(flagged, "doc_id", "left_anti")
+
+    # stage 6: 3:1:1 domain mixture under a 2000-token budget
+    domained = clean.withColumn(
+        "domain",
+        F.concat(
+            F.lit("dom"),
+            (F.regexp_replace(F.col("source"), "src", "").cast("int") % 3)
+            .cast("string"),
+        ),
+    )
+    kept = SP.apply_mixture(
+        domained, "domain", "doc_id", "n_tokens",
+        {"dom0": 3.0, "dom1": 1.0, "dom2": 1.0},
+        budget_tokens=2000, salt="pl5mix",
+    )
+    # STAGING POINT 2 (documented): the post-mixture selection is the
+    # natural "selected corpus" staging table; three consumers follow
+    # (shard bucket sums, the shard plan, the domain join-back).
+    kept = kept.localCheckpoint(eager=False)
+
+    # stage 7: seeded shuffle + 512-token shards; end-state counts
+    sharded = SP.shuffle_shards(
+        kept, "doc_id", "n_tokens",
+        seed="pl5", shard_size=512, prefix_chars=2,
+    )
+    return (
+        sharded.join(kept.select("doc_id", "domain"), "doc_id")
+        .groupBy("domain", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("size").alias("n_tokens"),
+        )
+        .orderBy("domain", "shard_id")
+    )
+
+
+_PL5_COLS = None
+
+
+def _pl5_columns():
+    """pl5's stage-2/3 expression tree, built once per process (the
+    _t2_columns pattern — unbound Columns are immutable and resolve at
+    analysis time; building this tree costs ~8 s of py4j round-trips
+    that repeat callers should not pay twice)."""
+    global _PL5_COLS
+    if _PL5_COLS is not None:
+        return _PL5_COLS
+    pre_cols = [
+        F.col("doc_id"), F.col("source"), F.col("text"),
+        TX.tokens(F.col("text")).alias("__toks"),
+    ]
+    n = F.size("__toks")
+    bigrams = TX.bigram_array(F.col("__toks"))
+    dup_tok = TX.dup_token_count(F.array_sort(F.col("__toks")))
+    top_bigram = TX.max_adjacent_run(F.array_sort(bigrams))
+    stop_hits = F.size(F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS)))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    stop = stop_hits / F.greatest(n, F.lit(1))
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+
+    def q6(c):
+        return F.floor(c * 1_000_000) / 1_000_000
+
+    out_cols = [
+        F.col("doc_id"), F.col("source"), F.col("text"),
+        n.cast("long").alias("n_tokens"),
+        TX.lang_id(F.col("text")).alias("__lang"),
+        q6(0.4 * length_term + 0.3 * alpha + 0.3 * stop).alias("__q"),
+        q6(dup_tok / F.greatest(n, F.lit(1))).alias("__dup"),
+        q6(top_bigram / F.greatest(F.size(bigrams), F.lit(1))).alias("__bg"),
+    ]
+    _PL5_COLS = (pre_cols, out_cols)
+    return _PL5_COLS
+
+
+def _pl5_sql() -> str:
+    """The 8-stage replay as one DuckDB CTE chain (names prefixed to
+    avoid colliding with the simhash body's tok/v/hb/p/pairs CTEs)."""
+    return f"""
+WITH RECURSIVE
+normed AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               translate(text,
+                         chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                         || chr(8211) || chr(8212) || chr(160),
+                         chr(39) || chr(39) || chr(34) || chr(34) || '-- '),
+               chr(8230), '...', 'g'),
+             '[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g'),
+           '\\s+', ' ', 'g')) AS text
+  FROM documents),
+bench AS (SELECT * FROM normed WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM normed WHERE doc_id % 97 != 0),
+langed AS (
+  SELECT doc_id, source, text,
+         CASE WHEN cjk * 1.0 / nch > 0.3 THEN 'zh'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS l
+  FROM (
+    SELECT doc_id, source, text,
+           length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS cjk,
+           greatest(length(text), 1) AS nch,
+           len(list_filter({_DK_TOKENS}, t -> t IN ({_EN}))) AS en,
+           len(list_filter({_DK_TOKENS}, t -> t IN ({_DE}))) AS de,
+           len(list_filter({_DK_TOKENS}, t -> t IN ({_FR}))) AS fr,
+           len(list_filter({_DK_TOKENS}, t -> t IN ({_ES}))) AS es
+    FROM corpus)),
+endocs AS (SELECT doc_id, source, text FROM langed WHERE l = 'en'),
+qt AS (SELECT doc_id, source, text, {_DK_TOKENS} AS toks FROM endocs),
+qtok AS (SELECT doc_id, unnest(toks) AS tok FROM qt),
+qtc AS (SELECT doc_id, tok, count(*) AS cnt FROM qtok GROUP BY 1, 2),
+qts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                 AS dup_tok
+        FROM qtc GROUP BY 1),
+qbg AS (SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM qt WHERE len(toks) >= 2),
+qbc AS (SELECT doc_id, bg, count(*) AS cnt FROM qbg GROUP BY 1, 2),
+qbs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(max(cnt) AS BIGINT) AS top_bigram
+        FROM qbc GROUP BY 1),
+qual AS (
+  SELECT q.doc_id, q.source, q.text,
+         CAST(len(q.toks) AS BIGINT) AS n_tokens
+  FROM qt q
+  JOIN qts ON q.doc_id = qts.doc_id
+  LEFT JOIN qbs ON q.doc_id = qbs.doc_id
+  WHERE floor((0.4 * least(len(q.toks) / 100.0, 1.0)
+               + 0.3 * (length(regexp_replace(q.text, '[^a-zA-Z]', '', 'g'))
+                        * 1.0 / greatest(length(q.text), 1))
+               + 0.3 * (len(list_filter(q.toks, t -> t IN ({_EN})))
+                        * 1.0 / greatest(len(q.toks), 1)))
+              * 1000000) / 1000000 >= 0.4
+    AND floor(qts.dup_tok * 1.0 / greatest(qts.n_tokens, 1) * 1000000)
+          / 1000000 <= 0.93
+    AND floor(coalesce(qbs.top_bigram, 0) * 1.0
+              / greatest(coalesce(qbs.n_bigrams, 1), 1) * 1000000)
+          / 1000000 <= 0.08),
+{_simhash64_pairs_body("", src="qual")},
+hpairs AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+edges AS (SELECT id_a AS src, id_b AS dst FROM hpairs
+          UNION SELECT id_b, id_a FROM hpairs),
+enodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM enodes
+  UNION
+  SELECT e.src AS node, reach.r
+  FROM edges e JOIN reach ON reach.node = e.dst),
+removed AS (
+  SELECT node FROM reach GROUP BY node HAVING node != min(r)),
+uniq AS (SELECT * FROM qual
+         WHERE doc_id NOT IN (SELECT node FROM removed)),
+ush AS (SELECT doc_id, unnest({_DK_SHINGLES_K3}) AS sh FROM uniq),
+bsh AS (SELECT DISTINCT sh FROM (
+          SELECT unnest({_DK_SHINGLES_K3}) AS sh FROM bench)),
+usz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        FROM ush GROUP BY 1),
+uhits AS (SELECT u.doc_id, CAST(count(*) AS BIGINT) AS overlap
+          FROM ush u JOIN bsh b USING (sh) GROUP BY 1),
+contam AS (SELECT h.doc_id FROM uhits h JOIN usz s USING (doc_id)
+           WHERE overlap * 1.0 / n_sh >= 0.05),
+clean AS (SELECT * FROM uniq
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+dom AS (
+  SELECT doc_id, n_tokens,
+         'dom' || CAST(CAST(replace(source, 'src', '') AS INT) % 3
+                       AS VARCHAR) AS domain
+  FROM clean),
+tot AS (SELECT domain, sum(n_tokens) AS T FROM dom GROUP BY 1),
+mixj AS (
+  SELECT d.doc_id, d.domain, d.n_tokens, tot.T,
+         CASE d.domain WHEN 'dom0' THEN 1200.0
+                       WHEN 'dom1' THEN 400.0
+                       WHEN 'dom2' THEN 400.0 END AS q
+  FROM dom d JOIN tot USING (domain)),
+mix AS (
+  SELECT * FROM mixj
+  WHERE q IS NOT NULL
+    AND CAST(('0x' || substr(md5('pl5mix:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::UBIGINT AS BIGINT)
+        < floor(least(1.0, q / T) * 4294967296.0)),
+skeyed AS (
+  SELECT doc_id, domain, n_tokens,
+         md5('pl5|' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM mix),
+cums AS (
+  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+        ORDER BY skey, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS BIGINT) AS gs
+  FROM skeyed)
+SELECT domain,
+       CAST(floor(gs / 512.0) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM cums
+GROUP BY domain, shard_id
+ORDER BY domain, shard_id
+"""
+
+
 # ----------------------------------------------------------------- t17
 def t17_strip_html(spark, sf_dir):
     """HTML-to-text extraction (sparkt.functions.text.strip_html):
@@ -5124,6 +5421,7 @@ QUERIES = {
     "t17_strip_html": t17_strip_html,
     "pl3_retrieval_pipeline": pl3_retrieval_pipeline,
     "pl4_dedup_removal": pl4_dedup_removal,
+    "pl5_curation_pipeline": pl5_curation_pipeline,
     "s11_centroid_outliers": s11_centroid_outliers,
     "s12_ivfpq": s12_ivfpq,
     "s13_mmr_rerank": s13_mmr_rerank,
@@ -5226,6 +5524,7 @@ ORACLES = {
     "t17_strip_html": T17_SQL,
     "pl3_retrieval_pipeline": PL3_SQL,
     "pl4_dedup_removal": _pl4_sql(),
+    "pl5_curation_pipeline": _pl5_sql(),
     "s11_centroid_outliers": S11_SQL,
     "s12_ivfpq": _s12_sql(),
     "s13_mmr_rerank": _s13_sql(),
