@@ -13,6 +13,35 @@ from queue import PriorityQueue
 import networkx as nx
 
 
+def build_order_graph(graph: nx.DiGraph, to_run: set[str]) -> nx.DiGraph:
+    """Restrict the full manifest DAG to the selected executables,
+    preserving transitive order between them. ONE topological pass
+    links each selected node to its NEAREST selected ancestors
+    (unselected nodes forward their reach-set) — the old per-node
+    nx.ancestors closure + transitive_reduction materialized O(n²)
+    edges and took 40+ s of scheduler startup on a 2,000-node chain
+    (r12 runner review #8); this is linear in practice and needs no
+    reduction pass (a redundant transitive edge only gates, never
+    deadlocks). Scaling pinned at 10k nodes by
+    tests/test_orchestration_scale.py."""
+    order_graph = nx.DiGraph()
+    order_graph.add_nodes_from(to_run)
+    reach: dict[str, frozenset] = {}
+    for n in nx.topological_sort(graph):
+        preds = list(graph.predecessors(n))
+        if n in to_run:
+            for p in preds:
+                for s in reach.get(p, ()):
+                    order_graph.add_edge(s, n)
+            reach[n] = frozenset((n,))
+        else:
+            acc: set[str] = set()
+            for p in preds:
+                acc |= reach.get(p, frozenset())
+            reach[n] = frozenset(acc)
+    return order_graph
+
+
 class GraphQueue:
     def __init__(self, graph: nx.DiGraph, selected: set[str]):
         self.graph = graph.subgraph(selected).copy()

@@ -48,6 +48,89 @@ _SPEC_RE = re.compile(
 )
 
 
+def _node_fqn(node) -> list[str]:
+    """[package, *subdirs, name] — the reference's fqn shape
+    (core/dbt/contracts/graph/nodes.py fqn assembly: project name,
+    directory components under the resource path, node name)."""
+    dirs = node.path.split("/")[:-1] if getattr(node, "path", None) else []
+    return [node.package_name, *dirs, node.name]
+
+
+def _is_selected_fqn(fqn: list[str], selector: str, versioned: bool) -> bool:
+    """The reference's is_selected_node
+    (core/dbt/graph/selector_methods.py:69-107): exact leaf match,
+    else path-anchored segment-prefix match with a wildcard slurp —
+    the first selector segment containing a wildcard fnmatches the
+    dot-joined remainder of the fqn."""
+    sel_parts = selector.split(".")
+    if versioned:
+        # versioned models: fqn ends [.., name, vN]; allow the exact
+        # name (fqn[-2]) and the '.'/'_'-delimited name.version forms
+        if len(fqn) >= 2 and (
+            fqn[-2] == selector
+            or "_".join(fqn[-2:]) == "_".join(sel_parts[-2:])
+        ):
+            return True
+    elif fqn and fqn[-1] == selector:
+        return True
+    flat = [item for seg in fqn for item in seg.split(".")]
+    if len(flat) < len(sel_parts):
+        return False
+    slurp_from = None
+    for i, part in enumerate(sel_parts):
+        if any(w in part for w in "*?[]"):
+            slurp_from = i
+            break
+        if flat[i] != part:
+            return False
+    if slurp_from is not None:
+        return fnmatch.fnmatch(
+            ".".join(flat[slurp_from:]), ".".join(sel_parts[slurp_from:])
+        )
+    return True
+
+
+def _fqn_match(node, value: str) -> bool:
+    """Reference QualifiedNameSelectorMethod
+    (core/dbt/graph/selector_methods.py:243-259): try the scoped fqn,
+    then the package-unscoped fqn (cross-package selection) — so
+    ``-s staging`` selects the whole models/staging/ subtree and
+    ``-s pkg.staging.stg_*`` anchors at the package."""
+    fqn = _node_fqn(node)
+    versioned = bool(
+        node.resource_type == "model" and node.config.get("version")
+    )
+    return _is_selected_fqn(fqn, value, versioned) or _is_selected_fqn(
+        fqn[1:], value, versioned
+    )
+
+
+# resource-dir prefixes the reference's original_file_path carries but
+# node.path (relative to its resource dir) does not
+_PATH_PREFIXES = (
+    "", "models/", "seeds/", "snapshots/", "tests/", "analyses/",
+    "macros/",
+)
+
+
+def _path_match(node, value: str) -> bool:
+    """Reference PathSelectorMethod
+    (core/dbt/graph/selector_methods.py:454-474): a node matches when
+    the selector glob hits its file path OR any parent directory
+    (directory selection). node.path is relative to the resource dir,
+    the reference's original_file_path includes it — accept both."""
+    value = value.rstrip("/")
+    for pre in _PATH_PREFIXES:
+        p = pre + node.path
+        if fnmatch.fnmatch(p, value):
+            return True
+        parts = p.split("/")
+        for i in range(1, len(parts)):
+            if fnmatch.fnmatch("/".join(parts[:i]), value):
+                return True
+    return False
+
+
 def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
     if ":" in raw:
         method, _, value = raw.partition(":")
@@ -108,7 +191,7 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
     out: set[str] = set()
     for uid, node in manifest.all_nodes().items():
         if method == "fqn":
-            ok = fnmatch.fnmatch(node.name, value)
+            ok = _fqn_match(node, value)
         elif method == "tag":
             ok = any(fnmatch.fnmatch(t, value) for t in node.tags)
         elif method == "source":
@@ -117,9 +200,7 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
                 or fnmatch.fnmatch(f"{node.source_name}.{node.name}", value)
             )
         elif method == "path":
-            ok = fnmatch.fnmatch(node.path, value) or fnmatch.fnmatch(
-                node.path, value + "/*"
-            )
+            ok = _path_match(node, value)
         elif method == "file":
             fname = node.path.rsplit("/", 1)[-1]
             ok = fnmatch.fnmatch(fname, value) or fnmatch.fnmatch(

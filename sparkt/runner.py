@@ -26,7 +26,7 @@ from sparkt.adapter import SparkAdapter
 from sparkt import events as EV
 from sparkt.compilation import Compiler
 from sparkt.graph.linker import link_graph
-from sparkt.graph.queue import GraphQueue
+from sparkt.graph.queue import GraphQueue, build_order_graph
 from sparkt.graph.selector import select_nodes
 from sparkt.manifest import Manifest, ParsedNode
 from sparkt.materializations import MatContext, get_materialization
@@ -640,30 +640,11 @@ class Runner:
         # (providers.py:559 checks SELECTED_RESOURCES)
         self.compiler.selected_uids = to_run
         # upstream non-selected nodes are not executed but must not gate
-        # the queue: restrict the queue graph to selected executables,
-        # preserving transitive order between them. ONE topological
-        # pass links each selected node to its NEAREST selected
-        # ancestors (unselected nodes forward their reach-set) — the
-        # old per-node nx.ancestors closure + transitive_reduction
-        # materialized O(n²) edges and took 40+ s of scheduler startup
-        # on a 2,000-node chain (r12 runner review #8); this is linear
-        # in practice and needs no reduction pass (a redundant
-        # transitive edge only gates, never deadlocks).
-        order_graph = nx.DiGraph()
-        order_graph.add_nodes_from(to_run)
-        reach: dict[str, frozenset] = {}
-        for n in nx.topological_sort(graph):
-            preds = list(graph.predecessors(n))
-            if n in to_run:
-                for p in preds:
-                    for s in reach.get(p, ()):
-                        order_graph.add_edge(s, n)
-                reach[n] = frozenset((n,))
-            else:
-                acc: set[str] = set()
-                for p in preds:
-                    acc |= reach.get(p, frozenset())
-                reach[n] = frozenset(acc)
+        # the queue: one nearest-selected-ancestor topological pass
+        # (sparkt/graph/queue.py build_order_graph — the r12 runner
+        # review #8 rewrite, 10k-node scaling pinned by
+        # tests/test_orchestration_scale.py)
+        order_graph = build_order_graph(graph, to_run)
         queue = GraphQueue(order_graph, to_run)
 
         # the invocation timestamp rides the record/replay bundle:
