@@ -32,8 +32,11 @@ from sparkt.exceptions import ParsingError
 
 LOCK_FILE = "package-lock.yml"
 
+# minor/patch optional: dbt-common's semver Matchers accept partial
+# versions ('>=1.0', and YAML floats like `version: 1.2` reach here as
+# '1.2'); missing parts zero-fill
 _VERSION_RE = re.compile(
-    r"^(?P<major>\d+)\.(?P<minor>\d+)\.(?P<patch>\d+)"
+    r"^(?P<major>\d+)(?:\.(?P<minor>\d+))?(?:\.(?P<patch>\d+))?"
     r"(?:-(?P<prerelease>[0-9A-Za-z.\-]+))?"
     r"(?:\+[0-9A-Za-z.\-]+)?$"
 )
@@ -53,8 +56,8 @@ class Version:
         if not m:
             raise ParsingError(f"invalid semver version: {s!r}")
         return cls(
-            int(m.group("major")), int(m.group("minor")),
-            int(m.group("patch")), m.group("prerelease"),
+            int(m.group("major")), int(m.group("minor") or 0),
+            int(m.group("patch") or 0), m.group("prerelease"),
         )
 
     def _key(self):
@@ -110,16 +113,38 @@ def parse_specs(raw) -> list[Spec]:
         if not item:
             continue
         m = _SPEC_RE.match(item)
-        op = m.group("op") or "="
-        out.append(Spec("=" if op == "==" else op, Version.parse(m.group("ver"))))
+        op = "=" if (m.group("op") or "=") == "==" else m.group("op") or "="
+        ver_raw = m.group("ver").strip()
+        v = Version.parse(ver_raw)
+        vm = _VERSION_RE.match(ver_raw)
+        partial = vm.group("patch") is None and vm.group("prerelease") is None
+        if op == "=" and partial:
+            # a bare partial version is a RANGE, not an exact pin:
+            # '1.2' ⇒ >=1.2.0 <1.3.0, '2' ⇒ >=2.0.0 <3.0.0
+            if vm.group("minor") is None:
+                hi = Version(v.major + 1, 0, 0)
+            else:
+                hi = Version(v.major, v.minor + 1, 0)
+            out.append(Spec(">=", v))
+            out.append(Spec("<", hi))
+        else:
+            out.append(Spec(op, v))
     return out
 
 
-def resolve_version(specs: list[Spec], available: list[str]) -> str:
+def resolve_version(
+    specs: list[Spec], available: list[str],
+    install_prerelease: bool = False,
+) -> str:
     """Highest installable version satisfying every spec (reference
     ``semver.resolve_to_specific_version`` over ``filter_installable``).
-    Prereleases are installable only when some spec names one."""
-    want_pre = any(s.version.prerelease for s in specs)
+    Prereleases are installable when the package entry sets
+    ``install-prerelease: true`` (reference ``RegistryPackage
+    .install_prerelease``, ``core/dbt/deps/registry.py``) or when some
+    spec names one."""
+    want_pre = install_prerelease or any(
+        s.version.prerelease for s in specs
+    )
     candidates = []
     for raw in available:
         try:
@@ -210,23 +235,33 @@ def resolve_registry_packages(
     import yaml
 
     specs: dict[str, list[Spec]] = {}
+    # install-prerelease is per-package and sticky once any entry sets
+    # it (reference RegistryUnpinnedPackage.incorporate ORs the flag)
+    want_pre: dict[str, bool] = {}
     queue = [
-        (e["package"], parse_specs(e.get("version")))
+        (e["package"], parse_specs(e.get("version")),
+         bool(e.get("install-prerelease") or e.get("install_prerelease")))
         for e in entries
     ]
     resolved: dict[str, Pin] = {}
     # fixpoint: re-resolve until no new packages/specs appear (nested
     # hub deps can tighten ranges of already-seen packages)
     while queue:
-        name, new_specs = queue.pop(0)
+        name, new_specs, pre = queue.pop(0)
         merged = specs.setdefault(name, [])
         before = len(merged)
         for s in new_specs:
             if s not in merged:
                 merged.append(s)
-        if name in resolved and len(merged) == before:
+        pre_before = want_pre.get(name, False)
+        want_pre[name] = pre_before or pre
+        if (name in resolved and len(merged) == before
+                and want_pre[name] == pre_before):
             continue
-        version = resolve_version(merged, registry.versions(name))
+        version = resolve_version(
+            merged, registry.versions(name),
+            install_prerelease=want_pre[name],
+        )
         pin = Pin(name, version, registry.tarball(name, version))
         resolved[name] = pin
         # nested hub deps: peek at the tarball's packages.yml
@@ -237,9 +272,12 @@ def resolve_registry_packages(
                     spec = yaml.safe_load(tf.extractfile(member).read()) or {}
                     for sub in spec.get("packages", []) or []:
                         if sub and sub.get("package"):
-                            queue.append(
-                                (sub["package"], parse_specs(sub.get("version")))
-                            )
+                            queue.append((
+                                sub["package"],
+                                parse_specs(sub.get("version")),
+                                bool(sub.get("install-prerelease")
+                                     or sub.get("install_prerelease")),
+                            ))
     return sorted(resolved.values(), key=lambda p: p.package)
 
 

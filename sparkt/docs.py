@@ -31,8 +31,14 @@ fetch('catalog.json').then(r=>r.json()).then(cat=>{
     const t=document.createElement('table');
     t.innerHTML='<tr><th>column</th><th>type</th></tr>';
     for(const [name,col] of Object.entries(node.columns||{})){
+      // textContent, not innerHTML: column names/types are user data
+      // and this file is shareable — markup in a name must render
+      // inert, not execute
       const tr=document.createElement('tr');
-      tr.innerHTML=`<td>${name}</td><td>${col.type||col.data_type||''}</td>`;
+      const td1=document.createElement('td');td1.textContent=name;
+      const td2=document.createElement('td');
+      td2.textContent=col.type||col.data_type||'';
+      tr.appendChild(td1);tr.appendChild(td2);
       t.appendChild(tr);
     }
     div.appendChild(t);

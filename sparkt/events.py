@@ -475,6 +475,16 @@ class WarnErrorOptions:
             raise ValueError(
                 f"--warn-error-options must be a YAML mapping, got: {text!r}"
             )
+        # primary/alt are EXCLUSIVE (reference
+        # exclusive_primary_alt_value_setting raises
+        # DbtExclusivePropertyUseError when both are set) — silently
+        # preferring one would hide half the user's configuration
+        for primary, alt in (("include", "error"), ("exclude", "warn")):
+            if primary in raw and alt in raw:
+                raise ValueError(
+                    f"--warn-error-options: only one of {primary!r} or "
+                    f"{alt!r} may be set"
+                )
         return cls(
             include=raw.get("include", raw.get("error", [])),
             exclude=raw.get("exclude", raw.get("warn", [])),

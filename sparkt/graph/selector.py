@@ -146,9 +146,22 @@ def _method_match(manifest: Manifest, raw: str, state=None) -> set[str]:
             return state_mod.modified_nodes(manifest, state, sub=sub or None)
         if base == "new":
             return state_mod.new_nodes(manifest, state)
+        if base == "old":
+            # reference state_checks 'old': the previous manifest
+            # already had the node (selector_methods.py:739)
+            return {
+                uid for uid in manifest.all_nodes()
+                if uid in state.nodes or uid in state.sources
+            }
         if base == "unmodified":
-            return set(manifest.nodes) - state_mod.modified_nodes(manifest, state)
-        return set()
+            return (
+                set(manifest.all_nodes())
+                - state_mod.modified_nodes(manifest, state)
+            )
+        raise SelectorError(
+            f"invalid state selector 'state:{value}'; expected one of "
+            "new, old, modified[.<sub>], unmodified"
+        )
     if method == "result":
         results = (
             state

@@ -50,6 +50,35 @@ def unit_test_fingerprint(model, given, expect, overrides=None) -> str:
     ).hexdigest()
 
 
+def source_state_dict(n: "ParsedNode") -> dict:
+    """A source's manifest-v12 SourceDefinition dict — also the
+    canonical form ``state:modified`` compares against the previous
+    manifest (the reference's ``SourceDefinition.same_contents`` is
+    definition equality, ``selector_methods.py:681``)."""
+    return {
+        "database": None,
+        "schema": n.config.get("schema") or "",
+        "name": n.name,
+        "resource_type": "source",
+        "package_name": n.package_name,
+        "path": n.path,
+        "original_file_path": n.path,
+        "unique_id": n.unique_id,
+        "fqn": [n.package_name, n.source_name or "", n.name],
+        "source_name": n.source_name or "",
+        "source_description": "",
+        "loader": "",
+        "identifier": n.config.get("identifier", n.name),
+        "loaded_at_field": n.loaded_at_field,
+        "freshness": None,
+        "description": n.description,
+        "columns": column_info_dict(n.columns),
+        "config": n.config,
+        "tags": n.tags,
+        "relation_name": n.relation.render() if n.relation else None,
+    }
+
+
 def column_info_dict(cols: dict) -> dict:
     """YAML column entries → manifest-v12 ColumnInfo objects (the
     schema's per-column alternative sets additionalProperties: false).
@@ -417,29 +446,7 @@ class Manifest:
                            if k in ("tags", "meta", "enabled")},
             }
 
-        def source_dict(n: ParsedNode) -> dict:
-            return {
-                "database": None,
-                "schema": n.config.get("schema") or "",
-                "name": n.name,
-                "resource_type": "source",
-                "package_name": n.package_name,
-                "path": n.path,
-                "original_file_path": n.path,
-                "unique_id": n.unique_id,
-                "fqn": [n.package_name, n.source_name or "", n.name],
-                "source_name": n.source_name or "",
-                "source_description": "",
-                "loader": "",
-                "identifier": n.config.get("identifier", n.name),
-                "loaded_at_field": n.loaded_at_field,
-                "freshness": None,
-                "description": n.description,
-                "columns": columns_dict(n.columns),
-                "config": n.config,
-                "tags": n.tags,
-                "relation_name": n.relation.render() if n.relation else None,
-            }
+        source_dict = source_state_dict
 
         def macro_dict(name: str, src: str) -> dict:
             pkg, _, rel = name.partition("/")

@@ -514,16 +514,24 @@ def check_shallow_clone(sql: str) -> str:
     return sql
 
 
+_MERGE_HEAD = re.compile(r"^\s*merge\s+into\b", re.IGNORECASE)
+_INSERT_HEAD = re.compile(r"^\s*insert\s+into\b", re.IGNORECASE)
+_RW_MARK = re.compile(r"\breplace\s+where\b", re.IGNORECASE)
+_CORT_HEAD = re.compile(
+    r"^\s*create\s+or\s+replace\s+table\b", re.IGNORECASE
+)
+_SC_MARK = re.compile(r"\bshallow\s+clone\b", re.IGNORECASE)
+
+
 def check_table_format_sql(sql: str) -> str:
     """Dispatch on the statement head; raises MalformedStatement for
-    the three families, passes anything else through unchecked."""
-    head = sql.lstrip().lower()
-    if head.startswith("merge into"):
+    the three families, passes anything else through unchecked.
+    Whitespace-robust (r13 review): an emitter formatting ``MERGE\\n
+    INTO`` must not silently bypass the check."""
+    if _MERGE_HEAD.match(sql):
         return check_merge_into(sql)
-    if head.startswith("insert into") and " replace where " in head:
+    if _INSERT_HEAD.match(sql) and _RW_MARK.search(sql):
         return check_replace_where(sql)
-    if head.startswith("create or replace table") and (
-        "shallow clone" in head
-    ):
+    if _CORT_HEAD.match(sql) and _SC_MARK.search(sql):
         return check_shallow_clone(sql)
     return sql

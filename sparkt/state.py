@@ -17,12 +17,14 @@ class StateManifest:
     """A previously written target/manifest.json (+ optional
     sources.json freshness artifact in the same directory)."""
 
-    #: current-invocation freshness results (the reference's
-    #: previous_state.sources_current) — set by the runner from the
-    #: live target dir's sources.json for source_status:fresher
-    freshness_current: list[dict] = []
-
     def __init__(self, path: str):
+        #: current-invocation freshness results (the reference's
+        #: previous_state.sources_current) — set by the runner from the
+        #: live target dir's sources.json for source_status:fresher.
+        #: Instance state (r13 review): as a class attribute, one
+        #: instance appending to it would leak into every other
+        #: StateManifest in the process.
+        self.freshness_current: list[dict] = []
         self.freshness: list[dict] = []
         #: previous run_results statuses (uid → status) for the
         #: result:<status> selector (reference ResultSelectorMethod
@@ -115,9 +117,23 @@ def modified_nodes(
 ) -> set[str]:
     """state:modified[.sub] (``selector_methods.py:609-787``).
 
-    sub ∈ {None, body, configs, relation, macros, contract}: None is the
-    union of every discriminator plus new nodes (reference semantics)."""
+    sub ∈ {None, body, configs, relation, macros, contract,
+    persisted_descriptions}: None is the union of every discriminator
+    plus new nodes (reference semantics). An unknown sub raises (the
+    reference raises 'Got an invalid selector',
+    ``selector_methods.py:755-758``) instead of silently selecting
+    nothing."""
     import hashlib
+
+    _SUBS = {"body", "configs", "relation", "macros", "contract",
+             "persisted_descriptions"}
+    if sub is not None and sub not in _SUBS:
+        from sparkt.exceptions import SelectorError
+
+        raise SelectorError(
+            f"invalid state:modified sub-selector {sub!r}; expected one "
+            f"of {sorted(_SUBS)}"
+        )
 
     changed_macros = {
         name
@@ -164,19 +180,42 @@ def modified_nodes(
         macros = bool(_macros_used(node.raw_code) & changed_macro_names)
         from sparkt.manifest import column_info_dict
 
-        contract = (old.get("columns") or {}) != column_info_dict(node.columns)
+        new_cols = column_info_dict(node.columns)
+        contract = (old.get("columns") or {}) != new_cols
+        # persisted descriptions (reference same_persisted_description,
+        # modified.persisted_descriptions): node description + per-
+        # column descriptions
+        old_cols = old.get("columns") or {}
+        descriptions = (
+            (old.get("description") or "") != (node.description or "")
+            or {c: (v or {}).get("description", "")
+                for c, v in old_cols.items()}
+            != {c: v.get("description", "") for c, v in new_cols.items()}
+        )
         by_sub = {
             "body": body,
             "configs": configs,
             "relation": relation,
             "macros": macros,
             "contract": contract,
+            "persisted_descriptions": descriptions,
         }
         if sub is not None:
             if by_sub.get(sub, False):
                 out.add(uid)
         elif any(by_sub.values()):
             out.add(uid)
+    # sources: the reference's state method walks all_nodes incl.
+    # sources, comparing SourceDefinition.same_contents (definition
+    # equality); sub-discriminators hasattr-miss on sources, so they
+    # participate only in the base modified/unmodified sets
+    if sub is None:
+        from sparkt.manifest import source_state_dict
+
+        for uid, src in getattr(manifest, "sources", {}).items():
+            old = state.sources.get(uid)
+            if old is None or old != source_state_dict(src):
+                out.add(uid)
     return out
 
 
