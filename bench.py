@@ -74,16 +74,68 @@ def calibration_point(base) -> float:
     return min(vals)
 
 
-def suspect_run(cal_samples, bound=CALIBRATION_BOUND_S) -> bool:
-    """True when the run looks machine-contaminated: the MEDIAN
-    calibration point over the bound means >=half the bench wall time
-    ran CPU-starved (the r10/r12 signature was sustained inflation, not
-    isolated spikes — those are filtered by min-of-3 per point)."""
+# Second contamination mode (found r13 while adjudicating sweep-budget
+# trips): the host can throttle AGGREGATE cpu (cgroup-quota style) so
+# 32-wide Spark stages run 4-20x slow while a single-threaded probe
+# stays flat — the serial sentinel reads "box clean" right through it.
+# An 8-thread concurrent sort (numpy releases the GIL) sees exactly
+# what Spark sees. Clean walls measured r13: 0.06-0.14 s; bound 0.35.
+PARALLEL_BOUND_S = 0.35
+_PAR_THREADS = 8
+_PAR_N = 1_000_000
+
+
+def _parallel_bases():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [rng.random(_PAR_N) for _ in range(_PAR_THREADS)]
+
+
+def calibration_parallel_once(bases) -> float:
+    """Wall time of _PAR_THREADS concurrent fixed-size sorts."""
+    import threading
+
+    import numpy as np
+
+    def one(i):
+        np.sort(bases[i].copy())
+
+    ts = [
+        threading.Thread(target=one, args=(i,))
+        for i in range(_PAR_THREADS)
+    ]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.perf_counter() - t0
+
+
+def calibration_parallel_point(bases) -> float:
+    """Min of 2 walls (thread-start jitter filtered; sustained quota
+    throttling inflates both)."""
+    return min(calibration_parallel_once(bases) for _ in range(2))
+
+
+def suspect_run(
+    cal_samples, bound=CALIBRATION_BOUND_S,
+    par_samples=None, par_bound=PARALLEL_BOUND_S,
+) -> bool:
+    """True when the run looks machine-contaminated in EITHER mode:
+    the MEDIAN serial point over its bound (per-core steal — the
+    r10/r12 signature: sustained inflation, not isolated spikes,
+    which min-of-3 per point filters) or the MEDIAN parallel point
+    over its bound (aggregate-quota throttling, invisible to the
+    serial probe)."""
     import statistics as _st
 
-    if not cal_samples:
-        return False
-    return _st.median(cal_samples) > bound
+    if cal_samples and _st.median(cal_samples) > bound:
+        return True
+    if par_samples and _st.median(par_samples) > par_bound:
+        return True
+    return False
 
 
 HEADLINE = [
@@ -147,18 +199,22 @@ def main():
     import statistics
 
     cal_base = _calibration_array()
+    par_bases = _parallel_bases()
     for _ in range(3):  # first-touch page faults / CPU-governor ramp
         calibration_once(cal_base)
+        calibration_parallel_once(par_bases)
 
     times: dict[str, float] = {}
     mins: dict[str, float] = {}
     stds: dict[str, float] = {}
     cal_samples: list[float] = []
+    par_samples: list[float] = []
     for name in HEADLINE:
         run(name)  # warmup, untimed
         samples = []
         for _ in range(n_samples):
             cal_samples.append(calibration_point(cal_base))
+            par_samples.append(calibration_parallel_point(par_bases))
             samples.append(run(name))
         times[name] = round(statistics.mean(samples), 3)
         # min is robust to interference spikes (VERDICT r12 #3): a
@@ -229,9 +285,16 @@ def main():
                     "median": round(statistics.median(cal_samples), 4),
                     "max": round(max(cal_samples), 4),
                     "bound": CALIBRATION_BOUND_S,
+                    "parallel_median": round(
+                        statistics.median(par_samples), 4
+                    ),
+                    "parallel_max": round(max(par_samples), 4),
+                    "parallel_bound": PARALLEL_BOUND_S,
                     "n": len(cal_samples),
                 },
-                "suspect": suspect_run(cal_samples),
+                "suspect": suspect_run(
+                    cal_samples, par_samples=par_samples
+                ),
                 **parse_stats,
                 **orch_stats,
             }

@@ -188,6 +188,21 @@ def main():
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.createDataFrame([(1,)], "x int").groupBy("x").count().collect()
 
+    # per-gate contamination sentinel (the bench.py mechanism, r13):
+    # the sweep box is shared, and a stall window inflates whichever
+    # gate is unlucky — record the calibration time measured right
+    # before each gate so a tripped budget can be adjudicated from the
+    # artifact instead of costing a re-run
+    import bench as _bench
+
+    _cal_base = _bench._calibration_array()
+    _par_bases = _bench._parallel_bases()
+    for _ in range(3):
+        _bench.calibration_once(_cal_base)
+        _bench.calibration_parallel_once(_par_bases)
+    cal: dict[str, float] = {}
+    par: dict[str, float] = {}
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -195,6 +210,7 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _cal_pre = _bench.calibration_point(_cal_base)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -203,6 +219,12 @@ def main():
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         times[name] = time.time() - t0
+        # max(pre, post): a stall window starting mid-gate shows in the
+        # post sample. The parallel probe catches aggregate-quota
+        # throttling that the serial one cannot see (r13: Spark-wide
+        # 4-20x phases with a flat single-thread probe).
+        cal[name] = max(_cal_pre, _bench.calibration_point(_cal_base))
+        par[name] = _bench.calibration_parallel_point(_par_bases)
         if spark_only:
             print(f"spark {name}: {len(sdf)} rows (compare skipped) "
                   f"[{times[name]:.1f}s]")
@@ -270,8 +292,24 @@ def main():
             budgets = json.load(f).get(sf_base, {})
         over = check_budgets(times, budgets)
         for msg in over:
-            print(f"BUDGET {msg}")
             name = msg.split(":", 1)[0]
+            # adjudicate with the sentinels: a budget trip while either
+            # calibration micro-task was ALSO inflated is machine
+            # contamination, not a plan regression — report, don't fail
+            c, p = cal.get(name), par.get(name)
+            if c is not None and c > _bench.CALIBRATION_BOUND_S:
+                print(f"BUDGET-SUSPECT {msg} (serial calibration "
+                      f"{c:.3f}s > {_bench.CALIBRATION_BOUND_S}s: "
+                      "box contention)")
+                continue
+            if p is not None and p > _bench.PARALLEL_BOUND_S:
+                print(f"BUDGET-SUSPECT {msg} (parallel calibration "
+                      f"{p:.3f}s > {_bench.PARALLEL_BOUND_S}s: "
+                      "aggregate-cpu throttling)")
+                continue
+            print(f"BUDGET {msg} (calibration serial="
+                  f"{c if c is None else round(c, 3)}s parallel="
+                  f"{p if p is None else round(p, 3)}s: box clean)")
             if name not in failures:  # already red on correctness
                 failures.append(name)
 

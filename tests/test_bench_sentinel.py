@@ -65,3 +65,29 @@ def test_suspect_rule_uses_committed_bound_by_default():
     # exactly-at-bound samples are NOT over (strict >)
     at_bound = [bench.CALIBRATION_BOUND_S] * 10
     assert bench.suspect_run(at_bound) is False
+
+
+def test_parallel_probe_fits_committed_bound_on_this_box():
+    """Aggregate-quota throttling mode (r13): 8 concurrent GIL-free
+    sorts see what a 32-wide Spark stage sees; clean walls measured
+    0.06-0.14 s vs the 0.35 s bound."""
+    bases = bench._parallel_bases()
+    for _ in range(2):
+        bench.calibration_parallel_once(bases)
+    best = min(bench.calibration_parallel_point(bases) for _ in range(3))
+    assert best < bench.PARALLEL_BOUND_S
+    assert best < bench.PARALLEL_BOUND_S * 0.75  # not trivially loose
+
+
+def test_suspect_rule_catches_quota_throttling_mode():
+    """Serial probe flat + parallel probe inflated = suspect (the mode
+    the r13 sweep adjudication actually hit: Spark 4-20x slow, serial
+    calibration reading 0.03 s 'box clean')."""
+    serial_clean = [0.03] * 60
+    par_throttled = [1.2] * 60
+    assert bench.suspect_run(serial_clean, par_samples=par_throttled)
+    par_clean = [0.1] * 60
+    assert not bench.suspect_run(serial_clean, par_samples=par_clean)
+    # isolated parallel spikes stay non-suspect (median rule)
+    par_spiky = [0.1] * 50 + [2.0] * 10
+    assert not bench.suspect_run(serial_clean, par_samples=par_spiky)
