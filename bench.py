@@ -119,23 +119,251 @@ def calibration_parallel_point(bases) -> float:
     return min(calibration_parallel_once(bases) for _ in range(2))
 
 
+# Third contamination mode (VERDICT r13 #1): BOTH numpy probes read
+# clean through the r13 phase while code-untouched Spark queries ran
+# uniformly 1.5-8x slow — memory-bound numpy sorts are evidently not a
+# proxy for JVM whole-stage-codegen throughput under host-level
+# throttling. Three new signals, each reported in the artifact:
+#   1. a fixed tiny SPARK job timed once per sample — it experiences
+#      exactly what the suite experiences (JVM codegen, 32-way task
+#      scheduling). spark.range, not a file scan: deterministic work,
+#      zero I/O variance. Clean walls measured r14 (local[32], both
+#      numpy probes in-bound, steal 2.4%): median 0.25-0.38 s warm,
+#      0.14-0.7 s spread; bound 1.0 s flags a >=3x JVM slowdown.
+#   2. /proc/stat STEAL fraction over the suite window — the direct
+#      hypervisor-throttling counter. Clean baseline measured r14:
+#      2.4% idle / 2.7% under full Spark load; a uniform 1.5x host
+#      slowdown implies ~33% steal. Bound 0.10.
+#   3. cgroup cpu.stat throttled-time delta (v2 throttled_usec or v1
+#      throttled_time) as a fraction of wall x ncpu — the quota mode.
+#      Zero on a clean box (quota is -1 here); bound 0.02.
+SPARK_PROBE_BOUND_S = 1.0
+_SPARK_PROBE_ROWS = 32_000_000
+_SPARK_PROBE_PARTS = 32
+STEAL_FRAC_BOUND = 0.10
+THROTTLE_FRAC_BOUND = 0.02
+
+
+def spark_probe_once(spark) -> float:
+    """Wall of one fixed 32-partition JVM aggregation (no file I/O)."""
+    t0 = time.perf_counter()
+    spark.range(0, _SPARK_PROBE_ROWS, 1, _SPARK_PROBE_PARTS).selectExpr(
+        "sum(id * 3 + (id % 7)) as s"
+    ).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def host_cpu_times():
+    """The aggregate `cpu` line of /proc/stat as a list of jiffy
+    counters (user nice system idle iowait irq softirq steal ...), or
+    None where /proc is unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    return [int(x) for x in parts[1:]]
+
+
+def steal_fraction(before, after):
+    """Fraction of ALL cpu time (busy+idle, all cores) stolen by the
+    hypervisor between two host_cpu_times() snapshots; None if either
+    snapshot is missing or the steal column (index 7) is absent."""
+    if not before or not after or len(before) < 8 or len(after) < 8:
+        return None
+    deltas = [b - a for a, b in zip(before, after)]
+    total = sum(deltas)
+    if total <= 0:
+        return None
+    return deltas[7] / total
+
+
+def cgroup_cpu_stat():
+    """{'nr_throttled': int, 'throttled_s': float} from cgroup v2
+    (/sys/fs/cgroup/cpu.stat, usec) or v1 (/sys/fs/cgroup/cpu/cpu.stat,
+    nsec); None when neither exposes throttle counters."""
+    for path, scale in (
+        ("/sys/fs/cgroup/cpu.stat", 1e-6),
+        ("/sys/fs/cgroup/cpu/cpu.stat", 1e-9),
+    ):
+        try:
+            with open(path) as f:
+                kv = dict(
+                    line.split(None, 1) for line in f if line.strip()
+                )
+        except OSError:
+            continue
+        if "nr_throttled" in kv:
+            raw = kv.get("throttled_usec", kv.get("throttled_time", "0"))
+            return {
+                "nr_throttled": int(kv["nr_throttled"]),
+                "throttled_s": float(raw) * scale,
+            }
+    return None
+
+
+def adjudicate(
+    cal_samples,
+    par_samples=None,
+    spark_samples=None,
+    steal_frac=None,
+    throttled_frac=None,
+    bound=CALIBRATION_BOUND_S,
+    par_bound=PARALLEL_BOUND_S,
+    spark_bound=SPARK_PROBE_BOUND_S,
+    steal_bound=STEAL_FRAC_BOUND,
+    throttled_bound=THROTTLE_FRAC_BOUND,
+):
+    """List of human-readable contamination findings (empty = clean).
+    MEDIANS for the timed probes (sustained inflation, not isolated
+    spikes — Spark's own GC/codegen bursts produce legitimate
+    outliers); raw fractions for the host counters."""
+    import statistics as _st
+
+    reasons = []
+    if cal_samples and _st.median(cal_samples) > bound:
+        reasons.append(
+            f"serial calibration median "
+            f"{_st.median(cal_samples):.4f}s > bound {bound}s"
+        )
+    if par_samples and _st.median(par_samples) > par_bound:
+        reasons.append(
+            f"parallel calibration median "
+            f"{_st.median(par_samples):.4f}s > bound {par_bound}s"
+        )
+    if spark_samples and _st.median(spark_samples) > spark_bound:
+        reasons.append(
+            f"spark probe median "
+            f"{_st.median(spark_samples):.4f}s > bound {spark_bound}s"
+        )
+    if steal_frac is not None and steal_frac > steal_bound:
+        reasons.append(
+            f"hypervisor steal fraction {steal_frac:.4f} > "
+            f"bound {steal_bound}"
+        )
+    if throttled_frac is not None and throttled_frac > throttled_bound:
+        reasons.append(
+            f"cgroup throttled-cpu fraction {throttled_frac:.4f} > "
+            f"bound {throttled_bound}"
+        )
+    return reasons
+
+
 def suspect_run(
     cal_samples, bound=CALIBRATION_BOUND_S,
     par_samples=None, par_bound=PARALLEL_BOUND_S,
+    spark_samples=None, spark_bound=SPARK_PROBE_BOUND_S,
+    steal_frac=None, steal_bound=STEAL_FRAC_BOUND,
+    throttled_frac=None, throttled_bound=THROTTLE_FRAC_BOUND,
 ) -> bool:
-    """True when the run looks machine-contaminated in EITHER mode:
-    the MEDIAN serial point over its bound (per-core steal — the
-    r10/r12 signature: sustained inflation, not isolated spikes,
-    which min-of-3 per point filters) or the MEDIAN parallel point
-    over its bound (aggregate-quota throttling, invisible to the
-    serial probe)."""
-    import statistics as _st
+    """True when the run looks machine-contaminated in ANY mode."""
+    return bool(
+        adjudicate(
+            cal_samples,
+            par_samples=par_samples,
+            spark_samples=spark_samples,
+            steal_frac=steal_frac,
+            throttled_frac=throttled_frac,
+            bound=bound,
+            par_bound=par_bound,
+            spark_bound=spark_bound,
+            steal_bound=steal_bound,
+            throttled_bound=throttled_bound,
+        )
+    )
 
-    if cal_samples and _st.median(cal_samples) > bound:
-        return True
-    if par_samples and _st.median(par_samples) > par_bound:
-        return True
-    return False
+
+class Sentinel:
+    """Collects one point per contamination mode before every timed
+    query sample and self-adjudicates at the end. spark=None skips the
+    JVM probe (pure-python contexts)."""
+
+    def __init__(self, spark=None):
+        self.spark = spark
+        self.cal_base = _calibration_array()
+        self.par_bases = _parallel_bases()
+        self.cal, self.par, self.spk = [], [], []
+        self._host0 = host_cpu_times()
+        self._cg0 = cgroup_cpu_stat()
+        self._t0 = time.perf_counter()
+
+    def warm(self, n=3):
+        for _ in range(n):
+            calibration_once(self.cal_base)
+            calibration_parallel_once(self.par_bases)
+            if self.spark is not None:
+                spark_probe_once(self.spark)
+
+    def sample(self):
+        self.cal.append(calibration_point(self.cal_base))
+        self.par.append(calibration_parallel_point(self.par_bases))
+        if self.spark is not None:
+            self.spk.append(spark_probe_once(self.spark))
+
+    def report(self) -> dict:
+        import statistics as _st
+
+        wall = time.perf_counter() - self._t0
+        ncpu = os.cpu_count() or 1
+        steal = steal_fraction(self._host0, host_cpu_times())
+        cg1 = cgroup_cpu_stat()
+        throttled_s = throttled_frac = nr_throttled = None
+        if self._cg0 is not None and cg1 is not None and wall > 0:
+            throttled_s = cg1["throttled_s"] - self._cg0["throttled_s"]
+            nr_throttled = cg1["nr_throttled"] - self._cg0["nr_throttled"]
+            throttled_frac = throttled_s / (wall * ncpu)
+        reasons = adjudicate(
+            self.cal,
+            par_samples=self.par,
+            spark_samples=self.spk,
+            steal_frac=steal,
+            throttled_frac=throttled_frac,
+        )
+
+        def _med(xs):
+            return round(_st.median(xs), 4) if xs else None
+
+        return {
+            "calibration_s": {
+                "median": _med(self.cal),
+                "max": round(max(self.cal), 4) if self.cal else None,
+                "bound": CALIBRATION_BOUND_S,
+                "parallel_median": _med(self.par),
+                "parallel_max": (
+                    round(max(self.par), 4) if self.par else None
+                ),
+                "parallel_bound": PARALLEL_BOUND_S,
+                "spark_probe_median": _med(self.spk),
+                "spark_probe_max": (
+                    round(max(self.spk), 4) if self.spk else None
+                ),
+                "spark_probe_bound": SPARK_PROBE_BOUND_S,
+                "n": len(self.cal),
+            },
+            "host": {
+                "steal_fraction": (
+                    round(steal, 5) if steal is not None else None
+                ),
+                "steal_bound": STEAL_FRAC_BOUND,
+                "cgroup_throttled_s": (
+                    round(throttled_s, 3)
+                    if throttled_s is not None
+                    else None
+                ),
+                "cgroup_nr_throttled": nr_throttled,
+                "cgroup_throttled_cpu_fraction": (
+                    round(throttled_frac, 5)
+                    if throttled_frac is not None
+                    else None
+                ),
+                "cgroup_throttle_bound": THROTTLE_FRAC_BOUND,
+                "window_wall_s": round(wall, 1),
+            },
+            "suspect": bool(reasons),
+            "suspect_reasons": reasons,
+        }
 
 
 HEADLINE = [
@@ -198,23 +426,17 @@ def main():
     n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "5")))
     import statistics
 
-    cal_base = _calibration_array()
-    par_bases = _parallel_bases()
-    for _ in range(3):  # first-touch page faults / CPU-governor ramp
-        calibration_once(cal_base)
-        calibration_parallel_once(par_bases)
+    sentinel = Sentinel(spark)
+    sentinel.warm()  # first-touch page faults / governor ramp / JIT
 
     times: dict[str, float] = {}
     mins: dict[str, float] = {}
     stds: dict[str, float] = {}
-    cal_samples: list[float] = []
-    par_samples: list[float] = []
     for name in HEADLINE:
         run(name)  # warmup, untimed
         samples = []
         for _ in range(n_samples):
-            cal_samples.append(calibration_point(cal_base))
-            par_samples.append(calibration_parallel_point(par_bases))
+            sentinel.sample()
             samples.append(run(name))
         times[name] = round(statistics.mean(samples), 3)
         # min is robust to interference spikes (VERDICT r12 #3): a
@@ -270,31 +492,24 @@ def main():
     except Exception:  # noqa: BLE001 — supplementary metric
         pass
 
+    # queries_min is the headline round-over-round series (VERDICT r13
+    # #1): min-of-n is robust to contamination phases that inflate
+    # mean/std but rarely every sample. `value` (sum of means) stays
+    # for artifact continuity with r1-r13.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
+                "value_min": round(sum(mins.values()), 3),
+                "headline_series": "queries_min",
                 "unit": "sec",
                 "queries": times,
                 "queries_min": mins,
                 "queries_std": stds,
                 "n_samples": n_samples,
                 "sf": sf,
-                "calibration_s": {
-                    "median": round(statistics.median(cal_samples), 4),
-                    "max": round(max(cal_samples), 4),
-                    "bound": CALIBRATION_BOUND_S,
-                    "parallel_median": round(
-                        statistics.median(par_samples), 4
-                    ),
-                    "parallel_max": round(max(par_samples), 4),
-                    "parallel_bound": PARALLEL_BOUND_S,
-                    "n": len(cal_samples),
-                },
-                "suspect": suspect_run(
-                    cal_samples, par_samples=par_samples
-                ),
+                **sentinel.report(),
                 **parse_stats,
                 **orch_stats,
             }
