@@ -77,13 +77,26 @@ def main() -> int:
     stale = [g for g, r in out.items() if r == 0]
     print(f"{len(out)} gates; {len(stale)} need a fresh row: {sorted(stale)}")
 
-    # Audit-trail invariant (VERDICT r10 #1): every registered gate
-    # must hold a green row within the union of the last
-    # ceil(N_gates / 50) official artifacts. Gates at 0 are new (or
-    # --reset) and sort to the FRONT of the next artifact run, so
-    # they are exempt; everything else fails loudly here instead of
-    # silently aging out of the audit window.
+    # Audit-trail invariant (VERDICT r10 #1, tightened r14 per VERDICT
+    # r13 #2): every registered gate must hold a green row within the
+    # union of the last ceil(N_gates / 50) official artifacts. A gate
+    # at exactly that age sits on the WINDOW EDGE: it fell out of the
+    # documented union this round (the r13 t3/t19 incident — six
+    # same-round impl resets crowded them past the 50-row cap), and
+    # the only acceptable state is that it holds a RESERVED slot in
+    # the first 50 of the next run order (sparkt.queries.order_key
+    # tier 0, ahead of resets) so the next artifact is guaranteed to
+    # re-row it. Three outcomes:
+    #   age >  max_age                      -> hard fail (irrecoverable
+    #                                          breach already recorded)
+    #   age == max_age, order position >=50 -> hard fail (breach next
+    #                                          round is unavoidable)
+    #   age == max_age, position < 50       -> loud WARN (self-healing:
+    #                                          reserved front slot)
+    # Gates at 0 are new (or --reset) and run in tier 1.
     import math
+
+    from sparkt.queries import order_key
 
     max_age = math.ceil(len(out) / 50)
     overdue = {
@@ -99,6 +112,28 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    rot = dict(out)
+    rot["_round"] = max_round
+    order = sorted(out, key=order_key(rot, len(out)))
+    at_risk = sorted(
+        g for g, r in out.items() if r > 0 and max_round - r == max_age
+    )
+    unreserved = [g for g in at_risk if order.index(g) >= 50]
+    if unreserved:
+        print(
+            f"INVARIANT VIOLATED: {len(unreserved)} window-edge gates "
+            f"(age == {max_age}) have NO reserved slot in the next "
+            f"50-row artifact: {unreserved} — consolidate the registry "
+            "or defer same-round resets",
+            file=sys.stderr,
+        )
+        return 1
+    if at_risk:
+        print(
+            f"WARN: {len(at_risk)} gates at the window edge (age == "
+            f"{max_age}) hold reserved first slots for the next "
+            f"artifact: {at_risk}"
+        )
     return 0
 
 

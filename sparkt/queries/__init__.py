@@ -59,9 +59,37 @@ def _rotation() -> dict:
         return {}
 
 
+def order_key(last_rowed: dict, n_gates: int):
+    """Gate run-order key (VERDICT r13 #2). Three tiers:
+
+    0. at-risk: last rowed exactly ceil(N/50) rounds ago — the window
+       edge. These hold RESERVED first slots so same-round impl resets
+       can never crowd them out of the 50-row artifact again (the r13
+       incident: six resets pushed t3/t19 to positions 51-52 and out
+       of the documented audit window for one round).
+    1. resets / never-rowed (round 0).
+    2. everything else, stalest first.
+
+    Name tie-break keeps the order deterministic for the driver and
+    for check_oracles.py."""
+    import math
+
+    rounds = [
+        r for g, r in last_rowed.items() if g != "_round" and r > 0
+    ]
+    current = last_rowed.get("_round", max(rounds, default=0))
+    max_age = math.ceil(max(n_gates, 1) / 50)
+
+    def key(k):
+        r = last_rowed.get(k, 0)
+        at_risk = 0 < r <= current - max_age
+        tier = 0 if at_risk else (1 if r == 0 else 2)
+        return (tier, r, k)
+
+    return key
+
+
 _LAST_ROWED = _rotation()
-# stalest first (0 = never rowed / impl changed); name tie-break keeps
-# the order deterministic for the driver and for check_oracles.py
-_ORDER = sorted(_QUERIES, key=lambda k: (_LAST_ROWED.get(k, 0), k))
+_ORDER = sorted(_QUERIES, key=order_key(_LAST_ROWED, len(_QUERIES)))
 QUERIES = {k: _QUERIES[k] for k in _ORDER}
 ORACLES = {k: _ORACLES[k] for k in _ORDER if k in _ORACLES}

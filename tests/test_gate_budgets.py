@@ -129,17 +129,19 @@ def test_committed_rotation_is_current():
 
 
 def test_rotation_age_invariant():
-    """VERDICT r10 ask #1: with N gates and a 50-row artifact cap,
-    every registered gate must hold a green official row within the
-    last ceil(N/50) artifacts (new/reset gates at round 0 are exempt
-    — they run first next round). This pins the COVERAGE.md registry
-    policy to reality; update_rotation.py enforces the same bound at
-    round start."""
+    """VERDICT r10 ask #1, tightened r14 (VERDICT r13 #2): with N
+    gates and a 50-row artifact cap, every registered gate must hold
+    a green official row within the last ceil(N/50) artifacts;
+    window-edge gates (age == ceil(N/50), the one-round transient the
+    r13 resets produced) must hold a RESERVED slot in the first 50 of
+    the next run order. update_rotation.py enforces the same bounds
+    at round start."""
     import glob
     import math
     import re
 
     from check_oracles import REPO_ROOT
+    from sparkt.queries import order_key
 
     with open(os.path.join(REPO_ROOT, "ROTATION.json")) as f:
         rot = json.load(f)
@@ -158,8 +160,41 @@ def test_rotation_age_invariant():
         f"gates aged out of the ceil(N/50)={max_age}-artifact audit "
         f"window: {overdue}"
     )
+    # window-edge gates self-heal ONLY via a reserved front slot
+    full = dict(rot)
+    full["_round"] = newest
+    order = sorted(rot, key=order_key(full, len(rot)))
+    edge = [g for g, r in rot.items() if r > 0 and newest - r == max_age]
+    unreserved = [g for g in edge if order.index(g) >= 50]
+    assert unreserved == [], (
+        f"window-edge gates without a reserved next-artifact slot: "
+        f"{unreserved}"
+    )
 
     # the policy text must state the enforced arithmetic
     with open(os.path.join(REPO_ROOT, "COVERAGE.md")) as f:
         policy = f.read()
-    assert "ceil(N_gates / 50) most recent artifacts" in policy
+    flat = " ".join(policy.split())
+    assert "ceil(N_gates / 50) most recent artifacts" in flat
+    assert "RESERVED first slots" in flat and "window edge" in flat.lower()
+
+
+def test_order_key_reserves_window_edge_ahead_of_resets():
+    """The r13 incident mechanics: six same-round resets (tier 1, round
+    0) must NOT sort ahead of a gate at the window edge (tier 0)."""
+    from sparkt.queries import order_key
+
+    # 145-gate shape: newest artifact r13, edge age = ceil(145/50) = 3
+    rot = {"_round": 13, "edge_a": 10, "edge_b": 10, "reset_x": 0,
+           "reset_y": 0, "fresh": 13, "mid": 12}
+    order = sorted(
+        ["edge_a", "edge_b", "reset_x", "reset_y", "fresh", "mid"],
+        key=order_key(rot, 145),
+    )
+    assert order[:2] == ["edge_a", "edge_b"]          # tier 0 reserved
+    assert order[2:4] == ["reset_x", "reset_y"]        # tier 1 resets
+    assert order[4:] == ["mid", "fresh"]               # tier 2 stalest-first
+    # age < max_age is NOT at risk: round 11 with max_age 3 stays tier 2
+    rot2 = {"_round": 13, "ok": 11, "reset": 0}
+    order2 = sorted(["ok", "reset"], key=order_key(rot2, 145))
+    assert order2 == ["reset", "ok"]
