@@ -65,7 +65,9 @@ def _mk_runner(project_dir, vars_, partial_parse=None):
     except SparktError as e:
         # parse/compile-time project errors get a one-line report, not a
         # Python traceback
-        click.echo(f"ERROR: {e}", err=True)
+        from sparkt.secrets import scrub_secrets
+
+        click.echo(scrub_secrets(f"ERROR: {e}"), err=True)
         raise SystemExit(2) from None
 
 
@@ -82,7 +84,9 @@ def _report(results, quiet: bool = False) -> None:
                 f"({r.execution_time:.2f}s)"
             )
         if r.status == "error":
-            click.echo(f"  {r.message}")
+            from sparkt.secrets import scrub_secrets
+
+            click.echo(scrub_secrets(f"  {r.message}"))
     ok = sum(1 for r in results.results if r.status in ("success", "pass"))
     click.echo(
         f"Done. total={len(results.results)} ok={ok} "
@@ -352,7 +356,9 @@ def deps(project_dir):
     try:
         loader = ManifestLoader(load_project(project_dir))
     except SparktError as e:
-        click.echo(f"ERROR: {e}", err=True)
+        from sparkt.secrets import scrub_secrets
+
+        click.echo(scrub_secrets(f"ERROR: {e}"), err=True)
         raise SystemExit(2) from None
     for p in loader.packages:
         click.echo(f"Installed {p.name} ({p.project_root})")
@@ -501,7 +507,9 @@ def parse(project_dir):
         proj = load_project(project_dir)
         manifest = ManifestLoader(proj).load()
     except SparktError as e:
-        click.echo(f"ERROR: {e}", err=True)
+        from sparkt.secrets import scrub_secrets
+
+        click.echo(scrub_secrets(f"ERROR: {e}"), err=True)
         raise SystemExit(2) from None
     manifest.build_parent_child_maps()
     os.makedirs(proj.target_dir, exist_ok=True)

@@ -533,7 +533,11 @@ class EventManager:
         self._fh = None
 
     def fire(self, event: Event) -> None:
-        line = event.to_line(self.invocation_id)
+        from sparkt.secrets import scrub_secrets
+
+        # single choke point for the structured log: no secret value
+        # or placeholder ever reaches dbt.log (reference base.py:574)
+        line = scrub_secrets(event.to_line(self.invocation_id))
         with self._lock:
             if self._fh is None:
                 self._fh = open(self.log_path, "a")

@@ -317,6 +317,8 @@ def extract_statically(env: jinja2.Environment, source: str):
 
 def base_context(project_vars: dict, cli_vars: dict | None = None) -> dict:
     """``core/dbt/context/base.py`` surface."""
+    from sparkt.secrets import scrub_secrets as _scrub
+
     merged_vars = dict(project_vars or {})
     merged_vars.update(cli_vars or {})
 
@@ -326,6 +328,18 @@ def base_context(project_vars: dict, cli_vars: dict | None = None) -> dict:
     def env_var(name, default=None):
         import os
 
+        # secrets are usable ONLY in profiles.yml / packages.yml
+        # rendering (sparkt.secrets.secret_env_var); refusing here
+        # keeps them out of compiled SQL, manifest.json, and the
+        # parse cache (reference core/dbt/context/base.py:311-312,
+        # SecretEnvVarLocationError)
+        from sparkt.secrets import SECRET_ENV_PREFIX
+
+        if name.startswith(SECRET_ENV_PREFIX):
+            raise ParsingError(
+                f"Secret env vars are allowed only in profiles.yml "
+                f"and packages.yml: env_var('{name}')"
+            )
         # record the RAW environ state (None = unset) for parse-cache
         # invalidation: the reference tracks consumed env vars the
         # same way, else a TENANT=b rerun serves TENANT=a's cached
@@ -372,7 +386,11 @@ def base_context(project_vars: dict, cli_vars: dict | None = None) -> dict:
         "set_strict": set,
         "zip": zip_fn,
         "zip_strict": lambda *a: list(zip(*a)),
-        "log": lambda msg, info=False: print(msg) if info else None,
+        # log() scrubs secret values/placeholders before any sink
+        # (reference base.py:574 redaction)
+        "log": lambda msg, info=False: (
+            print(_scrub(str(msg))) if info else None
+        ),
         "print": print,
         "run_started_at": RUN_STARTED_AT,
         "invocation_id": INVOCATION_ID,

@@ -104,7 +104,14 @@ class ManifestLoader:
             return []
         with open(pkg_file) as f:
             text = f.read()
-        spec = yaml.safe_load(text) or {}
+        # packages.yml is the second SECRET-capable rendering context
+        # (reference config/renderer.py:228 PackageRenderer): a git
+        # token wired as {{ env_var('DBT_ENV_SECRET_TOKEN') }} renders
+        # here (placeholder-substituted, never persisted — the lock
+        # hash below uses the RAW text)
+        from sparkt.secrets import render_secret_tree
+
+        spec = render_secret_tree(yaml.safe_load(text) or {})
         out = []
         hub_entries = []
         for entry in spec.get("packages", []) or []:

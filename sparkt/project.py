@@ -317,6 +317,13 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
             # legacy single-target form: `target: {schema, threads}`
             out = prof_doc["target"]
         if isinstance(out, dict):
+            # profiles.yml is a SECRET-capable rendering context
+            # (reference config/renderer.py:222 ProfileRenderer):
+            # DBT_ENV_SECRET_* env vars are usable here and only here
+            # (plus packages.yml), via placeholder substitution
+            from sparkt.secrets import render_secret_tree
+
+            out = render_secret_tree(out)
             proj.schema = out.get("schema", proj.schema)
             proj.threads = int(out.get("threads", proj.threads))
     if overrides:
