@@ -430,7 +430,23 @@ def _list_lines(runner, select, exclude, output, resource_types,
                 yield _json.dumps(d)
             continue
         if output == "selector":
-            yield ".".join([n.package_name, n.name])
+            # reference generate_selectors (core/dbt/task/list.py:97):
+            # exposure/metric/semantic_model/saved_query/unit_test get
+            # a type-prefixed pkg.name selector; everything else is
+            # the dot-joined fqn INCLUDING subdirectory segments
+            # (found r14 review: the old pkg.name form dropped the
+            # directory components, so `ls --output selector | xargs
+            # sparkt run -s` re-selected the wrong subtree for any
+            # model living in a subdirectory)
+            if n.resource_type in (
+                "exposure", "metric", "semantic_model",
+                "saved_query", "unit_test",
+            ):
+                yield f"{n.resource_type}:{n.package_name}.{n.name}"
+            else:
+                from sparkt.graph.selector import _node_fqn
+
+                yield ".".join(_node_fqn(n))
         elif output == "name":
             yield n.name
         elif output == "path":
@@ -465,6 +481,7 @@ def _list_cmd(name: str):
              output_keys, target):
         """List project resources (reference core/dbt/task/list.py)."""
         runner = _runner_with_target(project_dir, target)
+        lines = []
         if output == "unique_id":  # sparkt extension (round-3 ls shape)
             from sparkt.graph.linker import link_graph
             from sparkt.graph.selector import select_nodes
@@ -477,12 +494,20 @@ def _list_cmd(name: str):
                 # #4: scripted uid output included every type)
                 if rts and uid.split(".", 1)[0] not in rts:
                     continue
+                lines.append(uid)
                 click.echo(uid)
-            return
-        keys = set(output_keys.split()) if output_keys else None
-        for line in _list_lines(runner, select, exclude, output,
-                                set(resource_types), output_keys=keys):
-            click.echo(line)
+        else:
+            keys = set(output_keys.split()) if output_keys else None
+            for line in _list_lines(runner, select, exclude, output,
+                                    set(resource_types), output_keys=keys):
+                lines.append(line)
+                click.echo(line)
+        # programmatic parity (r14 review; reference cli/main.py:500 —
+        # ListTask.run's node_results ride dbtRunnerResult.result):
+        # sparktRunner().invoke(["ls", ...]) gets the listed lines
+        _ctx = click.get_current_context(silent=True)
+        if _ctx is not None and isinstance(_ctx.obj, dict):
+            _ctx.obj["result"] = lines
     return _cmd
 
 

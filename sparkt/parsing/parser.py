@@ -801,7 +801,7 @@ class ManifestLoader:
                 for patch in doc.get("snapshots", []) or []:
                     self._patch_node("snapshot", patch, project=proj)
                 for ut in doc.get("unit_tests", []) or []:
-                    self._add_unit_test(ut, project=proj)
+                    self._add_unit_test(ut, project=proj, path=rel)
                 # semantic layer specs (SURVEY.md §2.6) — validated lazily
                 # by sparkt.semantic at query-compile time
                 self.manifest.semantic_models.extend(
@@ -811,7 +811,7 @@ class ManifestLoader:
                 # remaining NodeType taxonomy (types.py:18-37): exposures,
                 # groups, saved queries — graph participants, never executed
                 for exp in doc.get("exposures", []) or []:
-                    self._add_exposure(exp, project=proj)
+                    self._add_exposure(exp, project=proj, path=rel)
                 for grp in doc.get("groups", []) or []:
                     self.manifest.groups[grp["name"]] = grp
                 self.manifest.saved_queries.extend(
@@ -1130,7 +1130,8 @@ class ManifestLoader:
         node.tags = _listify(config.get("tags"))
         self.manifest.nodes[node.unique_id] = node
 
-    def _add_exposure(self, exp: dict, project: Project | None = None) -> None:
+    def _add_exposure(self, exp: dict, project: Project | None = None,
+                      path: str | None = None) -> None:
         """Exposures (``contracts/graph/nodes.py:1282``): downstream
         consumers; they join the DAG as leaf nodes so ``+exposure`` and
         impact analysis work, but never execute."""
@@ -1150,10 +1151,16 @@ class ManifestLoader:
             config={"type": exp.get("type", "dashboard"),
                     "owner": exp.get("owner")},
             description=exp.get("description", ""),
+            # the defining yml (r14 review: path=None made `ls
+            # --output path` print the literal string 'None' and left
+            # original_file_path null in --output json; reference
+            # exposures carry their schema file as original_file_path)
+            path=path,
         )
         self._add_unique(node, node.path or name)
 
-    def _add_unit_test(self, ut: dict, project: Project | None = None) -> None:
+    def _add_unit_test(self, ut: dict, project: Project | None = None,
+                       path: str | None = None) -> None:
         """Unit-test definitions (``core/dbt/parser/unit_tests.py``)."""
         project = project or self.project
         name = ut["name"]
@@ -1169,6 +1176,7 @@ class ManifestLoader:
             expect=ut.get("expect", {}) or {},
             config=ut.get("config", {}) or {},
             overrides=ut.get("overrides", {}) or {},
+            path=path,  # defining yml (r14 review, same as exposures)
         )
         self._add_unique(node, node.path or name)
 

@@ -523,3 +523,101 @@ def test_ls_unique_id_respects_resource_type(make_project, spark):
     lines = [ln for ln in res.output.splitlines() if ln.strip()]
     assert "model.lsf.m1" in lines
     assert all(ln.startswith("model.") for ln in lines), lines
+
+
+def test_list_selector_output_matches_reference_fqn(spark, tmp_path):
+    """r14 review: reference generate_selectors
+    (core/dbt/task/list.py:97-128) yields the dot-joined FQN —
+    INCLUDING subdirectory segments — for fqn-searched node types, and
+    a type-prefixed pkg.name for exposure/metric/semantic_model/
+    saved_query/unit_test. The old pkg.name form dropped directories,
+    so `ls --output selector | xargs run -s` re-selected the wrong
+    subtree for any model in a subdirectory."""
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from sparkt.cli import cli
+
+    proj = str(tmp_path / "selout")
+    write_files(proj, {
+        "dbt_project.yml": "name: selout\nmodel-paths: [models]\n",
+        "models/top.sql": "select 1 as id",
+        "models/staging/stg_orders.sql": "select 1 as id",
+        "models/exposures.yml": (
+            "version: 2\n"
+            "exposures:\n"
+            "  - name: weekly_kpis\n"
+            "    type: dashboard\n"
+            "    owner: {name: ops}\n"
+            "    depends_on: [\"ref('top')\"]\n"
+        ),
+        "models/units.yml": (
+            "version: 2\n"
+            "unit_tests:\n"
+            "  - name: ut_top\n"
+            "    model: top\n"
+            "    given: []\n"
+            "    expect:\n"
+            "      rows:\n"
+            "        - {id: 1}\n"
+        ),
+    })
+    out = CliRunner().invoke(
+        cli, ["ls", "--project-dir", proj]
+    ).output.splitlines()
+    assert "selout.top" in out
+    assert "selout.staging.stg_orders" in out          # fqn keeps subdir
+    assert "selout.stg_orders" not in out
+    assert "exposure:selout.weekly_kpis" in out        # type-prefixed
+    assert "unit_test:selout.ut_top" in out
+
+    # round-trip: the emitted selector must RE-SELECT exactly its node
+    sel = CliRunner().invoke(cli, [
+        "ls", "--project-dir", proj, "--select",
+        "selout.staging.stg_orders", "--output", "unique_id",
+    ]).output.splitlines()
+    assert sel == ["model.selout.stg_orders"]
+
+    # json output unchanged by the selector fix
+    j = CliRunner().invoke(cli, [
+        "ls", "--project-dir", proj, "--output", "json",
+        "--select", "staging.stg_orders",
+    ]).output.splitlines()
+    assert _json.loads(j[0])["unique_id"] == "model.selout.stg_orders"
+
+    # r14 review: yml-defined nodes (exposures, unit tests) carry
+    # their defining schema file as path — `ls --output path` printed
+    # the literal string 'None' for them before
+    paths = CliRunner().invoke(cli, [
+        "ls", "--project-dir", proj, "--output", "path",
+        "--select", "exposure:weekly_kpis",
+    ]).output.splitlines()
+    assert paths == ["exposures.yml"]
+    upaths = CliRunner().invoke(cli, [
+        "ls", "--project-dir", proj, "--output", "path",
+        "--select", "unit_test:ut_top",
+    ]).output.splitlines()
+    assert upaths == ["units.yml"]
+
+
+def test_programmatic_ls_returns_listed_lines(spark, tmp_path):
+    """r14 review: reference dbtRunner returns ListTask's node_results
+    as dbtRunnerResult.result (cli/main.py:500-502); sparktRunner's ls
+    previously returned result=None, so programmatic consumers had to
+    scrape stdout."""
+    from sparkt.cli import sparktRunner
+
+    proj = str(tmp_path / "progls")
+    write_files(proj, {
+        "dbt_project.yml": "name: progls\nmodel-paths: [models]\n",
+        "models/m1.sql": "select 1 as id",
+        "models/sub/m2.sql": "select 1 as id",
+    })
+    res = sparktRunner().invoke(["ls", "--project-dir", proj])
+    assert res.success
+    assert sorted(res.result) == ["progls.m1", "progls.sub.m2"]
+    res2 = sparktRunner().invoke(
+        ["ls", "--project-dir", proj, "--output", "unique_id"]
+    )
+    assert res2.result == ["model.progls.m1", "model.progls.m2"]
