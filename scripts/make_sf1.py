@@ -37,6 +37,10 @@ Replication rules (all copies deterministic, copy 0 == sf0.1 rows):
 
 Output: .testdata/sf1/*.parquet under the repo root (gitignored).
 Usage: python scripts/make_sf1.py [n_copies]
+       python scripts/make_sf1.py --docs-only N DEST
+         (documents.parquet only, N synthetic docs, into DEST — the
+         dedup/curation scale ladder beyond sf1: 500k docs = 100x
+         sf0.1 without materializing 60M lineitem rows)
 """
 
 from __future__ import annotations
@@ -247,6 +251,14 @@ def flip_signs(i: int, dim: int = 64) -> list[int]:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--docs-only":
+        global DEST
+        n = int(sys.argv[2])
+        DEST = os.path.abspath(sys.argv[3])
+        os.makedirs(DEST, exist_ok=True)
+        gen_documents(duckdb.connect(), n_docs=n)
+        print(f"done -> {DEST}")
+        return 0
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     os.makedirs(DEST, exist_ok=True)
     con = duckdb.connect()

