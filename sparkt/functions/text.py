@@ -820,8 +820,12 @@ def readability_stats(text: Column) -> dict[str, Column]:
       the standard portable heuristic (``[aeiouy]+`` runs; word
       boundaries split groups for free since spaces aren't vowels),
     - ``flesch``: ``206.835 − 1.015·(words/sents) − 84.6·(syll/words)``
-      rounded 4dp — one fixed-shape expression over three exact
-      integers, so it is engine-deterministic (NOT the ln-sum class).
+      floor-quantized to 4dp — one fixed-shape expression over three
+      exact integers, so it is engine-deterministic (NOT the ln-sum
+      class). FLOOR, not round (r14: the new sf1 corpus produced
+      w=64, s=1, sy=154 → −61.693749999999994, a value whose round(4)
+      differs between Spark and DuckDB — the t2 quantization doctrine;
+      floor of the same IEEE double is engine-identical).
 
     All counts floor at 1 so empty/degenerate docs score instead of
     ANSI-dividing by zero.
@@ -831,11 +835,16 @@ def readability_stats(text: Column) -> dict[str, Column]:
     n_syll = F.greatest(
         F.regexp_count(F.lower(text), F.lit("[aeiouy]+")), F.lit(1)
     )
-    flesch = F.round(
-        F.lit(206.835)
-        - F.lit(1.015) * (n_words.cast("double") / n_sents)
-        - F.lit(84.6) * (n_syll.cast("double") / n_words),
-        4,
+    flesch = (
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (n_words.cast("double") / n_sents)
+                - F.lit(84.6) * (n_syll.cast("double") / n_words)
+            )
+            * 10_000
+        )
+        / 10_000
     )
     return {
         "n_words": n_words,

@@ -4352,8 +4352,8 @@ SELECT doc_id AS doc,
        CAST(w AS INT) AS n_words,
        CAST(s AS INT) AS n_sentences,
        CAST(sy AS INT) AS n_syllables,
-       round(206.835 - 1.015 * (w::DOUBLE / s)
-             - 84.6 * (sy::DOUBLE / w), 4) AS flesch
+       floor((206.835 - 1.015 * (w::DOUBLE / s)
+              - 84.6 * (sy::DOUBLE / w)) * 10000) / 10000 AS flesch
 FROM c
 ORDER BY doc
 """

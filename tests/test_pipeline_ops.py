@@ -2327,11 +2327,42 @@ def test_readability_stats_matches_python(spark):
     assert (a["n_words"], a["n_sentences"]) == (8, 3)
     # vowel groups: e,a,a,e,o,a,i,i = 8
     assert a["n_syllables"] == 8
-    assert a["flesch"] == round(
-        206.835 - 1.015 * (8 / 3) - 84.6 * (8 / 8), 4)
+    import math
+
+    assert a["flesch"] == math.floor(
+        (206.835 - 1.015 * (8 / 3) - 84.6 * (8 / 8)) * 10_000
+    ) / 10_000
     assert (got[2]["n_words"], got[2]["n_sentences"],
             got[2]["n_syllables"]) == (1, 1, 1)
     assert got[3]["n_syllables"] == 1
+
+
+def test_readability_flesch_floor_quantized_at_round_boundary(spark):
+    """r14: the sf1 sweep caught w=64, s=1, sy=154 →
+    −61.693749999999994, whose round(4) differs between Spark and
+    DuckDB (half-way handling on a just-below-midpoint double). The
+    flesch score is now FLOOR-quantized (the t2 doctrine: floor of the
+    same IEEE double is engine-identical); this pins the boundary
+    case."""
+    import math
+
+    text = ". " + " ".join(
+        (["bcd"] * 31 + ["a"] * 31 + ["ae ae ae ae"])
+    )  # engineered counts don't matter — assert vs the same formula
+    rows = [(1, text)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    from sparkt.functions.text import readability_stats
+
+    r = readability_stats(F.col("text"))
+    got = df.select(*[v.alias(k) for k, v in r.items()]).collect()[0]
+    w, s, sy = got["n_words"], got["n_sentences"], got["n_syllables"]
+    expected = math.floor(
+        (206.835 - 1.015 * (w / s) - 84.6 * (sy / w)) * 10_000
+    ) / 10_000
+    assert got["flesch"] == expected
+    # and the exact sf1 boundary arithmetic is floor-stable
+    v = 206.835 - 1.015 * (64 / 1) - 84.6 * (154 / 64)
+    assert math.floor(v * 10_000) / 10_000 == -61.6938
 
 
 def test_content_lines_justext_semantics(spark):
