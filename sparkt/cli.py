@@ -416,12 +416,13 @@ def _list_lines(runner, select, exclude, output, resource_types,
             elif output == "name":
                 yield f"{n.source_name}.{n.name}"
             elif output == "path":
-                yield n.path
+                yield n.original_file_path
             else:
                 d = {
                     "name": n.name, "resource_type": "source",
                     "package_name": n.package_name,
-                    "original_file_path": n.path, "unique_id": n.unique_id,
+                    "original_file_path": n.original_file_path,
+                    "unique_id": n.unique_id,
                     "source_name": n.source_name, "tags": n.tags,
                     "config": n.config,
                 }
@@ -450,12 +451,13 @@ def _list_lines(runner, select, exclude, output, resource_types,
         elif output == "name":
             yield n.name
         elif output == "path":
-            yield n.path
+            yield n.original_file_path
         else:
             d = {
                 "name": n.name, "resource_type": n.resource_type,
                 "package_name": n.package_name,
-                "original_file_path": n.path, "unique_id": n.unique_id,
+                "original_file_path": n.original_file_path,
+                "unique_id": n.unique_id,
                 "alias": n.alias, "config": n.config, "tags": n.tags,
                 "depends_on": {"nodes": n.depends_on},
             }

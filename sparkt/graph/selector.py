@@ -117,11 +117,18 @@ def _path_match(node, value: str) -> bool:
     """Reference PathSelectorMethod
     (core/dbt/graph/selector_methods.py:454-474): a node matches when
     the selector glob hits its file path OR any parent directory
-    (directory selection). node.path is relative to the resource dir,
-    the reference's original_file_path includes it — accept both."""
+    (directory selection). Since r14 nodes carry their real
+    resource_dir, the reference's project-relative original_file_path
+    is matched directly (custom resource dirs like ``dbt_models/``
+    now work); the resource-dir-LESS form and the default-prefix
+    guesses stay accepted for selector compatibility and for nodes
+    without a recorded resource_dir (old parse caches)."""
     value = value.rstrip("/")
+    ofp = node.original_file_path
+    candidates = {ofp} if ofp else set()
     for pre in _PATH_PREFIXES:
-        p = pre + node.path
+        candidates.add(pre + node.path)
+    for p in candidates:
         if fnmatch.fnmatch(p, value):
             return True
         parts = p.split("/")

@@ -62,7 +62,7 @@ def source_state_dict(n: "ParsedNode") -> dict:
         "resource_type": "source",
         "package_name": n.package_name,
         "path": n.path,
-        "original_file_path": n.path,
+        "original_file_path": n.original_file_path,
         "unique_id": n.unique_id,
         "fqn": [n.package_name, n.source_name or "", n.name],
         "source_name": n.source_name or "",
@@ -147,6 +147,31 @@ class ParsedNode:
     # carries file_format/row_format/tbl_properties)
     external_format: str = "parquet"
     external_options: dict[str, Any] = field(default_factory=dict)
+    # the resource directory ``path`` is relative to (models/, seeds/,
+    # a custom model-path, the schema yml's walk root). ``path`` stays
+    # resource-dir-relative everywhere internal (fqn assembly, file
+    # selector, partial-parse keys); the reference's project-relative
+    # original_file_path is assembled on demand (r14 review: every
+    # artifact/ls surface previously emitted the dir-less form, e.g.
+    # "b.sql" where the reference records "models/b.sql")
+    resource_dir: str | None = None
+
+    @property
+    def original_file_path(self) -> str:
+        """Project-relative file path (reference nodes'
+        original_file_path — includes the resource directory)."""
+        if self.resource_dir and self.path:
+            return f"{self.resource_dir.rstrip('/')}/{self.path}"
+        return self.path or ""
+
+    @property
+    def fqn(self) -> list[str]:
+        """[package, *subdirs, name] — the reference's fqn assembly
+        (directory components under the resource path, NOT including
+        the resource dir itself). Same shape the selector matches
+        (graph/selector.py _node_fqn)."""
+        dirs = self.path.split("/")[:-1] if self.path else []
+        return [self.package_name, *dirs, self.name]
 
     @property
     def materialized(self) -> str:
@@ -399,9 +424,9 @@ class Manifest:
                 "resource_type": n.resource_type,
                 "package_name": n.package_name,
                 "path": n.path,
-                "original_file_path": n.path,
+                "original_file_path": n.original_file_path,
                 "unique_id": n.unique_id,
-                "fqn": [n.package_name, n.name],
+                "fqn": n.fqn,
                 "alias": n.alias,
                 "checksum": {"name": "md5", "checksum": n.checksum()},
                 "config": n.config,
@@ -439,7 +464,7 @@ class Manifest:
                 "resource_type": "unit_test",
                 "package_name": n.package_name,
                 "path": n.path,
-                "original_file_path": n.path,
+                "original_file_path": n.original_file_path,
                 "unique_id": n.unique_id,
                 "fqn": [n.package_name, n.name],
                 "config": {k: v for k, v in n.config.items()

@@ -34,6 +34,11 @@ SNAPSHOT_BLOCK_RE = re.compile(
 
 
 def _walk(root: str, paths: list[str], exts: tuple[str, ...]):
+    """Yields (full_path, path_relative_to_resource_dir, resource_dir)
+    — the third element is the configured dir the file was found under
+    (models/, seeds/, a custom model-path), which nodes record as
+    ``resource_dir`` so original_file_path matches the reference's
+    project-relative form (r14 review)."""
     for p in paths:
         base = os.path.join(root, p)
         if not os.path.isdir(base):
@@ -45,7 +50,7 @@ def _walk(root: str, paths: list[str], exts: tuple[str, ...]):
             for fn in sorted(files):
                 if fn.endswith(exts):
                     full = os.path.join(dirpath, fn)
-                    yield full, full[cut:]
+                    yield full, full[cut:], p
 
 
 _has_jinja = ctx_mod.has_jinja
@@ -414,7 +419,7 @@ class ManifestLoader:
                 + proj.macro_paths
                 + proj.analysis_paths
             )
-            for full, rel in _walk(
+            for full, rel, _rdir in _walk(
                 proj.project_root, all_paths,
                 (".sql", ".py", ".csv", ".yml", ".yaml"),
             ):
@@ -440,7 +445,7 @@ class ManifestLoader:
         # dependency shipping e.g. generate_schema_name silently
         # clobber the user's override (r12 parsing review #4)
         for proj in self.packages + [self.project]:
-            for full, rel in _walk(
+            for full, rel, _rdir in _walk(
                 proj.project_root, proj.macro_paths, (".sql",)
             ):
                 with open(full) as f:
@@ -590,7 +595,7 @@ class ManifestLoader:
 
     def _parse_models(self) -> None:
         for proj in self.all_projects:
-            for full, rel in _walk(
+            for full, rel, rdir in _walk(
                 proj.project_root, proj.model_paths, (".sql", ".py")
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
@@ -607,6 +612,7 @@ class ManifestLoader:
                     )]
 
                 for node in self._cached_file(full, build):
+                    node.resource_dir = rdir
                     self._add_unique(node, rel)
 
     def _parse_python_model(
@@ -693,7 +699,7 @@ class ManifestLoader:
     # -------------------------------------------------------------- seeds
     def _parse_seeds(self) -> None:
         for proj in self.all_projects:
-            for full, rel in _walk(
+            for full, rel, rdir in _walk(
                 proj.project_root, proj.seed_paths, (".csv",)
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
@@ -720,12 +726,13 @@ class ManifestLoader:
                     return [node]
 
                 for node in self._cached_file(full, build):
+                    node.resource_dir = rdir
                     self._add_unique(node, rel)
 
     # ---------------------------------------------------------- snapshots
     def _parse_snapshots(self) -> None:
         for proj in self.all_projects:
-            for full, rel in _walk(
+            for full, rel, rdir in _walk(
                 proj.project_root, proj.snapshot_paths, (".sql",)
             ):
                 def build(full=full, rel=rel, proj=proj):
@@ -744,12 +751,13 @@ class ManifestLoader:
                     ]
 
                 for node in self._cached_file(full, build):
+                    node.resource_dir = rdir
                     self._add_unique(node, rel)
 
     # ------------------------------------------------------ singular tests
     def _parse_singular_tests(self) -> None:
         for proj in self.all_projects:
-            for full, rel in _walk(
+            for full, rel, rdir in _walk(
                 proj.project_root, proj.test_paths, (".sql",)
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
@@ -762,12 +770,13 @@ class ManifestLoader:
                     )]
 
                 for node in self._cached_file(full, build):
+                    node.resource_dir = rdir
                     self._add_unique(node, rel)
 
     # ------------------------------------------------------------ analyses
     def _parse_analyses(self) -> None:
         for proj in self.all_projects:
-            for full, rel in _walk(
+            for full, rel, rdir in _walk(
                 proj.project_root, proj.analysis_paths, (".sql",)
             ):
                 name = os.path.splitext(os.path.basename(rel))[0]
@@ -780,20 +789,21 @@ class ManifestLoader:
                     )]
 
                 for node in self._cached_file(full, build):
+                    node.resource_dir = rdir
                     self._add_unique(node, rel)
 
     # --------------------------------------------------------- schema yaml
     def _parse_schema_yaml(self) -> None:
-        pending_sources: list[tuple[dict, Project]] = []
+        pending_sources: list[tuple[dict, Project, str, str]] = []
         for proj in self.all_projects:
-            for full, rel in _walk(
+            for full, rel, rdir in _walk(
                 proj.project_root,
                 proj.model_paths + proj.seed_paths + proj.snapshot_paths,
                 (".yml", ".yaml"),
             ):
                 doc = self._cached_yaml(full)
                 for src in doc.get("sources", []) or []:
-                    pending_sources.append((src, proj))
+                    pending_sources.append((src, proj, rel, rdir))
                 for patch in doc.get("models", []) or []:
                     self._patch_node("model", patch, project=proj)
                 for patch in doc.get("seeds", []) or []:
@@ -801,7 +811,7 @@ class ManifestLoader:
                 for patch in doc.get("snapshots", []) or []:
                     self._patch_node("snapshot", patch, project=proj)
                 for ut in doc.get("unit_tests", []) or []:
-                    self._add_unit_test(ut, project=proj, path=rel)
+                    self._add_unit_test(ut, project=proj, path=rel, rdir=rdir)
                 # semantic layer specs (SURVEY.md §2.6) — validated lazily
                 # by sparkt.semantic at query-compile time
                 self.manifest.semantic_models.extend(
@@ -811,7 +821,7 @@ class ManifestLoader:
                 # remaining NodeType taxonomy (types.py:18-37): exposures,
                 # groups, saved queries — graph participants, never executed
                 for exp in doc.get("exposures", []) or []:
-                    self._add_exposure(exp, project=proj, path=rel)
+                    self._add_exposure(exp, project=proj, path=rel, rdir=rdir)
                 for grp in doc.get("groups", []) or []:
                     self.manifest.groups[grp["name"]] = grp
                 self.manifest.saved_queries.extend(
@@ -832,16 +842,16 @@ class ManifestLoader:
         package source registers as a plain source."""
         root = self.project.name
         overrides: dict[tuple[str, str], dict] = {}
-        for src, proj in pending:
+        for src, proj, _rel, _rdir in pending:
             if proj.name == root and src.get("overrides"):
                 overrides[(src["overrides"], src["name"])] = src
         applied: set[int] = set()
-        for src, proj in pending:
+        for src, proj, rel, rdir in pending:
             if proj.name == root and src.get("overrides"):
                 continue  # applied at its target package's position
             o = overrides.get((proj.name, src["name"]))
             if o is None:
-                self._add_source(src, project=proj)
+                self._add_source(src, project=proj, path=rel, rdir=rdir)
                 continue
             merged = dict(src)
             for k in ("schema", "freshness", "loaded_at_field"):
@@ -851,14 +861,17 @@ class ManifestLoader:
             for t in o.get("tables") or []:
                 tables[t["name"]] = t
             merged["tables"] = list(tables.values())
-            self._add_source(merged, project=proj)
+            self._add_source(merged, project=proj, path=rel, rdir=rdir)
             applied.add(id(o))
-        for src, proj in pending:
+        for src, proj, rel, rdir in pending:
             if (proj.name == root and src.get("overrides")
                     and id(src) not in applied):
-                self._add_source(src, project=proj)  # no target package
+                # no target package
+                self._add_source(src, project=proj, path=rel, rdir=rdir)
 
-    def _add_source(self, src: dict, project: Project | None = None) -> None:
+    def _add_source(self, src: dict, project: Project | None = None,
+                    path: str | None = None,
+                    rdir: str | None = None) -> None:
         project = project or self.project
         source_name = src["name"]
         schema = src.get("schema", source_name)
@@ -884,6 +897,8 @@ class ManifestLoader:
                 package_name=project.name,
                 resource_type="source",
                 source_name=source_name,
+                path=path or "",  # defining schema yml (r14 review)
+                resource_dir=rdir,
                 config={
                     "schema": schema,
                     "identifier": tbl.get("identifier", tbl["name"]),
@@ -1131,7 +1146,8 @@ class ManifestLoader:
         self.manifest.nodes[node.unique_id] = node
 
     def _add_exposure(self, exp: dict, project: Project | None = None,
-                      path: str | None = None) -> None:
+                      path: str | None = None,
+                      rdir: str | None = None) -> None:
         """Exposures (``contracts/graph/nodes.py:1282``): downstream
         consumers; they join the DAG as leaf nodes so ``+exposure`` and
         impact analysis work, but never execute."""
@@ -1156,11 +1172,13 @@ class ManifestLoader:
             # original_file_path null in --output json; reference
             # exposures carry their schema file as original_file_path)
             path=path,
+            resource_dir=rdir,
         )
         self._add_unique(node, node.path or name)
 
     def _add_unit_test(self, ut: dict, project: Project | None = None,
-                       path: str | None = None) -> None:
+                       path: str | None = None,
+                       rdir: str | None = None) -> None:
         """Unit-test definitions (``core/dbt/parser/unit_tests.py``)."""
         project = project or self.project
         name = ut["name"]
@@ -1177,6 +1195,7 @@ class ManifestLoader:
             config=ut.get("config", {}) or {},
             overrides=ut.get("overrides", {}) or {},
             path=path,  # defining yml (r14 review, same as exposures)
+            resource_dir=rdir,
         )
         self._add_unique(node, node.path or name)
 

@@ -45,7 +45,8 @@ def test_list_output_formats(spark, tmp_path):
 
     out = r.invoke(cli, ["list", "--project-dir", proj, "--output", "path",
                          "--resource-type", "model"]).output.splitlines()
-    assert sorted(out) == ["a.sql", "b.sql"]
+    # r14: reference original_file_path includes the resource dir
+    assert sorted(out) == ["models/a.sql", "models/b.sql"]
 
     out = r.invoke(cli, ["list", "--project-dir", proj, "--output", "json",
                          "--select", "b"]).output.splitlines()
@@ -53,7 +54,7 @@ def test_list_output_formats(spark, tmp_path):
     # reference ALLOWED_KEYS field names (core/dbt/task/list.py:42)
     assert d["name"] == "b" and d["resource_type"] == "model"
     assert d["package_name"] == "cliproj"
-    assert d["original_file_path"] == "b.sql"
+    assert d["original_file_path"] == "models/b.sql"
     assert d["unique_id"] == "model.cliproj.b"
     assert d["alias"] == "b" and d["tags"] == ["mart"]
     assert d["depends_on"] == {"nodes": ["model.cliproj.a"]}
@@ -593,12 +594,12 @@ def test_list_selector_output_matches_reference_fqn(spark, tmp_path):
         "ls", "--project-dir", proj, "--output", "path",
         "--select", "exposure:weekly_kpis",
     ]).output.splitlines()
-    assert paths == ["exposures.yml"]
+    assert paths == ["models/exposures.yml"]
     upaths = CliRunner().invoke(cli, [
         "ls", "--project-dir", proj, "--output", "path",
         "--select", "unit_test:ut_top",
     ]).output.splitlines()
-    assert upaths == ["units.yml"]
+    assert upaths == ["models/units.yml"]
 
 
 def test_programmatic_ls_returns_listed_lines(spark, tmp_path):

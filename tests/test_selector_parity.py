@@ -62,3 +62,33 @@ CASES = [
 def test_selector_reference_parity(proj, spec, want):
     graph, manifest = proj
     assert len(select_nodes(graph, manifest, spec)) == want
+
+
+def test_path_selector_matches_custom_resource_dirs(tmp_path):
+    """r14: nodes carry their real resource_dir, so `path:` works with
+    a CUSTOM model-path (the old default-prefix guessing only covered
+    models/seeds/snapshots/tests/analyses/macros), and the manifest
+    fqn/original_file_path match the reference's project-relative
+    forms."""
+    root = tmp_path / "customp"
+    (root / "dbt_models" / "staging").mkdir(parents=True)
+    (root / "dbt_project.yml").write_text(
+        "name: custp\nmodel-paths: [dbt_models]\n"
+    )
+    (root / "dbt_models" / "staging" / "stg_x.sql").write_text(
+        "select 1 as id"
+    )
+    project = load_project(str(root))
+    manifest = ManifestLoader(project).load(partial=False)
+    graph = link_graph(manifest, add_test_edges=True)
+    node = manifest.nodes["model.custp.stg_x"]
+    assert node.original_file_path == "dbt_models/staging/stg_x.sql"
+    assert node.fqn == ["custp", "staging", "stg_x"]
+    # reference-form (with the custom resource dir) selects
+    assert len(select_nodes(
+        graph, manifest, "path:dbt_models/staging")) == 1
+    assert len(select_nodes(
+        graph, manifest, "path:dbt_models/staging/stg_x.sql")) == 1
+    # resource-dir-less form stays accepted (documented compatibility)
+    assert len(select_nodes(graph, manifest, "path:staging")) == 1
+    assert len(select_nodes(graph, manifest, "path:nowhere")) == 0
