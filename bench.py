@@ -137,7 +137,14 @@ def calibration_parallel_point(bases) -> float:
 #   3. cgroup cpu.stat throttled-time delta (v2 throttled_usec or v1
 #      throttled_time) as a fraction of wall x ncpu — the quota mode.
 #      Zero on a clean box (quota is -1 here); bound 0.02.
-SPARK_PROBE_BOUND_S = 1.0
+# r15 (VERDICT r14 Wrong #2): the FIRST spark-probe sample routinely
+# lands in residual JVM warmup even after warm(n=3) — r14's max hit
+# 0.9656 of the 1.0 bound on a clean box while the median sat at
+# 0.118. The first sample is now recorded separately
+# (spark_probe_first) and excluded from the adjudicated series, which
+# lets the bound tighten 1.0 -> 0.5: >4x the clean steady median
+# (0.118 s), measured rationale like the numpy bounds have.
+SPARK_PROBE_BOUND_S = 0.5
 _SPARK_PROBE_ROWS = 32_000_000
 _SPARK_PROBE_PARTS = 32
 STEAL_FRAC_BOUND = 0.10
@@ -314,10 +321,15 @@ class Sentinel:
             throttled_s = cg1["throttled_s"] - self._cg0["throttled_s"]
             nr_throttled = cg1["nr_throttled"] - self._cg0["nr_throttled"]
             throttled_frac = throttled_s / (wall * ncpu)
+        # first spark sample = residual JVM warmup (see
+        # SPARK_PROBE_BOUND_S note): reported separately, excluded
+        # from the adjudicated steady series
+        spk_first = self.spk[0] if self.spk else None
+        spk_steady = self.spk[1:] if len(self.spk) > 1 else self.spk
         reasons = adjudicate(
             self.cal,
             par_samples=self.par,
-            spark_samples=self.spk,
+            spark_samples=spk_steady,
             steal_frac=steal,
             throttled_frac=throttled_frac,
         )
@@ -335,9 +347,12 @@ class Sentinel:
                     round(max(self.par), 4) if self.par else None
                 ),
                 "parallel_bound": PARALLEL_BOUND_S,
-                "spark_probe_median": _med(self.spk),
+                "spark_probe_median": _med(spk_steady),
                 "spark_probe_max": (
-                    round(max(self.spk), 4) if self.spk else None
+                    round(max(spk_steady), 4) if spk_steady else None
+                ),
+                "spark_probe_first": (
+                    round(spk_first, 4) if spk_first is not None else None
                 ),
                 "spark_probe_bound": SPARK_PROBE_BOUND_S,
                 "n": len(self.cal),

@@ -266,6 +266,67 @@ def flip_signs(i: int, dim: int = 64) -> list[int]:
     return out
 
 
+def gen_embeddings_synthetic(n_vecs: int, dest: str, dim: int = 64,
+                             n_clusters: int = 256) -> None:
+    """N DISTINCT clustered vectors for the ANN/semantic-dedup scale
+    ladder (VERDICT r14 ask #1): sign-flip replication of sf0.1's 2k
+    vectors would hand IVF/LSH an artificially easy corpus (20 exact
+    geometries repeated), the embedding analogue of the replicated-doc
+    dedup artifact killed in r14. Structure:
+
+    - ``n_clusters`` unit centroids (seeded normal), each vector =
+      0.8·centroid + 0.3·noise — realistic IVF cell occupancy with
+      genuine cross-cell boundary vectors (the hard case for n_probe
+      pruning), not 20 point-masses.
+    - ~1% engineered near-dup pairs (vec j ≡ vec j−1 + 1e-2 noise,
+      cosine ≈ 0.9995) so d6/sd1 have known positives at every rung.
+    - ``label`` = cluster % 8, matching the sf0.1 column's role.
+
+    Deterministic: one seeded PCG64 stream, chunked arrow writes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20260816)
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cluster = rng.integers(0, n_clusters, size=n_vecs)
+    writer = None
+    chunk = 100_000
+    for lo in range(0, n_vecs, chunk):
+        hi = min(lo + chunk, n_vecs)
+        vecs = (
+            0.8 * cents[cluster[lo:hi]]
+            + 0.3 * rng.standard_normal((hi - lo, dim))
+        ).astype(np.float32)
+        # near-dup pairs: every 100th vector clones its predecessor
+        # (+ tiny noise); pair never spans a chunk boundary
+        nd = np.arange(lo, hi)[(np.arange(lo, hi) % 100 == 99)] - lo
+        nd = nd[nd >= 1]
+        vecs[nd] = vecs[nd - 1] + 0.01 * rng.standard_normal(
+            (len(nd), dim)
+        ).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(lo, hi), pa.int64()),
+                "embedding": pa.array(
+                    list(vecs), pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    (cluster[lo:hi] % 8).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(
+                f"{dest}/embeddings.parquet", tbl.schema
+            )
+        writer.write_table(tbl)
+    if writer is not None:
+        writer.close()
+    print(f"embeddings: {n_vecs} rows (synthetic clustered corpus)")
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--docs-only":
         global DEST
@@ -274,6 +335,13 @@ def main() -> int:
         os.makedirs(DEST, exist_ok=True)
         gen_documents(duckdb.connect(), n_docs=n)
         print(f"done -> {DEST}")
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--embeddings-only":
+        n = int(sys.argv[2])
+        dest = os.path.abspath(sys.argv[3])
+        os.makedirs(dest, exist_ok=True)
+        gen_embeddings_synthetic(n, dest)
+        print(f"done -> {dest}")
         return 0
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     os.makedirs(DEST, exist_ok=True)

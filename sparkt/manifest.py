@@ -466,7 +466,10 @@ class Manifest:
                 "path": n.path,
                 "original_file_path": n.original_file_path,
                 "unique_id": n.unique_id,
-                "fqn": [n.package_name, n.name],
+                # path-derived fqn, same as models/seeds — keeps the
+                # artifact in agreement with what selection matches
+                # for unit tests in subdirectories
+                "fqn": n.fqn,
                 "config": {k: v for k, v in n.config.items()
                            if k in ("tags", "meta", "enabled")},
             }

@@ -159,11 +159,29 @@ cast({{ field }} as string)
 bool_or({{ expression }})
 {%- endmacro %}
 
+{#- listagg honors order_by_clause ("order by <expr> [desc]") and
+    limit_num, matching the reference's fixture_listagg.py expected
+    outputs (bottom_ordered / bottom_ordered_limited): sort a
+    struct(order_key, value) array — array_sort orders by the first
+    field — then project the value back out. r15 review: the old shim
+    silently IGNORED order_by_clause, returning unordered rows where
+    the reference test pins '1,a,p'-style ordered output. -#}
 {% macro listagg(measure, delimiter_text="','", order_by_clause=None, limit_num=None) -%}
+{%- if order_by_clause -%}
+{%- set ob = order_by_clause | trim -%}
+{%- set ob = ob[9:] if ob.lower().startswith('order by ') else ob -%}
+{%- set is_desc = ob.lower().endswith(' desc') -%}
+{%- set okey = (ob[:-5] if is_desc else (ob[:-4] if ob.lower().endswith(' asc') else ob)) | trim -%}
+array_join(
+    {% if limit_num %}slice({% endif %}transform({% if is_desc %}reverse({% endif %}array_sort(collect_list(struct({{ okey }} as o, {{ measure }} as v))){% if is_desc %}){% endif %}, x -> x.v){% if limit_num %}, 1, {{ limit_num }}){% endif %},
+    {{ delimiter_text }}
+)
+{%- else -%}
 array_join(
     {% if limit_num %}slice({% endif %}collect_list({{ measure }}){% if limit_num %}, 1, {{ limit_num }}){% endif %},
     {{ delimiter_text }}
 )
+{%- endif -%}
 {%- endmacro %}
 
 {% macro array_construct(inputs=[], data_type='int') -%}

@@ -116,7 +116,7 @@ class ManifestLoader:
         # hash below uses the RAW text)
         from sparkt.secrets import render_secret_tree
 
-        spec = render_secret_tree(yaml.safe_load(text) or {})
+        spec = render_secret_tree(yaml.safe_load(text) or {}, where="packages.yml")
         out = []
         hub_entries = []
         for entry in spec.get("packages", []) or []:

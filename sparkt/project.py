@@ -323,7 +323,7 @@ def load_project(project_root: str, overrides: dict | None = None) -> Project:
             # (plus packages.yml), via placeholder substitution
             from sparkt.secrets import render_secret_tree
 
-            out = render_secret_tree(out)
+            out = render_secret_tree(out, where="profiles.yml")
             proj.schema = out.get("schema", proj.schema)
             proj.threads = int(out.get("threads", proj.threads))
     if overrides:

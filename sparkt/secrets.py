@@ -39,12 +39,20 @@ def env_secrets() -> list[str]:
 def scrub_secrets(msg: str) -> str:
     """Replace secret VALUES and un-substituted placeholders with
     ``*****`` (reference ``base.py:574`` / dbt_common scrub_secrets).
-    Applied at every log/event sink."""
+    Applied at every log/event sink. Sinks that serialize first (the
+    JSONL event log) would miss a secret containing characters
+    json.dumps escapes (``"``, ``\\``, newlines, non-ASCII → \\uXXXX),
+    so the JSON-encoded form of each value is scrubbed too."""
     if not isinstance(msg, str):
         return msg
+    import json
+
     for val in env_secrets():
         if val in msg:
             msg = msg.replace(val, "*****")
+        encoded = json.dumps(val)[1:-1]  # escaped form, quotes stripped
+        if encoded != val and encoded in msg:
+            msg = msg.replace(encoded, "*****")
     if "DBT_SECRET_START" in msg:
         msg = _PLACEHOLDER_RE.sub("*****", msg)
     return msg
@@ -70,32 +78,54 @@ def secret_env_var(name: str, default=None) -> str:
 
 def _substitute_placeholders(rendered: str) -> str:
     """Swap placeholders for the real env values (reference
-    ``renderer.py:206-217``, SecretRenderer.render_value)."""
+    ``renderer.py:206-217``, SecretRenderer.render_value). A
+    placeholder whose env var has vanished between render and
+    substitution is an error — silently emitting '' would produce a
+    credential-less URL and a confusing downstream auth failure."""
+    from sparkt.exceptions import ParsingError
 
     def sub(m: re.Match) -> str:
-        return os.environ.get(m.group(1), "")
+        val = os.environ.get(m.group(1))
+        if val is None:
+            raise ParsingError(
+                f"secret env var '{m.group(1)}' was unset before its "
+                "placeholder could be substituted"
+            )
+        return val
 
     return _PLACEHOLDER_RE.sub(sub, rendered)
 
 
-def render_secret_value(value):
+def render_secret_value(value, where: str = "profiles.yml/packages.yml"):
     """Render ONE scalar from profiles.yml / packages.yml: Jinja with
     the secret-capable env_var, then placeholder substitution.
-    Non-strings and Jinja-free strings pass through untouched."""
+    Non-strings and Jinja-free strings pass through untouched. Jinja
+    errors surface as ParsingError naming the file and expression
+    (matching the reference renderer's error surface) so CLI callers
+    that catch SparktError print the one-line form, not a traceback."""
     if not isinstance(value, str) or "{{" not in value:
         return value
     import jinja2
 
-    tmpl = jinja2.Environment().from_string(value)
-    rendered = tmpl.render(env_var=secret_env_var)
+    from sparkt.exceptions import ParsingError
+
+    try:
+        tmpl = jinja2.Environment().from_string(value)
+        rendered = tmpl.render(env_var=secret_env_var)
+    except ParsingError:
+        raise
+    except jinja2.TemplateError as exc:
+        raise ParsingError(
+            f"failed to render {where} expression {value!r}: {exc}"
+        ) from exc
     return _substitute_placeholders(rendered)
 
 
-def render_secret_tree(obj):
+def render_secret_tree(obj, where: str = "profiles.yml/packages.yml"):
     """Recursively render a YAML-loaded dict/list in the secret
     context (the reference's SecretRenderer walks the whole doc)."""
     if isinstance(obj, dict):
-        return {k: render_secret_tree(v) for k, v in obj.items()}
+        return {k: render_secret_tree(v, where) for k, v in obj.items()}
     if isinstance(obj, list):
-        return [render_secret_tree(v) for v in obj]
-    return render_secret_value(obj)
+        return [render_secret_tree(v, where) for v in obj]
+    return render_secret_value(obj, where)

@@ -284,10 +284,21 @@ class SemanticLayer:
             raise CompilationError(f"bad window '{window}'")
         return f"INTERVAL {m.group(1)} {m.group(2).upper()}"
 
+    _GRAINS = {
+        "second", "minute", "hour", "day", "week",
+        "month", "quarter", "year",
+    }
+
     @staticmethod
     def _parse_dim(d: str) -> tuple[str, str | None]:
-        """'ds__day' -> ('ds', 'day'); 'region' -> ('region', None)."""
+        """'ds__day' -> ('ds', 'day'); 'region' -> ('region', None).
+        Only a KNOWN grain suffix splits (r15 review): any other
+        '__suffix' (e.g. a MetricFlow entity path 'customer__region')
+        must surface as an unknown-dimension error downstream, not
+        silently compile to date_trunc('region', customer)."""
         name, _, grain = d.partition("__")
+        if grain and grain not in SemanticLayer._GRAINS:
+            return d, None
         return name, (grain or None)
 
     def _dim_expr(self, sm: SemanticModel, d: str) -> tuple[str, str]:

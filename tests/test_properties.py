@@ -604,3 +604,31 @@ def test_jaro_winkler_unicode_unit_divergence(a, b):
     assert _jaro_winkler(*as_bytes) == ref
     if a:
         assert _jaro_winkler(a, a) == 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde漢é ", max_size=20),
+            st.text(alphabet="abcde漢é ", max_size=20),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_jw_batch_matches_scalar_reference(pairs):
+    """VERDICT r14 #2: the numpy-vectorized batch comparator
+    (_jw_batch, now the UDF hot path) must reproduce the scalar
+    reference _jaro_winkler (itself DuckDB-pinned) bit-for-bit on
+    every pair — including empties, unicode, transpositions, and
+    mixed-length batches that exercise the pow2 width bucketing."""
+    import numpy as np
+
+    from sparkt.functions.linkage import _jaro_winkler, _jw_batch
+
+    ta = np.array([p[0] for p in pairs], dtype=object)
+    tb = np.array([p[1] for p in pairs], dtype=object)
+    vec = _jw_batch(ta, tb)
+    for i, (a, b) in enumerate(pairs):
+        assert vec[i] == _jaro_winkler(a, b), (a, b)

@@ -171,3 +171,40 @@ def test_cli_error_report_scrubs_secret(secret_env, capsys):
 
     msg = scrub_secrets("ERROR: fetch https://hunter2-token@x failed")
     assert "hunter2-token" not in msg and "*****" in msg
+
+
+def test_event_log_scrubs_secret_with_json_escaped_chars(monkeypatch, tmp_path):
+    """ADVICE r14: a secret containing characters json.dumps escapes
+    (quote, backslash, newline, non-ASCII) must still be redacted from
+    the serialized JSONL event line — scrub the encoded form too."""
+    from sparkt.events import EventManager, MainReportVersion
+
+    tricky = 'pa"ss\\wo\nrd-é'
+    monkeypatch.setenv("DBT_ENV_SECRET_TRICKY", tricky)
+    mgr = EventManager(str(tmp_path), "inv-1")
+    mgr.fire(MainReportVersion(version=f"creds: {tricky} end"))
+    mgr.close()
+    with open(os.path.join(str(tmp_path), "dbt.log")) as f:
+        text = f.read()
+    assert "ss\\\\wo" not in text and 'pa\\"ss' not in text
+    assert "*****" in text
+    json.loads(text.splitlines()[0])  # still valid JSONL
+
+
+def test_render_secret_value_wraps_jinja_errors(secret_env):
+    """ADVICE r14: undefined constructs ({{ var('x') }}) and malformed
+    templates surface as ParsingError naming the file, not raw jinja2
+    exceptions (which CLI callers would print as a traceback)."""
+    with pytest.raises(ParsingError, match="profiles.yml"):
+        secrets.render_secret_value("{{ var('x') }}", where="profiles.yml")
+    with pytest.raises(ParsingError, match="packages.yml"):
+        secrets.render_secret_value("{{ unclosed", where="packages.yml")
+
+
+def test_substitute_placeholder_raises_when_env_vanishes(secret_env, monkeypatch):
+    """ADVICE r14: a placeholder whose env var was unset between render
+    and substitution must error, not silently become ''."""
+    placeholder = secrets.SECRET_PLACEHOLDER.format("DBT_ENV_SECRET_TOKEN")
+    monkeypatch.delenv("DBT_ENV_SECRET_TOKEN")
+    with pytest.raises(ParsingError, match="DBT_ENV_SECRET_TOKEN"):
+        secrets._substitute_placeholders(f"url://{placeholder}@host")

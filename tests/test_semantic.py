@@ -346,3 +346,28 @@ metrics:
         runner.query_metrics(["bad_mix"])
     with pytest.raises(CompilationError, match="at least one metric"):
         runner.query_metrics([])
+
+
+def test_unknown_grain_suffix_is_not_date_trunced():
+    """r15 review: '__suffix' splits as a time grain only for KNOWN
+    grains — a MetricFlow-style entity path ('customer__region') must
+    raise unknown-dimension, not compile date_trunc('region', ...)."""
+    import pytest
+
+    from sparkt.exceptions import CompilationError
+    from sparkt.semantic import SemanticLayer
+
+    layer = SemanticLayer()
+    layer.add_semantic_model({
+        "name": "sm", "model": "t",
+        "dimensions": [{"name": "ds", "type": "time"},
+                       {"name": "region"}],
+        "measures": [{"name": "n", "agg": "count", "expr": "1"}],
+    })
+    layer.add_metric({"name": "m", "type": "simple",
+                      "type_params": {"measure": "n"}})
+    # known grain still splits
+    sql = layer.compile_query(["m"], ["ds__month"])
+    assert "date_trunc('month', ds)" in sql
+    with pytest.raises(CompilationError, match="customer__region"):
+        layer.compile_query(["m"], ["customer__region"])

@@ -382,3 +382,32 @@ def test_severity_warn_skips_error_if(make_project, spark):
     assert res.ok
     tr = next(r for r in res.results if "five_failures" in r.unique_id)
     assert tr.status == "pass", tr.status
+
+
+def test_unit_test_manifest_fqn_includes_subdirs(make_project, spark):
+    """ADVICE r14: the writable manifest's unit_test fqn must be
+    path-derived ([pkg, *subdirs, name]) like models/seeds, so the
+    artifact agrees with what fqn-based selection actually matches for
+    unit tests defined in subdirectory yml files."""
+    import json as _json
+    import os as _os
+
+    files = {
+        "dbt_project.yml": "name: utf\nmodel-paths: [models]\n",
+        "models/marts/m.sql": "select 1 as id",
+        "models/marts/schema.yml": """
+unit_tests:
+  - name: ut_m
+    model: m
+    given: []
+    expect:
+      rows:
+        - {id: 1}
+""",
+    }
+    runner = make_project(files, schema="t_utfqn")
+    assert runner.build().ok
+    with open(_os.path.join(runner.project.target_dir, "manifest.json")) as f:
+        manifest = _json.load(f)
+    fqn = manifest["unit_tests"]["unit_test.utf.ut_m"]["fqn"]
+    assert fqn == ["utf", "marts", "ut_m"], fqn
