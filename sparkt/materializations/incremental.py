@@ -911,6 +911,63 @@ def _incremental_rewrite(
             f"SELECT {_col_select(final_cols, 't', 'tgt', types)} "
             f"FROM {tgt_from} LEFT ANTI JOIN __sparkt_src s ON {join_on}"
         )
+        # merge_update_columns / merge_exclude_columns (reference
+        # tests/functional/adapter/incremental/test_incremental_
+        # merge_exclude_columns.py): matched rows update ONLY the
+        # configured columns, keeping target values elsewhere. The
+        # delta MERGE path already honors these; the rewrite path
+        # silently ignored them (r15 review) — matched rows were
+        # fully replaced. Three-branch rewrite: unmatched source
+        # inserts, matched rows mix s/t per column, unmatched target
+        # keeps.
+        upd_cfg = node.config.get("merge_update_columns")
+        exc_cfg = node.config.get("merge_exclude_columns")
+        if strategy == "merge" and (upd_cfg or exc_cfg):
+            if upd_cfg and exc_cfg:
+                raise ExecutionError(
+                    f"{node.unique_id}: merge_update_columns and "
+                    "merge_exclude_columns are mutually exclusive"
+                )
+            names = [name for name, _, _ in final_cols]
+            if upd_cfg:
+                upd_set = {c for c in upd_cfg}
+            else:
+                upd_set = set(names) - set(exc_cfg)
+            unknown = (set(upd_cfg or exc_cfg)) - set(names)
+            if unknown:
+                raise ExecutionError(
+                    f"{node.unique_id}: merge column config names "
+                    f"unknown columns {sorted(unknown)}"
+                )
+            matched_sel = ", ".join(
+                (
+                    f"s.{bt(name)}" if in_src
+                    else f"CAST(NULL AS {types.get(name, 'string')}) "
+                    f"AS {bt(name)}"
+                )
+                if name in upd_set
+                else (
+                    f"t.{bt(name)}" if in_tgt
+                    else f"CAST(NULL AS {types.get(name, 'string')}) "
+                    f"AS {bt(name)}"
+                )
+                for name, in_src, in_tgt in final_cols
+            )
+            merged = (
+                f"WITH __sparkt_src AS ({src_sql}) "
+                f"SELECT {_col_select(final_cols, 's', 'src', types)} "
+                f"FROM __sparkt_src s LEFT ANTI JOIN {tgt_from} "
+                f"ON {join_on} "
+                f"UNION ALL "
+                f"SELECT {matched_sel} FROM {tgt_from} "
+                f"JOIN __sparkt_src s ON {join_on} "
+                f"UNION ALL {keep_tgt}"
+            )
+            ctx.adapter.create_table_as(
+                rel, select_sql=merged, partition_by=partition_by
+            )
+            persist_docs(ctx, node, rel)
+            return "MERGE (merge, partial-update rewrite)"
     elif strategy == "insert_overwrite":
         # overwrite semantics survive the rewrite: keep only target rows
         # in partitions the source does NOT touch

@@ -31,6 +31,10 @@ def materialize_test(ctx: MatContext, node):
     # enable; per-node config still wins when explicitly set False
     flag = ctx.extras.get("store_failures_flag", False)
     store = cfg.get("store_failures")
+    count_from = (
+        f"(select * from ({node.compiled_code}) dbt_internal_test"
+        f"{limit_sql})"
+    )
     if (store or (store is None and flag)
             or cfg.get("store_failures_as") in ("table", "view")):
         audit_schema = f"{ctx.project.schema}_dbt_test__audit"
@@ -41,15 +45,26 @@ def materialize_test(ctx: MatContext, node):
                 audit_rel.incorporate(type="view"), node.compiled_code
             )
         else:
-            ctx.adapter.create_table_as(audit_rel, select_sql=node.compiled_code)
+            # store the (limited) failing rows ONCE, then count from
+            # the stored table (reference test materialization: the
+            # main query reads the audit relation) — the old path ran
+            # the failing-rows query twice, inconsistent for
+            # nondeterministic tests and 2x the scan cost (r15 review)
+            ctx.adapter.create_table_as(
+                audit_rel,
+                select_sql=(
+                    f"select * from ({node.compiled_code}) "
+                    f"dbt_internal_test{limit_sql}"
+                ),
+            )
+            count_from = audit_rel.render()
         node.relation = audit_rel
 
     main_sql = (
         f"select {fail_calc} as failures, "
         f"{fail_calc} {warn_if} as should_warn, "
         f"{fail_calc} {error_if} as should_error "
-        f"from (select * from ({node.compiled_code}) dbt_internal_test{limit_sql}"
-        f") dbt_internal_test"
+        f"from {count_from} dbt_internal_test"
     )
     _, result = ctx.adapter.execute(main_sql, fetch=True)
     if len(result.rows) != 1 or len(result.column_names) != 3:

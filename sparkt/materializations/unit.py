@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from sparkt.exceptions import ExecutionError
 from sparkt.materializations import MatContext, register
 
-_REF_RE = re.compile(r"ref\(\s*['\"](\w+)['\"]\s*\)")
+# one- or two-arg form: ref('model') / ref('package', 'model') —
+# the model name is the LAST string either way (r15 review: the
+# two-arg form previously failed fixture-input parsing outright)
+_REF_RE = re.compile(
+    r"ref\(\s*['\"](\w+)['\"]\s*(?:,\s*['\"](\w+)['\"]\s*)?\)"
+)
 _SRC_RE = re.compile(r"source\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*\)")
 
 
@@ -134,7 +139,7 @@ def materialize_unit(ctx: MatContext, node):
         base_rel = None
         key = None
         if m:
-            key = m.group(1)
+            key = m.group(2) or m.group(1)
             upstream = ctx.manifest.ref_lookup(key)
             if upstream is not None and ctx.adapter.relation_exists(
                 ctx.compiler.relation_for(upstream)
@@ -184,7 +189,15 @@ def materialize_unit(ctx: MatContext, node):
 
     expect_rows = _parse_rows(node.expect)
     if expect_rows:
-        expect_cols = list(expect_rows[0].keys())
+        # first appearance across ALL rows, same as _fixture_df: a
+        # sparse expect whose first row lacks a column must still
+        # compare that column (r15 review — row-0-only silently
+        # excluded it, weakening the test)
+        expect_cols = []
+        for r in expect_rows:
+            for k in r:
+                if k not in expect_cols:
+                    expect_cols.append(k)
     else:
         expect_cols = actual.columns
     actual_proj = actual.select(*expect_cols)

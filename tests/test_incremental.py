@@ -1190,3 +1190,63 @@ models:
     ]
     assert row and "must survive" in row[0].data_type
     assert spark.table("t_stg.inc_doc").count() == 1
+
+
+def test_merge_update_columns_rewrite_path(make_project, spark):
+    """r15 review: merge_update_columns must be honored on the parquet
+    REWRITE path (the delta MERGE path already was) — matched rows
+    update only the named columns, keeping target values elsewhere;
+    unmatched source rows insert whole."""
+    files = {
+        "dbt_project.yml": "name: muc\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/src.csv": "id,a,b\n1,a1,b1\n2,a2,b2\n",
+        "models/m.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='merge', unique_key='id', "
+            "merge_update_columns=['a']) }}\n"
+            "select id, a, b from {{ ref('src') }}\n"
+        ),
+    }
+    runner = make_project(files, schema="t_muc")
+    assert runner.seed().ok
+    assert runner.run().ok
+    import os
+
+    with open(os.path.join(runner.project.project_root, "seeds/src.csv"), "w") as f:
+        # id=2 changes BOTH a and b; only a may update. id=3 is new.
+        f.write("id,a,b\n2,A2,B2\n3,a3,b3\n")
+    assert runner.seed().ok
+    assert runner.run().ok
+    rows = {
+        r["id"]: (r["a"], r["b"])
+        for r in spark.table("t_muc.m").collect()
+    }
+    assert rows[1] == ("a1", "b1")          # untouched
+    assert rows[2] == ("A2", "b2")          # a updated, b KEPT
+    assert rows[3] == ("a3", "b3")          # new row inserts whole
+
+
+def test_merge_exclude_columns_rewrite_path(make_project, spark):
+    """merge_exclude_columns: update everything EXCEPT the named
+    columns on matched rows."""
+    files = {
+        "dbt_project.yml": "name: mec\nmodel-paths: [models]\nseed-paths: [seeds]\n",
+        "seeds/src.csv": "id,a,b\n1,a1,b1\n",
+        "models/m.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='merge', unique_key='id', "
+            "merge_exclude_columns=['b']) }}\n"
+            "select id, a, b from {{ ref('src') }}\n"
+        ),
+    }
+    runner = make_project(files, schema="t_mec")
+    assert runner.seed().ok
+    assert runner.run().ok
+    import os
+
+    with open(os.path.join(runner.project.project_root, "seeds/src.csv"), "w") as f:
+        f.write("id,a,b\n1,A1,B1\n")
+    assert runner.seed().ok
+    assert runner.run().ok
+    row = spark.table("t_mec.m").collect()[0]
+    assert (row["a"], row["b"]) == ("A1", "b1")
