@@ -566,6 +566,9 @@ def decontaminate(
     id_col: str,
     k: int = 5,
     threshold: float = 0.2,
+    method: str = "semi",
+    m_bits: int = 1 << 22,
+    k_hashes: int = 4,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose k-word
     shingles overlap a benchmark/eval set above ``threshold`` (the
@@ -577,13 +580,48 @@ def decontaminate(
     corpus (eval suites are ~1e5 docs vs 1e10), so it BROADCASTS —
     the corpus side is one shingle projection + broadcast hash join +
     one groupBy-doc shuffle. No shuffle of the corpus by shingle, no
-    pair explosion."""
+    pair explosion.
+
+    ``method='bloom'`` (VERDICT r14 ask #3) swaps the broadcast
+    shingle SET for d12's mergeable Bloom filter
+    (:func:`sparkt.functions.sketches.bloom_build`): the broadcast
+    payload shrinks from every distinct bench shingle STRING to
+    ``m_bits/32`` long words (512 KB at the 1<<22 default, regardless
+    of bench size), and the probe joins on word_idx instead of the
+    shingle value. Overlap becomes an UPPER bound (false positives at
+    the filter's FPR ≈ (1-e^(-k·n/m))^k — size m_bits for the bench
+    shingle count and the two methods agree exactly; the agreement is
+    pytest-pinned at the default size on the test corpora). Same
+    output schema either way."""
     corpus_sh = shingle_table(df, text_col, id_col, k)
     bench_sh = (
         shingle_table(bench_df, text_col, id_col, k)
         .select("sh")
         .distinct()
     )
+    if method == "bloom":
+        from sparkt.functions.sketches import bloom_build, bloom_probe
+
+        bloom = bloom_build(bench_sh, "sh", m_bits, k_hashes)
+        probed = bloom_probe(
+            corpus_sh, "doc", "sh", bloom, m_bits, k_hashes,
+            carry_cols=["sz"],
+        )
+        return (
+            probed.groupBy("doc")
+            .agg(
+                F.sum(F.col("maybe_member").cast("long")).alias("overlap"),
+                F.min("sz").alias("n_sh"),
+            )
+            .withColumn(
+                "contamination",
+                F.round(F.col("overlap") / F.col("n_sh"), 6),
+            )
+            .filter(F.col("contamination") >= threshold)
+            .select("doc", "n_sh", "overlap", "contamination")
+        )
+    if method != "semi":
+        raise ValueError(f"decontaminate method '{method}' (semi|bloom)")
     # n_sh rides the posting rows (shingle_table's sz): ONE groupBy-doc
     # shuffle total — no separate sizes aggregation, no sizes⋈hits join
     # (docs with zero overlap can't pass threshold > 0 anyway, matching

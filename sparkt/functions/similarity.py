@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -274,6 +275,67 @@ def _cell_assignment(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_max(F.array(*scored))["c"]
 
 
+# Above this cell count the expression path's k HOF dot-folds per row
+# (Spark evaluates higher-order functions INTERPRETED, not codegen)
+# become the bottleneck: measured r15, 256 cells × aggregate(zip_with)
+# over 20k rows did not finish in 9 min, while the Arrow matmul path
+# below does the identical assignment in seconds. The expression path
+# stays for small cell counts — it is engine-portable (the DuckDB
+# oracles replay it literally), needs no Python workers, and at k ≤ 32
+# is faster than a UDF round-trip.
+_PANDAS_ASSIGN_MIN_CELLS = 33
+
+
+def _cell_assign_pandas(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax-dot cell id via one numpy matmul per Arrow batch — the
+    large-cell-count twin of :func:`_cell_assignment`, with the SAME
+    tie-break (ties take the larger cell id, matching struct-max
+    lexicographic comparison) so the two paths are interchangeable."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    k = C.shape[0]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        # reversed-column argmax → ties pick the LARGER cell id
+        rev = (M @ C.T)[:, ::-1].argmax(axis=1)
+        return pd.Series((k - 1 - rev).astype("int32"))
+
+    return _assign(vec)
+
+
+def _probe_cells_pandas(
+    vec: Column, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """Top-``n_probe`` cells by dot score per Arrow batch — the
+    large-cell-count twin of the expression path's
+    reverse(array_sort(struct(s,c))) (descending (s, c): score ties
+    take the larger cell id first)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    k = C.shape[0]
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        S = (M @ C.T)[:, ::-1]
+        # stable argsort on reversed columns → ties larger-id-first
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :n_probe]
+        cells = (k - 1 - idx).astype("int32")
+        return pd.Series(list(cells))
+
+    return _probe(vec)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -301,10 +363,17 @@ def ivf_topk(
     # optimizes squared-L2, so trained quantizers assign and probe by
     # argmin-L2 (kmeans_assign — same tie-break as the fit); the
     # md5 pseudo-centroids keep the legacy argmax-dot assignment
-    assign = (
-        (lambda v: kmeans_assign(v, cents)) if trained
-        else (lambda v: _cell_assignment(v, cents))
-    )
+    big = n_cells >= _PANDAS_ASSIGN_MIN_CELLS
+    if trained:
+        assign = (
+            (lambda v: kmeans_assign_pandas(v, cents)) if big
+            else (lambda v: kmeans_assign(v, cents))
+        )
+    else:
+        assign = (
+            (lambda v: _cell_assign_pandas(v, cents)) if big
+            else (lambda v: _cell_assignment(v, cents))
+        )
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec).alias("cv"),
@@ -375,14 +444,21 @@ def cosine_neardup_pairs(
     ``n_probe`` small: cells become the partition key, the shuffle is an
     equijoin on cell id, and only nearby cells are compared."""
     cents = _pseudo_centroids(dim, n_cells)
+    big = n_cells >= _PANDAS_ASSIGN_MIN_CELLS
+    assign = (
+        _cell_assign_pandas(F.col(vec), cents) if big
+        else _cell_assignment(F.col(vec), cents)
+    )
     right = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec).alias("vb"),
         norm(F.col(vec)).alias("nb"),
-        _cell_assignment(F.col(vec), cents).alias("cell"),
+        assign.alias("cell"),
     )
     if n_probe is None or n_probe >= n_cells:
         probes = F.lit(list(range(n_cells)))
+    elif big:
+        probes = _probe_cells_pandas(F.col(vec), cents, n_probe)
     else:
         scored = []
         for j, cent in enumerate(cents):
@@ -564,6 +640,33 @@ def kmeans_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def kmeans_assign_pandas(
+    vec: Column, centroids: list[list[float]]
+) -> Column:
+    """Argmin-L2 cell via one numpy distance matrix per Arrow batch —
+    the large-k twin of :func:`kmeans_assign` (same first-minimum =
+    lowest-cell tie-break via np.argmin). Used automatically above
+    ``_PANDAS_ASSIGN_MIN_CELLS``: k interpreted HOF folds per row do
+    not scale (the r15 256-cell measurement), one matmul per batch
+    does. ||q-c||² = ||q||² - 2q·c + ||c||²; the ||q||² term is
+    rank-invariant and dropped."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype="int32")
+        d = c2[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign(vec)
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -601,9 +704,16 @@ def kmeans_fit(
     )
     cents = [[_q6(float(x)) for x in r[1]] for r in first]
     dim = len(cents[0])
+    # large k: Arrow matmul assignment (same argmin/tie-break; the
+    # expression path's k interpreted HOF folds per row dominate the
+    # fit wall at k ≥ ~33 — the r15 scale measurement)
+    assign_fn = (
+        kmeans_assign_pandas if k >= _PANDAS_ASSIGN_MIN_CELLS
+        else kmeans_assign
+    )
     for _ in range(iters):
         assigned = df.select(
-            kmeans_assign(F.col(vec), cents).alias("cell"),
+            assign_fn(F.col(vec), cents).alias("cell"),
             F.posexplode(F.col(vec)).alias("dim", "val"),
         )
         new = (

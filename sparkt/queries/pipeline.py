@@ -4665,7 +4665,7 @@ ORDER BY removed_doc
 
 
 # ----------------------------------------------------------------- pl5
-def pl5_curation_pipeline(spark, sf_dir):
+def pl5_curation_pipeline(spark, sf_dir, decontaminate_method="semi"):
     """END-TO-END pretraining-curation integration gate (VERDICT r12
     ask #5): the full curation surface chained as ONE Catalyst
     dataflow over the documents corpus —
@@ -4745,9 +4745,15 @@ def pl5_curation_pipeline(spark, sf_dir):
     )
     uniq = qual.join(removed, "doc_id", "left_anti")
 
-    # stage 5: decontaminate vs the (normalized) benchmark slice
+    # stage 5: decontaminate vs the (normalized) benchmark slice.
+    # method parameterized (VERDICT r14 ask #3): 'semi' (broadcast
+    # shingle-set semi-join — oracle parity) for the gate; 'bloom'
+    # (d12's 512 KB mergeable filter) is the scale path — at 500k docs
+    # this stage dominates the pipeline wall and the bloom broadcast
+    # is constant-size in the bench slice (measured table PLANS.md)
     flagged = D.decontaminate(
-        uniq, bench, "text", "doc_id", k=3, threshold=0.05
+        uniq, bench, "text", "doc_id", k=3, threshold=0.05,
+        method=decontaminate_method,
     ).select(F.col("doc").alias("doc_id"))
     clean = uniq.join(flagged, "doc_id", "left_anti")
 

@@ -709,7 +709,15 @@ LIMIT 20
 
 # ---------------------------------------------------------------- q24
 def q24_string_agg(spark, sf_dir):
-    """Ordered string aggregation (listagg / collect_list)."""
+    """Ordered string aggregation (listagg / string_agg ... ORDER BY).
+
+    r15: upgraded to order by a DIFFERENT key than the aggregated
+    value — the general listagg shape (reference
+    ``fixture_listagg.py`` 'bottom_ordered') that the cross-db
+    ``listagg`` macro now compiles: collect struct(order_key, value),
+    array_sort orders by the struct's first field, transform projects
+    the value back out. Sorting by the value itself (the old q24) is
+    the degenerate case that hid an unordered implementation."""
     nation = T(spark, sf_dir, "nation")
     region = T(spark, sf_dir, "region")
     return (
@@ -717,9 +725,20 @@ def q24_string_agg(spark, sf_dir):
                     nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
-                "nations"
-            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("n_nationkey").alias("o"),
+                                F.col("n_name").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+                ",",
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n_nations"),
         )
         .orderBy("r_name")
@@ -728,7 +747,7 @@ def q24_string_agg(spark, sf_dir):
 
 Q24_SQL = """
 SELECT r_name,
-       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       string_agg(n_name, ',' ORDER BY n_nationkey) AS nations,
        count(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name

@@ -3986,3 +3986,36 @@ def test_pagerank_persist_adj_same_ranks_fewer_exchanges(spark):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_decontaminate_bloom_agrees_with_semi(spark):
+    """VERDICT r14 ask #3: the Bloom-probe decontamination path
+    (d12's 512 KB mergeable filter replacing the broadcast shingle
+    set) must agree with the semi-join path row-for-row at the
+    default m_bits on a real corpus slice — sized so FPR is
+    negligible; any divergence would be a false positive the size
+    choice is documented to eliminate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    kw = dict(k=3, threshold=0.05)
+    semi = {
+        (r["doc"], r["n_sh"], r["overlap"])
+        for r in decontaminate(
+            corpus, bench, "text", "doc_id", **kw
+        ).collect()
+    }
+    bloom = {
+        (r["doc"], r["n_sh"], r["overlap"])
+        for r in decontaminate(
+            corpus, bench, "text", "doc_id", method="bloom", **kw
+        ).collect()
+    }
+    assert semi, "test premise: some docs must flag at sf0.01"
+    assert bloom == semi

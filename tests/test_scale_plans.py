@@ -404,3 +404,65 @@ def test_pl3_candidates_checkpoint_breaks_reinlining(spark):
     assert "Scan ExistingRDD" in plan
     assert "documents.parquet" not in plan
     assert out.count() == 3
+
+
+def test_pandas_assignment_paths_match_expression_paths(spark):
+    """r15: above _PANDAS_ASSIGN_MIN_CELLS the IVF cell assignment /
+    probe ordering switch to Arrow-batched numpy matmuls (k
+    interpreted HOF folds per row do not scale — 256 cells at 20k
+    rows did not finish in 9 min). The two implementations must be
+    interchangeable: same argmax/argmin cell, same tie-break, same
+    probe order."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkt.functions import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 16)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S._pseudo_centroids(16, 40)
+
+    def m(df_):
+        return {r["vec_id"]: r["c"] for r in df_.collect()}
+
+    assert m(df.select(
+        "vec_id", S._cell_assignment(F.col("embedding"), cents).alias("c")
+    )) == m(df.select(
+        "vec_id", S._cell_assign_pandas(F.col("embedding"), cents).alias("c")
+    ))
+    assert m(df.select(
+        "vec_id", S.kmeans_assign(F.col("embedding"), cents).alias("c")
+    )) == m(df.select(
+        "vec_id",
+        S.kmeans_assign_pandas(F.col("embedding"), cents).alias("c"),
+    ))
+    scored = [
+        F.struct(
+            S.dot(F.col("embedding"),
+                  S._const_array([float(x) for x in c])).alias("s"),
+            F.lit(j).alias("c"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    ep = {
+        r["vec_id"]: list(r["p"])
+        for r in df.select(
+            "vec_id",
+            F.transform(
+                F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, 3),
+                lambda s: s["c"],
+            ).alias("p"),
+        ).collect()
+    }
+    pp = {
+        r["vec_id"]: list(r["p"])
+        for r in df.select(
+            "vec_id",
+            S._probe_cells_pandas(F.col("embedding"), cents, 3).alias("p"),
+        ).collect()
+    }
+    assert ep == pp
