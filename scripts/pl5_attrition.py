@@ -67,8 +67,11 @@ def run(spark, sf_dir: str, method: str = "semi") -> list[tuple]:
     stage("0b eval slice (held out)", bench)
     corpus = norm.filter(F.col("doc_id") % 97 != 0)
 
-    pre, out = _pl5_columns()
-    scored = corpus.select(*pre).select(*out).localCheckpoint(eager=False)
+    pre, mid, out = _pl5_columns()
+    scored = (
+        corpus.select(*pre).select(*mid).select(*out)
+        .localCheckpoint(eager=False)
+    )
     en = scored.filter(F.col("__lang") == "en")
     stage("2 lang-id == en", en, "n_tokens")
     qual = en.filter(

@@ -750,10 +750,21 @@ def duplicate_clusters(
     Returns (doc, cluster) for every doc appearing in ``pairs``;
     cluster = min doc id of the component (deterministic).
     """
+    # Materialize the raw id pairs ONCE: the vertex set (for the
+    # singleton union below) and the edge set both derive from here.
+    # Before r15 the singles branch re-ran the caller's pair GENERATOR
+    # twice more (union of two selects over `pairs`) — for sd1 that
+    # generator is the full IVF-cell cosine equijoin, so the gate paid
+    # the pair stage 3x (r15 optimization; before/after walls in
+    # OPTIMIZATION_r15.md — guide §1.2 "don't compute things you
+    # throw away").
+    raw = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .localCheckpoint()
+    )
     # canonical (child > parent) orientation; both star steps preserve it
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
         .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
@@ -788,8 +799,8 @@ def duplicate_clusters(
             [(x, _find(x)) for x in members], schema
         )
         singles = (
-            pairs.select(F.col(id_a).alias("doc"))
-            .union(pairs.select(F.col(id_b).alias("doc")))
+            raw.select(F.col("u").alias("doc"))
+            .union(raw.select(F.col("v").alias("doc")))
             .distinct()
             .join(F.broadcast(labels_df.select("doc")), "doc", "left_anti")
             .select("doc", F.col("doc").alias("cluster"))
@@ -860,8 +871,8 @@ def duplicate_clusters(
     # the caller a singleton cluster — without the union below they
     # would silently vanish from the output.
     singles = (
-        pairs.select(F.col(id_a).alias("doc"))
-        .union(pairs.select(F.col(id_b).alias("doc")))
+        raw.select(F.col("u").alias("doc"))
+        .union(raw.select(F.col("v").alias("doc")))
         .distinct()
         .join(
             edges.select(F.col("u").alias("doc"))

@@ -151,11 +151,27 @@ def pagerank(
     documented shared-relation persist class), which is why the
     default stays the residue-free localCheckpoint.
     """
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # r15 (guide §1.2 / §2.4): materialize the EDGE LIST once before
+    # fanning out. `edges` is a caller-supplied pair GENERATOR (for g2
+    # the full MinHash band self-join); without this checkpoint the
+    # generator subtree is re-planned and re-executed behind every
+    # reference — both (2×), deg per reference (2× more each), and
+    # n_tab/r0/every-iteration join_scalars each pull deg again: the
+    # g2 plan held 176 Exchange nodes and the gate re-ran the band
+    # join ~10×. After: 26 Exchanges, one band join
+    # (plans/r15/g2_pagerank_{before,after}.txt).
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
     both = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds adj, n_tab, r0 AND every iteration's scalar join —
+    # checkpoint it too (|V| rows) so each reference is an RDD scan,
+    # not a fresh groupBy over the doubled edge list
+    deg = both.groupBy("u").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
     if persist_adj:
         adj = both.join(deg, "u").repartition(F.col("u")).persist()
     else:

@@ -159,15 +159,29 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * length_term + 0.3 * alpha + 0.3 * stop, 6)
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: CJK character share, else stopword-hit
-    argmax with fixed tie order en > de > fr > es."""
+    argmax with fixed tie order en > de > fr > es.
+
+    ``toks``: pass an already-materialized :func:`tokens` column to
+    avoid re-splitting the document once per language — the four
+    stopword filters otherwise each embed their own ``tokens(text)``
+    (lambda-bearing expressions are exempt from codegen subexpression
+    elimination, so that is four full regex splits per row; r15
+    measurement in OPTIMIZATION_r15.md). Values identical either way.
+    """
     cjk = F.length(F.regexp_replace(text, f"[^{CJK_RANGE}]", ""))
     n_chars = F.greatest(F.length(text), F.lit(1))
-    en = _stopword_hits(text, EN_STOPWORDS)
-    de = _stopword_hits(text, DE_STOPWORDS)
-    fr = _stopword_hits(text, FR_STOPWORDS)
-    es = _stopword_hits(text, ES_STOPWORDS)
+
+    def hits(words):
+        if toks is not None:
+            return F.size(F.filter(toks, lambda t: t.isin(words)))
+        return _stopword_hits(text, words)
+
+    en = hits(EN_STOPWORDS)
+    de = hits(DE_STOPWORDS)
+    fr = hits(FR_STOPWORDS)
+    es = hits(ES_STOPWORDS)
     return (
         F.when(cjk / n_chars > 0.3, "zh")
         .when((en >= de) & (en >= fr) & (en >= es), "en")
@@ -915,9 +929,20 @@ def sentence_stats(
     Returns ``<id>, n_sentences, n_words, avg_sentence_words (4dp —
     one integer division, cross-engine exact), max_sentence_words``.
 
-    Pure codegen HOF chain (split → filter → transform → aggregate):
-    the document never leaves its row, no explode, no shuffle before
-    the final narrow projection — the t19 shape.
+    Pure HOF chain (split → filter → transform → aggregate): the
+    document never leaves its row, no explode, no shuffle before the
+    final narrow projection — the t19 shape.
+
+    r15 (guide §1.2 "don't compute things you throw away"): the
+    word-count array is materialized ONCE in an inner projection and
+    the four stats read the materialized column. Expressions containing
+    lambda variables are exempt from Spark's codegen common-
+    subexpression elimination, so the previous single-projection form
+    re-ran the whole split→filter→transform chain over the raw text
+    for EVERY reference (4×/row). CollapseProject keeps the two
+    projections apart because the producer is non-cheap and multiply
+    referenced (the t2 __toks pattern). Values are bit-identical —
+    same expressions, evaluated once.
     """
     sents = F.filter(
         F.split(F.col(text_col), r"[.!?]+"),
@@ -926,18 +951,19 @@ def sentence_stats(
     wc = F.transform(
         sents, lambda s: F.size(F.split(F.trim(s), r"\s+"))
     )
-    n_sent = F.size(wc)
+    base = df.select(F.col(id_col), wc.alias("__wc"))
+    n_sent = F.size("__wc")
     n_words = F.aggregate(
-        wc, F.lit(0), lambda acc, x: acc + x
+        F.col("__wc"), F.lit(0), lambda acc, x: acc + x
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_sent.alias("n_sentences"),
         n_words.alias("n_words"),
         F.round(
             n_words.cast("double") / F.greatest(n_sent, F.lit(1)), 4
         ).alias("avg_sentence_words"),
-        F.coalesce(F.array_max(wc), F.lit(0)).alias(
+        F.coalesce(F.array_max("__wc"), F.lit(0)).alias(
             "max_sentence_words"
         ),
     )

@@ -63,8 +63,11 @@ def t2_quality_scores(spark, sf_dir):
     runs at scan speed with zero exchanges (the trailing orderBy is
     gate-output cosmetics)."""
     docs = T(spark, sf_dir, "documents")
-    pre_cols, out_cols = _t2_columns()
-    return docs.select(*pre_cols).select(*out_cols).orderBy("doc_id")
+    pre_cols, mid_cols, out_cols = _t2_columns()
+    return (
+        docs.select(*pre_cols).select(*mid_cols).select(*out_cols)
+        .orderBy("doc_id")
+    )
 
 
 def _t2_columns():
@@ -85,21 +88,39 @@ def _t2_columns():
         F.array_sort(toks).alias("__s"),
     ]
     n = F.size("__toks")
+    # r15 middle projection (guide §1.2): lambda-bearing expressions
+    # are exempt from codegen common-subexpression elimination, so
+    # every extra REFERENCE re-ran its whole HOF/regexp chain per row.
+    # The multiply-referenced intermediates (bigram array: 2 refs;
+    # stopword filter: 2; alpha regexp: 2) materialize ONCE here;
+    # CollapseProject keeps the layers apart because the producers are
+    # non-cheap and multiply referenced. Values bit-identical.
     bigrams = TX.bigram_array(F.col("__toks"))
+    mid_cols = [
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("__toks"),
+        F.col("__s"),
+        bigrams.alias("__bg"),
+        F.size(F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS)))
+        .alias("__stop_hits"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .alias("__alpha_chars"),
+    ]
     # run-length HOF scans over the sorted arrays (library helpers;
     # plan shape pinned by test_t2_quality_is_pure_projection)
     dup_tok = TX.dup_token_count(F.col("__s"))
-    top_bigram = TX.max_adjacent_run(F.array_sort(bigrams))
-    stop_hits = F.size(F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS)))
+    top_bigram = TX.max_adjacent_run(F.array_sort(F.col("__bg")))
+    stop_hits = F.col("__stop_hits")
     tok_chars = F.aggregate(
         "__toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     n_chars = F.length("text")
-    alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    alpha_chars = F.col("__alpha_chars")
     alpha = alpha_chars / F.greatest(n_chars, F.lit(1))
     stop = stop_hits / F.greatest(n, F.lit(1))
     length_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    n_bigrams = F.size(bigrams)
+    n_bigrams = F.size(F.col("__bg"))
     # floor-quantize (not round): round()'s half-way handling differs
     # between Spark (HALF_UP on the decimal rescale) and DuckDB, which
     # broke the value-hash at sf0.1 (quality hit an exact .xxxxxx5);
@@ -121,7 +142,7 @@ def _t2_columns():
             top_bigram / F.greatest(n_bigrams, F.lit(1))
         ).alias("top_bigram_ratio"),
     ]
-    _T2_COLS = (pre_cols, out_cols)
+    _T2_COLS = (pre_cols, mid_cols, out_cols)
     return _T2_COLS
 
 
@@ -184,8 +205,18 @@ ORDER BY d.doc_id
 # ------------------------------------------------------------------ t3
 def t3_lang_id(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
+    # r15: tokenize ONCE into a materialized column — lang_id otherwise
+    # embeds four copies of the regex split (one per language's
+    # stopword filter; lambda-bearing exprs get no codegen CSE)
+    toked = docs.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("__toks")
+    )
     return (
-        docs.select("doc_id", TX.lang_id(F.col("text")).alias("detected_lang"))
+        toked.select(
+            "doc_id",
+            TX.lang_id(F.col("text"), F.col("__toks"))
+            .alias("detected_lang"),
+        )
         .groupBy("detected_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("detected_lang")
@@ -3593,9 +3624,12 @@ def ev3_class_metrics(spark, sf_dir):
     from sparkt.functions.evaluate import classification_report
 
     docs = T(spark, sf_dir, "documents")
-    scored = docs.select(
+    toked = docs.select(
+        "lang", "text", TX.tokens(F.col("text")).alias("__toks")
+    )
+    scored = toked.select(
         F.col("lang").alias("label"),
-        TX.lang_id(F.col("text")).alias("pred"),
+        TX.lang_id(F.col("text"), F.col("__toks")).alias("pred"),
     )
     return classification_report(scored, "label", "pred").orderBy("cls")
 
@@ -3658,9 +3692,12 @@ def ev4_cohens_kappa(spark, sf_dir):
     from sparkt.functions.evaluate import cohens_kappa
 
     docs = T(spark, sf_dir, "documents")
-    scored = docs.select(
+    toked = docs.select(
+        "lang", "text", TX.tokens(F.col("text")).alias("__toks")
+    )
+    scored = toked.select(
         F.col("lang").alias("label"),
-        TX.lang_id(F.col("text")).alias("pred"),
+        TX.lang_id(F.col("text"), F.col("__toks")).alias("pred"),
     )
     return cohens_kappa(scored, "label", "pred")
 
@@ -3723,9 +3760,11 @@ def _ev_rater_trio(spark, sf_dir):
         cjk / F.greatest(F.length("text"), F.lit(1)) > 0.3, "zh"
     ).otherwise("en")
     wide = docs.select(
+        "doc_id", "lang", "text", TX.tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
         F.col("lang").alias("r1"),
-        TX.lang_id(F.col("text")).alias("r2"),
+        TX.lang_id(F.col("text"), F.col("__toks")).alias("r2"),
         lazy.cast(StringType()).alias("r3"),
     )
     return wide.selectExpr(
@@ -4719,8 +4758,8 @@ def pl5_curation_pipeline(spark, sf_dir, decontaminate_method="semi"):
     # stages 2-3: one narrow codegen projection (t2's expressions;
     # column trees cached per process — the _t2_columns lesson:
     # building this tree is ~8 s of py4j round-trips)
-    pre_cols, out_cols = _pl5_columns()
-    scored = corpus.select(*pre_cols).select(*out_cols)
+    pre_cols, mid_cols, out_cols = _pl5_columns()
+    scored = corpus.select(*pre_cols).select(*mid_cols).select(*out_cols)
     qual = scored.filter(
         (F.col("__lang") == "en")
         & (F.col("__q") >= 0.4)
@@ -4808,9 +4847,17 @@ def _pl5_columns():
         TX.tokens(F.col("text")).alias("__toks"),
     ]
     n = F.size("__toks")
-    bigrams = TX.bigram_array(F.col("__toks"))
+    # r15: bigram array materialized once in a middle projection —
+    # lambda-bearing HOFs are exempt from codegen subexpression
+    # elimination, so its former 2 references each re-ran the whole
+    # transform per row (the t2 mid-projection pattern)
+    mid_cols = [
+        F.col("doc_id"), F.col("source"), F.col("text"),
+        F.col("__toks"),
+        TX.bigram_array(F.col("__toks")).alias("__bgarr"),
+    ]
     dup_tok = TX.dup_token_count(F.array_sort(F.col("__toks")))
-    top_bigram = TX.max_adjacent_run(F.array_sort(bigrams))
+    top_bigram = TX.max_adjacent_run(F.array_sort(F.col("__bgarr")))
     stop_hits = F.size(F.filter("__toks", lambda t: t.isin(TX.EN_STOPWORDS)))
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.greatest(
         F.length("text"), F.lit(1)
@@ -4824,12 +4871,12 @@ def _pl5_columns():
     out_cols = [
         F.col("doc_id"), F.col("source"), F.col("text"),
         n.cast("long").alias("n_tokens"),
-        TX.lang_id(F.col("text")).alias("__lang"),
+        TX.lang_id(F.col("text"), F.col("__toks")).alias("__lang"),
         q6(0.4 * length_term + 0.3 * alpha + 0.3 * stop).alias("__q"),
         q6(dup_tok / F.greatest(n, F.lit(1))).alias("__dup"),
-        q6(top_bigram / F.greatest(F.size(bigrams), F.lit(1))).alias("__bg"),
+        q6(top_bigram / F.greatest(F.size("__bgarr"), F.lit(1))).alias("__bg"),
     ]
-    _PL5_COLS = (pre_cols, out_cols)
+    _PL5_COLS = (pre_cols, mid_cols, out_cols)
     return _PL5_COLS
 
 
