@@ -158,7 +158,7 @@ def pagerank(
     # reference — both (2×), deg per reference (2× more each), and
     # n_tab/r0/every-iteration join_scalars each pull deg again: the
     # g2 plan held 176 Exchange nodes and the gate re-ran the band
-    # join ~10×. After: 26 Exchanges, one band join
+    # join ~10×. After: 24 Exchanges, one band join
     # (plans/r15/g2_pagerank_{before,after}.txt).
     und = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
