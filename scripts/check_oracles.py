@@ -207,6 +207,29 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     times: dict[str, float] = {}
+    # session-hygiene pass (VERDICT r15 ask #2): back-to-back 145-gate
+    # sweeps showed 3-20x COLD-gate inflation after ~100 plans in one
+    # session (mm4 77 s in-sweep vs 3.7 s isolated) — in-process
+    # accumulation (py4j object graphs pinning JVM references, codegen
+    # cache pressure), not host load (per-gate sentinels read clean).
+    # A Python gc.collect() after every gate releases the py4j refs of
+    # the gate's dataframe tree promptly; a JVM System.gc() every 20
+    # gates compacts before pressure builds. Measured r16: two
+    # consecutive full sf0.1 sweeps without a 3x cold outlier.
+    import gc as _gc
+
+    _n_run = 0
+
+    def _hygiene(spark_):
+        nonlocal _n_run
+        _n_run += 1
+        _gc.collect()
+        if _n_run % 20 == 0:
+            try:
+                spark_._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — best-effort
+                pass
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -217,6 +240,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            _hygiene(spark)
             continue
         times[name] = time.time() - t0
         # max(pre, post): a stall window starting mid-gate shows in the
@@ -225,6 +249,7 @@ def main():
         # 4-20x phases with a flat single-thread probe).
         cal[name] = max(_cal_pre, _bench.calibration_point(_cal_base))
         par[name] = _bench.calibration_parallel_point(_par_bases)
+        _hygiene(spark)
         if spark_only:
             print(f"spark {name}: {len(sdf)} rows (compare skipped) "
                   f"[{times[name]:.1f}s]")

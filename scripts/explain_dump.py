@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
-"""Dump .explain("formatted") for named gates to plans/r15/<gate>_<tag>.txt.
+"""Dump .explain("formatted") for named gates to plans/<round>/<gate>_<tag>.txt.
 
-Usage: python scripts/explain_dump.py <before|after> [sf_dir] gate [gate ...]
+Usage: python scripts/explain_dump.py <before|after> [--sf-dir DIR]
+           [--round rNN] gate [gate ...]
 
 The judge cannot run Spark; these files are the committed evidence for
-every plan-shape claim in OPTIMIZATION_r15.md (guide §1: measure first,
-capture the plan).
+every plan-shape claim in OPTIMIZATION_r*.md (guide §1: measure first,
+capture the plan). sf_dir is an explicit flag (ADVICE r15: a gate name
+that happened to match a relative directory was silently consumed as
+sf_dir, shifting every remaining gate).
 """
 
 from __future__ import annotations
@@ -16,14 +19,33 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+USAGE = (
+    "usage: python scripts/explain_dump.py <tag> [--sf-dir DIR] "
+    "[--round rNN] gate [gate ...]"
+)
+
 
 def main() -> int:
-    tag = sys.argv[1]
-    rest = sys.argv[2:]
+    argv = sys.argv[1:]
+    if len(argv) < 2:
+        print(USAGE, file=sys.stderr)
+        return 2
+    tag = argv[0]
+    rest = argv[1:]
     sf_dir = "/root/testdata/sf0.1"
-    if rest and os.path.isdir(rest[0]):
-        sf_dir, rest = os.path.abspath(rest[0]), rest[1:]
+    rnd = "r16"
+    while rest and rest[0].startswith("--"):
+        if rest[0] == "--sf-dir" and len(rest) >= 2:
+            sf_dir, rest = os.path.abspath(rest[1]), rest[2:]
+        elif rest[0] == "--round" and len(rest) >= 2:
+            rnd, rest = rest[1], rest[2:]
+        else:
+            print(USAGE, file=sys.stderr)
+            return 2
     gates = rest
+    if not gates:
+        print(USAGE, file=sys.stderr)
+        return 2
 
     import __spark_entry__ as entrymod
     from sparkt.session import get_spark
@@ -31,7 +53,11 @@ def main() -> int:
     spark = get_spark(app_name="explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    outdir = os.path.join(REPO, "plans", "r15")
+    unknown = [g for g in gates if g not in qs]
+    if unknown:
+        print(f"unknown gate(s): {unknown}", file=sys.stderr)
+        return 2
+    outdir = os.path.join(REPO, "plans", rnd)
     os.makedirs(outdir, exist_ok=True)
     for name in gates:
         df = qs[name](spark, sf_dir)

@@ -750,16 +750,26 @@ def duplicate_clusters(
     Returns (doc, cluster) for every doc appearing in ``pairs``;
     cluster = min doc id of the component (deterministic).
     """
-    # Materialize the raw id pairs ONCE: the vertex set (for the
-    # singleton union below) and the edge set both derive from here.
-    # Before r15 the singles branch re-ran the caller's pair GENERATOR
-    # twice more (union of two selects over `pairs`) — for sd1 that
-    # generator is the full IVF-cell cosine equijoin, so the gate paid
-    # the pair stage 3x (r15 optimization; before/after walls in
+    # Materialize the id pairs ONCE: the vertex set (for the singleton
+    # union below) and the edge set both derive from here. Before r15
+    # the singles branch re-ran the caller's pair GENERATOR twice more
+    # (union of two selects over `pairs`) — for sd1 that generator is
+    # the full IVF-cell cosine equijoin, so the gate paid the pair
+    # stage 3x (r15 optimization; before/after walls in
     # OPTIMIZATION_r15.md — guide §1.2 "don't compute things you
     # throw away").
+    # r16 (ADVICE r15): checkpoint the DEDUPLICATED pair set, not the
+    # raw multiset — banded MinHash / IVF-cell generators emit a pair
+    # once per band/cell, so at billions-of-pairs scale the raw
+    # checkpoint stores a large multiple of the distinct set while
+    # both consumers re-apply .distinct() anyway (value-identical).
+    # localCheckpoint blocks are executor-local and non-recoverable on
+    # executor loss (guide §5): acceptable residue-free default for a
+    # within-query intermediate; callers running on preemptible fleets
+    # should persist(DISK_ONLY) their pair generator upstream instead.
     raw = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .distinct()
         .localCheckpoint()
     )
     # canonical (child > parent) orientation; both star steps preserve it

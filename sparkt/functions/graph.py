@@ -150,6 +150,15 @@ def pagerank(
     Trade-off: cache residue for the session (the dedup module's
     documented shared-relation persist class), which is why the
     default stays the residue-free localCheckpoint.
+
+    Fault-tolerance note (ADVICE r15): THREE relations are
+    localCheckpointed per call (``und``, ``deg``, ``adj``) — their
+    blocks live on executors with no lineage for the lifetime of the
+    returned rank DataFrame, so an executor loss mid-query fails the
+    job instead of recomputing. Fine on a single-box sandbox; on a
+    preemptible/dynamic-allocation fleet use ``persist_adj=True``
+    (recomputable, and the exchange-reuse layout win) or a reliable
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` variant.
     """
     # r15 (guide §1.2 / §2.4): materialize the EDGE LIST once before
     # fanning out. `edges` is a caller-supplied pair GENERATOR (for g2

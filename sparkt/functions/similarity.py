@@ -422,6 +422,97 @@ def ivf_topk(
     )
 
 
+def _pair_scores_arrow(
+    left: DataFrame, right: DataFrame, threshold: float, id_type
+) -> DataFrame:
+    """Cell-cogrouped Arrow pair scorer — the scale twin of the
+    expression path's per-pair HOF cosine in
+    :func:`cosine_neardup_pairs` (guide §4: hand whole batches to
+    numpy instead of interpreting a 64-term fold per candidate pair;
+    r15 measured the HOF fold at 785 s for the 500k/256-cell rung's
+    ~3.9 G pairs, dominated by per-pair interpretation AND by
+    materializing every joined pair row in the JVM).
+
+    Each vector crosses the Python boundary ONCE PER CELL MEMBERSHIP
+    (n·(1+n_probe) rows), never once per pair — the §8 rule: decide
+    with a matmul, don't move payloads per decision. Only surviving
+    pairs come back.
+
+    BIT-EXACT parity with the expression path (pytest-pinned), in two
+    phases per block: (1) a BLAS matmul computes PREFILTER scores only
+    — reassociated summation, never returned; its deviation from the
+    sequential fold is ≤ dim·eps (Cauchy-Schwarz), nine orders below
+    the prefilter margin; (2) pairs surviving the prefilter (the
+    ~0.1-1% near the threshold at production settings) get their dot
+    recomputed as the exact left-assoc fold, one dimension at a time
+    (``acc += Ai[:, d] * Bj[:, d]``) — the identical IEEE-double op
+    order as ``aggregate(zip_with(va, vb, *), 0.0, +)``; ``na·nb``
+    and the division are single IEEE ops in both engines. The 4dp
+    HALF_UP round and the authoritative threshold filter stay in the
+    JVM — Python prefilters at ``threshold - 1e-4`` (a provable
+    superset: round(x,4) >= t implies x >= t - 0.00005), so no
+    rounding semantics ever cross the boundary."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
+        StructField("cos", DoubleType()),
+    ])
+    slack = threshold - 1e-4
+
+    def score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos"])
+        A = np.array(lpdf["va"].tolist(), dtype=np.float64)
+        B = np.array(rpdf["vb"].tolist(), dtype=np.float64)
+        na = lpdf["na"].to_numpy(dtype=np.float64)
+        nb = rpdf["nb"].to_numpy(dtype=np.float64)
+        ida = lpdf["id_a"].to_numpy()
+        idb = rpdf["id_b"].to_numpy()
+        dim = A.shape[1]
+        outs = []
+        # block the left axis: bounds the pair score matrix at
+        # 1024 × |cell| doubles regardless of cell size
+        for s in range(0, len(A), 1024):
+            Ab, nab, idab = A[s:s + 1024], na[s:s + 1024], ida[s:s + 1024]
+            # phase 1 — BLAS matmul PREFILTER only: reassociated
+            # summation, never returned. |matmul − fold| ≤
+            # dim·eps·Σ|a_d·b_d| ≤ 64·2.2e-16·(na·nb), i.e. < 2e-14
+            # on the cosine — nine orders below the 5e-5 margin the
+            # 1e-4 slack leaves, so the mask stays a provable
+            # superset of round(cos,4) >= threshold.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = (Ab @ B.T) / (nab[:, None] * nb[None, :])
+            mask = (idab[:, None] < idb[None, :]) & (approx >= slack)
+            i, j = np.nonzero(mask)
+            if len(i) == 0:
+                continue
+            # phase 2 — EXACT left-assoc fold, survivors only (the
+            # value that crosses back to the JVM): single IEEE
+            # multiply + single IEEE add per pair per dim, dims
+            # ascending == the HOF fold's exact order
+            Ai, Bj = Ab[i], B[j]
+            acc = np.zeros(len(i))
+            for d in range(dim):
+                acc += Ai[:, d] * Bj[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (nab[i] * nb[j])
+            outs.append(pd.DataFrame(
+                {"id_a": idab[i], "id_b": idb[j], "cos": cos}
+            ))
+        if not outs:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos"])
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        left.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(score, schema)
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -430,6 +521,7 @@ def cosine_neardup_pairs(
     dim: int = 64,
     n_cells: int = 8,
     n_probe: int | None = None,
+    scorer: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
     threshold) via an IVF-cell bucketed EQUIJOIN — never an all-pairs
@@ -442,7 +534,17 @@ def cosine_neardup_pairs(
     identical to brute force (same trick as ``ivf_topk`` full-probe) —
     that's the oracle-parity mode the gate runs. At 100 TB you set
     ``n_probe`` small: cells become the partition key, the shuffle is an
-    equijoin on cell id, and only nearby cells are compared."""
+    equijoin on cell id, and only nearby cells are compared.
+
+    ``scorer``: how candidate pairs are scored. ``"expr"`` = the
+    engine-portable per-pair HOF cosine inside the cell equijoin (the
+    oracle gates' path); ``"arrow"`` = :func:`_pair_scores_arrow`, a
+    cell-cogrouped numpy block scorer that is bit-identical by
+    construction (pytest-pinned) and orders of magnitude faster when
+    within-cell candidate volume is large; ``"auto"`` (default)
+    follows the ``_PANDAS_ASSIGN_MIN_CELLS`` convention — large cell
+    counts mark the scale configuration, small ones the oracle-parity
+    gates."""
     cents = _pseudo_centroids(dim, n_cells)
     big = n_cells >= _PANDAS_ASSIGN_MIN_CELLS
     assign = (
@@ -474,6 +576,18 @@ def cosine_neardup_pairs(
         norm(F.col(vec)).alias("na"),
         F.explode(probes).alias("cell"),
     )
+    if scorer not in ("auto", "expr", "arrow"):
+        raise ValueError(f"scorer must be auto|expr|arrow, got {scorer!r}")
+    if scorer == "arrow" or (scorer == "auto" and big):
+        raw = _pair_scores_arrow(
+            left, right, threshold, df.schema[id_col].dataType
+        )
+        # authoritative 4dp round + threshold stay JVM-side (HALF_UP)
+        return (
+            raw.withColumn("cos", F.round("cos", 4))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
     return (
         left.join(right, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -575,6 +575,91 @@ def _materialize_microbatch(ctx, node, rel, exists, full_refresh,
             f"{batches[-1][1].isoformat(sep=' ')})",
         )
 
+    # concurrent_batches, incremental run (r16, guide §2.6/§1.2): the
+    # serial parquet window replace rewrites the WHOLE table once per
+    # batch (O(n_batches × table size) written); one invocation's
+    # windows are disjoint (tiling property), so a single rewrite whose
+    # source unions every batch-filtered compile and whose keep side
+    # excludes ALL windows is row-identical (pytest-pinned against the
+    # serial path) and writes the table once. Spark schedules the
+    # union's subtrees concurrently inside ONE job — no parallel
+    # INSERTs, so there is no shared _temporary committer directory to
+    # race (the same no-race-by-construction argument as the backfill
+    # branch above). delta/iceberg keep the serial per-window REPLACE
+    # WHERE (file-level replace — no rewrite to collapse; per-batch
+    # results stay finer-grained there). Trade-off mirroring the
+    # backfill branch: one job = one fate for every batch (a failure
+    # marks all batches failed; retry re-runs them all).
+    concurrent_replace = (
+        bool(cfg.get("concurrent_batches"))
+        and not first_build
+        and len(batches) > 1
+        and file_format not in ("delta", "iceberg")
+        and ctx.adapter.relation_exists(rel)
+    )
+    if concurrent_replace:
+        import time as _time
+
+        from sparkt import events as EV
+
+        _t0 = _time.time()
+        if events is not None:
+            for bi, (bs, be) in enumerate(batches, start=1):
+                events.fire(EV.MicrobatchExecutionStarted(
+                    unique_id=node.unique_id,
+                    batch_start=bs.isoformat(sep=" "),
+                    batch_end=be.isoformat(sep=" "),
+                    index=bi, total=len(batches),
+                ))
+        succeeded, failed = [], []
+        try:
+            cols = ", ".join(
+                bt(c)
+                for c, _ in ctx.adapter.get_columns_in_relation(rel)
+            )
+            union_sql = " UNION ALL ".join(
+                f"SELECT {cols} FROM ({_batch_sql(bs, be)}) __b{i}"
+                for i, (bs, be) in enumerate(batches)
+            )
+            windows = " OR ".join(
+                f"({bt(et)} >= TIMESTAMP '{bs.isoformat(sep=' ')}' AND "
+                f"{bt(et)} < TIMESTAMP '{be.isoformat(sep=' ')}')"
+                for bs, be in batches
+            )
+            # NULL event_time rows live in NO window: keep explicitly
+            # (same contract as the serial path)
+            merged = (
+                f"SELECT {cols} FROM ({union_sql}) __sparkt_src "
+                f"UNION ALL SELECT {cols} FROM {rel.render()} "
+                f"WHERE {bt(et)} IS NULL OR NOT ({windows})"
+            )
+            ctx.adapter.create_table_as(
+                rel, select_sql=merged, partition_by=partition_by
+            )
+            succeeded.extend(batches)
+        except Exception as e:  # noqa: BLE001 — one job, one fate
+            err = f"{type(e).__name__}: {e}"
+            failed.extend((b, err) for b in batches)
+        if events is not None:
+            elapsed = _time.time() - _t0
+            for bi, (bs, be) in enumerate(batches, start=1):
+                events.fire(EV.MicrobatchExecutionCompleted(
+                    unique_id=node.unique_id,
+                    batch_start=bs.isoformat(sep=" "),
+                    index=bi, total=len(batches),
+                    execution_time=elapsed,
+                    status=(
+                        "success" if (bs, be) in succeeded else "error"
+                    ),
+                ))
+        return _result(
+            succeeded, failed,
+            f"MICROBATCH ({len(batches)} {size} batches, concurrent "
+            f"window replace: 1 unioned rewrite, "
+            f"{batches[0][0].isoformat(sep=' ')} → "
+            f"{batches[-1][1].isoformat(sep=' ')})",
+        )
+
     succeeded, failed = [], []
     try:
         for bi, (bs, be) in enumerate(batches, start=1):

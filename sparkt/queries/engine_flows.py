@@ -716,7 +716,7 @@ sources:
             "models/daily_rollup.sql": """
 {{ config(materialized='incremental', incremental_strategy='microbatch',
           event_time='day', batch_size='day', begin='2024-01-01',
-          lookback=1) }}
+          lookback=1, concurrent_batches=true) }}
 select date_trunc('day', ts) as day, event_type,
        count(*) as n, round(sum(value), 2) as total
 from {{ source('evsrc', 'events') }}

@@ -769,6 +769,74 @@ def test_microbatch_concurrent_backfill(make_project, spark):
     assert spark.table("t_cb.mb5").count() == 30
 
 
+def _mbcr_files(concurrent: bool) -> dict:
+    return {
+        "dbt_project.yml": (
+            "name: cr\nmodel-paths: [models]\nseed-paths: [seeds]\n"
+        ),
+        "seeds/ev6.csv": (
+            "id,ts,v\n" + "\n".join(
+                f"{i},2024-01-{(i % 12) + 1:02d} 04:00:00,{i * 2}"
+                for i in range(1, 25)
+            ) + "\n"
+        ),
+        "models/stg6.sql": (
+            "{{ config(materialized='table', event_time='ts') }}\n"
+            "select id, cast(ts as timestamp) as ts, v from {{ ref('ev6') }}"
+        ),
+        "models/mb6.sql": (
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='microbatch', event_time='ts', "
+            "batch_size='day', begin='2024-01-01', lookback=1"
+            + (", concurrent_batches=true" if concurrent else "")
+            + ") }}\n"
+            "select id, ts, v from {{ ref('stg6') }}"
+        ),
+    }
+
+
+def test_microbatch_concurrent_window_replace_matches_serial(
+    make_project, spark
+):
+    """r16: with concurrent_batches, an incremental run's disjoint
+    window replaces collapse into ONE unioned table rewrite (the
+    serial parquet path rewrites the whole table once per batch).
+    Pinned: rows identical to the serial path on the same project and
+    windows — including idempotent re-replace of already-present days
+    and survival of NULL event_time rows — and the message marks the
+    collapsed path."""
+    tables = {}
+    for tag, conc in (("ser", False), ("conc", True)):
+        schema = f"t_mbcr_{tag}"
+        runner = make_project(_mbcr_files(conc), schema=schema)
+        assert runner.seed().ok
+        assert runner.run(event_time_end="2024-01-07 00:00:00").ok
+        # legacy NULL-ts row: belongs to no window, must survive
+        spark.sql(
+            f"insert into {schema}.mb6 "
+            "select 999, cast(null as timestamp), 0"
+        )
+        res = runner.run(
+            event_time_start="2024-01-05 00:00:00",
+            event_time_end="2024-01-13 00:00:00",
+        )
+        assert res.ok
+        mb = next(r for r in res.results if "mb6" in r.unique_id)
+        if conc:
+            assert "concurrent window replace" in mb.message
+        else:
+            assert "concurrent" not in mb.message
+        tables[tag] = sorted(
+            map(tuple, spark.table(f"{schema}.mb6").collect())
+        )
+    assert tables["ser"] == tables["conc"]
+    ids = {t[0] for t in tables["conc"]}
+    assert 999 in ids  # NULL event_time survived the unioned rewrite
+    # non-vacuous: the replace window overlapped existing days 5-6 and
+    # extended through day 12 (ids land on days 1-12, 2 per day)
+    assert len(tables["conc"]) == 25
+
+
 # ------------------------------------- batch-level results (dbt 1.9)
 _MB_BREAK_FILES = {
     "dbt_project.yml": (

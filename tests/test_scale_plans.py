@@ -506,5 +506,85 @@ def test_ivf_recall_vs_brute_force_bounds(spark):
         return len(approx & exact) / len(exact)
 
     assert recall(16) == 1.0          # full probe == brute force
-    assert recall(8) >= 0.70          # measured 0.782
-    assert recall(4) >= 0.45          # measured 0.532
+    # Pruned-probe floors pin the CONTRACT, not the artifact (ADVICE
+    # r15): the measured values (p8 = 0.782, p4 = 0.532) depend on the
+    # exact sf0.1 embeddings fixture and kmeans_fit(k=16, iters=2)
+    # init/tie-break behavior — a benign fixture-generator or seeding
+    # change moves them with no product regression, so the floors sit
+    # well below the measurement (coarse sanity: pruning must retain a
+    # meaningful fraction, and p8 must beat p4).
+    r8, r4 = recall(8), recall(4)
+    assert r8 >= 0.60                 # measured 0.782
+    assert r4 >= 0.35                 # measured 0.532
+    assert r8 >= r4                   # more probes never hurt recall
+
+
+def test_arrow_pair_scorer_matches_expression_path(spark):
+    """r16: the cell-cogrouped Arrow pair scorer
+    (similarity._pair_scores_arrow) replaces the per-pair interpreted
+    HOF cosine at large cell counts. Contract: BIT-identical doubles —
+    the numpy block fold accumulates one dimension at a time, which is
+    the same left-assoc IEEE order as aggregate(zip_with(...)); na·nb
+    and the division are single IEEE ops; round/threshold stay in the
+    JVM. Pinned two ways: (1) unrounded cosines of EVERY pair equal the
+    expression join's bit for bit, (2) full gate-shape output parity on
+    both a pruned-probe and a full-probe configuration."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.similarity import (
+        _pair_scores_arrow, cosine_neardup_pairs, dot, norm,
+    )
+    from sparkt.sources import load_parquet
+
+    emb = load_parquet(
+        spark, "/root/testdata/sf0.1/embeddings.parquet"
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    sub = emb.filter(F.col("vec_id") < 400)
+
+    # (1) bit-exactness of the raw scorer: one shared cell, all pairs
+    left = sub.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"), F.lit(0).alias("cell"),
+    )
+    right = sub.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"), F.lit(0).alias("cell"),
+    )
+    arrow = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in _pair_scores_arrow(
+            left, right, threshold=-2.0, id_type=sub.schema["vec_id"].dataType
+        ).collect()
+    }
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .collect()
+    }
+    assert arrow == expr  # exact float equality, no tolerance
+
+    # (2) end-to-end output parity, pruned and full probe
+    for kwargs in (
+        {"n_cells": 64, "n_probe": 2},
+        {"n_cells": 8, "n_probe": None},
+    ):
+        rows_expr = sorted(
+            map(tuple, cosine_neardup_pairs(
+                sub, "vec_id", "embedding", 0.35, dim=64,
+                scorer="expr", **kwargs,
+            ).collect())
+        )
+        rows_arrow = sorted(
+            map(tuple, cosine_neardup_pairs(
+                sub, "vec_id", "embedding", 0.35, dim=64,
+                scorer="arrow", **kwargs,
+            ).collect())
+        )
+        assert rows_expr == rows_arrow, kwargs
+        assert len(rows_expr) > 0, kwargs  # non-vacuous
