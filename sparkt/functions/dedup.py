@@ -985,12 +985,14 @@ def tfidf_cosine_pairs(
     100 TB shape: sparse posting-list self-join — only docs sharing
     a shingle ever meet (never all-pairs), the dot product is one
     map-side-combined aggregate on (id_a, id_b), norms join back at
-    pair grain. The weights relation feeds three consumers (norms +
-    both join sides); A/B at sf0.1 (r12): localCheckpoint'ing it is
-    within noise of lazy (2.9-3.1 s vs 3.2 s warm) because exchange
-    reuse already covers the plan-identical self-join sides — kept
-    lazy (no materialization residue). Re-check if the upstream ever
-    grows a UDF/vector stage (the pl2 re-inlining precedent).
+    pair grain. The weights relation feeds four consumers (both dot
+    sides + both norm branches); r16 re-audit of the EXECUTED plan
+    (the r12 A/B trusted pre-execution explain) showed 8 parquet
+    scans and ZERO runtime exchange reuse — the shingle projection,
+    tf and df aggregations ran up to 8x per gate. ``w`` is therefore
+    localCheckpointed (posting-list grain, ~|docs|·|terms per doc|
+    rows — the same size class as the d3 signature persist); warm
+    wall 5.2 -> 1.3 s at sf0.1.
     """
     pre = spread(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
@@ -1015,7 +1017,7 @@ def tfidf_cosine_pairs(
         dft = dft.filter(F.col("dfv") <= max_df)
     w = tf.join(dft, "sh").select(
         "doc", "sh", (F.col("tf") / F.col("dfv")).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     norms = w.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

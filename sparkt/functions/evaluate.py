@@ -303,10 +303,16 @@ def fleiss_kappa(
 
     if n_raters < 2:
         raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    # materialize the (item, label) counts ONCE (r16, guide §1.2):
+    # nij feeds the items branch AND both sides of the c2 scalar
+    # subquery, and the executed plan re-ran the caller's full rating
+    # construction per reference (ev5: 3 scans, zero runtime exchange/
+    # subquery reuse). nij is |items|×|labels| rows — tiny at any
+    # corpus size that fits an agreement study.
     nij = df.groupBy(
         F.col(item_col).alias("__item"),
         F.col(label_col).alias("__label"),
-    ).agg(F.count(F.lit(1)).alias("__nij"))
+    ).agg(F.count(F.lit(1)).alias("__nij")).localCheckpoint(eager=False)
     items = (
         nij.groupBy("__item")
         .agg(
@@ -375,10 +381,12 @@ def krippendorff_alpha(
     """
     from sparkt.functions import join_scalars
 
+    # same single-evaluation rationale as fleiss_kappa (r16): nij is
+    # referenced by items, do_tab's lineage AND the c2 subquery join
     nij = df.groupBy(
         F.col(item_col).alias("__item"),
         F.col(label_col).alias("__label"),
-    ).agg(F.count(F.lit(1)).alias("__nij"))
+    ).agg(F.count(F.lit(1)).alias("__nij")).localCheckpoint(eager=False)
     items = (
         nij.groupBy("__item")
         .agg(
