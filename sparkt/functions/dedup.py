@@ -87,13 +87,21 @@ def shingle_table(
             lambda i: F.array_join(F.slice("__toks", i + 1, k), " "),
         )
     )
-    # persist: this posting list is the shared input of minhash, LSH and
-    # Jaccard — at scale you'd write it out once and join everything
-    # against it; locally the CacheManager makes plan-identical calls
-    # (e.g. the d3 and d5 gates over the same table) reuse one build
-    return pre.select(
-        "doc", F.size(sh).alias("sz"), F.explode(sh).alias("sh")
-    ).persist()
+    # persist AT THE ARRAY GRAIN, explode AFTER the cache (r16): this
+    # posting list is the shared input of minhash, LSH and Jaccard —
+    # at scale you'd write it out once and join everything against it;
+    # locally the CacheManager makes plan-identical calls (e.g. the d3
+    # and d5 gates over the same table) reuse one build. Caching the
+    # EXPLODED grain was the r15 500k bottleneck: materializing 26M
+    # tiny string rows cost 458 s (exploded persist) / 449 s
+    # (localCheckpoint — so it is row-object churn, not columnar
+    # compression) versus 25 s to just compute them. One array row per
+    # doc caches in 19 s and re-reads in 0.7 s; the explode is cheap
+    # codegen on top of the cache and the output rows are identical.
+    arr = pre.select("doc", sh.alias("__sh")).persist()
+    return arr.select(
+        "doc", F.size("__sh").alias("sz"), F.explode("__sh").alias("sh")
+    )
 
 
 # ------------------------------------------------------------ minhash
@@ -522,7 +530,15 @@ def winnow_table(
             lambda j: F.array_min(F.slice("__grams", j, w)),
         )
     )
-    return pre.select("doc", F.explode(mins).alias("fp")).distinct()
+    # (doc, fp) is already unique — array_distinct dedupes within the
+    # doc and explode emits one row per surviving fp, so the old
+    # trailing .distinct() was a full posting-list shuffle for nothing
+    # (r16 plan audit). Fingerprint arrays cache at the ARRAY grain
+    # (the shingle_table rationale: materializing the exploded grain
+    # cost 18x the recompute at the 500k rung); consumers re-explode
+    # from the cache per reference.
+    arr = pre.select("doc", mins.alias("__fps")).persist()
+    return arr.select("doc", F.explode("__fps").alias("fp"))
 
 
 def winnow_pairs(
@@ -545,7 +561,12 @@ def winnow_pairs(
         fps = fps.join(
             freq.filter(F.col("df_") <= max_fp_freq).select("fp"), "fp"
         )
-    fps = fps.persist()
+        # cache the CAPPED posting list only: its freq join would
+        # otherwise run once per self-join side. Without the cap the
+        # winnow_table array-grain cache already covers both sides —
+        # persisting the raw exploded posting list here measured 18x
+        # its own recompute at the 500k rung (shingle_table note).
+        fps = fps.persist()
     return (
         fps.alias("l")
         .join(

@@ -379,6 +379,13 @@ def cooccurrence_pairs(
             .filter(F.col("__gsz") <= int(max_group_size))
             .drop("__gsz")
         )
+    # materialize ONCE (r16, guide §1.2): both self-join sides
+    # reference items, and the executed ft6 plan re-ran the distinct
+    # shuffle + size-cap aggregate per side (4 fact-table scans; warm
+    # 15.7 s at sf0.1). (group, item) pairs after the cap are the
+    # smallest relation in the query — the usual within-query
+    # localCheckpoint class (executor-local blocks, guide §5).
+    items = items.localCheckpoint(eager=False)
     left = items.select(
         F.col(group_col).alias("__g"), F.col(item_col).alias("item_a")
     )
