@@ -941,7 +941,14 @@ def dsir_logweights(
             .cast("int")
             % n_buckets
         ).alias("f"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ single evaluation (r16): ex feeds BOTH the bucket distribution
+    # (dist -> ratio, whose totals side re-aggregates the same subtree
+    # again) and the per-doc counts — without the barrier the
+    # tokenize+bigram+md5 explode chain executes 3x per run (Spark 4.1
+    # applies no runtime reuse across these branches; p11 isolated
+    # warm 18.7 s before). Rows here are (long, bool, int) — the cheap
+    # grain to materialize, unlike the W9 exploded-string lesson.
     dist = ex.groupBy("f").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.col("__tgt").cast("long")).alias("c_t"),

@@ -469,10 +469,16 @@ def trigram_familiarity(df, text_col: str, id_col: str):
     """
     from pyspark.sql.functions import broadcast
 
-    tri = df.select(
+    # single evaluation (r16): the normalize+trigram chain feeds both
+    # the corpus frequency table and the scoring join side — without a
+    # barrier it executes twice per run. Materialize at the ARRAY
+    # grain (one row per doc — the W9 lesson: exploded tiny-row caches
+    # cost more to build than to compute) and explode after.
+    arr = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(char_trigrams(F.col(text_col))).alias("tri"),
-    )
+        char_trigrams(F.col(text_col)).alias("__tri"),
+    ).localCheckpoint(eager=False)
+    tri = arr.select("doc", F.explode("__tri").alias("tri"))
     freq = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("corpus_freq"))
     return (
         tri.join(broadcast(freq), "tri")

@@ -855,12 +855,20 @@ ORDER BY query_id, rank
 # ------------------------------------------------------------------ d6
 def d6_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (threshold 0.35 — random
-    vectors top out ≈0.5 cosine)."""
+    vectors top out ≈0.5 cosine).
+
+    scorer='arrow' (r16): bit-identical to the expression path by
+    construction (pinned at full-probe gate shape by
+    test_arrow_pair_scorer_matches_expression_path), and it sidesteps
+    the giant per-pair HOF fold whose generated code costs ~100 s of
+    C2 JIT warm-up on a fresh JVM (isolated walls 99.6/44.6/11.5/2.9 s
+    over four reps; arrow path is flat ~2 s from rep 1)."""
     emb = T(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.35) \
-        .orderBy("id_a", "id_b")
+    return S.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", 0.35, scorer="arrow"
+    ).orderBy("id_a", "id_b")
 
 
 D6_SQL = """
@@ -1532,7 +1540,11 @@ def sd1_semantic_dedup(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    pairs = S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.35)
+    # scorer='arrow': bit-identical (pytest-pinned), avoids the d6
+    # expression path's ~100 s fresh-JVM JIT warm-up (see d6 docstring)
+    pairs = S.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", 0.35, scorer="arrow"
+    )
     clusters = D.duplicate_clusters(pairs)
     return (
         clusters.groupBy("cluster")
@@ -1822,7 +1834,11 @@ def pl2_vector_pipeline(spark, sf_dir):
     # transform chain — Catalyst duplicates non-cheap subtrees
     # wholesale, and the analysis/codegen blowup dominated the gate
     # (35 s -> measured after this change in GATE_BUDGETS)
-    pairs = S.cosine_neardup_pairs(deq, "vec_id", "embedding", 0.35)
+    # scorer='arrow': bit-identical (pytest-pinned), avoids the d6
+    # expression path's ~100 s fresh-JVM JIT warm-up (see d6 docstring)
+    pairs = S.cosine_neardup_pairs(
+        deq, "vec_id", "embedding", 0.35, scorer="arrow"
+    )
     clusters = D.duplicate_clusters(pairs)
     drop = clusters.filter(F.col("doc") != F.col("cluster")).select(
         F.col("doc").alias("vec_id")
