@@ -781,6 +781,39 @@ def kmeans_assign_pandas(
     return _assign(vec)
 
 
+def _argmin_l2_exact_pandas(
+    vec: Column, mat: list[list[float]]
+) -> Column:
+    """Argmin-L2 with the expression path's EXACT arithmetic, one
+    vectorized numpy pass per Arrow batch: squared L2 accumulates one
+    dimension at a time (``acc += (x−y)·(x−y)``, dims ascending — the
+    identical IEEE-double op order as :func:`kmeans_assign`'s
+    zip_with/aggregate fold), so every distance and the first-minimum
+    tie-break (np.argmin = first occurrence = ``array_position``'s
+    lowest index) are bit-identical to the expression path.
+    :func:`kmeans_assign_pandas`'s matmul shortcut reassociates the
+    sum and is pinned only empirically — fine for the scale configs,
+    not for an oracle-hashed gate. This variant is exact by
+    construction (the W1 phase-2 argument applied to argmin)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.array(mat, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        acc = np.zeros((X.shape[0], M.shape[0]))
+        for d in range(M.shape[1]):
+            diff = X[:, d, None] - M[None, :, d]
+            acc += diff * diff
+        return pd.Series(acc.argmin(axis=1).astype("int32"))
+
+    return _assign(vec)
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -892,6 +925,39 @@ def _argmin_code(dists: Column) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _pq_codes_pandas(
+    vec: Column, books: list[list[list[float]]]
+) -> Column:
+    """PQ code array via one vectorized numpy pass per Arrow batch —
+    the scale twin of :func:`pq_encode`'s per-subspace expression
+    argmin. BIT-EXACT: per subspace the squared L2 to all codes
+    accumulates one dimension at a time (identical IEEE op order as
+    :func:`_l2sq`'s fold) and np.argmin's first-occurrence tie-break
+    equals ``array_position``'s lowest index (pytest-pinned)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.array(books, dtype=np.float64)  # (m, n_codes, sub)
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        m, n_codes, sub = B.shape
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            Xs = X[:, j * sub:(j + 1) * sub]
+            acc = np.zeros((X.shape[0], n_codes))
+            for d in range(sub):
+                diff = Xs[:, d, None] - B[j, None, :, d]
+                acc += diff * diff
+            out[:, j] = acc.argmin(axis=1)
+        return pd.Series([r.tolist() for r in out])
+
+    return _codes(vec)
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -900,6 +966,7 @@ def pq_encode(
     m: int = 8,
     n_codes: int = 16,
     keep: list[str] | None = None,
+    encoder: str = "expr",
 ) -> DataFrame:
     """Product-quantization encode: each ``dim``-float vector becomes
     ``m`` small integer codes (argmin-L2 sub-quantizer per subspace) —
@@ -912,6 +979,17 @@ def pq_encode(
     ADC scan in :func:`ivfpq_topk` reads 32× fewer bytes."""
     sub = dim // m
     books = _pq_codebooks(dim, m, n_codes)
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
+    if encoder not in ("expr", "arrow"):
+        raise ValueError(f"encoder must be expr|arrow, got {encoder!r}")
+    if encoder == "arrow":
+        # bit-identical numpy batch encode (guide §4): the expression
+        # path's m·n_codes·sub interpreted fold ops per row cost 23.5 s
+        # for 500k rows at the r16 rung; one vectorized pass per Arrow
+        # batch does the same arithmetic in the same IEEE order
+        return df.select(
+            *cols, _pq_codes_pandas(F.col(vec), books).alias("codes")
+        )
 
     # closure factory, NOT `lambda c, _sv=sv`: a two-param lambda makes
     # F.transform pass (element, index) and the INDEX silently replaces
@@ -924,7 +1002,6 @@ def pq_encode(
         sv = F.slice(F.col(vec), j * sub + 1, sub)
         dists = F.transform(_const_matrix(book), _dist_to(sv))
         codes.append(_argmin_code(dists))
-    cols = [F.col(id_col)] + [F.col(c) for c in (keep or [])]
     return df.select(*cols, F.array(*codes).alias("codes"))
 
 
@@ -940,6 +1017,7 @@ def ivfpq_topk(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
+    encoder: str = "expr",
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbours (the FAISS IVFPQ
     architecture, re-expressed Spark-first): the corpus is coarsely
@@ -959,11 +1037,20 @@ def ivfpq_topk(
     sub = dim // m
     cents = _pseudo_centroids(dim, n_cells)
     books = _pq_codebooks(dim, m, n_codes)
+    # encoder='arrow' (r16): the corpus-side cell assign + PQ encode —
+    # n_cells·dim + m·n_codes·sub interpreted fold ops per row, 38 s
+    # of the 52 s rung wall — run as bit-exact numpy batch passes
+    # (same IEEE fold order, same first-min tie-break; pytest-pinned)
+    assign = (
+        _argmin_l2_exact_pandas(F.col(vec), cents)
+        if encoder == "arrow"
+        else kmeans_assign(F.col(vec), cents)
+    )
     enc = pq_encode(
         corpus.select(
             F.col(corpus_id),
             F.col(vec),
-            kmeans_assign(F.col(vec), cents).alias("cell"),
+            assign.alias("cell"),
         ),
         id_col=corpus_id,
         vec=vec,
@@ -971,6 +1058,7 @@ def ivfpq_topk(
         m=m,
         n_codes=n_codes,
         keep=["cell"],
+        encoder=encoder,
     )
     # query probe list: the n_probe nearest coarse cells by iterated
     # argmin-L2 with lowest-index tie-break — round p masks the p-1
@@ -1004,19 +1092,36 @@ def ivfpq_topk(
             f"c{p}",
             (F.array_position(masked, F.array_min(masked)) - 1),
         )
+    # ADC via a per-query distance TABLE (the FAISS precomputed-table
+    # trick, r16): dist(q_sub_j, book_j[c]) is evaluated once per
+    # (query, subspace, code) on the |Q|·n_probe-row query side —
+    # 128 folds per query row — instead of once per CANDIDATE
+    # (m·sub-term folds × millions of join rows; 15 s of the 52 s
+    # rung wall). BIT-IDENTICAL: each table entry is the same _l2sq
+    # fold the per-candidate expression computed, and the final sum
+    # adds the same IEEE doubles in the same subspace order.
+    def _dist_to(sv):
+        return lambda c: _l2sq(sv, c)
+
+    dtab = F.array(*[
+        F.transform(
+            _const_matrix(book),
+            _dist_to(F.slice(F.col("qv"), j * sub + 1, sub)),
+        )
+        for j, book in enumerate(books)
+    ])
     q = probed.select(
         F.col(query_id), "qv",
         F.explode(
             F.array(*[F.col(f"c{p}").cast("int")
                       for p in range(1, n_probe + 1)])
         ).alias("cell"),
-    )
+    ).select(F.col(query_id), dtab.alias("dtab"), "cell")
     adc = F.lit(0.0).cast("double")
-    for j, book in enumerate(books):
-        cent = F.element_at(
-            _const_matrix(book), F.col("codes").getItem(j) + 1
+    for j in range(m):
+        adc = adc + F.element_at(
+            F.col("dtab").getItem(j), F.col("codes").getItem(j) + 1
         )
-        adc = adc + _l2sq(F.slice(F.col("qv"), j * sub + 1, sub), cent)
     cand = (
         broadcast(q)
         .join(enc, "cell")

@@ -740,9 +740,13 @@ def s12_ivfpq(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    # encoder='arrow' (r16): corpus-side cell assign + PQ encode run
+    # as bit-exact numpy batch passes (same IEEE fold order and
+    # tie-break as the expression path, pytest-pinned) — the
+    # interpreted fold was 38 s of the 52 s 500k-rung wall
     return S.ivfpq_topk(
         queries, corpus, dim=64, k=5, m=8, n_codes=16,
-        n_cells=8, n_probe=2,
+        n_cells=8, n_probe=2, encoder="arrow",
     ).orderBy("query_id", "rank")
 
 

@@ -345,14 +345,22 @@ def test_gate_callers_leave_no_cache_residue(spark):
         pl1_preprocess_pipeline,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # compare the persistent-RDD ID SETS, not the count: earlier tests'
+    # localCheckpoint blocks are released asynchronously by the
+    # ContextCleaner, so a raw size equality races stale cleanup (the
+    # contract is that c3/pl1 add no NEW residue; stale ids vanishing
+    # mid-test is fine)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = set(jmap.keySet().toArray())
     assert c3_shuffle_shards(spark, "/root/testdata/sf0.001").count() > 0
     assert (
         pl1_preprocess_pipeline(spark, "/root/testdata/sf0.001").count()
         > 0
     )
-    assert jsc.getPersistentRDDs().size() == before
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert not (after - before)
 
 
 def test_pl1_pipeline_dedup_uses_window_group_limit(spark):
@@ -588,3 +596,61 @@ def test_arrow_pair_scorer_matches_expression_path(spark):
         )
         assert rows_expr == rows_arrow, kwargs
         assert len(rows_expr) > 0, kwargs  # non-vacuous
+
+
+def test_arrow_pq_encoder_matches_expression_path(spark):
+    """r16: ivfpq_topk(encoder='arrow') runs the corpus-side cell
+    assign and PQ encode as numpy batch passes. Contract: BIT-exact —
+    squared L2 accumulates one dimension at a time (the _l2sq fold's
+    IEEE order) and np.argmin's first-occurrence tie-break equals
+    array_position's lowest index. Pinned three ways: (1) exact-fold
+    pandas argmin == kmeans_assign on every sf0.1 embedding, (2)
+    arrow PQ codes == expression codes on every embedding, (3) full
+    ivfpq_topk output parity expr vs arrow at the s12 gate shape."""
+    from pyspark.sql import functions as F
+
+    from sparkt.functions.similarity import (
+        _argmin_l2_exact_pandas, _pq_codes_pandas, _pq_codebooks,
+        _pseudo_centroids, ivfpq_topk, kmeans_assign, pq_encode,
+    )
+    from sparkt.sources import load_parquet
+
+    emb = load_parquet(
+        spark, "/root/testdata/sf0.1/embeddings.parquet"
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+    cents = _pseudo_centroids(64, 8)
+    both = emb.select(
+        "vec_id",
+        kmeans_assign(F.col("embedding"), cents).alias("a_expr"),
+        _argmin_l2_exact_pandas(F.col("embedding"), cents).alias(
+            "a_arrow"
+        ),
+    )
+    diff = both.filter(F.col("a_expr") != F.col("a_arrow")).count()
+    assert diff == 0
+
+    codes_expr = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(emb, "vec_id", "embedding").collect()
+    }
+    codes_arrow = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(
+            emb, "vec_id", "embedding", encoder="arrow"
+        ).collect()
+    }
+    assert codes_expr == codes_arrow
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = {}
+    for enc in ("expr", "arrow"):
+        out[enc] = sorted(map(tuple, ivfpq_topk(
+            queries, corpus, dim=64, k=5, m=8, n_codes=16,
+            n_cells=8, n_probe=2, encoder=enc,
+        ).collect()))
+    assert out["expr"] == out["arrow"]
+    assert len(out["expr"]) > 0  # non-vacuous
