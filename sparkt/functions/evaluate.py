@@ -55,9 +55,13 @@ def retrieval_metrics(
     next to the corpus that produced the run — then one groupBy per
     query. No step touches the corpus itself.
     """
+    # single evaluation (r16): rel feeds both the per-query relevant
+    # counts and the run join — without the barrier the caller's qrels
+    # subtree (ev1: a corpus-wide label equijoin) executed twice per
+    # run. |qrels| rows: the cheap grain.
     rel = qrels.select(
         F.col(query_id).alias("__q"), F.col(doc_id).alias("__d")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nrel = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
     topk = (
         run.select(

@@ -492,7 +492,11 @@ def rfm_segments(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(value_col), 2).alias("monetary"),
-    ).withColumn("__part", F.lit("all"))
+    ).withColumn("__part", F.lit("all")).localCheckpoint(eager=False)
+    # ^ single evaluation (r16): per feeds the output spine AND three
+    # two-phase quantile rankings (each needing two references) — the
+    # executed plan re-ran the full events scan + groupBy SEVEN times
+    # per run. One row per entity: the cheap grain to materialize.
     cuts = tuple(k / quantiles for k in range(1, quantiles))
     labels = tuple(str(quantiles - k) for k in range(quantiles))
     scored = (

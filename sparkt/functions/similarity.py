@@ -191,10 +191,14 @@ def margin_pairs(
     a left id that happens to equal a right id (both sides 0-based is
     the common case) is a legitimate candidate pair, not a self-match.
     """
+    # single evaluation (r16): fwd feeds BOTH the left kNN-mean and
+    # the candidate spine — without the barrier the whole topk pass
+    # (two corpus scans + score + window) executed twice per run.
+    # |left|·k rows: the cheap grain. bwd is referenced once.
     fwd = cosine_topk(
         left, right, k=k, query_id=left_id, corpus_id=right_id,
         vec=vec, self_exclude=False,
-    )
+    ).localCheckpoint(eager=False)
     bwd = cosine_topk(
         right, left, k=k, query_id=right_id, corpus_id=left_id,
         vec=vec, self_exclude=False,
@@ -1253,16 +1257,22 @@ def mmr_rerank(
         StructType,
     )
 
+    # single evaluation (r16): cand feeds the candidate-vector join
+    # AND the cogroup's left side (3 references), ce feeds both self-
+    # join sides — without the barriers the full topk pass executed
+    # 3x and the corpus joined twice more (8 scans in the executed
+    # plan). Both relations are |Q|·n_candidates rows: the cheap grain.
     cand = cosine_topk(
         queries, corpus, k=n_candidates,
         query_id=query_id, corpus_id=corpus_id, vec=vec,
-    ).select(query_id, corpus_id, F.col("cos").alias("rel"))
+    ).select(query_id, corpus_id, F.col("cos").alias("rel")) \
+        .localCheckpoint(eager=False)
     ce = cand.join(
         corpus.select(F.col(corpus_id), F.col(vec).alias("__v")),
         corpus_id,
     ).select(
         query_id, corpus_id, "__v", norm(F.col("__v")).alias("__n")
-    )
+    ).localCheckpoint(eager=False)
     l = ce.select(
         F.col(query_id),
         F.col(corpus_id).alias("id_a"),
