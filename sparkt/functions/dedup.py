@@ -437,6 +437,10 @@ def hamming_banded_pairs(
     # hamming; a 63-bit band peaks at exactly Long.MAX.
     nb = max(k + 1, -(-n_bits // 63))
     bounds = band_bounds(n_bits, nb)
+    # single evaluation (r16): bands feeds BOTH self-join sides, so
+    # the caller's hash subtree (simhash: tokenize+shingle+md5+majority
+    # per doc; perceptual: 4 salted md5 digests) executed twice per
+    # run. One row per doc of nb+1 longs: the cheap grain.
     bands = df.select(
         F.col(id_col).alias("__id"),
         *[
@@ -445,7 +449,7 @@ def hamming_banded_pairs(
             .alias(f"b{i}")
             for i, (s, w) in enumerate(bounds)
         ],
-    )
+    ).localCheckpoint(eager=False)
     left = bands.select(
         F.col("__id").alias("id_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(nb)],

@@ -174,7 +174,11 @@ def cohort_retention(
         src.groupBy(key_col)
         .agg(F.min(ts_col).alias("__t0"))
         .withColumn("__cohort", F.date_trunc("week", F.col("__t0")))
+        .localCheckpoint(eager=False)
     )
+    # ^ single evaluation (r16): anchors feeds the activity join AND
+    # the cohort sizes — the anchor events scan + groupBy executed
+    # twice per run. One row per entity: the cheap grain.
     acts = (
         events.join(anchors, key_col)
         .filter(F.col(ts_col) >= F.col("__t0"))
@@ -227,10 +231,13 @@ def count_anomalies(
     median/MAD of integer counts interpolate identically across
     engines.
     """
+    # single evaluation (r16): g feeds the median, the deviation join
+    # (twice — MAD and the output), so the full events scan + groupBy
+    # executed 3x per run. (group, day) grain: the cheap grain.
     g = events.groupBy(
         F.col(group_col).alias("grp"),
         F.date_trunc("day", F.col(ts_col)).alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     med = g.groupBy("grp").agg(
         F.percentile("n", F.lit(0.5)).alias("med")
     )

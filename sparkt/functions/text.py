@@ -609,9 +609,12 @@ def collocations(df, text_col: str, min_count: int = 5):
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", ""),
         " +", " ",
     )
+    # single evaluation (r16): words feeds the pair AND unigram
+    # explodes — the normalize+split chain executed twice per run.
+    # Array grain, one row per doc (the W9 lesson), explode after.
     words = spread(df).select(
         F.filter(F.split(s, " "), lambda w: w != F.lit("")).alias("__ws")
-    )
+    ).localCheckpoint(eager=False)
     pairs = words.select(F.explode(_bigrams_of(F.col("__ws"))).alias("bg"))
     pc = (
         pairs.groupBy("bg")
