@@ -183,13 +183,20 @@ def classification_report(
     on the class key — the corpus is touched once per count, and the
     reduce side is |classes| rows at any scale.
     """
+    # single evaluation (r16): the three class-grain counts each
+    # re-ran the caller's scoring chain (ev3: lang_id over every doc
+    # executed 3x). Materialize the two-column (label, pred) grain
+    # once; the counts read it.
+    pairs = df.select(
+        F.col(label_col), F.col(pred_col)
+    ).localCheckpoint(eager=False)
     lab = F.col(label_col).alias("cls")
-    support = df.groupBy(lab).agg(F.count(F.lit(1)).alias("n_true"))
-    pred = df.groupBy(F.col(pred_col).alias("cls")).agg(
+    support = pairs.groupBy(lab).agg(F.count(F.lit(1)).alias("n_true"))
+    pred = pairs.groupBy(F.col(pred_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("n_pred")
     )
     tp = (
-        df.filter(F.col(label_col) == F.col(pred_col))
+        pairs.filter(F.col(label_col) == F.col(pred_col))
         .groupBy(lab)
         .agg(F.count(F.lit(1)).alias("tp"))
     )
@@ -246,16 +253,22 @@ def cohens_kappa(
     """
     from sparkt.functions import join_scalars
 
-    tot = df.agg(
+    # single evaluation (r16): the agreement count and the two
+    # marginals each re-ran the caller's scoring chain (ev4: lang_id
+    # over every doc executed 3x). Two-column grain, cheap.
+    pairs = df.select(
+        F.col(rater_a), F.col(rater_b)
+    ).localCheckpoint(eager=False)
+    tot = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             (F.col(rater_a) == F.col(rater_b)).cast("long")
         ).alias("n_agree"),
     )
-    ma = df.groupBy(F.col(rater_a).alias("cls")).agg(
+    ma = pairs.groupBy(F.col(rater_a).alias("cls")).agg(
         F.count(F.lit(1)).alias("na")
     )
-    mb = df.groupBy(F.col(rater_b).alias("cls")).agg(
+    mb = pairs.groupBy(F.col(rater_b).alias("cls")).agg(
         F.count(F.lit(1)).alias("nb")
     )
     pe_tab = (
