@@ -736,16 +736,18 @@ def duplicate_clusters(
     every pair generator (minhash/jaccard/winnowing): pairs → clusters,
     so one canonical doc per cluster survives.
 
-    ADAPTIVE EXECUTION: the deduplicated edge table is materialized
+    ADAPTIVE EXECUTION: the deduplicated pair set is materialized
     first (it must be, to truncate lineage for the loop), so its count
-    is free — and when it is at most ``driver_threshold`` edges
-    (default 1M ≈ a few MB: model-scale, the k-means-collect policy)
-    the components are solved in one driver-side union-find pass
-    instead of log-n distributed rounds, each of which costs two full
-    Spark jobs of fixed latency. A 100 TB corpus whose pair stage
-    emits billions of edges takes the distributed path automatically;
-    ``driver_threshold=0`` forces it (the d9 gate pins it that way).
-    Both paths produce identical labels (pytest-pinned).
+    is free — and when it is at most ``driver_threshold`` distinct
+    pairs (default 1M ≈ a few MB: model-scale, the k-means-collect
+    policy; an upper bound of the canonical edge count) the components
+    are solved in one driver-side union-find pass over the collected
+    pairs — including the singleton labels, so no further Spark job
+    runs at all — instead of log-n distributed rounds, each of which
+    costs two full Spark jobs of fixed latency. A 100 TB corpus whose
+    pair stage emits billions of edges takes the distributed path
+    automatically; ``driver_threshold=0`` forces it (the d9 gate pins
+    it that way). Both paths produce identical labels (pytest-pinned).
 
     Alternating large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -797,15 +799,18 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
-    # canonical (child > parent) orientation; both star steps preserve it
-    edges = (
-        raw.filter(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
-    )
 
-    if edges.count() <= driver_threshold:  # count on materialized edges: free
+    # r16: the driver path decides on (and collects) the materialized
+    # `raw` pair set directly — the previous shape built and
+    # checkpointed the canonical edge table plus a 4-job
+    # union/distinct/anti-join singles branch on a dataset that was
+    # about to be collect()ed anyway; once the pairs are on the
+    # driver, edges, union-find AND singletons are plain Python and
+    # the result is ONE createDataFrame (guide §1.2 — at gate scale
+    # each spared job is ~0.2 s of fixed latency). The threshold now
+    # gates on distinct raw pairs rather than canonical edges — an
+    # upper bound of the edge count, so the switch stays conservative.
+    if driver_threshold > 0 and raw.count() <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
         parent: dict = {}
@@ -818,29 +823,35 @@ def duplicate_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        rows = edges.collect()
-        for r in rows:
-            ra, rb = _find(r["u"]), _find(r["v"])
+        members: set = set()
+        for r in raw.collect():
+            u, v = r["u"], r["v"]
+            members.add(u)
+            members.add(v)
+            if u == v:
+                continue  # self-pair: singleton unless edged elsewhere
+            ra, rb = _find(u), _find(v)
             if ra != rb:
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra  # smaller id stays root -> root == min
-        utype = edges.schema["u"].dataType
+        utype = raw.schema["u"].dataType
         schema = StructType(
             [StructField("doc", utype), StructField("cluster", utype)]
         )
-        members = sorted({x for r in rows for x in (r["u"], r["v"])})
-        labels_df = pairs.sparkSession.createDataFrame(
-            [(x, _find(x)) for x in members], schema
+        # edge-less members label themselves: the singleton clusters
+        # the old anti-join branch produced, now for free
+        return pairs.sparkSession.createDataFrame(
+            [(x, _find(x)) for x in sorted(members)], schema
         )
-        singles = (
-            raw.select(F.col("u").alias("doc"))
-            .union(raw.select(F.col("v").alias("doc")))
-            .distinct()
-            .join(F.broadcast(labels_df.select("doc")), "doc", "left_anti")
-            .select("doc", F.col("doc").alias("cluster"))
-        )
-        return labels_df.union(singles)
+
+    # canonical (child > parent) orientation; both star steps preserve it
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
+    )
 
     def _signature(e: DataFrame) -> tuple:
         # decimal(38,0) accumulator: a plain bigint sum of 64-bit hashes
