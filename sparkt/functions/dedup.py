@@ -1054,9 +1054,14 @@ def tfidf_cosine_pairs(
     w = tf.join(dft, "sh").select(
         "doc", "sh", (F.col("tf") / F.col("dfv")).alias("w")
     ).localCheckpoint(eager=False)
+    # single evaluation (r16): norms feeds BOTH pair-side joins below —
+    # without the checkpoint the per-doc norm aggregate over `w` ran
+    # twice per execution (tiny relation: one row per doc; the values
+    # are identical either way — `w` is checkpointed, so each branch
+    # folds the same partitions in the same order)
     norms = w.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
-    )
+    ).localCheckpoint(eager=False)
     dots = (
         w.alias("l")
         .join(
