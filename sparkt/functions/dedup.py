@@ -1378,10 +1378,14 @@ def lsh_calibration(
     pairs = minhash_candidate_pairs(
         df, text_col, id_col, n_hashes=n_hashes, n_bands=n_bands
     )
+    # single evaluation (r16): the shingle-array relation feeds BOTH
+    # pair-side joins — without the checkpoint the shingle HOF ran
+    # twice over the corpus. Array grain (one row per doc), the cheap
+    # class from the shingle_table cache note.
     sh = df.select(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), k).alias("__sh"),
-    )
+    ).localCheckpoint(eager=False)
     j = (
         pairs.join(
             sh.select(F.col("__id").alias("id_a"),
